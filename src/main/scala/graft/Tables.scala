@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loader over the driver-generated test data
+  * (TESTDATA.md / FIXTURES.md). One parquet file per table at
+  * `$dir/<name>.parquet`.
+  *
+  * At 100 TB each "table" becomes a partitioned parquet dataset
+  * (directory of files, possibly hive-partitioned); `spark.read.parquet`
+  * handles both shapes unchanged, and every query in this engine goes
+  * through this single entry point so the substrate can be swapped
+  * (Delta/Iceberg/bucketed tables) without touching operator code.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
+      // default. Read it as raw nanos (legacy conf, runtime-settable) and
+      // truncate to microseconds — exactly what DuckDB does on read
+      // (SURVEY.md §7.3), so oracle parity is preserved. `div` keeps the
+      // arithmetic in integer space: ~1.7e18 ns overflows double's exact
+      // integer range.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+}
+
+/** One declared operator: the Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) the DuckDB oracle the driver
+  * hash-compares against (SURVEY.md §2).
+  *
+  * Determinism contract for every query (SURVEY.md §2 tail):
+  *  - ends in a total-order ORDER BY with a unique tie-break column;
+  *  - every floating-point measure is round(_, 4);
+  *  - aggregate outputs are cast to explicit types (BIGINT/DOUBLE)
+  *    because DuckDB defaults differ from Spark's;
+  *  - no arrays/maps/structs in the final output.
+  */
+final case class QueryDef(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")

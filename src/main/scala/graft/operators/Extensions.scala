@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** LLM-data-pipeline extension operators (SURVEY.md §2.5, X1–X4):
+  * semi-structured extraction, text stats, exact dedup, cosine
+  * similarity search. The heavier training-data operators (MinHash
+  * LSH, SimHash, n-gram Jaccard, ANN, multimodal) live in
+  * [[graft.operators.Dedup]] / [[graft.operators.Similarity]] /
+  * [[graft.operators.Multimodal]].
+  */
+object Extensions {
+
+  /** X1 — JSON extraction from a semi-structured string column.
+    * `events.props` is `{"k": <int>}`. get_json_object is codegen'd;
+    * at 100 TB a hot JSON path would be materialized to a typed column
+    * at ingest (schema-on-write), but extraction must still exist for
+    * raw payloads.
+    */
+  private def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+      .orderBy("event_id")
+
+  /** X2 — text analysis: token counts + char stats per language. */
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        max(col("n_tokens")).cast("long").as("max_tokens"))
+      .orderBy("lang")
+
+  /** X3 — exact dedup: content-hash group, keep lowest doc_id as the
+    * representative. At 100 TB this is the canonical first dedup pass:
+    * one shuffle on the hash, map-side partial agg; the hash itself is
+    * computed in the scan stage (narrow).
+    */
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy("text_hash")
+
+  /** X4 — brute-force cosine similarity top-K against the query vector
+    * (vec_id = 0), via codegen'd higher-order functions — no UDF.
+    * Scale path: this exact scoring expression is reused inside the
+    * IVF-bucketed variant (Similarity.scala) where only the probed
+    * cluster is scanned; brute force remains the correctness baseline.
+    */
+  private def simCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_embedding"))
+    val joined = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+    joined
+      .select(col("vec_id"), col("label"),
+        VectorOps.cosine(col("embedding"), col("q_embedding")).as("score"))
+      .select(col("vec_id"), col("label"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+    "q_json_extract" -> QueryDef(
+      jsonExtract,
+      Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+             |FROM events ORDER BY event_id""".stripMargin),
+      "X1 JSON extraction from semi-structured column"),
+    "q_text_stats" -> QueryDef(
+      textStats,
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens,
+             |  round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+             |  CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      "X2 text token/char stats per language"),
+    "q_dedup_exact" -> QueryDef(
+      dedupExact,
+      Some("""SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+             |  CAST(count(*) AS BIGINT) AS n_copies
+             |FROM documents GROUP BY md5(text) HAVING count(*) > 1
+             |ORDER BY text_hash""".stripMargin),
+      "X3 exact dedup via content hash"),
+    "q_sim_cosine" -> QueryDef(
+      simCosine,
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+             |scored AS (
+             |  SELECT e.vec_id, e.label,
+             |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) /
+             |    (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) *
+             |     sqrt(sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))) AS score
+             |  FROM embeddings e, q, generate_series(1, 64) AS t(i)
+             |  WHERE e.vec_id <> 0
+             |  GROUP BY e.vec_id, e.label)
+             |SELECT vec_id, label, round(score, 4) AS score FROM scored
+             |ORDER BY score DESC, vec_id ASC LIMIT 20""".stripMargin),
+      "X4 brute-force cosine top-K similarity search"),
+  )
+}

@@ -1,0 +1,310 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** General relational surface (SURVEY.md §2.4, R1–R12). The reference
+  * gateway has no query surface at all — these are the EXT obligations
+  * that make the engine "query-capable". All pure built-in DataFrame
+  * ops: Catalyst handles pushdown, pruning, and join-strategy choice.
+  *
+  * Scale notes (100 TB):
+  *  - dims (region/nation/customer/supplier/part) stay broadcast-able
+  *    far beyond these SFs; fact-fact joins (orders⋈lineitem) shuffle
+  *    on the join key — at 100 TB both sides would be bucketed on
+  *    orderkey so the shuffle disappears.
+  *  - every aggregate here has map-side partial aggregation for free
+  *    (HashAggregate partial → shuffle → final).
+  *  - top-K uses TakeOrderedAndProject (no global sort materialized).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** R1 — multi-way inner equi-join, revenue rollup per region/nation.
+    * nation/region are tiny → Catalyst broadcasts them; orders⋈customer
+    * is the only real shuffle.
+    */
+  private def joinInner(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** R2 — left outer join + null handling: per-nation customer/order
+    * counts including customers with no orders.
+    */
+  private def joinLeft(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(col("o_orderkey")).as("n_orders"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).cast("long").as("n_no_orders"))
+      .orderBy("c_nationkey")
+  }
+
+  /** R3 — left semi join (EXISTS): customers holding a big order. */
+  private def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 100000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** R4 — left anti join (NOT EXISTS): customers with no orders. */
+  private def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_nationkey"), round(col("c_acctbal"), 4).as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  /** R5 — TPC-H Q1-shaped multi-measure hash aggregate. */
+  private def aggQ1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** R6 — distinct aggregate per market segment. */
+  private def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"),
+        // sum, not avg: avg of 2-decimal money over counts like 40/400
+        // lands on an exact 0.00025 grid → systematic half-way ties at
+        // 4 dp where Spark (HALF_UP on shortest repr) and DuckDB (binary
+        // round) disagree. Sums of 2-decimal values have no 4-dp tie.
+        round(sum(col("c_acctbal")), 4).as("sum_bal"))
+      .orderBy("c_mktsegment")
+
+  /** R7 — ROLLUP with grouping_id; rollup NULLs coalesced to a
+    * sentinel so the hash never sees engine-specific NULL ordering.
+    */
+  private def aggRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("total"), col("gid"))
+      .orderBy("gid", "status", "priority")
+
+  /** R8 — ranking window: top-3 customers by balance per nation. */
+  private def winRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(
+        col("c_nationkey"), col("c_custkey"),
+        round(col("c_acctbal"), 4).as("c_acctbal"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("c_nationkey", "rnk", "c_custkey")
+  }
+
+  /** R9 — running-frame window: cumulative spend per customer. */
+  private def winRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("running", round(sum(col("o_totalprice")).over(w), 4))
+      .select(col("o_custkey"), col("o_orderkey"), col("running"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** R10 — top-K: TakeOrderedAndProject, no global sort materialized. */
+  private def topK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("o_totalprice"))
+
+  /** R11 — set ops composed: (FURNITURE ∪ BUILDING) ∩ has-big-order,
+    * minus has-F-status-order. INTERSECT/EXCEPT are set-semantics in
+    * both engines; parenthesization matters in DuckDB (SURVEY §7.3).
+    */
+  private def setOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val furn = c.filter(col("c_mktsegment") === "FURNITURE").select(col("c_custkey").as("k"))
+    val bld = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+    val big = o.filter(col("o_totalprice") > 50000.0).select(col("o_custkey").as("k"))
+    val fstat = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+    furn.union(bld).intersect(big).except(fstat).orderBy("k")
+  }
+
+  /** R12 — scalar string/date/math functions over orders. Explicit
+    * BIGINT casts everywhere DuckDB's default width differs.
+    */
+  private def scalarFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_up"),
+        substring(col("o_orderpriority"), 1, 3).as("pri_pre"),
+        length(col("o_orderpriority")).cast("long").as("pri_len"),
+        concat(col("o_orderstatus"), lit(":"), col("o_orderpriority")).as("tag"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        // round at 4 dp, not 2: price*1.1 has exactly 3 decimal digits, so
+        // a 2-dp round hits constant half-way ties where Spark (rounds the
+        // shortest decimal repr, HALF_UP) and DuckDB (rounds the binary
+        // double) disagree; at 4 dp there is no tie to break.
+        round(col("o_totalprice") * 1.1, 4).as("uplift"),
+        floor(col("o_totalprice")).cast("long").as("fl"),
+        abs(col("o_totalprice") - 100000.0).cast("double").as("dist"),
+        (col("o_orderkey") % 7).cast("long").as("m7"))
+      .orderBy("o_orderkey")
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+    "q_join_inner" -> QueryDef(
+      joinInner,
+      Some("""SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
+             |  round(sum(o_totalprice), 4) AS revenue
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+      "R1 multi-way inner equi-join"),
+    "q_join_left" -> QueryDef(
+      joinLeft,
+      Some("""SELECT c_nationkey, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+             |  CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+             |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_orders
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+      "R2 left outer join + null handling"),
+    "q_join_semi" -> QueryDef(
+      joinSemi,
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+             |ORDER BY c_custkey""".stripMargin),
+      "R3 left semi join (EXISTS)"),
+    "q_join_anti" -> QueryDef(
+      joinAnti,
+      Some("""SELECT c_custkey, c_nationkey, round(c_acctbal, 4) AS c_acctbal FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      "R4 left anti join (NOT EXISTS)"),
+    "q_agg_q1" -> QueryDef(
+      aggQ1,
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 4) AS sum_qty,
+             |  round(sum(l_extendedprice), 4) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+             |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(avg(l_extendedprice), 4) AS avg_price,
+             |  round(avg(l_discount), 4) AS avg_disc,
+             |  CAST(count(*) AS BIGINT) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      "R5 TPC-H Q1-shaped aggregate"),
+    "q_agg_distinct" -> QueryDef(
+      aggDistinct,
+      Some("""SELECT c_mktsegment, CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+             |  CAST(count(*) AS BIGINT) AS n_customers,
+             |  round(sum(c_acctbal), 4) AS sum_bal
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      "R6 distinct aggregate"),
+    "q_agg_rollup" -> QueryDef(
+      aggRollup,
+      Some("""SELECT coalesce(o_orderstatus, '(all)') AS status,
+             |  coalesce(o_orderpriority, '(all)') AS priority,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 4) AS total,
+             |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY gid, status, priority""".stripMargin),
+      "R7 ROLLUP + grouping_id"),
+    "q_win_rank" -> QueryDef(
+      winRank,
+      Some("""SELECT c_nationkey, c_custkey, round(c_acctbal, 4) AS c_acctbal,
+             |  CAST(rnk AS BIGINT) AS rnk FROM (
+             |  SELECT c_nationkey, c_custkey, c_acctbal,
+             |    rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+             |  FROM customer) WHERE rnk <= 3
+             |ORDER BY c_nationkey, rnk, c_custkey""".stripMargin),
+      "R8 ranking window top-3 per nation"),
+    "q_win_running" -> QueryDef(
+      winRunning,
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate ASC, o_orderkey ASC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+      "R9 running-frame window"),
+    "q_topk" -> QueryDef(
+      topK,
+      Some("""SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin),
+      "R10 top-K via sort+limit"),
+    "q_set_ops" -> QueryDef(
+      setOps,
+      Some("""SELECT k FROM (
+             |  (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'FURNITURE'
+             |   UNION ALL
+             |   SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+             |  INTERSECT
+             |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 50000.0
+             |  EXCEPT
+             |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+             |) ORDER BY k""".stripMargin),
+      "R11 union all / intersect / except composition"),
+    "q_scalar_funcs" -> QueryDef(
+      scalarFuncs,
+      Some("""SELECT o_orderkey,
+             |  upper(o_orderpriority) AS pri_up,
+             |  substring(o_orderpriority, 1, 3) AS pri_pre,
+             |  CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+             |  o_orderstatus || ':' || o_orderpriority AS tag,
+             |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+             |  round(o_totalprice * 1.1, 4) AS uplift,
+             |  CAST(floor(o_totalprice) AS BIGINT) AS fl,
+             |  CAST(abs(o_totalprice - 100000.0) AS DOUBLE) AS dist,
+             |  CAST(o_orderkey % 7 AS BIGINT) AS m7
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      "R12 scalar string/date/math functions"),
+  )
+}

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level vector math over `ArrayType(FloatType)` embeddings,
+  * built from codegen'd higher-order functions (`zip_with`,
+  * `aggregate`, `transform`) — no UDFs, so the whole scoring pipeline
+  * stays inside WholeStageCodegen and distributes trivially.
+  *
+  * All math is done in DOUBLE (elements cast up first) so results are
+  * bit-comparable with the DuckDB oracle, which computes in double.
+  */
+object VectorOps {
+
+  /** Σ aᵢ·bᵢ with elements cast to double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Σ aᵢ² in double. */
+  def normSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared L2 distance (cheaper than L2 when only ordering matters). */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, x) => acc + x)
+}
