@@ -22,8 +22,10 @@ object SparkEntry {
     * q_window_tumble — the truest batch analog of the reference's whole
     * purpose: periodic batched aggregation of sensor events (SURVEY §7.1).
     */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    GraftConf.ensure(spark)
     operators.Etl.windowTumble(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

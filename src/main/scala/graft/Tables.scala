@@ -16,12 +16,12 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-      // default. Read it as raw nanos (legacy conf, runtime-settable) and
-      // truncate to microseconds — exactly what DuckDB does on read
-      // (SURVEY.md §7.3), so oracle parity is preserved. `div` keeps the
-      // arithmetic in integer space: ~1.7e18 ns overflows double's exact
-      // integer range.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // default. GraftConf.ensure (called once at session setup by
+      // Verify/Bench/entry/tests) enables the legacy nanos-as-long read;
+      // here we truncate to microseconds — exactly what DuckDB does on
+      // read (SURVEY.md §7.3), so oracle parity is preserved. `div`
+      // keeps the arithmetic in integer space: ~1.7e18 ns overflows
+      // double's exact integer range.
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
@@ -32,6 +32,19 @@ object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
+}
+
+/** Session-level configuration this engine requires, applied exactly
+  * once per session at entry points (Verify/Bench mains, SparkEntry
+  * .entry, the test fixture) — NOT inside table loaders, so loaders
+  * stay pure (VERDICT r1 "What's wrong" #4).
+  */
+object GraftConf {
+  /** Idempotent; safe to call from any entry point. */
+  def ensure(spark: SparkSession): Unit =
+    // events.ts is TIMESTAMP(NANOS) parquet; Spark 4 refuses it unless
+    // read as raw longs (Tables truncates to µs, matching DuckDB).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 }
 
 /** One declared operator: the Spark implementation plus (when the
