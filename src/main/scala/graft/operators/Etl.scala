@@ -73,22 +73,21 @@ object Etl {
       .orderBy("node")
   }
 
-  /** P3 — RFM2Pi little-endian signed-int16 byte-pair reassembly.
-    * ※ OemGatewayRFM2PiListener._process_frame: v = lo + 256*hi;
-    * if v > 32767: v -= 65536.
+  /** P3 — RFM2Pi little-endian signed-int16 byte-pair reassembly via
+    * the shared [[FrameCodec.decodeInt16]] expression (also used by the
+    * streaming gateway, so batch and streaming decode identically).
     * Byte pair derived deterministically from event_id (same on the
     * oracle side); pure column arithmetic — no UDF, stays in codegen.
     */
   private def frameDecode(s: SparkSession, dir: String): DataFrame = {
     val lo = col("event_id") % 256
     val hi = (col("event_id") * 7) % 256
-    val raw = lo + hi * 256
     events(s, dir)
       .select(
         col("event_id"),
         lo.cast("long").as("b_lo"),
         hi.cast("long").as("b_hi"),
-        when(raw > 32767, raw - 65536).otherwise(raw).cast("long").as("decoded"))
+        FrameCodec.decodeInt16(lo, hi).cast("long").as("decoded"))
       .orderBy("event_id")
   }
 
