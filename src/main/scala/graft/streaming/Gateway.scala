@@ -1,0 +1,204 @@
+package graft.streaming
+
+import graft.operators.FrameCodec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The reference gateway reassembled on Structured Streaming
+  * (SURVEY.md §2.6; ※ oemgateway.py · OemGateway.run() — symbol-level
+  * citations, `/root/reference/` is empty): listeners feed decoded
+  * readings which fan out to every active buffer; each buffer batches
+  * on a wall-clock period and uploads with delta-encoded timestamps.
+  *
+  * Spark mapping, stage by stage:
+  *  - S3 listener        → `readStream.format("socket")` (or an
+  *    injected test stream; S1/S2 serial listeners are represented by
+  *    the same line protocol via a serial→TCP bridge, see
+  *    [[Gateway.serialBridgeNote]]).
+  *  - P1/P2/P3 decode    → the exact [[FrameCodec]] column expressions
+  *    the batch analogs use — narrow, codegen'd, no shuffle.
+  *  - P4 timestamping    → `current_timestamp()` at receipt (reference
+  *    semantics), or an embedded epoch token for deterministic tests.
+  *  - B4 period          → `Trigger.ProcessingTime(period)`.
+  *  - windowed state     → `withWatermark` + `window()` groupBy — a
+  *    strict superset of the reference (receipt-time stamping means
+  *    nothing is ever late there; the watermark documents our bound).
+  *  - B1 fan-out         → one `foreachBatch` sink query per active
+  *    buffer off the same aggregated stream.
+  *  - B3 encoding + S5   → [[Gateway.bulkEncode]] inside foreachBatch;
+  *    no network in this environment, so the encoded payload lands in
+  *    parquet per micro-batch — the HTTP POST would replace the write
+  *    with no change to the encoding or batching semantics.
+  *  - B5 at-least-once   → checkpointing + an idempotent per-batch-id
+  *    sink path: replays overwrite the same `batch=<id>` directory, so
+  *    restart-after-kill loses nothing and duplicates nothing
+  *    (verified by GatewaySpec's kill-restart test).
+  *  - B6 hot reload      → NOT plan mutation (impossible in Spark):
+  *    stop the affected query and restart from its checkpoint with new
+  *    settings — state survives; see [[Gateway.hotReloadNote]].
+  *
+  * Scale notes (100 TB / 1000 executors): decode is per-row narrow;
+  * the only shuffle is the windowed aggregate keyed (window, node,
+  * channel) — high cardinality, no hot key. State is bounded by the
+  * watermark; RocksDB state store + `spark.sql.shuffle.partitions`
+  * sized to executor count are the knobs. Sinks are per-buffer
+  * independent queries, so one slow emoncms target never backpressures
+  * another (the reference shares one thread across all buffers).
+  */
+object Gateway {
+
+  /** `[listeners]` section analog (※ oemgateway.conf: per-listener
+    * `type` + settings).
+    */
+  final case class ListenerConf(
+      name: String,
+      dialect: String, // "socket" | "rfm2pi"
+      host: String = "localhost",
+      port: Int = 50011,
+      // Test harness only: frames carry "<epoch_sec> <frame…>" so
+      // event time is deterministic; production stamps receipt time.
+      embeddedTimestamp: Boolean = false)
+
+  /** `[buffers]` section analog (※ oemgatewaybuffer.py: `active`
+    * runtime flag, `period` send interval, target URL → outDir here).
+    */
+  final case class BufferConf(
+      name: String,
+      outDir: String,
+      active: Boolean = true,
+      periodSeconds: Long = 10)
+
+  final case class GatewayConf(
+      listeners: Seq[ListenerConf],
+      buffers: Seq[BufferConf],
+      checkpointRoot: String,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "1 minute")
+
+  /** S3 — TCP line source, 1:1 with the reference's socket listener. */
+  def source(spark: SparkSession, l: ListenerConf): DataFrame =
+    spark.readStream
+      .format("socket")
+      .option("host", l.host)
+      .option("port", l.port)
+      .load() // yields `value: string`, one line per row
+
+  /** P1–P4 — lines → (ts, node, values). Malformed/unreliable frames
+    * are dropped exactly as the batch analogs do (shared FrameCodec).
+    */
+  def decode(lines: DataFrame, l: ListenerConf): DataFrame = {
+    val withTs =
+      if (l.embeddedTimestamp)
+        lines
+          .withColumn("ts",
+            timestamp_seconds(
+              element_at(FrameCodec.tokens(col("value")), 1).try_cast("double")))
+          .withColumn("frame", regexp_replace(trim(col("value")), "^[^ ]+ ", ""))
+          .filter(col("ts").isNotNull)
+      else
+        lines
+          .withColumn("ts", current_timestamp()) // P4 receipt time
+          .withColumn("frame", col("value"))
+    val toks = FrameCodec.tokens(col("frame"))
+    val (valid, node, values) = l.dialect match {
+      case "rfm2pi" =>
+        (FrameCodec.rfm2piValid(col("frame"), toks),
+          FrameCodec.rfm2piNode(toks),
+          FrameCodec.rfm2piValues(toks))
+      case _ =>
+        (FrameCodec.socketValid(col("frame"), toks),
+          FrameCodec.socketNode(toks),
+          FrameCodec.socketValues(toks))
+    }
+    withTs
+      .filter(valid)
+      .select(col("ts"), node.as("node"), values.as("values"))
+  }
+
+  /** Windowed per-channel aggregate: the streaming analog of "one
+    * upload per period per node". Keyed (window, node, channel) — the
+    * single shuffle in the pipeline.
+    */
+  def aggregate(readings: DataFrame, conf: GatewayConf): DataFrame =
+    readings
+      .withWatermark("ts", conf.watermarkDelay)
+      .select(col("ts"), col("node"), posexplode(col("values")).as(Seq("channel", "v")))
+      .groupBy(window(col("ts"), conf.windowDuration), col("node"), col("channel"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("sum_v"),
+        avg(col("v")).as("avg_v"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("node"), col("channel"), col("n"), col("sum_v"), col("avg_v"))
+
+  /** B3 — bulk-upload delta encoding: one reference time per
+    * micro-batch (`sentat`), every row's time expressed as an offset
+    * against it (※ OemGatewayEmoncmsBuffer._send_data payload
+    * `data=[[t−T,node,v…]]&sentat=T`). Pure plan — the one-row agg is
+    * broadcast, no driver-side collect.
+    */
+  def bulkEncode(batch: DataFrame): DataFrame = {
+    val ref = batch.agg(min(col("window_start")).as("sentat"))
+    batch
+      .crossJoin(broadcast(ref))
+      .withColumn("offset_s",
+        (unix_micros(col("window_start")) - unix_micros(col("sentat"))) / lit(1000000L))
+  }
+
+  /** B1+B4+B5+S5 — start one sink query per active buffer off the
+    * shared aggregated stream. Each query has its own checkpoint and
+    * its own trigger period; the sink writes the B3-encoded payload to
+    * `outDir/batch=<id>` with overwrite, so a replayed batch id is
+    * idempotent (at-least-once delivery + idempotent sink).
+    */
+  def start(aggregated: DataFrame, conf: GatewayConf): Seq[StreamingQuery] =
+    conf.buffers.filter(_.active).map { b =>
+      aggregated.writeStream
+        .queryName(s"gateway-${b.name}")
+        .outputMode("update")
+        .option("checkpointLocation", s"${conf.checkpointRoot}/${b.name}")
+        .trigger(Trigger.ProcessingTime(s"${b.periodSeconds} seconds"))
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          if (!df.isEmpty)
+            bulkEncode(df)
+              .withColumn("batch_id", lit(id))
+              .write.mode("overwrite")
+              .parquet(s"${b.outDir}/batch=$id")
+        }
+        .start()
+    }
+
+  /** Full pipeline from config (production path: socket listeners). */
+  def run(spark: SparkSession, conf: GatewayConf): Seq[StreamingQuery] = {
+    val decoded = conf.listeners
+      .map(l => decode(source(spark, l), l))
+      .reduce(_ unionByName _)
+    start(aggregate(decoded, conf), conf)
+  }
+
+  /** S1/S2 — there is no serial source in Spark (nor serial hardware
+    * here). The production design is the reference's own line protocol
+    * over a ~20-line bridge: `socat /dev/ttyAMA0,b9600 TCP-LISTEN:
+    * 50011,fork` (or equivalent), then the S3 socket listener consumes
+    * it unchanged — the RFM2Pi radio settings writeback (frequency/
+    * group/baseid ※ OemGatewayRFM2PiListener) stays in the bridge,
+    * outside the query engine, exactly where the reference keeps its
+    * serial-port side effects.
+    */
+  val serialBridgeNote: String =
+    "serial→TCP bridge (e.g. socat) feeds the socket listener; radio config writeback lives in the bridge"
+
+  /** B6 — the reference hot-applies `runtime_settings` by mutating
+    * live objects (※ oemgateway.py · check_settings). A running Spark
+    * plan cannot be mutated; the honest equivalent is stop + restart
+    * from checkpoint: windowed state survives in the state store, the
+    * new settings (period, active flags, sink target) take effect on
+    * restart, and the idempotent sink absorbs the replayed tail.
+    * GatewaySpec's kill-restart test demonstrates exactly this cycle.
+    */
+  val hotReloadNote: String =
+    "hot reload = stop query + restart from checkpoint with new conf; state survives, sink idempotency absorbs replay"
+}

@@ -1,0 +1,151 @@
+package graft
+
+import graft.streaming.Gateway
+import graft.streaming.Gateway.{BufferConf, GatewayConf, ListenerConf}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** End-to-end streaming gateway tests (SURVEY.md §2.6/§5.2): the
+  * MemoryStream plays the socket peer; frames carry an embedded epoch
+  * token so event time is deterministic. Covers decode (P1–P3), the
+  * watermarked window aggregate (B4), fan-out with the active gate
+  * (B1), the B3-encoded idempotent sink (S5 shape), checkpoint
+  * kill-restart with no loss and no duplication (B5), and the
+  * late-data bound (documented superset of the reference).
+  */
+class GatewaySpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private val listener =
+    ListenerConf("test", dialect = "socket", embeddedTimestamp = true)
+
+  private def conf(out: String, ckpt: String, buffers: Seq[BufferConf] = Nil): GatewayConf =
+    GatewayConf(
+      listeners = Seq(listener),
+      buffers =
+        if (buffers.nonEmpty) buffers
+        else Seq(BufferConf("main", s"$out/main", periodSeconds = 0)),
+      checkpointRoot = ckpt,
+      windowDuration = "10 seconds",
+      watermarkDelay = "1 minute")
+
+  /** Latest state per key across micro-batches = what an upserting
+    * emoncms-style endpoint would hold after at-least-once delivery.
+    */
+  private def finalState(outDir: String): Map[(Long, Long, Int), (Long, Double)] = {
+    val df = spark.read.parquet(outDir)
+    import spark.implicits._
+    df.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("window_start", "node", "channel")
+          .orderBy(col("batch_id").desc)))
+      .filter(col("rn") === 1)
+      .select(
+        unix_seconds(col("window_start")), col("node"), col("channel").cast("int"),
+        col("n"), col("sum_v"))
+      .as[(Long, Long, Int, Long, Double)]
+      .collect()
+      .map { case (w, nd, ch, n, s) => (w, nd, ch) -> (n, s) }
+      .toMap
+  }
+
+  private def runToCompletion(ms: MemoryStream[String], c: GatewayConf): Unit = {
+    val decoded = Gateway.decode(ms.toDF(), listener)
+    val queries = Gateway.start(Gateway.aggregate(decoded, c), c)
+    queries.foreach(_.processAllAvailable())
+    queries.foreach(_.stop())
+  }
+
+  test("e2e: frames → decode → windowed agg → B3-encoded sink; malformed dropped") {
+    val out = Files.createTempDirectory("gw-out").toString
+    val ckpt = Files.createTempDirectory("gw-ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    ms.addData(
+      "1000 10 1.5 2.5",
+      "1002 10 0.5 0.5",
+      "1011 11 2.0",
+      "garbage",          // no numeric ts → dropped
+      "? 1000 10 1",      // unreliable → dropped
+      "1005 bad 1.0")     // non-numeric node → dropped
+    runToCompletion(ms, conf(out, ckpt))
+
+    val st = finalState(s"$out/main")
+    assert(st === Map(
+      (1000L, 10L, 0) -> (2L, 2.0),
+      (1000L, 10L, 1) -> (2L, 3.0),
+      (1010L, 11L, 0) -> (1L, 2.0)))
+
+    // B3: every batch dir carries sentat + offsets relative to it
+    val enc = spark.read.parquet(s"$out/main")
+      .select(unix_seconds(col("sentat")).as("sentat"), col("offset_s"),
+        unix_seconds(col("window_start")).as("ws"))
+      .as[(Long, Double, Long)].collect()
+    assert(enc.nonEmpty && enc.forall { case (sentat, off, ws) => sentat + off.toLong == ws })
+  }
+
+  test("B1 fan-out: every active buffer gets the stream, inactive gets nothing") {
+    val out = Files.createTempDirectory("gw-out").toString
+    val ckpt = Files.createTempDirectory("gw-ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    ms.addData("1000 1 5.0", "1003 2 7.0")
+    val c = conf(out, ckpt, buffers = Seq(
+      BufferConf("a", s"$out/a", periodSeconds = 0),
+      BufferConf("b", s"$out/b", periodSeconds = 0),
+      BufferConf("off", s"$out/off", active = false, periodSeconds = 0)))
+    runToCompletion(ms, c)
+    val a = finalState(s"$out/a")
+    val b = finalState(s"$out/b")
+    assert(a === b && a.keySet === Set((1000L, 1L, 0), (1000L, 2L, 0)))
+    assert(!new java.io.File(s"$out/off").exists())
+  }
+
+  test("B5 checkpoint kill-restart: no loss, no duplication") {
+    val out = Files.createTempDirectory("gw-out").toString
+    val ckpt = Files.createTempDirectory("gw-ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    val c = conf(out, ckpt)
+
+    ms.addData("1000 10 1.0", "1004 10 2.0")
+    runToCompletion(ms, c) // phase 1, then "kill"
+
+    ms.addData("1006 10 4.0", "1013 11 8.0") // 1006 updates the live window
+    runToCompletion(ms, c) // restart from the same checkpoint
+
+    val st = finalState(s"$out/main")
+    // counts are exact: a lost batch would miss 1006/1013, a duplicated
+    // replay would double n — either breaks the equality.
+    assert(st === Map(
+      (1000L, 10L, 0) -> (3L, 7.0),
+      (1010L, 11L, 0) -> (1L, 8.0)))
+  }
+
+  test("late data beyond the watermark is dropped (documented superset of REF)") {
+    val out = Files.createTempDirectory("gw-out").toString
+    val ckpt = Files.createTempDirectory("gw-ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    val c = conf(out, ckpt)
+
+    ms.addData("2000 1 1.0", "2100 1 1.0") // watermark after batch: 2100−60s
+    runToCompletion(ms, c)
+    ms.addData("500 9 9.0", "2095 1 1.0")  // 500 ≪ watermark → dropped; 2095 in bound
+    runToCompletion(ms, c)
+
+    val st = finalState(s"$out/main")
+    assert(!st.keySet.exists { case (_, node, _) => node == 9L })
+    // the in-bound late frame (2095, window [2090,2100)) was accepted
+    assert(st((2090L, 1L, 0)) === (1L, 1.0))
+    assert(st.keySet === Set((2000L, 1L, 0), (2100L, 1L, 0), (2090L, 1L, 0)))
+  }
+}
