@@ -16,7 +16,8 @@ object SparkEntry {
   def registry: ListMap[String, QueryDef] =
     operators.Etl.defs ++
       operators.Relational.defs ++
-      operators.Extensions.defs
+      operators.Extensions.defs ++
+      operators.Dedup.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q_window_tumble — the truest batch analog of the reference's whole

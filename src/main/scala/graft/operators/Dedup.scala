@@ -1,0 +1,332 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Near-duplicate detection for training-data pipelines (SURVEY.md
+  * §2.5 X5/X6 + the north-star dedup family): n-gram Jaccard via an
+  * inverted shingle index, banded MinHash LSH, SimHash with banded
+  * Hamming candidates, and embedding-cosine near-dup via sign-LSH
+  * buckets. The reference gateway has no dedup at all — these are EXT
+  * obligations, designed Spark-first.
+  *
+  * Every query here is deterministic and oracle-checked: the hash all
+  * engines share is the first 8 hex chars of md5 (exact 32-bit integer
+  * in both Spark `conv` and DuckDB's hex cast), thresholds are pure
+  * integer arithmetic wherever possible, and the sf0.01 corpus gets
+  * deterministic synthesized near-dups (drop-first-word copies /
+  * one-element perturbed vectors) so outputs are never vacuous.
+  *
+  * Scale notes (100 TB): nothing here is all-pairs over the corpus.
+  *  - Jaccard candidates come from the inverted shingle index (join on
+  *    shingle), the classic sparse-similarity shape: cost tracks the
+  *    number of *colliding* shingles, not N².
+  *  - MinHash: signatures are one groupBy over exploded shingles
+  *    (map-side partial min), candidates one equi-join on (band, key)
+  *    — the textbook LSH plan; exact verification touches only
+  *    candidate pairs.
+  *  - SimHash: 32-bit sketch per doc, candidates via 4 byte-bands
+  *    (docs agreeing on ≥1 band), Hamming check is xor+bit_count on
+  *    two longs.
+  *  - Embedding dedup probes only same-bucket pairs (sign-LSH). At
+  *    real scale buckets use more planes (e.g. 16 → 65k buckets) and
+  *    multi-probe; the plan shape — bucket equi-join, never cross —
+  *    is the one that survives 100×.
+  */
+object Dedup {
+
+  /** Shared 32-bit hash both engines compute identically:
+    * first 8 hex chars of md5, read as an integer.
+    */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** documents ∪ deterministic drop-first-word near-dup copies (ids
+    * shifted by 200000; every 25th doc). Same derivation in every
+    * oracle, so sf0.01 always contains true near-dups.
+    */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(
+      d.filter(col("doc_id") % 25 === 0)
+        .select(
+          (col("doc_id") + 200000).as("doc_id"),
+          regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, regexp_replace(text, '^[^ ]+ ', '') AS text
+      |  FROM documents WHERE doc_id % 25 = 0),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+      |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx),
+      |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** Distinct word-3-gram shingles per doc — the inverted index every
+    * dedup variant builds on. Narrow until the final distinct.
+    */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(w) - 2), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+          .as("shingle"))
+      .distinct()
+
+  /** Exact-Jaccard join of candidate pairs against the shingle index +
+    * the ≥0.6 integer-arithmetic threshold (10·|∩| ≥ 6·|∪| — no float
+    * in the cut, so no rounding divergence can flip a pair).
+    */
+  private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") && col("sb.shingle") === col("sa.shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(card.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(card.as("cb"), col("id_b") === col("cb.doc_id"))
+      .withColumn("n_union", col("ca.n") + col("cb.n") - col("shared"))
+      .filter(col("shared") * 10 >= col("n_union") * 6)
+      .select(
+        col("id_a"), col("id_b"),
+        col("shared").cast("long").as("shared"),
+        col("n_union").cast("long").as("n_union"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val verifySqlTail =
+    """SELECT v.id_a, v.id_b, CAST(v.shared AS BIGINT) AS shared,
+      |  CAST(ca.n + cb.n - v.shared AS BIGINT) AS n_union
+      |FROM verified v
+      |JOIN card ca ON ca.doc_id = v.id_a
+      |JOIN card cb ON cb.doc_id = v.id_b
+      |WHERE 10 * v.shared >= 6 * (ca.n + cb.n - v.shared)
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** X5a — n-gram Jaccard near-dup: every colliding-shingle pair is a
+    * candidate (complete — no probabilistic recall loss), verified by
+    * exact Jaccard. The baseline the sketch variants are judged by.
+    */
+  private def dedupNear(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val cand = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyJaccard(sh, cand)
+  }
+
+  private val nBands = 4 // 8 minhashes, bands of 2
+
+  /** X5b — banded MinHash LSH: 8 min-hash signature slots, 4 bands of
+    * 2; docs agreeing on any full band become candidates; candidates
+    * are verified with exact Jaccard. The scale path for near-dedup —
+    * candidate volume tracks true similarity, not N².
+    */
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val sig = sh.groupBy(col("doc_id")).agg(
+      min(h32(concat(lit("0:"), col("shingle")))).as("h0"),
+      (1 until 2 * nBands).map(i =>
+        min(h32(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")): _*)
+    val bands = sig.select(
+      col("doc_id"),
+      explode(array((0 until nBands).map(b =>
+        struct(
+          lit(b).as("band"),
+          col(s"h${2 * b}").as("k1"),
+          col(s"h${2 * b + 1}").as("k2"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
+          col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyJaccard(sh, cand)
+  }
+
+  /** X5c — SimHash: 32-bit sketch (majority vote per bit over shingle
+    * hashes), candidates from 8 nibble-bands, Hamming ≤ 6 via
+    * xor+bit_count. Integer end to end.
+    *
+    * Banding must exceed the Hamming budget (pigeonhole: ≤7 differing
+    * bits over 8 bands leave ≥1 band clean), so recall within the
+    * budget is exact — 4 byte-bands demonstrably missed planted pairs
+    * whose 4–5 flipped bits straddled every band. At production scale
+    * this becomes the Manku et al. config — 64-bit fingerprints,
+    * Hamming ≤ 3, 4 16-bit bands — which keeps the same
+    * guarantee with far lower collision rates; 4-bit bands here are a
+    * consequence of the 32-bit sketch that both engines can hash
+    * identically (md5 prefix within signed-long range).
+    */
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val hs = shingles(s, dir).select(col("doc_id"), h32(col("shingle")).as("h"))
+    val sumCols = (0 until 32).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j"))
+    val sums = hs.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
+    val sim = sums.select(
+      col("doc_id"),
+      (0 until 32)
+        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sim"))
+    val bands = sim.select(
+      col("doc_id"),
+      explode(array((0 until 8).map(b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("sim"), 4 * b).bitwiseAND(lit(15L)).as("k"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.k").as("k"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sim.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sim.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(
+        col("id_a"), col("id_b"),
+        bit_count(col("sa.sim").bitwiseXOR(col("sb.sim"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** X6 — embedding near-dup: sign-LSH bucket on 6 fixed coordinates,
+    * cosine ≥ 0.8 within buckets only. The perturbed copies (element 2
+    * ×1.5, every 20th vector) keep identical sign buckets, so recall
+    * on the synthesized pairs is exact by construction. All math in
+    * double on both engines; threshold applied pre-rounding.
+    */
+  private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val pert = Tables(s, dir, "embeddings")
+      .filter(col("vec_id") % 20 === 0)
+      .select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 1, x.cast("double") * 1.5).otherwise(x.cast("double"))).as("emb"))
+    val vecs = base.unionByName(pert)
+      .withColumn("bucket",
+        Seq(1 -> 1, 8 -> 2, 15 -> 4, 22 -> 8, 29 -> 16, 36 -> 32)
+          .map { case (d, w) => when(element_at(col("emb"), d) > 0, lit(w)).otherwise(lit(0)) }
+          .reduce(_ + _))
+    vecs.as("a")
+      .join(vecs.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"),
+        VectorOps.cosine(col("a.emb"), col("b.emb")).as("score"))
+      .filter(col("score") >= 0.8)
+      .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private def minhashSql: String = {
+    val hashes = (0 until 2 * nBands)
+      .map(i => s"min(('0x' || substr(md5($i || ':' || shingle), 1, 8))::BIGINT) AS h$i")
+      .mkString(", ")
+    val bands = (0 until nBands)
+      .map(b => s"SELECT doc_id, $b AS band, h${2 * b} AS k1, h${2 * b + 1} AS k2 FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH $corpusSql,
+       |sig AS (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS shared
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2)
+       |$verifySqlTail""".stripMargin
+  }
+
+  private def simhashSql: String = {
+    val bits = (0 until 32)
+      .map(j => s"(CASE WHEN sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN (1::BIGINT << $j) ELSE 0 END)")
+      .mkString(" + ")
+    val bands = (0 until 8)
+      .map(b => s"SELECT doc_id, $b AS band, (sim >> ${4 * b}) & 15 AS k FROM simh")
+      .mkString(" UNION ALL ")
+    s"""WITH $corpusSql,
+       |hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+       |simh AS (SELECT doc_id, $bits AS sim FROM hs GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id),
+       |ham AS (SELECT c.id_a, c.id_b, bit_count(xor(sa.sim, sb.sim)) AS hamming
+       |        FROM cand c JOIN simh sa ON sa.doc_id = c.id_a JOIN simh sb ON sb.doc_id = c.id_b)
+       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM ham
+       |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+    "q_dedup_near" -> QueryDef(
+      dedupNear,
+      Some(s"""WITH $corpusSql,
+              |pairs AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |verified AS (SELECT id_a, id_b, shared FROM pairs)
+              |$verifySqlTail""".stripMargin),
+      "X5a n-gram Jaccard near-dup via inverted shingle index"),
+    "q_dedup_minhash" -> QueryDef(
+      dedupMinhash,
+      Some(minhashSql),
+      "X5b banded MinHash LSH near-dup (8 hashes, 4 bands), exact-verified"),
+    "q_dedup_simhash" -> QueryDef(
+      dedupSimhash,
+      Some(simhashSql),
+      "X5c SimHash 32-bit near-dup, byte-band candidates, Hamming <= 6"),
+    "q_dedup_embed" -> QueryDef(
+      dedupEmbed,
+      Some("""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+             |all_vecs AS (
+             |  SELECT vec_id AS id, vec_id AS src, FALSE AS pert FROM base
+             |  UNION ALL
+             |  SELECT vec_id + 100000 AS id, vec_id AS src, TRUE AS pert FROM base WHERE vec_id % 20 = 0),
+             |elems AS (
+             |  SELECT a.id, g.i,
+             |    CASE WHEN a.pert AND g.i = 2 THEN CAST(b.embedding[g.i] AS DOUBLE) * 1.5
+             |         ELSE CAST(b.embedding[g.i] AS DOUBLE) END AS x
+             |  FROM all_vecs a JOIN base b ON b.vec_id = a.src, generate_series(1, 64) AS g(i)),
+             |buckets AS (
+             |  SELECT id,
+             |    (CASE WHEN max(CASE WHEN i = 1 THEN x END) > 0 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN max(CASE WHEN i = 8 THEN x END) > 0 THEN 2 ELSE 0 END)
+             |    + (CASE WHEN max(CASE WHEN i = 15 THEN x END) > 0 THEN 4 ELSE 0 END)
+             |    + (CASE WHEN max(CASE WHEN i = 22 THEN x END) > 0 THEN 8 ELSE 0 END)
+             |    + (CASE WHEN max(CASE WHEN i = 29 THEN x END) > 0 THEN 16 ELSE 0 END)
+             |    + (CASE WHEN max(CASE WHEN i = 36 THEN x END) > 0 THEN 32 ELSE 0 END) AS bucket
+             |  FROM elems GROUP BY id),
+             |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+             |          FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.id < b.id),
+             |scored AS (
+             |  SELECT p.id_a, p.id_b,
+             |    sum(ea.x * eb.x) / (sqrt(sum(ea.x * ea.x)) * sqrt(sum(eb.x * eb.x))) AS score
+             |  FROM pairs p JOIN elems ea ON ea.id = p.id_a
+             |  JOIN elems eb ON eb.id = p.id_b AND eb.i = ea.i
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, round(score, 4) AS score FROM scored
+             |WHERE score >= 0.8 ORDER BY id_a, id_b""".stripMargin),
+      "X6 embedding cosine near-dup via sign-LSH buckets"),
+  )
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The sketch-based dedup paths are judged against the complete
+  * inverted-index Jaccard truth: both end in the same exact-Jaccard
+  * verification, so LSH output must be a subset; recall is the quality
+  * of the banding. Deterministic (fixed hash, fixed data).
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("banded MinHash LSH: subset of exact-Jaccard truth, high recall") {
+    val near = SparkEntry.queries("q_dedup_near")(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.nonEmpty && mh.nonEmpty)
+    assert(mh.subsetOf(near))
+    assert(mh.size.toDouble >= 0.8 * near.size)
+  }
+
+  test("synthesized near-dup pairs are all recovered by every variant") {
+    val expected = (0L until 500L by 25L).map(i => (i, i + 200000L)).toSet
+    def pairs(q: String) = SparkEntry.queries(q)(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(pairs("q_dedup_near")))
+    assert(expected.subsetOf(pairs("q_dedup_minhash")))
+    assert(expected.subsetOf(pairs("q_dedup_simhash")))
+    val embedExpected = (0L until 500L by 20L).map(i => (i, i + 100000L)).toSet
+    assert(embedExpected.subsetOf(pairs("q_dedup_embed")))
+  }
+}
