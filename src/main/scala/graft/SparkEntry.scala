@@ -19,7 +19,8 @@ object SparkEntry {
       operators.Extensions.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
-      operators.TextAnalysis.defs
+      operators.TextAnalysis.defs ++
+      operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q_window_tumble — the truest batch analog of the reference's whole

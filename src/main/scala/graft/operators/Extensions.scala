@@ -8,10 +8,10 @@ import scala.collection.immutable.ListMap
 
 /** LLM-data-pipeline extension operators (SURVEY.md §2.5, X1–X4):
   * semi-structured extraction, text stats, exact dedup, cosine
-  * similarity search. The heavier training-data operators (MinHash
-  * LSH, SimHash, n-gram Jaccard, ANN, multimodal) live in
-  * [[graft.operators.Dedup]] / [[graft.operators.Similarity]] /
-  * [[graft.operators.Multimodal]].
+  * similarity search. The heavier training-data operators live in
+  * [[graft.operators.Dedup]] (n-gram Jaccard, MinHash LSH, SimHash,
+  * embedding near-dup), [[graft.operators.Similarity]] (bucketed ANN),
+  * [[graft.operators.TextAnalysis]] and [[graft.operators.Multimodal]].
   */
 object Extensions {
 
