@@ -198,6 +198,42 @@ object Relational {
         (col("o_orderkey") % 7).cast("long").as("m7"))
       .orderBy("o_orderkey")
 
+  /** R13 — as-of join: for every event, the nearest-earlier error
+    * event of the same user ("time since last error"). Spark has no
+    * native as-of join; the scalable shape is NOT a range join
+    * (quadratic per key) but the union+window trick: tag error rows,
+    * interleave them with probe rows in one (user, time) ordering, and
+    * carry the last error forward with `last(_, ignoreNulls)` — a
+    * single shuffle on user_id, linear in rows, the same plan an
+    * ORDER-BY-merge as-of would produce. Ties (a probe that IS an
+    * error) sort the error first, matching DuckDB ASOF's `>=` bound.
+    * Events before their user's first error drop (inner as-of).
+    */
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val probes = e.select(
+      col("user_id"), col("ts"), col("event_id"),
+      lit(1).as("is_probe"),
+      lit(null).cast("long").as("err_id"))
+    val errs = e.filter(col("event_type") === "error").select(
+      col("user_id"), col("ts"), col("event_id"),
+      lit(0).as("is_probe"),
+      col("event_id").as("err_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_probe").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probes.unionByName(errs)
+      .withColumn("last_error_id", last(col("err_id"), ignoreNulls = true).over(w))
+      .withColumn("last_error_us",
+        last(when(col("err_id").isNotNull, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1 && col("last_error_id").isNotNull)
+      .select(
+        col("event_id"),
+        col("last_error_id"),
+        (unix_micros(col("ts")) - col("last_error_us")).cast("long").as("us_since_error"))
+      .orderBy("event_id")
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_join_inner" -> QueryDef(
       joinInner,
@@ -312,5 +348,13 @@ object Relational {
              |  CAST(o_orderkey % 7 AS BIGINT) AS m7
              |FROM orders ORDER BY o_orderkey""".stripMargin),
       "R12 scalar string/date/math functions"),
+    "q_asof" -> QueryDef(
+      asofJoin,
+      Some("""SELECT e.event_id, err.event_id AS last_error_id,
+             |  CAST(epoch_us(e.ts) - epoch_us(err.ts) AS BIGINT) AS us_since_error
+             |FROM events e ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') err
+             |  ON e.user_id = err.user_id AND e.ts >= err.ts
+             |ORDER BY e.event_id""".stripMargin),
+      "R13 as-of join: nearest-earlier error per event (time since last error)"),
   )
 }
