@@ -83,19 +83,16 @@ object Dedup {
           .as("shingle"))
       .distinct()
 
-  /** Exact-Jaccard join of candidate pairs against the shingle index +
-    * the ≥0.6 integer-arithmetic threshold (10·|∩| ≥ 6·|∪| — no float
-    * in the cut, so no rounding divergence can flip a pair).
+  /** Apply the ≥0.6 integer-arithmetic Jaccard threshold (10·|∩| ≥
+    * 6·|∪| — no float in the cut, so no rounding divergence can flip a
+    * pair) to (id_a, id_b, shared) rows. Cardinalities are per-doc
+    * aggregates (small) → broadcast both sides of the enrich joins.
     */
-  private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
+  private def jaccardCut(sh: DataFrame, shared: DataFrame): DataFrame = {
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    cand
-      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") && col("sb.shingle") === col("sa.shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("shared"))
-      .join(card.as("ca"), col("id_a") === col("ca.doc_id"))
-      .join(card.as("cb"), col("id_b") === col("cb.doc_id"))
+    shared
+      .join(broadcast(card.as("ca")), col("id_a") === col("ca.doc_id"))
+      .join(broadcast(card.as("cb")), col("id_b") === col("cb.doc_id"))
       .withColumn("n_union", col("ca.n") + col("cb.n") - col("shared"))
       .filter(col("shared") * 10 >= col("n_union") * 6)
       .select(
@@ -104,6 +101,20 @@ object Dedup {
         col("n_union").cast("long").as("n_union"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Exact-Jaccard verification of an (id_a, id_b) candidate set: the
+    * candidate list is small by construction (that is LSH's whole
+    * point), so it broadcasts into both shingle joins — no shuffle of
+    * the index itself beyond the per-pair count.
+    */
+  private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame =
+    jaccardCut(
+      sh,
+      broadcast(cand)
+        .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("id_b") === col("sb.doc_id") && col("sb.shingle") === col("sa.shingle"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("shared")))
 
   private val verifySqlTail =
     """SELECT v.id_a, v.id_b, CAST(v.shared AS BIGINT) AS shared,
@@ -120,12 +131,15 @@ object Dedup {
     */
   private def dedupNear(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
-    val cand = sh.as("a")
+    // one pass: the inverted-index join already yields one row per
+    // shared shingle, so COUNT per pair IS the intersection size — no
+    // second pass over the index (the r1 shape joined it twice).
+    val shared = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    verifyJaccard(sh, cand)
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    jaccardCut(sh, shared)
   }
 
   private val nBands = 4 // 8 minhashes, bands of 2
@@ -158,6 +172,16 @@ object Dedup {
     verifyJaccard(sh, cand)
   }
 
+  /** Band-collision pair stream (band-duplicated; dedup downstream,
+    * after cheap filters).
+    */
+  private def cand(bands: DataFrame): DataFrame =
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+
   /** X5c — SimHash: 32-bit sketch (majority vote per bit over shingle
     * hashes), candidates from 8 nibble-bands, Hamming ≤ 6 via
     * xor+bit_count. Integer end to end.
@@ -189,19 +213,20 @@ object Dedup {
           lit(b).as("band"),
           shiftright(col("sim"), 4 * b).bitwiseAND(lit(15L)).as("k"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.k").as("k"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    cand
-      .join(sim.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sim.as("sb"), col("id_b") === col("sb.doc_id"))
+    // 4-bit bands on correlated sketches collide heavily, so the
+    // candidate stream is large (~5.6M pair-rows at sf0.1, with up to
+    // 8× band duplicates). Order of operations matters: broadcast the
+    // tiny sketch table into the stream, filter on Hamming FIRST
+    // (cuts ~1000×), and only then pay the distinct — deduplicating
+    // the raw candidate stream up front was the r1-shape bottleneck.
+    cand(bands)
+      .join(broadcast(sim.as("sa")), col("id_a") === col("sa.doc_id"))
+      .join(broadcast(sim.as("sb")), col("id_b") === col("sb.doc_id"))
       .select(
         col("id_a"), col("id_b"),
         bit_count(col("sa.sim").bitwiseXOR(col("sb.sim"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 6)
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 
