@@ -1,0 +1,26 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extension registering the native vector expressions as SQL
+  * functions (`graft_dot`, `graft_norm_sq`). Enable with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * — done by Verify/Bench/Explain and the test fixture; any downstream
+  * session that wants the fast path does the same.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArrayDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_norm_sq"),
+      new ExpressionInfo(classOf[ArrayNormSq].getName, "graft_norm_sq"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArrayNormSq(children(0))))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot vector math.
+  *
+  * The HOF formulation (`aggregate(zip_with(a, b, _*_), 0d, _+_)`,
+  * VectorOps) is semantically right but higher-order functions are
+  * CodegenFallback — every row pays lambda interpretation and a
+  * materialized intermediate array. These expressions implement the
+  * same left-to-right double accumulation as a tight loop with
+  * `doGenCode`, so the scoring stays inside WholeStageCodegen and
+  * allocates nothing. Bit-identical to the HOF path by construction
+  * (same element order, same double arithmetic) — swapping them can
+  * never change a hash-checked result (VectorExprSpec asserts ===).
+  *
+  * Null contract: inputs with null elements are not supported
+  * (embeddings never contain them); element reads assume non-null,
+  * matching primitive array storage.
+  */
+trait VectorElementCodegen { self: Expression =>
+  protected def elemType(dt: DataType): DataType =
+    dt.asInstanceOf[ArrayType].elementType
+
+  protected def getter(dt: DataType, arr: String, i: String): String =
+    elemType(dt) match {
+      case FloatType  => s"(double) $arr.getFloat($i)"
+      case DoubleType => s"$arr.getDouble($i)"
+      case other      => throw new IllegalStateException(s"unsupported element type $other")
+    }
+
+  protected def read(dt: DataType, arr: ArrayData, i: Int): Double =
+    elemType(dt) match {
+      case FloatType  => arr.getFloat(i).toDouble
+      case DoubleType => arr.getDouble(i)
+      case other      => throw new IllegalStateException(s"unsupported element type $other")
+    }
+
+  protected def checkArrayOfFloating(dt: DataType, side: String): Option[String] =
+    dt match {
+      case ArrayType(FloatType | DoubleType, _) => None
+      case other => Some(s"$side must be array<float|double>, got ${other.simpleString}")
+    }
+}
+
+/** Σ aᵢ·bᵢ in double, sequential — `graft_dot(a, b)`. */
+case class ArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression with VectorElementCodegen {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val err = checkArrayOfFloating(left.dataType, "left")
+      .orElse(checkArrayOfFloating(right.dataType, "right"))
+    err match {
+      case Some(m) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(m)
+      case None    => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += read(left.dataType, x, i) * read(right.dataType, y, i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${getter(left.dataType, a, i)} * ${getter(right.dataType, b, i)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ArrayDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ aᵢ² in double, sequential — `graft_norm_sq(a)`. */
+case class ArrayNormSq(child: Expression)
+    extends UnaryExpression with VectorElementCodegen {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    checkArrayOfFloating(child.dataType, "input") match {
+      case Some(m) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(m)
+      case None    => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = read(child.dataType, x, i); s += v * v; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = ${getter(child.dataType, a, i)};
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayNormSq =
+    copy(child = newChild)
+}

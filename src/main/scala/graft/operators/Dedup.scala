@@ -256,7 +256,7 @@ object Dedup {
       .select(
         col("a.vec_id").as("id_a"),
         col("b.vec_id").as("id_b"),
-        VectorOps.cosine(col("a.emb"), col("b.emb")).as("score"))
+        VectorOps.cosineNative(col("a.emb"), col("b.emb")).as("score"))
       .filter(col("score") >= 0.8)
       .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score"))
       .orderBy("id_a", "id_b")

@@ -39,4 +39,20 @@ object VectorOps {
       }),
       lit(0.0),
       (acc, x) => acc + x)
+
+  // ---- native fast path -------------------------------------------------
+  // Same math, same sequential double accumulation, but as codegen'd
+  // Catalyst expressions (graft.functions.ArrayDot/ArrayNormSq) instead
+  // of CodegenFallback HOFs — bit-identical results, no per-row lambda
+  // interpretation or intermediate array. Requires the session to carry
+  // spark.sql.extensions=graft.functions.GraftExtensions (Verify/Bench/
+  // Explain and the test fixture all do); VectorExprSpec pins the
+  // HOF≡native equality exactly.
+
+  def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def normSqNative(a: Column): Column = call_function("graft_norm_sq", a)
+
+  def cosineNative(a: Column, b: Column): Column =
+    dotNative(a, b) / (sqrt(normSqNative(a)) * sqrt(normSqNative(b)))
 }
