@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.operators.FrameCodec
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** The reference gateway reassembled on Structured Streaming
   * (SURVEY.md §2.6; ※ oemgateway.py · OemGateway.run() — symbol-level
@@ -46,6 +46,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * independent queries, so one slow emoncms target never backpressures
   * another (the reference shares one thread across all buffers).
   */
+/** Decoded per-channel reading — the typed record the stateful
+  * operators work on. Top-level (not nested in the object): encoder
+  * codegen for nested case classes trips on the outer reference.
+  */
+final case class Reading(node: Long, tsUs: Long, value: Double)
+
+/** Per-node buffer status emitted by [[Gateway.bufferCapStream]]. */
+final case class BufStatus(node: Long, buffered: Int, evictedTotal: Long)
+
+/** bufferCapStream state as parallel primitive arrays (clean encoder). */
+private[streaming] final case class BufState(tsUs: Array[Long], values: Array[Double], evicted: Long)
+
 object Gateway {
 
   /** `[listeners]` section analog (※ oemgateway.conf: per-listener
@@ -147,6 +159,71 @@ object Gateway {
       .withColumn("offset_s",
         (unix_micros(col("window_start")) - unix_micros(col("sentat"))) / lit(1000000L))
   }
+
+  /** S5 — the emoncms bulk-upload request body, formatted exactly as
+    * the reference sends it: `data=[[Δt,node,v…],…]&sentat=T` with one
+    * reference time per micro-batch and rows ordered by (offset, node,
+    * channel) (※ OemGatewayEmoncmsBuffer._send_data). One string per
+    * batch — this is what the HTTP POST would carry; GatewaySpec pins
+    * the exact bytes.
+    */
+  def emoncmsPayload(batch: DataFrame): DataFrame =
+    bulkEncode(batch)
+      .select(
+        struct(
+          col("offset_s").cast("double").as("t"),
+          col("node").cast("double").as("node"),
+          col("channel").cast("double").as("channel"),
+          col("avg_v").as("v")).as("r"),
+        unix_seconds(col("sentat")).as("sentat"))
+      .groupBy(col("sentat"))
+      .agg(sort_array(collect_list(col("r"))).as("rs"))
+      .select(concat(
+        lit("data="),
+        to_json(expr("transform(rs, x -> array(x.t, x.node, x.channel, x.v))")),
+        lit("&sentat="), col("sentat")).as("payload"))
+
+  /** B2 — the reference's capped in-memory FIFO, as real streaming
+    * state (※ oemgatewaybuffer.py: oldest entries dropped when the
+    * buffer is full). `flatMapGroupsWithState` keyed by node holds the
+    * newest `cap` readings and counts lifetime evictions; the batch
+    * analog (Etl.bufferCap) verifies the same keep-newest-K semantics
+    * relationally. State size is bounded by cap × nodes — the same
+    * bound the reference enforces, which is what makes this safe on an
+    * unbounded stream.
+    */
+  def bufferCapStream(readings: Dataset[Reading], cap: Int): Dataset[BufStatus] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.node)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (node: Long, it: Iterator[Reading], state: GroupState[BufState]) =>
+          val prev = state.getOption.getOrElse(BufState(Array.empty, Array.empty, 0L))
+          val incoming = it.toArray.sortBy(r => (r.tsUs, r.value))
+          val allTs = prev.tsUs ++ incoming.map(_.tsUs)
+          val allVs = prev.values ++ incoming.map(_.value)
+          val evictNow = math.max(0, allTs.length - cap)
+          val next = BufState( // FIFO: oldest out first
+            allTs.drop(evictNow), allVs.drop(evictNow), prev.evicted + evictNow)
+          state.update(next)
+          Iterator.single(BufStatus(node, next.tsUs.length, next.evicted))
+      }
+  }
+
+  /** B4 variant — session windows (gap-based batching): the reference
+    * only has fixed periods; `session_window` closes a batch after
+    * `gap` of silence per node, a strictly richer trigger the engine
+    * gets built-in.
+    */
+  def aggregateSessions(readings: DataFrame, gap: String, watermarkDelay: String): DataFrame =
+    readings
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("node"))
+      .agg(count(lit(1)).as("n_frames"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("node"), col("n_frames"))
 
   /** B1+B4+B5+S5 — start one sink query per active buffer off the
     * shared aggregated stream. Each query has its own checkpoint and

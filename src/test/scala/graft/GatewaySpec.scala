@@ -129,6 +129,60 @@ class GatewaySpec extends AnyFunSuite {
       (1010L, 11L, 0) -> (1L, 8.0)))
   }
 
+  test("S5: emoncms bulk payload string is byte-exact") {
+    import spark.implicits._
+    // two finalized windows, one micro-batch: sentat = min window_start
+    val agg = Seq(
+      (1000L, 1010L, 10L, 0, 2L, 4.0, 2.0),
+      (1010L, 1020L, 11L, 0, 1L, 4.0, 4.0))
+      .toDF("ws", "we", "node", "channel", "n", "sum_v", "avg_v")
+      .select(
+        timestamp_seconds(col("ws")).as("window_start"),
+        timestamp_seconds(col("we")).as("window_end"),
+        col("node"), col("channel"), col("n"), col("sum_v"), col("avg_v"))
+    val payload = Gateway.emoncmsPayload(agg).as[String].collect()
+    assert(payload.toSeq === Seq(
+      "data=[[0.0,10.0,0.0,2.0],[10.0,11.0,0.0,4.0]]&sentat=1000"))
+  }
+
+  test("B2 streaming: capped FIFO state evicts oldest, bounded per node") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[graft.streaming.Reading]
+    val q = Gateway.bufferCapStream(ms.toDS(), cap = 5)
+      .writeStream.outputMode("update").format("memory").queryName("bufcap").start()
+    ms.addData((1 to 7).map(i => graft.streaming.Reading(1L, i.toLong, i.toDouble)): _*)
+    q.processAllAvailable()
+    val after1 = spark.table("bufcap").as[graft.streaming.BufStatus].collect().toList
+    assert(after1 === List(graft.streaming.BufStatus(1L, 5, 2L)))
+    ms.addData((8 to 10).map(i => graft.streaming.Reading(1L, i.toLong, i.toDouble)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val after2 = spark.table("bufcap").as[graft.streaming.BufStatus].collect().toList
+    assert(after2.last === graft.streaming.BufStatus(1L, 5, 5L))
+  }
+
+  test("B4 session windows: gap-based batching splits on silence") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    ms.addData("1000 1 1.0", "1005 1 1.0", "1040 1 1.0")
+    val decoded = Gateway.decode(ms.toDF(), listener)
+    // session windows are append-mode only: sessions emit once the
+    // watermark passes their end, so a later sentinel frame closes them
+    val q = Gateway.aggregateSessions(decoded, gap = "30 seconds", watermarkDelay = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    q.processAllAvailable()
+    ms.addData("3000 2 1.0") // advances watermark to 2940 ≫ 1070
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions")
+      .select(unix_seconds(col("session_start")), unix_seconds(col("session_end")), col("node"), col("n_frames"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // node 2's session is still open (not emitted); node 1's two are final
+    assert(rows === Set((1000L, 1035L, 1L, 2L), (1040L, 1070L, 1L, 1L)))
+  }
+
   test("late data beyond the watermark is dropped (documented superset of REF)") {
     val out = Files.createTempDirectory("gw-out").toString
     val ckpt = Files.createTempDirectory("gw-ckpt").toString
