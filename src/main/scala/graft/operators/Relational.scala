@@ -234,6 +234,48 @@ object Relational {
       .orderBy("event_id")
   }
 
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** R14 — pivot: per-user event counts spread over a fixed column
+    * set. Spark's `pivot` with explicit values stays a single hash
+    * aggregate (no extra pass to discover values — the form that
+    * scales); absent combinations surface as null → coalesced to 0.
+    */
+  private def pivotCounts(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: eventTypes.map(t => coalesce(col(t), lit(0L)).cast("long").as(t)): _*)
+      .orderBy("user_id")
+
+  /** R15 — CUBE: all grouping-set combinations (rollup's superset). */
+  private def aggCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("total"), col("gid"))
+      .orderBy("gid", "status", "priority")
+
+  /** R16 — exact interpolated quantiles (both engines: linear
+    * interpolation over the sorted set; approximate sketches have no
+    * cross-engine parity, so the exact form is the declared one).
+    */
+  private def quantiles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_join_inner" -> QueryDef(
       joinInner,
@@ -356,5 +398,34 @@ object Relational {
              |  ON e.user_id = err.user_id AND e.ts >= err.ts
              |ORDER BY e.event_id""".stripMargin),
       "R13 as-of join: nearest-earlier error per event (time since last error)"),
+    "q_pivot" -> QueryDef(
+      pivotCounts,
+      Some {
+        val cols = eventTypes
+          .map(t => s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+          .mkString(",\n  ")
+        s"""SELECT user_id,
+           |  $cols
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+      },
+      "R14 pivot: per-user event counts over a fixed column set"),
+    "q_agg_cube" -> QueryDef(
+      aggCube,
+      Some("""SELECT coalesce(o_orderstatus, '(all)') AS status,
+             |  coalesce(o_orderpriority, '(all)') AS priority,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 4) AS total,
+             |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY gid, status, priority""".stripMargin),
+      "R15 CUBE + grouping_id"),
+    "q_quantiles" -> QueryDef(
+      quantiles,
+      Some("""SELECT event_type,
+             |  round(quantile_cont(value, 0.5), 4) AS p50,
+             |  round(quantile_cont(value, 0.9), 4) AS p90,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "R16 exact interpolated quantiles per group"),
   )
 }
