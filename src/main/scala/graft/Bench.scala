@@ -12,6 +12,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftConf.ensure(spark)
+    // JIT/codegen/parquet-footer warmup so the first timed query isn't
+    // charged ~3s of JVM cost (r1 verdict: q_scan_events leads only
+    // because it runs first). One cheap pass over each base table.
+    graft.Tables.all.foreach { t =>
+      try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -45,10 +45,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * sized to executor count are the knobs. Sinks are per-buffer
   * independent queries, so one slow emoncms target never backpressures
   * another (the reference shares one thread across all buffers).
-  */
-/** Decoded per-channel reading — the typed record the stateful
-  * operators work on. Top-level (not nested in the object): encoder
-  * codegen for nested case classes trips on the outer reference.
+  *
+  * (The scaladoc above documents [[Gateway]]; the record types below
+  * are top-level because encoder codegen for case classes nested in
+  * an object trips on the outer reference.)
   */
 final case class Reading(node: Long, tsUs: Long, value: Double)
 
