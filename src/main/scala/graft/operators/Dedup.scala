@@ -149,8 +149,10 @@ object Dedup {
     * are verified with exact Jaccard. The scale path for near-dedup —
     * candidate volume tracks true similarity, not N².
     */
-  private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+  /** Banded-MinHash candidate pairs — shared by the Jaccard-verified
+    * and edit-distance-verified variants.
+    */
+  private def minhashCands(sh: DataFrame): DataFrame = {
     val sig = sh.groupBy(col("doc_id")).agg(
       min(h32(concat(lit("0:"), col("shingle")))).as("h0"),
       (1 until 2 * nBands).map(i =>
@@ -163,13 +165,38 @@ object Dedup {
           col(s"h${2 * b}").as("k1"),
           col(s"h${2 * b + 1}").as("k2"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.k1").as("k1"), col("bk.k2").as("k2"))
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
           col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    verifyJaccard(sh, cand)
+  }
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    verifyJaccard(sh, minhashCands(sh))
+  }
+
+  /** X5d — fuzzy dedup: the same LSH candidates, verified by edit
+    * distance on a 100-char prefix instead of Jaccard (catches
+    * reorder-insensitive false negatives the set measures can't, and
+    * is the measure deduplication-by-near-identity pipelines quote).
+    * Levenshtein is O(n·m) per pair — affordable exactly BECAUSE it
+    * only ever runs on LSH candidates, never all pairs.
+    */
+  private def dedupFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    broadcast(minhashCands(shingles(s, dir)))
+      .join(c.as("ta"), col("id_a") === col("ta.doc_id"))
+      .join(c.as("tb"), col("id_b") === col("tb.doc_id"))
+      .select(
+        col("id_a"), col("id_b"),
+        levenshtein(
+          substring(col("ta.text"), 1, 100),
+          substring(col("tb.text"), 1, 100)).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= 25)
+      .orderBy("id_a", "id_b")
   }
 
   /** Band-collision pair stream (band-duplicated; dedup downstream,
@@ -262,26 +289,40 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  private def minhashSql: String = {
+  /** Shared CTE chain: corpus → shingles → signatures → bands → cand. */
+  private def minhashCandSql: String = {
     val hashes = (0 until 2 * nBands)
       .map(i => s"min(('0x' || substr(md5($i || ':' || shingle), 1, 8))::BIGINT) AS h$i")
       .mkString(", ")
     val bands = (0 until nBands)
       .map(b => s"SELECT doc_id, $b AS band, h${2 * b} AS k1, h${2 * b + 1} AS k2 FROM sig")
       .mkString(" UNION ALL ")
-    s"""WITH $corpusSql,
+    s"""$corpusSql,
        |sig AS (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
        |bands AS ($bands),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id),
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private def minhashSql: String =
+    s"""WITH $minhashCandSql,
        |verified AS (
        |  SELECT c.id_a, c.id_b, count(*) AS shared
        |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
        |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
        |  GROUP BY 1, 2)
        |$verifySqlTail""".stripMargin
-  }
+
+  private def fuzzySql: String =
+    s"""WITH $minhashCandSql
+       |SELECT c.id_a, c.id_b,
+       |  CAST(levenshtein(substr(ta.text, 1, 100), substr(tb.text, 1, 100)) AS BIGINT) AS edit_dist
+       |FROM cand c
+       |JOIN corpus ta ON ta.doc_id = c.id_a
+       |JOIN corpus tb ON tb.doc_id = c.id_b
+       |WHERE levenshtein(substr(ta.text, 1, 100), substr(tb.text, 1, 100)) <= 25
+       |ORDER BY id_a, id_b""".stripMargin
 
   private def simhashSql: String = {
     val bits = (0 until 32)
@@ -320,7 +361,11 @@ object Dedup {
     "q_dedup_simhash" -> QueryDef(
       dedupSimhash,
       Some(simhashSql),
-      "X5c SimHash 32-bit near-dup, byte-band candidates, Hamming <= 6"),
+      "X5c SimHash 32-bit near-dup, nibble-band candidates, Hamming <= 6"),
+    "q_dedup_fuzzy" -> QueryDef(
+      dedupFuzzy,
+      Some(fuzzySql),
+      "X5d edit-distance dedup over LSH candidates (levenshtein <= 25 on prefix)"),
     "q_dedup_embed" -> QueryDef(
       dedupEmbed,
       Some("""WITH base AS (SELECT vec_id, embedding FROM embeddings),
