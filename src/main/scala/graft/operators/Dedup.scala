@@ -152,11 +152,22 @@ object Dedup {
   /** Banded-MinHash candidate pairs — shared by the Jaccard-verified
     * and edit-distance-verified variants.
     */
+  /** Universal-hash family over ONE md5 per shingle: slot i is an
+    * affine mix (odd multiplier, fixed offset, mod 2³¹) of the base
+    * 32-bit hash — 8× fewer md5 evaluations than hashing per slot,
+    * identical arithmetic in the oracle.
+    */
+  private val mixA = Seq(1L, 2654435761L, 2246822519L, 3266489917L, 668265263L, 374761393L, 2166136261L, 40503L)
+  private val mixB = Seq(0L, 1013904223L, 1640531527L, 97, 1000003L, 69069L, 362437L, 48271L)
+
   private def minhashCands(sh: DataFrame): DataFrame = {
+    // base reduced mod 2³¹ so base·multiplier stays inside signed-long
+    // range (ANSI mode overflow would throw; DuckDB likewise)
+    val base = h32(col("shingle")) % 2147483648L
     val sig = sh.groupBy(col("doc_id")).agg(
-      min(h32(concat(lit("0:"), col("shingle")))).as("h0"),
+      min((base * mixA(0) + mixB(0)) % 2147483647L).as("h0"),
       (1 until 2 * nBands).map(i =>
-        min(h32(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")): _*)
+        min((base * mixA(i) + mixB(i)) % 2147483647L).as(s"h$i")): _*)
     val bands = sig.select(
       col("doc_id"),
       explode(array((0 until nBands).map(b =>
@@ -292,7 +303,7 @@ object Dedup {
   /** Shared CTE chain: corpus → shingles → signatures → bands → cand. */
   private def minhashCandSql: String = {
     val hashes = (0 until 2 * nBands)
-      .map(i => s"min(('0x' || substr(md5($i || ':' || shingle), 1, 8))::BIGINT) AS h$i")
+      .map(i => s"min(((('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483648) * ${mixA(i)} + ${mixB(i)}) % 2147483647) AS h$i")
       .mkString(", ")
     val bands = (0 until nBands)
       .map(b => s"SELECT doc_id, $b AS band, h${2 * b} AS k1, h${2 * b + 1} AS k2 FROM sig")
