@@ -117,7 +117,11 @@ object Etl {
     * ※ oemgatewaybuffer.py: capped in-memory FIFO, oldest dropped.
     * Batch analog: row_number over (node, ts desc) <= K. At scale this
     * is the standard top-K-per-key pattern — one shuffle on user_id,
-    * no global sort; skewed nodes would get AQE skew handling.
+    * no global sort. Catalyst's InferWindowGroupLimit already rewrites
+    * this filter into partial (map-side, pre-shuffle) + final
+    * WindowGroupLimit operators (verified in the physical plan), so
+    * each mapper ships at most K rows per key — a custom top-K
+    * operator would be redundant on Spark 4.
     */
   private def bufferCap(s: SparkSession, dir: String): DataFrame = {
     val k = 10
