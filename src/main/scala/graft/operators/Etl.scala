@@ -168,8 +168,11 @@ object Etl {
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col("value")), 4).as("sum_value"),
-        round(avg(col("value")), 4).as("avg_value"))
+        // sum only — no avg: round(avg, 4) hit an exact half-way tie at
+        // sf0.1 (1403.37/24 = 58.47375) where Spark and DuckDB round
+        // differently; sums of 2-decimal values cannot tie at 4 dp, and
+        // (sum, n) determines the mean anyway.
+        round(sum(col("value")), 4).as("sum_value"))
       .orderBy("bucket", "event_type")
 
   /** Rate/period analog — events per node per day, HAVING n >= 5
@@ -247,7 +250,7 @@ object Etl {
       windowTumble,
       Some("""SELECT date_trunc('hour', ts) AS bucket, event_type,
              |  CAST(count(*) AS BIGINT) AS n,
-             |  round(sum(value), 4) AS sum_value, round(avg(value), 4) AS avg_value
+             |  round(sum(value), 4) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       "B4 periodic batching → tumbling window aggregate (flagship)"),
     "q_rate_period" -> QueryDef(
