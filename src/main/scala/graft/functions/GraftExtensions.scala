@@ -22,5 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayNormSq].getName, "graft_norm_sq"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArrayNormSq(children(0))))
+    // HOF dot/normSq patterns rewrite to the native expressions
+    ext.injectOptimizerRule(_ => graft.plans.RewriteVectorHofs)
   }
 }

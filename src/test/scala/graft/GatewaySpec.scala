@@ -129,6 +129,29 @@ class GatewaySpec extends AnyFunSuite {
       (1010L, 11L, 0) -> (1L, 8.0)))
   }
 
+  test("S2/P3 e2e: RFM2Pi dialect frames decode through the full gateway") {
+    val out = Files.createTempDirectory("gw-out").toString
+    val ckpt = Files.createTempDirectory("gw-ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rfm = ListenerConf("radio", dialect = "rfm2pi", embeddedTimestamp = true)
+    val ms = MemoryStream[String]
+    ms.addData(
+      "1000 OK 10 12 0 34 1",  // node 10 → values 12, 290
+      "1002 OK 10 255 255",    // node 10 → value -1
+      "1001 OK 10 12 0 34",    // odd byte count → dropped
+      "1003 ? 10 1 2")         // unreliable → dropped
+    val c = conf(out, ckpt)
+    val decoded = Gateway.decode(ms.toDF(), rfm)
+    val queries = Gateway.start(Gateway.aggregate(decoded, c), c)
+    queries.foreach(_.processAllAvailable())
+    queries.foreach(_.stop())
+    val st = finalState(s"$out/main")
+    assert(st === Map(
+      (1000L, 10L, 0) -> (2L, 11.0),  // 12 + (-1)
+      (1000L, 10L, 1) -> (1L, 290.0)))
+  }
+
   test("S5: emoncms bulk payload string is byte-exact") {
     import spark.implicits._
     // two finalized windows, one micro-batch: sentat = min window_start
