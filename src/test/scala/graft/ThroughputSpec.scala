@@ -1,0 +1,42 @@
+package graft
+
+import graft.streaming.Gateway
+import graft.streaming.Gateway.{GatewayConf, ListenerConf}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Throughput envelope vs the reference: BASELINE.md derives the
+  * reference's physics ceiling at ~30–40 frames/s (9600-baud serial,
+  * one thread). This spec pushes one million synthetic frames through
+  * the same parse→validate→decode→window-aggregate path on local[4]
+  * and requires ≥100k frames/s — three to four orders of magnitude
+  * over the reference, measured, not asserted from vibes. (Batch
+  * execution of the identical column expressions; micro-batch
+  * scheduling overhead is bounded by trigger count, not row count.)
+  */
+class ThroughputSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("gateway decode+window sustains >= 100k frames/s on 1M frames") {
+    val n = 1000000L
+    val frames = spark.range(n).select(
+      concat_ws(" ",
+        (col("id") % 86400), // epoch-second token
+        (col("id") % 256),   // node
+        (col("id") % 1000) / 10.0, // channel 0
+        (col("id") % 500) / 5.0    // channel 1
+      ).as("value"))
+    val listener = ListenerConf("load", dialect = "socket", embeddedTimestamp = true)
+    val conf = GatewayConf(Seq(listener), Nil, checkpointRoot = "/tmp/unused")
+    val pipeline = Gateway.aggregate(Gateway.decode(frames, listener), conf)
+
+    pipeline.count() // warm codegen
+    val t0 = System.nanoTime()
+    val groups = pipeline.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val fps = n / secs
+    info(f"1M frames in $secs%.2f s = $fps%.0f frames/s ($groups aggregate groups)")
+    assert(groups > 0)
+    assert(fps >= 100000.0, f"throughput $fps%.0f frames/s below floor")
+  }
+}
