@@ -206,6 +206,40 @@ class GatewaySpec extends AnyFunSuite {
     assert(rows === Set((1000L, 1035L, 1L, 2L), (1040L, 1070L, 1L, 1L)))
   }
 
+  test("S3 e2e: the production run() path consumes a real TCP socket") {
+    val out = Files.createTempDirectory("gw-out").toString
+    val ckpt = Files.createTempDirectory("gw-ckpt").toString
+    val server = new java.net.ServerSocket(0)
+    val c = GatewayConf(
+      listeners = Seq(ListenerConf("sock", dialect = "socket",
+        host = "localhost", port = server.getLocalPort, embeddedTimestamp = true)),
+      buffers = Seq(BufferConf("main", s"$out/main", periodSeconds = 0)),
+      checkpointRoot = ckpt)
+    val feeder = new Thread(() => {
+      val sock = server.accept()
+      val w = new java.io.PrintWriter(sock.getOutputStream, true)
+      Seq("1000 7 3.0", "1004 7 5.0", "garbage").foreach(w.println)
+      w.flush() // connection stays open; the query is stopped by the test
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val queries = Gateway.run(spark, c)
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var st = Map.empty[(Long, Long, Int), (Long, Double)]
+      while (st.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        st =
+          try finalState(s"$out/main")
+          catch { case _: Throwable => Map.empty }
+      }
+      assert(st === Map((1000L, 7L, 0) -> (2L, 8.0)))
+    } finally {
+      queries.foreach(_.stop())
+      server.close()
+    }
+  }
+
   test("late data beyond the watermark is dropped (documented superset of REF)") {
     val out = Files.createTempDirectory("gw-out").toString
     val ckpt = Files.createTempDirectory("gw-ckpt").toString
