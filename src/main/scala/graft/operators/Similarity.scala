@@ -60,6 +60,35 @@ object Similarity {
       .limit(10)
   }
 
+  /** IVF variant of the same probe idea: coarse-quantize with
+    * distributed k-means (no driver-side collect of the corpus — the
+    * model holds k centroids only), then score just the query's cell.
+    * Deterministic per session (fixed seed) but k-means float
+    * reductions are not cross-engine reproducible, so this is
+    * ScalaTest-verified (invariants + recall), not oracle-declared —
+    * the sign-LSH path above is the hash-checked one.
+    *
+    * Returns (clustered corpus, top-k of the query's cell).
+    */
+  def ivfTopK(s: SparkSession, dir: String, k: Int = 10, nCells: Int = 8): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nCells).setSeed(42L).setFeaturesCol("features").fit(e)
+    val clustered = model.transform(e).withColumnRenamed("prediction", "cell")
+    val q = clustered.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("cell"))
+    val topk = clustered.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), "cell")
+      .select(
+        col("vec_id"), col("label"),
+        round(VectorOps.cosineNative(col("embedding"), col("q_emb")), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+    (clustered, topk)
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_sim_bucketed" -> QueryDef(
       simBucketed,

@@ -28,4 +28,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hitBuckets.forall(b => Integer.bitCount(b ^ qb) <= 1))
     assert((bucketed & brute).size >= 4)
   }
+
+  test("IVF probe scans one cell only and ranks it exactly") {
+    val (clustered, topk) = Similarity.ivfTopK(spark, sf, k = 10)
+    val rows = topk.collect()
+    assert(rows.length === 10)
+    // every hit lives in the query's cell — the probe never left it
+    val qCell = clustered.filter(col("vec_id") === 0).select("cell").head().getInt(0)
+    val hitIds = rows.map(_.getLong(0)).toSet
+    val cells = clustered.filter(col("vec_id").isin(hitIds.toSeq: _*))
+      .select("cell").collect().map(_.getInt(0)).toSet
+    assert(cells === Set(qCell))
+    // the cell is a strict subset of the corpus (real pruning)
+    val cellSize = clustered.filter(col("cell") === qCell).count()
+    assert(cellSize < clustered.count())
+    // within the probed cell the ranking is exact: scores descending
+    val scores = rows.map(_.getDouble(2)).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
 }
