@@ -13,13 +13,12 @@ import org.apache.spark.sql.types._
   * materialized intermediate array. These expressions implement the
   * same left-to-right double accumulation as a tight loop with
   * `doGenCode`, so the scoring stays inside WholeStageCodegen and
-  * allocates nothing. Bit-identical to the HOF path by construction
-  * (same element order, same double arithmetic) — swapping them can
-  * never change a hash-checked result (VectorExprSpec asserts ===).
-  *
-  * Null contract: inputs with null elements are not supported
-  * (embeddings never contain them); element reads assume non-null,
-  * matching primitive array storage.
+  * allocates nothing. Bit-identical to the HOF path by construction —
+  * same element order, same double arithmetic, AND the same null
+  * semantics: a length mismatch (zip_with null-pads → null product →
+  * null fold) or any null element yields NULL exactly as the HOF
+  * does, so the optimizer rewrite (RewriteVectorHofs) can never
+  * change any result (VectorExprSpec asserts === incl. null/ragged).
   */
 trait VectorElementCodegen { self: Expression =>
   protected def elemType(dt: DataType): DataType =
@@ -61,13 +60,22 @@ case class ArrayDot(left: Expression, right: Expression)
     }
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // HOF parity: zip_with null-pads unequal lengths and a null element
+    // nulls the whole fold — so both cases are NULL here too
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { s += read(left.dataType, x, i) * read(right.dataType, y, i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += read(left.dataType, x, i) * read(right.dataType, y, i)
+      i += 1
+    }
     s
   }
 
@@ -77,12 +85,17 @@ case class ArrayDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${getter(left.dataType, a, i)} * ${getter(right.dataType, b, i)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += ${getter(left.dataType, a, i)} * ${getter(right.dataType, b, i)};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -102,12 +115,19 @@ case class ArrayNormSq(child: Expression)
       case None    => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { val v = read(child.dataType, x, i); s += v * v; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) return null // HOF parity: null element nulls the fold
+      val v = read(child.dataType, x, i)
+      s += v * v
+      i += 1
+    }
     s
   }
 
@@ -121,10 +141,11 @@ case class ArrayNormSq(child: Expression)
          |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $v = ${getter(child.dataType, a, i)};
          |  $s += $v * $v;
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) ${ev.value} = $s;
        """.stripMargin
     })
 

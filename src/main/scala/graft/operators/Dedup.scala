@@ -38,11 +38,7 @@ import scala.collection.immutable.ListMap
   */
 object Dedup {
 
-  /** Shared 32-bit hash both engines compute identically:
-    * first 8 hex chars of md5, read as an integer.
-    */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  import Hashing.h32
 
   /** documents ∪ deterministic drop-first-word near-dup copies (ids
     * shifted by 200000; every 25th doc). Same derivation in every
@@ -144,14 +140,6 @@ object Dedup {
 
   private val nBands = 4 // 8 minhashes, bands of 2
 
-  /** X5b — banded MinHash LSH: 8 min-hash signature slots, 4 bands of
-    * 2; docs agreeing on any full band become candidates; candidates
-    * are verified with exact Jaccard. The scale path for near-dedup —
-    * candidate volume tracks true similarity, not N².
-    */
-  /** Banded-MinHash candidate pairs — shared by the Jaccard-verified
-    * and edit-distance-verified variants.
-    */
   /** Universal-hash family over ONE md5 per shingle: slot i is an
     * affine mix (odd multiplier, fixed offset, mod 2³¹) of the base
     * 32-bit hash — 8× fewer md5 evaluations than hashing per slot,
@@ -160,6 +148,9 @@ object Dedup {
   private val mixA = Seq(1L, 2654435761L, 2246822519L, 3266489917L, 668265263L, 374761393L, 2166136261L, 40503L)
   private val mixB = Seq(0L, 1013904223L, 1640531527L, 97, 1000003L, 69069L, 362437L, 48271L)
 
+  /** Banded-MinHash candidate pairs — shared by the Jaccard-verified
+    * (X5b) and edit-distance-verified (X5d) variants.
+    */
   private def minhashCands(sh: DataFrame): DataFrame = {
     // base reduced mod 2³¹ so base·multiplier stays inside signed-long
     // range (ANSI mode overflow would throw; DuckDB likewise)
@@ -184,6 +175,11 @@ object Dedup {
       .distinct()
   }
 
+  /** X5b — banded MinHash LSH: 8 min-hash signature slots, 4 bands of
+    * 2; docs agreeing on any full band become candidates; candidates
+    * are verified with exact Jaccard. The scale path for near-dedup —
+    * candidate volume tracks true similarity, not N².
+    */
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     verifyJaccard(sh, minhashCands(sh))
@@ -294,7 +290,7 @@ object Dedup {
       .select(
         col("a.vec_id").as("id_a"),
         col("b.vec_id").as("id_b"),
-        VectorOps.cosineNative(col("a.emb"), col("b.emb")).as("score"))
+        VectorOps.cosine(col("a.emb"), col("b.emb")).as("score"))
       .filter(col("score") >= 0.8)
       .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score"))
       .orderBy("id_a", "id_b")

@@ -76,7 +76,7 @@ object Extensions {
     val joined = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
     joined
       .select(col("vec_id"), col("label"),
-        VectorOps.cosineNative(col("embedding"), col("q_embedding")).as("score"))
+        VectorOps.cosine(col("embedding"), col("q_embedding")).as("score"))
       .select(col("vec_id"), col("label"), round(col("score"), 4).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(20)

@@ -55,7 +55,7 @@ object Similarity {
       .join(broadcast(probes), "bucket")
       .select(
         col("vec_id"), col("label"),
-        round(VectorOps.cosineNative(col("embedding"), col("q_emb")), 4).as("score"))
+        round(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -83,7 +83,7 @@ object Similarity {
       .join(broadcast(q), "cell")
       .select(
         col("vec_id"), col("label"),
-        round(VectorOps.cosineNative(col("embedding"), col("q_emb")), 4).as("score"))
+        round(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
     (clustered, topk)

@@ -23,9 +23,7 @@ object TextAnalysis {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** Shared 32-bit md5-prefix hash (same as Dedup's). */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  import Hashing.h32
 
   /** Token counting: whitespace tokens vs BPE-ish greedy ≤4-char
     * chunks (`[a-z]{1,4}` — leftmost-greedy in both regex engines).

@@ -250,6 +250,7 @@ object Gateway {
 
   /** Full pipeline from config (production path: socket listeners). */
   def run(spark: SparkSession, conf: GatewayConf): Seq[StreamingQuery] = {
+    require(conf.listeners.nonEmpty, "gateway config declares no listeners")
     val decoded = conf.listeners
       .map(l => decode(source(spark, l), l))
       .reduce(_ unionByName _)

@@ -40,6 +40,31 @@ class VectorExprSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("null semantics match the HOF fold exactly (ragged + null element)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType, containsNull = true)),
+      StructField("b", ArrayType(DoubleType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      Row(Seq(1.0, 2.0), Seq(3.0, 4.0)),        // clean → 11.0
+      Row(Seq(1.0, 2.0, 9.0), Seq(3.0, 4.0)),   // ragged → NULL both paths
+      Row(Seq(1.0, null, 2.0), Seq(3.0, 4.0, 5.0))) // null element → NULL
+    val df = spark.createDataFrame(rows, schema)
+    val out = df.select(
+      VectorOps.dot(col("a"), col("b")).as("hof"),
+      VectorOps.dotNative(col("a"), col("b")).as("nat"),
+      VectorOps.normSq(col("a")).as("hofN"),
+      VectorOps.normSqNative(col("a")).as("natN"))
+      .collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+    out.foreach { case (hof, nat, hofN, natN) =>
+      assert(hof === nat)
+      assert(hofN === natN)
+    }
+    assert(out(0)._1 === Some(11.0) && out(1)._1 === None && out(2)._1 === None)
+  }
+
   test("non-array input is rejected at analysis") {
     val e = Tables(spark, sf, "embeddings")
     intercept[org.apache.spark.sql.AnalysisException] {
