@@ -92,6 +92,38 @@ object TextAnalysis {
         sum((h32(col("tok")) % 1048573) * ((col("pos") % 64) + 1)).cast("long").as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Data profiling — the first thing any pipeline runs against a new
+    * table: per-column counts, null counts, distinct counts, min/max.
+    * One aggregate pass per profiled column unioned into a tall
+    * result; numeric and string extrema live in separate typed columns
+    * (no cross-engine float→string formatting in the output).
+    */
+  private def profile(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    def num(c: String): DataFrame = o.agg(
+      lit(c).as("col_name"),
+      count(lit(1)).as("n"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      round(min(col(c)).cast("double"), 4).as("min_num"),
+      round(max(col(c)).cast("double"), 4).as("max_num"),
+      lit(null).cast("string").as("min_str"),
+      lit(null).cast("string").as("max_str"))
+    def str(c: String): DataFrame = o.agg(
+      lit(c).as("col_name"),
+      count(lit(1)).as("n"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      lit(null).cast("double").as("min_num"),
+      lit(null).cast("double").as("max_num"),
+      min(col(c)).as("min_str"),
+      max(col(c)).as("max_str"))
+    Seq(num("o_orderkey"), num("o_custkey"), num("o_totalprice"),
+        str("o_orderstatus"), str("o_orderpriority"))
+      .reduce(_ unionByName _)
+      .orderBy("col_name")
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_token_count" -> QueryDef(
       tokenCount,
@@ -135,5 +167,28 @@ object TextAnalysis {
              |  CAST(sum((('0x' || substr(md5(tok), 1, 8))::BIGINT % 1048573) * (((i - 1) % 64) + 1)) AS BIGINT) AS fingerprint
              |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "position-weighted rolling document fingerprint"),
+    "q_profile" -> QueryDef(
+      profile,
+      Some {
+        def num(c: String) =
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  round(CAST(min($c) AS DOUBLE), 4) AS min_num,
+             |  round(CAST(max($c) AS DOUBLE), 4) AS max_num,
+             |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+             |FROM orders""".stripMargin
+        def str(c: String) =
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+             |  min($c) AS min_str, max($c) AS max_str
+             |FROM orders""".stripMargin
+        Seq(num("o_orderkey"), num("o_custkey"), num("o_totalprice"),
+            str("o_orderstatus"), str("o_orderpriority"))
+          .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+      },
+      "per-column data profiling: counts / nulls / distinct / extrema"),
   )
 }
