@@ -92,6 +92,57 @@ object TextAnalysis {
         sum((h32(col("tok")) % 1048573) * ((col("pos") % 64) + 1)).cast("long").as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Corpus n-gram frequencies: top bigrams by occurrence count
+    * (tokenizer/vocab training input). Explode → count → top-K with
+    * total-order tie-break; map-side partial aggregation carries the
+    * count, the top-K is TakeOrderedAndProject.
+    */
+  private def ngramFreq(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
+
+  /** Token co-occurrence counts (PMI ingredients): document-level
+    * pairs via an inverted-index self-join on distinct tokens — the
+    * same shape as the dedup candidate join, bounded by vocab², never
+    * by corpus².
+    */
+  private def cooccur(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+    toks.as("a")
+      .join(toks.as("b"), col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("tok_a").asc, col("tok_b").asc)
+      .limit(30)
+  }
+
+  /** Document frequency per token (the integer-exact part of tf-idf;
+    * idf's log is engine-library-dependent, so df stays the contract).
+    */
+  private def docFreq(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc)
+
+  /** Length histogram: docs bucketed by token count (decade buckets). */
+  private def lenHist(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select((floor(size(split(col("text"), " ")) / 10) * 10).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket")
+
   /** Data profiling — the first thing any pipeline runs against a new
     * table: per-column counts, null counts, distinct counts, min/max.
     * One aggregate pass per profiled column unioned into a tall
@@ -190,5 +241,35 @@ object TextAnalysis {
           .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
       },
       "per-column data profiling: counts / nulls / distinct / extrema"),
+    "q_ngram_freq" -> QueryDef(
+      ngramFreq,
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+             |        FROM toks WHERE len(w) >= 2),
+             |bg AS (SELECT w[i] || ' ' || w[i+1] AS bigram FROM idx)
+             |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+             |FROM bg GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin),
+      "corpus bigram frequencies, top-20"),
+    "q_cooccur" -> QueryDef(
+      cooccur,
+      Some("""WITH toks AS (
+             |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS n_docs
+             |FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+             |GROUP BY 1, 2 ORDER BY n_docs DESC, tok_a ASC, tok_b ASC LIMIT 30""".stripMargin),
+      "token co-occurrence document counts, top-30"),
+    "q_doc_freq" -> QueryDef(
+      docFreq,
+      Some("""WITH toks AS (
+             |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |SELECT tok, CAST(count(*) AS BIGINT) AS df
+             |FROM toks GROUP BY tok ORDER BY df DESC, tok ASC""".stripMargin),
+      "document frequency per token (tf-idf ingredient)"),
+    "q_len_hist" -> QueryDef(
+      lenHist,
+      Some("""SELECT CAST(floor(len(string_split(text, ' ')) / 10) * 10 AS BIGINT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin),
+      "document length histogram (decade buckets)"),
   )
 }
