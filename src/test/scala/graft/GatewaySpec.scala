@@ -240,6 +240,28 @@ class GatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("windowed state runs on the RocksDB state store (the 100 TB knob)") {
+    val out = Files.createTempDirectory("gw-out").toString
+    val ckpt = Files.createTempDirectory("gw-ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[String]
+      ms.addData("1000 3 1.5", "1004 3 2.5")
+      runToCompletion(ms, conf(out, ckpt))
+      assert(finalState(s"$out/main") === Map((1000L, 3L, 0) -> (2L, 4.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("late data beyond the watermark is dropped (documented superset of REF)") {
     val out = Files.createTempDirectory("gw-out").toString
     val ckpt = Files.createTempDirectory("gw-ckpt").toString
