@@ -28,13 +28,12 @@ import scala.collection.immutable.ListMap
   *    (map-side partial min), candidates one equi-join on (band, key)
   *    — the textbook LSH plan; exact verification touches only
   *    candidate pairs.
-  *  - SimHash: 32-bit sketch per doc, candidates via 4 byte-bands
-  *    (docs agreeing on ≥1 band), Hamming check is xor+bit_count on
-  *    two longs.
-  *  - Embedding dedup probes only same-bucket pairs (sign-LSH). At
-  *    real scale buckets use more planes (e.g. 16 → 65k buckets) and
-  *    multi-probe; the plan shape — bucket equi-join, never cross —
-  *    is the one that survives 100×.
+  *  - SimHash: 60-bit sketch per doc, candidates via 5 12-bit bands
+  *    with per-band Hamming-≤2 multi-probe (pigeonhole-exact recall up
+  *    to Hamming 14), Hamming check is xor+bit_count on two longs.
+  *  - Embedding dedup probes only same-or-adjacent-bucket pairs
+  *    (12-plane sign-LSH, 4096 buckets, Hamming-1 multi-probe) — a
+  *    bucket equi-join, never cross.
   */
 object Dedup {
 
@@ -206,69 +205,110 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** Band-collision pair stream (band-duplicated; dedup downstream,
-    * after cheap filters).
+  // SimHash parameters (shared with the oracle SQL below). 60-bit
+  // sketch (15 hex md5 chars — the widest prefix signed-BIGINT-safe in
+  // both engines), 5 bands of 12 bits, per-band multi-probe radius 2,
+  // near-dup threshold Hamming ≤ 13.
+  //
+  // Why this config and not Manku's 4×16-bit/Hamming≤3: that guarantee
+  // assumes long documents, where dropping one feature flips ~0 sketch
+  // bits. This corpus is 10–100-token docs, where one dropped shingle
+  // flips every majority bit whose margin is ≤1 — measured planted-pair
+  // Hamming reaches 13 of 60 bits (histogram at sf0.1: p50=3, max=13).
+  // The generalized pigeonhole does the work instead: H differing bits
+  // over B bands leave some band with ≤ floor(H/B) of them, so probing
+  // each band's Hamming-≤t neighbourhood guarantees exact recall for
+  // H ≤ B·(t+1)−1 = 5·3−1 = 14 ≥ the declared 13.
+  private val simBits = 60
+  private val simBandBits = 12
+  private val nSimBands = 5
+  private val simHamMax = 13
+  /** XOR masks enumerating the Hamming-≤2 ball of a 12-bit band key
+    * (1 + 12 + 66 = 79 probes).
     */
-  private def cand(bands: DataFrame): DataFrame =
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+  private val simProbeMasks: Seq[Long] =
+    Seq(0L) ++ (0 until simBandBits).map(i => 1L << i) ++
+      (for { i <- 0 until simBandBits; j <- (i + 1) until simBandBits }
+        yield (1L << i) | (1L << j))
 
-  /** X5c — SimHash: 32-bit sketch (majority vote per bit over shingle
-    * hashes), candidates from 8 nibble-bands, Hamming ≤ 6 via
+  /** X5c — SimHash: 60-bit sketch (majority vote per bit over shingle
+    * hashes), banded multi-probe candidates, Hamming ≤ 13 via
     * xor+bit_count. Integer end to end.
     *
-    * Banding must exceed the Hamming budget (pigeonhole: ≤7 differing
-    * bits over 8 bands leave ≥1 band clean), so recall within the
-    * budget is exact — 4 byte-bands demonstrably missed planted pairs
-    * whose 4–5 flipped bits straddled every band. At production scale
-    * this becomes the Manku et al. config — 64-bit fingerprints,
-    * Hamming ≤ 3, 4 16-bit bands — which keeps the same
-    * guarantee with far lower collision rates; 4-bit bands here are a
-    * consequence of the 32-bit sketch that both engines can hash
-    * identically (md5 prefix within signed-long range).
+    * Scale shape: probes explode the (doc, band, key) stream 79× —
+    * tiny fixed-width rows, linear in N — and candidates come from an
+    * equi-join of probed keys against exact keys, so candidate volume
+    * tracks pairs genuinely close on some band, not N²/16 as the old
+    * 4-bit nibble bands did. Measured at sf0.1 (5200 docs, 13.5M
+    * possible pairs): 6.9M collision pair-rows with nibble bands →
+    * 1.38M with this config, while keeping recall exact (the nibble
+    * config's guarantee only covered Hamming ≤ 7 of 32 bits anyway).
+    * Order of operations still matters: broadcast the sketch table
+    * into the candidate stream and filter on Hamming BEFORE paying
+    * the distinct.
     */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val hs = shingles(s, dir).select(col("doc_id"), h32(col("shingle")).as("h"))
-    val sumCols = (0 until 32).map(j =>
+    import Hashing.h60
+    val hs = shingles(s, dir).select(col("doc_id"), h60(col("shingle")).as("h"))
+    val sumCols = (0 until simBits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j"))
     val sums = hs.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
     val sim = sums.select(
       col("doc_id"),
-      (0 until 32)
+      (0 until simBits)
         .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _).as("sim"))
     val bands = sim.select(
       col("doc_id"),
-      explode(array((0 until 8).map(b =>
+      explode(array((0 until nSimBands).map(b =>
         struct(
           lit(b).as("band"),
-          shiftright(col("sim"), 4 * b).bitwiseAND(lit(15L)).as("k"))): _*)).as("bk"))
+          shiftright(col("sim"), simBandBits * b)
+            .bitwiseAND(lit((1L << simBandBits) - 1)).as("k"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.k").as("k"))
-    // 4-bit bands on correlated sketches collide heavily, so the
-    // candidate stream is large (~5.6M pair-rows at sf0.1, with up to
-    // 8× band duplicates). Order of operations matters: broadcast the
-    // tiny sketch table into the stream, filter on Hamming FIRST
-    // (cuts ~1000×), and only then pay the distinct — deduplicating
-    // the raw candidate stream up front was the r1-shape bottleneck.
-    cand(bands)
+    val probes = bands.select(
+      col("doc_id"), col("band"),
+      explode(array(simProbeMasks.map(m => col("k").bitwiseXOR(lit(m))): _*)).as("pk"))
+    val cand = probes.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.pk") === col("b.k") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    cand
       .join(broadcast(sim.as("sa")), col("id_a") === col("sa.doc_id"))
       .join(broadcast(sim.as("sb")), col("id_b") === col("sb.doc_id"))
       .select(
         col("id_a"), col("id_b"),
         bit_count(col("sa.sim").bitwiseXOR(col("sb.sim"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= simHamMax)
       .distinct()
       .orderBy("id_a", "id_b")
   }
 
-  /** X6 — embedding near-dup: sign-LSH bucket on 6 fixed coordinates,
-    * cosine ≥ 0.8 within buckets only. The perturbed copies (element 2
-    * ×1.5, every 20th vector) keep identical sign buckets, so recall
-    * on the synthesized pairs is exact by construction. All math in
-    * double on both engines; threshold applied pre-rounding.
+  /** Sign-LSH planes for embedding dedup: 12 fixed coordinates → 4096
+    * buckets. Dim 2 (the synthetically perturbed element) is excluded
+    * so the planted pairs provably share a bucket — though the ×1.5
+    * positive scaling could never flip a sign anyway.
+    */
+  private val embedPlanes: Seq[(Int, Int)] =
+    Seq(1, 6, 11, 16, 21, 26, 31, 36, 41, 46, 51, 56).zipWithIndex
+      .map { case (d, i) => (d, 1 << i) }
+
+  /** X6 — embedding near-dup: sign-LSH on 12 fixed coordinates (4096
+    * buckets) with Hamming-1 multi-probe, cosine ≥ 0.8 within probed
+    * pairs only. The planted copies (element 2 ×1.5, every 20th
+    * vector) keep identical sign buckets, so recall on them is exact
+    * by construction; the probe widens recall to genuine near-dups
+    * that straddle one plane. All math in double on both engines;
+    * threshold applied pre-rounding.
+    *
+    * Scale shape: 13 probe rows per vector (identity + 12 one-bit
+    * flips), all candidates from a bucket equi-join — within-bucket
+    * pair volume is Θ(N²/4096) instead of the old 6-plane Θ(N²/64),
+    * and the probe join stays linear in N. Each qualifying pair
+    * matches exactly one probe mask, so no distinct is needed.
+    * Embeddings are fetched for candidates only (broadcast of the
+    * small candidate list), never carried through the probe explode.
     */
   private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
     val base = Tables(s, dir, "embeddings")
@@ -281,16 +321,24 @@ object Dedup {
           when(i === 1, x.cast("double") * 1.5).otherwise(x.cast("double"))).as("emb"))
     val vecs = base.unionByName(pert)
       .withColumn("bucket",
-        Seq(1 -> 1, 8 -> 2, 15 -> 4, 22 -> 8, 29 -> 16, 36 -> 32)
+        embedPlanes
           .map { case (d, w) => when(element_at(col("emb"), d) > 0, lit(w)).otherwise(lit(0)) }
           .reduce(_ + _))
-    vecs.as("a")
-      .join(vecs.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    val buckets = vecs.select(col("vec_id"), col("bucket"))
+    val probes = buckets.select(
+      col("vec_id"),
+      explode(array((0 +: embedPlanes.map(_._2))
+        .map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("pb"))
+    val cand = probes.as("a")
+      .join(buckets.as("b"),
+        col("a.pb") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    broadcast(cand)
+      .join(vecs.as("va"), col("id_a") === col("va.vec_id"))
+      .join(vecs.as("vb"), col("id_b") === col("vb.vec_id"))
       .select(
-        col("a.vec_id").as("id_a"),
-        col("b.vec_id").as("id_b"),
-        VectorOps.cosine(col("a.emb"), col("b.emb")).as("score"))
+        col("id_a"), col("id_b"),
+        VectorOps.cosine(col("va.emb"), col("vb.emb")).as("score"))
       .filter(col("score") >= 0.8)
       .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score"))
       .orderBy("id_a", "id_b")
@@ -332,22 +380,27 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
 
   private def simhashSql: String = {
-    val bits = (0 until 32)
+    val bits = (0 until simBits)
       .map(j => s"(CASE WHEN sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN (1::BIGINT << $j) ELSE 0 END)")
       .mkString(" + ")
-    val bands = (0 until 8)
-      .map(b => s"SELECT doc_id, $b AS band, (sim >> ${4 * b}) & 15 AS k FROM simh")
+    val bands = (0 until nSimBands)
+      .map(b => s"SELECT doc_id, $b AS band, (sim >> ${simBandBits * b}) & ${(1L << simBandBits) - 1} AS k FROM simh")
       .mkString(" UNION ALL ")
+    // Same candidate semantics as the probe-explode join: pairs within
+    // Hamming ≤ 2 on at least one band. The oracle states it directly
+    // as a band-keyed theta-join (fine at oracle scale); the Spark
+    // side's mask enumeration is the linear-scale-out form.
     s"""WITH $corpusSql,
-       |hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+       |hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
        |simh AS (SELECT doc_id, $bits AS sim FROM hs GROUP BY doc_id),
        |bands AS ($bands),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |         FROM bands a JOIN bands b ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id),
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+       |         WHERE bit_count(xor(a.k, b.k)) <= 2),
        |ham AS (SELECT c.id_a, c.id_b, bit_count(xor(sa.sim, sb.sim)) AS hamming
        |        FROM cand c JOIN simh sa ON sa.doc_id = c.id_a JOIN simh sb ON sb.doc_id = c.id_b)
        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM ham
-       |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin
+       |WHERE hamming <= $simHamMax ORDER BY id_a, id_b""".stripMargin
   }
 
   val defs: ListMap[String, QueryDef] = ListMap(
@@ -368,42 +421,48 @@ object Dedup {
     "q_dedup_simhash" -> QueryDef(
       dedupSimhash,
       Some(simhashSql),
-      "X5c SimHash 32-bit near-dup, nibble-band candidates, Hamming <= 6"),
+      "X5c SimHash 60-bit near-dup, banded multi-probe candidates, Hamming <= 13"),
     "q_dedup_fuzzy" -> QueryDef(
       dedupFuzzy,
       Some(fuzzySql),
       "X5d edit-distance dedup over LSH candidates (levenshtein <= 25 on prefix)"),
     "q_dedup_embed" -> QueryDef(
       dedupEmbed,
-      Some("""WITH base AS (SELECT vec_id, embedding FROM embeddings),
-             |all_vecs AS (
-             |  SELECT vec_id AS id, vec_id AS src, FALSE AS pert FROM base
-             |  UNION ALL
-             |  SELECT vec_id + 100000 AS id, vec_id AS src, TRUE AS pert FROM base WHERE vec_id % 20 = 0),
-             |elems AS (
-             |  SELECT a.id, g.i,
-             |    CASE WHEN a.pert AND g.i = 2 THEN CAST(b.embedding[g.i] AS DOUBLE) * 1.5
-             |         ELSE CAST(b.embedding[g.i] AS DOUBLE) END AS x
-             |  FROM all_vecs a JOIN base b ON b.vec_id = a.src, generate_series(1, 64) AS g(i)),
-             |buckets AS (
-             |  SELECT id,
-             |    (CASE WHEN max(CASE WHEN i = 1 THEN x END) > 0 THEN 1 ELSE 0 END)
-             |    + (CASE WHEN max(CASE WHEN i = 8 THEN x END) > 0 THEN 2 ELSE 0 END)
-             |    + (CASE WHEN max(CASE WHEN i = 15 THEN x END) > 0 THEN 4 ELSE 0 END)
-             |    + (CASE WHEN max(CASE WHEN i = 22 THEN x END) > 0 THEN 8 ELSE 0 END)
-             |    + (CASE WHEN max(CASE WHEN i = 29 THEN x END) > 0 THEN 16 ELSE 0 END)
-             |    + (CASE WHEN max(CASE WHEN i = 36 THEN x END) > 0 THEN 32 ELSE 0 END) AS bucket
-             |  FROM elems GROUP BY id),
-             |pairs AS (SELECT a.id AS id_a, b.id AS id_b
-             |          FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.id < b.id),
-             |scored AS (
-             |  SELECT p.id_a, p.id_b,
-             |    sum(ea.x * eb.x) / (sqrt(sum(ea.x * ea.x)) * sqrt(sum(eb.x * eb.x))) AS score
-             |  FROM pairs p JOIN elems ea ON ea.id = p.id_a
-             |  JOIN elems eb ON eb.id = p.id_b AND eb.i = ea.i
-             |  GROUP BY 1, 2)
-             |SELECT id_a, id_b, round(score, 4) AS score FROM scored
-             |WHERE score >= 0.8 ORDER BY id_a, id_b""".stripMargin),
-      "X6 embedding cosine near-dup via sign-LSH buckets"),
+      Some {
+        // Bucket computed from the BASE embedding: the perturbation
+        // only scales dim 2 (not a plane) by a positive factor, so the
+        // perturbed copy's signs — hence bucket — are identical.
+        // Series bounds driven by len(embedding), not a hardcoded dim.
+        val bucketExpr = embedPlanes
+          .map { case (d, w) => s"(CASE WHEN b.embedding[$d] > 0 THEN $w ELSE 0 END)" }
+          .mkString("\n             ", "\n           + ", "")
+        s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+           |all_vecs AS (
+           |  SELECT vec_id AS id, vec_id AS src, FALSE AS pert FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 100000 AS id, vec_id AS src, TRUE AS pert FROM base WHERE vec_id % 20 = 0),
+           |elems AS (
+           |  SELECT id, i, CASE WHEN pert AND i = 2 THEN x * 1.5 ELSE x END AS x
+           |  FROM (
+           |    SELECT a.id, a.pert,
+           |      unnest(generate_series(1, len(b.embedding))) AS i,
+           |      unnest(list_transform(b.embedding, v -> CAST(v AS DOUBLE))) AS x
+           |    FROM all_vecs a JOIN base b ON b.vec_id = a.src)),
+           |buckets AS (
+           |  SELECT a.id, $bucketExpr AS bucket
+           |  FROM all_vecs a JOIN base b ON b.vec_id = a.src),
+           |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+           |          FROM buckets a JOIN buckets b ON a.id < b.id
+           |          WHERE bit_count(xor(a.bucket::BIGINT, b.bucket::BIGINT)) <= 1),
+           |scored AS (
+           |  SELECT p.id_a, p.id_b,
+           |    sum(ea.x * eb.x) / (sqrt(sum(ea.x * ea.x)) * sqrt(sum(eb.x * eb.x))) AS score
+           |  FROM pairs p JOIN elems ea ON ea.id = p.id_a
+           |  JOIN elems eb ON eb.id = p.id_b AND eb.i = ea.i
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, round(score, 4) AS score FROM scored
+           |WHERE score >= 0.8 ORDER BY id_a, id_b""".stripMargin
+      },
+      "X6 embedding cosine near-dup via 12-plane sign-LSH + Hamming-1 multi-probe"),
   )
 }

@@ -14,4 +14,11 @@ object Hashing {
     */
   def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit hash (first 15 hex chars of md5 — the widest prefix that
+    * stays inside signed BIGINT on both engines) — DuckDB side:
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`.
+    */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 }

@@ -17,4 +17,4 @@ rm -rf "$OUT_DIR"
 exec java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CLASSES:/opt/spark/jars/*" \
-  graft.Verify "$SF_DIR" "$OUT_DIR"
+  graft.Verify "$SF_DIR" "$OUT_DIR" "${@:3}"
