@@ -34,11 +34,11 @@ object Similarity {
       .map { case (d, w) => when(element_at(emb, d) > 0, lit(w)).otherwise(lit(0)) }
       .reduce(_ + _)
 
-  /** X4-scale — multi-probe bucketed cosine top-10 for the query
-    * vector (vec_id = 0): probe the query's bucket plus its 4
-    * Hamming-1 neighbours, score only those candidates.
+  /** Shared probe stage: candidates for the query vector (vec_id = 0)
+    * from its bucket plus the 4 Hamming-1 neighbours — (vec_id, label,
+    * embedding, q_emb) rows, scored differently per metric below.
     */
-  private def simBucketed(s: SparkSession, dir: String): DataFrame = {
+  private def probedCandidates(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
       .withColumn("bucket", bucketOf(col("embedding")))
     val q = e.filter(col("vec_id") === 0)
@@ -53,12 +53,32 @@ object Similarity {
         col("qb").bitwiseXOR(lit(8)))).as("bucket"))
     e.filter(col("vec_id") =!= 0)
       .join(broadcast(probes), "bucket")
+  }
+
+  /** X4-scale — multi-probe bucketed cosine top-10 for the query
+    * vector: probe the query's bucket plus its 4 Hamming-1 neighbours,
+    * score only those candidates.
+    */
+  private def simBucketed(s: SparkSession, dir: String): DataFrame =
+    probedCandidates(s, dir)
       .select(
         col("vec_id"), col("label"),
         round(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(10)
-  }
+
+  /** X4-scale L2 variant — nearest-10 by squared Euclidean distance
+    * over the same probed candidates (squared form: cheaper than L2,
+    * identical ordering). Distance pipelines (k-NN dedup, outlier
+    * screens) want L2; cosine and L2 share the probe machinery.
+    */
+  private def simL2(s: SparkSession, dir: String): DataFrame =
+    probedCandidates(s, dir)
+      .select(
+        col("vec_id"), col("label"),
+        round(VectorOps.l2Sq(col("embedding"), col("q_emb")), 4).as("dist_sq"))
+      .orderBy(col("dist_sq").asc, col("vec_id").asc)
+      .limit(10)
 
   /** IVF variant of the same probe idea: coarse-quantize with
     * distributed k-means (no driver-side collect of the corpus — the
