@@ -27,13 +27,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - B1 fan-out         → one `foreachBatch` sink query per active
   *    buffer off the same aggregated stream.
   *  - B3 encoding + S5   → [[Gateway.bulkEncode]] inside foreachBatch;
-  *    no network in this environment, so the encoded payload lands in
-  *    parquet per micro-batch — the HTTP POST would replace the write
-  *    with no change to the encoding or batching semantics.
-  *  - B5 at-least-once   → checkpointing + an idempotent per-batch-id
-  *    sink path: replays overwrite the same `batch=<id>` directory, so
+  *    with `postUrl` set the payload is POSTed to the emoncms bulk API
+  *    and a non-`ok` reply fails the batch (reference retry semantics);
+  *    without it the encoded payload lands in parquet per micro-batch
+  *    (same encoding, same batching — the sandbox has no network).
+  *  - B5 at-least-once   → checkpointing + either the failed-batch
+  *    replay loop (HTTP path) or an idempotent per-batch-id sink path:
+  *    replays overwrite the same `batch=<id>` directory, so
   *    restart-after-kill loses nothing and duplicates nothing
-  *    (verified by GatewaySpec's kill-restart test).
+  *    (verified by GatewaySpec's kill-restart and failed-POST tests).
   *  - B6 hot reload      → NOT plan mutation (impossible in Spark):
   *    stop the affected query and restart from its checkpoint with new
   *    settings — state survives; see [[Gateway.hotReloadNote]].
@@ -73,13 +75,17 @@ object Gateway {
       embeddedTimestamp: Boolean = false)
 
   /** `[buffers]` section analog (※ oemgatewaybuffer.py: `active`
-    * runtime flag, `period` send interval, target URL → outDir here).
+    * runtime flag, `period` send interval). The sink target is either
+    * a real emoncms bulk endpoint (`postUrl`, production path — S5) or
+    * a parquet directory (`outDir`, the no-network stand-in used by
+    * the sandbox tests; same encoding, same batching).
     */
   final case class BufferConf(
       name: String,
       outDir: String,
       active: Boolean = true,
-      periodSeconds: Long = 10)
+      periodSeconds: Long = 10,
+      postUrl: Option[String] = None)
 
   final case class GatewayConf(
       listeners: Seq[ListenerConf],
@@ -225,11 +231,44 @@ object Gateway {
         col("session_window.end").as("session_end"),
         col("node"), col("n_frames"))
 
+  /** Shared driver-side HTTP client for the bulk sink (foreachBatch
+    * runs on the driver; one client serves every buffer query).
+    */
+  private lazy val httpClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10))
+      .build()
+
+  /** S5 — one emoncms bulk POST, with the reference's acceptance rule:
+    * the server must answer `ok`, anything else (or a transport
+    * failure) means the upload did not happen (※ OemGatewayEmoncmsBuffer
+    * ._send_data: reply != 'ok' → keep the buffer, resend next period).
+    * Here "keep the buffer" = throw, so the micro-batch fails and the
+    * checkpoint does not advance — the restart replays the same batch
+    * (GatewaySpec proves delivery-after-failure with no duplication).
+    */
+  private[streaming] def postBulk(url: String, payload: String): Unit = {
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload))
+      .build()
+    val resp = httpClient.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    val body = resp.body().trim
+    if (resp.statusCode() != 200 || body != "ok")
+      throw new java.io.IOException(
+        s"emoncms rejected bulk upload (HTTP ${resp.statusCode()}, reply '$body') — batch kept for resend")
+  }
+
   /** B1+B4+B5+S5 — start one sink query per active buffer off the
     * shared aggregated stream. Each query has its own checkpoint and
-    * its own trigger period; the sink writes the B3-encoded payload to
-    * `outDir/batch=<id>` with overwrite, so a replayed batch id is
-    * idempotent (at-least-once delivery + idempotent sink).
+    * its own trigger period. Delivery:
+    *  - `postUrl` set (production): POST the B3-encoded bulk payload;
+    *    a non-`ok` reply or transport failure fails the batch, so the
+    *    checkpoint is not advanced and the replay IS the reference's
+    *    "keep buffer, resend next period" retry loop.
+    *  - otherwise (sandbox): write the encoded rows to
+    *    `outDir/batch=<id>` with overwrite, so a replayed batch id is
+    *    idempotent (at-least-once delivery + idempotent sink).
     */
   def start(aggregated: DataFrame, conf: GatewayConf): Seq[StreamingQuery] =
     conf.buffers.filter(_.active).map { b =>
@@ -239,11 +278,18 @@ object Gateway {
         .option("checkpointLocation", s"${conf.checkpointRoot}/${b.name}")
         .trigger(Trigger.ProcessingTime(s"${b.periodSeconds} seconds"))
         .foreachBatch { (df: DataFrame, id: Long) =>
-          if (!df.isEmpty)
-            bulkEncode(df)
-              .withColumn("batch_id", lit(id))
-              .write.mode("overwrite")
-              .parquet(s"${b.outDir}/batch=$id")
+          if (!df.isEmpty) b.postUrl match {
+            case Some(url) =>
+              // one payload row per micro-batch (single sentat group);
+              // collecting it is the sink edge, same as the reference's
+              // one POST per period.
+              emoncmsPayload(df).collect().foreach(r => postBulk(url, r.getString(0)))
+            case None =>
+              bulkEncode(df)
+                .withColumn("batch_id", lit(id))
+                .write.mode("overwrite")
+                .parquet(s"${b.outDir}/batch=$id")
+          }
         }
         .start()
     }

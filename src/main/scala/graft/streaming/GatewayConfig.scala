@@ -60,11 +60,21 @@ object GatewayConfig {
 
     val buffers = componentsOf("buffers").map { p =>
       val name = p(1)
+      // ※ OemGatewayEmoncmsBuffer: domain+path+apikey form the bulk
+      // endpoint `http://<domain><path>/input/bulk.json?apikey=…`.
+      // When the conf names a domain the buffer POSTs for real (S5);
+      // without one it falls back to the parquet stand-in sink.
+      val postUrl = setting(p, "domain").map { domain =>
+        val path = setting(p, "path").getOrElse("")
+        val key = setting(p, "apikey").map(k => s"?apikey=$k").getOrElse("")
+        s"http://$domain$path/input/bulk.json$key"
+      }
       BufferConf(
         name,
         outDir = s"$sinkRoot/$name",
         active = setting(p, "active").forall(_.equalsIgnoreCase("True")),
-        periodSeconds = setting(p, "period").map(_.toDouble.toLong).getOrElse(10L))
+        periodSeconds = setting(p, "period").map(_.toDouble.toLong).getOrElse(10L),
+        postUrl = postUrl)
     }
 
     GatewayConf(listeners, buffers, checkpointRoot)
