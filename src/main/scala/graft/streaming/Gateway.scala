@@ -32,10 +32,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    without it the encoded payload lands in parquet per micro-batch
   *    (same encoding, same batching — the sandbox has no network).
   *  - B5 at-least-once   → checkpointing + either the failed-batch
-  *    replay loop (HTTP path) or an idempotent per-batch-id sink path:
-  *    replays overwrite the same `batch=<id>` directory, so
-  *    restart-after-kill loses nothing and duplicates nothing
-  *    (verified by GatewaySpec's kill-restart and failed-POST tests).
+  *    replay loop (HTTP path) or an idempotent per-batch-id sink path.
+  *    Parquet path: replays overwrite the same `batch=<id>` directory,
+  *    so restart-after-kill loses nothing and duplicates nothing
+  *    (GatewaySpec kill-restart test). HTTP path: at-least-once — a
+  *    crash between a successful POST and the checkpoint commit
+  *    replays the batch and re-POSTs the same payload, the same
+  *    send-then-clear race the reference has (GatewaySpec failed-POST
+  *    test proves fail → no checkpoint advance → replay delivers).
   *  - B6 hot reload      → NOT plan mutation (impossible in Spark):
   *    stop the affected query and restart from its checkpoint with new
   *    settings — state survives; see [[Gateway.hotReloadNote]].
@@ -166,14 +170,31 @@ object Gateway {
         (unix_micros(col("window_start")) - unix_micros(col("sentat"))) / lit(1000000L))
   }
 
-  /** S5 — the emoncms bulk-upload request body, formatted exactly as
-    * the reference sends it: `data=[[Δt,node,v…],…]&sentat=T` with one
-    * reference time per micro-batch and rows ordered by (offset, node,
-    * channel) (※ OemGatewayEmoncmsBuffer._send_data). One string per
-    * batch — this is what the HTTP POST would carry; GatewaySpec pins
-    * the exact bytes.
+  /** S5 — the emoncms bulk-upload request body, shaped like the
+    * reference's: `data=[[Δt,node,v…],…]&sentat=T` with one reference
+    * time per micro-batch and rows ordered by (offset, node, channel)
+    * (※ OemGatewayEmoncmsBuffer._send_data). GatewaySpec pins the
+    * exact bytes.
+    *
+    * Two deliberate departures from the reference, recorded here:
+    *  - **Row shape**: our rows are `[Δt, node, channel, avg_v]` —
+    *    windowed per-channel aggregates with an explicit channel index
+    *    — where the reference forwards raw frames as `[Δt, node, v1,
+    *    v2, …]`. A stock emoncms server would read our channel number
+    *    as the first input value; a deployment targeting stock emoncms
+    *    should pivot channels back into positional values (one
+    *    `groupBy(offset, node).pivot(channel)` away). We keep the
+    *    channel-indexed form because the aggregate (not the raw frame)
+    *    is this engine's unit of delivery, and it is unambiguous under
+    *    per-channel windowing.
+    *  - **Bounded POSTs**: the reference caps its send buffer (~1000
+    *    records per request); an unbounded micro-batch here would build
+    *    one unbounded string on the driver. `maxRows` slices the sorted
+    *    row list into that many rows per payload — several payload rows
+    *    (= several POSTs) per micro-batch when the batch is large, each
+    *    sharing the batch's `sentat`.
     */
-  def emoncmsPayload(batch: DataFrame): DataFrame =
+  def emoncmsPayload(batch: DataFrame, maxRows: Int = 1000): DataFrame =
     bulkEncode(batch)
       .select(
         struct(
@@ -184,9 +205,14 @@ object Gateway {
         unix_seconds(col("sentat")).as("sentat"))
       .groupBy(col("sentat"))
       .agg(sort_array(collect_list(col("r"))).as("rs"))
+      .select(
+        col("sentat"),
+        explode(expr(
+          s"transform(sequence(0, int((size(rs) - 1) / $maxRows)), i -> slice(rs, i * $maxRows + 1, $maxRows))"))
+          .as("chunk"))
       .select(concat(
         lit("data="),
-        to_json(expr("transform(rs, x -> array(x.t, x.node, x.channel, x.v))")),
+        to_json(expr("transform(chunk, x -> array(x.t, x.node, x.channel, x.v))")),
         lit("&sentat="), col("sentat")).as("payload"))
 
   /** B2 — the reference's capped in-memory FIFO, as real streaming
@@ -241,16 +267,28 @@ object Gateway {
 
   /** S5 — one emoncms bulk POST, with the reference's acceptance rule:
     * the server must answer `ok`, anything else (or a transport
-    * failure) means the upload did not happen (※ OemGatewayEmoncmsBuffer
-    * ._send_data: reply != 'ok' → keep the buffer, resend next period).
-    * Here "keep the buffer" = throw, so the micro-batch fails and the
-    * checkpoint does not advance — the restart replays the same batch
-    * (GatewaySpec proves delivery-after-failure with no duplication).
+    * failure, or a server that stalls past the 60 s response timeout —
+    * the reference's own timeout) means the upload did not happen
+    * (※ OemGatewayEmoncmsBuffer._send_data: reply != 'ok' → keep the
+    * buffer, resend next period). Here "keep the buffer" = throw, so
+    * the micro-batch fails and the checkpoint does not advance — the
+    * restart replays the same batch. GatewaySpec's failed-POST test
+    * exercises exactly this: a non-`ok` reply fails the batch, the
+    * restart re-delivers the identical payload once.
+    *
+    * The body is proper `application/x-www-form-urlencoded`: each
+    * value is percent-encoded at send time (the pinned payload string
+    * stays the readable raw form; encoding is a transport concern).
     */
   private[streaming] def postBulk(url: String, payload: String): Unit = {
+    val encoded = payload.split("&").map { kv =>
+      val i = kv.indexOf('=')
+      kv.take(i + 1) + java.net.URLEncoder.encode(kv.drop(i + 1), "UTF-8")
+    }.mkString("&")
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .header("Content-Type", "application/x-www-form-urlencoded")
-      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload))
+      .timeout(java.time.Duration.ofSeconds(60))
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(encoded))
       .build()
     val resp = httpClient.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
     val body = resp.body().trim
@@ -280,9 +318,9 @@ object Gateway {
         .foreachBatch { (df: DataFrame, id: Long) =>
           if (!df.isEmpty) b.postUrl match {
             case Some(url) =>
-              // one payload row per micro-batch (single sentat group);
-              // collecting it is the sink edge, same as the reference's
-              // one POST per period.
+              // one payload row per 1000-record chunk (usually one per
+              // micro-batch); collecting them is the sink edge, same as
+              // the reference's bounded POST-per-period.
               emoncmsPayload(df).collect().foreach(r => postBulk(url, r.getString(0)))
             case None =>
               bulkEncode(df)

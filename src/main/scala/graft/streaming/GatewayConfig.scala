@@ -42,6 +42,31 @@ object GatewayConfig {
         .flatMap(sub => sections.get(component :+ sub).flatMap(_.get(key)))
         .headOption
 
+    // Numeric settings fail with the section/key/value in the message —
+    // a malformed `port_nb = 50O11` must name itself, not surface as a
+    // bare NumberFormatException (ConfigObj validation parity).
+    def numSetting(component: List[String], key: String, default: Long): Long =
+      setting(component, key).map { v =>
+        try v.trim.toDouble.toLong
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"[${component.mkString("][")}] $key = '$v' is not a number")
+        }
+      }.getOrElse(default)
+
+    // ConfigObj's boolean spellings (as_bool): true/yes/on/1 ⇄ false/no/off/0,
+    // case-insensitive. Anything else is a config error, named as such.
+    def boolSetting(component: List[String], key: String, default: Boolean): Boolean =
+      setting(component, key).map(_.trim.toLowerCase) match {
+        case None                                      => default
+        case Some("true" | "yes" | "on" | "1")         => true
+        case Some("false" | "no" | "off" | "0")        => false
+        case Some(v) =>
+          throw new IllegalArgumentException(
+            s"[${component.mkString("][")}] $key = '$v' is not a boolean (true/yes/on/1 or false/no/off/0)")
+      }
+
     def componentsOf(group: String): Seq[List[String]] =
       sections.keys.toSeq.filter(p => p.length == 2 && p.head == group)
 
@@ -51,29 +76,36 @@ object GatewayConfig {
       tpe match {
         case "OemGatewaySocketListener" =>
           ListenerConf(name, dialect = "socket",
-            port = setting(p, "port_nb").map(_.toInt).getOrElse(50011))
+            port = numSetting(p, "port_nb", 50011L).toInt)
         case _ => // RFM2Pi / Serial listeners arrive via the TCP bridge
           ListenerConf(name, dialect = "rfm2pi",
-            port = setting(p, "bridge_port").map(_.toInt).getOrElse(50011))
+            port = numSetting(p, "bridge_port", 50011L).toInt)
       }
     }
 
     val buffers = componentsOf("buffers").map { p =>
       val name = p(1)
-      // ※ OemGatewayEmoncmsBuffer: domain+path+apikey form the bulk
-      // endpoint `http://<domain><path>/input/bulk.json?apikey=…`.
+      // ※ OemGatewayEmoncmsBuffer: protocol+domain+path+apikey form the
+      // bulk endpoint `{protocol}{domain}/{path}/input/bulk.json?apikey=…`
+      // with exactly one '/' at each seam regardless of how the conf
+      // spells `path` (ConfigObj deployments write `emoncms`, `/emoncms`
+      // and `emoncms/` interchangeably). `protocol` defaults to http://
+      // and is honored as written (https:// deployments keep TLS).
       // When the conf names a domain the buffer POSTs for real (S5);
       // without one it falls back to the parquet stand-in sink.
       val postUrl = setting(p, "domain").map { domain =>
-        val path = setting(p, "path").getOrElse("")
+        val protocol = setting(p, "protocol").getOrElse("http://")
+        val base = (domain.stripSuffix("/") +:
+          setting(p, "path").map(_.stripPrefix("/").stripSuffix("/")).filter(_.nonEmpty).toSeq)
+          .mkString("/")
         val key = setting(p, "apikey").map(k => s"?apikey=$k").getOrElse("")
-        s"http://$domain$path/input/bulk.json$key"
+        s"$protocol$base/input/bulk.json$key"
       }
       BufferConf(
         name,
         outDir = s"$sinkRoot/$name",
-        active = setting(p, "active").forall(_.equalsIgnoreCase("True")),
-        periodSeconds = setting(p, "period").map(_.toDouble.toLong).getOrElse(10L),
+        active = boolSetting(p, "active", default = true),
+        periodSeconds = numSetting(p, "period", 10L),
         postUrl = postUrl)
     }
 

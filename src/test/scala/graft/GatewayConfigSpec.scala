@@ -62,4 +62,73 @@ class GatewayConfigSpec extends AnyFunSuite {
     val remote = c.buffers(1)
     assert(!remote.active && remote.periodSeconds === 30L)
   }
+
+  private def bufferIni(settings: String): String =
+    s"""[buffers]
+       |    [[b]]
+       |        type = OemGatewayEmoncmsBuffer
+       |        [[[runtime_settings]]]
+       |$settings
+       |""".stripMargin
+
+  private def parseBuffer(settings: String) =
+    GatewayConfig.parse(bufferIni(settings), "/tmp/s", "/tmp/c").buffers.head
+
+  test("postUrl: {protocol}{domain}/{path}/input/bulk.json with slash normalization") {
+    // the common emoncms install prefix, spelled every way ConfigObj
+    // deployments spell it — all must assemble the same URL
+    for (path <- Seq("emoncms", "/emoncms", "emoncms/", "/emoncms/")) {
+      val b = parseBuffer(
+        s"""            domain = example.org
+           |            path = $path
+           |            apikey = abc""".stripMargin)
+      assert(b.postUrl === Some("http://example.org/emoncms/input/bulk.json?apikey=abc"),
+        s"for path spelling '$path'")
+    }
+    // empty path: no double slash
+    val bare = parseBuffer("            domain = example.org\n            apikey = abc")
+    assert(bare.postUrl === Some("http://example.org/input/bulk.json?apikey=abc"))
+    // protocol honored as written (https deployments keep TLS)
+    val tls = parseBuffer(
+      """            protocol = https://
+        |            domain = emoncms.org
+        |            path = site""".stripMargin)
+    assert(tls.postUrl === Some("https://emoncms.org/site/input/bulk.json"))
+    // no domain → parquet stand-in, no URL
+    assert(parseBuffer("            period = 5").postUrl === None)
+  }
+
+  test("active accepts the full ConfigObj truthy set") {
+    for (v <- Seq("True", "true", "YES", "on", "1"))
+      assert(parseBuffer(s"            active = $v").active, s"'$v' must activate")
+    for (v <- Seq("False", "no", "OFF", "0"))
+      assert(!parseBuffer(s"            active = $v").active, s"'$v' must deactivate")
+    assert(parseBuffer("            period = 5").active, "missing 'active' defaults on")
+    val bad = intercept[IllegalArgumentException] {
+      parseBuffer("            active = maybe")
+    }
+    assert(bad.getMessage.contains("[buffers][b]") && bad.getMessage.contains("maybe"))
+  }
+
+  test("malformed numeric settings fail naming their section and key") {
+    val badPeriod = intercept[IllegalArgumentException] {
+      parseBuffer("            period = ten")
+    }
+    assert(badPeriod.getMessage.contains("[buffers][b]")
+      && badPeriod.getMessage.contains("period")
+      && badPeriod.getMessage.contains("ten"))
+
+    val badPort = intercept[IllegalArgumentException] {
+      GatewayConfig.parse(
+        """[listeners]
+          |    [[sock]]
+          |        type = OemGatewaySocketListener
+          |        [[[init_settings]]]
+          |            port_nb = 50O11
+          |""".stripMargin, "/tmp/s", "/tmp/c")
+    }
+    assert(badPort.getMessage.contains("[listeners][sock]")
+      && badPort.getMessage.contains("port_nb")
+      && badPort.getMessage.contains("50O11"))
+  }
 }

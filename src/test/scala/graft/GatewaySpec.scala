@@ -168,6 +168,134 @@ class GatewaySpec extends AnyFunSuite {
       "data=[[0.0,10.0,0.0,2.0],[10.0,11.0,0.0,4.0]]&sentat=1000"))
   }
 
+  test("S5/B5: non-ok reply fails the batch, checkpoint stays; restart delivers the same payload exactly once") {
+    val ckpt = Files.createTempDirectory("gw-ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // In-JVM emoncms stand-in: first POST is rejected (reference rule:
+    // reply != "ok" means the upload did not happen), every later POST
+    // answers "ok". Bodies are recorded for byte-exact comparison.
+    val received = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("localhost", 0), 0)
+    server.createContext("/emoncms/input/bulk.json",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        received.add(new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        val reply =
+          if (attempts.getAndIncrement() == 0) "Error: Invalid API key" else "ok"
+        val bytes = reply.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    server.start()
+    try {
+      val url =
+        s"http://localhost:${server.getAddress.getPort}/emoncms/input/bulk.json?apikey=k"
+      val c = GatewayConf(
+        listeners = Seq(listener),
+        buffers = Seq(BufferConf("post", outDir = "", periodSeconds = 0, postUrl = Some(url))),
+        checkpointRoot = ckpt)
+      val ms = MemoryStream[String]
+      ms.addData("1000 10 1.5 2.5", "1002 10 0.5 0.5")
+
+      // phase 1: server rejects → foreachBatch throws → the query dies
+      // with the batch uncommitted (checkpoint does not advance).
+      val q1 = Gateway.start(Gateway.aggregate(Gateway.decode(ms.toDF(), listener), c), c)
+      val failure = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.foreach(_.processAllAvailable())
+      }
+      q1.foreach(_.stop())
+      assert(failure.getMessage.contains("emoncms rejected bulk upload"))
+      assert(received.size() === 1) // exactly one attempt, no blind retry
+
+      // phase 2: restart from the same checkpoint → the SAME batch
+      // replays (proof the failed batch never committed) and delivers.
+      val q2 = Gateway.start(Gateway.aggregate(Gateway.decode(ms.toDF(), listener), c), c)
+      q2.foreach(_.processAllAvailable())
+      q2.foreach(_.stop())
+      assert(received.size() === 2)
+      assert(received.get(0) === received.get(1)) // identical payload, once more
+
+      // byte-exact body: form-decoded it is the pinned B3 payload
+      val body = java.net.URLDecoder.decode(received.get(1), "UTF-8")
+      assert(body === "data=[[0.0,10.0,0.0,1.0],[0.0,10.0,1.0,1.5]]&sentat=1000")
+    } finally server.stop(0)
+  }
+
+  test("S5: payload chunking caps rows per POST, shared sentat") {
+    import spark.implicits._
+    val agg = Seq(
+      (1000L, 1010L, 10L, 0, 2L, 4.0, 2.0),
+      (1010L, 1020L, 11L, 0, 1L, 4.0, 4.0),
+      (1020L, 1030L, 12L, 0, 1L, 6.0, 6.0))
+      .toDF("ws", "we", "node", "channel", "n", "sum_v", "avg_v")
+      .select(
+        timestamp_seconds(col("ws")).as("window_start"),
+        timestamp_seconds(col("we")).as("window_end"),
+        col("node"), col("channel"), col("n"), col("sum_v"), col("avg_v"))
+    val payloads = Gateway.emoncmsPayload(agg, maxRows = 2).as[String].collect().toSeq
+    assert(payloads === Seq(
+      "data=[[0.0,10.0,0.0,2.0],[10.0,11.0,0.0,4.0]]&sentat=1000",
+      "data=[[20.0,12.0,0.0,6.0]]&sentat=1000"))
+  }
+
+  test("B6 hot reload: conf rewrite deactivates a buffer, state survives the cycle") {
+    val out = Files.createTempDirectory("gw-out").toString
+    val ckpt = Files.createTempDirectory("gw-ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    def ini(bActive: String): String =
+      s"""[buffers]
+         |    [[a]]
+         |        type = OemGatewayEmoncmsBuffer
+         |        [[[runtime_settings]]]
+         |            active = True
+         |            period = 0
+         |    [[b]]
+         |        type = OemGatewayEmoncmsBuffer
+         |        [[[runtime_settings]]]
+         |            active = $bActive
+         |            period = 0
+         |""".stripMargin
+    val confPath = Files.createTempFile("gw", ".conf")
+    Files.write(confPath, ini("True").getBytes("UTF-8"))
+
+    val ms = MemoryStream[String]
+    val watcher = new graft.streaming.HotReload(
+      confPath,
+      pollMillis = 50L,
+      parse = text => {
+        val c = graft.streaming.GatewayConfig.parse(text, out, ckpt)
+        c.copy(listeners = Seq(listener)) // stream comes from the MemoryStream
+      },
+      startQueries = c =>
+        Gateway.start(Gateway.aggregate(Gateway.decode(ms.toDF(), listener), c), c))
+    try {
+      ms.addData("1000 10 1.0", "1004 10 2.0")
+      watcher.queries.foreach(_.processAllAvailable())
+      assert(finalState(s"$out/a") === Map((1000L, 10L, 0) -> (2L, 3.0)))
+      assert(finalState(s"$out/b") === Map((1000L, 10L, 0) -> (2L, 3.0)))
+
+      // rewrite the conf: buffer b goes inactive; wait for the cycle
+      Files.write(confPath, ini("False").getBytes("UTF-8"))
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (watcher.reloads < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(watcher.reloads === 1L)
+
+      ms.addData("1006 10 4.0")
+      watcher.queries.foreach(_.processAllAvailable())
+      // a restarted from its checkpoint: window state survived (count 3)
+      assert(finalState(s"$out/a") === Map((1000L, 10L, 0) -> (3L, 7.0)))
+      // b is deactivated: its sink never saw the new frame
+      assert(finalState(s"$out/b") === Map((1000L, 10L, 0) -> (2L, 3.0)))
+    } finally watcher.close()
+  }
+
   test("B2 streaming: capped FIFO state evicts oldest, bounded per node") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
