@@ -109,15 +109,18 @@ object Extensions {
       "X3 exact dedup via content hash (synthesized dup groups)"),
     "q_sim_cosine" -> QueryDef(
       simCosine,
+      // list_zip/list_transform mirror Spark's zip_with/aggregate HOFs:
+      // sequential double accumulation over however many dims the
+      // embedding has — no hardcoded dimension, no unnest join.
       Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
              |scored AS (
              |  SELECT e.vec_id, e.label,
-             |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) /
-             |    (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) *
-             |     sqrt(sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))) AS score
-             |  FROM embeddings e, q, generate_series(1, 64) AS t(i)
-             |  WHERE e.vec_id <> 0
-             |  GROUP BY e.vec_id, e.label)
+             |    list_sum(list_transform(list_zip(e.embedding, q.qe),
+             |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+             |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             |     sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score
+             |  FROM embeddings e, q
+             |  WHERE e.vec_id <> 0)
              |SELECT vec_id, label, round(score, 4) AS score FROM scored
              |ORDER BY score DESC, vec_id ASC LIMIT 20""".stripMargin),
       "X4 brute-force cosine top-K similarity search"),

@@ -208,6 +208,14 @@ object Relational {
     * ORDER-BY-merge as-of would produce. Ties (a probe that IS an
     * error) sort the error first, matching DuckDB ASOF's `>=` bound.
     * Events before their user's first error drop (inner as-of).
+    *
+    * The error side is pre-aggregated to one row per (user_id, ts) —
+    * min(event_id) as the representative — because an as-of join
+    * against duplicate build-side keys is ill-defined: DuckDB ASOF
+    * would pick an arbitrary duplicate while the window picks a
+    * deterministic one. The pre-aggregation makes the match unique in
+    * BOTH engines, so parity holds on any data, not just data that
+    * happens to have unique (user, ts) error instants.
     */
   private def asofJoin(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "events")
@@ -215,10 +223,13 @@ object Relational {
       col("user_id"), col("ts"), col("event_id"),
       lit(1).as("is_probe"),
       lit(null).cast("long").as("err_id"))
-    val errs = e.filter(col("event_type") === "error").select(
-      col("user_id"), col("ts"), col("event_id"),
-      lit(0).as("is_probe"),
-      col("event_id").as("err_id"))
+    val errs = e.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("event_id")).as("event_id"))
+      .select(
+        col("user_id"), col("ts"), col("event_id"),
+        lit(0).as("is_probe"),
+        col("event_id").as("err_id"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("is_probe").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -394,7 +405,9 @@ object Relational {
       asofJoin,
       Some("""SELECT e.event_id, err.event_id AS last_error_id,
              |  CAST(epoch_us(e.ts) - epoch_us(err.ts) AS BIGINT) AS us_since_error
-             |FROM events e ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') err
+             |FROM events e ASOF JOIN (
+             |  SELECT user_id, ts, min(event_id) AS event_id
+             |  FROM events WHERE event_type = 'error' GROUP BY user_id, ts) err
              |  ON e.user_id = err.user_id AND e.ts >= err.ts
              |ORDER BY e.event_id""".stripMargin),
       "R13 as-of join: nearest-earlier error per event (time since last error)"),

@@ -67,10 +67,11 @@ object Similarity {
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(10)
 
-  /** X4-scale L2 variant — nearest-10 by squared Euclidean distance
-    * over the same probed candidates (squared form: cheaper than L2,
-    * identical ordering). Distance pipelines (k-NN dedup, outlier
-    * screens) want L2; cosine and L2 share the probe machinery.
+  /** X4-scale L2 variant (`q_sim_l2`) — nearest-10 by squared
+    * Euclidean distance over the same probed candidates (squared form:
+    * cheaper than L2, identical ordering). Distance pipelines (k-NN
+    * dedup, outlier screens) want L2; cosine and L2 share the probe
+    * machinery.
     */
   private def simL2(s: SparkSession, dir: String): DataFrame =
     probedCandidates(s, dir)
@@ -128,13 +129,38 @@ object Similarity {
              |          FROM buckets b JOIN probe p ON b.bucket = p.bucket WHERE b.vec_id <> 0),
              |scored AS (
              |  SELECT e.vec_id, e.label,
-             |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) /
-             |    (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) *
-             |     sqrt(sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))) AS score
-             |  FROM cands e, q, generate_series(1, 64) AS t(i)
-             |  GROUP BY e.vec_id, e.label)
+             |    list_sum(list_transform(list_zip(e.embedding, q.qe),
+             |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+             |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             |     sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score
+             |  FROM cands e, q)
              |SELECT vec_id, label, round(score, 4) AS score FROM scored
              |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin),
       "X4-scale sign-LSH multi-probe bucketed cosine top-10"),
+    "q_sim_l2" -> QueryDef(
+      simL2,
+      Some("""WITH buckets AS (
+             |  SELECT vec_id, label, embedding,
+             |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN embedding[17] > 0 THEN 2 ELSE 0 END)
+             |    + (CASE WHEN embedding[33] > 0 THEN 4 ELSE 0 END)
+             |    + (CASE WHEN embedding[49] > 0 THEN 8 ELSE 0 END) AS bucket
+             |  FROM embeddings),
+             |qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+             |probe AS (SELECT bucket FROM qb
+             |          UNION SELECT xor(bucket, 1) FROM qb UNION SELECT xor(bucket, 2) FROM qb
+             |          UNION SELECT xor(bucket, 4) FROM qb UNION SELECT xor(bucket, 8) FROM qb),
+             |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+             |cands AS (SELECT b.vec_id, b.label, b.embedding
+             |          FROM buckets b JOIN probe p ON b.bucket = p.bucket WHERE b.vec_id <> 0),
+             |scored AS (
+             |  SELECT e.vec_id, e.label,
+             |    list_sum(list_transform(list_zip(e.embedding, q.qe),
+             |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+             |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS dist_sq
+             |  FROM cands e, q)
+             |SELECT vec_id, label, round(dist_sq, 4) AS dist_sq FROM scored
+             |ORDER BY dist_sq ASC, vec_id ASC LIMIT 10""".stripMargin),
+      "X4-scale L2 nearest-10 over the multi-probe candidates"),
   )
 }
