@@ -120,21 +120,48 @@ object Dedup {
       |WHERE 10 * v.shared >= 6 * (ca.n + cb.n - v.shared)
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** X5a — n-gram Jaccard near-dup: every colliding-shingle pair is a
-    * candidate (complete — no probabilistic recall loss), verified by
-    * exact Jaccard. The baseline the sketch variants are judged by.
+  /** Posting-list cap for the inverted-index candidate join: shingles
+    * appearing in more than this many docs are dropped from CANDIDATE
+    * GENERATION only (verification still counts every shingle). A
+    * boilerplate shingle in k docs emits k(k−1)/2 candidate rows, so
+    * without the cap one viral 3-gram is quadratic in its own df —
+    * the classic hot-key failure at corpus scale. With it, each
+    * posting list emits ≤ df·(df−1)/2 ≤ ~2k rows.
+    *
+    * Exactness: a qualifying pair is missed only if EVERY shingle it
+    * shares is boilerplate (df > 64) — a ≥60 %-Jaccard overlap made
+    * of nothing but corpus-wide stock phrases, which is template spam
+    * (what a dedup pipeline wants to treat separately), not document
+    * near-identity. On this corpus the cap is provably a no-op:
+    * measured max shingle df is 8 (sf0.01) / 26 (sf0.1), and
+    * DedupSpec pins capped ≡ uncapped.
+    */
+  private[operators] val nearMaxDf = 64
+
+  /** X5a — n-gram Jaccard near-dup: every pair colliding on a
+    * non-boilerplate shingle (df ≤ [[nearMaxDf]]) is a candidate,
+    * verified by exact Jaccard over the FULL shingle sets. The
+    * baseline the sketch variants are judged by.
     */
   private def dedupNear(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
-    // one pass: the inverted-index join already yields one row per
-    // shared shingle, so COUNT per pair IS the intersection size — no
-    // second pass over the index (the r1 shape joined it twice).
-    val shared = sh.as("a")
-      .join(sh.as("b"),
+    verifyJaccard(sh, nearCands(sh))
+  }
+
+  /** Candidate pairs from the df-capped inverted index (shared by
+    * [[dedupNear]] and DedupSpec's capped-≡-uncapped pin).
+    */
+  private[operators] def nearCands(sh: DataFrame): DataFrame = {
+    val kept = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= nearMaxDf)
+      .select(col("shingle"))
+    val capped = sh.join(kept, "shingle")
+    capped.as("a")
+      .join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    jaccardCut(sh, shared)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
   }
 
   private val nBands = 4 // 8 minhashes, bands of 2
@@ -386,17 +413,21 @@ object Dedup {
     val bands = (0 until nSimBands)
       .map(b => s"SELECT doc_id, $b AS band, (sim >> ${simBandBits * b}) & ${(1L << simBandBits) - 1} AS k FROM simh")
       .mkString(" UNION ALL ")
-    // Same candidate semantics as the probe-explode join: pairs within
-    // Hamming ≤ 2 on at least one band. The oracle states it directly
-    // as a band-keyed theta-join (fine at oracle scale); the Spark
-    // side's mask enumeration is the linear-scale-out form.
+    // Same candidate semantics as the Spark side, stated the same way:
+    // enumerate the 79 Hamming-≤2 probe masks per band key and
+    // EQUI-join probed keys against exact keys. The earlier band-keyed
+    // theta-join (bit_count(xor) ≤ 2 inside the ON) was O(N²) per band
+    // — fine at sf0.1, a verify-timeout risk at sf1; this form is the
+    // linear probe-explode shape in both engines.
     s"""WITH $corpusSql,
        |hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
        |simh AS (SELECT doc_id, $bits AS sim FROM hs GROUP BY doc_id),
        |bands AS ($bands),
+       |masks AS (SELECT unnest([${simProbeMasks.mkString(", ")}]) AS m),
+       |probes AS (SELECT doc_id, band, xor(k, m) AS pk FROM bands CROSS JOIN masks),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-       |         WHERE bit_count(xor(a.k, b.k)) <= 2),
+       |         FROM probes a JOIN bands b
+       |           ON a.band = b.band AND a.pk = b.k AND a.doc_id < b.doc_id),
        |ham AS (SELECT c.id_a, c.id_b, bit_count(xor(sa.sim, sb.sim)) AS hamming
        |        FROM cand c JOIN simh sa ON sa.doc_id = c.id_a JOIN simh sb ON sb.doc_id = c.id_b)
        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM ham
@@ -407,13 +438,17 @@ object Dedup {
     "q_dedup_near" -> QueryDef(
       dedupNear,
       Some(s"""WITH $corpusSql,
-              |pairs AS (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              |  GROUP BY 1, 2),
-              |verified AS (SELECT id_a, id_b, shared FROM pairs)
+              |kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $nearMaxDf),
+              |capped AS (SELECT s.doc_id, s.shingle FROM sh s JOIN kept k USING (shingle)),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+              |verified AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS shared
+              |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+              |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+              |  GROUP BY 1, 2)
               |$verifySqlTail""".stripMargin),
-      "X5a n-gram Jaccard near-dup via inverted shingle index"),
+      "X5a n-gram Jaccard near-dup via df-capped inverted shingle index"),
     "q_dedup_minhash" -> QueryDef(
       dedupMinhash,
       Some(minhashSql),
@@ -451,9 +486,10 @@ object Dedup {
            |buckets AS (
            |  SELECT a.id, $bucketExpr AS bucket
            |  FROM all_vecs a JOIN base b ON b.vec_id = a.src),
+           |masks AS (SELECT unnest([0, ${embedPlanes.map(_._2).mkString(", ")}]) AS m),
+           |probes AS (SELECT id, xor(bucket::BIGINT, m) AS pb FROM buckets CROSS JOIN masks),
            |pairs AS (SELECT a.id AS id_a, b.id AS id_b
-           |          FROM buckets a JOIN buckets b ON a.id < b.id
-           |          WHERE bit_count(xor(a.bucket::BIGINT, b.bucket::BIGINT)) <= 1),
+           |          FROM probes a JOIN buckets b ON a.pb = b.bucket::BIGINT AND a.id < b.id),
            |scored AS (
            |  SELECT p.id_a, p.id_b,
            |    sum(ea.x * eb.x) / (sqrt(sum(ea.x * ea.x)) * sqrt(sum(eb.x * eb.x))) AS score

@@ -109,16 +109,35 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(20)
 
+  /** Tokens must appear in at least this many documents to take part
+    * in co-occurrence counting — the PMI support floor every real PMI
+    * pipeline applies (a pair's n_docs is ≤ each token's df, so pairs
+    * this drops could never clear a support threshold either). The
+    * same floor, same value, in the DuckDB oracle.
+    */
+  private[operators] val cooccurMinDf = 5
+
   /** Token co-occurrence counts (PMI ingredients): document-level
-    * pairs via an inverted-index self-join on distinct tokens — the
-    * same shape as the dedup candidate join, bounded by vocab², never
-    * by corpus².
+    * pairs via a per-document self-join on distinct tokens, with the
+    * df ≥ [[cooccurMinDf]] floor applied BEFORE pairing. The raw join
+    * emits Σ_d (distinct_tokens_d choose 2) rows — quadratic in
+    * document length — so the floor is what bounds it: rare tokens
+    * (the Zipf tail, the bulk of any real vocabulary) never enter the
+    * pair stream, and surviving pairs are exactly those that could
+    * matter for PMI. Result-preserving here by a wide margin: the
+    * 30th-ranked pair has n_docs ≈ 328 (sf0.01) / 3192 (sf0.1), far
+    * above the floor.
     */
   private def cooccur(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-    toks.as("a")
-      .join(toks.as("b"), col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+    val kept = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= cooccurMinDf)
+      .select(col("tok"))
+    val ftoks = toks.join(kept, "tok")
+    ftoks.as("a")
+      .join(ftoks.as("b"), col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
       .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("n_docs").desc, col("tok_a").asc, col("tok_b").asc)
@@ -252,12 +271,14 @@ object TextAnalysis {
       "corpus bigram frequencies, top-20"),
     "q_cooccur" -> QueryDef(
       cooccur,
-      Some("""WITH toks AS (
-             |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      Some(s"""WITH toks AS (
+             |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |kept AS (SELECT tok FROM toks GROUP BY tok HAVING count(*) >= $cooccurMinDf),
+             |ftoks AS (SELECT t.doc_id, t.tok FROM toks t JOIN kept k USING (tok))
              |SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS n_docs
-             |FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+             |FROM ftoks a JOIN ftoks b ON a.doc_id = b.doc_id AND a.tok < b.tok
              |GROUP BY 1, 2 ORDER BY n_docs DESC, tok_a ASC, tok_b ASC LIMIT 30""".stripMargin),
-      "token co-occurrence document counts, top-30"),
+      "token co-occurrence document counts (df-floored vocab), top-30"),
     "q_doc_freq" -> QueryDef(
       docFreq,
       Some("""WITH toks AS (
