@@ -66,7 +66,7 @@ object Dedup {
   /** Distinct word-3-gram shingles per doc — the inverted index every
     * dedup variant builds on. Narrow until the final distinct.
     */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
     corpus(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
@@ -120,49 +120,72 @@ object Dedup {
       |WHERE 10 * v.shared >= 6 * (ca.n + cb.n - v.shared)
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** Posting-list cap for the inverted-index candidate join: shingles
-    * appearing in more than this many docs are dropped from CANDIDATE
-    * GENERATION only (verification still counts every shingle). A
-    * boilerplate shingle in k docs emits k(k−1)/2 candidate rows, so
+  /** Posting-list cap for the inverted-index collision join: shingles
+    * appearing in more than this many docs are routed to the
+    * correction join instead of the pair-generating self-join. A
+    * boilerplate shingle in k docs emits k(k−1)/2 collision rows, so
     * without the cap one viral 3-gram is quadratic in its own df —
     * the classic hot-key failure at corpus scale. With it, each
     * posting list emits ≤ df·(df−1)/2 ≤ ~2k rows.
     *
-    * Exactness: a qualifying pair is missed only if EVERY shingle it
-    * shares is boilerplate (df > 64) — a ≥60 %-Jaccard overlap made
-    * of nothing but corpus-wide stock phrases, which is template spam
-    * (what a dedup pipeline wants to treat separately), not document
-    * near-identity. On this corpus the cap is provably a no-op:
-    * measured max shingle df is 8 (sf0.01) / 26 (sf0.1), and
-    * DedupSpec pins capped ≡ uncapped.
+    * Exactness: shared-shingle counts stay exact for every candidate
+    * pair (the df > cap shingles are added back by the correction
+    * join in [[nearPairs]]); a qualifying pair is missed only if
+    * EVERY shingle it shares is boilerplate (df > 64) — a ≥60 %-
+    * Jaccard overlap made of nothing but corpus-wide stock phrases,
+    * which is template spam (what a dedup pipeline wants to treat
+    * separately), not document near-identity. On this corpus even
+    * that is vacuous: measured max shingle df is 8 (sf0.01) / 26
+    * (sf0.1), and DedupSpec's "df cap is exact" test pins
+    * nearPairs(capped) ≡ nearPairs(uncapped) and asserts the max-df
+    * headroom so corpus drift fails loudly.
     */
-  private[operators] val nearMaxDf = 64
+  private[graft] val nearMaxDf = 64
 
-  /** X5a — n-gram Jaccard near-dup: every pair colliding on a
-    * non-boilerplate shingle (df ≤ [[nearMaxDf]]) is a candidate,
-    * verified by exact Jaccard over the FULL shingle sets. The
-    * baseline the sketch variants are judged by.
+  /** The near-dup pipeline, parameterized by the posting-list cap so
+    * DedupSpec can pin capped ≡ uncapped. One-pass shape (r6 verdict
+    * task 1): `shared` is counted DIRECTLY off the capped collision
+    * join — `groupBy(id_a, id_b).count` with map-side partial
+    * aggregation — so there is no materialized candidate set, no
+    * `distinct`, and nothing to broadcast (the r6 form broadcast a
+    * ~quadratic 1.22 M-pair candidate list at sf0.1 — a driver OOM
+    * at scale). High-df shingles re-enter through a correction join
+    * that is linear in (candidate pairs × high-df postings per doc)
+    * — and empty on this corpus — keeping counts exact.
     */
-  private def dedupNear(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    verifyJaccard(sh, nearCands(sh))
-  }
-
-  /** Candidate pairs from the df-capped inverted index (shared by
-    * [[dedupNear]] and DedupSpec's capped-≡-uncapped pin).
-    */
-  private[operators] def nearCands(sh: DataFrame): DataFrame = {
-    val kept = sh.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= nearMaxDf)
-      .select(col("shingle"))
-    val capped = sh.join(kept, "shingle")
-    capped.as("a")
+  private[graft] def nearPairs(sh: DataFrame, maxDf: Long): DataFrame = {
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val capped = sh.join(dfreq.filter(col("df") <= maxDf).select("shingle"), "shingle")
+    val sharedKept = capped.as("a")
       .join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared_kept"))
+    val shHigh = sh.join(dfreq.filter(col("df") > maxDf).select("shingle"), "shingle")
+    val corr = sharedKept.select(col("id_a"), col("id_b"))
+      .join(shHigh.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(shHigh.as("sb"),
+        col("id_b") === col("sb.doc_id") && col("sb.shingle") === col("sa.shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("extra"))
+    val shared = sharedKept.join(corr, Seq("id_a", "id_b"), "left")
+      .select(
+        col("id_a"), col("id_b"),
+        (col("shared_kept") + coalesce(col("extra"), lit(0L))).as("shared"))
+    jaccardCut(sh, shared)
   }
+
+  /** X5a — n-gram Jaccard near-dup: every pair colliding on a
+    * non-boilerplate shingle (df ≤ [[nearMaxDf]]) qualifies, with
+    * exact shared counts over the FULL shingle sets. The baseline the
+    * sketch variants are judged by. The shingle index is persisted
+    * for the query's lifetime — it feeds the df count, both collision
+    * sides, the correction join, and the cardinality table, and
+    * recomputing that shuffle per consumer was the other half of the
+    * r6 regression.
+    */
+  private def dedupNear(s: SparkSession, dir: String): DataFrame =
+    nearPairs(shingles(s, dir).persist(), nearMaxDf)
 
   private val nBands = 4 // 8 minhashes, bands of 2
 
@@ -437,16 +460,25 @@ object Dedup {
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_dedup_near" -> QueryDef(
       dedupNear,
+      // Same one-pass shape as the Spark side: shared counted directly
+      // off the capped collision join, high-df shingles added back by
+      // the (empty-on-this-corpus) correction join.
       Some(s"""WITH $corpusSql,
-              |kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $nearMaxDf),
-              |capped AS (SELECT s.doc_id, s.shingle FROM sh s JOIN kept k USING (shingle)),
-              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |         FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+              |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+              |capped AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq USING (shingle) WHERE df <= $nearMaxDf),
+              |shared_kept AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_kept
+              |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |sh_high AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq USING (shingle) WHERE df > $nearMaxDf),
+              |corr AS (
+              |  SELECT k.id_a, k.id_b, count(*) AS extra
+              |  FROM shared_kept k JOIN sh_high sa ON sa.doc_id = k.id_a
+              |  JOIN sh_high sb ON sb.doc_id = k.id_b AND sb.shingle = sa.shingle
+              |  GROUP BY 1, 2),
               |verified AS (
-              |  SELECT c.id_a, c.id_b, count(*) AS shared
-              |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
-              |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
-              |  GROUP BY 1, 2)
+              |  SELECT k.id_a, k.id_b, k.shared_kept + COALESCE(c.extra, 0) AS shared
+              |  FROM shared_kept k LEFT JOIN corr c ON c.id_a = k.id_a AND c.id_b = k.id_b)
               |$verifySqlTail""".stripMargin),
       "X5a n-gram Jaccard near-dup via df-capped inverted shingle index"),
     "q_dedup_minhash" -> QueryDef(
