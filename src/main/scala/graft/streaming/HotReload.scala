@@ -7,6 +7,8 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path}
 import java.util.concurrent.atomic.AtomicLong
 
+import scala.util.control.NonFatal
+
 /** B6 — the runnable hot-reload loop (※ oemgateway.py ·
   * check_settings: the daemon re-reads the ConfigObj every cycle and
   * applies changed `runtime_settings` to the live components).
@@ -40,28 +42,76 @@ final class HotReload(
   @volatile private var running = true
   private var lastText = readConf()
   private val reloadCount = new AtomicLong(0)
+  private val failCount = new AtomicLong(0)
+  private var lastGood: GatewayConf = parse(lastText)
 
-  current = startQueries(parse(lastText))
+  current = startQueries(lastGood)
 
   private def readConf(): String =
     new String(Files.readAllBytes(confPath), UTF_8)
 
+  private def stopAll(): Unit = current.foreach { q =>
+    try q.stop()
+    catch { case NonFatal(e) => System.err.println(s"hot-reload: stop failed: ${e.getMessage}") }
+  }
+
+  /** One reload cycle. Failure handling (r6 verdict task 5): a bad
+    * conf that fails to PARSE is rejected before anything stops —
+    * the running queries never notice. A conf that parses but fails
+    * to START (sink dir, checkpoint, Spark state) happens after the
+    * old queries are stopped, so the cycle restarts the last good
+    * conf instead — the gateway keeps running on the previous
+    * settings, matching the reference's keep-running-on-bad-reload
+    * behavior. Every failure path increments [[failures]]; nothing
+    * here can escape and kill the watcher thread.
+    */
+  private def reloadCycle(text: String): Unit = {
+    val parsed =
+      try Some(parse(text))
+      catch {
+        case NonFatal(e) =>
+          failCount.incrementAndGet()
+          System.err.println(s"hot-reload: ignoring invalid conf: ${e.getMessage}")
+          None
+      }
+    parsed.foreach { conf =>
+      stopAll()
+      try {
+        current = startQueries(conf)
+        lastGood = conf
+        reloadCount.incrementAndGet()
+      } catch {
+        case NonFatal(e) =>
+          System.err.println(
+            s"hot-reload: restart with new conf failed (${e.getMessage}); reverting to last good conf")
+          try current = startQueries(lastGood)
+          catch {
+            case NonFatal(e2) =>
+              failCount.incrementAndGet()
+              System.err.println(s"hot-reload: revert to last good conf failed: ${e2.getMessage}")
+          }
+          // incremented LAST so failures ≥ 1 implies the revert attempt
+          // has completed and `queries` reflects the outcome
+          failCount.incrementAndGet()
+      }
+    }
+  }
+
   private val watcher = new Thread(() => {
     while (running) {
-      Thread.sleep(pollMillis)
-      val text = try readConf() catch { case _: java.io.IOException => lastText }
-      if (running && text != lastText) {
-        lastText = text
-        try {
-          val conf = parse(text)
-          current.foreach(_.stop())
-          current = startQueries(conf)
-          reloadCount.incrementAndGet()
-        } catch {
-          case e: IllegalArgumentException =>
-            // bad rewrite: keep the running queries on last good conf
-            System.err.println(s"hot-reload: ignoring invalid conf: ${e.getMessage}")
+      try {
+        Thread.sleep(pollMillis)
+        val text = try readConf() catch { case _: java.io.IOException => lastText }
+        if (running && text != lastText) {
+          lastText = text
+          reloadCycle(text)
         }
+      } catch {
+        case _: InterruptedException => () // close() racing the sleep
+        case NonFatal(e) =>
+          // never let a cycle error kill the watcher: next rewrite
+          // still gets a chance to reload
+          System.err.println(s"hot-reload: watcher cycle error: ${e.getMessage}")
       }
     }
   }, s"gateway-hot-reload-${confPath.getFileName}")
@@ -73,6 +123,9 @@ final class HotReload(
 
   /** How many successful reload cycles have run. */
   def reloads: Long = reloadCount.get()
+
+  /** How many reload attempts failed (parse, start, or revert). */
+  def failures: Long = failCount.get()
 
   override def close(): Unit = {
     running = false

@@ -36,6 +36,19 @@ class GatewaySpec extends AnyFunSuite {
   /** Latest state per key across micro-batches = what an upserting
     * emoncms-style endpoint would hold after at-least-once delivery.
     */
+  /** Rewrite a watched conf atomically (temp file + rename): the
+    * HotReload poller must never observe a half-written conf, which
+    * can parse successfully with buffers missing.
+    */
+  private def atomicWrite(path: java.nio.file.Path, text: String): Unit = {
+    val tmp = Files.createTempFile(path.getParent, "conf", ".tmp")
+    Files.write(tmp, text.getBytes("UTF-8"))
+    Files.move(
+      tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def finalState(outDir: String): Map[(Long, Long, Int), (Long, Double)] = {
     val df = spark.read.parquet(outDir)
     import spark.implicits._
@@ -282,7 +295,7 @@ class GatewaySpec extends AnyFunSuite {
       assert(finalState(s"$out/b") === Map((1000L, 10L, 0) -> (2L, 3.0)))
 
       // rewrite the conf: buffer b goes inactive; wait for the cycle
-      Files.write(confPath, ini("False").getBytes("UTF-8"))
+      atomicWrite(confPath, ini("False"))
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (watcher.reloads < 1 && System.nanoTime() < deadline) Thread.sleep(20)
       assert(watcher.reloads === 1L)
@@ -293,6 +306,73 @@ class GatewaySpec extends AnyFunSuite {
       assert(finalState(s"$out/a") === Map((1000L, 10L, 0) -> (3L, 7.0)))
       // b is deactivated: its sink never saw the new frame
       assert(finalState(s"$out/b") === Map((1000L, 10L, 0) -> (2L, 3.0)))
+    } finally watcher.close()
+  }
+
+  test("B6 hot reload: failed restart reverts to last-good conf and the watcher survives") {
+    val out = Files.createTempDirectory("gw-out").toString
+    val ckpt = Files.createTempDirectory("gw-ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    def ini(bActive: String, bPeriod: Int = 0): String =
+      s"""[buffers]
+         |    [[a]]
+         |        type = OemGatewayEmoncmsBuffer
+         |        [[[runtime_settings]]]
+         |            active = True
+         |            period = 0
+         |    [[b]]
+         |        type = OemGatewayEmoncmsBuffer
+         |        [[[runtime_settings]]]
+         |            active = $bActive
+         |            period = $bPeriod
+         |""".stripMargin
+    val confPath = Files.createTempFile("gw", ".conf")
+    Files.write(confPath, ini("True").getBytes("UTF-8"))
+
+    val ms = MemoryStream[String]
+    val watcher = new graft.streaming.HotReload(
+      confPath,
+      pollMillis = 50L,
+      parse = text => {
+        val c = graft.streaming.GatewayConfig.parse(text, out, ckpt)
+        c.copy(listeners = Seq(listener))
+      },
+      startQueries = c => {
+        // an inactive buffer stands in for any start-time failure
+        // (bad sink dir, checkpoint, Spark state): it throws AFTER the
+        // old queries were stopped, exercising the revert path
+        if (c.buffers.exists(!_.active)) throw new IllegalStateException("injected start failure")
+        Gateway.start(Gateway.aggregate(Gateway.decode(ms.toDF(), listener), c), c)
+      })
+    try {
+      ms.addData("1000 10 1.0", "1004 10 2.0")
+      watcher.queries.foreach(_.processAllAvailable())
+      assert(finalState(s"$out/a") === Map((1000L, 10L, 0) -> (2L, 3.0)))
+
+      // rewrite parses fine but fails to start → revert to last good
+      atomicWrite(confPath, ini("False"))
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (watcher.failures < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(watcher.failures === 1L)
+      assert(watcher.reloads === 0L)
+
+      // queries are RUNNING again, on the last-good all-active conf,
+      // restarted from checkpoint (window count advances to 3)
+      ms.addData("1006 10 4.0")
+      watcher.queries.foreach(_.processAllAvailable())
+      assert(finalState(s"$out/a") === Map((1000L, 10L, 0) -> (3L, 7.0)))
+      assert(finalState(s"$out/b") === Map((1000L, 10L, 0) -> (3L, 7.0)))
+
+      // the watcher thread survived the failed cycle: a subsequent
+      // good rewrite still reloads
+      atomicWrite(confPath, ini("True", bPeriod = 1))
+      while (watcher.reloads < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(watcher.reloads === 1L)
+      ms.addData("1008 10 8.0")
+      watcher.queries.foreach(_.processAllAvailable())
+      assert(finalState(s"$out/a") === Map((1000L, 10L, 0) -> (4L, 15.0)))
     } finally watcher.close()
   }
 
