@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayNormSq].getName, "graft_norm_sq"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArrayNormSq(children(0))))
+    // one-pass MinHash signature sketch (the analyzer wraps the
+    // AggregateFunction into an AggregateExpression on resolution)
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSketch].getName, "graft_minhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSketch(children(0))))
     // HOF dot/normSq patterns rewrite to the native expressions
     ext.injectOptimizerRule(_ => graft.plans.RewriteVectorHofs)
   }

@@ -189,32 +189,44 @@ object Dedup {
 
   private val nBands = 4 // 8 minhashes, bands of 2
 
-  /** Universal-hash family over ONE md5 per shingle: slot i is an
-    * affine mix (odd multiplier, fixed offset, mod 2³¹) of the base
-    * 32-bit hash — 8× fewer md5 evaluations than hashing per slot,
-    * identical arithmetic in the oracle.
+  import graft.functions.MinHashSketch.{mixA, mixB, mod => minhashMod}
+
+  /** Base 32-bit shingle hash, pre-reduced mod 2³¹ so base·multiplier
+    * stays inside signed-long range (ANSI mode overflow would throw;
+    * DuckDB likewise).
     */
-  private val mixA = Seq(1L, 2654435761L, 2246822519L, 3266489917L, 668265263L, 374761393L, 2166136261L, 40503L)
-  private val mixB = Seq(0L, 1013904223L, 1640531527L, 97, 1000003L, 69069L, 362437L, 48271L)
+  private def minhashBase: Column = h32(col("shingle")) % 2147483648L
+
+  /** Per-doc MinHash signature via the one-pass
+    * [[graft.functions.MinHashSketch]] sketch aggregate (SURVEY §4
+    * stretch): one 8-long buffer per doc with map-side partial
+    * aggregation, instead of 8 separate `min()` columns — the
+    * 100×-scale signature-build shape.
+    */
+  private[graft] def minhashSig(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(call_function("graft_minhash_sig", minhashBase).as("sig"))
+
+  /** The declarative 8-column `min()` formulation of the same
+    * signature — kept as the cross-check baseline for the sketch
+    * aggregate (DedupSpec pins elementwise equality of the two).
+    */
+  private[graft] def minhashSigMinCols(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(array((0 until 2 * nBands).map(i =>
+        min((minhashBase * mixA(i) + mixB(i)) % minhashMod)): _*).as("sig"))
 
   /** Banded-MinHash candidate pairs — shared by the Jaccard-verified
     * (X5b) and edit-distance-verified (X5d) variants.
     */
   private def minhashCands(sh: DataFrame): DataFrame = {
-    // base reduced mod 2³¹ so base·multiplier stays inside signed-long
-    // range (ANSI mode overflow would throw; DuckDB likewise)
-    val base = h32(col("shingle")) % 2147483648L
-    val sig = sh.groupBy(col("doc_id")).agg(
-      min((base * mixA(0) + mixB(0)) % 2147483647L).as("h0"),
-      (1 until 2 * nBands).map(i =>
-        min((base * mixA(i) + mixB(i)) % 2147483647L).as(s"h$i")): _*)
-    val bands = sig.select(
+    val bands = minhashSig(sh).select(
       col("doc_id"),
       explode(array((0 until nBands).map(b =>
         struct(
           lit(b).as("band"),
-          col(s"h${2 * b}").as("k1"),
-          col(s"h${2 * b + 1}").as("k2"))): _*)).as("bk"))
+          element_at(col("sig"), 2 * b + 1).as("k1"),
+          element_at(col("sig"), 2 * b + 2).as("k2"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.k1").as("k1"), col("bk.k2").as("k2"))
     bands.as("a")
       .join(bands.as("b"),

@@ -47,6 +47,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("MinHash sketch aggregate == 8-column min() signatures, elementwise") {
+    // The TypedImperativeAggregate (one-pass, map-side partial merge)
+    // must be bit-identical to the declarative 8-column min() form it
+    // replaced in the q_dedup_minhash / q_dedup_fuzzy candidate path.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val sh = graft.operators.Dedup.shingles(spark, dir).persist()
+      try {
+        def sigs(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+        val sketch = sigs(graft.operators.Dedup.minhashSig(sh))
+        val minCols = sigs(graft.operators.Dedup.minhashSigMinCols(sh))
+        assert(sketch.nonEmpty, s"vacuous pin at $dir")
+        assert(sketch === minCols, s"sketch aggregate diverged from min() path at $dir")
+      } finally sh.unpersist()
+    }
+  }
+
   test("synthesized near-dup pairs are all recovered by every variant") {
     val expected = (0L until 500L by 25L).map(i => (i, i + 200000L)).toSet
     def pairs(q: String) = SparkEntry.queries(q)(spark, sf)
