@@ -115,7 +115,7 @@ object TextAnalysis {
     * this drops could never clear a support threshold either). The
     * same floor, same value, in the DuckDB oracle.
     */
-  private[operators] val cooccurMinDf = 5
+  private[graft] val cooccurMinDf = 5
 
   /** Token co-occurrence counts (PMI ingredients): document-level
     * pairs via a per-document self-join on distinct tokens, with the
@@ -128,12 +128,19 @@ object TextAnalysis {
     * 30th-ranked pair has n_docs ≈ 328 (sf0.01) / 3192 (sf0.1), far
     * above the floor.
     */
-  private def cooccur(s: SparkSession, dir: String): DataFrame = {
+  private def cooccur(s: SparkSession, dir: String): DataFrame =
+    cooccurTop(s, dir, cooccurMinDf)
+
+  /** The pipeline above, parameterized by the floor so
+    * TextAnalysisSpec can pin floored top-30 ≡ unfloored top-30
+    * (minDf = 1 disables the filter entirely).
+    */
+  private[graft] def cooccurTop(s: SparkSession, dir: String, minDf: Long): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
     val kept = toks.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= cooccurMinDf)
+      .filter(col("df") >= minDf)
       .select(col("tok"))
     val ftoks = toks.join(kept, "tok")
     ftoks.as("a")

@@ -10,8 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * one thread). This spec pushes one million synthetic frames through
   * the same parse→validate→decode→window-aggregate path on local[4]
   * and requires ≥25k frames/s — a deliberately slack floor (measured
-  * ~240k/s on an idle local[4]) so a contended CI host cannot flake
-  * the suite, yet still three orders of magnitude over the reference. (Batch
+  * ~240k/s on an idle local[4] in r2; re-measured ~223k/s at the r7
+  * HEAD after the decode-path changes, so the envelope held) so a
+  * contended CI host cannot flake the suite, yet still three orders
+  * of magnitude over the reference. (Batch
   * execution of the identical column expressions; micro-batch
   * scheduling overhead is bounded by trigger count, not row count.)
   */
