@@ -287,6 +287,29 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** R16-scale — the sketch path for the same quantiles: Spark's
+    * built-in `approx_percentile` (a Greenwald–Khanna summary: fixed
+    * memory per group, mergeable map-side partials). At 100 TB the
+    * exact `percentile` above materializes every value per group into
+    * the aggregation buffer, which is the one shape that cannot hold;
+    * this is the production form. Sketch outputs have no cross-engine
+    * parity (DuckDB's reservoir `approx_quantile` is a different
+    * algorithm), so this is ScalaTest-verified against the exact path
+    * with the sketch's own rank-error guarantee (RelationalSpec /
+    * QuantileSketchSpec) rather than oracle-declared — the documented
+    * R16 constraint.
+    *
+    * @param accuracy 1/ε of the GK summary: rank error ≤ n/accuracy.
+    */
+  private[graft] def quantilesApprox(s: SparkSession, dir: String, accuracy: Int = 10000): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(value, 0.9, $accuracy)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_join_inner" -> QueryDef(
       joinInner,
