@@ -138,13 +138,41 @@ object Gateway {
       .select(col("ts"), node.as("node"), values.as("values"))
   }
 
+  /** Duplicate-frame suppression for at-least-once upstreams: the
+    * serial→TCP bridge ([[hotReloadNote]]'s production shape) and any
+    * retrying relay can redeliver a frame after a reconnect; the
+    * reference never sees this (a serial port delivers bytes once),
+    * so exactly-once frame semantics are OUR obligation. Keyed on the
+    * full frame identity (ts, node, frame-content hash) with
+    * `dropDuplicatesWithinWatermark`: state is bounded by the
+    * watermark horizon — at scale the store holds one small hash row
+    * per frame per watermark window, evicted as the watermark passes,
+    * never the unbounded all-time set a plain `dropDuplicates` would
+    * accumulate. Insert between [[decode]] and [[aggregate]];
+    * [[aggregate]] sees the watermark already declared and does not
+    * re-mark (Spark disallows redefining a watermark once a stateful
+    * operator consumed it).
+    */
+  def dedupFrames(readings: DataFrame, watermarkDelay: String = "1 minute"): DataFrame =
+    readings
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("frame_id", hash(col("node"), col("values")))
+      .dropDuplicatesWithinWatermark("ts", "node", "frame_id")
+      .drop("frame_id")
+
   /** Windowed per-channel aggregate: the streaming analog of "one
     * upload per period per node". Keyed (window, node, channel) — the
-    * single shuffle in the pipeline.
+    * single shuffle in the pipeline. Declares the event-time watermark
+    * unless an upstream stage (e.g. [[dedupFrames]]) already did:
+    * Spark disallows redefining it across stateful operators.
     */
-  def aggregate(readings: DataFrame, conf: GatewayConf): DataFrame =
-    readings
-      .withWatermark("ts", conf.watermarkDelay)
+  def aggregate(readings: DataFrame, conf: GatewayConf): DataFrame = {
+    val marked =
+      if (readings.queryExecution.logical.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark]))
+        readings
+      else readings.withWatermark("ts", conf.watermarkDelay)
+    marked
       .select(col("ts"), col("node"), posexplode(col("values")).as(Seq("channel", "v")))
       .groupBy(window(col("ts"), conf.windowDuration), col("node"), col("channel"))
       .agg(
@@ -155,6 +183,7 @@ object Gateway {
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("node"), col("channel"), col("n"), col("sum_v"), col("avg_v"))
+  }
 
   /** B3 — bulk-upload delta encoding: one reference time per
     * micro-batch (`sentat`), every row's time expressed as an offset

@@ -393,6 +393,29 @@ class GatewaySpec extends AnyFunSuite {
     assert(after2.last === graft.streaming.BufStatus(1L, 5, 5L))
   }
 
+  test("at-least-once upstream: duplicate frames are suppressed within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    val decoded = Gateway.decode(ms.toDF(), listener)
+    val c = GatewayConf(Seq(listener), Nil, checkpointRoot = "/tmp/unused")
+    val q = Gateway.aggregate(Gateway.dedupFrames(decoded), c)
+      .writeStream.outputMode("update").format("memory").queryName("dedupframes").start()
+    // same frame delivered twice in one batch (bridge retry)
+    ms.addData("1000 10 1.0", "1000 10 1.0", "1002 10 2.0")
+    q.processAllAvailable()
+    // and replayed again after a "reconnect", still within the watermark
+    ms.addData("1000 10 1.0")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedupframes")
+      .select(unix_seconds(col("window_start")), col("node"), col("channel"), col("n"), col("sum_v"))
+      .as[(Long, Long, Int, Long, Double)].collect().toList
+    // every emitted update counts the frame once: n=2 (1.0 + 2.0) —
+    // a leaked duplicate would surface as n=3/sum=4.0 in a later update
+    assert(rows.nonEmpty && rows.last === ((1000L, 10L, 0, 2L, 3.0)))
+  }
+
   test("B4 session windows: gap-based batching splits on silence") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
