@@ -21,6 +21,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian in: $offenders")
   }
 
+  test("q_dedup_near reuses the cached shingle index and broadcasts no pair set") {
+    val plan = SparkEntry.queries("q_dedup_near")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the persist() on the shingle index is load-bearing (r6: the
+    // index was recomputed up to 7x per run) — the plan must read it
+    // through InMemoryTableScan
+    assert(plan.contains("InMemoryTableScan"), "shingle index is not cached in the near-dup plan")
+    // and no join may carry an explicit broadcast HINT on a side that
+    // produces the (id_a, id_b) pair stream: it grows ~quadratically
+    // on low-similarity corpora (the r6 driver-OOM shape). Size-based
+    // auto-broadcast is fine — Catalyst retracts it at scale; a hint
+    // does not. Broadcast hints on per-doc tables (cardinalities,
+    // sketches) remain legitimate.
+    def hintedPairBroadcast(q: String): Boolean =
+      SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).exists {
+            case (h, side) =>
+              h.exists(_.strategy.isDefined) &&
+                Set("id_a", "id_b").subsetOf(side.output.map(_.name).toSet)
+          }
+      }.exists(identity)
+    assert(!hintedPairBroadcast("q_dedup_near"),
+      "near-dup plan hint-broadcasts the candidate pair set")
+    // positive control so this detector can never rot into vacuity:
+    // q_dedup_fuzzy DOES hint-broadcast its pair set — legitimately,
+    // because LSH candidate volume is bounded by true similarity
+    assert(hintedPairBroadcast("q_dedup_fuzzy"), "broadcast-hint detector went blind")
+  }
+
+  test("q_dedup_minhash builds signatures with the one-pass sketch aggregate") {
+    val plan = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_minhash_sig") && plan.contains("ObjectHashAggregate"),
+      "minhash signatures are not built by the MinHashSketch aggregate")
+  }
+
   test("single-table scans prune columns down to what the query needs") {
     // spot checks with known narrow needs: scan stage must not read
     // the wide text/props columns it doesn't use
