@@ -155,23 +155,37 @@ object Dedup {
     */
   private[graft] def nearPairs(sh: DataFrame, maxDf: Long): DataFrame = {
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val highShingles = dfreq.filter(col("df") > maxDf).select("shingle")
     val capped = sh.join(dfreq.filter(col("df") <= maxDf).select("shingle"), "shingle")
     val sharedKept = capped.as("a")
       .join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("shared_kept"))
-    val shHigh = sh.join(dfreq.filter(col("df") > maxDf).select("shingle"), "shingle")
-    val corr = sharedKept.select(col("id_a"), col("id_b"))
-      .join(shHigh.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(shHigh.as("sb"),
-        col("id_b") === col("sb.doc_id") && col("sb.shingle") === col("sa.shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("extra"))
-    val shared = sharedKept.join(corr, Seq("id_a", "id_b"), "left")
-      .select(
-        col("id_a"), col("id_b"),
-        (col("shared_kept") + coalesce(col("extra"), lit(0L))).as("shared"))
+    // Runtime short-circuit, same spirit as AQE's empty-relation
+    // elimination: one cheap probe of the (cached) index decides
+    // whether any shingle exceeds the cap at all. If none does — the
+    // measured reality of this corpus, pinned by DedupSpec — the
+    // correction term is identically zero and the two pair-keyed
+    // correction shuffles are dropped from the plan entirely. The
+    // exactness argument is unchanged: the probe decides between two
+    // plans that provably compute the same result.
+    val shared =
+      if (highShingles.isEmpty)
+        sharedKept.select(col("id_a"), col("id_b"), col("shared_kept").as("shared"))
+      else {
+        val shHigh = sh.join(highShingles, "shingle")
+        val corr = sharedKept.select(col("id_a"), col("id_b"))
+          .join(shHigh.as("sa"), col("id_a") === col("sa.doc_id"))
+          .join(shHigh.as("sb"),
+            col("id_b") === col("sb.doc_id") && col("sb.shingle") === col("sa.shingle"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("extra"))
+        sharedKept.join(corr, Seq("id_a", "id_b"), "left")
+          .select(
+            col("id_a"), col("id_b"),
+            (col("shared_kept") + coalesce(col("extra"), lit(0L))).as("shared"))
+      }
     jaccardCut(sh, shared)
   }
 

@@ -43,6 +43,20 @@ class DedupSpec extends AnyFunSuite {
           .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
         assert(maxDf <= graft.operators.Dedup.nearMaxDf,
           s"corpus drift: max shingle df $maxDf exceeds cap ${graft.operators.Dedup.nearMaxDf} at $dir")
+        // exercise the high-df CORRECTION JOIN (short-circuited away
+        // when no shingle exceeds the cap): with an artificially tiny
+        // cap some shingles go high, candidate generation narrows,
+        // but every surviving pair must still carry counts identical
+        // to the uncapped truth — the correction term is exact
+        val tinyCap = 2L
+        assert(maxDf > tinyCap, s"tiny cap does not exercise the correction branch at $dir")
+        val tight = rows(tinyCap)
+        val truth = uncapped.map { case (a, b, s, u) => (a, b) -> ((s, u)) }.toMap
+        assert(tight.nonEmpty, s"vacuous correction-branch pin at $dir")
+        tight.foreach { case (a, b, s, u) =>
+          assert(truth.get((a, b)).contains((s, u)),
+            s"correction join produced wrong counts for ($a,$b) at $dir")
+        }
       } finally sh.unpersist()
     }
   }
