@@ -96,7 +96,8 @@ object Gateway {
       buffers: Seq[BufferConf],
       checkpointRoot: String,
       windowDuration: String = "10 seconds",
-      watermarkDelay: String = "1 minute")
+      watermarkDelay: String = "1 minute",
+      dedupFrames: Boolean = false)
 
   /** S3 — TCP line source, 1:1 with the reference's socket listener. */
   def source(spark: SparkSession, l: ListenerConf): DataFrame =
@@ -361,13 +362,19 @@ object Gateway {
         .start()
     }
 
-  /** Full pipeline from config (production path: socket listeners). */
+  /** Full pipeline from config (production path: socket listeners).
+    * `dedup_frames = yes` in the conf's `[settings]` inserts
+    * [[dedupFrames]] between decode and aggregate — the knob for
+    * at-least-once upstream bridges.
+    */
   def run(spark: SparkSession, conf: GatewayConf): Seq[StreamingQuery] = {
     require(conf.listeners.nonEmpty, "gateway config declares no listeners")
     val decoded = conf.listeners
       .map(l => decode(source(spark, l), l))
       .reduce(_ unionByName _)
-    start(aggregate(decoded, conf), conf)
+    val deduped =
+      if (conf.dedupFrames) dedupFrames(decoded, conf.watermarkDelay) else decoded
+    start(aggregate(deduped, conf), conf)
   }
 
   /** S1/S2 — there is no serial source in Spark (nor serial hardware

@@ -57,15 +57,18 @@ object GatewayConfig {
 
     // ConfigObj's boolean spellings (as_bool): true/yes/on/1 ⇄ false/no/off/0,
     // case-insensitive. Anything else is a config error, named as such.
-    def boolSetting(component: List[String], key: String, default: Boolean): Boolean =
-      setting(component, key).map(_.trim.toLowerCase) match {
-        case None                                      => default
-        case Some("true" | "yes" | "on" | "1")         => true
-        case Some("false" | "no" | "off" | "0")        => false
+    def parseBool(raw: Option[String], where: String, default: Boolean): Boolean =
+      raw.map(_.trim.toLowerCase) match {
+        case None                              => default
+        case Some("true" | "yes" | "on" | "1") => true
+        case Some("false" | "no" | "off" | "0") => false
         case Some(v) =>
           throw new IllegalArgumentException(
-            s"[${component.mkString("][")}] $key = '$v' is not a boolean (true/yes/on/1 or false/no/off/0)")
+            s"$where = '$v' is not a boolean (true/yes/on/1 or false/no/off/0)")
       }
+
+    def boolSetting(component: List[String], key: String, default: Boolean): Boolean =
+      parseBool(setting(component, key), s"[${component.mkString("][")}] $key", default)
 
     def componentsOf(group: String): Seq[List[String]] =
       sections.keys.toSeq.filter(p => p.length == 2 && p.head == group)
@@ -109,6 +112,13 @@ object GatewayConfig {
         postUrl = postUrl)
     }
 
-    GatewayConf(listeners, buffers, checkpointRoot)
+    // top-level [settings]: gateway-wide knobs with no reference
+    // counterpart (the reference's serial port delivers bytes once;
+    // an at-least-once TCP bridge is OUR deployment reality)
+    val dedupFrames = parseBool(
+      sections.get(List("settings")).flatMap(_.get("dedup_frames")),
+      "[settings] dedup_frames", default = false)
+
+    GatewayConf(listeners, buffers, checkpointRoot, dedupFrames = dedupFrames)
   }
 }

@@ -110,6 +110,21 @@ class GatewayConfigSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("[buffers][b]") && bad.getMessage.contains("maybe"))
   }
 
+  test("[settings] dedup_frames parses with ConfigObj boolean spellings, defaults off") {
+    def parse(extra: String) = GatewayConfig.parse(
+      s"""$extra[listeners]
+         |    [[sock]]
+         |        type = OemGatewaySocketListener
+         |""".stripMargin, "/tmp/out", "/tmp/ckpt")
+    assert(!parse("").dedupFrames, "must default off: the reference's serial port delivers once")
+    assert(parse("[settings]\ndedup_frames = yes\n").dedupFrames)
+    assert(!parse("[settings]\ndedup_frames = off\n").dedupFrames)
+    val bad = intercept[IllegalArgumentException] {
+      parse("[settings]\ndedup_frames = maybe\n")
+    }
+    assert(bad.getMessage.contains("dedup_frames") && bad.getMessage.contains("maybe"))
+  }
+
   test("malformed numeric settings fail naming their section and key") {
     val badPeriod = intercept[IllegalArgumentException] {
       parseBuffer("            period = ten")
