@@ -295,9 +295,8 @@ object Relational {
     * this is the production form. Sketch outputs have no cross-engine
     * parity (DuckDB's reservoir `approx_quantile` is a different
     * algorithm), so this is ScalaTest-verified against the exact path
-    * with the sketch's own rank-error guarantee (RelationalSpec /
-    * QuantileSketchSpec) rather than oracle-declared — the documented
-    * R16 constraint.
+    * with the sketch's own rank-error guarantee (QuantileSketchSpec)
+    * rather than oracle-declared — the documented R16 constraint.
     *
     * @param accuracy 1/ε of the GK summary: rank error ≤ n/accuracy.
     */
