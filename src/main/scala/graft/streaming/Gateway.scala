@@ -153,11 +153,18 @@ object Gateway {
     * [[aggregate]] sees the watermark already declared and does not
     * re-mark (Spark disallows redefining a watermark once a stateful
     * operator consumed it).
+    *
+    * The content hash is `xxhash64`, not the 32-bit Murmur3 `hash`: a
+    * dedup key is a drop decision, and at 32 bits two *distinct*
+    * same-(ts, node) frames colliding inside one watermark window
+    * would silently discard a real reading. 64 bits costs the same
+    * state row and pushes the collision odds below anything a
+    * metering deployment can observe.
     */
   def dedupFrames(readings: DataFrame, watermarkDelay: String = "1 minute"): DataFrame =
     readings
       .withWatermark("ts", watermarkDelay)
-      .withColumn("frame_id", hash(col("node"), col("values")))
+      .withColumn("frame_id", xxhash64(col("node"), col("values")))
       .dropDuplicatesWithinWatermark("ts", "node", "frame_id")
       .drop("frame_id")
 
@@ -337,10 +344,19 @@ object Gateway {
     *  - otherwise (sandbox): write the encoded rows to
     *    `outDir/batch=<id>` with overwrite, so a replayed batch id is
     *    idempotent (at-least-once delivery + idempotent sink).
+    *
+    * `register` is called with each query the moment it starts, BEFORE
+    * the next buffer's start is attempted: a caller that must clean up
+    * after a partial start (buffer 3 of 3 throws — [[HotReload]]'s
+    * revert path) sees exactly the queries that exist, which the
+    * returned Seq cannot provide (a mid-map throw discards it).
     */
-  def start(aggregated: DataFrame, conf: GatewayConf): Seq[StreamingQuery] =
+  def start(
+      aggregated: DataFrame,
+      conf: GatewayConf,
+      register: StreamingQuery => Unit = _ => ()): Seq[StreamingQuery] =
     conf.buffers.filter(_.active).map { b =>
-      aggregated.writeStream
+      val q = aggregated.writeStream
         .queryName(s"gateway-${b.name}")
         .outputMode("update")
         .option("checkpointLocation", s"${conf.checkpointRoot}/${b.name}")
@@ -360,6 +376,8 @@ object Gateway {
           }
         }
         .start()
+      register(q)
+      q
     }
 
   /** Full pipeline from config (production path: socket listeners).
@@ -367,14 +385,17 @@ object Gateway {
     * [[dedupFrames]] between decode and aggregate — the knob for
     * at-least-once upstream bridges.
     */
-  def run(spark: SparkSession, conf: GatewayConf): Seq[StreamingQuery] = {
+  def run(
+      spark: SparkSession,
+      conf: GatewayConf,
+      register: StreamingQuery => Unit = _ => ()): Seq[StreamingQuery] = {
     require(conf.listeners.nonEmpty, "gateway config declares no listeners")
     val decoded = conf.listeners
       .map(l => decode(source(spark, l), l))
       .reduce(_ unionByName _)
     val deduped =
       if (conf.dedupFrames) dedupFrames(decoded, conf.watermarkDelay) else decoded
-    start(aggregate(deduped, conf), conf)
+    start(aggregate(deduped, conf), conf, register)
   }
 
   /** S1/S2 — there is no serial source in Spark (nor serial hardware

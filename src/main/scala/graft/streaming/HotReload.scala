@@ -30,12 +30,21 @@ import scala.util.control.NonFatal
   *
   * Driver-side only (query lifecycle is a driver concern in Spark);
   * nothing here touches the data path, so scale is unaffected.
+  *
+  * `startQueries` must call the supplied callback with each query AS
+  * IT STARTS (not just return the completed Seq): when starting query
+  * 3 of 3 throws, queries 1–2 exist but a thrown call returns
+  * nothing, so the callback is the only way [[HotReload]] can stop
+  * the survivors before reverting — otherwise the revert collides
+  * with them on the same checkpoint dirs / query names and the
+  * "failed" conf's orphans keep running untracked.
+  * [[Gateway.start]]/[[Gateway.run]] take the callback directly.
   */
 final class HotReload(
     confPath: Path,
     pollMillis: Long,
     parse: String => GatewayConf,
-    startQueries: GatewayConf => Seq[StreamingQuery])
+    startQueries: (GatewayConf, StreamingQuery => Unit) => Unit)
   extends AutoCloseable {
 
   @volatile private var current: Seq[StreamingQuery] = Nil
@@ -45,25 +54,49 @@ final class HotReload(
   private val failCount = new AtomicLong(0)
   private var lastGood: GatewayConf = parse(lastText)
 
-  current = startQueries(lastGood)
+  current = startTracked(lastGood)
 
   private def readConf(): String =
     new String(Files.readAllBytes(confPath), UTF_8)
 
-  private def stopAll(): Unit = current.foreach { q =>
+  private def stop(qs: Seq[StreamingQuery]): Unit = qs.foreach { q =>
     try q.stop()
     catch { case NonFatal(e) => System.err.println(s"hot-reload: stop failed: ${e.getMessage}") }
+  }
+
+  private def stopAll(): Unit = stop(current)
+
+  /** Run `startQueries`, tracking partial progress: if it throws
+    * after starting a subset, that subset is STOPPED before the
+    * failure propagates, so the caller (revert included) never races
+    * half-started queries for checkpoints or query names.
+    */
+  private def startTracked(conf: GatewayConf): Seq[StreamingQuery] = {
+    val started = scala.collection.mutable.ArrayBuffer[StreamingQuery]()
+    try {
+      startQueries(conf, started += _)
+      started.toSeq
+    } catch {
+      case NonFatal(e) =>
+        if (started.nonEmpty)
+          System.err.println(
+            s"hot-reload: start failed after ${started.size} queries; stopping the partial set")
+        stop(started.toSeq)
+        throw e
+    }
   }
 
   /** One reload cycle. Failure handling (r6 verdict task 5): a bad
     * conf that fails to PARSE is rejected before anything stops —
     * the running queries never notice. A conf that parses but fails
     * to START (sink dir, checkpoint, Spark state) happens after the
-    * old queries are stopped, so the cycle restarts the last good
-    * conf instead — the gateway keeps running on the previous
-    * settings, matching the reference's keep-running-on-bad-reload
-    * behavior. Every failure path increments [[failures]]; nothing
-    * here can escape and kill the watcher thread.
+    * old queries are stopped, so the cycle first stops whatever
+    * subset the failed start DID create ([[startTracked]]) and then
+    * restarts the last good conf instead — the gateway keeps running
+    * on the previous settings, matching the reference's
+    * keep-running-on-bad-reload behavior. Every failure path
+    * increments [[failures]]; nothing here can escape and kill the
+    * watcher thread.
     */
   private def reloadCycle(text: String): Unit = {
     val parsed =
@@ -77,14 +110,14 @@ final class HotReload(
     parsed.foreach { conf =>
       stopAll()
       try {
-        current = startQueries(conf)
+        current = startTracked(conf)
         lastGood = conf
         reloadCount.incrementAndGet()
       } catch {
         case NonFatal(e) =>
           System.err.println(
             s"hot-reload: restart with new conf failed (${e.getMessage}); reverting to last good conf")
-          try current = startQueries(lastGood)
+          try current = startTracked(lastGood)
           catch {
             case NonFatal(e2) =>
               failCount.incrementAndGet()
@@ -151,5 +184,5 @@ object HotReload {
       confPath,
       pollMillis,
       ini => GatewayConfig.parse(ini, sinkRoot, checkpointRoot),
-      conf => Gateway.run(spark, conf))
+      (conf, register) => Gateway.run(spark, conf, register))
 }

@@ -286,8 +286,8 @@ class GatewaySpec extends AnyFunSuite {
         val c = graft.streaming.GatewayConfig.parse(text, out, ckpt)
         c.copy(listeners = Seq(listener)) // stream comes from the MemoryStream
       },
-      startQueries = c =>
-        Gateway.start(Gateway.aggregate(Gateway.decode(ms.toDF(), listener), c), c))
+      startQueries = (c, reg) =>
+        Gateway.start(Gateway.aggregate(Gateway.decode(ms.toDF(), listener), c), c, reg))
     try {
       ms.addData("1000 10 1.0", "1004 10 2.0")
       watcher.queries.foreach(_.processAllAvailable())
@@ -339,12 +339,12 @@ class GatewaySpec extends AnyFunSuite {
         val c = graft.streaming.GatewayConfig.parse(text, out, ckpt)
         c.copy(listeners = Seq(listener))
       },
-      startQueries = c => {
+      startQueries = (c, reg) => {
         // an inactive buffer stands in for any start-time failure
         // (bad sink dir, checkpoint, Spark state): it throws AFTER the
         // old queries were stopped, exercising the revert path
         if (c.buffers.exists(!_.active)) throw new IllegalStateException("injected start failure")
-        Gateway.start(Gateway.aggregate(Gateway.decode(ms.toDF(), listener), c), c)
+        Gateway.start(Gateway.aggregate(Gateway.decode(ms.toDF(), listener), c), c, reg)
       })
     try {
       ms.addData("1000 10 1.0", "1004 10 2.0")
@@ -373,6 +373,81 @@ class GatewaySpec extends AnyFunSuite {
       ms.addData("1008 10 8.0")
       watcher.queries.foreach(_.processAllAvailable())
       assert(finalState(s"$out/a") === Map((1000L, 10L, 0) -> (4L, 15.0)))
+    } finally watcher.close()
+  }
+
+  test("B6 hot reload: start failing AFTER a partial start stops the orphans before reverting") {
+    val out = Files.createTempDirectory("gw-out").toString
+    val ckpt = Files.createTempDirectory("gw-ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    def ini(bActive: String): String =
+      s"""[buffers]
+         |    [[a]]
+         |        type = OemGatewayEmoncmsBuffer
+         |        [[[runtime_settings]]]
+         |            active = True
+         |            period = 0
+         |    [[b]]
+         |        type = OemGatewayEmoncmsBuffer
+         |        [[[runtime_settings]]]
+         |            active = $bActive
+         |            period = 0
+         |""".stripMargin
+    val confPath = Files.createTempFile("gw", ".conf")
+    Files.write(confPath, ini("True").getBytes("UTF-8"))
+
+    val ms = MemoryStream[String]
+    // runIds of queries started by the FAILED start attempt: the fix
+    // under test is that HotReload stops exactly these before reverting
+    val partialRuns = new java.util.concurrent.CopyOnWriteArrayList[java.util.UUID]()
+    val watcher = new graft.streaming.HotReload(
+      confPath,
+      pollMillis = 50L,
+      parse = text => {
+        val c = graft.streaming.GatewayConfig.parse(text, out, ckpt)
+        c.copy(listeners = Seq(listener))
+      },
+      startQueries = (c, reg) => {
+        if (c.buffers.exists(!_.active)) {
+          // simulate "query 2 of 2 fails to start": buffer a's query
+          // starts FOR REAL (and is registered), then the start throws
+          val cA = c.copy(buffers = c.buffers.filter(_.active))
+          Gateway.start(Gateway.aggregate(Gateway.decode(ms.toDF(), listener), cA), cA, reg)
+            .foreach(q => partialRuns.add(q.runId))
+          throw new IllegalStateException("injected failure after partial start")
+        }
+        Gateway.start(Gateway.aggregate(Gateway.decode(ms.toDF(), listener), c), c, reg)
+      })
+    try {
+      ms.addData("1000 10 1.0")
+      watcher.queries.foreach(_.processAllAvailable())
+      assert(finalState(s"$out/a") === Map((1000L, 10L, 0) -> (1L, 1.0)))
+
+      // rewrite parses fine, starts a's query, THEN fails → the orphan
+      // must be stopped and the last-good conf restarted cleanly
+      atomicWrite(confPath, ini("False"))
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (watcher.failures < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(watcher.failures === 1L)
+      assert(watcher.reloads === 0L)
+      assert(partialRuns.size === 1)
+
+      // no orphan: the partial start's run is not among the active
+      // queries (the reverted buffer-a query shares its checkpoint —
+      // and thus its id — but every start gets a fresh runId)
+      val activeRuns = spark.streams.active.map(_.runId).toSet
+      assert(!activeRuns.contains(partialRuns.get(0)),
+        "partially-started query from the failed reload is still running")
+
+      // the revert itself succeeded: both last-good buffers advance
+      // from their checkpoints (a collision with the orphan would have
+      // failed the restart on the shared checkpoint dir)
+      ms.addData("1004 10 2.0")
+      watcher.queries.foreach(_.processAllAvailable())
+      assert(finalState(s"$out/a") === Map((1000L, 10L, 0) -> (2L, 3.0)))
+      assert(finalState(s"$out/b") === Map((1000L, 10L, 0) -> (2L, 3.0)))
     } finally watcher.close()
   }
 
@@ -413,6 +488,31 @@ class GatewaySpec extends AnyFunSuite {
       .as[(Long, Long, Int, Long, Double)].collect().toList
     // every emitted update counts the frame once: n=2 (1.0 + 2.0) —
     // a leaked duplicate would surface as n=3/sum=4.0 in a later update
+    assert(rows.nonEmpty && rows.last === ((1000L, 10L, 0, 2L, 3.0)))
+  }
+
+  test("frame dedup keys on 64-bit content: distinct same-(ts,node) frames both survive") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    val decoded = Gateway.decode(ms.toDF(), listener)
+    // the dedup key must be the 64-bit content hash, not 32-bit
+    // Murmur3: a dedup key is a DROP decision, and exactly-once must
+    // not hinge on a 2^-32 collision when 64 bits is free
+    assert(Gateway.dedupFrames(decoded).queryExecution.analyzed.toString.contains("xxhash64"),
+      "frame_id is not a 64-bit content hash")
+    val c = GatewayConf(Seq(listener), Nil, checkpointRoot = "/tmp/unused")
+    val q = Gateway.aggregate(Gateway.dedupFrames(decoded), c)
+      .writeStream.outputMode("update").format("memory").queryName("dedupdistinct").start()
+    // two DISTINCT readings at the same (ts, node) — e.g. two sensors
+    // reporting in the same second — plus a true duplicate of the first
+    ms.addData("1000 10 1.0", "1000 10 2.0", "1000 10 1.0")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedupdistinct")
+      .select(unix_seconds(col("window_start")), col("node"), col("channel"), col("n"), col("sum_v"))
+      .as[(Long, Long, Int, Long, Double)].collect().toList
+    // both distinct frames count (n=2, sum=3.0); the duplicate does not
     assert(rows.nonEmpty && rows.last === ((1000L, 10L, 0, 2L, 3.0)))
   }
 
