@@ -28,9 +28,10 @@ import scala.collection.immutable.ListMap
   *    (map-side partial min), candidates one equi-join on (band, key)
   *    — the textbook LSH plan; exact verification touches only
   *    candidate pairs.
-  *  - SimHash: 60-bit sketch per doc, candidates via 5 12-bit bands
-  *    with per-band Hamming-≤2 multi-probe (pigeonhole-exact recall up
-  *    to Hamming 14), Hamming check is xor+bit_count on two longs.
+  *  - SimHash: 60-bit sketch per doc, candidates via 7 bands (4×9 +
+  *    3×8 bits) with per-band Hamming-≤1 multi-probe (pigeonhole-
+  *    exact recall up to Hamming 13), Hamming check is xor+bit_count
+  *    on two longs.
   *  - Embedding dedup probes only same-or-adjacent-bucket pairs
   *    (12-plane sign-LSH, 4096 buckets, Hamming-1 multi-probe) — a
   *    bucket equi-join, never cross.
@@ -77,6 +78,41 @@ object Dedup {
             "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
           .as("shingle"))
       .distinct()
+
+  /** Session-scoped memo of the PERSISTED shingle index, keyed by
+    * (session, dir). Every dedup variant reads the index through this
+    * — near alone has five consumers, minhash three, and a bench pass
+    * running the whole family would otherwise rebuild the
+    * explode+distinct shuffle up to a dozen times. Memoizing the
+    * DataFrame (not just persisting per query) also fixes the r7
+    * ADVICE leak: each `dedupNear` construction used to register a
+    * fresh session-lifetime cache entry; now there is exactly one per
+    * (session, dir), re-persisted on demand if something (bench
+    * `clearCache`, manual `unpersist`, LRU eviction of the *entry* —
+    * block-level eviction keeps the entry and recomputes) dropped it.
+    *
+    * Lifecycle: cache data lives until `spark.catalog.clearCache()`
+    * or [[releaseIndexes]]; the memoized plan itself is tiny and
+    * keyed by an active session. Long-lived sessions that are done
+    * deduping should call [[releaseIndexes]].
+    */
+  private val indexMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def cachedIndex(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
+    val df = indexMemo.getOrElseUpdate((s, dir, tag), build)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+    df
+  }
+
+  private[graft] def shingleIndex(s: SparkSession, dir: String): DataFrame =
+    cachedIndex(s, dir, "shingles")(shingles(s, dir))
+
+  /** Unpersist and forget every memoized dedup index of `s`. */
+  def releaseIndexes(s: SparkSession): Unit =
+    indexMemo.keys.filter(_._1 eq s).foreach { k =>
+      indexMemo.remove(k).foreach(_.unpersist())
+    }
 
   /** Apply the ≥0.6 integer-arithmetic Jaccard threshold (10·|∩| ≥
     * 6·|∪| — no float in the cut, so no rounding divergence can flip a
@@ -192,14 +228,19 @@ object Dedup {
   /** X5a — n-gram Jaccard near-dup: every pair colliding on a
     * non-boilerplate shingle (df ≤ [[nearMaxDf]]) qualifies, with
     * exact shared counts over the FULL shingle sets. The baseline the
-    * sketch variants are judged by. The shingle index is persisted
-    * for the query's lifetime — it feeds the df count, both collision
-    * sides, the correction join, and the cardinality table, and
-    * recomputing that shuffle per consumer was the other half of the
-    * r6 regression.
+    * sketch variants are judged by. Reads the shared cached
+    * [[shingleIndex]] — it feeds the df count, both collision sides,
+    * the correction join, and the cardinality table, and recomputing
+    * that shuffle per consumer was the other half of the r6
+    * regression.
+    *
+    * NOTE: construction is not purely lazy — [[nearPairs]] runs one
+    * small Spark job (the `highShingles.isEmpty` probe) to pick the
+    * cheaper of two provably-equivalent plans. Callers building the
+    * query only to inspect its plan still pay that probe.
     */
   private def dedupNear(s: SparkSession, dir: String): DataFrame =
-    nearPairs(shingles(s, dir).persist(), nearMaxDf)
+    nearPairs(shingleIndex(s, dir), nearMaxDf)
 
   private val nBands = 4 // 8 minhashes, bands of 2
 
@@ -256,7 +297,7 @@ object Dedup {
     * candidate volume tracks true similarity, not N².
     */
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+    val sh = shingleIndex(s, dir)
     verifyJaccard(sh, minhashCands(sh))
   }
 
@@ -269,7 +310,7 @@ object Dedup {
     */
   private def dedupFuzzy(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
-    broadcast(minhashCands(shingles(s, dir)))
+    broadcast(minhashCands(shingleIndex(s, dir)))
       .join(c.as("ta"), col("id_a") === col("ta.doc_id"))
       .join(c.as("tb"), col("id_b") === col("tb.doc_id"))
       .select(
@@ -283,8 +324,8 @@ object Dedup {
 
   // SimHash parameters (shared with the oracle SQL below). 60-bit
   // sketch (15 hex md5 chars — the widest prefix signed-BIGINT-safe in
-  // both engines), 5 bands of 12 bits, per-band multi-probe radius 2,
-  // near-dup threshold Hamming ≤ 13.
+  // both engines), 7 bands (4×9 + 3×8 bits), per-band multi-probe
+  // radius 1, near-dup threshold Hamming ≤ 13.
   //
   // Why this config and not Manku's 4×16-bit/Hamming≤3: that guarantee
   // assumes long documents, where dropping one feature flips ~0 sketch
@@ -294,69 +335,97 @@ object Dedup {
   // The generalized pigeonhole does the work instead: H differing bits
   // over B bands leave some band with ≤ floor(H/B) of them, so probing
   // each band's Hamming-≤t neighbourhood guarantees exact recall for
-  // H ≤ B·(t+1)−1 = 5·3−1 = 14 ≥ the declared 13.
+  // H ≤ B·(t+1)−1 = 7·2−1 = 13 = the declared threshold.
+  //
+  // Band geometry (r7 verdict task 2): the previous 5×12-bit/radius-2
+  // config met the same bound at 1+12+66 = 79 probes per band — 395
+  // probe rows per doc. More-but-narrower bands put the multiplicity
+  // in band COUNT (linear) instead of the probe BALL (quadratic in
+  // radius): 7 radius-1 bands need only 1+width probes each, 67 rows
+  // per doc — ~6× less probe traffic through the candidate join for
+  // an identical exactness guarantee. Narrower keys do collide more
+  // often per band (2^9 vs 2^12 key space), but the Hamming filter
+  // runs BEFORE the distinct, so the extra false candidates cost one
+  // xor+bit_count each, not a shuffle amplification.
   private val simBits = 60
-  private val simBandBits = 12
-  private val nSimBands = 5
   private val simHamMax = 13
-  /** XOR masks enumerating the Hamming-≤2 ball of a 12-bit band key
-    * (1 + 12 + 66 = 79 probes).
-    */
-  private val simProbeMasks: Seq[Long] =
-    Seq(0L) ++ (0 until simBandBits).map(i => 1L << i) ++
-      (for { i <- 0 until simBandBits; j <- (i + 1) until simBandBits }
-        yield (1L << i) | (1L << j))
+  /** (bit offset, width) of each band: 4×9 + 3×8 = 60 bits, 7 bands. */
+  private val simBandLayout: Seq[(Int, Int)] = {
+    val widths = Seq(9, 9, 9, 9, 8, 8, 8)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+  /** XOR masks enumerating the Hamming-≤1 ball of a w-bit band key. */
+  private def simProbeMasks(width: Int): Seq[Long] =
+    0L +: (0 until width).map(i => 1L << i)
 
   /** X5c — SimHash: 60-bit sketch (majority vote per bit over shingle
     * hashes), banded multi-probe candidates, Hamming ≤ 13 via
     * xor+bit_count. Integer end to end.
     *
-    * Scale shape: probes explode the (doc, band, key) stream 79× —
+    * Scale shape: probes explode each doc into 67 (band, key) rows —
     * tiny fixed-width rows, linear in N — and candidates come from an
     * equi-join of probed keys against exact keys, so candidate volume
     * tracks pairs genuinely close on some band, not N²/16 as the old
-    * 4-bit nibble bands did. Measured at sf0.1 (5200 docs, 13.5M
-    * possible pairs): 6.9M collision pair-rows with nibble bands →
-    * 1.38M with this config, while keeping recall exact (the nibble
-    * config's guarantee only covered Hamming ≤ 7 of 32 bits anyway).
-    * Order of operations still matters: broadcast the sketch table
-    * into the candidate stream and filter on Hamming BEFORE paying
-    * the distinct.
+    * 4-bit nibble bands did. Order of operations still matters:
+    * broadcast the sketch table into the candidate stream and filter
+    * on Hamming BEFORE paying the distinct.
     */
+  /** Per-doc 60-bit SimHash sketch table — memoized like the shingle
+    * index: it is N rows × 16 bytes (trivial to cache) and feeds BOTH
+    * sides of the candidate self-join, which would otherwise re-run
+    * the 60-column majority-vote aggregate twice per query (measured:
+    * the double sketch build, not the collision join, dominated the
+    * query's cost).
+    */
+  private[graft] def simSketch(s: SparkSession, dir: String): DataFrame =
+    cachedIndex(s, dir, "simsketch") {
+      import Hashing.h60
+      val hs = shingleIndex(s, dir).select(col("doc_id"), h60(col("shingle")).as("h"))
+      val sumCols = (0 until simBits).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j"))
+      hs.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
+        .select(
+          col("doc_id"),
+          (0 until simBits)
+            .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _).as("sim"))
+    }
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    import Hashing.h60
-    val hs = shingles(s, dir).select(col("doc_id"), h60(col("shingle")).as("h"))
-    val sumCols = (0 until simBits).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j"))
-    val sums = hs.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
-    val sim = sums.select(
-      col("doc_id"),
-      (0 until simBits)
-        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _).as("sim"))
+    val sim = simSketch(s, dir)
+    def bandKey(off: Int, w: Int): Column =
+      shiftright(col("sim"), off).bitwiseAND(lit((1L << w) - 1))
+    // both join sides CARRY the 8-byte sketch: the Hamming test then
+    // runs inline in the join's own codegen stage (one xor+bit_count
+    // per collision row) instead of re-fetching sketches through two
+    // broadcast joins over the multi-million-row candidate stream —
+    // at 100 TB that also removes the "broadcast the whole sketch
+    // table" requirement entirely
     val bands = sim.select(
-      col("doc_id"),
-      explode(array((0 until nSimBands).map(b =>
-        struct(
-          lit(b).as("band"),
-          shiftright(col("sim"), simBandBits * b)
-            .bitwiseAND(lit((1L << simBandBits) - 1)).as("k"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.k").as("k"))
-    val probes = bands.select(
-      col("doc_id"), col("band"),
-      explode(array(simProbeMasks.map(m => col("k").bitwiseXOR(lit(m))): _*)).as("pk"))
-    val cand = probes.as("a")
+      col("doc_id"), col("sim"),
+      explode(array(simBandLayout.zipWithIndex.map { case ((off, w), b) =>
+        struct(lit(b).as("band"), bandKey(off, w).as("k"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.k").as("k"))
+    // one explode straight off the sketch: every (band, mask) pair is
+    // a struct in a single 67-element array literal
+    val probes = sim.select(
+      col("doc_id"), col("sim"),
+      explode(array((for {
+        ((off, w), b) <- simBandLayout.zipWithIndex
+        m <- simProbeMasks(w)
+      } yield struct(
+        lit(b).as("band"),
+        bandKey(off, w).bitwiseXOR(lit(m)).as("pk"))): _*)).as("bp"))
+      .select(col("doc_id"), col("sim"), col("bp.band").as("band"), col("bp.pk").as("pk"))
+    probes.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.pk") === col("b.k") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    cand
-      .join(broadcast(sim.as("sa")), col("id_a") === col("sa.doc_id"))
-      .join(broadcast(sim.as("sb")), col("id_b") === col("sb.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= simHamMax)
       .select(
-        col("id_a"), col("id_b"),
-        bit_count(col("sa.sim").bitwiseXOR(col("sb.sim"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= simHamMax)
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hamming"))
       .distinct()
       .orderBy("id_a", "id_b")
   }
@@ -459,21 +528,28 @@ object Dedup {
     val bits = (0 until simBits)
       .map(j => s"(CASE WHEN sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN (1::BIGINT << $j) ELSE 0 END)")
       .mkString(" + ")
-    val bands = (0 until nSimBands)
-      .map(b => s"SELECT doc_id, $b AS band, (sim >> ${simBandBits * b}) & ${(1L << simBandBits) - 1} AS k FROM simh")
+    val bands = simBandLayout.zipWithIndex
+      .map { case ((off, w), b) =>
+        s"SELECT doc_id, $b AS band, (sim >> $off) & ${(1L << w) - 1} AS k FROM simh" }
       .mkString(" UNION ALL ")
+    val maskRows = (for {
+      ((_, w), b) <- simBandLayout.zipWithIndex
+      m <- simProbeMasks(w)
+    } yield s"($b, $m)").mkString(", ")
     // Same candidate semantics as the Spark side, stated the same way:
-    // enumerate the 79 Hamming-≤2 probe masks per band key and
-    // EQUI-join probed keys against exact keys. The earlier band-keyed
-    // theta-join (bit_count(xor) ≤ 2 inside the ON) was O(N²) per band
-    // — fine at sf0.1, a verify-timeout risk at sf1; this form is the
-    // linear probe-explode shape in both engines.
+    // enumerate each band's Hamming-≤1 probe masks (band-width-
+    // dependent, hence the (band, mask) VALUES table instead of a
+    // cross join) and EQUI-join probed keys against exact keys. The
+    // earlier band-keyed theta-join (bit_count(xor) inside the ON)
+    // was O(N²) per band — fine at sf0.1, a verify-timeout risk at
+    // sf1; this form is the linear probe-explode shape in both
+    // engines.
     s"""WITH $corpusSql,
        |hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
        |simh AS (SELECT doc_id, $bits AS sim FROM hs GROUP BY doc_id),
        |bands AS ($bands),
-       |masks AS (SELECT unnest([${simProbeMasks.mkString(", ")}]) AS m),
-       |probes AS (SELECT doc_id, band, xor(k, m) AS pk FROM bands CROSS JOIN masks),
+       |masks AS (SELECT * FROM (VALUES $maskRows) AS t(band, m)),
+       |probes AS (SELECT b.doc_id, b.band, xor(b.k, t.m) AS pk FROM bands b JOIN masks t ON t.band = b.band),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM probes a JOIN bands b
        |           ON a.band = b.band AND a.pk = b.k AND a.doc_id < b.doc_id),

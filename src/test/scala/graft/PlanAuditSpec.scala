@@ -56,6 +56,19 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("graft_minhash_sig") && plan.contains("ObjectHashAggregate"),
       "minhash signatures are not built by the MinHashSketch aggregate")
+    // the shared shingle index feeds the signature build AND both
+    // sides of the Jaccard verify — it must come from cache, not be
+    // re-shuffled per consumer (r7 verdict task 3)
+    assert(plan.contains("InMemoryTableScan"),
+      "minhash plan rebuilds the shingle index instead of reading the shared cache")
+  }
+
+  test("q_dedup_simhash and q_dedup_fuzzy read the shared cached shingle index") {
+    Seq("q_dedup_simhash", "q_dedup_fuzzy").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"$q rebuilds the shingle index instead of reading the shared cache")
+    }
   }
 
   test("single-table scans prune columns down to what the query needs") {
