@@ -78,6 +78,80 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("planted hot shingle: the df cap keeps the collision join unskewed AND exact") {
+    // The 100TB hazard argued (until now) only in comments: one viral
+    // boilerplate 3-gram appearing in k docs emits k(k-1)/2 collision
+    // rows, ALL hashed to the same shuffle partition — a straggler
+    // task no amount of cluster makes faster. Synthetic corpus: 400
+    // docs sharing one stock phrase, every 8th doc also present as a
+    // drop-last-word near-dup copy.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = (1L to 400L).map { i =>
+      (i, s"hot stock phrase u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f")
+    }
+    val copies = base.filter(_._1 % 8 == 0).map { case (i, t) =>
+      (i + 10000L, t.split(" ").dropRight(1).mkString(" "))
+    }
+    val corpus = (base ++ copies).toDF("doc_id", "text")
+    val sh = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+        .as("shingle"))
+      .distinct()
+      .persist()
+    try {
+      val hotDf = sh.groupBy("shingle").count()
+        .agg(max("count")).head.getLong(0)
+      assert(hotDf === 450L, "planted hot shingle lost") // 400 + 50 copies
+
+      // (1) exactness under skew: the hot shingle goes through the
+      // correction join, and every near-dup pair still comes back with
+      // counts identical to the uncapped truth
+      def rows(maxDf: Long) = graft.operators.Dedup.nearPairs(sh, maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val capped = rows(graft.operators.Dedup.nearMaxDf)
+      val uncapped = rows(Long.MaxValue)
+      assert(capped.nonEmpty && capped === uncapped,
+        "df cap changed the result on the skewed corpus")
+      assert(capped.map(p => (p._1, p._2)) === copies.map(c => (c._1 - 10000L, c._1)).toSet)
+
+      // (2) the skew bound itself, measured per JOIN KEY: a shuffle
+      // join cannot split one key across reducer tasks (AQE's skew
+      // split duplicates the other side to do it, and partition-
+      // coalescing makes physical partition ids non-deterministic at
+      // this scale), so per-key row concentration IS the straggler
+      // driver. The cap must bound it; uncapped is the positive
+      // control proving the measurement sees the hazard.
+      def keyShares(maxDf: Long): (Long, Long) = {
+        val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        val kept = sh.join(dfreq.filter(col("df") <= maxDf).select("shingle"), "shingle")
+        val perKey = kept.as("a")
+          .join(kept.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.shingle")).count()
+          .collect().map(_.getLong(1))
+        (perKey.max, perKey.sum)
+      }
+      val (cappedMax, cappedTotal) = keyShares(graft.operators.Dedup.nearMaxDf)
+      val (uncappedMax, uncappedTotal) = keyShares(Long.MaxValue)
+      // uncapped: the hot shingle alone emits C(450,2) = 101,025 of
+      // ~101,275 collision rows — one reducer does >90% of the work
+      assert(uncappedMax.toDouble / uncappedTotal > 0.9,
+        s"positive control broke: uncapped max-key share $uncappedMax/$uncappedTotal")
+      // capped: the whole stream is linear in the corpus and no single
+      // key exceeds the df-cap's hard per-posting-list row bound
+      val cap = graft.operators.Dedup.nearMaxDf
+      assert(cappedTotal < 2000, s"capped collision stream not linear: $cappedTotal rows")
+      assert(cappedMax <= cap * (cap - 1) / 2,
+        s"df cap failed to bound per-key rows: $cappedMax")
+      assert(cappedMax.toDouble / cappedTotal <= 0.5,
+        s"df cap failed to unskew the join: $cappedMax/$cappedTotal on one key")
+    } finally sh.unpersist()
+  }
+
   test("synthesized near-dup pairs are all recovered by every variant") {
     val expected = (0L until 500L by 25L).map(i => (i, i + 200000L)).toSet
     def pairs(q: String) = SparkEntry.queries(q)(spark, sf)
