@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayNormSq].getName, "graft_norm_sq"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArrayNormSq(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2_sq"),
+      new ExpressionInfo(classOf[ArrayL2Sq].getName, "graft_l2_sq"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArrayL2Sq(children(0), children(1))))
     // one-pass MinHash signature sketch (the analyzer wraps the
     // AggregateFunction into an AggregateExpression on resolution)
     ext.injectFunction((
@@ -29,7 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSketch].getName, "graft_minhash_sig"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSketch(children(0))))
-    // HOF dot/normSq patterns rewrite to the native expressions
+    // HOF dot/normSq/l2Sq patterns rewrite to the native expressions
     ext.injectOptimizerRule(_ => graft.plans.RewriteVectorHofs)
+    // vector top-K pushdown: early-abandon scoring below the running
+    // k-th-best bound (spark.graft.topk.pushdown=false to disable)
+    ext.injectPlannerStrategy(_ => graft.plans.ScoredTopKPushdown)
   }
 }

@@ -103,6 +103,65 @@ case class ArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ (aᵢ−bᵢ)² in double, sequential — `graft_l2_sq(a, b)`. */
+case class ArrayL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression with VectorElementCodegen {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val err = checkArrayOfFloating(left.dataType, "left")
+      .orElse(checkArrayOfFloating(right.dataType, "right"))
+    err match {
+      case Some(m) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(m)
+      case None    => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = read(left.dataType, x, i) - read(right.dataType, y, i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = ${getter(left.dataType, a, i)} - ${getter(right.dataType, b, i)};
+         |    $s += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ArrayL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Σ aᵢ² in double, sequential — `graft_norm_sq(a)`. */
 case class ArrayNormSq(child: Expression)
     extends UnaryExpression with VectorElementCodegen {

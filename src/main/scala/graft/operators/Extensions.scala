@@ -70,14 +70,15 @@ object Extensions {
     * cluster is scanned; brute force remains the correctness baseline.
     */
   private def simCosine(s: SparkSession, dir: String): DataFrame = {
+    // query vector as a plan literal (see Similarity.queryVec): the
+    // query-side norm constant-folds and the brute-force scan — the
+    // query shape where skipped scoring pays most — plans through the
+    // ScoredTopKPushdown early-abandoning top-K
     val e = Tables(s, dir, "embeddings")
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("q_embedding"))
-    val joined = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-    joined
+    e.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"),
-        VectorOps.cosine(col("embedding"), col("q_embedding")).as("score"))
-      .select(col("vec_id"), col("label"), round(col("score"), 4).as("score"))
+        round(VectorOps.cosine(col("embedding"), typedlit(Similarity.queryVec(s, dir))), 4)
+          .as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(20)
   }

@@ -51,44 +51,64 @@ object Similarity {
     */
   def bucketOf(emb: Column): Column = bucketOf(emb, planeSets.head)
 
-  /** Shared probe stage: candidates for the query vector (vec_id = 0)
-    * from each plane set's query bucket plus its 4 Hamming-1
-    * neighbours, unioned across sets and deduped — (vec_id, label,
-    * embedding, q_emb) rows, scored differently per metric below.
-    * Parameterized by the plane sets so the spec can compare the
-    * 1-set and 2-set probes on identical machinery.
+  /** The query vector, fetched ONCE per (session, dir) at query-build
+    * time. A vector-search API takes the query as a PARAMETER, not as
+    * a table row: with q a plan literal, (a) the probe stage becomes
+    * `bucket IN (<literal keys>)` — a pushable filter that prunes
+    * partitions/buckets on a bucketed layout instead of a broadcast
+    * join against the whole corpus scan, (b) Catalyst constant-folds
+    * the query-side norm out of the per-row cosine, and (c) the
+    * ScoredTopKPushdown strategy can read the query constants at plan
+    * time and early-abandon scoring (graft.plans.ScoredTopK). Note
+    * the one-row fetch is an eager Spark job at query CONSTRUCTION.
+    */
+  private val qMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Float]]
+
+  private[graft] def queryVec(s: SparkSession, dir: String): Array[Float] =
+    qMemo.getOrElseUpdate((s, dir),
+      Tables(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray)
+
+  /** Shared probe stage: candidates whose bucket, in AT LEAST ONE
+    * plane set, lies within Hamming-1 of the query's bucket — an
+    * IN-list filter per set, OR-ed (the OR-amplification), no join and
+    * no dedup (one scan emits each candidate once). Parameterized by
+    * the plane sets so the spec can compare 1-set and 2-set probes on
+    * identical machinery. On a layout partitioned/bucketed by the LSH
+    * keys each IN-list prunes to the probed buckets.
     */
   private[graft] def probedCandidates(
       s: SparkSession, dir: String,
       sets: Seq[Seq[(Int, Int)]] = planeSets): DataFrame = {
+    val q = queryVec(s, dir)
     val e = sets.zipWithIndex.foldLeft(Tables(s, dir, "embeddings")) {
       case (d, (ps, i)) => d.withColumn(s"b$i", bucketOf(col("embedding"), ps))
     }
-    val corpus = e.filter(col("vec_id") =!= 0)
-    val q = e.filter(col("vec_id") === 0)
-    sets.indices
-      .map { i =>
-        val probes = q.select(
-          col("embedding").as("q_emb"),
-          explode(array((0 +: sets(i).map(_._2))
-            .map(m => col(s"b$i").bitwiseXOR(lit(m))): _*)).as("pb"))
-        corpus.join(broadcast(probes), col(s"b$i") === col("pb"))
-          .select(col("vec_id"), col("label"), col("embedding"), col("q_emb"))
-      }
-      .reduce(_.unionByName(_))
-      // a vector probed by both sets appears twice with identical
-      // content — dedup on the key, shuffling candidates only
-      .dropDuplicates("vec_id")
+    val cond = sets.zipWithIndex.map { case (ps, i) =>
+      val qb = ps.map { case (d, w) => if (q(d - 1) > 0) w else 0 }.sum
+      val probeKeys = (0 +: ps.map(_._2)).map(qb ^ _)
+      col(s"b$i").isin(probeKeys: _*)
+    }.reduce(_ || _)
+    e.filter(col("vec_id") =!= 0 && cond)
+      .select(col("vec_id"), col("label"), col("embedding"))
   }
 
+  /** The literal query-vector column for scoring (see [[queryVec]]). */
+  private def qLit(s: SparkSession, dir: String): Column =
+    typedlit(queryVec(s, dir))
+
   /** X4-scale — multi-probe bucketed cosine top-10 for the query
-    * vector over the OR-amplified candidate union.
+    * vector over the OR-amplified candidate union. The top-K plans
+    * through [[graft.plans.ScoredTopKPushdown]]: per-partition bounded
+    * heap with early-abandoned scoring below the running 10th-best
+    * cosine bound.
     */
   private def simBucketed(s: SparkSession, dir: String): DataFrame =
     probedCandidates(s, dir)
       .select(
         col("vec_id"), col("label"),
-        round(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("score"))
+        round(VectorOps.cosine(col("embedding"), qLit(s, dir)), 4).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(10)
 
@@ -96,13 +116,14 @@ object Similarity {
     * Euclidean distance over the same probed candidates (squared form:
     * cheaper than L2, identical ordering). Distance pipelines (k-NN
     * dedup, outlier screens) want L2; cosine and L2 share the probe
-    * machinery.
+    * machinery, and the pushdown's early abandonment is strongest
+    * here (the partial sum is itself the bound).
     */
   private def simL2(s: SparkSession, dir: String): DataFrame =
     probedCandidates(s, dir)
       .select(
         col("vec_id"), col("label"),
-        round(VectorOps.l2Sq(col("embedding"), col("q_emb")), 4).as("dist_sq"))
+        round(VectorOps.l2Sq(col("embedding"), qLit(s, dir)), 4).as("dist_sq"))
       .orderBy(col("dist_sq").asc, col("vec_id").asc)
       .limit(10)
 

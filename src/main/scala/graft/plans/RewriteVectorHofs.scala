@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ArrayDot, ArrayNormSq}
+import graft.functions.{ArrayDot, ArrayL2Sq, ArrayNormSq}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -9,8 +9,9 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
 /** Optimizer rule: recognize the declarative HOF formulations of the
   * vector kernels and swap in the native codegen'd expressions.
   *
-  *   aggregate(zip_with(a, b, (x, y) -> dbl(x) * dbl(y)), 0.0, +) → graft_dot(a, b)
-  *   aggregate(a, 0.0, (acc, x) -> acc + dbl(x) * dbl(x))         → graft_norm_sq(a)
+  *   aggregate(zip_with(a, b, (x, y) -> dbl(x) * dbl(y)), 0.0, +)             → graft_dot(a, b)
+  *   aggregate(a, 0.0, (acc, x) -> acc + dbl(x) * dbl(x))                     → graft_norm_sq(a)
+  *   aggregate(zip_with(a, b, (x, y) -> (dbl(x)-dbl(y)) * (dbl(x)-dbl(y))), 0.0, +) → graft_l2_sq(a, b)
   *
   * Rationale: HOFs are CodegenFallback — per-row lambda interpretation
   * plus a materialized intermediate array. The native expressions run
@@ -66,6 +67,23 @@ object RewriteVectorHofs extends Rule[LogicalPlan] {
           acc.exprId == lacc.exprId && elem.exprId == lelem.exprId &&
           floatingArray(a) && floatingArray(b) =>
       ArrayDot(a, b)
+
+    // l2Sq: aggregate(zip_with(a, b, (x, y) -> (dbl(x)-dbl(y))*(dbl(x)-dbl(y))), 0.0, +)
+    case ArrayAggregate(
+          ZipWith(a, b, LambdaFunction(
+            Multiply(
+              Subtract(AsDouble(x1), AsDouble(y1), _),
+              Subtract(AsDouble(x2), AsDouble(y2), _), _),
+            Seq(lx: NamedLambdaVariable, ly: NamedLambdaVariable), _)),
+          zero,
+          LambdaFunction(Add(acc: NamedLambdaVariable, elem: NamedLambdaVariable, _), Seq(lacc: NamedLambdaVariable, lelem: NamedLambdaVariable), _),
+          finish)
+        if isZero(zero) && isIdentityFinish(finish) &&
+          x1.exprId == x2.exprId && y1.exprId == y2.exprId &&
+          x1.exprId == lx.exprId && y1.exprId == ly.exprId &&
+          acc.exprId == lacc.exprId && elem.exprId == lelem.exprId &&
+          floatingArray(a) && floatingArray(b) =>
+      ArrayL2Sq(a, b)
 
     // normSq: aggregate(a, 0.0, (acc, x) -> acc + dbl(x) * dbl(x))
     case ArrayAggregate(

@@ -71,6 +71,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("similarity top-K plans through the pushdown and matches the stock plan row-for-row") {
+    Seq("q_sim_bucketed", "q_sim_l2", "q_sim_cosine").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      assert(df.queryExecution.executedPlan.toString.contains("ScoredTopK"),
+        s"$q does not plan through ScoredTopKPushdown")
+      val pushed = df.collect().toSeq
+      spark.conf.set("spark.graft.topk.pushdown", "false")
+      try {
+        val stock = SparkEntry.queries(q)(spark, sf)
+        assert(!stock.queryExecution.executedPlan.toString.contains("ScoredTopK"),
+          "pushdown kill-switch has no effect")
+        assert(stock.collect().toSeq === pushed, s"$q: pushdown changed the result")
+      } finally spark.conf.unset("spark.graft.topk.pushdown")
+    }
+  }
+
   test("single-table scans prune columns down to what the query needs") {
     // spot checks with known narrow needs: scan stage must not read
     // the wide text/props columns it doesn't use

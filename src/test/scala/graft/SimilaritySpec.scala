@@ -40,7 +40,8 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.probedCandidates(spark, sf, sets)
         .select(
           col("vec_id"),
-          graft.operators.VectorOps.cosine(col("embedding"), col("q_emb")).as("score"))
+          graft.operators.VectorOps.cosine(
+            col("embedding"), typedlit(Similarity.queryVec(spark, sf))).as("score"))
         .orderBy(col("score").desc, col("vec_id").asc)
         .limit(10).collect().map(_.getLong(0)).toSet
     val single = top10(Similarity.planeSets.take(1))
