@@ -41,6 +41,15 @@ import org.apache.spark.sql.types._
   *    over the unknown suffix norm t of x (Cauchy–Schwarz on the
   *    suffix dot; ScoredTopKProps property-tests the bound).
   *
+  * Honest effectiveness note: the L2 bound prunes aggressively on any
+  * data (every distant candidate's partial sum races past the k-th
+  * best — PlanAuditSpec pins prunedRows > 0). The cosine bound is
+  * sound everywhere but only TIGHT when vectors are anisotropic or
+  * clustered (real embedding corpora); on this repo's isotropic
+  * synthetic vectors — the Cauchy–Schwarz worst case, where a suffix
+  * really could align with q — it rarely fires before the final
+  * dims, and the operator degrades gracefully to fused score+top-K.
+  *
   * Pruning respects the declared rounding: a row is skipped only when
   * its rounded bound is strictly below the rounded k-th best, so ties
   * (broken by the id column) are always fully scored. Null scores
@@ -171,6 +180,15 @@ case class ScoredTopKExec(
 
   override def output: Seq[Attribute] = projectList.map(_.toAttribute)
 
+  // observability: "measure, don't guess" — prunedRows proves the
+  // early abandonment is live (PlanAuditSpec asserts it is non-zero
+  // on real data), scoredRows is the work that remained
+  override lazy val metrics = Map(
+    "prunedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "rows pruned by the running top-K bound"),
+    "scoredRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "rows fully scored"))
+
   override protected def withNewChildInternal(newChild: SparkPlan): ScoredTopKExec =
     copy(child = newChild)
 
@@ -183,6 +201,8 @@ case class ScoredTopKExec(
     val pl = projectList
     val cOut = child.output
     val xType = cOut(xo).dataType
+    val prunedMetric = longMetric("prunedRows")
+    val scoredMetric = longMetric("scoredRows")
     child.execute().mapPartitions { iter =>
       import graft.plans.ScoredTopKPushdown.{cosineUpperBound, roundScale}
       // (rounded score, id, idIsNull, row copy)
@@ -252,6 +272,7 @@ case class ScoredTopKExec(
             }
           }
         }
+        if (pruned) prunedMetric += 1 else scoredMetric += 1
         if (!pruned) {
           val idNull = row.isNullAt(io)
           val id = if (idNull) 0L else row.getLong(io)

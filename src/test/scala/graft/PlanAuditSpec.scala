@@ -87,6 +87,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("the pushdown actually prunes: early abandonment fires on real data") {
+    // correctness alone can't tell a live optimization from dead code:
+    // the exec's metrics must show rows skipped by the running-bound
+    // check. L2 is the load-bearing case — its partial sum races past
+    // the k-th best for every distant candidate. (The cosine bound is
+    // sound but provably loose on THIS corpus: isotropic vectors are
+    // the Cauchy–Schwarz worst case, so for q_sim_cosine we only
+    // assert full metric coverage, not pruning.)
+    def metricsOf(q: String, dir: String): (Long, Long) = {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val exec = df.queryExecution.executedPlan.collectFirst {
+        case e: graft.plans.ScoredTopKExec => e
+      }
+      assert(exec.nonEmpty, s"$q lost the ScoredTopKExec node")
+      (exec.get.metrics("prunedRows").value, exec.get.metrics("scoredRows").value)
+    }
+    val (l2Pruned, l2Scored) = metricsOf("q_sim_l2", "/root/testdata/sf0.01")
+    assert(l2Pruned > 0, s"L2 early abandonment never fired (scored=$l2Scored)")
+    val (cosPruned, cosScored) = metricsOf("q_sim_cosine", "/root/testdata/sf0.01")
+    val corpus = Tables(spark, "/root/testdata/sf0.01", "embeddings").count() - 1
+    assert(cosPruned + cosScored === corpus, "metrics do not cover the candidate stream")
+  }
+
   test("single-table scans prune columns down to what the query needs") {
     // spot checks with known narrow needs: scan stage must not read
     // the wide text/props columns it doesn't use
