@@ -296,7 +296,7 @@ class GatewaySpec extends AnyFunSuite {
 
       // rewrite the conf: buffer b goes inactive; wait for the cycle
       atomicWrite(confPath, ini("False"))
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000 // generous: a slow checkpoint restart under load must not flake the assert
       while (watcher.reloads < 1 && System.nanoTime() < deadline) Thread.sleep(20)
       assert(watcher.reloads === 1L)
 
@@ -353,7 +353,7 @@ class GatewaySpec extends AnyFunSuite {
 
       // rewrite parses fine but fails to start → revert to last good
       atomicWrite(confPath, ini("False"))
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000 // generous: a slow checkpoint restart under load must not flake the assert
       while (watcher.failures < 1 && System.nanoTime() < deadline) Thread.sleep(20)
       assert(watcher.failures === 1L)
       assert(watcher.reloads === 0L)
@@ -428,7 +428,7 @@ class GatewaySpec extends AnyFunSuite {
       // rewrite parses fine, starts a's query, THEN fails → the orphan
       // must be stopped and the last-good conf restarted cleanly
       atomicWrite(confPath, ini("False"))
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000 // generous: a slow checkpoint restart under load must not flake the assert
       while (watcher.failures < 1 && System.nanoTime() < deadline) Thread.sleep(20)
       assert(watcher.failures === 1L)
       assert(watcher.reloads === 0L)
