@@ -34,6 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSketch].getName, "graft_minhash_sig"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSketch(children(0))))
+    // one-pass SimHash majority-vote sketch
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash_sketch"),
+      new ExpressionInfo(classOf[SimHashSketch].getName, "graft_simhash_sketch"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHashSketch(children(0))))
     // HOF dot/normSq/l2Sq patterns rewrite to the native expressions
     ext.injectOptimizerRule(_ => graft.plans.RewriteVectorHofs)
     // vector top-K pushdown: early-abandon scoring below the running

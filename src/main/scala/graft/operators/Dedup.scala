@@ -373,23 +373,40 @@ object Dedup {
   /** Per-doc 60-bit SimHash sketch table — memoized like the shingle
     * index: it is N rows × 16 bytes (trivial to cache) and feeds BOTH
     * sides of the candidate self-join, which would otherwise re-run
-    * the 60-column majority-vote aggregate twice per query (measured:
-    * the double sketch build, not the collision join, dominated the
-    * query's cost).
+    * the majority-vote aggregate twice per query (measured: the
+    * double sketch build, not the collision join, dominated the
+    * query's cost). Built by the one-pass
+    * [[graft.functions.SimHashSketch]] aggregate — one int[60]
+    * counter buffer per doc with map-side partial merge, the same
+    * 100 TB signature-build shape as the MinHash sketch — pinned
+    * elementwise-identical to the declarative 60-column
+    * [[simSketchSumCols]] form by DedupSpec.
     */
   private[graft] def simSketch(s: SparkSession, dir: String): DataFrame =
     cachedIndex(s, dir, "simsketch") {
       import Hashing.h60
-      val hs = shingleIndex(s, dir).select(col("doc_id"), h60(col("shingle")).as("h"))
-      val sumCols = (0 until simBits).map(j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j"))
-      hs.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
-        .select(
-          col("doc_id"),
-          (0 until simBits)
-            .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-            .reduce(_ + _).as("sim"))
+      shingleIndex(s, dir)
+        .select(col("doc_id"), h60(col("shingle")).as("h"))
+        .groupBy(col("doc_id"))
+        .agg(call_function("graft_simhash_sketch", col("h")).as("sim"))
     }
+
+  /** The declarative 60-column `sum(when)` formulation of the same
+    * sketch — kept as the cross-check baseline for the sketch
+    * aggregate (DedupSpec pins equality of the two).
+    */
+  private[graft] def simSketchSumCols(sh: DataFrame): DataFrame = {
+    import Hashing.h60
+    val hs = sh.select(col("doc_id"), h60(col("shingle")).as("h"))
+    val sumCols = (0 until simBits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j"))
+    hs.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until simBits)
+          .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+  }
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val sim = simSketch(s, dir)

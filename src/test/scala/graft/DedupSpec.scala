@@ -78,6 +78,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("SimHash sketch aggregate == 60-column sum(when) sketch, per doc") {
+    // the TypedImperativeAggregate (one int[60] buffer per doc,
+    // map-side partial merge) must be bit-identical to the
+    // declarative 60-column sum(when) form it replaced
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val sh = graft.operators.Dedup.shingles(spark, dir).persist()
+      try {
+        def sims(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val sketch = sims(graft.operators.Dedup.simSketch(spark, dir))
+        val sumCols = sims(graft.operators.Dedup.simSketchSumCols(sh))
+        assert(sketch.nonEmpty, s"vacuous pin at $dir")
+        assert(sketch === sumCols, s"simhash sketch aggregate diverged from sum(when) path at $dir")
+      } finally sh.unpersist()
+    }
+  }
+
   test("planted hot shingle: the df cap keeps the collision join unskewed AND exact") {
     // The 100TB hazard argued (until now) only in comments: one viral
     // boilerplate 3-gram appearing in k docs emits k(k-1)/2 collision

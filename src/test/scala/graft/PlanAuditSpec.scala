@@ -69,6 +69,13 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(plan.contains("InMemoryTableScan"),
         s"$q rebuilds the shingle index instead of reading the shared cache")
     }
+    // and the cached sketch itself is built by the one-pass aggregate
+    // (one int[60] buffer per doc, map-side partial merge), not 60
+    // separate sum() columns
+    val sketchPlan = graft.operators.Dedup.simSketch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(sketchPlan.contains("graft_simhash_sketch") && sketchPlan.contains("ObjectHashAggregate"),
+      "simhash sketch is not built by the SimHashSketch aggregate")
   }
 
   test("similarity top-K plans through the pushdown and matches the stock plan row-for-row") {
