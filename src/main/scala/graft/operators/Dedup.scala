@@ -66,18 +66,38 @@ object Dedup {
 
   /** Distinct word-3-gram shingles per doc — the inverted index every
     * dedup variant builds on. Narrow until the final distinct.
+    *
+    * Each row also CARRIES its doc's total shingle count `n` (one
+    * window count over the distinct index, paid once in the cached
+    * build): the Jaccard cut needs |A| and |B| per candidate pair, and
+    * carrying them through the collision/verify joins — the same way
+    * [[dedupSimhash]] carries its 8-byte sketch — replaces the r8
+    * design's per-doc cardinality table, whose `broadcast()` hint was
+    * one row per document: a hint Catalyst can never retract, i.e. a
+    * guaranteed driver OOM at corpus scale.
     */
   private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
-    corpus(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(
-        col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, size(w) - 2), " +
-            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
-          .as("shingle"))
-      .distinct()
+    withDocCardinality(
+      corpus(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(
+          col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, size(w) - 2), " +
+              "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+            .as("shingle"))
+        .distinct())
+
+  /** Attach each doc's total shingle count to every (doc_id, shingle)
+    * row — one window count, no skew (per-doc group size is bounded by
+    * document length). Kept separate so specs building synthetic
+    * indexes reuse exactly the production cardinality derivation.
+    */
+  private[graft] def withDocCardinality(sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sh.withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+  }
 
   /** Session-scoped memo of the PERSISTED shingle index, keyed by
     * (session, dir). Every dedup variant reads the index through this
@@ -116,36 +136,42 @@ object Dedup {
 
   /** Apply the ≥0.6 integer-arithmetic Jaccard threshold (10·|∩| ≥
     * 6·|∪| — no float in the cut, so no rounding divergence can flip a
-    * pair) to (id_a, id_b, shared) rows. Cardinalities are per-doc
-    * aggregates (small) → broadcast both sides of the enrich joins.
+    * pair) to (id_a, id_b, shared, n_a, n_b) rows. Both cardinalities
+    * arrive ON the pair row — carried through the upstream join by
+    * whoever built it (the shingle index rows carry `n`, see
+    * [[shingles]]) — so the cut is a pure filter: no per-doc table, no
+    * join, and in particular no broadcast whose size is
+    * corpus-proportional (the r8 design's scale killer, now pinned
+    * un-regressable by PlanAuditSpec).
     */
-  private def jaccardCut(sh: DataFrame, shared: DataFrame): DataFrame = {
-    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    shared
-      .join(broadcast(card.as("ca")), col("id_a") === col("ca.doc_id"))
-      .join(broadcast(card.as("cb")), col("id_b") === col("cb.doc_id"))
-      .withColumn("n_union", col("ca.n") + col("cb.n") - col("shared"))
+  private def jaccardCut(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("n_union", col("n_a") + col("n_b") - col("shared"))
       .filter(col("shared") * 10 >= col("n_union") * 6)
       .select(
         col("id_a"), col("id_b"),
         col("shared").cast("long").as("shared"),
         col("n_union").cast("long").as("n_union"))
       .orderBy("id_a", "id_b")
-  }
 
   /** Exact-Jaccard verification of an (id_a, id_b) candidate set: the
     * candidate list is small by construction (that is LSH's whole
-    * point), so it broadcasts into both shingle joins — no shuffle of
-    * the index itself beyond the per-pair count.
+    * point — its volume tracks true similarity, not corpus size), so
+    * it broadcasts into both shingle joins — no shuffle of the index
+    * itself beyond the per-pair count. The per-doc cardinalities ride
+    * along as `min(n)` (constant per group) through the same
+    * aggregation that counts shared shingles.
     */
   private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame =
     jaccardCut(
-      sh,
       broadcast(cand)
         .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
         .join(sh.as("sb"), col("id_b") === col("sb.doc_id") && col("sb.shingle") === col("sa.shingle"))
         .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("shared")))
+        .agg(
+          count(lit(1)).as("shared"),
+          min(col("sa.n")).as("n_a"),
+          min(col("sb.n")).as("n_b")))
 
   private val verifySqlTail =
     """SELECT v.id_a, v.id_b, CAST(v.shared AS BIGINT) AS shared,
@@ -193,11 +219,16 @@ object Dedup {
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val highShingles = dfreq.filter(col("df") > maxDf).select("shingle")
     val capped = sh.join(dfreq.filter(col("df") <= maxDf).select("shingle"), "shingle")
+    // each index row carries its doc's cardinality `n`, so min(n) per
+    // pair group IS the cardinality — no per-doc enrich join later
     val sharedKept = capped.as("a")
       .join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("shared_kept"))
+      .agg(
+        count(lit(1)).as("shared_kept"),
+        min(col("a.n")).as("n_a"),
+        min(col("b.n")).as("n_b"))
     // Runtime short-circuit, same spirit as AQE's empty-relation
     // elimination: one cheap probe of the (cached) index decides
     // whether any shingle exceeds the cap at all. If none does — the
@@ -208,7 +239,9 @@ object Dedup {
     // plans that provably compute the same result.
     val shared =
       if (highShingles.isEmpty)
-        sharedKept.select(col("id_a"), col("id_b"), col("shared_kept").as("shared"))
+        sharedKept.select(
+          col("id_a"), col("id_b"), col("shared_kept").as("shared"),
+          col("n_a"), col("n_b"))
       else {
         val shHigh = sh.join(highShingles, "shingle")
         val corr = sharedKept.select(col("id_a"), col("id_b"))
@@ -220,9 +253,10 @@ object Dedup {
         sharedKept.join(corr, Seq("id_a", "id_b"), "left")
           .select(
             col("id_a"), col("id_b"),
-            (col("shared_kept") + coalesce(col("extra"), lit(0L))).as("shared"))
+            (col("shared_kept") + coalesce(col("extra"), lit(0L))).as("shared"),
+            col("n_a"), col("n_b"))
       }
-    jaccardCut(sh, shared)
+    jaccardCut(shared)
   }
 
   /** X5a — n-gram Jaccard near-dup: every pair colliding on a

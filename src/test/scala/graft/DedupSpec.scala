@@ -111,13 +111,14 @@ class DedupSpec extends AnyFunSuite {
       (i + 10000L, t.split(" ").dropRight(1).mkString(" "))
     }
     val corpus = (base ++ copies).toDF("doc_id", "text")
-    val sh = corpus
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 2), " +
-          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
-        .as("shingle"))
-      .distinct()
+    val sh = graft.operators.Dedup.withDocCardinality(
+      corpus
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 2), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+          .as("shingle"))
+        .distinct())
       .persist()
     try {
       val hotDf = sh.groupBy("shingle").count()

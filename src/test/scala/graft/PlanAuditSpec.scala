@@ -28,27 +28,34 @@ class PlanAuditSpec extends AnyFunSuite {
     // index was recomputed up to 7x per run) — the plan must read it
     // through InMemoryTableScan
     assert(plan.contains("InMemoryTableScan"), "shingle index is not cached in the near-dup plan")
-    // and no join may carry an explicit broadcast HINT on a side that
-    // produces the (id_a, id_b) pair stream: it grows ~quadratically
-    // on low-similarity corpora (the r6 driver-OOM shape). Size-based
-    // auto-broadcast is fine — Catalyst retracts it at scale; a hint
-    // does not. Broadcast hints on per-doc tables (cardinalities,
-    // sketches) remain legitimate.
-    def hintedPairBroadcast(q: String): Boolean =
+    // and no join may carry an explicit broadcast HINT on a side whose
+    // row count is corpus-proportional — neither the (id_a, id_b) pair
+    // stream (~quadratic on low-similarity corpora, the r6 driver-OOM
+    // shape) nor any per-document table (one row per doc: the r8
+    // cardinality-table hint the round-9 rework removed). A hint is
+    // honored regardless of size, so Catalyst can never retract it at
+    // scale; size-based auto-broadcast remains fine. The ONLY side a
+    // dedup plan may ever hint is an LSH candidate list, whose volume
+    // is bounded by true similarity, not corpus size — and candidate
+    // lists are exactly the pair-shaped {id_a, id_b} outputs below.
+    def hintedSides(q: String): Seq[Set[String]] =
       SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.collect {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
-          Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).exists {
-            case (h, side) =>
-              h.exists(_.strategy.isDefined) &&
-                Set("id_a", "id_b").subsetOf(side.output.map(_.name).toSet)
+          Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).collect {
+            case (h, side) if h.exists(_.strategy.isDefined) =>
+              side.output.map(_.name).toSet
           }
-      }.exists(identity)
-    assert(!hintedPairBroadcast("q_dedup_near"),
-      "near-dup plan hint-broadcasts the candidate pair set")
-    // positive control so this detector can never rot into vacuity:
-    // q_dedup_fuzzy DOES hint-broadcast its pair set — legitimately,
-    // because LSH candidate volume is bounded by true similarity
-    assert(hintedPairBroadcast("q_dedup_fuzzy"), "broadcast-hint detector went blind")
+      }.flatten
+    assert(hintedSides("q_dedup_near").isEmpty,
+      s"near-dup plan carries broadcast hints: ${hintedSides("q_dedup_near")}")
+    val minhashHints = hintedSides("q_dedup_minhash")
+    assert(minhashHints.forall(_ == Set("id_a", "id_b")),
+      s"minhash plan hint-broadcasts a non-candidate (corpus-proportional) side: $minhashHints")
+    // positive controls so this detector can never rot into vacuity:
+    // minhash and fuzzy DO hint-broadcast their LSH candidate lists
+    assert(minhashHints.nonEmpty, "broadcast-hint detector went blind (minhash)")
+    assert(hintedSides("q_dedup_fuzzy").exists(s => Set("id_a", "id_b").subsetOf(s)),
+      "broadcast-hint detector went blind (fuzzy)")
   }
 
   test("q_dedup_minhash builds signatures with the one-pass sketch aggregate") {
