@@ -54,7 +54,15 @@ import org.apache.spark.sql.types._
   * its rounded bound is strictly below the rounded k-th best, so ties
   * (broken by the id column) are always fully scored. Null scores
   * (ragged/null vectors) are kept in a separate id-ordered bounded
-  * buffer so NULLS FIRST/LAST ordering survives exactly. Each
+  * buffer so NULLS FIRST/LAST ordering survives exactly — including
+  * when the null element sits AFTER the point where the bound fired:
+  * unless the array type's containsNull rules it out, a prune is
+  * completed by an isNullAt-only scan of the unvisited suffix, and a
+  * row hiding a null there is rerouted to the null buffer instead of
+  * dropped (the stock plan scores it NULL, which sorts FIRST under the
+  * L2 pattern's ASC ordering — dropping it would change the result).
+  * The strategy also only matches the DEFAULT null ordering for each
+  * sort direction, since those are what the exec's comparators encode. Each
   * partition emits at most 2·k rows; the stock TakeOrderedAndProject
   * on top does the global merge, so distribution semantics are
   * unchanged. Disable with `spark.graft.topk.pushdown=false`
@@ -91,11 +99,17 @@ object ScoredTopKPushdown extends SparkStrategy {
     // matches that wrapper directly, so this strategy must unwrap it
     // first or it never sees the Limit node at all
     case ReturnAnswer(inner) => apply(inner)
+    // null orderings must be the DEFAULT for each direction (NULLS
+    // FIRST for ASC, NULLS LAST for DESC): the exec's null buffer and
+    // tiebreak comparator hardcode exactly those, so an explicit
+    // `NULLS LAST` ASC query must fall through to the stock plan
+    // rather than silently reorder null-score or null-id rows
     case Limit(IntegerLiteral(limit),
-        Sort(order @ Seq(SortOrder(s1: AttributeReference, dir, _, _),
-                         SortOrder(id: AttributeReference, Ascending, _, _)), true,
+        Sort(order @ Seq(SortOrder(s1: AttributeReference, dir, sNulls, _),
+                         SortOrder(id: AttributeReference, Ascending, NullsFirst, _)), true,
           Project(projectList, child), _))
-        if enabled && limit > 0 && id.dataType == LongType =>
+        if enabled && limit > 0 && id.dataType == LongType &&
+          sNulls == (if (dir == Descending) NullsLast else NullsFirst) =>
       val scoreExpr = projectList.collectFirst {
         case a @ Alias(e, _) if a.exprId == s1.exprId => e
       }
@@ -132,7 +146,9 @@ object ScoredTopKPushdown extends SparkStrategy {
           }
           if (idOrd < 0 || isFloat.isEmpty) Nil
           else {
-            val topk = ScoredTopKExec(limit, sp, isFloat.get, xOrd, idOrd, projectList, planLater(child))
+            val hasNulls = child.output(xOrd).dataType
+              .asInstanceOf[ArrayType].containsNull
+            val topk = ScoredTopKExec(limit, sp, isFloat.get, hasNulls, xOrd, idOrd, projectList, planLater(child))
             Seq(TakeOrderedAndProjectExec(limit, order, topk.output, topk, 0))
           }
         case _ => Nil
@@ -173,6 +189,7 @@ case class ScoredTopKExec(
     limit: Int,
     spec: ScoreSpec,
     xIsFloat: Boolean,
+    xContainsNull: Boolean,
     xOrd: Int,
     idOrd: Int,
     projectList: Seq[NamedExpression],
@@ -196,6 +213,7 @@ case class ScoredTopKExec(
     val k = limit
     val sp = spec
     val isFloat = xIsFloat
+    val hasNulls = xContainsNull
     val xo = xOrd
     val io = idOrd
     val pl = projectList
@@ -262,6 +280,21 @@ case class ScoredTopKExec(
                         java.lang.Double.compare(roundScale(sumSq, sp.scale), kth) > 0) pruned = true
                 }
               }
+            }
+            // a prune decision is only the final word when the TYPE
+            // rules out null elements: otherwise the unvisited suffix
+            // could hide a null, which the stock plan scores as NULL —
+            // and under ASC NULLS FIRST a null-score row sorts ahead
+            // of every real score, so dropping it would change the
+            // result. Finish with an isNullAt-only scan (no arithmetic,
+            // no bound checks) and reroute such rows to the null buffer.
+            if (pruned && hasNulls) {
+              var j = i
+              while (j < n && !nullElem) {
+                if (arr.isNullAt(j)) nullElem = true
+                j += 1
+              }
+              if (nullElem) pruned = false
             }
             if (!pruned) {
               if (nullElem) score = null

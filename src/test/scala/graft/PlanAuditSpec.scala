@@ -125,6 +125,72 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(cosPruned + cosScored === corpus, "metrics do not cover the candidate stream")
   }
 
+  test("pushdown keeps rows whose vectors hide a null AFTER the prune checkpoint") {
+    // The adversarial case for early abandonment: a row whose prefix
+    // distance races past the k-th best (prune fires at i=16) but
+    // whose element 60 is NULL. The stock plan scores it NULL, and
+    // under ASC NULLS FIRST a null-score row sorts ahead of every real
+    // score — so a pushdown that drops it on the prune returns
+    // different rows. The fix completes every prune with an
+    // isNullAt-only suffix scan when the array type admits nulls.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dim = 64
+    val qv = Array.tabulate(dim)(i => 0.1 + 0.001 * (i % 7))
+    def near(seed: Int) = Seq.tabulate(dim)(i => 0.1 + 0.002 * ((seed + i) % 5)): Seq[Any]
+    def far(seed: Int) = Seq.tabulate(dim)(i => 500.0 + seed + i): Seq[Any]
+    def farWithNull(seed: Int) =
+      Seq.tabulate[Any](dim)(i => if (i == 60) null else 500.0 + seed + i)
+    val rows =
+      (1 to 120).map(i => Row(i.toLong, near(i))) ++       // fill the heap
+      (201 to 240).map(i => Row(i.toLong, far(i))) ++      // pruned, legitimately
+      (301 to 303).map(i => Row(i.toLong, farWithNull(i))) // must NOT be dropped
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("emb", ArrayType(DoubleType, containsNull = true))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema).cache()
+    try {
+      def topk = df
+        .select(col("vec_id"),
+          round(graft.operators.VectorOps.l2Sq(col("emb"), typedlit(qv)), 4).as("dist_sq"))
+        .orderBy(col("dist_sq").asc, col("vec_id").asc)
+        .limit(5)
+      val q = topk
+      assert(q.queryExecution.executedPlan.toString.contains("ScoredTopK"),
+        "interior-null scenario does not plan through the pushdown")
+      val pushed = q.collect().toSeq
+      val exec = q.queryExecution.executedPlan.collectFirst {
+        case e: graft.plans.ScoredTopKExec => e
+      }.get
+      assert(exec.metrics("prunedRows").value > 0,
+        "prune never fired — the adversarial scenario is vacuous")
+      // the three null-element rows must lead the result (NULLS FIRST)
+      assert(pushed.take(3).map(_.getLong(0)).toSet === Set(301L, 302L, 303L),
+        s"null-element rows lost or misplaced: $pushed")
+      spark.conf.set("spark.graft.topk.pushdown", "false")
+      try assert(topk.collect().toSeq === pushed, "pushdown diverged from the stock plan")
+      finally spark.conf.unset("spark.graft.topk.pushdown")
+    } finally df.unpersist()
+  }
+
+  test("non-default null orderings fall through to the stock plan") {
+    // the exec's comparators encode ASC NULLS FIRST / DESC NULLS LAST;
+    // an explicit contrary ordering must not match the strategy
+    import org.apache.spark.sql.functions._
+    val df = Tables(spark, sf, "embeddings")
+    val qv = Array.fill(64)(0.1f)
+    def plan(sorted: org.apache.spark.sql.DataFrame) =
+      sorted.limit(10).queryExecution.executedPlan.toString
+    val scored = df.select(col("vec_id"),
+      round(graft.operators.VectorOps.l2Sq(col("embedding"), typedlit(qv)), 4).as("d"))
+    assert(!plan(scored.orderBy(col("d").asc_nulls_last, col("vec_id").asc))
+      .contains("ScoredTopK"), "ASC NULLS LAST score matched the pushdown")
+    assert(plan(scored.orderBy(col("d").asc, col("vec_id").asc))
+      .contains("ScoredTopK"), "control: default ordering no longer matches")
+  }
+
   test("single-table scans prune columns down to what the query needs") {
     // spot checks with known narrow needs: scan stage must not read
     // the wide text/props columns it doesn't use
