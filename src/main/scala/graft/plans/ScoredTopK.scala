@@ -40,6 +40,13 @@ import org.apache.spark.sql.types._
   *      = |q_suf| / |q|                       for a ≤ 0  (limit t→∞)
   *    over the unknown suffix norm t of x (Cauchy–Schwarz on the
   *    suffix dot; ScoredTopKProps property-tests the bound).
+  *  - pure dot, descending, under the opt-in unit-norm declaration
+  *    (`spark.graft.topk.unitNorm=true` — cosine search over a
+  *    corpus normalized at write time, the standard vector-store
+  *    layout): the suffix norm is pinned at sqrt(1 − c²), so the
+  *    bound `a + |q_suf|·sqrt(1 + ε − c²)` tightens to the running
+  *    dot itself as the prefix consumes the norm — it prunes even on
+  *    isotropic corpora where the norm-free cosine bound cannot.
   *
   * Honest effectiveness note: the L2 bound prunes aggressively on any
   * data (every distant candidate's partial sum races past the k-th
@@ -78,6 +85,22 @@ object ScoredTopKPushdown extends SparkStrategy {
     if (xPreSq <= 0 || dot <= 0) math.sqrt(qSufSq) / qNorm
     else math.sqrt(dot * dot + qSufSq * xPreSq) / (math.sqrt(xPreSq) * qNorm)
 
+  /** Slack the unit-norm declaration absorbs: float32 write-time
+    * normalization leaves |x|² within ~1e-6 of 1 at realistic dims;
+    * 1e-5 keeps the bound sound for float or double normalization
+    * while costing at most sqrt(1e-5) ≈ 0.003·|q_suf| of tightness.
+    */
+  private[graft] val unitNormHeadroom: Double = 1e-5
+
+  /** Sound upper bound on the final dot product when x is DECLARED
+    * unit-norm: the suffix norm is pinned at sqrt(1 − |x_pre|²), so
+    * Cauchy–Schwarz on the suffix gives a bound that tightens to the
+    * running dot as the prefix consumes the norm — tight even on
+    * isotropic corpora, unlike the norm-free cosine bound above.
+    */
+  private[graft] def unitDotUpperBound(dot: Double, xPreSq: Double, qSufNorm: Double): Double =
+    dot + qSufNorm * math.sqrt(math.max(0.0, 1.0 + unitNormHeadroom - xPreSq))
+
   /** Replicates Catalyst Round(_, s) HALF_UP on doubles. */
   private[graft] def roundScale(v: Double, s: Int): Double =
     if (v.isNaN || v.isInfinite) v
@@ -93,6 +116,22 @@ object ScoredTopKPushdown extends SparkStrategy {
 
   private def enabled: Boolean =
     SQLConf.get.getConfString("spark.graft.topk.pushdown", "true").toBoolean
+
+  /** The unit-norm declaration (`spark.graft.topk.unitNorm=true`,
+    * default false): the caller asserts every stored vector scored by
+    * a pure-dot DESC top-K has L2 norm ≤ 1 + [[UnitDotSpec.headroom]]
+    * — the standard vector-store layout, where embeddings are
+    * normalized once at write time and cosine IS the dot product.
+    * Under that declaration the prefix bound `dot + |q_suf|·sqrt(1 +
+    * headroom − |x_pre|²)` is sound AND tight (the suffix norm is
+    * pinned, not adversarial), so cosine-ranked search prunes even on
+    * isotropic corpora where the norm-free Cauchy–Schwarz bound
+    * cannot. If the declaration is violated by more than the headroom
+    * the pushdown may drop true top-K rows — which is why it is
+    * opt-in, off by default, and documented as a data contract.
+    */
+  private def unitNormDeclared: Boolean =
+    SQLConf.get.getConfString("spark.graft.topk.unitNorm", "false").toBoolean
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     // QueryExecution plans ReturnAnswer(root); Spark's SpecialLimits
@@ -127,6 +166,11 @@ object ScoredTopKPushdown extends SparkStrategy {
             case (IntegerLiteral(s), ArrayL2Sq(x: AttributeReference, ql: Literal))
                 if dir == Ascending =>
               literalVec(ql).map(q => L2Spec(q, s))
+            // pure dot DESC over declared-unit-norm vectors: cosine
+            // search on a pre-normalized corpus (see unitNormDeclared)
+            case (IntegerLiteral(s), ArrayDot(x: AttributeReference, ql: Literal))
+                if dir == Descending && unitNormDeclared =>
+              literalVec(ql).map(q => UnitDotSpec(q, s))
             case _ => None
           }
         case _ => None
@@ -180,6 +224,24 @@ private[plans] case class L2Spec(q: Array[Double], scale: Int) extends ScoreSpec
   override def descending: Boolean = false
 }
 
+/** Pure dot product, descending, with the x side DECLARED unit-norm
+  * (`spark.graft.topk.unitNorm=true`). With |x| pinned, the unknown
+  * suffix norm is sqrt(1 − |x_pre|²) instead of a free variable, so
+  * the Cauchy–Schwarz bound on the remaining contribution is tight:
+  * bound = dot + |q_suf|·sqrt(1 + headroom − |x_pre|²).
+  */
+private[plans] case class UnitDotSpec(q: Array[Double], scale: Int) extends ScoreSpec {
+  override def descending: Boolean = true
+  /** qSufNorm(i) = sqrt(Σ_{j ≥ i} q_j²) — suffix norms of the query. */
+  val qSufNorm: Array[Double] = {
+    val a = new Array[Double](q.length + 1)
+    var i = q.length - 1
+    while (i >= 0) { a(i) = a(i + 1) + q(i) * q(i); i -= 1 }
+    a.map(math.sqrt)
+  }
+}
+
+
 /** Per-partition early-abandoning top-K over a scored projection.
   * Emits each partition's local top-`limit` rows (plus up to `limit`
   * null-scored rows, id-ordered) AFTER applying `projectList`; a
@@ -222,7 +284,7 @@ case class ScoredTopKExec(
     val prunedMetric = longMetric("prunedRows")
     val scoredMetric = longMetric("scoredRows")
     child.execute().mapPartitions { iter =>
-      import graft.plans.ScoredTopKPushdown.{cosineUpperBound, roundScale}
+      import graft.plans.ScoredTopKPushdown.{cosineUpperBound, roundScale, unitDotUpperBound}
       // (rounded score, id, idIsNull, row copy)
       type Entry = (Double, Long, Boolean, InternalRow)
       val q = sp.q
@@ -273,6 +335,13 @@ case class ScoredTopKExec(
                       val bound = cosineUpperBound(dot, xSq, c.qSufSq(i), c.qNorm)
                       if (java.lang.Double.compare(roundScale(bound, sp.scale), kth) < 0) pruned = true
                     }
+                  case u: UnitDotSpec =>
+                    dot += xi * q(i); xSq += xi * xi
+                    i += 1
+                    if (full && (i & 15) == 0 && i < n) {
+                      val bound = unitDotUpperBound(dot, xSq, u.qSufNorm(i))
+                      if (java.lang.Double.compare(roundScale(bound, sp.scale), kth) < 0) pruned = true
+                    }
                   case _: L2Spec =>
                     val d = xi - q(i); sumSq += d * d
                     i += 1
@@ -299,8 +368,9 @@ case class ScoredTopKExec(
             if (!pruned) {
               if (nullElem) score = null
               else score = sp match {
-                case c: CosineSpec => roundScale(dot / (math.sqrt(xSq) * c.qNorm), sp.scale)
-                case _: L2Spec     => roundScale(sumSq, sp.scale)
+                case c: CosineSpec  => roundScale(dot / (math.sqrt(xSq) * c.qNorm), sp.scale)
+                case _: UnitDotSpec => roundScale(dot, sp.scale)
+                case _: L2Spec      => roundScale(sumSq, sp.scale)
               }
             }
           }

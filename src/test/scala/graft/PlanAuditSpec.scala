@@ -125,6 +125,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(cosPruned + cosScored === corpus, "metrics do not cover the candidate stream")
   }
 
+  test("unit-norm declaration makes cosine-ranked search prune on the real corpus") {
+    // Verdict r8 task 4: the norm-free cosine bound is provably loose
+    // on isotropic vectors, so q_sim_cosine never pruned. On a
+    // pre-normalized corpus (the standard vector-store layout) cosine
+    // is a pure dot with |x| = 1, and under the opt-in declaration
+    // the pinned-suffix-norm bound prunes even here. Same row-identity
+    // pin as every other pushdown path.
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val raw = Tables(spark, dir, "embeddings")
+    val normed = raw
+      .withColumn("nrm", sqrt(graft.operators.VectorOps.normSq(col("embedding"))))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("nemb"))
+      .cache()
+    val qn: Array[Double] = {
+      val q = raw.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).map(_.toDouble).toArray
+      val n = math.sqrt(q.map(v => v * v).sum)
+      q.map(_ / n)
+    }
+    def topk = normed.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(graft.operators.VectorOps.dot(col("nemb"), typedlit(qn)), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+    try {
+      spark.conf.set("spark.graft.topk.unitNorm", "true")
+      val q = topk
+      assert(q.queryExecution.executedPlan.toString.contains("ScoredTopK"),
+        "unit-norm dot query does not plan through the pushdown")
+      val pushed = q.collect().toSeq
+      val exec = q.queryExecution.executedPlan.collectFirst {
+        case e: graft.plans.ScoredTopKExec => e
+      }.get
+      assert(exec.metrics("prunedRows").value > 0,
+        "the unit-norm bound never pruned on the isotropic corpus — the fast path is dead")
+      spark.conf.unset("spark.graft.topk.unitNorm")
+      // without the declaration the pure-dot pattern must NOT match
+      assert(!topk.queryExecution.executedPlan.toString.contains("ScoredTopK"),
+        "pure-dot pattern matched without the unit-norm declaration")
+      assert(topk.collect().toSeq === pushed, "unit-norm pushdown changed the result")
+    } finally {
+      spark.conf.unset("spark.graft.topk.unitNorm")
+      normed.unpersist()
+    }
+  }
+
   test("pushdown keeps rows whose vectors hide a null AFTER the prune checkpoint") {
     // The adversarial case for early abandonment: a row whose prefix
     // distance races past the k-th best (prune fires at i=16) but

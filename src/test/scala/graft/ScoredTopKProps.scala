@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.ScoredTopKPushdown.{cosineUpperBound, roundScale}
+import graft.plans.ScoredTopKPushdown.{cosineUpperBound, roundScale, unitDotUpperBound}
 import org.scalacheck.{Gen, Prop, Properties}
 
 /** Soundness of the early-abandonment math in the similarity top-K
@@ -36,6 +36,21 @@ object ScoredTopKProps extends Properties("ScoredTopK") {
           val xPreSq = x.take(i).map(v => v * v).sum
           val qSufSq = q.drop(i).map(v => v * v).sum
           cosineUpperBound(dot, xPreSq, qSufSq, qNorm) >= truth - 1e-12
+        }
+      }
+    }
+
+  property("unit-dot prefix bound >= true final dot for unit-norm x, at every split") =
+    Prop.forAll(vecPair) { case (x0, q) =>
+      val nrm = math.sqrt(x0.map(v => v * v).sum)
+      nrm == 0 || {
+        val x = x0.map(_ / nrm) // the declared contract: |x| = 1
+        val truth = x.zip(q).map { case (a, b) => a * b }.sum
+        (1 until x.length).forall { i =>
+          val dot = x.take(i).zip(q).map { case (a, b) => a * b }.sum
+          val xPreSq = x.take(i).map(v => v * v).sum
+          val qSufNorm = math.sqrt(q.drop(i).map(v => v * v).sum)
+          unitDotUpperBound(dot, xPreSq, qSufNorm) >= truth - 1e-12
         }
       }
     }
