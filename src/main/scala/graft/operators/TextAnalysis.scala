@@ -171,33 +171,56 @@ object TextAnalysis {
 
   /** Data profiling — the first thing any pipeline runs against a new
     * table: per-column counts, null counts, distinct counts, min/max.
-    * One aggregate pass per profiled column unioned into a tall
-    * result; numeric and string extrema live in separate typed columns
-    * (no cross-engine float→string formatting in the output).
+    * Numeric and string extrema live in separate typed columns (no
+    * cross-engine float→string formatting in the output).
+    *
+    * ONE aggregate computes every column's measures in a single scan
+    * (r8 verdict: the per-column `agg` + union form read `orders` five
+    * times — profiling is the query you run on the BIGGEST table
+    * first, so at 100 TB that was 5× the IO of this plan). The five
+    * `countDistinct`s share the scan through Catalyst's Expand-based
+    * multi-distinct rewrite — row amplification in the shuffle, but
+    * one pass over the files; the wide one-row result is then
+    * unpivoted driver-cheap via explode(array(structs)).
     */
   private def profile(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir, "orders")
-    def num(c: String): DataFrame = o.agg(
-      lit(c).as("col_name"),
-      count(lit(1)).as("n"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as("n_null"),
-      countDistinct(col(c)).as("n_distinct"),
-      round(min(col(c)).cast("double"), 4).as("min_num"),
-      round(max(col(c)).cast("double"), 4).as("max_num"),
-      lit(null).cast("string").as("min_str"),
-      lit(null).cast("string").as("max_str"))
-    def str(c: String): DataFrame = o.agg(
-      lit(c).as("col_name"),
-      count(lit(1)).as("n"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as("n_null"),
-      countDistinct(col(c)).as("n_distinct"),
-      lit(null).cast("double").as("min_num"),
-      lit(null).cast("double").as("max_num"),
-      min(col(c)).as("min_str"),
-      max(col(c)).as("max_str"))
-    Seq(num("o_orderkey"), num("o_custkey"), num("o_totalprice"),
-        str("o_orderstatus"), str("o_orderpriority"))
-      .reduce(_ unionByName _)
+    val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val strCols = Seq("o_orderstatus", "o_orderpriority")
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n")) ++
+        (numCols ++ strCols).flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"${c}__n_null"),
+            countDistinct(col(c)).as(s"${c}__n_distinct"))
+        } ++
+        numCols.flatMap { c =>
+          Seq(
+            round(min(col(c)).cast("double"), 4).as(s"${c}__min"),
+            round(max(col(c)).cast("double"), 4).as(s"${c}__max"))
+        } ++
+        strCols.flatMap { c =>
+          Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))
+        }
+    val rows =
+      numCols.map { c =>
+        struct(
+          lit(c).as("col_name"), col("n"),
+          col(s"${c}__n_null").as("n_null"),
+          col(s"${c}__n_distinct").as("n_distinct"),
+          col(s"${c}__min").as("min_num"), col(s"${c}__max").as("max_num"),
+          lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
+      } ++ strCols.map { c =>
+        struct(
+          lit(c).as("col_name"), col("n"),
+          col(s"${c}__n_null").as("n_null"),
+          col(s"${c}__n_distinct").as("n_distinct"),
+          lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+          col(s"${c}__min").as("min_str"), col(s"${c}__max").as("max_str"))
+      }
+    o.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("p"))
+      .select(col("p.*"))
       .orderBy("col_name")
   }
 

@@ -239,6 +239,19 @@ class PlanAuditSpec extends AnyFunSuite {
       .contains("ScoredTopK"), "control: default ordering no longer matches")
   }
 
+  test("q_profile reads orders in exactly one scan") {
+    // r8 verdict: the per-column agg+union form scanned orders five
+    // times — 5x the IO on exactly the table class (the biggest one)
+    // profiling targets first. The single-aggregate form must keep a
+    // single FileScan however many columns are profiled.
+    // collect() can't see through AdaptiveSparkPlanExec (it hides its
+    // children), so count scan nodes in the rendered plan instead
+    val plan = SparkEntry.queries("q_profile")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan".r.findAllIn(plan).size
+    assert(scans === 1, s"q_profile plans $scans file scans:\n$plan")
+  }
+
   test("single-table scans prune columns down to what the query needs") {
     // spot checks with known narrow needs: scan stage must not read
     // the wide text/props columns it doesn't use
