@@ -70,6 +70,19 @@ object Similarity {
       Tables(s, dir, "embeddings").filter(col("vec_id") === 0)
         .select("embedding").head.getSeq[Float](0).toArray)
 
+  /** The Hamming-≤1 probe keys for one plane set: the query's bucket
+    * plus each one-plane flip — 1 + |planes| literal ints. Because
+    * they are PLAN LITERALS, on a layout partitioned or bucketed by
+    * the LSH key they are exactly the partition values a pruned scan
+    * reads (SimilaritySpec pins partitions-read == probed buckets on
+    * a real partitioned write of this corpus).
+    */
+  private[graft] def probeKeys(s: SparkSession, dir: String, ps: Seq[(Int, Int)]): Seq[Int] = {
+    val q = queryVec(s, dir)
+    val qb = ps.map { case (d, w) => if (q(d - 1) > 0) w else 0 }.sum
+    (0 +: ps.map(_._2)).map(qb ^ _)
+  }
+
   /** Shared probe stage: candidates whose bucket, in AT LEAST ONE
     * plane set, lies within Hamming-1 of the query's bucket — an
     * IN-list filter per set, OR-ed (the OR-amplification), no join and
@@ -81,14 +94,11 @@ object Similarity {
   private[graft] def probedCandidates(
       s: SparkSession, dir: String,
       sets: Seq[Seq[(Int, Int)]] = planeSets): DataFrame = {
-    val q = queryVec(s, dir)
     val e = sets.zipWithIndex.foldLeft(Tables(s, dir, "embeddings")) {
       case (d, (ps, i)) => d.withColumn(s"b$i", bucketOf(col("embedding"), ps))
     }
     val cond = sets.zipWithIndex.map { case (ps, i) =>
-      val qb = ps.map { case (d, w) => if (q(d - 1) > 0) w else 0 }.sum
-      val probeKeys = (0 +: ps.map(_._2)).map(qb ^ _)
-      col(s"b$i").isin(probeKeys: _*)
+      col(s"b$i").isin(probeKeys(s, dir, ps): _*)
     }.reduce(_ || _)
     e.filter(col("vec_id") =!= 0 && cond)
       .select(col("vec_id"), col("label"), col("embedding"))

@@ -57,6 +57,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nBoth < Tables(spark, sf, "embeddings").count() - 1)
   }
 
+  test("the IN-list probe prunes a partitioned layout to exactly the probed buckets") {
+    // The headline scale claim of the r8 probe rework, until now only
+    // argued in Similarity's scaladoc: because the probe keys are plan
+    // LITERALS, a corpus laid out partitioned by the LSH key serves
+    // the probe from probed partitions ONLY — the 100 TB scan never
+    // touches the other buckets. Materialize that layout for real and
+    // read the scan's own partition metric.
+    val dir = "/root/testdata/sf0.01"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_layout").toString
+    try {
+      Tables(spark, dir, "embeddings")
+        .withColumn("b0", Similarity.bucketOf(col("embedding")))
+        .write.mode("overwrite").partitionBy("b0").parquet(tmp)
+      val keys = Similarity.probeKeys(spark, dir, Similarity.planeSets.head)
+      val layout = spark.read.parquet(tmp)
+      val allBuckets = layout.select("b0").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val probedBuckets = keys.toSet intersect allBuckets
+      assert(probedBuckets.size < allBuckets.size,
+        "probe covers every bucket on disk — the pin is vacuous")
+
+      def partitionsRead(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        val scan = df.queryExecution.executedPlan.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        assert(scan.nonEmpty, "no FileSourceScanExec in the probe plan")
+        scan.get.metrics("numPartitions").value
+      }
+      val probe = layout.filter(col("b0").isin(keys: _*))
+      assert(partitionsRead(probe) === probedBuckets.size.toLong,
+        "probe scan read partitions outside the probed buckets")
+      // positive control: without the filter the scan reads them all
+      assert(partitionsRead(spark.read.parquet(tmp)) === allBuckets.size.toLong)
+      // and the pruned scan returns exactly the rows of those buckets
+      val expected = layout.filter(col("b0").isin(probedBuckets.toSeq: _*)).count()
+      assert(probe.count() === expected)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("IVF probe scans one cell only and ranks it exactly") {
     val (clustered, topk) = Similarity.ivfTopK(spark, sf, k = 10)
     val rows = topk.collect()
