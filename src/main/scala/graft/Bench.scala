@@ -11,17 +11,20 @@ object Bench {
     //    (the min of k runs estimates the uncontended cost far better
     //    than a single sample taken right after the test JVMs);
     //  - ADAPTIVE extension: if a whole pass still improved the summed
-    //    best by >5% — the signature of "every earlier pass ran inside
+    //    best by >2% — the signature of "every earlier pass ran inside
     //    a contended window" — run another pass, up to maxPasses, so
     //    min-of-passes converges to the idle cost even when the bench
-    //    starts during the contention.
+    //    starts during the contention. (r8 verdict: recorded totals
+    //    still sat 17.6% above an idle rerun with the 5%/4-pass
+    //    config; 2%/6 passes trades ≤2 extra cheap passes for a
+    //    recorded number that means what it claims.)
     // Spark's cache is cleared between passes so every pass re-pays
     // every shuffle (only the OS page cache stays warm, as it would
     // for any steady-state deployment); per-query times go to stderr
     // mid-run so contention is visible in the driver log, while stdout
     // stays the one-line JSON contract.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PASSES", "4").toInt
+    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PASSES", "6").toInt
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -67,7 +70,7 @@ object Bench {
       // adaptivity only engages for multi-pass runs (passes >= 2):
       // a single-pass request stays a single pass
       continue = pass < passes ||
-        (passes >= 2 && pass < maxPasses && total < lastTotal * 0.95)
+        (passes >= 2 && pass < maxPasses && total < lastTotal * 0.98)
       lastTotal = total
     }
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }

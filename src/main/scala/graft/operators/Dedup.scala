@@ -120,6 +120,7 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   private def cachedIndex(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
+    SessionCleanup.arm(s)
     val df = indexMemo.getOrElseUpdate((s, dir, tag), build)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
     df
@@ -128,10 +129,24 @@ object Dedup {
   private[graft] def shingleIndex(s: SparkSession, dir: String): DataFrame =
     cachedIndex(s, dir, "shingles")(shingles(s, dir))
 
-  /** Unpersist and forget every memoized dedup index of `s`. */
-  def releaseIndexes(s: SparkSession): Unit =
-    indexMemo.keys.filter(_._1 eq s).foreach { k =>
-      indexMemo.remove(k).foreach(_.unpersist())
+  /** Unpersist and forget every memoized dedup index of `s`, and the
+    * ANN query vectors memoized for it ([[Similarity.releaseQueryVecs]])
+    * — one call releases every session-keyed memo this library holds.
+    * [[SessionCleanup]] runs the same release automatically for
+    * stopped contexts, so forgetting this call bounds the leak instead
+    * of pinning sessions for the JVM lifetime.
+    */
+  def releaseIndexes(s: SparkSession): Unit = {
+    releaseIndexes(_ eq s)
+    Similarity.releaseQueryVecs(s)
+  }
+
+  private[graft] def releaseIndexes(cond: SparkSession => Boolean): Unit =
+    indexMemo.keys.filter(k => cond(k._1)).foreach { k =>
+      indexMemo.remove(k).foreach { df =>
+        // unpersist on an already-stopped context is a no-op failure
+        try df.unpersist() catch { case _: Exception => () }
+      }
     }
 
   /** Apply the ≥0.6 integer-arithmetic Jaccard threshold (10·|∩| ≥
@@ -481,14 +496,27 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** Sign-LSH planes for embedding dedup: 12 fixed coordinates → 4096
-    * buckets. Dim 2 (the synthetically perturbed element) is excluded
-    * so the planted pairs provably share a bucket — though the ×1.5
-    * positive scaling could never flip a sign anyway.
+  /** Sign-LSH planes for embedding dedup, parameterized by plane
+    * count: n planes → 2ⁿ buckets, within-bucket candidate volume
+    * Θ(N²/2ⁿ). The plane count is therefore a SCALE KNOB, not part of
+    * the design — hold per-bucket pair volume constant by growing it
+    * ~log₂ with corpus size (12 planes / 4096 buckets suits the test
+    * corpora; a 10⁹-doc corpus wants ~30). Axis dims are spaced 5
+    * apart starting at 1, so dim 2 (the synthetically perturbed
+    * element) is never a plane and the planted pairs provably share a
+    * bucket — though the ×1.5 positive scaling could never flip a
+    * sign anyway. Past the 13 planes a 64-dim embedding can feed this
+    * way, the scale path is random hyperplanes, not more axes.
     */
-  private val embedPlanes: Seq[(Int, Int)] =
-    Seq(1, 6, 11, 16, 21, 26, 31, 36, 41, 46, 51, 56).zipWithIndex
-      .map { case (d, i) => (d, 1 << i) }
+  private[graft] def embedPlanesFor(n: Int): Seq[(Int, Int)] = {
+    require(1 <= n && n <= 13, s"plane count $n needs axis dims beyond 64-dim embeddings")
+    (0 until n).map(i => (1 + 5 * i, 1 << i))
+  }
+
+  /** Default plane count; DedupSpec pins defaults ≡ declared output. */
+  private[graft] val embedPlaneCount = 12
+
+  private val embedPlanes: Seq[(Int, Int)] = embedPlanesFor(embedPlaneCount)
 
   /** X6 — embedding near-dup: sign-LSH on 12 fixed coordinates (4096
     * buckets) with Hamming-1 multi-probe, cosine ≥ 0.8 within probed
@@ -506,7 +534,9 @@ object Dedup {
     * Embeddings are fetched for candidates only (broadcast of the
     * small candidate list), never carried through the probe explode.
     */
-  private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dedupEmbed(
+      s: SparkSession, dir: String,
+      planes: Seq[(Int, Int)] = embedPlanes): DataFrame = {
     val base = Tables(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
     val pert = Tables(s, dir, "embeddings")
@@ -517,13 +547,13 @@ object Dedup {
           when(i === 1, x.cast("double") * 1.5).otherwise(x.cast("double"))).as("emb"))
     val vecs = base.unionByName(pert)
       .withColumn("bucket",
-        embedPlanes
+        planes
           .map { case (d, w) => when(element_at(col("emb"), d) > 0, lit(w)).otherwise(lit(0)) }
           .reduce(_ + _))
     val buckets = vecs.select(col("vec_id"), col("bucket"))
     val probes = buckets.select(
       col("vec_id"),
-      explode(array((0 +: embedPlanes.map(_._2))
+      explode(array((0 +: planes.map(_._2))
         .map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("pb"))
     val cand = probes.as("a")
       .join(buckets.as("b"),
@@ -647,7 +677,7 @@ object Dedup {
       Some(fuzzySql),
       "X5d edit-distance dedup over LSH candidates (levenshtein <= 25 on prefix)"),
     "q_dedup_embed" -> QueryDef(
-      dedupEmbed,
+      (s, dir) => dedupEmbed(s, dir),
       Some {
         // Bucket computed from the BASE embedding: the perturbation
         // only scales dim 2 (not a plane) by a positive factor, so the

@@ -65,10 +65,28 @@ object Similarity {
   private val qMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Float]]
 
-  private[graft] def queryVec(s: SparkSession, dir: String): Array[Float] =
+  private[graft] def queryVec(s: SparkSession, dir: String): Array[Float] = {
+    SessionCleanup.arm(s)
     qMemo.getOrElseUpdate((s, dir),
       Tables(s, dir, "embeddings").filter(col("vec_id") === 0)
-        .select("embedding").head.getSeq[Float](0).toArray)
+        .select("embedding").head(1).headOption
+        .map(_.getSeq[Float](0).toArray)
+        .getOrElse(throw new IllegalArgumentException(
+          s"query vector row (vec_id = 0) not found in $dir/embeddings — " +
+            "the similarity queries take their query vector from that row")))
+  }
+
+  /** Forget `s`'s memoized query vectors. [[Dedup.releaseIndexes]]
+    * calls this too, so one release call covers every session-keyed
+    * memo; [[SessionCleanup]] is the backstop for callers that forget.
+    */
+  def releaseQueryVecs(s: SparkSession): Unit = releaseQueryVecs(_ eq s)
+
+  private[graft] def releaseQueryVecs(cond: SparkSession => Boolean): Unit =
+    qMemo.keys.filter(k => cond(k._1)).foreach(qMemo.remove)
+
+  private[graft] def hasMemoizedQueryVec(s: SparkSession, dir: String): Boolean =
+    qMemo.contains((s, dir))
 
   /** The Hamming-≤1 probe keys for one plane set: the query's bucket
     * plus each one-plane flip — 1 + |planes| literal ints. Because

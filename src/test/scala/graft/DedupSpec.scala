@@ -170,6 +170,28 @@ class DedupSpec extends AnyFunSuite {
     } finally sh.unpersist()
   }
 
+  test("embed-dedup plane count is a knob: explicit default == declared output") {
+    // the 2^n bucket count must GROW with corpus size (within-bucket
+    // pair volume is quadratic in N/2^n) — parameterizing it keeps the
+    // scaling knob from being mistaken for part of the design. Pin:
+    // passing the default explicitly reproduces the declared query.
+    val dir = "/root/testdata/sf0.01"
+    val declared = SparkEntry.queries("q_dedup_embed")(spark, dir).collect().toSeq
+    val explicitDefault = graft.operators.Dedup
+      .dedupEmbed(spark, dir, graft.operators.Dedup.embedPlanesFor(
+        graft.operators.Dedup.embedPlaneCount))
+      .collect().toSeq
+    assert(declared.size === 25)
+    assert(explicitDefault === declared)
+    // and a coarser layout (fewer planes) can only widen the probe:
+    // it must still recover every planted pair
+    val coarse = graft.operators.Dedup
+      .dedupEmbed(spark, dir, graft.operators.Dedup.embedPlanesFor(8))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = declared.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(coarse))
+  }
+
   test("synthesized near-dup pairs are all recovered by every variant") {
     val expected = (0L until 500L by 25L).map(i => (i, i + 200000L)).toSet
     def pairs(q: String) = SparkEntry.queries(q)(spark, sf)

@@ -99,6 +99,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("query-vector memo has a release path: one call frees every session memo") {
+    // r8 ADVICE: qMemo strongly keyed sessions for the JVM lifetime
+    // with no release path. Dedup.releaseIndexes is the one-call
+    // lifecycle for ALL session-keyed memos now.
+    Similarity.queryVec(spark, sf)
+    assert(Similarity.hasMemoizedQueryVec(spark, sf))
+    graft.operators.Dedup.releaseIndexes(spark)
+    assert(!Similarity.hasMemoizedQueryVec(spark, sf))
+    // memoization itself still works after a release
+    Similarity.queryVec(spark, sf)
+    assert(Similarity.hasMemoizedQueryVec(spark, sf))
+  }
+
   test("IVF probe scans one cell only and ranks it exactly") {
     val (clustered, topk) = Similarity.ivfTopK(spark, sf, k = 10)
     val rows = topk.collect()
