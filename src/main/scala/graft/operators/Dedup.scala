@@ -75,6 +75,16 @@ object Dedup {
     * design's per-doc cardinality table, whose `broadcast()` hint was
     * one row per document: a hint Catalyst can never retract, i.e. a
     * guaranteed driver OOM at corpus scale.
+    *
+    * Measured dead end (r9), kept so it isn't re-tried: deduping
+    * per-doc with `array_distinct` BEFORE the explode (plus `size()`
+    * for `n`) makes the build shuffle-free on paper, but benched
+    * 2–2.5× SLOWER end-to-end (3.1 s → 6.3–7.5 s for q_dedup_near at
+    * sf0.1): project collapsing inlines the interpreted
+    * transform+array_distinct HOF chain into BOTH the generator and
+    * the `size()` projection, evaluating it twice per doc, and the
+    * exploded rows then drag the whole shingle array through the
+    * Generate. One doc_id exchange + window count is cheaper.
     */
   private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
     withDocCardinality(
