@@ -30,6 +30,22 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Unit-normalize a vector (elements in double): the write-time
+    * transform that turns cosine search into pure-dot search and makes
+    * the `spark.graft.topk.unitNorm` pushdown declaration true (see
+    * graft.plans.ScoredTopKPushdown). Zero vectors normalize to NaN
+    * elements — score NaN, sorted greatest, never silently dropped.
+    *
+    * The norm rides in as a HOF ARGUMENT (`array_repeat`), not inside
+    * the lambda body: lambda bodies are re-evaluated per element, so
+    * `transform(a, x => x / norm(a))` would fold the whole norm
+    * aggregate d times per row — O(d²), the same interpreted-HOF
+    * double-evaluation measured 2× slower in the shingle-index dead
+    * end (Dedup.shingles). Arguments evaluate once per row.
+    */
+  def normalize(a: Column): Column =
+    zip_with(a, array_repeat(norm(a), size(a)), (x, n) => x.cast("double") / n)
+
   /** Squared L2 distance (cheaper than L2 when only ordering matters). */
   def l2Sq(a: Column, b: Column): Column =
     aggregate(

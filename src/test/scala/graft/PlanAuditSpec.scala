@@ -136,9 +136,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.01"
     val raw = Tables(spark, dir, "embeddings")
     val normed = raw
-      .withColumn("nrm", sqrt(graft.operators.VectorOps.normSq(col("embedding"))))
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("nemb"))
+        graft.operators.VectorOps.normalize(col("embedding")).as("nemb"))
       .cache()
     val qn: Array[Double] = {
       val q = raw.filter(col("vec_id") === 0)
