@@ -20,6 +20,7 @@ object SparkEntry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.TextAnalysis.defs ++
+      operators.Curation.defs ++
       operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Corpus-curation operators (SURVEY.md §2.5 X15/X16): the two
+  * standard pre-training steps the dedup/quality family doesn't cover
+  * — benchmark decontamination and deterministic stratified sampling.
+  * The reference gateway has neither; these are EXT obligations of the
+  * "operations a large-scale training-data pipeline needs" mandate,
+  * designed Spark-first like the rest of the family.
+  *
+  * Both are integer-exact end to end (hash-derived uniforms, n-gram
+  * counts), so the DuckDB oracle is hash-identical by construction.
+  */
+object Curation {
+
+  import Hashing.h32
+
+  /** Contamination n-gram length: long enough that a match is
+    * evidence of copying, not chance (the 13-gram of published decontam
+    * pipelines scaled to this corpus's 10–100-token docs).
+    */
+  private val gramN = 8
+
+  /** Distinct word-8-grams per doc. Same narrow explode shape as the
+    * dedup shingle index, with the dedup done by `distinct` (grams are
+    * one-consumer here — no shared cached index to justify).
+    */
+  private def grams(docs: DataFrame): DataFrame = {
+    val concatGram = (1 until gramN)
+      .foldLeft("element_at(w, i)") { (acc, j) => s"concat($acc, ' ', element_at(w, i + $j))" }
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= gramN)
+      .select(
+        col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(w) - ${gramN - 1}), i -> $concatGram)"))
+          .as("gram"))
+      .distinct()
+  }
+
+  /** X15 — benchmark decontamination: flag training documents sharing
+    * any word-8-gram with the held-out benchmark set (every 50th doc),
+    * with the count of distinct shared grams as the evidence column.
+    * The synthetic contamination (drop-first-word copies of benchmark
+    * docs, ids + 300000) guarantees the result is never vacuous, same
+    * derivation on the oracle side.
+    *
+    * Scale shape (100 TB): the benchmark side is an EVAL SUITE — its
+    * size is fixed by humans, not corpus-proportional — so its distinct
+    * gram set auto-broadcasts (no hint: Catalyst retracts if someone
+    * feeds a giant "benchmark"); the training side streams through one
+    * equi-join on gram, linear in corpus grams, followed by a doc-keyed
+    * count with map-side partials. No shuffle touches the corpus twice.
+    */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bench = d.filter(col("doc_id") % 50 === 0)
+    val train = d.filter(col("doc_id") % 50 =!= 0)
+      .unionByName(bench.select(
+        (col("doc_id") + 300000).as("doc_id"),
+        regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
+    grams(train)
+      .join(grams(bench).select("gram").distinct(), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** X16 — deterministic stratified sampling: per-language keep rates
+    * (en 20 %, others 5 % — the mixture-reweighting step of corpus
+    * assembly) decided by a salted 32-bit content hash mod 100, NOT by
+    * `rand()`: the sample is reproducible run-to-run, engine-to-engine,
+    * and under repartitioning — which is what makes a training mix
+    * auditable. Emitting the uniform `u` makes the decision checkable
+    * downstream.
+    *
+    * Scale shape: a pure narrow filter on the scan — no shuffle, no
+    * state, embarrassingly parallel at any corpus size.
+    */
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(
+        col("doc_id"), col("lang"),
+        (h32(concat(lit("smpl"), col("doc_id"))) % 100).as("u"))
+      .filter(col("u") < when(col("lang") === "en", 20).otherwise(5))
+      .select(col("doc_id"), col("lang"), col("u").cast("long").as("u"))
+      .orderBy("doc_id")
+
+  private def gramSqlExpr: String =
+    (1 until gramN).foldLeft("w[i]") { (acc, j) => s"$acc || ' ' || w[i + $j]" }
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+    "q_decontaminate" -> QueryDef(
+      decontaminate,
+      Some(s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+              |train AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+              |  UNION ALL
+              |  SELECT doc_id + 300000 AS doc_id, regexp_replace(text, '^[^ ]+ ', '') AS text
+              |  FROM bench),
+              |tg AS (
+              |  SELECT DISTINCT doc_id, $gramSqlExpr AS gram
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train) t,
+              |       LATERAL unnest(generate_series(1, len(w) - ${gramN - 1})) AS s(i)
+              |  WHERE len(w) >= $gramN),
+              |bg AS (
+              |  SELECT DISTINCT $gramSqlExpr AS gram
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM bench) t,
+              |       LATERAL unnest(generate_series(1, len(w) - ${gramN - 1})) AS s(i)
+              |  WHERE len(w) >= $gramN)
+              |SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+              |FROM tg JOIN bg ON bg.gram = tg.gram
+              |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin),
+      "X15 benchmark decontamination: training docs sharing an 8-gram with the eval set"),
+    "q_sample_stratified" -> QueryDef(
+      sampleStratified,
+      Some("""SELECT doc_id, lang,
+             |  CAST(('0x' || substr(md5('smpl' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS BIGINT) AS u
+             |FROM documents
+             |WHERE ('0x' || substr(md5('smpl' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+             |      < CASE WHEN lang = 'en' THEN 20 ELSE 5 END
+             |ORDER BY doc_id""".stripMargin),
+      "X16 deterministic stratified sampling by salted hash, per-language rates"),
+  )
+}

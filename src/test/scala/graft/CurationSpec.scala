@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the corpus-curation operators (SURVEY §2.5 X15/X16)
+  * beyond the DuckDB hash gate: decontamination must catch every
+  * planted contaminated doc, and the deterministic sample must be
+  * exactly reproducible — including under repartitioning, which is
+  * precisely what rand()-based sampling cannot promise.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("decontamination flags every planted benchmark copy, with positive evidence") {
+    val rows = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every synthesized contaminated doc (drop-first-word copy of a
+    // benchmark doc, id + 300000) shares all its surviving 8-grams
+    // with the original and MUST be flagged
+    val planted = (0L until 500L by 50L).map(_ + 300000L)
+    planted.foreach { id =>
+      assert(rows.contains(id), s"planted contaminated doc $id not flagged")
+    }
+    assert(rows.values.forall(_ > 0), "flagged doc with zero shared grams")
+    // flagging is evidence-based, not set-membership: a flagged
+    // NATURAL training doc (if any) is fine, but the bulk of the
+    // corpus must not be flagged — 8-grams of random text don't collide
+    assert(rows.size < 30, s"decontamination flagged ${rows.size} docs — threshold too weak")
+  }
+
+  test("stratified sample is deterministic, rate-correct, and repartition-stable") {
+    def sample(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val s1 = sample(SparkEntry.queries("q_sample_stratified")(spark, sf))
+    val s2 = sample(SparkEntry.queries("q_sample_stratified")(spark, sf))
+    assert(s1 === s2, "sample is not run-to-run deterministic")
+    assert(s1.nonEmpty)
+    // the per-stratum rate is enforced exactly
+    s1.foreach { case (id, lang, u) =>
+      assert(u >= 0 && u < (if (lang == "en") 20 else 5),
+        s"doc $id ($lang) kept with uniform $u outside its stratum rate")
+    }
+    // both strata are represented (the sample is genuinely stratified)
+    assert(s1.exists(_._2 == "en") && s1.exists(_._2 != "en"))
+    // the keep decision is a function of doc_id alone — repartitioning
+    // the input cannot change the sample (the auditability property
+    // rand()-based sampling lacks)
+    val repart = Tables(spark, sf, "documents").repartition(17)
+      .select(
+        col("doc_id"), col("lang"),
+        (graft.operators.Hashing.h32(concat(lit("smpl"), col("doc_id"))) % 100).as("u"))
+      .filter(col("u") < when(col("lang") === "en", 20).otherwise(5))
+      .select(col("doc_id"), col("lang"), col("u").cast("long").as("u"))
+      .orderBy("doc_id")
+    assert(sample(repart) === s1, "sample changed under repartitioning")
+  }
+}
