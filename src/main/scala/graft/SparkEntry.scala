@@ -16,10 +16,12 @@ object SparkEntry {
   def registry: ListMap[String, QueryDef] =
     operators.Etl.defs ++
       operators.Relational.defs ++
+      operators.Sessions.defs ++
       operators.Extensions.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.TextAnalysis.defs ++
+      operators.Search.defs ++
       operators.Curation.defs ++
       operators.Multimodal.defs
 

@@ -26,9 +26,13 @@ object Curation {
     */
   private val gramN = 8
 
-  /** Distinct word-8-grams per doc. Same narrow explode shape as the
-    * dedup shingle index, with the dedup done by `distinct` (grams are
-    * one-consumer here — no shared cached index to justify).
+  /** Word-8-grams per doc, WITH duplicates. Same narrow explode shape
+    * as the dedup shingle index. Deliberately not deduped here: the
+    * training side dedups AFTER the benchmark-gram join (r10 — a
+    * `distinct` before the join shuffled the entire corpus gram
+    * stream just to drop repeats the join filter would discard
+    * anyway; `countDistinct` over the surviving rows is the same set
+    * at a fraction of the shuffle volume).
     */
   private def grams(docs: DataFrame): DataFrame = {
     val concatGram = (1 until gramN)
@@ -40,7 +44,6 @@ object Curation {
         col("doc_id"),
         explode(expr(s"transform(sequence(1, size(w) - ${gramN - 1}), i -> $concatGram)"))
           .as("gram"))
-      .distinct()
   }
 
   /** X15 — benchmark decontamination: flag training documents sharing
@@ -53,9 +56,12 @@ object Curation {
     * Scale shape (100 TB): the benchmark side is an EVAL SUITE — its
     * size is fixed by humans, not corpus-proportional — so its distinct
     * gram set auto-broadcasts (no hint: Catalyst retracts if someone
-    * feeds a giant "benchmark"); the training side streams through one
-    * equi-join on gram, linear in corpus grams, followed by a doc-keyed
-    * count with map-side partials. No shuffle touches the corpus twice.
+    * feeds a giant "benchmark"); the training side streams its raw
+    * gram stream through that one broadcast equi-join — linear in
+    * corpus grams, NO corpus-wide shuffle — and only the surviving
+    * (contaminated) rows reach the `countDistinct` aggregate, which
+    * dedups repeated grams the way the old pre-join `distinct` did,
+    * on ~10⁻⁴ of the volume (r10).
     */
   private def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -67,7 +73,7 @@ object Curation {
     grams(train)
       .join(grams(bench).select("gram").distinct(), "gram")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(countDistinct(col("gram")).as("n_shared"))
       .orderBy("doc_id")
   }
 

@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import scala.collection.immutable.ListMap
+
+/** Relevance-ranking operators (SURVEY.md §2.5 X17/X18): TF-IDF term
+  * weighting and BM25 search ranking — the retrieval half of a
+  * training-data pipeline (quality-weighted source selection, nearest
+  * -neighbour text retrieval for decontamination audits, corpus
+  * search). The reference gateway has nothing of the kind; these are
+  * EXT obligations alongside the dedup/similarity family.
+  *
+  * Float-parity design (why these CAN be oracle-declared even though
+  * `TextAnalysis.docFreq`'s scaladoc warns idf's log is library
+  * -dependent): every ln input here is a ratio of small exact
+  * integers, and Java's `Math.log` and DuckDB's libm `ln` were
+  * bit-compared on every such input this corpus produces (96 distinct
+  * values at sf0.01+sf0.1) — one single-ulp divergence, which
+  * `round(_, 4)` absorbs unless the product lands within ~1e-12 of a
+  * rounding boundary. Ranking always compares the ROUNDED score (plus
+  * an exact tie-break), never the raw double, so both engines rank
+  * identical values. avgdl is computed as exact-integer sum / count,
+  * never `avg()` (whose accumulation order differs per engine).
+  *
+  * Scale shape (100 TB): the raw token stream is scanned and exploded
+  * exactly ONCE per query (SearchSpec pins one Generate per plan) and
+  * immediately compressed by the (doc_id, tok) tf aggregate with
+  * map-side partials; df rides a window count over `tok` ON THE TF
+  * TABLE — carried inline like the simhash sketch, never a rebuilt
+  * subtree or a corpus-proportional broadcast (a naive
+  * `tf.groupBy(tok)` + join re-ran the whole scan+explode: Catalyst
+  * does not merge duplicated subtrees). The one-row corpus-stats
+  * table rides a broadcast nested-loop join (bounded by construction
+  * — a global aggregate is exactly one row, the PlanAuditSpec
+  * -sanctioned shape); the top-K per doc is WindowGroupLimit
+  * (per-partition bounded), the BM25 top-20 is
+  * TakeOrderedAndProject. Nothing driver-side, nothing
+  * corpus-proportional in any broadcast.
+  */
+object Search {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Terms per document to keep in the TF-IDF view. */
+  private val tfidfTopK = 3
+
+  /** X17 — TF-IDF: per-document top-[[tfidfTopK]] terms by
+    * tf · ln(N/df), the classic quality/keyword signal. Emits the
+    * exact integer ingredients (tf, df) alongside the rounded score so
+    * downstream consumers can re-derive any idf variant.
+    */
+  private def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      // df carried by a window over the compressed tf table: one tf
+      // row per (doc, tok), so rows-per-tok == docs containing tok
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .crossJoin(broadcast(stats)) // exactly 1 row by construction
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= tfidfTopK)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** The fixed search query BM25 ranks against — three mid-df content
+    * words of the synthetic vocabulary (a real deployment parameter
+    * izes this; the declared query pins one instance for the oracle).
+    */
+  private[graft] val bm25Terms = Seq("spark", "query", "join")
+
+  /** X18 — BM25 ranking (k1 = 1.2, b = 0.75): top-20 documents for
+    * [[bm25Terms]]. idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (the
+    * Robertson–Sparck Jones form, always positive), weight =
+    * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)). The token stream is
+    * filtered to the query terms BEFORE the tf aggregate, so the
+    * shuffle carries only matching tokens — at corpus scale the whole
+    * query is a narrow scan + a near-empty aggregate + a top-K.
+    */
+  private def bm25(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        size(col("w")).cast("long").as("dl"))
+    val stats = d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = d
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
+      .filter(col("tok").isin(bm25Terms.map(t => t: Any): _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    // expression order mirrors the oracle SQL token for token — any
+    // reassociation is a parity risk, not a style choice
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val wt = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    tf
+      // df carried by a window over the (query-term-filtered) tf table
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .crossJoin(broadcast(stats)) // exactly 1 row by construction
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(sum(idf * wt), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  private val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+    "q_tfidf" -> QueryDef(
+      tfidf,
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+              |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              |       FROM toks GROUP BY doc_id, tok),
+              |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+              |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+              |scored AS (
+              |  SELECT doc_id, tok, tf, df,
+              |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+              |  FROM tf JOIN dft USING (tok) CROSS JOIN stats),
+              |rk AS (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk
+              |  FROM scored)
+              |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df, score
+              |FROM rk WHERE rk <= $tfidfTopK ORDER BY doc_id, rk""".stripMargin),
+      "X17 TF-IDF: per-document top-3 terms by tf * ln(N/df)"),
+    "q_bm25" -> QueryDef(
+      bm25,
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |dd AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM d),
+              |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM dd),
+              |tf AS (
+              |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, dl, unnest(w) AS tok FROM dd)
+              |  WHERE tok IN ($termList)
+              |  GROUP BY doc_id, dl, tok),
+              |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+              |  round(sum(
+              |    ln(CAST(1.0 AS DOUBLE) +
+              |       (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+              |    * (tf * CAST(2.2 AS DOUBLE) /
+              |       (tf + CAST(1.2 AS DOUBLE) *
+              |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl /
+              |         (CAST(sum_dl AS DOUBLE) / n_docs))))), 4) AS score
+              |FROM tf JOIN dft USING (tok) CROSS JOIN stats
+              |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin),
+      "X18 BM25 search ranking: top-20 documents for a fixed term query"),
+  )
+}

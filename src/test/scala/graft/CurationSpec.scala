@@ -30,6 +30,21 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.size < 30, s"decontamination flagged ${rows.size} docs — threshold too weak")
   }
 
+  test("decontamination streams the corpus grams into a broadcast join, never a corpus-wide shuffle") {
+    // r10: the pre-join `distinct` shuffled the ENTIRE training gram
+    // stream just to drop repeats the join would discard anyway. The
+    // only hash exchanges allowed are the (small) benchmark-side gram
+    // distinct and the post-join countDistinct pair — the train side
+    // must feed the broadcast join straight from its explode.
+    val plan = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "benchmark gram set is not broadcast — the join would shuffle the corpus")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges <= 3,
+      s"decontaminate plans $hashExchanges hash exchanges — a corpus-wide gram shuffle is back:\n$plan")
+  }
+
   test("stratified sample is deterministic, rate-correct, and repartition-stable") {
     def sample(df: org.apache.spark.sql.DataFrame) = df
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the relevance-ranking operators (SURVEY §2.5
+  * X17/X18) beyond the DuckDB hash gate — chiefly the SCALE claim:
+  * each query explodes the token stream exactly once (the naive
+  * df-by-self-join form re-ran the whole scan+explode subtree,
+  * because Catalyst does not merge duplicated subtrees).
+  */
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("tfidf and bm25 explode the token stream exactly once") {
+    Seq("q_tfidf", "q_bm25").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val explodes = "Generate explode".r.findAllIn(plan).size
+      assert(explodes === 1,
+        s"$q explodes the corpus $explodes times — df must ride the tf window, not a rebuilt subtree")
+    }
+  }
+
+  test("tfidf emits a dense per-doc rank over descending rounded scores") {
+    val rows = SparkEntry.queries("q_tfidf")(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      val ranked = rs.sortBy(_.getLong(1))
+      assert(ranked.map(_.getLong(1)).toSeq === (1L to ranked.length),
+        s"doc $doc ranks are not dense from 1")
+      val scores = ranked.map(_.getDouble(5)).toSeq
+      assert(scores === scores.sorted.reverse, s"doc $doc scores not descending: $scores")
+    }
+    assert(rows.forall(_.getLong(1) <= 3), "rank beyond top-3 leaked")
+    // tf and df are exact integers a consumer can re-weight with
+    assert(rows.forall(r => r.getLong(3) >= 1 && r.getLong(4) >= 1))
+  }
+
+  test("bm25 ranks by descending rounded score with matched-term counts in 1..3") {
+    val rows = SparkEntry.queries("q_bm25")(spark, sf).collect()
+    assert(rows.length === 20)
+    val scores = rows.map(_.getDouble(2)).toSeq
+    assert(scores === scores.sorted.reverse, "bm25 scores not descending")
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 3))
+    // matching more query terms can only help: the top hit matches all
+    assert(rows.head.getLong(1) === 3, "top bm25 hit misses a query term — scoring is off")
+  }
+}
