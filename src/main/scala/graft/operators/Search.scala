@@ -26,20 +26,27 @@ import scala.collection.immutable.ListMap
   * identical values. avgdl is computed as exact-integer sum / count,
   * never `avg()` (whose accumulation order differs per engine).
   *
-  * Scale shape (100 TB): the raw token stream is scanned and exploded
-  * exactly ONCE per query (SearchSpec pins one Generate per plan) and
-  * immediately compressed by the (doc_id, tok) tf aggregate with
-  * map-side partials; df rides a window count over `tok` ON THE TF
-  * TABLE — carried inline like the simhash sketch, never a rebuilt
-  * subtree or a corpus-proportional broadcast (a naive
-  * `tf.groupBy(tok)` + join re-ran the whole scan+explode: Catalyst
-  * does not merge duplicated subtrees). The one-row corpus-stats
-  * table rides a broadcast nested-loop join (bounded by construction
-  * — a global aggregate is exactly one row, the PlanAuditSpec
-  * -sanctioned shape); the top-K per doc is WindowGroupLimit
-  * (per-partition bounded), the BM25 top-20 is
+  * Scale shape (100 TB): the tf aggregate compresses the exploded
+  * token stream with map-side partials — one (doc_id, tok) shuffle.
+  * df deliberately does NOT ride a window over `tok`: a Zipfian hot
+  * token ("the", df ≈ N) would put its entire partition on one sort
+  * task, and Spark's AQE can skew-split JOINS but not windows — a
+  * window-keyed-by-token plan is scale-dead. Instead TF-IDF builds
+  * its df dictionary from a second, cheap scan (array_distinct →
+  * explode → count with map-side partials: the shuffle carries
+  * per-partition vocab partials, never token occurrences) joined
+  * WITHOUT a hint — the vocabulary auto-broadcasts while it fits
+  * (Heaps' law keeps it sublinear) and AQE skew-splits the fallback
+  * shuffle join; BM25's three per-term dfs fold into the same
+  * single-row stats aggregate its avgdl already needs
+  * (`array_contains` conditional counts — no second pass at all).
+  * The one-row stats table rides a broadcast nested-loop join
+  * (bounded by construction — a global aggregate is exactly one row,
+  * the PlanAuditSpec-sanctioned shape); the top-K per doc is
+  * WindowGroupLimit (per-partition bounded), the BM25 top-20 is
   * TakeOrderedAndProject. Nothing driver-side, nothing
-  * corpus-proportional in any broadcast.
+  * corpus-proportional in any broadcast, no window keyed by a
+  * skewable column (SearchSpec pins all of this).
   */
 object Search {
 
@@ -59,11 +66,14 @@ object Search {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
+    // vocabulary dictionary from its own scan: distinct-per-doc explode
+    // collapses to per-partition vocab partials before the shuffle
+    val dft = docs(s, dir)
+      .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stats = docs(s, dir).agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      // df carried by a window over the compressed tf table: one tf
-      // row per (doc, tok), so rows-per-tok == docs containing tok
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .join(dft, "tok") // no hint: auto-broadcast / AQE-skew-split SMJ
       .crossJoin(broadcast(stats)) // exactly 1 row by construction
       .withColumn("score",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
@@ -96,9 +106,14 @@ object Search {
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("w"),
         size(col("w")).cast("long").as("dl"))
-    val stats = d.agg(
-      count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("sum_dl"))
+    // per-term dfs fold into the same one-row aggregate avgdl needs:
+    // the whole "dictionary" of a fixed query is |terms| counters
+    val statCols =
+      count(lit(1)).as("n_docs") +:
+        sum(col("dl")).as("sum_dl") +:
+        bm25Terms.map(t =>
+          count(when(array_contains(col("w"), t), 1)).as(s"df_$t"))
+    val stats = d.agg(statCols.head, statCols.tail: _*)
     val tf = d
       .select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
       .filter(col("tok").isin(bm25Terms.map(t => t: Any): _*))
@@ -106,15 +121,17 @@ object Search {
       .agg(count(lit(1)).as("tf"))
     // expression order mirrors the oracle SQL token for token — any
     // reassociation is a parity risk, not a style choice
+    val dfOfTok = bm25Terms.foldRight(lit(null).cast("long")) { (t, acc) =>
+      when(col("tok") === t, col(s"df_$t")).otherwise(acc)
+    }
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val wt = col("tf") * lit(2.2) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
     tf
-      // df carried by a window over the (query-term-filtered) tf table
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
       .crossJoin(broadcast(stats)) // exactly 1 row by construction
+      .withColumn("df", dfOfTok)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_terms"),

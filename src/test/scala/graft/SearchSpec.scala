@@ -12,14 +12,33 @@ class SearchSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val sf = "/root/testdata/sf0.01"
 
-  test("tfidf and bm25 explode the token stream exactly once") {
+  test("no window is ever keyed by a token column (the Zipf hot-key trap)") {
+    // A window partitioned by `tok` puts every occurrence of a hot
+    // token on ONE sort task; AQE can skew-split joins but not
+    // windows, so a token-keyed window is scale-dead. tfidf's only
+    // window is the per-doc rank; bm25 has none.
     Seq("q_tfidf", "q_bm25").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
-      val explodes = "Generate explode".r.findAllIn(plan).size
-      assert(explodes === 1,
-        s"$q explodes the corpus $explodes times — df must ride the tf window, not a rebuilt subtree")
+      val tokWindows = plan.linesIterator
+        .filter(_.contains("Window ")).filter(_.contains("[tok"))
+      assert(tokWindows.isEmpty, s"$q windows over tok: ${tokWindows.mkString}")
     }
+    // "Window [" is the exec node; WindowGroupLimit (the rank
+    // pushdown, two phases) must not be counted
+    val tfidfWindows = "Window \\[".r.findAllIn(
+      SparkEntry.queries("q_tfidf")(spark, sf)
+        .queryExecution.executedPlan.toString).size
+    assert(tfidfWindows === 1, s"tfidf should plan exactly the per-doc rank window, found $tfidfWindows")
+  }
+
+  test("bm25 folds its per-term dfs into the one-row stats aggregate (no second token pass)") {
+    val plan = SparkEntry.queries("q_bm25")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val explodes = "Generate explode".r.findAllIn(plan).size
+    assert(explodes === 1,
+      s"bm25 explodes the corpus $explodes times — dfs must come from the stats row, not a second pass")
+    assert(!plan.contains("Window"), "bm25 needs no window at all")
   }
 
   test("tfidf emits a dense per-doc rank over descending rounded scores") {
