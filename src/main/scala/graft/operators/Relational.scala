@@ -83,6 +83,51 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** R18 — full outer join: reconcile per-user event activity against
+    * the BUILDING segment's account list. Both null sides are
+    * non-vacuous at every SF by construction (event users span ~10 %
+    * of the customer key range; BUILDING is ~20 % of customers), so
+    * the hash check exercises left-only, right-only, and matched rows.
+    * Catalyst plans a shuffled SMJ (full outer cannot broadcast); both
+    * inputs are pre-aggregated/filtered so the shuffle carries keys,
+    * not raw events.
+    */
+  private def joinFull(s: SparkSession, dir: String): DataFrame = {
+    val act = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val seg = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), round(col("c_acctbal"), 4).as("acctbal"))
+    act.join(seg, col("user_id") === col("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("c_custkey")).as("key"),
+        col("n_events"),
+        col("acctbal"),
+        when(col("user_id").isNull, lit("inactive_account"))
+          .when(col("c_custkey").isNull, lit("unmatched_user"))
+          .otherwise(lit("both")).as("side"))
+      .orderBy("key")
+  }
+
+  /** R19 — deterministic group string aggregation (LISTAGG): the
+    * sorted distinct priorities each customer has ordered at.
+    * `collect_set` alone is partition-order-nondeterministic —
+    * `array_sort` before the join is what makes the result (and the
+    * cross-engine hash) stable; per-customer sets are genuinely
+    * varied (~10 orders over 5 priorities). Key-bounded to keep the
+    * declared output small; the aggregate itself is one hash agg with
+    * map-side partials.
+    */
+  private def stringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 300)
+      .groupBy(col("o_custkey"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderpriority"))), "|").as("priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
   /** R5 — TPC-H Q1-shaped multi-measure hash aggregate. */
   private def aggQ1(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -462,5 +507,28 @@ object Relational {
              |  CAST(count(*) AS BIGINT) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       "R16 exact interpolated quantiles per group"),
+    "q_join_full" -> QueryDef(
+      joinFull,
+      Some("""WITH act AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+             |  FROM events GROUP BY user_id),
+             |seg AS (
+             |  SELECT c_custkey, round(c_acctbal, 4) AS acctbal
+             |  FROM customer WHERE c_mktsegment = 'BUILDING')
+             |SELECT coalesce(user_id, c_custkey) AS key, n_events, acctbal,
+             |  CASE WHEN user_id IS NULL THEN 'inactive_account'
+             |       WHEN c_custkey IS NULL THEN 'unmatched_user'
+             |       ELSE 'both' END AS side
+             |FROM act FULL JOIN seg ON user_id = c_custkey
+             |ORDER BY key""".stripMargin),
+      "R18 full outer join: event activity vs account list, both null sides live"),
+    "q_string_agg" -> QueryDef(
+      stringAgg,
+      Some("""SELECT o_custkey,
+             |  string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS priorities,
+             |  CAST(count(*) AS BIGINT) AS n_orders
+             |FROM orders WHERE o_custkey < 300
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+      "R19 deterministic group string aggregation (sorted distinct LISTAGG)"),
   )
 }
