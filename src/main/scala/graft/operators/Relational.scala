@@ -354,6 +354,28 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** R6's 100 TB path, same contract as [[quantilesApprox]]: exact
+    * `countDistinct` rewrites to an Expand + two-level aggregate whose
+    * first-level state is one row per distinct value — fine until the
+    * distinct domain itself is huge. `approx_count_distinct` is the
+    * HyperLogLog++ form: fixed ~1.5 KB of buckets per group at the
+    * default 5 % rsd, mergeable map-side partials, one shuffle of
+    * sketch buffers instead of the value domain. Sketches have no
+    * cross-engine parity (DuckDB's approx_distinct is its own HLL
+    * build), so this is ScalaTest-verified against the exact count
+    * with the rsd guarantee (QuantileSketchSpec) instead of being
+    * oracle-declared — `q_agg_distinct` stays the exact contract.
+    *
+    * @param rsd relative standard deviation of the HLL++ estimate.
+    */
+  private[graft] def distinctApprox(s: SparkSession, dir: String, rsd: Double = 0.05): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_join_inner" -> QueryDef(
       joinInner,

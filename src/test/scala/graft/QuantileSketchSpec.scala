@@ -42,6 +42,24 @@ class QuantileSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL++ cardinality sketch stays within its rsd bound of the exact distinct count") {
+    // 5 sigma of the configured 5% rsd — astronomically unlikely to
+    // flake if the sketch honors its guarantee, tight enough to catch
+    // a broken estimator
+    val rsd = 0.05
+    val approx = Relational.distinctApprox(spark, sf, rsd).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables(spark, sf, "events")
+      .select("event_type", "user_id").distinct().collect()
+      .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.length.toLong }
+    assert(approx.keySet === exact.keySet && approx.nonEmpty)
+    for ((et, est) <- approx) {
+      val truth = exact(et)
+      assert(math.abs(est - truth) <= math.max(1L, math.ceil(5 * rsd * truth).toLong),
+        s"$et HLL estimate $est vs exact $truth exceeds 5x rsd")
+    }
+  }
+
   test("default-accuracy sketch tracks the exact interpolated path closely at this scale") {
     // at sf0.01 the default 1/10000 accuracy has rank error < 1
     // element per group: the sketch must return an element adjacent
