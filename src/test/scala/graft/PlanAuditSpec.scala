@@ -255,9 +255,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // spot checks with known narrow needs: scan stage must not read
     // the wide text/props columns it doesn't use
     val plans = Map(
-      "q_buffer_cap" -> "props", // uses only user_id/event_id/ts
-      "q_quantiles" -> "props",  // uses only event_type/value
-      "q_fingerprint" -> "lang"  // uses only doc_id/text
+      "q_buffer_cap" -> "props",   // uses only user_id/event_id/ts
+      "q_quantiles" -> "props",    // uses only event_type/value
+      "q_fingerprint" -> "lang",   // uses only doc_id/text
+      "q_sessionize" -> "props",   // uses only user_id/ts/event_id/value
+      "q_join_full" -> "props",    // events side needs only user_id
+      "q_string_agg" -> "o_totalprice" // only o_custkey/o_orderpriority
     )
     plans.foreach { case (q, mustNotRead) =>
       val scan = SparkEntry.queries(q)(spark, sf)
