@@ -100,6 +100,38 @@ object Curation {
   private def gramSqlExpr: String =
     (1 until gramN).foldLeft("w[i]") { (acc, j) => s"$acc || ' ' || w[i + $j]" }
 
+  /** Email pattern shared by the redactor and its oracle: basic
+    * classes only, identical semantics in Java regex and DuckDB's RE2.
+    */
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** X19 — PII redaction: count and mask email addresses per document
+    * (the privacy-scrubbing pass every released corpus runs). The
+    * synthetic corpus carries no PII, so — the same pattern as the
+    * dedup family's planted near-dups — every 20th doc gets a
+    * deterministic planted address derived from its id in BOTH
+    * engines, making the redactor's work non-vacuous and the planted
+    * rows a built-in truth set (CurationSpec pins exactly those docs
+    * flag n_emails ≥ 1). The output carries md5 of the redacted text,
+    * not the text: the hash gate then certifies byte-identical
+    * redaction without shipping documents around.
+    *
+    * Scale shape: pure narrow per-row work (regex + md5), no shuffle
+    * but the final order-by; embarrassingly parallel at any size.
+    */
+  private def piiRedact(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 20 === 0,
+          concat(col("text"), lit(" contact u"), col("doc_id"), lit("@mail.example")))
+          .otherwise(col("text")).as("text"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        md5(regexp_replace(col("text"), emailRe, "<EMAIL>")).as("redacted_md5"))
+      .orderBy("doc_id")
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_decontaminate" -> QueryDef(
       decontaminate,
@@ -132,5 +164,18 @@ object Curation {
              |      < CASE WHEN lang = 'en' THEN 20 ELSE 5 END
              |ORDER BY doc_id""".stripMargin),
       "X16 deterministic stratified sampling by salted hash, per-language rates"),
+    "q_pii_redact" -> QueryDef(
+      piiRedact,
+      Some(s"""WITH d AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 20 = 0
+              |         THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example'
+              |         ELSE text END AS text
+              |  FROM documents)
+              |SELECT doc_id,
+              |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+              |  md5(regexp_replace(text, '$emailRe', '<EMAIL>', 'g')) AS redacted_md5
+              |FROM d ORDER BY doc_id""".stripMargin),
+      "X19 PII redaction: count + mask emails, hash-certified byte-identical masking"),
   )
 }

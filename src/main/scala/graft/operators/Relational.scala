@@ -128,6 +128,38 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_custkey")
 
+  /** R20 — correlated aggregate comparison (the classic
+    * `WHERE price > (SELECT avg(...) WHERE same customer)` shape),
+    * decorrelated to one window over the customer key. The comparison
+    * is integer-exact by cross-multiplication in CENTS
+    * (`cents·n > Σcents` ⇔ `price > avg`): comparing against a FLOAT
+    * group mean is the textbook cross-engine flake (each engine sums
+    * in its own order), and no rounding can paper over a row that
+    * flips sides of the filter. The output carries the exact integer
+    * ingredients (Σcents, n) rather than a derived mean: a mean is an
+    * 800-denominator rational here, which lands on genuine half-way
+    * rounding boundaries (…70375 measured at sf0.01) that Spark's
+    * BigDecimal HALF_UP and DuckDB's double rounding resolve
+    * differently — exact integers cannot.
+    */
+  private def aboveAvg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .withColumn("sum_c", sum(col("cents")).over(w))
+      .withColumn("n_c", count(lit(1)).over(w))
+      .filter(col("cents") * col("n_c") > col("sum_c"))
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 4).as("o_totalprice"),
+        col("n_c").as("n_orders"),
+        col("sum_c").as("sum_cents"))
+      .orderBy("o_orderkey")
+  }
+
   /** R5 — TPC-H Q1-shaped multi-measure hash aggregate. */
   private def aggQ1(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -552,5 +584,20 @@ object Relational {
              |FROM orders WHERE o_custkey < 300
              |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
       "R19 deterministic group string aggregation (sorted distinct LISTAGG)"),
+    "q_above_avg" -> QueryDef(
+      aboveAvg,
+      Some("""WITH o AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+             |  FROM orders),
+             |w AS (
+             |  SELECT *, sum(cents) OVER (PARTITION BY o_custkey) AS sum_c,
+             |    count(*) OVER (PARTITION BY o_custkey) AS n_c
+             |  FROM o)
+             |SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice,
+             |  CAST(n_c AS BIGINT) AS n_orders,
+             |  CAST(sum_c AS BIGINT) AS sum_cents
+             |FROM w WHERE cents * n_c > sum_c ORDER BY o_orderkey""".stripMargin),
+      "R20 correlated aggregate comparison: orders above their customer's average, integer-exact"),
   )
 }

@@ -169,6 +169,44 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("bucket")
 
+  /** X20 — repetition scoring: the top-bigram-share quality rule
+    * (Gopher-style repetition filters — Rae et al. 2021 — simplified
+    * to token bigrams): a document whose single most frequent bigram
+    * exceeds 20 % of all its bigrams is template/boilerplate spam, a
+    * signal TTR (X10) misses because repeated PHRASES can still have
+    * a healthy distinct-token ratio. The flag is integer arithmetic
+    * (5·max > n), so no float can flip it. Like the dedup family's
+    * planted near-dups, every 30th doc is deterministically replaced
+    * (first word × 40) in BOTH engines so the flag is non-vacuous and
+    * the planted ids form a built-in truth set.
+    *
+    * Scale shape: (doc, bigram) aggregate with map-side partials,
+    * then a doc-keyed reduce of the compressed counts — the same
+    * two-level shape as the fingerprint, no skew beyond document
+    * length.
+    */
+  private def repetition(s: SparkSession, dir: String): DataFrame = {
+    val w1 = element_at(split(col("text"), " "), 1)
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 30 === 0, concat_ws(" ", array_repeat(w1, 40)))
+          .otherwise(col("text")).as("text"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_bigrams"),
+        max(col("c")).cast("long").as("max_count"))
+      .withColumn("is_repetitive",
+        when(col("max_count") * 5 > col("n_bigrams"), 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   /** Data profiling — the first thing any pipeline runs against a new
     * table: per-column counts, null counts, distinct counts, min/max.
     * Numeric and string extrema live in separate typed columns (no
@@ -322,5 +360,23 @@ object TextAnalysis {
              |  CAST(count(*) AS BIGINT) AS n_docs
              |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin),
       "document length histogram (decade buckets)"),
+    "q_repetition" -> QueryDef(
+      repetition,
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 30 = 0
+             |         THEN trim(repeat(string_split(text, ' ')[1] || ' ', 40))
+             |         ELSE text END AS text
+             |  FROM documents),
+             |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+             |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+             |        FROM toks WHERE len(w) >= 2),
+             |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram FROM idx),
+             |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             |  CAST(max(c) AS BIGINT) AS max_count,
+             |  CAST(CASE WHEN 5 * max(c) > sum(c) THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+             |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "X20 repetition scoring: top-bigram share with integer keep flag"),
   )
 }

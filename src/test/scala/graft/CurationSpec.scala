@@ -45,6 +45,26 @@ class CurationSpec extends AnyFunSuite {
       s"decontaminate plans $hashExchanges hash exchanges — a corpus-wide gram shuffle is back:\n$plan")
   }
 
+  test("PII redaction flags exactly the planted addresses and masks them from the hash") {
+    val rows = SparkEntry.queries("q_pii_redact")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every planted doc (id % 20 == 0) carries exactly its one planted
+    // address; the rest of the corpus has none
+    rows.foreach { case (id, n, _) =>
+      assert(n === (if (id % 20 == 0) 1L else 0L),
+        s"doc $id reports $n emails")
+    }
+    // the redacted hash is not the hash of the raw text for planted
+    // docs (the mask really changed the bytes)
+    val raw = Tables(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.md5(org.apache.spark.sql.functions.col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.filter(_._1 % 20 == 0).foreach { case (id, _, h) =>
+      assert(h !== raw(id), s"planted doc $id hash unchanged — mask did not fire")
+    }
+  }
+
   test("stratified sample is deterministic, rate-correct, and repartition-stable") {
     def sample(df: org.apache.spark.sql.DataFrame) = df
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq

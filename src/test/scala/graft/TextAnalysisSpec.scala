@@ -12,6 +12,23 @@ import org.scalatest.funsuite.AnyFunSuite
 class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
 
+  test("repetition flag fires on exactly the planted boilerplate docs") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_repetition")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, mx, flag) =>
+      assert(mx >= 1 && mx <= n, s"doc $id max bigram count $mx outside [1, $n]")
+      if (id % 30 == 0)
+        // planted: first word x40 -> one bigram repeated n times
+        assert(flag === 1L && mx === n, s"planted doc $id not flagged (max=$mx of $n)")
+      else
+        // natural docs over a 30-word vocabulary stay far under the
+        // 20% top-bigram share
+        assert(flag === 0L, s"natural doc $id flagged repetitive (max=$mx of $n)")
+    }
+  }
+
   test("cooccur df floor is result-preserving: floored top-30 == unfloored, with headroom") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       def top30(minDf: Long) =
