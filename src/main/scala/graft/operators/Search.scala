@@ -66,11 +66,10 @@ object Search {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    // vocabulary dictionary from its own scan: distinct-per-doc explode
-    // collapses to per-partition vocab partials before the shuffle
-    val dft = docs(s, dir)
-      .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // vocabulary dictionary from its own scan — the exact q_doc_freq
+    // derivation, shared so the two queries can never drift on
+    // tokenization (TextAnalysis.dfByToken)
+    val dft = TextAnalysis.dfByToken(docs(s, dir))
     val stats = docs(s, dir).agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(dft, "tok") // no hint: auto-broadcast / AQE-skew-split SMJ

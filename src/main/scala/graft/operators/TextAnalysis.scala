@@ -151,14 +151,25 @@ object TextAnalysis {
       .limit(30)
   }
 
-  /** Document frequency per token (the integer-exact part of tf-idf;
-    * idf's log is engine-library-dependent, so df stays the contract).
+  /** Document frequency per token — THE df derivation, shared by
+    * `q_doc_freq` and `Search.tfidf` so the two declared queries can
+    * never drift on tokenization or the distinct-per-doc rule.
+    * Distinct-per-doc explode collapses to per-partition vocab
+    * partials before the (tiny) shuffle.
+    *
+    * (Historical note: the scaladoc once warned idf's log was
+    * engine-library-dependent and kept df "the contract"; r10
+    * bit-audited `ln` on every ratio-of-small-ints input this corpus
+    * produces — ≤1 ulp apart, absorbed by round-4 — so `q_tfidf` now
+    * declares the full score while df remains the exact ingredient.)
     */
-  private def docFreq(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+  private[operators] def dfByToken(d: DataFrame): DataFrame =
+    d.select(explode(array_distinct(split(col("text"), " "))).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
+
+  private def docFreq(s: SparkSession, dir: String): DataFrame =
+    dfByToken(docs(s, dir))
       .orderBy(col("df").desc, col("tok").asc)
 
   /** Length histogram: docs bucketed by token count (decade buckets). */
@@ -187,10 +198,16 @@ object TextAnalysis {
     */
   private def repetition(s: SparkSession, dir: String): DataFrame = {
     val w1 = element_at(split(col("text"), " "), 1)
+    // trim(join(repeat("w "))) — congruent token for token with the
+    // oracle's trim(repeat(w1 || ' ', 40)), INCLUDING the empty-first-
+    // token edge (both collapse to '' and the size filter drops the
+    // doc); concat_ws(" ", array_repeat(w1, 40)) would instead keep
+    // 40 empty tokens on the Spark side and diverge under corpus drift
     docs(s, dir)
       .select(
         col("doc_id"),
-        when(col("doc_id") % 30 === 0, concat_ws(" ", array_repeat(w1, 40)))
+        when(col("doc_id") % 30 === 0,
+          trim(concat_ws("", array_repeat(concat(w1, lit(" ")), 40))))
           .otherwise(col("text")).as("text"))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
