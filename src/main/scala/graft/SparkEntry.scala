@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Sessions.defs ++
       operators.Extensions.defs ++
       operators.Dedup.defs ++
+      operators.Clustering.defs ++
       operators.Similarity.defs ++
       operators.TextAnalysis.defs ++
       operators.Search.defs ++

@@ -34,6 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSketch].getName, "graft_minhash_sig"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSketch(children(0))))
+    // Misra–Gries frequent-items sketch: graft_mg_topk(tok, capacity)
+    // (capacity must be a foldable integer literal)
+    ext.injectFunction((
+      FunctionIdentifier("graft_mg_topk"),
+      new ExpressionInfo(classOf[MisraGries].getName, "graft_mg_topk"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MisraGries(children(0), children(1).eval().asInstanceOf[Int])))
     // one-pass SimHash majority-vote sketch
     ext.injectFunction((
       FunctionIdentifier("graft_simhash_sketch"),

@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** X21 — duplicate-cluster resolution: near-dup PAIRS are evidence,
+  * but what a curation pipeline acts on is GROUPS ("keep one doc per
+  * duplicate cluster"), and pair→group is graph connectivity —
+  * transitive: A≈B and B≈C put A and C in one cluster even if they
+  * never collided directly. The reference gateway has nothing like
+  * this; it is the missing last step of the EXT dedup family
+  * (X5a–X5d/X6 produce the edges, this resolves them).
+  *
+  * Algorithm: alternating large-star/small-star connected components
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14) — THE 100 TB shape for CC on DataFrames:
+  *
+  *  - each round is two groupBy-min aggregates + equi-joins over the
+  *    EDGE set (bounded by the near-dup rate, orders of magnitude
+  *    smaller than the corpus), all map-side-partial, no driver
+  *    state;
+  *  - the edge set only ever shrinks toward the star forest, and
+  *    convergence is O(log²) rounds worst-case, 2–3 on real dup
+  *    graphs (clusters are near-cliques);
+  *  - per-round `localCheckpoint` truncates lineage so plans don't
+  *    grow exponentially (on a cluster: `checkpoint` to durable
+  *    storage for fault tolerance instead);
+  *  - a label-propagation loop, by contrast, needs O(diameter)
+  *    rounds — adversarial chains (A≈B≈C≈…) make that linear.
+  *
+  * At the fixpoint the edges form stars rooted at each component's
+  * minimum doc_id — the canonical representative. Construction is
+  * eager by nature (the loop runs Spark jobs when the query is
+  * built, like `Dedup.nearPairs`' probe); the returned frame is a
+  * cheap plan over the final checkpointed edge set.
+  *
+  * ClusteringSpec pins the result against a driver-side union-find
+  * ground truth on randomized graphs (chains, cliques, isolated
+  * pairs) plus the planted-near-dup truth set of the corpus.
+  */
+object Clustering {
+
+  /** Alternating-star CC over an (id_a, id_b) pair set: returns
+    * (doc_id, cluster_id, cluster_size) for every doc appearing in
+    * at least one pair, cluster_id = min doc_id of the component.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    // canonical orientation: child → smaller endpoint, self-loops out
+    var edges = pairs
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mn = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      // for every neighbor v > u: (v, min(Γ⁺(u))) — strictly-larger
+      // neighbors re-point at u's best-known minimum
+      sym.join(mn, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical edges already point at smaller endpoints, so
+      // min(Γ⁺(u)) = min(v); every smaller neighbor (and u itself)
+      // re-points at it
+      val mn = e.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      e.join(mn, "u")
+        .filter(col("v") =!= col("mn"))
+        .select(col("v").as("u"), col("mn").as("v"))
+        .union(mn.select(col("u"), col("mn").as("v")))
+        .distinct()
+    }
+
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged && rounds < 30) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // exact fixpoint test: two anti-joins over the (small) edge
+      // set — same order of work as the round itself, no
+      // probabilistic checksum in a correctness-gated query
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+      rounds += 1
+    }
+    require(converged, s"connectedComponents did not converge in $rounds rounds")
+
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(
+        col("doc_id"),
+        col("cluster_id").cast("long").as("cluster_id"),
+        col("cluster_size").cast("long").as("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** The declared query: clusters over the MinHash-verified near-dup
+    * pairs (X5b's output contract — any of the X5 pair streams would
+    * do; MinHash is the cheapest verified one).
+    */
+  private def dedupCluster(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(Dedup.minhashPairs(s, dir))
+
+  /** Oracle: same MinHash pair chain, then min-label transitive
+    * closure as a recursive CTE (DuckDB's UNION-dedup semi-naive
+    * evaluation terminates it), grouped to (member, min reachable).
+    */
+  private def clusterSql: String =
+    s"""WITH RECURSIVE ${Dedup.minhashCandSql},
+       |verified AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS shared
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT v.id_a, v.id_b FROM verified v
+       |  JOIN card ca ON ca.doc_id = v.id_a
+       |  JOIN card cb ON cb.doc_id = v.id_b
+       |  WHERE 10 * v.shared >= 6 * (ca.n + cb.n - v.shared)),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |reach(v, x) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT r.v, e.v FROM reach r JOIN edges e ON e.u = r.x),
+       |labels AS (SELECT v AS doc_id, min(x) AS cluster_id FROM reach GROUP BY v),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
+       |SELECT l.doc_id, CAST(l.cluster_id AS BIGINT) AS cluster_id,
+       |  CAST(s.cluster_size AS BIGINT) AS cluster_size
+       |FROM labels l JOIN sizes s USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+    "q_dedup_cluster" -> QueryDef(
+      dedupCluster,
+      Some(clusterSql),
+      "X21 duplicate clusters: alternating-star connected components over near-dup pairs"),
+  )
+}

@@ -597,8 +597,18 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Verified near-dup pairs from the MinHash path, as a bare
+    * (id_a, id_b) edge list — the input contract for
+    * [[Clustering.connectedComponents]] (X21). Same pipeline as
+    * `q_dedup_minhash`, minus the presentation columns.
+    */
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(s, dir)
+    verifyJaccard(sh, minhashCands(sh)).select(col("id_a"), col("id_b"))
+  }
+
   /** Shared CTE chain: corpus → shingles → signatures → bands → cand. */
-  private def minhashCandSql: String = {
+  private[graft] def minhashCandSql: String = {
     val hashes = (0 until 2 * nBands)
       .map(i => s"min(((('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483648) * ${mixA(i)} + ${mixB(i)}) % 2147483647) AS h$i")
       .mkString(", ")

@@ -322,6 +322,59 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** R21 range-join bin width == window length (24 h in µs), so every
+    * window spans at most two bins. */
+  private val rjWindowUs: Long = 86400L * 1000000L
+
+  /** R21 — range / interval join: count each user's events inside the
+    * 24 h window opened by every high-value "alert" event (value >
+    * 300) — the "events in interval" shape (sensor readings during a
+    * maintenance window, sessions overlapping an incident) that SQL
+    * states as a non-equi `BETWEEN` join.
+    *
+    * Spark has no native range-join optimization: the naive
+    * `a.join(e, e.t >= a.t0 && e.t < a.t0 + W)` has no equi-key, so
+    * Catalyst plans BroadcastNestedLoopJoin — O(|alerts|·|events|)
+    * comparisons, THE classic 100 TB range-join killer. The standard
+    * fix, implemented here, is binning: quantize time into
+    * window-length bins, explode each interval to the ≤2 bins it
+    * overlaps, and equi-join on (user_id, bin) — Catalyst then plans
+    * a plain hash/SMJ shuffle join whose volume is (events × ≤1
+    * matching bin row per interval overlap), with the exact `BETWEEN`
+    * predicate as a residual filter. Each qualifying (alert, event)
+    * pair matches in EXACTLY one bin — the event's own — so no
+    * post-join dedup is needed. Everything is integer µs arithmetic.
+    *
+    * No broadcast hint on the alert side: its size is
+    * selectivity-dependent, so the size-based planner decides
+    * (broadcast at these SFs, shuffle join when alerts are huge) —
+    * the retractable choice a hint would destroy. PlanAuditSpec pins
+    * the no-BNLJ shape.
+    */
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"), col("value"))
+    val alerts = e.filter(col("value") > 300)
+      .select(
+        col("event_id"), col("user_id"), col("t").as("t0"),
+        explode(array_distinct(array(
+          expr(s"t div $rjWindowUs"),
+          expr(s"(t + ${rjWindowUs - 1}) div $rjWindowUs")))).as("bin"))
+    val binned = e.select(
+      col("user_id").as("e_user"), col("t"), expr(s"t div $rjWindowUs").as("bin"))
+    alerts
+      .join(binned,
+        col("e_user") === col("user_id") && binned("bin") === alerts("bin") &&
+          col("t") >= col("t0") && col("t") < col("t0") + rjWindowUs)
+      .groupBy(col("event_id"), col("user_id"), col("t0"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("event_id"), col("user_id"),
+        col("t0").cast("long").as("t0_us"),
+        col("n_events").cast("long").as("n_events"))
+      .orderBy("event_id")
+  }
+
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** R14 — pivot: per-user event counts spread over a fixed column
@@ -599,5 +652,16 @@ object Relational {
              |  CAST(sum_c AS BIGINT) AS sum_cents
              |FROM w WHERE cents * n_c > sum_c ORDER BY o_orderkey""".stripMargin),
       "R20 correlated aggregate comparison: orders above their customer's average, integer-exact"),
+    "q_range_join" -> QueryDef(
+      rangeJoin,
+      Some(s"""WITH alerts AS (
+              |  SELECT event_id, user_id, epoch_us(ts) AS t0 FROM events WHERE value > 300)
+              |SELECT a.event_id, a.user_id, CAST(a.t0 AS BIGINT) AS t0_us,
+              |  CAST(count(*) AS BIGINT) AS n_events
+              |FROM alerts a
+              |JOIN (SELECT user_id, epoch_us(ts) AS t FROM events) e
+              |  ON e.user_id = a.user_id AND e.t >= a.t0 AND e.t < a.t0 + $rjWindowUs
+              |GROUP BY 1, 2, 3 ORDER BY event_id""".stripMargin),
+      "R21 range/interval join via window-length binning (no nested-loop join)"),
   )
 }

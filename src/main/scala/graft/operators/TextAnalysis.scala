@@ -224,6 +224,76 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Misra–Gries capacity for [[heavyHitters]]. Must exceed the
+    * number of DISTINCT tokens that can tie into the top-K by more
+    * than the spill bound allows; 64 over this corpus's fixed
+    * 31-token vocabulary means the sketch is lossless (spill = 0) at
+    * every SF — the certificate below degenerates to "trivially
+    * exact" — while the spilling/fallback regimes stay covered by
+    * MisraGriesProps on adversarial streams.
+    */
+  private[graft] val mgCapacity = 64
+
+  /** X22 — exact heavy hitters through a frequent-items sketch: the
+    * "top-K tokens over a corpus" query at the 100 TB shape. A plain
+    * `groupBy(tok).count` shuffles the entire vocabulary (unbounded:
+    * real corpora have billions of distinct tokens); the Misra–Gries
+    * route is
+    *
+    *   1. ONE narrow pass building a `capacity`-entry
+    *      [[graft.functions.MisraGries]] sketch per partition,
+    *      merged map-side — constant memory, one tiny row to the
+    *      driver;
+    *   2. an exact RECOUNT of just the ≤`capacity` candidates (an
+    *      IN-list filter straight on the token stream, so the
+    *      recount's shuffle carries ≤`capacity` keys);
+    *   3. a certificate: every non-candidate's true count is ≤ the
+    *      sketch's total decrement weight (`spill`), so if the K-th
+    *      recounted frequency exceeds `spill`, the top-K is PROVABLY
+    *      exact. If the certificate fails — adversarially flat
+    *      distributions — fall back to the exact full aggregate:
+    *      never a wrong answer, just a slower plan.
+    *
+    * Construction is eager like `Dedup.nearPairs`' probe: the sketch
+    * job runs when the query is BUILT (bounded: one scan, one
+    * `capacity`-entry row), choosing between two provably-equivalent
+    * plans. spill = 0 skips the certificate re-scan entirely (the
+    * sketch was lossless, so candidates = the whole vocabulary).
+    */
+  private def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHittersOver(
+      docs(s, dir).select(explode(split(col("text"), " ")).as("tok")),
+      mgCapacity, 20)
+
+  /** The sketch → recount → certificate pipeline over any one-column
+    * `tok` frame, parameterized so TextAnalysisSpec can force the
+    * spilling and fallback regimes with synthetic streams and tiny
+    * capacities.
+    */
+  private[graft] def heavyHittersOver(toks: DataFrame, capacity: Int, k: Int): DataFrame = {
+    val exactTopK = (in: DataFrame) => in
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(k)
+    val sketch = toks
+      .agg(call_function("graft_mg_topk", col("tok"), lit(capacity)).as("mg"))
+      .select(col("mg.spill"), col("mg.toks")).head()
+    val spill = sketch.getLong(0)
+    val cands = sketch.getSeq[String](1)
+    val recount = exactTopK(toks.filter(col("tok").isin(cands: _*)))
+    // the K-th recounted frequency must STRICTLY exceed spill (an
+    // absent token can have true count == spill and would win a
+    // tie-break the recount never saw), and there must BE K certified
+    // rows — fewer candidates than K proves nothing about ranks
+    // |cands|+1 … K when spill > 0
+    val certified = spill == 0 || {
+      val rows = recount.collect()
+      rows.length == k && rows.last.getLong(1) > spill
+    }
+    if (certified) recount else exactTopK(toks)
+  }
+
   /** Data profiling — the first thing any pipeline runs against a new
     * table: per-column counts, null counts, distinct counts, min/max.
     * Numeric and string extrema live in separate typed columns (no
@@ -395,5 +465,11 @@ object TextAnalysis {
              |  CAST(CASE WHEN 5 * max(c) > sum(c) THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
              |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "X20 repetition scoring: top-bigram share with integer keep flag"),
+    "q_heavy_hitters" -> QueryDef(
+      heavyHitters,
+      Some("""SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+             |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin),
+      "X22 exact top-20 tokens via Misra-Gries candidates + certified recount"),
   )
 }

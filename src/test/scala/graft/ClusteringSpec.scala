@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.Clustering
+import org.scalatest.funsuite.AnyFunSuite
+
+/** X21 connected components: alternating-star result pinned against a
+  * driver-side union-find ground truth on adversarial graph shapes
+  * (the long chain forces multiple alternating rounds; label
+  * propagation would need O(n)), plus the corpus planted-pair truth
+  * set and the star-forest output invariants.
+  */
+class ClusteringSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    Clustering.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+  }
+
+  /** Driver-side union-find: (member → (min of component, size)). */
+  private def truth(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = parent.keys.toSeq.map(x => x -> find(x))
+    val byRoot = members.groupBy(_._2)
+    members.map { case (x, r) =>
+      val comp = byRoot(r).map(_._1)
+      x -> (comp.min, comp.size.toLong)
+    }.toMap
+  }
+
+  test("chain, cliques, bridges, and isolated pairs match union-find") {
+    val chain = (1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val cliqueA = for (i <- 100L to 104L; j <- (i + 1) to 104L) yield (i, j)
+    val cliqueB = for (i <- 200L to 203L; j <- (i + 1) to 203L) yield (j, i) // reversed pairs
+    val bridge = Seq((104L, 200L)) // merges the two cliques
+    val isolated = Seq((300L, 301L), (302L, 303L), (400L, 400L)) // self-loop must vanish
+    val edges = chain ++ cliqueA ++ cliqueB ++ bridge ++ isolated
+    val got = cc(edges)
+    val want = truth(edges.filter(e => e._1 != e._2))
+    assert(got == want)
+    // the 40-node chain is ONE cluster labeled by its minimum
+    assert(got(40L) == (1L, 40L))
+    // bridged cliques merged: every member labeled 100, size 5+4
+    assert(got(203L) == (100L, 9L))
+  }
+
+  test("randomized graphs match union-find across densities") {
+    val rnd = new scala.util.Random(42)
+    for (density <- Seq(20, 60, 200)) {
+      val edges = Seq.fill(density)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter(e => e._1 != e._2)
+      assert(cc(edges) == truth(edges), s"density $density")
+    }
+  }
+
+  test("empty pair set yields an empty, correctly-typed result") {
+    import spark.implicits._
+    val out = Clustering.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(out.columns.toSeq == Seq("doc_id", "cluster_id", "cluster_size"))
+    assert(out.count() == 0)
+  }
+
+  test("q_dedup_cluster groups every planted near-dup with its source") {
+    val rows = SparkEntry.queries("q_dedup_cluster")(spark, sf).collect()
+    val label = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // planted copies (doc_id % 25 == 0, shifted +200000) must share
+    // their source's cluster — and the source is the cluster min for
+    // pairs that contain only the two of them
+    val planted = label.keys.filter(_ >= 200000L)
+    assert(planted.nonEmpty, "corpus lost its planted near-dups")
+    planted.foreach { p =>
+      assert(label.contains(p - 200000L) && label(p) == label(p - 200000L),
+        s"planted copy $p not clustered with its source")
+    }
+    // output invariants: one row per member; cluster_id is the min
+    // member of its cluster; sizes agree with membership
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min == cid)
+      assert(members.forall(_.getLong(2) == members.length.toLong))
+    }
+  }
+}

@@ -251,6 +251,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans === 1, s"q_profile plans $scans file scans:\n$plan")
   }
 
+  test("q_range_join plans an equi-join on the time bin, never a nested loop") {
+    // the binned rewrite is the whole point of R21: the naive BETWEEN
+    // join has no equi-key, so Catalyst would plan
+    // BroadcastNestedLoopJoin — O(|alerts| x |events|) comparisons.
+    // The declared plan must carry the (user_id, bin) keys into a
+    // hash/merge join and keep the BETWEEN as a residual.
+    val plan = SparkEntry.queries("q_range_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"),
+      s"range join lost its equi-join:\n$plan")
+    // positive control: the un-binned formulation really does plan a
+    // nested loop — if Spark ever learns native range joins, this
+    // flags the binning as removable
+    val spark2 = spark
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables(spark2, sf, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"), col("value"))
+    val alerts = e.filter(col("value") > 300)
+      .select(col("user_id").as("a_user"), col("t").as("t0"))
+    val naive = e.join(alerts,
+      col("user_id") === col("a_user") && col("t") >= col("t0")
+        && col("t") < col("t0") + 86400000000L)
+    // equi-key user_id IS present here, so Spark keeps a hash join;
+    // drop it to model a keyless interval join
+    val keyless = e.join(alerts,
+      col("t") >= col("t0") && col("t") < col("t0") + 86400000000L)
+    assert(keyless.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "nested-loop detector went blind (keyless interval join)")
+    assert(!naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("single-table scans prune columns down to what the query needs") {
     // spot checks with known narrow needs: scan stage must not read
     // the wide text/props columns it doesn't use

@@ -45,4 +45,43 @@ class TextAnalysisSpec extends AnyFunSuite {
         s"30th-ranked n_docs $last is below the floor at $dir")
     }
   }
+
+  test("heavy hitters: certified sketch path == exact top-K in every regime") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis.heavyHittersOver
+    def exact(toks: org.apache.spark.sql.DataFrame, k: Int) = toks
+      .groupBy("tok").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).cast("long").as("cnt"))
+      .orderBy(org.apache.spark.sql.functions.col("cnt").desc,
+        org.apache.spark.sql.functions.col("tok").asc)
+      .limit(k)
+    def run(toks: org.apache.spark.sql.DataFrame, cap: Int, k: Int) = {
+      val got = heavyHittersOver(toks, cap, k).collect().map(r => (r.getString(0), r.getLong(1)))
+      val want = exact(toks, k).collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(got.toSeq == want.toSeq, s"cap=$cap k=$k")
+      got
+    }
+    // lossless regime (vocab < capacity): the declared-query shape
+    val rnd = new scala.util.Random(7)
+    val small = Seq.tabulate(5000)(_ => "tok" + rnd.nextInt(20)).toDF("tok").repartition(4)
+    assert(run(small, 64, 10).length == 10)
+    // spilling regime, skewed: vocab >> capacity but hot tokens
+    // dominate — certificate holds, sketch path stays exact
+    val skewed = (Seq.tabulate(4000)(i => "hot" + (i % 5)) ++
+      Seq.tabulate(2000)(_ => "cold" + rnd.nextInt(1500))).toDF("tok").repartition(4)
+    assert(run(skewed, 16, 5).forall(_._1.startsWith("hot")))
+    // adversarially flat: every token nearly tied, certificate MUST
+    // fail and the fallback exact plan answers
+    val flat = Seq.tabulate(3000)(i => "t" + (i % 300)).toDF("tok").repartition(4)
+    run(flat, 8, 20)
+    // corpus pin: the declared query's certified path equals the
+    // declarative exact aggregate at both test SFs
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val toks = graft.Tables(spark, dir, "documents")
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " ")).as("tok"))
+      run(toks, graft.operators.TextAnalysis.mgCapacity, 20)
+    }
+  }
 }
