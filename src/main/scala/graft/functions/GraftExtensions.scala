@@ -34,6 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSketch].getName, "graft_minhash_sig"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSketch(children(0))))
+    // codegen'd Unicode NFC normalization
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalize(children(0))))
     // Misra–Gries frequent-items sketch: graft_mg_topk(tok, capacity)
     // (capacity must be a foldable integer literal)
     ext.injectFunction((

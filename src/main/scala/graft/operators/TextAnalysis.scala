@@ -294,6 +294,40 @@ object TextAnalysis {
     if (certified) recount else exactTopK(toks)
   }
 
+  /** X23 — text normalization: Unicode NFC (the codegen'd
+    * [[graft.functions.NfcNormalize]] expression — Spark has no
+    * built-in), case folding, and whitespace collapse, the canonical
+    * first pass over crawled text (decomposed combining marks make
+    * visually-identical documents hash differently, defeating every
+    * exact and shingle-based dedup downstream). The corpus is ASCII,
+    * so every 10th doc gets a planted decomposed-uppercase-ragged
+    * prefix in BOTH engines (the dedup-family planted-truth pattern);
+    * the md5 of the normalized text is what the hash gate compares,
+    * certifying byte-identical normalization without moving docs.
+    *
+    * Scale shape: pure narrow per-row work inside WholeStageCodegen
+    * (the NFC expression short-circuits on already-normalized text,
+    * which is ~every real row); no shuffle but the final order-by.
+    */
+  private def normalize(s: SparkSession, dir: String): DataFrame = {
+    // "NFĆ  Tést  " with the accents DECOMPOSED (base + U+0301), so
+    // NFC genuinely recomposes: len 11 raw -> 9 normalized
+    val plant = "NFC\u0301  Te\u0301st  "
+    val norm = trim(regexp_replace(
+      lower(call_function("graft_nfc", col("text"))), " +", " "))
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 10 === 0, concat(lit(plant), col("text")))
+          .otherwise(col("text")).as("text"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_raw_chars"),
+        length(norm).cast("long").as("n_norm_chars"),
+        md5(norm).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Data profiling — the first thing any pipeline runs against a new
     * table: per-column counts, null counts, distinct counts, min/max.
     * Numeric and string extrema live in separate typed columns (no
@@ -471,5 +505,18 @@ object TextAnalysis {
              |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
              |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin),
       "X22 exact top-20 tokens via Misra-Gries candidates + certified recount"),
+    "q_normalize" -> QueryDef(
+      normalize,
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 0
+             |         THEN 'NFC' || chr(769) || '  Te' || chr(769) || 'st  ' || text
+             |         ELSE text END AS text
+             |  FROM documents)
+             |SELECT doc_id, CAST(len(text) AS BIGINT) AS n_raw_chars,
+             |  CAST(len(trim(regexp_replace(lower(nfc_normalize(text)), ' +', ' ', 'g'))) AS BIGINT) AS n_norm_chars,
+             |  md5(trim(regexp_replace(lower(nfc_normalize(text)), ' +', ' ', 'g'))) AS norm_md5
+             |FROM d ORDER BY doc_id""".stripMargin),
+      "X23 text normalization: NFC + casefold + whitespace collapse, hash-certified"),
   )
 }

@@ -278,7 +278,7 @@ class GatewaySpec extends AnyFunSuite {
     val confPath = Files.createTempFile("gw", ".conf")
     Files.write(confPath, ini("True").getBytes("UTF-8"))
 
-    val ms = MemoryStream[String]
+    val ms = MultiQueryMemoryStream[String]()
     val watcher = new graft.streaming.HotReload(
       confPath,
       pollMillis = 50L,
@@ -331,7 +331,7 @@ class GatewaySpec extends AnyFunSuite {
     val confPath = Files.createTempFile("gw", ".conf")
     Files.write(confPath, ini("True").getBytes("UTF-8"))
 
-    val ms = MemoryStream[String]
+    val ms = MultiQueryMemoryStream[String]()
     val watcher = new graft.streaming.HotReload(
       confPath,
       pollMillis = 50L,
@@ -398,7 +398,7 @@ class GatewaySpec extends AnyFunSuite {
     val confPath = Files.createTempFile("gw", ".conf")
     Files.write(confPath, ini("True").getBytes("UTF-8"))
 
-    val ms = MemoryStream[String]
+    val ms = MultiQueryMemoryStream[String]()
     // runIds of queries started by the FAILED start attempt: the fix
     // under test is that HotReload stops exactly these before reverting
     val partialRuns = new java.util.concurrent.CopyOnWriteArrayList[java.util.UUID]()

@@ -46,6 +46,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_nfc composes decomposed text, codegen and interpreted paths agree") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col, length}
+    val decomposed = "NFC\u0301  Te\u0301st" // combining U+0301 marks
+    val composed = "NF\u0106  T\u00e9st"     // precomposed equivalents
+    // enough rows that the projection runs under WholeStageCodegen
+    val df = Seq.fill(200)(decomposed).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      .select(col("id"), call_function("graft_nfc", col("t")).as("n"),
+        length(call_function("graft_nfc", col("t"))).as("len"))
+    val rows = df.collect()
+    assert(rows.forall(_.getString(1) == composed))
+    assert(rows.forall(_.getInt(2) == composed.length)) // 11, was 13
+    // interpreted path (no codegen): same result via the eval helper
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(graft.functions.NfcNormalize.nfc(
+      UTF8String.fromString(decomposed)).toString == composed)
+    // already-normalized input comes back as the SAME object (the
+    // fast path real corpora take on ~every row), and NFC is
+    // idempotent
+    val already = UTF8String.fromString(composed)
+    assert(graft.functions.NfcNormalize.nfc(already) eq already)
+    // null propagates
+    val withNull = Seq((1L, "ascii"), (2L, null)).toDF("id", "t")
+      .select(call_function("graft_nfc", col("t")).as("n"))
+    assert(withNull.collect().map(r => Option(r.getString(0))).toSet
+      == Set(Some("ascii"), None))
+  }
+
   test("heavy hitters: certified sketch path == exact top-K in every regime") {
     import spark.implicits._
     import graft.operators.TextAnalysis.heavyHittersOver
