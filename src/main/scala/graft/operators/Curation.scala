@@ -132,6 +132,32 @@ object Curation {
         md5(regexp_replace(col("text"), emailRe, "<EMAIL>")).as("redacted_md5"))
       .orderBy("doc_id")
 
+  /** X25 — corpus mixing weights: the temperature-resampling rule
+    * multilingual pretraining uses to up-weight low-resource slices
+    * (p_l ∝ share_l^(1/T)); T = 2, i.e. sqrt, deliberately — sqrt is
+    * IEEE-correctly-rounded in BOTH engines, so the only float risk
+    * is the final normalizing division, absorbed by round-4 (a
+    * general pow(x, 1/T) would reopen the libm-parity question the
+    * ln bit-audit settled for q_tfidf).
+    *
+    * Scale shape: one count aggregate over the corpus (map-side
+    * partials) collapses to a ≤|languages|-row dictionary; the
+    * normalizing window runs over THAT dictionary, never the corpus
+    * — the "window over aggregate, not over events" rule the
+    * sessionize/search operators follow.
+    */
+  private def mixWeights(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight",
+        round(sqrt(col("n_docs")) / sum(sqrt(col("n_docs")))
+          .over(Window.partitionBy()), 4))
+      .select(col("lang"), col("n_docs").cast("long").as("n_docs"), col("weight"))
+      .orderBy("lang")
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_decontaminate" -> QueryDef(
       decontaminate,
@@ -177,5 +203,13 @@ object Curation {
               |  md5(regexp_replace(text, '$emailRe', '<EMAIL>', 'g')) AS redacted_md5
               |FROM d ORDER BY doc_id""".stripMargin),
       "X19 PII redaction: count + mask emails, hash-certified byte-identical masking"),
+    "q_mix_weights" -> QueryDef(
+      mixWeights,
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+             |          FROM documents GROUP BY lang)
+             |SELECT lang, n_docs,
+             |  round(sqrt(n_docs) / sum(sqrt(n_docs)) OVER (), 4) AS weight
+             |FROM c ORDER BY lang""".stripMargin),
+      "X25 corpus mixing weights: sqrt temperature resampling over language shares"),
   )
 }

@@ -139,6 +139,51 @@ object Search {
       .limit(20)
   }
 
+  /** The fixed 3-token query phrase, planted at the head of every
+    * 15th document in BOTH engines (the dedup-family planted-truth
+    * pattern — trigram phrases on this word-soup corpus are not
+    * guaranteed to recur naturally at every SF); natural occurrences
+    * count too, identically on both sides.
+    */
+  private[graft] val phraseTerms = Seq("hash", "join", "order")
+
+  /** X24 — exact phrase search over a positional inverted index: find
+    * (and count per document) occurrences of a consecutive token
+    * phrase. The substring-scan formulation (`text LIKE '%…%'`) reads
+    * every byte of every document — the full-scan shape that dies at
+    * corpus scale. The index formulation is the classic IR plan this
+    * query declares: tokenize to (doc_id, pos, tok) postings, filter
+    * each leg to ONE term's posting list (selectivity = term
+    * frequency, the Zipf tail making most legs tiny), then equi-join
+    * legs on (doc_id, pos arithmetic) — adjacency is position math,
+    * not string math. At 100 TB the postings are a pre-built table
+    * bucketed by token; here they are derived on the fly, but the
+    * join shape — narrow filters into co-partitioned equi-joins, no
+    * full-text rescan — is the scale contract. (A production planner
+    * would additionally reorder legs rarest-term-first; the leg order
+    * here is the fixed phrase order, which AQE's runtime statistics
+    * already re-plan when a leg turns out tiny.)
+    */
+  private def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 15 === 0,
+          concat(lit(phraseTerms.mkString("", " ", " ")), col("text")))
+          .otherwise(col("text")).as("text"))
+    val toks = planted
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val legs = phraseTerms.zipWithIndex.map { case (t, i) =>
+      toks.filter(col("tok") === t)
+        .select(col("doc_id"), (col("pos") - i).as("p0"))
+        .as(s"l$i")
+    }
+    legs.reduce((a, b) => a.join(b, Seq("doc_id", "p0")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   private val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
 
   val defs: ListMap[String, QueryDef] = ListMap(
@@ -185,5 +230,24 @@ object Search {
               |FROM tf JOIN dft USING (tok) CROSS JOIN stats
               |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin),
       "X18 BM25 search ranking: top-20 documents for a fixed term query"),
+    "q_phrase_search" -> QueryDef(
+      phraseSearch,
+      Some(s"""WITH d AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 15 = 0
+              |         THEN '${phraseTerms.mkString(" ")} ' || text
+              |         ELSE text END AS text
+              |  FROM documents),
+              |toks AS (
+              |  SELECT doc_id, i - 1 AS pos, w[i] AS tok
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d) t,
+              |       LATERAL unnest(generate_series(1, len(w))) AS s(i)),
+              |l0 AS (SELECT doc_id, pos AS p0 FROM toks WHERE tok = '${phraseTerms(0)}'),
+              |l1 AS (SELECT doc_id, pos - 1 AS p0 FROM toks WHERE tok = '${phraseTerms(1)}'),
+              |l2 AS (SELECT doc_id, pos - 2 AS p0 FROM toks WHERE tok = '${phraseTerms(2)}')
+              |SELECT l0.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              |FROM l0 JOIN l1 USING (doc_id, p0) JOIN l2 USING (doc_id, p0)
+              |GROUP BY 1 ORDER BY doc_id""".stripMargin),
+      "X24 exact phrase search via positional-inverted-index adjacency joins"),
   )
 }

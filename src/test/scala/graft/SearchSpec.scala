@@ -65,4 +65,27 @@ class SearchSpec extends AnyFunSuite {
     // matching more query terms can only help: the top hit matches all
     assert(rows.head.getLong(1) === 3, "top bm25 hit misses a query term — scoring is off")
   }
+
+  test("phrase search finds every planted phrase via the positional index") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = SparkEntry.queries("q_phrase_search")(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows.nonEmpty, s"vacuous at $dir")
+      // the planted truth set: every 15th doc carries the phrase at
+      // position 0 and must be a hit
+      val nDocs = graft.Tables(spark, dir, "documents").count()
+      (0L until nDocs by 15L).foreach { id =>
+        assert(rows.get(id).exists(_ >= 1L), s"planted doc $id missed at $dir")
+      }
+      // adjacency is position math: hits require the CONSECUTIVE
+      // phrase, so every reported doc really contains it
+      val texts = graft.Tables(spark, dir, "documents")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      rows.foreach { case (id, n) =>
+        val t = if (id % 15 == 0) "hash join order " + texts(id) else texts(id)
+        val occ = t.split(" ").sliding(3).count(_.sameElements(Seq("hash", "join", "order")))
+        assert(occ.toLong == n, s"doc $id: reported $n hits, text has $occ at $dir")
+      }
+    }
+  }
 }
