@@ -593,6 +593,33 @@ class GatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static enrichment: per-node calibration joins the decoded stream statelessly") {
+    // emonhub — the reference's direct successor — applies per-node
+    // scales/offsets to decoded values; the Spark shape for that is a
+    // stream-STATIC join (stateless: no watermark, no join state, the
+    // dim broadcasts into every micro-batch), which is the right
+    // contract for slowly-changing config refreshed on restart
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ms = MemoryStream[String]
+    val calib = Seq((1L, 0.1, 100.0), (2L, 1.0, 0.0))
+      .toDF("node", "scale", "offset")
+    val enriched = Gateway.decode(ms.toDF(), listener)
+      .join(broadcast(calib), Seq("node"))
+      .select(col("node"),
+        (element_at(col("values"), 1) * col("scale") + col("offset")).as("calibrated"))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("calib").start()
+    try {
+      ms.addData("1000 1 50.0", "1000 2 7.5", "1000 9 1.0") // node 9: no calibration row
+      q.processAllAvailable()
+      val rows = spark.table("calib").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows === Map(1L -> 105.0, 2L -> 7.5)) // inner join drops unconfigured nodes
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped (documented superset of REF)") {
     val out = Files.createTempDirectory("gw-out").toString
     val ckpt = Files.createTempDirectory("gw-ckpt").toString
