@@ -41,12 +41,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NfcNormalize(children(0))))
     // Misra–Gries frequent-items sketch: graft_mg_topk(tok, capacity)
-    // (capacity must be a foldable integer literal)
+    // (capacity must be a foldable integer literal — validated here so
+    // SQL misuse gets a clean analysis error, not an NPE/cast crash)
     ext.injectFunction((
       FunctionIdentifier("graft_mg_topk"),
       new ExpressionInfo(classOf[MisraGries].getName, "graft_mg_topk"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MisraGries(children(0), children(1).eval().asInstanceOf[Int])))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_mg_topk(tok, capacity) takes exactly 2 arguments, got ${children.length}")
+        val cap = children(1) match {
+          case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case e => throw new IllegalArgumentException(
+            s"graft_mg_topk capacity must be a foldable INT literal, got ${e.sql}")
+        }
+        if (cap < 1)
+          throw new IllegalArgumentException(s"graft_mg_topk capacity must be >= 1, got $cap")
+        MisraGries(children(0), cap)
+      }))
     // one-pass SimHash majority-vote sketch
     ext.injectFunction((
       FunctionIdentifier("graft_simhash_sketch"),

@@ -145,15 +145,24 @@ object Curation {
     * normalizing window runs over THAT dictionary, never the corpus
     * — the "window over aggregate, not over events" rule the
     * sessionize/search operators follow.
+    *
+    * The normalizing sum is a float accumulation, so unlike the
+    * integer-exact siblings its order matters in principle: both
+    * sides state an ORDERED full-frame window (accumulate in lang
+    * order), and the residual risk — a reassociation ulp landing a
+    * quotient on a round-4 boundary — is pinned away by CurationSpec:
+    * measured boundary distance is ≥ 7e-6 absolute at every SF,
+    * ~10 orders of magnitude above 1 ulp of a 5-term sum.
     */
   private def mixWeights(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy().orderBy("lang")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     Tables(s, dir, "documents")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("weight",
-        round(sqrt(col("n_docs")) / sum(sqrt(col("n_docs")))
-          .over(Window.partitionBy()), 4))
+        round(sqrt(col("n_docs")) / sum(sqrt(col("n_docs"))).over(w), 4))
       .select(col("lang"), col("n_docs").cast("long").as("n_docs"), col("weight"))
       .orderBy("lang")
   }
@@ -208,7 +217,8 @@ object Curation {
       Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
              |          FROM documents GROUP BY lang)
              |SELECT lang, n_docs,
-             |  round(sqrt(n_docs) / sum(sqrt(n_docs)) OVER (), 4) AS weight
+             |  round(sqrt(n_docs) / sum(sqrt(n_docs)) OVER (
+             |    ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4) AS weight
              |FROM c ORDER BY lang""".stripMargin),
       "X25 corpus mixing weights: sqrt temperature resampling over language shares"),
   )

@@ -269,19 +269,32 @@ object TextAnalysis {
     * `tok` frame, parameterized so TextAnalysisSpec can force the
     * spilling and fallback regimes with synthetic streams and tiny
     * capacities.
+    *
+    * NULL tokens are excluded by contract — up front, on BOTH paths
+    * (the sketch skips nulls and `isin` filters them, but a plain
+    * `groupBy` would count a null group: without the shared filter
+    * the fallback and the certified path would disagree on
+    * null-bearing input).
     */
   private[graft] def heavyHittersOver(toks: DataFrame, capacity: Int, k: Int): DataFrame = {
+    val clean = toks.filter(col("tok").isNotNull)
     val exactTopK = (in: DataFrame) => in
       .groupBy(col("tok"))
       .agg(count(lit(1)).cast("long").as("cnt"))
       .orderBy(col("cnt").desc, col("tok").asc)
       .limit(k)
-    val sketch = toks
+    val sketch = clean
       .agg(call_function("graft_mg_topk", col("tok"), lit(capacity)).as("mg"))
       .select(col("mg.spill"), col("mg.toks")).head()
     val spill = sketch.getLong(0)
     val cands = sketch.getSeq[String](1)
-    val recount = exactTopK(toks.filter(col("tok").isin(cands: _*)))
+    // persisted in the spill > 0 regime only: there the certificate
+    // collect() below would otherwise run the full scan + shuffle
+    // that the returned frame re-runs on execution (spill == 0 never
+    // collects, and an unconditional persist would accumulate a cache
+    // entry per construction)
+    val base = exactTopK(clean.filter(col("tok").isin(cands: _*)))
+    val recount = if (spill > 0) base.persist() else base
     // the K-th recounted frequency must STRICTLY exceed spill (an
     // absent token can have true count == spill and would win a
     // tie-break the recount never saw), and there must BE K certified
@@ -291,7 +304,7 @@ object TextAnalysis {
       val rows = recount.collect()
       rows.length == k && rows.last.getLong(1) > spill
     }
-    if (certified) recount else exactTopK(toks)
+    if (certified) recount else exactTopK(clean)
   }
 
   /** X23 — text normalization: Unicode NFC (the codegen'd
@@ -311,7 +324,7 @@ object TextAnalysis {
     */
   private def normalize(s: SparkSession, dir: String): DataFrame = {
     // "NFĆ  Tést  " with the accents DECOMPOSED (base + U+0301), so
-    // NFC genuinely recomposes: len 11 raw -> 9 normalized
+    // NFC genuinely recomposes: 13 raw codepoints -> 11 normalized
     val plant = "NFC\u0301  Te\u0301st  "
     val norm = trim(regexp_replace(
       lower(call_function("graft_nfc", col("text"))), " +", " "))

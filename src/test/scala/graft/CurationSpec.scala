@@ -91,4 +91,27 @@ class CurationSpec extends AnyFunSuite {
       .orderBy("doc_id")
     assert(sample(repart) === s1, "sample changed under repartitioning")
   }
+
+  test("mix weights match a driver-side lang-ordered recompute, far from round-4 boundaries") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = SparkEntry.queries("q_mix_weights")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.nonEmpty && rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+      // ground truth in the same canonical lang order the ordered
+      // window frame states
+      val total = rows.map(r => math.sqrt(r._2.toDouble)).sum
+      rows.foreach { case (lang, n, w) =>
+        val exact = math.sqrt(n.toDouble) / total
+        val expected = BigDecimal(exact).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(w == expected, s"$lang weight drifted at $dir")
+        // headroom pin: the quotient sits >= 1e-6 absolute from the
+        // nearest rounding boundary, so no realistic reassociation
+        // ulp can ever flip the 4th decimal (measured min: 7e-6)
+        val frac = (exact * 10000) % 1
+        assert(math.abs(frac - 0.5) > 0.01,
+          s"$lang weight $exact is within 1e-6 of a round-4 boundary at $dir")
+      }
+      assert(math.abs(rows.map(_._3).sum - 1.0) < 5e-4, "weights do not normalize")
+    }
+  }
 }

@@ -58,7 +58,7 @@ class TextAnalysisSpec extends AnyFunSuite {
         length(call_function("graft_nfc", col("t"))).as("len"))
     val rows = df.collect()
     assert(rows.forall(_.getString(1) == composed))
-    assert(rows.forall(_.getInt(2) == composed.length)) // 11, was 13
+    assert(rows.forall(_.getInt(2) == composed.length)) // 9, was 11
     // interpreted path (no codegen): same result via the eval helper
     import org.apache.spark.unsafe.types.UTF8String
     assert(graft.functions.NfcNormalize.nfc(
