@@ -51,6 +51,11 @@ object Bench {
     while (continue) {
       pass += 1
       spark.catalog.clearCache()
+      // the cluster-labels memo is CONSTRUCTION-time work (the CC
+      // fixpoint runs when the query is built), which clearCache alone
+      // would not make pass N re-pay — release it so every pass times
+      // the real cost, same discipline as the cache clear
+      operators.Clustering.releaseLabels(spark)
       for ((name, fn) <- queries) {
         val t0 = System.nanoTime()
         val ok =

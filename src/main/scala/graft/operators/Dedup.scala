@@ -149,6 +149,7 @@ object Dedup {
   def releaseIndexes(s: SparkSession): Unit = {
     releaseIndexes(_ eq s)
     Similarity.releaseQueryVecs(s)
+    Clustering.releaseLabels(s)
   }
 
   private[graft] def releaseIndexes(cond: SparkSession => Boolean): Unit =
@@ -596,6 +597,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score"))
       .orderBy("id_a", "id_b")
   }
+
+  /** The dedup corpus's id column alone (documents ∪ planted copies)
+    * — the probe side of [[Clustering]]'s X26 survivorship verdict.
+    */
+  private[graft] def corpusIds(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).select(col("doc_id"))
 
   /** Verified near-dup pairs from the MinHash path, as a bare
     * (id_a, id_b) edge list — the input contract for

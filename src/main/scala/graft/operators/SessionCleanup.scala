@@ -44,5 +44,6 @@ private[graft] object SessionCleanup {
   private def release(cond: SparkSession => Boolean): Unit = {
     Dedup.releaseIndexes(cond)
     Similarity.releaseQueryVecs(cond)
+    Clustering.releaseLabels(cond)
   }
 }

@@ -73,6 +73,31 @@ class ClusteringSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("q_dedup_keep keeps exactly one canonical doc per cluster, everything else verbatim") {
+    val keep = SparkEntry.queries("q_dedup_keep")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val clusters = SparkEntry.queries("q_dedup_cluster")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // full corpus coverage: 500 docs + the planted copies
+    assert(keep.length > 500 && keep.map(_._1).distinct.length == keep.length)
+    keep.foreach { case (id, cid, kept) =>
+      clusters.get(id) match {
+        case Some(c) => // cluster member: verdict = "am I the canonical min?"
+          assert(cid == c && kept == (if (id == c) 1L else 0L), s"doc $id wrong verdict")
+        case None => // unclustered doc keeps itself
+          assert(cid == id && kept == 1L, s"unclustered doc $id not kept")
+      }
+    }
+    // exactly one survivor per cluster, and it is the minimum
+    val byCluster = keep.filter(k => clusters.contains(k._1)).groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(_._3 == 1L) == 1 && members.filter(_._3 == 1L).head._1 == cid)
+    }
+    // the two queries share one memoized CC run per (session, dir)
+    assert(graft.operators.Clustering.clusterLabels(spark, sf)
+      eq graft.operators.Clustering.clusterLabels(spark, sf))
+  }
+
   test("q_dedup_cluster groups every planted near-dup with its source") {
     val rows = SparkEntry.queries("q_dedup_cluster")(spark, sf).collect()
     val label = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
