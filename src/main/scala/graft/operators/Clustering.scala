@@ -149,8 +149,11 @@ object Clustering {
     *
     * Scale shape: a left join of the corpus id stream against the
     * cluster labels — bounded by the dup rate, orders of magnitude
-    * smaller than the corpus, so it auto-broadcasts (no hint: the
-    * retractable size-based choice) — then a narrow integer verdict.
+    * smaller than the corpus. The labels sit over a checkpointed RDD
+    * with no compile-time stats, so the STATIC plan is an SMJ; it is
+    * AQE's runtime exchange statistics that flip it to a broadcast of
+    * the labels side (ClusteringSpec pins the final adaptive plan) —
+    * still no hint, so the choice retracts if dup volume ever grows.
     * Shares the memoized CC run with `q_dedup_cluster`.
     */
   private def dedupKeep(s: SparkSession, dir: String): DataFrame = {

@@ -96,6 +96,16 @@ class ClusteringSpec extends AnyFunSuite {
     // the two queries share one memoized CC run per (session, dir)
     assert(graft.operators.Clustering.clusterLabels(spark, sf)
       eq graft.operators.Clustering.clusterLabels(spark, sf))
+    // plan shape: the labels side sits over a checkpointed RDD with
+    // unknown compile-time stats, so the static plan is SMJ — it is
+    // AQE's runtime exchange statistics that must flip the join to a
+    // broadcast of the (dup-rate-bounded) labels side. Pin the FINAL
+    // adaptive plan, not the static one.
+    val keepDf = SparkEntry.queries("q_dedup_keep")(spark, sf)
+    keepDf.collect()
+    val finalPlan = keepDf.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"AQE did not broadcast the labels side of q_dedup_keep:\n$finalPlan")
   }
 
   test("q_dedup_cluster groups every planted near-dup with its source") {
