@@ -139,9 +139,10 @@ object Dedup {
   private[graft] def shingleIndex(s: SparkSession, dir: String): DataFrame =
     cachedIndex(s, dir, "shingles")(shingles(s, dir))
 
-  /** Unpersist and forget every memoized dedup index of `s`, and the
-    * ANN query vectors memoized for it ([[Similarity.releaseQueryVecs]])
-    * — one call releases every session-keyed memo this library holds.
+  /** Unpersist and forget every memoized dedup index of `s`, plus the
+    * ANN query vectors ([[Similarity.releaseQueryVecs]]) and the
+    * cluster labels ([[Clustering.releaseLabels]]) memoized for it —
+    * one call releases every session-keyed memo this library holds.
     * [[SessionCleanup]] runs the same release automatically for
     * stopped contexts, so forgetting this call bounds the leak instead
     * of pinning sessions for the JVM lifetime.
