@@ -83,10 +83,11 @@ object Clustering {
     var rounds = 0
     while (!converged && rounds < 30) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // exact fixpoint test: two anti-joins over the (small) edge
-      // set — same order of work as the round itself, no
-      // probabilistic checksum in a correctness-gated query
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      // exact fixpoint test: symmetric difference via two anti-joins
+      // over the (small) edge set, one Spark action — same order of
+      // work as the round itself, no probabilistic checksum in a
+      // correctness-gated query
+      converged = next.except(edges).union(edges.except(next)).isEmpty
       edges = next
       rounds += 1
     }
