@@ -307,6 +307,48 @@ object TextAnalysis {
     if (certified) recount else exactTopK(clean)
   }
 
+  /** X27 — n-gram LM typicality scoring: per-document average bigram
+    * log-probability under the corpus's own bigram model — the
+    * quality-filter shape of CCNet/Gopher-style pipelines (docs that
+    * score far below corpus-typical are boilerplate/noise; far above
+    * are repetitive). Trained on the corpus itself, so every doc
+    * bigram exists in the model and no smoothing is needed: each term
+    * is ln(c(w₁w₂)/c(w₁·)), a ratio of exact small integers — the
+    * same bit-audited `ln` input class `q_tfidf` declares, with the
+    * per-doc sum's reassociation drift (~n·ulp ≈ 1e-13) absorbed by
+    * round-4 like BM25's.
+    *
+    * Scale shape: the (doc, bigram) stream joins two
+    * vocabulary-sized dictionaries (bigram counts, prefix counts) —
+    * sublinear by Heaps' law, joined WITHOUT a hint (auto-broadcast
+    * while small, AQE-skew-split shuffle join beyond; never a
+    * token-keyed window) — then one doc-keyed aggregate with
+    * map-side partials.
+    */
+  private def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> struct(element_at(w, i) AS w1,
+          |              concat(element_at(w, i), ' ', element_at(w, i + 1)) AS bg))"""
+          .stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val cBg = pairs.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val cU = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c_u"))
+    pairs
+      .join(cBg, "bg")
+      .join(cU, "w1")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum(log(col("c_bg").cast("double") / col("c_u"))) / count(lit(1)), 4)
+          .as("lm_logp"))
+      .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"), col("lm_logp"))
+      .orderBy("doc_id")
+  }
+
   /** X23 — text normalization: Unicode NFC (the codegen'd
     * [[graft.functions.NfcNormalize]] expression — Spark has no
     * built-in), case folding, and whitespace collapse, the canonical
@@ -531,5 +573,18 @@ object TextAnalysis {
              |  md5(trim(regexp_replace(lower(nfc_normalize(text)), ' +', ' ', 'g'))) AS norm_md5
              |FROM d ORDER BY doc_id""".stripMargin),
       "X23 text normalization: NFC + casefold + whitespace collapse, hash-certified"),
+    "q_lm_score" -> QueryDef(
+      lmScore,
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+             |              FROM documents WHERE len(string_split(text, ' ')) >= 2),
+             |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM toks),
+             |pairs AS (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS bg FROM idx),
+             |cbg AS (SELECT bg, count(*) AS c_bg FROM pairs GROUP BY bg),
+             |cu AS (SELECT w1, count(*) AS c_u FROM pairs GROUP BY w1)
+             |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  round(sum(ln(CAST(c_bg AS DOUBLE) / c_u)) / count(*), 4) AS lm_logp
+             |FROM pairs p JOIN cbg USING (bg) JOIN cu USING (w1)
+             |GROUP BY p.doc_id ORDER BY doc_id""".stripMargin),
+      "X27 n-gram LM typicality scoring: avg bigram log-prob under the corpus model"),
   )
 }

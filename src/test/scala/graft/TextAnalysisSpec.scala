@@ -46,6 +46,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("lm score is a well-formed log-probability: non-positive, full coverage") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = SparkEntry.queries("q_lm_score")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // every multi-token doc is scored, exactly once
+      val eligible = graft.Tables(spark, dir, "documents")
+        .filter(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " ")) >= 2).count()
+      assert(rows.length.toLong == eligible && rows.map(_._1).distinct.length == rows.length)
+      // each term is ln(c_bigram / c_prefix) with c_bigram <= c_prefix,
+      // so the average is <= 0; a positive score means the model or
+      // join keys drifted
+      assert(rows.forall(_._3 <= 0.0), s"positive log-prob at $dir")
+      assert(rows.forall(_._2 >= 1L))
+      // and the corpus is not degenerate: scores vary across docs
+      assert(rows.map(_._3).distinct.length > 10, s"collapsed score distribution at $dir")
+    }
+  }
+
   test("graft_nfc composes decomposed text, codegen and interpreted paths agree") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{call_function, col, length}
