@@ -160,6 +160,67 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** R22 — inter-arrival gap analysis: per-user event-rate health
+    * (the batch analog of the gateway's per-node `period`/rate
+    * monitoring — a silent node shows up as a huge `max_gap_us`).
+    * One `lag` window over (user_id → us, event_id), then a per-user
+    * aggregate: the groupBy key equals the window partition key, so
+    * the window's hash exchange already co-locates the groups and
+    * EnsureRequirements inserts no second shuffle (same single-shuffle
+    * shape SessionsSpec pins for R17). All measures are integer
+    * microseconds — no float drift surface at all. Single-event users
+    * keep NULL gap stats (count 0): DuckDB and Spark agree that
+    * sum/min/max over zero non-null rows is NULL.
+    */
+  private def interArrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("gap")).as("n_gaps"),
+        min(col("gap")).as("min_gap_us"),
+        max(col("gap")).as("max_gap_us"),
+        sum(col("gap")).as("sum_gap_us"))
+      .orderBy("user_id")
+  }
+
+  /** R23 — composed multi-join top-K (the TPC-H Q3 shape): revenue of
+    * the 10 biggest not-yet-shipped BUILDING-segment orders. The point
+    * of the row is join ORDERING under selective filters: both date
+    * predicates and the segment filter push to the parquet scans
+    * (pruned before any join), customer⋈orders shuffles on custkey,
+    * then orders⋈lineitem on orderkey — at 100 TB both fact sides are
+    * bucketed on orderkey so the second exchange disappears, and the
+    * filtered customer side stays auto-broadcastable (no hint: the
+    * segment is ~20 % of customers, corpus-proportional, so the
+    * planner must be free to retract). Revenue is integer-exact in
+    * 10⁻⁴ currency units (`cents · (100 − disc_pct)` — the R20
+    * cross-engine discipline; a float `sum(ep·(1−disc))` ranks
+    * differently per engine near ties). Top-10 plans as
+    * TakeOrderedAndProject: per-partition bounded heaps, no global
+    * sort.
+    */
+  private def revenueTop(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > cut)
+      .select(
+        col("l_orderkey"),
+        (round(col("l_extendedprice") * 100, 0).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("rev_e4"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue_e4").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
   /** R5 — TPC-H Q1-shaped multi-measure hash aggregate. */
   private def aggQ1(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -663,5 +724,37 @@ object Relational {
               |  ON e.user_id = a.user_id AND e.t >= a.t0 AND e.t < a.t0 + $rjWindowUs
               |GROUP BY 1, 2, 3 ORDER BY event_id""".stripMargin),
       "R21 range/interval join via window-length binning (no nested-loop join)"),
+    "q_interarrival" -> QueryDef(
+      interArrival,
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+             |g AS (
+             |  SELECT user_id,
+             |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+             |  FROM e)
+             |SELECT user_id,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(count(gap) AS BIGINT) AS n_gaps,
+             |  CAST(min(gap) AS BIGINT) AS min_gap_us,
+             |  CAST(max(gap) AS BIGINT) AS max_gap_us,
+             |  CAST(sum(gap) AS BIGINT) AS sum_gap_us
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "R22 inter-arrival gaps per user (lag window, integer-µs exact)"),
+    "q_revenue_top" -> QueryDef(
+      revenueTop,
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+             |           (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+             |    AS revenue_e4,
+             |  CAST(count(*) AS BIGINT) AS n_lines
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY o_orderkey, o_orderpriority
+             |ORDER BY revenue_e4 DESC, o_orderkey ASC LIMIT 10""".stripMargin),
+      "R23 TPC-H Q3-shape multi-join top-K, integer-exact revenue"),
   )
 }

@@ -285,6 +285,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_interarrival shuffles event data exactly once") {
+    // R22's scale contract: the per-user aggregate reuses the lag
+    // window's hash(user_id) clustering, so the plan carries ONE
+    // hash exchange end to end (the SessionsSpec single-shuffle
+    // shape, inherited because groupBy key == window partition key).
+    val plan = SparkEntry.queries("q_interarrival")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1,
+      s"q_interarrival plans $hashExchanges hash exchanges:\n$plan")
+  }
+
+  test("q_revenue_top pushes its filters to the scans and bounds the sort") {
+    // R23's point is composed-join efficiency: the date/segment
+    // predicates must reach the parquet readers (pruned before any
+    // join), and the top-10 must plan as TakeOrderedAndProject
+    // (per-partition bounded heaps), never a global Sort+Limit.
+    val plan = SparkEntry.queries("q_revenue_top")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("o_orderdate") && pushed.contains("l_shipdate")
+      && pushed.contains("c_mktsegment"),
+      s"q_revenue_top filters did not reach the scans:\n$pushed")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_revenue_top lost its bounded top-K plan:\n$plan")
+  }
+
   test("single-table scans prune columns down to what the query needs") {
     // spot checks with known narrow needs: scan stage must not read
     // the wide text/props columns it doesn't use
