@@ -685,6 +685,81 @@ object Dedup {
        |WHERE hamming <= $simHamMax ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** X28 — chunk-level (paragraph) exact dedup, the C4/RefinedWeb
+    * line-dedup step at sub-document granularity: a document that
+    * shares boilerplate with an earlier document keeps its unique
+    * chunks and sheds the repeated ones. "Paragraph" on this
+    * newline-free synthetic corpus = each non-overlapping
+    * [[chunkTokens]]-token window (full windows only — a ragged tail
+    * is not a paragraph); keep-first = the chunk's lowest doc_id
+    * wins, every later occurrence is flagged dropped.
+    *
+    * The corpus's own near-dup docs already share runs of chunks
+    * (the dedup-family planted pairs), and on top of that a
+    * boilerplate signal is planted the dedup-family way: every 7th
+    * doc is prefixed with a fixed 12-token boilerplate sentence in
+    * BOTH engines. Prepending exactly one chunk WIDTH keeps every
+    * original chunk boundary aligned, so the plant adds exactly one
+    * shared chunk without disturbing a doc's own chunk hashes —
+    * DedupSpec pins that differentially (plant on vs off).
+    *
+    * Scale shape: narrow explode → one hash aggregate for the
+    * keeper map (min doc_id, map-side partials) → equi-join of the
+    * chunk stream back to the keeper map on the chunk hash → per-doc
+    * aggregate. Real boilerplate IS a hot key (the planted chunk's
+    * df is N/7 here, much worse in a real crawl): the keeper side of
+    * that join has exactly ONE row per key, so AQE's skew-join split
+    * handles the streak — the same reason this is a join and not a
+    * window over the chunk hash (AQE cannot split a skewed window
+    * partition; the TF-IDF scaladoc states the rule).
+    */
+  private[graft] val chunkTokens = 12
+
+  private val chunkBoilerplate =
+    "this content is mirrored from the upstream boilerplate navigation footer menu text"
+
+  private[graft] def dedupChunks(s: SparkSession, dir: String, plant: Boolean = true): DataFrame = {
+    val planted = Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(lit(plant) && col("doc_id") % 7 === 0,
+          concat(lit(chunkBoilerplate + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+    val chunks = planted
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= chunkTokens)
+      .select(
+        col("doc_id"),
+        explode(transform(
+          sequence(lit(0), (size(col("toks")) / chunkTokens).cast("int") - 1),
+          i => md5(array_join(slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens)), " "))))
+          .as("h"))
+    val keeper = chunks.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    chunks.join(keeper, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keeper") < col("doc_id"), 1L).otherwise(0L)).cast("long").as("n_dup"))
+      .orderBy("doc_id")
+  }
+
+  private val chunkSql = {
+    val ct = chunkTokens
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN '$chunkBoilerplate ' || text ELSE text END AS text
+       |  FROM documents),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d WHERE len(string_split(text, ' ')) >= $ct),
+       |c AS (
+       |  SELECT doc_id, md5(array_to_string(toks[(i*$ct+1):(i*$ct+$ct)], ' ')) AS h
+       |  FROM t, LATERAL unnest(range(len(toks) // $ct)) AS u(i)),
+       |k AS (SELECT h, min(doc_id) AS keeper FROM c GROUP BY h)
+       |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN k.keeper < c.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |FROM c JOIN k USING (h)
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_dedup_near" -> QueryDef(
       dedupNear,
@@ -760,5 +835,9 @@ object Dedup {
            |WHERE score >= 0.8 ORDER BY id_a, id_b""".stripMargin
       },
       "X6 embedding cosine near-dup via 12-plane sign-LSH + Hamming-1 multi-probe"),
+    "q_dedup_chunk" -> QueryDef(
+      (s, d) => dedupChunks(s, d),
+      Some(chunkSql),
+      "X28 chunk-level (paragraph) exact dedup, keep-first by doc_id"),
   )
 }

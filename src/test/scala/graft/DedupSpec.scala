@@ -202,4 +202,41 @@ class DedupSpec extends AnyFunSuite {
     val embedExpected = (0L until 500L by 20L).map(i => (i, i + 100000L)).toSet
     assert(embedExpected.subsetOf(pairs("q_dedup_embed")))
   }
+
+  test("chunk dedup: the boilerplate plant changes exactly the planted chunk") {
+    // X28 differential pin: the corpus has real cross-doc chunk repeats
+    // (its own planted near-dup docs), so the boilerplate's effect is
+    // isolated by diffing a plant-on run against plant-off. Because the
+    // plant prepends exactly one chunk WIDTH, every original chunk
+    // boundary stays aligned — so for each planted doc the delta must
+    // be exactly (+1 chunk, +1 dup) (keeper = doc 0; +1 dup, not +0,
+    // for doc 0 itself which keeps the boilerplate), and every
+    // non-planted doc must be byte-identical between the runs.
+    def byDoc(plant: Boolean) = graft.operators.Dedup
+      .dedupChunks(spark, sf, plant).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val on = byDoc(plant = true)
+    val off = byDoc(plant = false)
+    // a sub-chunk-width doc surfaces only when planted — and then its
+    // single chunk IS the boilerplate, dropped in favor of doc 0
+    assert(off.keySet.subsetOf(on.keySet))
+    (on.keySet -- off.keySet).foreach { id =>
+      assert(id % 7 == 0 && id > 0 && on(id) === ((1L, 1L)),
+        s"doc $id appeared without being a short planted doc: ${on(id)}")
+    }
+    val planted = on.keys.filter(_ % 7 == 0)
+    assert(planted.size > 10)
+    off.keys.foreach { id =>
+      val (cOn, dOn) = on(id); val (cOff, dOff) = off(id)
+      if (id % 7 == 0 && id > 0)
+        assert(cOn === cOff + 1 && dOn === dOff + 1, s"planted doc $id delta wrong")
+      else if (id == 0L)
+        assert(cOn === cOff + 1 && dOn === dOff, s"keeper doc 0 delta wrong")
+      else
+        assert(cOn === cOff && dOn === dOff, s"plant leaked into doc $id")
+    }
+    // and the dup signal is non-vacuous beyond the plant: the corpus's
+    // own near-dup docs share chunks even with the plant off
+    assert(off.values.map(_._2).sum > 0L)
+  }
 }
