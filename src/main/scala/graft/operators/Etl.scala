@@ -185,6 +185,49 @@ object Etl {
       .filter(col("n") >= 5)
       .orderBy("user_id", "day")
 
+  /** Robust spike rejection — flag readings more than 3 MADs from
+    * their sensor-type median (median/MAD, not mean/stddev: one stuck
+    * sensor at 10⁶ drags a mean-based gate open, the median doesn't
+    * move). This is the input-validation step a real ingest gateway
+    * grows the moment hardware misbehaves; the reference's only
+    * validation is P2's parse check.
+    *
+    * Cross-engine discipline: everything is integer. Readings become
+    * cents; a median of integers is integral or half-integral, so
+    * ×2 makes `med2` exact; deviations `|2·cents − med2|` are exact
+    * half-cents; their median ×2 (`mad4`) is exact quarter-cents; the
+    * gate compares quarter-cents to quarter-cents. No float ever
+    * crosses an engine boundary (the R20 rule — a float `3·mad`
+    * threshold would flip boundary rows per engine).
+    *
+    * Scale shape: two percentile aggregates over the event stream
+    * (map-side partial sort buffers), each collapsing to a ≤|types|-
+    * row dictionary that auto-broadcasts back onto the stream — the
+    * "join against the aggregate, never window the corpus" rule.
+    * Exact percentiles sort per group at 100 TB; the documented scale
+    * path swaps in the GK sketch ([[Relational.quantilesApprox]]'s
+    * contract) at a bounded rank-error cost.
+    */
+  private def outlierMad(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(
+      col("event_id"), col("event_type"), col("value"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    val med = e.groupBy(col("event_type"))
+      .agg(round(expr("percentile(cents, 0.5)") * 2, 0).cast("long").as("med2"))
+    val dev = e.join(med, "event_type")
+      .withColumn("dev2", abs(col("cents") * 2 - col("med2")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(dev2, 0.5)") * 2, 0).cast("long").as("mad4"))
+    dev.join(mad, "event_type")
+      .filter(col("dev2") * 2 > col("mad4") * 3)
+      .select(
+        col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"),
+        (col("dev2") * 2).as("dev_qc"),
+        (col("mad4") * 3).as("thr_qc"))
+      .orderBy("event_id")
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_scan_events" -> QueryDef(
       scanEvents,
@@ -260,5 +303,28 @@ object Etl {
              |FROM events GROUP BY 1, 2 HAVING count(*) >= 5
              |ORDER BY user_id, day""".stripMargin),
       "rate/period analog: per-node daily counts with HAVING"),
+    "q_outlier_mad" -> QueryDef(
+      outlierMad,
+      Some("""WITH e AS (
+             |  SELECT event_id, event_type, value,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+             |m AS (
+             |  SELECT event_type,
+             |    CAST(round(quantile_cont(cents, 0.5) * 2, 0) AS BIGINT) AS med2
+             |  FROM e GROUP BY event_type),
+             |d AS (
+             |  SELECT e.*, abs(2 * cents - med2) AS dev2
+             |  FROM e JOIN m USING (event_type)),
+             |s AS (
+             |  SELECT event_type,
+             |    CAST(round(quantile_cont(dev2, 0.5) * 2, 0) AS BIGINT) AS mad4
+             |  FROM d GROUP BY event_type)
+             |SELECT d.event_id, d.event_type, round(d.value, 4) AS value,
+             |  CAST(2 * d.dev2 AS BIGINT) AS dev_qc,
+             |  CAST(3 * s.mad4 AS BIGINT) AS thr_qc
+             |FROM d JOIN s USING (event_type)
+             |WHERE 2 * d.dev2 > 3 * s.mad4
+             |ORDER BY event_id""".stripMargin),
+      "robust spike rejection: |reading − type median| > 3 MAD, integer-exact"),
   )
 }
