@@ -168,6 +168,41 @@ object Gateway {
       .dropDuplicatesWithinWatermark("ts", "node", "frame_id")
       .drop("frame_id")
 
+  /** Watermarked stream-STREAM inner join: pair each decoded reading
+    * with the command/config frames its node received in the trailing
+    * `horizon` (the RFM2Pi pattern — the gateway pushes radio settings
+    * and time broadcasts down the same serial line the data comes up,
+    * ※ OemGatewayRFM2PiListener; correlating "which command preceded
+    * this reading" is the first diagnostic question when a node
+    * misbehaves). Complements the stream-static calibration join:
+    * static dims broadcast per micro-batch, but a command CHANNEL is
+    * itself a stream, which needs symmetric join state.
+    *
+    * Both sides carry watermarks and the join condition carries the
+    * event-time band (`cts ∈ [ts − horizon, ts]`) — exactly what
+    * Structured Streaming needs to bound the join state: each side's
+    * buffered rows expire once the other side's watermark passes
+    * them, so state size tracks horizon + watermark delay, never
+    * stream lifetime (the same bounded-state contract the window
+    * aggregate and frame-dedup stages hold).
+    */
+  def correlateCommands(
+      readings: DataFrame,
+      commands: DataFrame,
+      watermarkDelay: String = "1 minute",
+      horizon: String = "30 seconds"): DataFrame = {
+    val r = readings.withWatermark("ts", watermarkDelay)
+    val c = commands
+      .select(col("node").as("cmd_node"), col("cts"), col("cmd"))
+      .withWatermark("cts", watermarkDelay)
+    r.join(
+      c,
+      r("node") === c("cmd_node")
+        && c("cts") >= r("ts") - expr(s"interval $horizon")
+        && c("cts") <= r("ts"))
+      .select(col("node"), col("ts"), col("values"), col("cmd"), col("cts"))
+  }
+
   /** Windowed per-channel aggregate: the streaming analog of "one
     * upload per period per node". Keyed (window, node, channel) — the
     * single shuffle in the pipeline. Declares the event-time watermark

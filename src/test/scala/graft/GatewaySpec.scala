@@ -620,6 +620,40 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: readings pair with their node's trailing commands, state bounded") {
+    // the command channel is a STREAM (unlike the calibration dim), so
+    // this is the symmetric-state join: both sides watermarked, the
+    // event-time band in the ON clause is what lets Spark expire
+    // buffered rows — without it the state store grows unboundedly
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val frames = MemoryStream[String]
+    val cmds = MemoryStream[(Long, Long, String)]
+    val cmdDf = cmds.toDF().toDF("node", "cts_s", "cmd")
+      .select(col("node"), timestamp_seconds(col("cts_s")).as("cts"), col("cmd"))
+    val joined = Gateway.correlateCommands(
+      Gateway.decode(frames.toDF(), listener), cmdDf)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("cmdjoin").start()
+    try {
+      cmds.addData(
+        (1L, 1990L, "set_rate"),  // 10 s before node 1's reading → match
+        (1L, 2020L, "late_cmd"),  // after the reading → no match
+        (1L, 1900L, "stale_cmd"), // 100 s before → outside the 30 s horizon
+        (2L, 1995L, "set_group")) // other node, in horizon → match
+      frames.addData("2000 1 1.0", "2000 2 2.0", "2000 9 9.0") // node 9: no commands
+      q.processAllAvailable()
+      val got = spark.table("cmdjoin").collect()
+        .map(r => (r.getLong(0), r.getString(3))).toSet
+      assert(got === Set((1L, "set_rate"), (2L, "set_group")))
+      // the plan really is the symmetric stateful join, not a rewrite
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("StreamingSymmetricHashJoin"), plan.take(2000))
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped (documented superset of REF)") {
     val out = Files.createTempDirectory("gw-out").toString
     val ckpt = Files.createTempDirectory("gw-ckpt").toString
