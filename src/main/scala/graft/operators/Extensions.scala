@@ -83,6 +83,124 @@ object Extensions {
       .limit(20)
   }
 
+  /** X29 — Spearman rank correlation between the reading value and
+    * its JSON side-channel (`props.k`) per event type: "does the
+    * auxiliary channel track the primary?" is the standard sensor
+    * sanity question, and rank correlation is the robust answer
+    * (monotone, outlier-immune — a spike that trips q_outlier_mad
+    * barely moves it).
+    *
+    * Exactness: ranks are made tie-free by the (measure, event_id)
+    * tie-break, so both rank columns are permutations — exact
+    * integers — and Σd² is an exact BIGINT in both engines (a
+    * tied-rank Spearman would average ranks into floats and reopen
+    * the cross-engine drift this family bans). The only float op is
+    * the final 1 − 6Σd²/(n(n²−1)): both operands are integers below
+    * 2⁵³, so the quotient is the same IEEE double everywhere.
+    *
+    * Scale shape — stated honestly: the declared form ranks with
+    * windows PARTITIONED BY event_type, i.e. one sort task per type.
+    * With a handful of types that is the single-shuffle shape at
+    * bench SFs but a 5-giant-tasks shape at 100 TB — the same
+    * exact-vs-scale tension as R16's exact percentile. The 100 TB
+    * companion is [[rankCorrScalable]]: range-partitioned two-pass
+    * global ranking (every stage parallel in the partition count,
+    * no corpus-sized window partition), ScalaTest-pinned to produce
+    * bit-identical output to this declared form.
+    */
+  private def rankCorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val wk = Window.partitionBy(col("event_type")).orderBy(col("k"), col("event_id"))
+    Tables(s, dir, "events")
+      .select(
+        col("event_type"), col("event_id"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("rv", row_number().over(wv).cast("long"))
+      .withColumn("rk", row_number().over(wk).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("rv") - col("rk")) * (col("rv") - col("rk"))).as("sum_d2"))
+      .select(
+        col("event_type"), col("n"), col("sum_d2"),
+        round(lit(1.0) - lit(6.0) * col("sum_d2") /
+          (col("n") * (col("n") * col("n") - lit(1L))), 4).as("rho"))
+      .orderBy("event_type")
+  }
+
+  /** Distributed per-group ranking without a group-sized sort task —
+    * the classic two-pass range-partitioned scheme:
+    *
+    *  1. range-repartition on (group, key): Spark samples split
+    *     points, so each partition holds a contiguous key slice and
+    *     partition ids are ordered;
+    *  2. per-(partition, group) row counts — a tiny aggregate
+    *     (≤ partitions × |groups| rows) — turned into per-partition
+    *     group OFFSETS by a prefix-sum window over that tiny table;
+    *  3. local row_number within (partition, group) + broadcast-join
+    *     the offsets: global rank = offset + local rank.
+    *
+    * Every stage is parallel in the partition count; the largest
+    * serial unit is one range partition, sized by
+    * `spark.sql.shuffle.partitions` — never a whole group. The
+    * offsets table is bounded by partitions × groups (a plan
+    * constant, not corpus-proportional), so its broadcast is
+    * legitimate by the house broadcast rule.
+    */
+  private def rankedByRange(
+      e: DataFrame, group: String, key: Seq[String], out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sortCols = (group +: key).map(col)
+    val b = e.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val offsets = b.groupBy(col("__pid"), col(group)).count()
+      .withColumn("__off",
+        coalesce(
+          sum(col("count")).over(
+            Window.partitionBy(col(group)).orderBy(col("__pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col(group), col("__off"))
+    val local = Window.partitionBy(col("__pid"), col(group))
+      .orderBy(key.map(col): _*)
+    b.withColumn("__rn", row_number().over(local).cast("long"))
+      .join(broadcast(offsets), Seq("__pid", group))
+      .withColumn(out, col("__off") + col("__rn"))
+      .drop("__pid", "__rn", "__off")
+  }
+
+  /** X29's 100 TB path (the [[Relational.quantilesApprox]] precedent:
+    * same contract, ScalaTest-pinned instead of oracle-declared):
+    * Spearman via [[rankedByRange]] global ranks — two ranking
+    * passes and an event_id equi-join replace the two type-keyed
+    * window sorts, so no task ever sorts a whole event type. Output
+    * is pinned BIT-IDENTICAL to [[rankCorr]] (ranks are exact
+    * integers in both forms; ExtensionsSpec).
+    */
+  private[graft] def rankCorrScalable(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+      .select(
+        col("event_type"), col("event_id"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val rv = rankedByRange(e, "event_type", Seq("value", "event_id"), "rv")
+      .select(col("event_type"), col("event_id"), col("rv"))
+    val rk = rankedByRange(e.select(col("event_type"), col("event_id"), col("k")),
+      "event_type", Seq("k", "event_id"), "rk")
+      .select(col("event_id").as("id2"), col("rk"))
+    rv.join(rk, col("event_id") === col("id2"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("rv") - col("rk")) * (col("rv") - col("rk"))).as("sum_d2"))
+      .select(
+        col("event_type"), col("n"), col("sum_d2"),
+        round(lit(1.0) - lit(6.0) * col("sum_d2") /
+          (col("n") * (col("n") * col("n") - lit(1L))), 4).as("rho"))
+      .orderBy("event_type")
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_json_extract" -> QueryDef(
       jsonExtract,
@@ -125,5 +243,22 @@ object Extensions {
              |SELECT vec_id, label, round(score, 4) AS score FROM scored
              |ORDER BY score DESC, vec_id ASC LIMIT 20""".stripMargin),
       "X4 brute-force cosine top-K similarity search"),
+    "q_rank_corr" -> QueryDef(
+      rankCorr,
+      Some("""WITH e AS (
+             |  SELECT event_type, event_id, value,
+             |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+             |  FROM events),
+             |r AS (
+             |  SELECT event_type,
+             |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rv,
+             |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY k, event_id) AS BIGINT) AS rk
+             |  FROM e)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum((rv - rk) * (rv - rk)) AS BIGINT) AS sum_d2,
+             |  round(1.0 - 6.0 * sum((rv - rk) * (rv - rk)) /
+             |        (count(*) * (count(*) * count(*) - 1)), 4) AS rho
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "X29 Spearman rank correlation (tie-broken exact ranks), value vs props.k"),
   )
 }

@@ -465,6 +465,31 @@ object Relational {
         col("n"), col("total"), col("gid"))
       .orderBy("gid", "status", "priority")
 
+  /** R24 — explicit GROUPING SETS: independent per-dimension totals
+    * {(status), (priority), ()} — the marginals-only shape neither
+    * ROLLUP (prefix-hierarchical) nor CUBE (every combination, so 4
+    * sets including the pair) expresses. One Expand-based aggregate:
+    * each input row fans to its 3 grouping projections map-side, so
+    * the shuffle carries (set, key) partials, never a second scan
+    * per set — the same single-pass property R7/R15 rely on.
+    * Determinism discipline identical to those rows (coalesced
+    * sentinel keys + grouping_id in the total order).
+    */
+  private def aggGroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("total"), col("gid"))
+      .orderBy("gid", "status", "priority")
+
   /** R16 — exact interpolated quantiles (both engines: linear
     * interpolation over the sorted set; approximate sketches have no
     * cross-engine parity, so the exact form is the declared one).
@@ -756,5 +781,16 @@ object Relational {
              |GROUP BY o_orderkey, o_orderpriority
              |ORDER BY revenue_e4 DESC, o_orderkey ASC LIMIT 10""".stripMargin),
       "R23 TPC-H Q3-shape multi-join top-K, integer-exact revenue"),
+    "q_grouping_sets" -> QueryDef(
+      aggGroupingSets,
+      Some("""SELECT coalesce(o_orderstatus, '(all)') AS status,
+             |  coalesce(o_orderpriority, '(all)') AS priority,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 4) AS total,
+             |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY gid, status, priority""".stripMargin),
+      "R24 explicit GROUPING SETS: independent marginals, one Expand aggregate"),
   )
 }

@@ -297,6 +297,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_interarrival plans $hashExchanges hash exchanges:\n$plan")
   }
 
+  test("q_rank_corr shuffles event data exactly once for both rank windows") {
+    // X29: both row_number windows AND the final aggregate share the
+    // event_type partitioning — the plan must carry one hash exchange
+    // and re-sort within partitions, never re-shuffle per window.
+    val plan = SparkEntry.queries("q_rank_corr")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1,
+      s"q_rank_corr plans $hashExchanges hash exchanges:\n$plan")
+  }
+
   test("q_revenue_top pushes its filters to the scans and bounds the sort") {
     // R23's point is composed-join efficiency: the date/segment
     // predicates must reach the parquet readers (pruned before any
