@@ -186,11 +186,18 @@ object Gateway {
     * stream lifetime (the same bounded-state contract the window
     * aggregate and frame-dedup stages hold).
     */
+  /** @param joinType `"inner"` keeps only commanded readings;
+    *   `"left_outer"` also emits un-commanded readings with null
+    *   command columns — but only once the command side's watermark
+    *   has passed the reading's horizon (Spark must prove no match
+    *   can still arrive), so outer rows trail by watermark delay.
+    */
   def correlateCommands(
       readings: DataFrame,
       commands: DataFrame,
       watermarkDelay: String = "1 minute",
-      horizon: String = "30 seconds"): DataFrame = {
+      horizon: String = "30 seconds",
+      joinType: String = "inner"): DataFrame = {
     val r = readings.withWatermark("ts", watermarkDelay)
     val c = commands
       .select(col("node").as("cmd_node"), col("cts"), col("cmd"))
@@ -199,7 +206,8 @@ object Gateway {
       c,
       r("node") === c("cmd_node")
         && c("cts") >= r("ts") - expr(s"interval $horizon")
-        && c("cts") <= r("ts"))
+        && c("cts") <= r("ts"),
+      joinType)
       .select(col("node"), col("ts"), col("values"), col("cmd"), col("cts"))
   }
 

@@ -654,6 +654,46 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: un-commanded readings emit with nulls after the watermark") {
+    // outer rows can only emit once Spark PROVES no matching command
+    // can still arrive — i.e. after the command watermark passes the
+    // reading's horizon. The test drives the watermark forward with a
+    // second batch and checks the null-padded row appears then, not
+    // in the reading's own batch.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val frames = MemoryStream[String]
+    val cmds = MemoryStream[(Long, Long, String)]
+    val cmdDf = cmds.toDF().toDF("node", "cts_s", "cmd")
+      .select(col("node"), timestamp_seconds(col("cts_s")).as("cts"), col("cmd"))
+    val joined = Gateway.correlateCommands(
+      Gateway.decode(frames.toDF(), listener), cmdDf,
+      watermarkDelay = "10 seconds", joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("cmdouter").start()
+    try {
+      cmds.addData((1L, 1995L, "set_rate"))
+      frames.addData("2000 1 1.0", "2000 9 9.0") // node 9: never commanded
+      q.processAllAvailable()
+      def rows = spark.table("cmdouter").collect()
+        .map(r => (r.getLong(0), Option(r.getString(3)))).toSet
+      assert(rows === Set((1L, Some("set_rate"))),
+        "outer row emitted before the watermark could prove no-match")
+      // advance both watermarks well past 2000 + horizon + delay
+      cmds.addData((1L, 2100L, "noop"))
+      frames.addData("2100 1 1.0")
+      q.processAllAvailable()
+      // one more cycle: watermark computed at batch START, so the
+      // state eviction that emits the outer row needs a follow-up batch
+      cmds.addData((1L, 2101L, "noop2"))
+      frames.addData("2101 1 1.0")
+      q.processAllAvailable()
+      assert(rows.contains((9L, None)),
+        s"null-padded reading never emitted: $rows")
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped (documented superset of REF)") {
     val out = Files.createTempDirectory("gw-out").toString
     val ckpt = Files.createTempDirectory("gw-ckpt").toString
