@@ -24,6 +24,7 @@ object SparkEntry {
       operators.TextAnalysis.defs ++
       operators.Search.defs ++
       operators.Curation.defs ++
+      operators.Packing.defs ++
       operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

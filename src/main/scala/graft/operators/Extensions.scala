@@ -148,7 +148,7 @@ object Extensions {
     * constant, not corpus-proportional), so its broadcast is
     * legitimate by the house broadcast rule.
     */
-  private def rankedByRange(
+  private[graft] def rankedByRange(
       e: DataFrame, group: String, key: Seq[String], out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt

@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Training-batch assembly operators (SURVEY.md §2.5 X30/X31): the two
+  * steps between a curated corpus and a dataloader — packing documents
+  * into fixed-token context windows, and the deterministic
+  * train/val/test split with a reproducible shuffle order. The
+  * reference gateway has neither; these are EXT obligations of the
+  * "operations a large-scale training-data pipeline needs" mandate.
+  *
+  * Both are integer-exact (whitespace token counts, md5-derived order
+  * keys, integer division), so the DuckDB oracle is hash-identical by
+  * construction — and because BOTH queries' Spark plans use the
+  * two-pass range-partitioned scheme while the oracle states the
+  * plain single-window SQL, the oracle check itself pins the
+  * distributed form ≡ the textbook form on every run.
+  */
+object Packing {
+
+  import Hashing.h32
+
+  /** Context-window token budget. 512 against this corpus's 10–100
+    * token docs ⇒ bins hold several docs and straddles are regular —
+    * the knob a real run sets to its model's sequence length.
+    */
+  private[graft] val ctxBudget = 512L
+
+  /** Global EXCLUSIVE prefix sum of `valueCol` over the total order
+    * `key` — the same two-pass range-partitioned scheme as
+    * [[Extensions.rankedByRange]] (which computes prefix COUNTS;
+    * this generalizes to prefix sums):
+    *
+    *  1. range-repartition on `key`: each partition holds a
+    *     contiguous key slice and partition ids are ordered;
+    *  2. per-partition value totals — a ≤`shuffle.partitions`-row
+    *     aggregate — turned into per-partition OFFSETS by a
+    *     prefix-sum window over that tiny table;
+    *  3. local exclusive running sum within each partition +
+    *     broadcast-join the offsets: global prefix = offset + local.
+    *
+    * A single `sum() over (order by key)` window — the form the
+    * oracle states — moves the entire corpus to ONE sort task
+    * (Spark's own WindowExec warning); here the largest serial unit
+    * is one range partition and the offsets broadcast is bounded by
+    * the partition count, a plan constant. Correct for ANY split
+    * points the range sampler picks: offset + local sum is exact
+    * per row regardless of where the contiguous cuts land.
+    */
+  private[graft] def prefixSumByRange(
+      e: DataFrame, key: Seq[String], valueCol: String, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val b = e.repartitionByRange(parts, key.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val offsets = b.groupBy(col("__pid")).agg(sum(col(valueCol)).as("__tot"))
+      .withColumn("__off",
+        coalesce(
+          sum(col("__tot")).over(
+            Window.partitionBy().orderBy(col("__pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val local = Window.partitionBy(col("__pid")).orderBy(key.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.withColumn("__loc", coalesce(sum(col(valueCol)).over(local), lit(0L)))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(out, col("__off") + col("__loc"))
+      .drop("__pid", "__loc", "__off")
+  }
+
+  /** X30 — sequence packing (concat-and-chunk): place every document
+    * in the token stream of a deterministic shuffled order (salted
+    * md5 of doc_id — the reproducible "global shuffle" a training
+    * run needs anyway) and assign it the context window its first
+    * token lands in: `bin = prefix ÷ budget`, `bin_offset = prefix
+    * mod budget`, plus a `crosses` flag for docs straddling a window
+    * boundary (the ones a loader truncates or splits). This is the
+    * GPT-style packed-pretraining layout: no padding waste, bins
+    * perfectly full by construction.
+    *
+    * All integer: token counts are whitespace counts (the X8 rule),
+    * the prefix sum is exact BIGINT via [[prefixSumByRange]], and
+    * bin/offset/crosses are integer division on nonnegative longs —
+    * no float anywhere, so the oracle is hash-identical by
+    * construction.
+    *
+    * Scale shape (100 TB): the only corpus-wide structure is the
+    * prefix sum, and [[prefixSumByRange]] keeps its largest serial
+    * unit at one range partition; everything downstream is narrow
+    * per-row arithmetic. The md5 order key doubles as the anti-skew
+    * guarantee — range partitions of a uniform hash key are uniform,
+    * so no partition is hot no matter how the corpus is clustered.
+    */
+  private def packChunks(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(concat(lit("pack"), col("doc_id").cast("string"))).as("k"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    prefixSumByRange(t, Seq("k", "doc_id"), "tok", "cb")
+      .select(
+        col("doc_id"),
+        expr(s"CAST(cb DIV $ctxBudget AS BIGINT)").as("bin"),
+        (col("cb") % ctxBudget).cast("long").as("bin_offset"),
+        col("tok"),
+        expr(s"CAST(CASE WHEN (cb + tok - 1) DIV $ctxBudget > cb DIV $ctxBudget THEN 1 ELSE 0 END AS BIGINT)")
+          .as("crosses"))
+      .orderBy("doc_id")
+  }
+
+  /** X31 — deterministic train/val/test split with a reproducible
+    * within-split shuffle position: split by salted-hash percentile
+    * (90/5/5 — the X16 mechanism pointed at set assignment instead
+    * of sampling), position by global rank of a SECOND salt's hash
+    * within each split. Two independent salts matter: reusing one
+    * hash for both decisions would correlate split membership with
+    * shuffle position (val would replay train's order tail).
+    *
+    * Rank, not raw hash, is the output because a dataloader needs a
+    * dense 1..n index to shard epochs; the rank is computed by
+    * [[Extensions.rankedByRange]] — per-(partition, split) counts →
+    * prefix offsets → offset + local rank — so no task ever sorts a
+    * whole split (at 90 % of the corpus, the train split IS the
+    * corpus; a split-keyed window would be the single-sort-task
+    * failure the X29 scale companion exists for, here on the
+    * DECLARED path).
+    */
+  private def splitHash(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        (h32(concat(lit("split"), col("doc_id").cast("string"))) % 100).as("u"),
+        md5(concat(lit("ord"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("split",
+        when(col("u") < 90, "train").when(col("u") < 95, "val").otherwise("test"))
+    Extensions.rankedByRange(d, "split", Seq("h", "doc_id"), "pos")
+      .select(col("doc_id"), col("split"), col("pos").cast("long").as("pos"))
+      .orderBy("doc_id")
+  }
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+    "q_pack_chunks" -> QueryDef(
+      packChunks,
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, md5('pack' || CAST(doc_id AS VARCHAR)) AS k,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id, tok,
+              |    COALESCE(SUM(tok) OVER (ORDER BY k, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+              |  FROM t)
+              |SELECT doc_id, CAST(cb // $ctxBudget AS BIGINT) AS bin,
+              |  CAST(cb % $ctxBudget AS BIGINT) AS bin_offset, tok,
+              |  CAST(CASE WHEN (cb + tok - 1) // $ctxBudget > cb // $ctxBudget
+              |       THEN 1 ELSE 0 END AS BIGINT) AS crosses
+              |FROM c ORDER BY doc_id""".stripMargin),
+      "X30 sequence packing: concat-and-chunk context-window assignment, exact prefix sums"),
+    "q_split_hash" -> QueryDef(
+      splitHash,
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS u,
+             |    md5('ord' || CAST(doc_id AS VARCHAR)) AS h
+             |  FROM documents),
+             |l AS (
+             |  SELECT doc_id, h,
+             |    CASE WHEN u < 90 THEN 'train' WHEN u < 95 THEN 'val' ELSE 'test' END AS split
+             |  FROM d)
+             |SELECT doc_id, split,
+             |  CAST(row_number() OVER (PARTITION BY split ORDER BY h, doc_id) AS BIGINT) AS pos
+             |FROM l ORDER BY doc_id""".stripMargin),
+      "X31 deterministic train/val/test split with reproducible shuffle positions"),
+  )
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the batch-assembly operators (SURVEY §2.5 X30/X31)
+  * beyond the DuckDB hash gate: the packed layout must be a real
+  * concat-and-chunk stream (recounted by independent driver-side
+  * arithmetic), and the split must be a deterministic partition with
+  * dense per-split shuffle positions.
+  *
+  * The SCALE claim — two-pass range-partitioned prefix sum/rank ≡ the
+  * textbook single-window form — is pinned by the oracle itself: the
+  * Spark side runs the distributed plan, the DuckDB side runs the
+  * single window, and the hash gate compares them on every verify.
+  */
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("packing matches an independent sequential recount of the shuffled token stream") {
+    // recompute the concat-and-chunk layout with a plain driver-side
+    // fold over (order key, tok) — no window functions, no prefix-sum
+    // machinery — and require bit-identical bins/offsets/flags
+    val got = SparkEntry.queries("q_pack_chunks")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    import org.apache.spark.sql.functions._
+    val stream = Tables(spark, sf, "documents")
+      .select(
+        col("doc_id"),
+        md5(concat(lit("pack"), col("doc_id").cast("string"))).as("k"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val budget = 512L
+    var cum = 0L
+    stream.foreach { case (_, id, tok) =>
+      val (bin, off, gTok, crosses) = got(id)
+      assert(bin === cum / budget, s"doc $id bin")
+      assert(off === cum % budget, s"doc $id offset")
+      assert(gTok === tok, s"doc $id tok")
+      assert(crosses === (if ((cum + tok - 1) / budget > cum / budget) 1L else 0L), s"doc $id crosses")
+      cum += tok
+    }
+    // layout sanity: no window is skipped — with every doc shorter
+    // than the budget (true of this corpus; asserted so drift fails
+    // loudly), some doc starts in every window except possibly the
+    // final one, which a straddler from the previous window may fill
+    // entirely on its own
+    assert(stream.map(_._3).max < budget)
+    val bins = got.values.map(_._1).toSet
+    assert(bins.max >= (cum - 1) / budget - 1)
+    assert(bins === (0L to bins.max).toSet, "a context window has no starting doc")
+  }
+
+  test("split is a 90/5/5 hash partition with dense per-split positions") {
+    val rows = SparkEntry.queries("q_split_hash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._1).distinct.length === rows.length, "split dropped or duplicated docs")
+    val bySplit = rows.groupBy(_._2)
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    // exact sizes are hash-determined; the gate is the rate contract
+    // (±5 pp of 90/5/5 at n=500), not a seed-dependent constant
+    val n = rows.length.toDouble
+    assert(math.abs(bySplit("train").length / n - 0.90) < 0.05)
+    assert(math.abs(bySplit("val").length / n - 0.05) < 0.05)
+    assert(math.abs(bySplit("test").length / n - 0.05) < 0.05)
+    // positions are a dense 1..n permutation within each split — the
+    // contract an epoch-sharding dataloader actually needs
+    bySplit.foreach { case (s, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length.toLong), s"split $s positions not dense")
+    }
+  }
+
+  test("the shuffle order is independent of the split assignment's hash") {
+    // two salts: within each split, position order must NOT replay
+    // doc_id order or the split hash's order — check rank correlation
+    // of pos vs doc_id is far from ±1 on the big split
+    val train = SparkEntry.queries("q_split_hash")(spark, sf)
+      .filter("split = 'train'")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .sortBy(_._1)
+    val n = train.length.toLong
+    val posByIdRank = train.map(_._2)
+    // Spearman rho of (doc_id rank, pos): both are 1..n permutations
+    val d2 = posByIdRank.zipWithIndex.map { case (p, i) => val d = p - (i + 1L); d * d }.sum
+    val rho = 1.0 - 6.0 * d2 / (n * (n * n - 1.0))
+    assert(math.abs(rho) < 0.2, s"shuffle order correlates with doc order: rho=$rho")
+  }
+}
