@@ -124,15 +124,19 @@ object Clustering {
     df
   }
 
-  /** Unpersist and forget the memoized cluster labels of `s`. */
+  /** Unpersist and forget the memoized cluster labels (and k-means
+    * centroids) of `s`.
+    */
   def releaseLabels(s: SparkSession): Unit = releaseLabels(_ eq s)
 
-  private[graft] def releaseLabels(cond: SparkSession => Boolean): Unit =
+  private[graft] def releaseLabels(cond: SparkSession => Boolean): Unit = {
     labelMemo.keys.filter(k => cond(k._1)).foreach { k =>
       labelMemo.remove(k).foreach { df =>
         try df.unpersist() catch { case _: Exception => () }
       }
     }
+    centroidMemo.keys.filter(k => cond(k._1)).foreach(centroidMemo.remove)
+  }
 
   /** The declared query: clusters over the MinHash-verified near-dup
     * pairs (X5b's output contract — any of the X5 pair streams would
@@ -168,6 +172,86 @@ object Clustering {
           .otherwise(0L).as("is_kept"))
       .orderBy("doc_id")
   }
+
+  /** Fixed k-means centroid count. Like the ANN query vector, the
+    * centroid set of a real run is OPERATOR CONFIG (seeded or carried
+    * over from the previous iteration), never corpus-proportional —
+    * here the embeddings of vec_id 1..K, deterministic in both
+    * engines.
+    */
+  private[graft] val centroidK = 8
+
+  /** Session-memoized centroid vectors (the [[Similarity.queryVec]]
+    * pattern: one small eager fetch at query CONSTRUCTION, released
+    * by [[releaseLabels]]/[[graft.operators.SessionCleanup]]).
+    */
+  private val centroidMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(Long, Array[Float])]]
+
+  private[graft] def centroids(s: SparkSession, dir: String): Seq[(Long, Array[Float])] = {
+    SessionCleanup.arm(s)
+    centroidMemo.getOrElseUpdate((s, dir), {
+      val rows = graft.Tables(s, dir, "embeddings")
+        .filter(col("vec_id").between(1, centroidK))
+        .select(col("vec_id"), col("embedding")).collect()
+      require(rows.length == centroidK,
+        s"expected $centroidK centroid rows (vec_id 1..$centroidK) in $dir/embeddings, " +
+          s"found ${rows.length}")
+      rows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1).toSeq
+    })
+  }
+
+  /** X32 — k-means cluster assignment over the embedding column: the
+    * semantic-curation bucketing step (SemDeDup-style pipelines
+    * cluster embeddings first, then dedup/prune WITHIN clusters, so
+    * assignment is the operator that runs over the full corpus every
+    * iteration; the update step is a plain `groupBy(cid).avg` over
+    * this output). Each vector goes to the nearest of the K fixed
+    * centroids by squared L2, rounded to 4 dp BEFORE the argmin with
+    * centroid-id tie-break — the decision itself is then
+    * engine-portable, not just the reported distance (the R20
+    * compare-on-rounded rule applied to an argmin).
+    *
+    * Scale shape (100 TB): K is config, so the centroids enter the
+    * plan as LITERALS and the argmin is `least()` over K
+    * (distance, cid) structs — pure narrow per-row codegen'd work:
+    * no join, no shuffle, no window, embarrassingly parallel. The
+    * oracle states the textbook cross-join + `row_number` form; the
+    * declared plan never materializes the K× intermediate. The L2
+    * HOF lowers to the native `ArrayL2Sq` expression via
+    * [[graft.plans.RewriteVectorHofs]] like every other scoring path.
+    */
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val cands = centroids(s, dir).map { case (cid, v) =>
+      struct(
+        round(VectorOps.l2Sq(col("embedding"), typedlit(v.toSeq)), 4).as("d2"),
+        lit(cid).as("cid"))
+    }
+    val best = least(cands: _*)
+    graft.Tables(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        best.getField("cid").cast("long").as("cid"),
+        best.getField("d2").as("d2"))
+      .orderBy("vec_id")
+  }
+
+  private def kmeansSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND $centroidK),
+       |d AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(list_sum(list_transform(list_zip(e.embedding, c.ce),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 4) AS d2
+       |  FROM embeddings e, c),
+       |r AS (
+       |  SELECT vec_id, cid, d2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM d)
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cid, d2 FROM r WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
 
   /** Oracle chain shared by both finals: the MinHash pair chain, then
     * min-label transitive closure as a recursive CTE (DuckDB's
@@ -218,5 +302,9 @@ object Clustering {
       dedupKeep,
       Some(keepSql),
       "X26 dedup survivorship: per-doc canonical cluster and keep/drop verdict"),
+    "q_kmeans_assign" -> QueryDef(
+      kmeansAssign,
+      Some(kmeansSql),
+      "X32 k-means cluster assignment: nearest of K literal centroids, narrow argmin"),
   )
 }

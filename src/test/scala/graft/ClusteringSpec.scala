@@ -129,4 +129,41 @@ class ClusteringSpec extends AnyFunSuite {
       assert(members.forall(_.getLong(2) == members.length.toLong))
     }
   }
+
+  test("q_kmeans_assign matches an independent driver-side argmin over raw vectors") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_kmeans_assign")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cents = (1L to 8L).map(cid => cid -> vecs(cid))
+    assert(got.keySet === vecs.keySet, "assignment dropped or invented vectors")
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      // the query's round-4-before-argmin rule, Catalyst Round semantics
+      BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    vecs.foreach { case (id, v) =>
+      val (bestCid, bestD2) = cents.map { case (cid, c) => (cid, d2(v, c)) }
+        .minBy { case (cid, d) => (d, cid) }
+      assert(got(id) === ((bestCid, bestD2)), s"vector $id assigned wrong centroid")
+    }
+    // centroids are their own nearest centroid at distance zero
+    (1L to 8L).foreach(cid => assert(got(cid) === ((cid, 0.0))))
+  }
+
+  test("q_kmeans_assign is narrow per-row work: no join, no aggregate, one sort exchange") {
+    // K centroids are plan literals, so the argmin must compile to a
+    // projection — the K-way cross join + window the oracle states
+    // must NOT appear in the Spark plan
+    val plan = SparkEntry.queries("q_kmeans_assign")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"k-means assignment plans a join:\n$plan")
+    assert(!plan.contains("Window"), s"k-means assignment plans a window:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"k-means assignment plans an aggregate:\n$plan")
+    assert(plan.split("Exchange").length - 1 <= 1,
+      s"k-means assignment should shuffle only for the final order-by:\n$plan")
+  }
 }
