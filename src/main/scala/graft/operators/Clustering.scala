@@ -222,12 +222,7 @@ object Clustering {
     * [[graft.plans.RewriteVectorHofs]] like every other scoring path.
     */
   private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
-    val cands = centroids(s, dir).map { case (cid, v) =>
-      struct(
-        round(VectorOps.l2Sq(col("embedding"), typedlit(v.toSeq)), 4).as("d2"),
-        lit(cid).as("cid"))
-    }
-    val best = least(cands: _*)
+    val best = bestCentroid(s, dir)
     graft.Tables(s, dir, "embeddings")
       .select(
         col("vec_id"),
@@ -235,6 +230,69 @@ object Clustering {
         best.getField("d2").as("d2"))
       .orderBy("vec_id")
   }
+
+  /** The literal-centroid argmin struct (d2, cid) shared by
+    * assignment and update.
+    */
+  private def bestCentroid(s: SparkSession, dir: String): org.apache.spark.sql.Column = {
+    val cands = centroids(s, dir).map { case (cid, v) =>
+      struct(
+        round(VectorOps.l2Sq(col("embedding"), typedlit(v.toSeq)), 4).as("d2"),
+        lit(cid).as("cid"))
+    }
+    least(cands: _*)
+  }
+
+  /** X33 — k-means centroid update: per-cluster per-dimension means
+    * over the X32 assignment — the other half of the Lloyd iteration
+    * (new centroid c = mean of its assigned vectors; a driver loop
+    * alternating X32/X33 IS distributed k-means). Emitted as
+    * (cid, dim, mean) rows, not arrays — the oracle contract bans
+    * array outputs, and the row form is what the next iteration's
+    * literal-centroid build reads anyway.
+    *
+    * Scale shape (100 TB): `posexplode` multiplies the stream by d=64,
+    * but partial aggregation runs BEFORE the exchange — the shuffle
+    * carries at most partitions × K × d partial sums (plan constants),
+    * not N×d rows, and K×d groups can never skew. This is why the
+    * textbook explode+groupBy IS the scale shape here, where a
+    * per-dim window or collect-based vector sum would not be.
+    *
+    * Float caveat (the q_lm_score/BM25 precedent): the per-cell mean
+    * is a cross-row float sum, so partial-aggregation order differs
+    * from the oracle's sequential sum; drift ~n·ulp is absorbed by
+    * round-4.
+    */
+  private def kmeansUpdate(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "embeddings")
+      // two selects: resolving the argmin struct's getField inside the
+      // same projection as the generator loses the struct field names
+      .select(bestCentroid(s, dir).getField("cid").cast("long").as("cid"), col("embedding"))
+      .select(col("cid"), posexplode(col("embedding")))
+      .groupBy(col("cid"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(round(avg(col("col").cast("double")), 4).as("mean"))
+      .orderBy("cid", "dim")
+
+  private def kmeansUpdateSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND $centroidK),
+       |d AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(list_sum(list_transform(list_zip(e.embedding, c.ce),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 4) AS d2
+       |  FROM embeddings e, c),
+       |r AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM d),
+       |a AS (SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM r WHERE rn = 1)
+       |SELECT a.cid, CAST(s.i AS BIGINT) AS dim,
+       |  round(avg(CAST(e.embedding[s.i] AS DOUBLE)), 4) AS mean
+       |FROM a JOIN embeddings e USING (vec_id),
+       |  LATERAL unnest(generate_series(1, len(e.embedding))) AS s(i)
+       |GROUP BY a.cid, s.i ORDER BY cid, dim""".stripMargin
 
   private def kmeansSql: String =
     s"""WITH c AS (
@@ -306,5 +364,9 @@ object Clustering {
       kmeansAssign,
       Some(kmeansSql),
       "X32 k-means cluster assignment: nearest of K literal centroids, narrow argmin"),
+    "q_kmeans_update" -> QueryDef(
+      kmeansUpdate,
+      Some(kmeansUpdateSql),
+      "X33 k-means centroid update: per-cluster per-dimension means, partial-agg before shuffle"),
   )
 }

@@ -154,6 +154,36 @@ class ClusteringSpec extends AnyFunSuite {
     (1L to 8L).foreach(cid => assert(got(cid) === ((cid, 0.0))))
   }
 
+  test("q_kmeans_update matches driver-side per-cluster means and partial-aggregates before the shuffle") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_kmeans_update")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size === 8 * 64, "update must emit one mean per (cluster, dimension)")
+    val assign = SparkEntry.queries("q_kmeans_assign")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val members = vecs.keys.groupBy(assign)
+    members.foreach { case (cid, ids) =>
+      (0 until 64).foreach { d =>
+        val exact = ids.map(vecs(_)(d).toDouble).sum / ids.size
+        val exp = BigDecimal(exact).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // distributed partial-sum order differs from this sequential
+        // sum; a boundary-straddling ulp can move the rounded value by
+        // one bucket at most (the scaladoc's float caveat)
+        assert(math.abs(got((cid, d + 1L)) - exp) <= 1.0001e-4,
+          s"cluster $cid dim ${d + 1} mean ${got((cid, d + 1L))} != $exp")
+      }
+    }
+    // the scale claim: aggregation must start map-side, BEFORE the
+    // exchange — the shuffle then carries partial sums, not N×d rows
+    val plan = SparkEntry.queries("q_kmeans_update")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_avg"),
+      s"centroid update does not partial-aggregate before the shuffle:\n$plan")
+  }
+
   test("q_kmeans_assign is narrow per-row work: no join, no aggregate, one sort exchange") {
     // K centroids are plan literals, so the argmin must compile to a
     // projection — the K-way cross join + window the oracle states
