@@ -232,9 +232,9 @@ object Clustering {
   }
 
   /** The literal-centroid argmin struct (d2, cid) shared by
-    * assignment and update.
+    * assignment, update, and the IVF probe ([[Similarity]]).
     */
-  private def bestCentroid(s: SparkSession, dir: String): org.apache.spark.sql.Column = {
+  private[graft] def bestCentroid(s: SparkSession, dir: String): org.apache.spark.sql.Column = {
     val cands = centroids(s, dir).map { case (cid, v) =>
       struct(
         round(VectorOps.l2Sq(col("embedding"), typedlit(v.toSeq)), 4).as("d2"),

@@ -184,6 +184,96 @@ object Similarity {
     (clustered, topk)
   }
 
+  /** IVF probe width: cells searched per query. 2 of 8 cells ⇒ ~25 %
+    * of the corpus scored — the recall/cost knob every IVF index
+    * exposes (`nprobe`).
+    */
+  private[graft] val ivfNProbe = 2
+
+  /** The query's `ivfNProbe` nearest coarse cells, by the SAME
+    * round-4-then-(d2, cid) rule as the X32 assignment — computed
+    * driver-side from the two memoized vectors sets (K centroids +
+    * query), so the probe list enters the plan as literals, exactly
+    * like the sign-LSH probe keys.
+    */
+  private[graft] def ivfProbeCells(s: SparkSession, dir: String): Seq[Long] = {
+    val q = queryVec(s, dir)
+    Clustering.centroids(s, dir)
+      .map { case (cid, c) =>
+        var d = 0.0
+        var i = 0
+        while (i < q.length) { val t = q(i).toDouble - c(i).toDouble; d += t * t; i += 1 }
+        (BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, cid)
+      }
+      .sorted.take(ivfNProbe).map(_._2)
+  }
+
+  /** X34 — IVF (inverted-file) cosine top-10: the OTHER standard ANN
+    * scale path beside sign-LSH — coarse-quantize every vector to its
+    * nearest of K fixed centroids (the X32 argmin, engine-portable by
+    * the round-4 rule), probe the query's `ivfNProbe` nearest cells,
+    * brute-force only those. Upgrades the ML-KMeans [[ivfTopK]]
+    * companion to a hash-checked declared query: trained centroids
+    * are not cross-engine reproducible, FIXED centroids are — a real
+    * deployment refreshes them offline (X33) and ships them as
+    * config, which is exactly how production IVF indexes work.
+    *
+    * Scale shape (100 TB): cell assignment is narrow literal-centroid
+    * work (no join); on a layout partitioned by the cell id — which a
+    * real deployment writes, since the cell IS the index — the probe
+    * filter is an IN-list of literal cids, partition-prunable like
+    * the X7 bucket probe (SimilaritySpec pins partitions-read ==
+    * probed cells on a real partitioned write). Candidates are
+    * ~nprobe/K of the corpus; the top-10 plans through
+    * [[graft.plans.ScoredTopKPushdown]] like every scoring path.
+    */
+  private def simIvf(s: SparkSession, dir: String): DataFrame = {
+    val cells = ivfProbeCells(s, dir)
+    Tables(s, dir, "embeddings")
+      .filter(col("vec_id") =!= 0 &&
+        Clustering.bestCentroid(s, dir).getField("cid").isin(cells: _*))
+      .select(
+        col("vec_id"), col("label"),
+        round(VectorOps.cosine(col("embedding"), qLit(s, dir)), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  private def ivfSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND ${Clustering.centroidK}),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qd AS (
+       |  SELECT c.cid,
+       |    round(list_sum(list_transform(list_zip(q.qe, c.ce),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 4) AS d2
+       |  FROM c, q),
+       |probe AS (SELECT cid FROM qd ORDER BY d2, cid LIMIT $ivfNProbe),
+       |d AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(list_sum(list_transform(list_zip(e.embedding, c.ce),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 4) AS d2
+       |  FROM embeddings e, c),
+       |r AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM d),
+       |a AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+       |scored AS (
+       |  SELECT e.vec_id, e.label,
+       |    list_sum(list_transform(list_zip(e.embedding, q.qe),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score
+       |  FROM embeddings e
+       |  JOIN a ON a.vec_id = e.vec_id, q
+       |  WHERE e.vec_id <> 0 AND a.cid IN (SELECT cid FROM probe))
+       |SELECT vec_id, label, round(score, 4) AS score FROM scored
+       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+
   // ---- oracle SQL, generated from the same planeSets constants so
   // ---- the Spark side and the DuckDB side cannot drift
 
@@ -240,5 +330,9 @@ object Similarity {
               |SELECT vec_id, label, round(dist_sq, 4) AS dist_sq FROM scored
               |ORDER BY dist_sq ASC, vec_id ASC LIMIT 10""".stripMargin),
       "X4-scale L2 nearest-10 over the OR-amplified multi-probe candidates"),
+    "q_sim_ivf" -> QueryDef(
+      simIvf,
+      Some(ivfSql),
+      "X34 IVF cosine top-10: fixed-centroid coarse cells, literal nprobe probe"),
   )
 }

@@ -129,4 +129,78 @@ class SimilaritySpec extends AnyFunSuite {
     val scores = rows.map(_.getDouble(2)).toSeq
     assert(scores === scores.sorted.reverse)
   }
+
+  test("q_sim_ivf equals the exact top-10 restricted to its probed cells") {
+    val got = SparkEntry.queries("q_sim_ivf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.length === 10)
+    // driver-side ground truth: assign every vector by the same
+    // round-4 argmin, restrict to the probe cells, rank by cosine
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cents = graft.operators.Clustering.centroids(spark, sf)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d2(a: Array[Float], b: Array[Float]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    def dot(a: Array[Float], b: Array[Float]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val q = vecs(0L)
+    val probe = Similarity.ivfProbeCells(spark, sf).toSet
+    assert(probe === cents.map { case (cid, c) => (r4(d2(q, c)), cid) }
+      .sorted.take(Similarity.ivfNProbe).map(_._2).toSet)
+    def cellOf(v: Array[Float]): Long =
+      cents.map { case (cid, c) => (r4(d2(v, c)), cid) }.min._2
+    val expected = vecs.view.filterKeys(_ != 0L)
+      .filter { case (_, v) => probe(cellOf(v)) }
+      .map { case (id, v) => (id, r4(dot(q, v) / (math.sqrt(dot(q, q)) * math.sqrt(dot(v, v))))) }
+      .toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(got.toSeq === expected, "IVF result is not the exact within-probe top-10")
+    // and it is a probe, not a scan: the probed cells hold a strict
+    // subset of the corpus
+    val nProbed = vecs.view.filterKeys(_ != 0L).count { case (_, v) => probe(cellOf(v)) }
+    assert(nProbed < vecs.size - 1)
+  }
+
+  test("the IVF probe prunes a cell-partitioned layout to exactly the probed cells") {
+    // same treatment as the LSH-bucket pin: the cell id is the IVF
+    // index, a real deployment writes it as a partition column, and
+    // the probe's literal IN-list must serve from probed partitions
+    // only
+    val dir = "/root/testdata/sf0.01"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_layout").toString
+    try {
+      Tables(spark, dir, "embeddings")
+        .withColumn("cell",
+          graft.operators.Clustering.bestCentroid(spark, dir).getField("cid").cast("long"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      val cells = Similarity.ivfProbeCells(spark, dir)
+      val layout = spark.read.parquet(tmp)
+      // partition-column values come back type-inferred (int)
+      val allCells = layout.select(col("cell").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(cells.toSet.subsetOf(allCells) && cells.size < allCells.size)
+
+      def partitionsRead(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        val scan = df.queryExecution.executedPlan.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        assert(scan.nonEmpty, "no FileSourceScanExec in the probe plan")
+        scan.get.metrics("numPartitions").value
+      }
+      val probe = layout.filter(col("cell").isin(cells: _*))
+      assert(partitionsRead(probe) === cells.size.toLong,
+        "IVF probe scan read partitions outside the probed cells")
+      assert(partitionsRead(spark.read.parquet(tmp)) === allCells.size.toLong)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
