@@ -341,4 +341,42 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!scan.contains(mustNotRead), s"$q reads pruned column $mustNotRead: $scan")
     }
   }
+
+  test("the packing prefix sum is two-pass: range partition, broadcast offsets, partitioned windows") {
+    // the X30/X31 scale claim — no single-partition corpus window.
+    // Every Window in either plan must be partitioned (Spark logs its
+    // "No Partition Defined" warning exactly when the spec list before
+    // ORDER BY is empty, rendering as "Window [..], [ordspec]" with no
+    // partition spec — the offsets prefix window over the tiny
+    // per-partition table is the one allowed exception, bounded by
+    // shuffle.partitions rows)
+    Seq("q_pack_chunks", "q_split_hash").foreach { q =>
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      import org.apache.spark.sql.catalyst.plans.logical
+      val windows = qe.optimizedPlan.collect { case w: logical.Window => w }
+      assert(windows.nonEmpty, s"$q lost its window stages")
+      // the only global-order window allowed is the per-partition
+      // offsets prefix — its input is the tiny counts AGGREGATE
+      // (≤ shuffle.partitions rows), never a corpus scan
+      windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+        assert(w.child.collectFirst { case a: logical.Aggregate => a }.nonEmpty,
+          s"$q plans a corpus-wide single-partition window:\n$w")
+      }
+      // and the offsets rejoin must broadcast, never shuffle the
+      // corpus; the corpus side's one exchange is the range partition
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q does not broadcast its per-partition offsets:\n$plan")
+      assert(plan.toLowerCase.contains("rangepartitioning"),
+        s"$q lost its range repartition:\n$plan")
+    }
+  }
+
+  test("q_sim_ivf is join-free: literal centroids and probe cells, filter + top-K only") {
+    val plan = SparkEntry.queries("q_sim_ivf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"IVF probe plans a join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"IVF top-10 is not a bounded sort:\n$plan")
+  }
 }
