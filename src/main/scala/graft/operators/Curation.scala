@@ -167,6 +167,53 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** X35 — the composed curation verdict: per document, the three
+    * narrow quality gates (X9 stopword language-ID, X10
+    * length/type-token quality, X20 top-bigram repetition) and the
+    * final keep decision — the query a pipeline actually
+    * materializes; `filter(is_kept = 1)` IS the filtered corpus.
+    *
+    * The point of composing is the SCAN COUNT: run as three separate
+    * queries the gates read the corpus three times and the repetition
+    * gate shuffles a (doc, bigram) stream; composed, all three are
+    * per-row HOF arithmetic over one token split — ONE corpus scan,
+    * ZERO exchanges except the final order-by (PlanAuditSpec-pinned).
+    * The within-doc bigram max that X20 computes by explode+groupBy
+    * is here an O(k²) HOF over the ≤100-token document — per-row work
+    * bounded by the document length cap, NOT corpus-proportional, so
+    * the narrow form wins at any scale (the declared X20 stays the
+    * general shape for unbounded documents).
+    *
+    * All gates are integer-exact (counts and integer comparisons), so
+    * the oracle is hash-identical by construction.
+    */
+  private def curateVerdict(s: SparkSession, dir: String): DataFrame = {
+    val bgs = expr(
+      "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) " +
+        "ELSE array() END")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("bgs", bgs)
+      .select(
+        col("doc_id"),
+        (size(expr(s"filter(w, x -> x IN ($stopListSql))")) * 10 >= size(col("w")))
+          .cast("long").as("is_en"),
+        (size(col("w")) >= 20 &&
+          size(array_distinct(col("w"))) * 10 >= size(col("w")) * 3)
+          .cast("long").as("is_quality"),
+        (coalesce(expr(
+          "aggregate(array_distinct(bgs), 0, (m, b) -> greatest(m, size(filter(bgs, x -> x = b))))"),
+          lit(0)) * 5 > size(col("bgs"))).cast("long").as("is_repetitive"))
+      .withColumn("is_kept",
+        (col("is_en") === 1 && col("is_quality") === 1 && col("is_repetitive") === 0)
+          .cast("long"))
+      .orderBy("doc_id")
+  }
+
+  private val stopListSql =
+    "'the', 'a', 'of', 'to', 'and', 'is', 'in'"
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_decontaminate" -> QueryDef(
       decontaminate,
@@ -212,6 +259,30 @@ object Curation {
               |  md5(regexp_replace(text, '$emailRe', '<EMAIL>', 'g')) AS redacted_md5
               |FROM d ORDER BY doc_id""".stripMargin),
       "X19 PII redaction: count + mask emails, hash-certified byte-identical masking"),
+    "q_curate_verdict" -> QueryDef(
+      curateVerdict,
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split(text, ' ') AS w,
+              |    CASE WHEN len(string_split(text, ' ')) >= 2
+              |         THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+              |              i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])
+              |         ELSE [] END AS bgs
+              |  FROM documents)
+              |SELECT doc_id,
+              |  CAST(CASE WHEN 10 * len(list_filter(w, x -> x IN ($stopListSql)))
+              |       >= len(w) THEN 1 ELSE 0 END AS BIGINT) AS is_en,
+              |  CAST(CASE WHEN len(w) >= 20 AND 10 * len(list_distinct(w)) >= 3 * len(w)
+              |       THEN 1 ELSE 0 END AS BIGINT) AS is_quality,
+              |  CAST(CASE WHEN 5 * COALESCE(list_max(list_transform(list_distinct(bgs),
+              |       b -> len(list_filter(bgs, x -> x = b)))), 0) > len(bgs)
+              |       THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive,
+              |  CAST(CASE WHEN 10 * len(list_filter(w, x -> x IN ($stopListSql))) >= len(w)
+              |        AND len(w) >= 20 AND 10 * len(list_distinct(w)) >= 3 * len(w)
+              |        AND NOT (5 * COALESCE(list_max(list_transform(list_distinct(bgs),
+              |            b -> len(list_filter(bgs, x -> x = b)))), 0) > len(bgs))
+              |       THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+              |FROM t ORDER BY doc_id""".stripMargin),
+      "X35 composed curation verdict: three narrow gates + keep decision in one scan"),
     "q_mix_weights" -> QueryDef(
       mixWeights,
       Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs

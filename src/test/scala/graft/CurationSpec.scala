@@ -114,4 +114,38 @@ class CurationSpec extends AnyFunSuite {
       assert(math.abs(rows.map(_._3).sum - 1.0) < 5e-4, "weights do not normalize")
     }
   }
+
+  test("q_curate_verdict gates agree with the standalone declared gate queries") {
+    val verdict = SparkEntry.queries("q_curate_verdict")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val en = SparkEntry.queries("q_lang_id")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (if (r.getString(4) == "en") 1L else 0L)).toMap
+    val quality = SparkEntry.queries("q_quality_score")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(6)).toMap
+    // q_repetition runs on the PLANTED corpus (every 30th doc
+    // replaced); the verdict runs on real text — compare off-plant
+    val rep = SparkEntry.queries("q_repetition")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    verdict.foreach { case (id, (e, q, r, kept)) =>
+      assert(e === en(id), s"doc $id language gate disagrees with q_lang_id")
+      assert(q === quality(id), s"doc $id quality gate disagrees with q_quality_score")
+      if (id % 30 != 0)
+        assert(r === rep.getOrElse(id, 0L), s"doc $id repetition gate disagrees with q_repetition")
+      assert(kept === (if (e == 1 && q == 1 && r == 0) 1L else 0L), s"doc $id verdict wrong")
+    }
+    // the decision is non-vacuous in both directions on this corpus
+    assert(verdict.values.exists(_._4 == 1L) && verdict.values.exists(_._4 == 0L))
+  }
+
+  test("q_curate_verdict is one scan, zero exchanges before the final order-by") {
+    val plan = SparkEntry.queries("q_curate_verdict")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate") && !plan.contains("Window"),
+      s"composed verdict lost its narrow shape:\n$plan")
+    assert(plan.split("Exchange").length - 1 <= 1,
+      s"composed verdict shuffles before the final sort:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"composed verdict reads the corpus $scans times:\n$plan")
+  }
 }
