@@ -187,12 +187,22 @@ object Curation {
     * All gates are integer-exact (counts and integer comparisons), so
     * the oracle is hash-identical by construction.
     */
-  private def curateVerdict(s: SparkSession, dir: String): DataFrame = {
+  private def curateVerdict(s: SparkSession, dir: String): DataFrame =
+    verdictGates(Tables(s, dir, "documents")).orderBy("doc_id")
+
+  /** The gate projection itself, factored off the batch query because
+    * it is STATELESS NARROW work — no shuffle, no state, no watermark
+    * — and therefore runs unchanged on a streaming frame
+    * (`readStream` of a document feed → this projection → sink is the
+    * online admission filter; CurationSpec pins streaming output ≡
+    * batch on the same rows). Input needs (doc_id, text).
+    */
+  private[graft] def verdictGates(docs: DataFrame): DataFrame = {
     val bgs = expr(
       "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
         "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) " +
         "ELSE array() END")
-    Tables(s, dir, "documents")
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("bgs", bgs)
       .select(
@@ -208,7 +218,6 @@ object Curation {
       .withColumn("is_kept",
         (col("is_en") === 1 && col("is_quality") === 1 && col("is_repetitive") === 0)
           .cast("long"))
-      .orderBy("doc_id")
   }
 
   private val stopListSql =

@@ -138,6 +138,35 @@ class CurationSpec extends AnyFunSuite {
     assert(verdict.values.exists(_._4 == 1L) && verdict.values.exists(_._4 == 0L))
   }
 
+  test("the verdict gates run unchanged on a stream and match batch row-for-row") {
+    // the factoring claim: the gate projection is stateless narrow
+    // work, so the SAME code path is the online admission filter —
+    // no rewrite, no state store, no watermark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .limit(100).as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(docs.toSeq)
+    val q = graft.operators.Curation
+      .verdictGates(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("verdict_stream")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("verdict_stream")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val batch = SparkEntry.queries("q_curate_verdict")(spark, sf)
+      .filter(col("doc_id").isin(docs.map(_._1): _*))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(streamed === batch, "streaming verdict diverges from batch on identical rows")
+    assert(streamed.size === docs.length)
+  }
+
   test("q_curate_verdict is one scan, zero exchanges before the final order-by") {
     val plan = SparkEntry.queries("q_curate_verdict")(spark, sf)
       .queryExecution.executedPlan.toString
