@@ -55,6 +55,26 @@ class PackingSpec extends AnyFunSuite {
     assert(bins === (0L to bins.max).toSet, "a context window has no starting doc")
   }
 
+  test("prefixSumByRange equals a sequential fold on randomized data, empty partitions included") {
+    // the corpus oracle pins the helper on real token counts only;
+    // this covers the general contract — negatives, zeros, and far
+    // more partitions than rows (so most range partitions are empty)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    Seq(1, 7, 200).foreach { n =>
+      val rows = (1L to n.toLong).map(i => (s"k${rnd.nextInt(1000000)}%06d-$i", rnd.nextInt(2001) - 500L))
+      val df = rows.toDF("k", "v")
+      val got = graft.operators.Packing.prefixSumByRange(df, Seq("k"), "v", "p")
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (k, v) =>
+        assert(got(k) === cum, s"n=$n key $k prefix")
+        cum += v
+      }
+    }
+  }
+
   test("split is a 90/5/5 hash partition with dense per-split positions") {
     val rows = SparkEntry.queries("q_split_hash")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
