@@ -258,10 +258,15 @@ object Clustering {
     * textbook explode+groupBy IS the scale shape here, where a
     * per-dim window or collect-based vector sum would not be.
     *
-    * Float caveat (the q_lm_score/BM25 precedent): the per-cell mean
-    * is a cross-row float sum, so partial-aggregation order differs
-    * from the oracle's sequential sum; drift ~n·ulp is absorbed by
-    * round-4.
+    * Float caveat — signed zero, not drift: a tiny negative mean
+    * rounds to DuckDB `-0.0` (IEEE sign preserved by `round`) while
+    * Spark's `round` goes through BigDecimal and emits `+0.0`; the
+    * bit patterns differ and the driver's hash compare flips. The
+    * oracle therefore appends `+ 0` (IEEE: `-0.0 + 0 = +0.0`) after
+    * every signed `round` — the central rule for all signed rounded
+    * measures (SURVEY §2 tail). Reassociation drift is NOT the issue
+    * here: the nearest rounding boundary sits ~7e-8 from the data,
+    * far beyond ~n·ulp reorder noise.
     */
   private def kmeansUpdate(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "embeddings")
@@ -289,7 +294,7 @@ object Clustering {
        |  FROM d),
        |a AS (SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM r WHERE rn = 1)
        |SELECT a.cid, CAST(s.i AS BIGINT) AS dim,
-       |  round(avg(CAST(e.embedding[s.i] AS DOUBLE)), 4) AS mean
+       |  round(avg(CAST(e.embedding[s.i] AS DOUBLE)), 4) + 0 AS mean
        |FROM a JOIN embeddings e USING (vec_id),
        |  LATERAL unnest(generate_series(1, len(e.embedding))) AS s(i)
        |GROUP BY a.cid, s.i ORDER BY cid, dim""".stripMargin

@@ -298,7 +298,7 @@ object Curation {
              |          FROM documents GROUP BY lang)
              |SELECT lang, n_docs,
              |  round(sqrt(n_docs) / sum(sqrt(n_docs)) OVER (
-             |    ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4) AS weight
+             |    ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4) + 0 AS weight
              |FROM c ORDER BY lang""".stripMargin),
       "X25 corpus mixing weights: sqrt temperature resampling over language shares"),
   )

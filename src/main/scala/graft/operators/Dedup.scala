@@ -831,7 +831,7 @@ object Dedup {
            |  FROM pairs p JOIN elems ea ON ea.id = p.id_a
            |  JOIN elems eb ON eb.id = p.id_b AND eb.i = ea.i
            |  GROUP BY 1, 2)
-           |SELECT id_a, id_b, round(score, 4) AS score FROM scored
+           |SELECT id_a, id_b, round(score, 4) + 0 AS score FROM scored
            |WHERE score >= 0.8 ORDER BY id_a, id_b""".stripMargin
       },
       "X6 embedding cosine near-dup via 12-plane sign-LSH + Hamming-1 multi-probe"),

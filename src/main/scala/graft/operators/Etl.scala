@@ -231,7 +231,7 @@ object Etl {
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_scan_events" -> QueryDef(
       scanEvents,
-      Some("""SELECT event_id, event_type, user_id, round(value, 4) AS value
+      Some("""SELECT event_id, event_type, user_id, round(value, 4) + 0 AS value
              |FROM events ORDER BY event_id""".stripMargin),
       "S4 projected parquet scan"),
     "q_filter_valid" -> QueryDef(
@@ -247,7 +247,7 @@ object Etl {
              |         WHERE frame NOT LIKE '?%' AND len(string_split(frame, ' ')) >= 2),
              |parsed AS (SELECT TRY_CAST(t[1] AS BIGINT) AS node, TRY_CAST(t[2] AS DOUBLE) AS v
              |           FROM toks)
-             |SELECT node, CAST(count(*) AS BIGINT) AS n_valid, round(sum(v), 4) AS sum_v
+             |SELECT node, CAST(count(*) AS BIGINT) AS n_valid, round(sum(v), 4) + 0 AS sum_v
              |FROM parsed WHERE node IS NOT NULL AND v IS NOT NULL
              |GROUP BY node ORDER BY node""".stripMargin),
       "P1+P2 frame tokenize + malformed discard"),
@@ -265,7 +265,7 @@ object Etl {
       routeFanout,
       Some("""SELECT route, CAST(count(*) AS BIGINT) AS n,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_nodes,
-             |  round(sum(value), 4) AS sum_value
+             |  round(sum(value), 4) + 0 AS sum_value
              |FROM events
              |CROSS JOIN (VALUES ('buf_emoncms_a'), ('buf_emoncms_b'), ('buf_errors_only')) AS r(route)
              |WHERE route <> 'buf_errors_only' OR event_type = 'error'
@@ -293,7 +293,7 @@ object Etl {
       windowTumble,
       Some("""SELECT date_trunc('hour', ts) AS bucket, event_type,
              |  CAST(count(*) AS BIGINT) AS n,
-             |  round(sum(value), 4) AS sum_value
+             |  round(sum(value), 4) + 0 AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       "B4 periodic batching → tumbling window aggregate (flagship)"),
     "q_rate_period" -> QueryDef(
@@ -319,7 +319,7 @@ object Etl {
              |  SELECT event_type,
              |    CAST(round(quantile_cont(dev2, 0.5) * 2, 0) AS BIGINT) AS mad4
              |  FROM d GROUP BY event_type)
-             |SELECT d.event_id, d.event_type, round(d.value, 4) AS value,
+             |SELECT d.event_id, d.event_type, round(d.value, 4) + 0 AS value,
              |  CAST(2 * d.dev2 AS BIGINT) AS dev_qc,
              |  CAST(3 * s.mad4 AS BIGINT) AS thr_qc
              |FROM d JOIN s USING (event_type)

@@ -124,8 +124,9 @@ object Extensions {
         sum((col("rv") - col("rk")) * (col("rv") - col("rk"))).as("sum_d2"))
       .select(
         col("event_type"), col("n"), col("sum_d2"),
-        round(lit(1.0) - lit(6.0) * col("sum_d2") /
-          (col("n") * (col("n") * col("n") - lit(1L))), 4).as("rho"))
+        when(col("n") > 1,
+          round(lit(1.0) - lit(6.0) * col("sum_d2") /
+            (col("n") * (col("n") * col("n") - lit(1L))), 4)).as("rho"))
       .orderBy("event_type")
   }
 
@@ -196,8 +197,9 @@ object Extensions {
         sum((col("rv") - col("rk")) * (col("rv") - col("rk"))).as("sum_d2"))
       .select(
         col("event_type"), col("n"), col("sum_d2"),
-        round(lit(1.0) - lit(6.0) * col("sum_d2") /
-          (col("n") * (col("n") * col("n") - lit(1L))), 4).as("rho"))
+        when(col("n") > 1,
+          round(lit(1.0) - lit(6.0) * col("sum_d2") /
+            (col("n") * (col("n") * col("n") - lit(1L))), 4)).as("rho"))
       .orderBy("event_type")
   }
 
@@ -240,7 +242,7 @@ object Extensions {
              |     sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score
              |  FROM embeddings e, q
              |  WHERE e.vec_id <> 0)
-             |SELECT vec_id, label, round(score, 4) AS score FROM scored
+             |SELECT vec_id, label, round(score, 4) + 0 AS score FROM scored
              |ORDER BY score DESC, vec_id ASC LIMIT 20""".stripMargin),
       "X4 brute-force cosine top-K similarity search"),
     "q_rank_corr" -> QueryDef(
@@ -252,12 +254,13 @@ object Extensions {
              |r AS (
              |  SELECT event_type,
              |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rv,
-             |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY k, event_id) AS BIGINT) AS rk
+             |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY k NULLS FIRST, event_id) AS BIGINT) AS rk
              |  FROM e)
              |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum((rv - rk) * (rv - rk)) AS BIGINT) AS sum_d2,
-             |  round(1.0 - 6.0 * sum((rv - rk) * (rv - rk)) /
-             |        (count(*) * (count(*) * count(*) - 1)), 4) AS rho
+             |  CASE WHEN count(*) > 1 THEN
+             |    round(1.0 - 6.0 * sum((rv - rk) * (rv - rk)) /
+             |          (count(*) * (count(*) * count(*) - 1)), 4) + 0 END AS rho
              |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin),
       "X29 Spearman rank correlation (tie-broken exact ranks), value vs props.k"),
   )

@@ -575,7 +575,7 @@ object Relational {
       "R3 left semi join (EXISTS)"),
     "q_join_anti" -> QueryDef(
       joinAnti,
-      Some("""SELECT c_custkey, c_nationkey, round(c_acctbal, 4) AS c_acctbal FROM customer
+      Some("""SELECT c_custkey, c_nationkey, round(c_acctbal, 4) + 0 AS c_acctbal FROM customer
              |WHERE NOT EXISTS (SELECT 1 FROM orders
              |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
              |ORDER BY c_custkey""".stripMargin),
@@ -614,7 +614,7 @@ object Relational {
       "R7 ROLLUP + grouping_id"),
     "q_win_rank" -> QueryDef(
       winRank,
-      Some("""SELECT c_nationkey, c_custkey, round(c_acctbal, 4) AS c_acctbal,
+      Some("""SELECT c_nationkey, c_custkey, round(c_acctbal, 4) + 0 AS c_acctbal,
              |  CAST(rnk AS BIGINT) AS rnk FROM (
              |  SELECT c_nationkey, c_custkey, c_acctbal,
              |    rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
@@ -695,8 +695,8 @@ object Relational {
     "q_quantiles" -> QueryDef(
       quantiles,
       Some("""SELECT event_type,
-             |  round(quantile_cont(value, 0.5), 4) AS p50,
-             |  round(quantile_cont(value, 0.9), 4) AS p90,
+             |  round(quantile_cont(value, 0.5), 4) + 0 AS p50,
+             |  round(quantile_cont(value, 0.9), 4) + 0 AS p90,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       "R16 exact interpolated quantiles per group"),
@@ -706,7 +706,7 @@ object Relational {
              |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
              |  FROM events GROUP BY user_id),
              |seg AS (
-             |  SELECT c_custkey, round(c_acctbal, 4) AS acctbal
+             |  SELECT c_custkey, round(c_acctbal, 4) + 0 AS acctbal
              |  FROM customer WHERE c_mktsegment = 'BUILDING')
              |SELECT coalesce(user_id, c_custkey) AS key, n_events, acctbal,
              |  CASE WHEN user_id IS NULL THEN 'inactive_account'

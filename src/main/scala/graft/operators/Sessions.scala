@@ -74,7 +74,7 @@ object Sessions {
               |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
               |  CAST(count(*) AS BIGINT) AS n_events,
               |  min(us) AS start_us, max(us) AS end_us,
-              |  round(sum(value), 4) AS sum_value
+              |  round(sum(value), 4) + 0 AS sum_value
               |FROM g GROUP BY user_id, session_id
               |ORDER BY user_id, session_id""".stripMargin),
       "R17 gap-based sessionization: 8h-inactivity sessions per user"),

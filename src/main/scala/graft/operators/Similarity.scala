@@ -271,7 +271,7 @@ object Similarity {
        |  FROM embeddings e
        |  JOIN a ON a.vec_id = e.vec_id, q
        |  WHERE e.vec_id <> 0 AND a.cid IN (SELECT cid FROM probe))
-       |SELECT vec_id, label, round(score, 4) AS score FROM scored
+       |SELECT vec_id, label, round(score, 4) + 0 AS score FROM scored
        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
 
   // ---- oracle SQL, generated from the same planeSets constants so
@@ -315,7 +315,7 @@ object Similarity {
               |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
               |     sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score
               |  FROM cands e, q)
-              |SELECT vec_id, label, round(score, 4) AS score FROM scored
+              |SELECT vec_id, label, round(score, 4) + 0 AS score FROM scored
               |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin),
       "X4-scale OR-amplified sign-LSH multi-probe bucketed cosine top-10"),
     "q_sim_l2" -> QueryDef(

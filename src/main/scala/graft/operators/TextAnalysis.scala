@@ -582,7 +582,7 @@ object TextAnalysis {
              |cbg AS (SELECT bg, count(*) AS c_bg FROM pairs GROUP BY bg),
              |cu AS (SELECT w1, count(*) AS c_u FROM pairs GROUP BY w1)
              |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-             |  round(sum(ln(CAST(c_bg AS DOUBLE) / c_u)) / count(*), 4) AS lm_logp
+             |  round(sum(ln(CAST(c_bg AS DOUBLE) / c_u)) / count(*), 4) + 0 AS lm_logp
              |FROM pairs p JOIN cbg USING (bg) JOIN cu USING (w1)
              |GROUP BY p.doc_id ORDER BY doc_id""".stripMargin),
       "X27 n-gram LM typicality scoring: avg bigram log-prob under the corpus model"),

@@ -6,7 +6,7 @@ after the query's own round(_, 4)).
 
 Usage: check.py [sf_dir] [out_dir] [only_query ...]
 """
-import json, sys, math
+import json, struct, sys, math
 import duckdb
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -27,9 +27,12 @@ def canon(v):
     if v is None:
         return None
     if isinstance(v, float):
+        # Bit-exact, like the driver's hash compare: -0.0 != 0.0 and all
+        # NaN payloads collapse to one canonical NaN. Python == would
+        # treat -0.0 == 0.0 as equal and let a driver-red result pass.
         if math.isnan(v):
             return "NaN"
-        return v
+        return struct.pack(">d", v)
     return v
 
 fails, passes = [], 0
@@ -58,7 +61,7 @@ for name, sql in sorted(oracle.items()):
     for i, (a, b) in enumerate(zip(spark_rows, duck_rows)):
         ca, cb = tuple(map(canon, a)), tuple(map(canon, b))
         if ca != cb:
-            bad = f"row {i}: spark={ca} duck={cb} (cols={spark_cols})"
+            bad = f"row {i}: spark={a} duck={b} (cols={spark_cols})"
             break
     if bad:
         fails.append((name, bad))
