@@ -152,6 +152,14 @@ object Extensions {
   private[graft] def rankedByRange(
       e: DataFrame, group: String, key: Seq[String], out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Same load-bearing invariant as Packing.prefixSumByRange: both
+    // branches must read ONE executed range exchange or their __pid
+    // columns diverge (split points are sampled per instantiation).
+    // Guarded loudly here, pinned structurally in PlanAuditSpec.
+    require(e.sparkSession.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
+      "rankedByRange requires spark.sql.exchange.reuse: the offsets and " +
+        "local-rank branches must share one range exchange or their partition " +
+        "ids diverge (independently sampled split points)")
     val parts = e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val sortCols = (group +: key).map(col)
     val b = e.repartitionByRange(parts, sortCols: _*)

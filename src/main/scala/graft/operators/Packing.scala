@@ -50,10 +50,26 @@ object Packing {
     * the partition count, a plan constant. Correct for ANY split
     * points the range sampler picks: offset + local sum is exact
     * per row regardless of where the contiguous cuts land.
+    *
+    * Load-bearing invariant — EXCHANGE REUSE: the offsets branch and
+    * the local-sums branch both reference the range-repartitioned
+    * subtree, and `RangePartitioner` samples split points per
+    * instantiation. Correctness therefore requires both branches to
+    * read ONE executed exchange (Catalyst's `ReuseExchangeAndSubquery`
+    * / AQE's stage cache — both gated on `spark.sql.exchange.reuse`),
+    * so the two `__pid` columns agree. The `require` below turns a
+    * disabled-reuse session into a loud error instead of silently
+    * wrong prefix sums, and PlanAuditSpec pins a `ReusedExchange` in
+    * both declared plans so a future plan change that breaks
+    * canonical-equality reuse fails at test time.
     */
   private[graft] def prefixSumByRange(
       e: DataFrame, key: Seq[String], valueCol: String, out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(e.sparkSession.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
+      "prefixSumByRange requires spark.sql.exchange.reuse: the offsets and " +
+        "local-sums branches must share one range exchange or their partition " +
+        "ids diverge (independently sampled split points)")
     val parts = e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val b = e.repartitionByRange(parts, key.map(col): _*)
       .withColumn("__pid", spark_partition_id())

@@ -372,6 +372,43 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("range prefix-sum/rank queries execute ONE range exchange shared by both branches") {
+    // prefixSumByRange / rankedByRange join spark_partition_id()-keyed
+    // offsets back onto the same repartitionByRange subtree; split
+    // points are SAMPLED per instantiation, so correctness silently
+    // depends on both branches reading one executed exchange. Pin the
+    // reuse structurally: the final (post-AQE) plan must carry a
+    // ReusedExchange/reused stage, and exactly ONE range exchange may
+    // execute. A plan change that breaks canonical-equality reuse
+    // fails here instead of producing wrong prefix sums at 100 TB.
+    Seq("q_pack_chunks", "q_split_hash").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // AQE finalizes stage reuse at runtime
+      // the rendered AQE plan appends an "== Initial Plan ==" section;
+      // only the final section describes what executed
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val reused = plan.linesIterator.filter(_.contains("ReusedExchange")).toSeq
+      assert(reused.exists(_.contains("rangepartitioning")),
+        s"$q no longer reuses the range exchange across branches:\n$plan")
+      // exactly one REPARTITION_BY_NUM range exchange executes (the
+      // final ORDER BY adds its own ENSURE_REQUIREMENTS range sort)
+      val live = plan.linesIterator.count(l =>
+        l.contains("Exchange rangepartitioning") && l.contains("REPARTITION_BY_NUM")
+          && !l.contains("ReusedExchange"))
+      assert(live === 1,
+        s"$q executes $live sampled range exchanges (branches diverged):\n$plan")
+    }
+    // and the guard is live: a session with reuse disabled must refuse
+    // to build the plan rather than silently mis-join partition ids
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        SparkEntry.queries("q_pack_chunks")(spark, sf)
+      }
+      assert(err.getMessage.contains("exchange.reuse"))
+    } finally spark.conf.unset("spark.sql.exchange.reuse")
+  }
+
   test("q_sim_ivf is join-free: literal centroids and probe cells, filter + top-K only") {
     val plan = SparkEntry.queries("q_sim_ivf")(spark, sf)
       .queryExecution.executedPlan.toString
