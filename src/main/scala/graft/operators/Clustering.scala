@@ -79,16 +79,32 @@ object Clustering {
         .distinct()
     }
 
+    // order-independent edge-set signature: count + XOR of per-edge
+    // hashes (XOR: commutative, no ANSI overflow; edges are distinct
+    // so pair-cancellation needs a hash collision, and the exact test
+    // below still guards that) — one scalar aggregate over the
+    // checkpointed edges, far cheaper than the symmetric difference
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
     var converged = edges.isEmpty
+    var curSig = if (converged) (0L, 0L) else sig(edges)
     var rounds = 0
     while (!converged && rounds < 30) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // exact fixpoint test: symmetric difference via two anti-joins
-      // over the (small) edge set, one Spark action — same order of
-      // work as the round itself, no probabilistic checksum in a
-      // correctness-gated query
-      converged = next.except(edges).union(edges.except(next)).isEmpty
+      val nextSig = sig(next)
+      // cheap test first: unequal signatures prove the round changed
+      // the edge set, so the two anti-joins are skipped on every
+      // non-final round (they roughly doubled per-round work, r10
+      // verdict). Equal signatures only PROBABLY mean a fixpoint, so
+      // the exact symmetric-difference test still confirms before the
+      // loop may exit — the correctness gate never rests on a checksum.
+      converged = nextSig == curSig &&
+        next.except(edges).union(edges.except(next)).isEmpty
       edges = next
+      curSig = nextSig
       rounds += 1
     }
     require(converged, s"connectedComponents did not converge in $rounds rounds")
@@ -234,8 +250,18 @@ object Clustering {
   /** The literal-centroid argmin struct (d2, cid) shared by
     * assignment, update, and the IVF probe ([[Similarity]]).
     */
-  private[graft] def bestCentroid(s: SparkSession, dir: String): org.apache.spark.sql.Column = {
-    val cands = centroids(s, dir).map { case (cid, v) =>
+  private[graft] def bestCentroid(s: SparkSession, dir: String): org.apache.spark.sql.Column =
+    bestCentroidOf(centroids(s, dir).map { case (cid, v) => cid -> v.map(_.toDouble) })
+
+  /** The same argmin over an EXPLICIT centroid set — the building
+    * block a composed Lloyd loop re-literalizes each iteration
+    * ([[lloyd]]). Double vectors because the X33 means come back as
+    * rounded doubles; `l2Sq` computes in double either way, so the
+    * fixed float centroids delegate here loss-free.
+    */
+  private[graft] def bestCentroidOf(
+      cents: Seq[(Long, Array[Double])]): org.apache.spark.sql.Column = {
+    val cands = cents.map { case (cid, v) =>
       struct(
         round(VectorOps.l2Sq(col("embedding"), typedlit(v.toSeq)), 4).as("d2"),
         lit(cid).as("cid"))
@@ -277,6 +303,50 @@ object Clustering {
       .groupBy(col("cid"), (col("pos") + 1).cast("long").as("dim"))
       .agg(round(avg(col("col").cast("double")), 4).as("mean"))
       .orderBy("cid", "dim")
+
+  /** Composed distributed k-means — the X32/X33 contract made
+    * concrete: a driver loop alternating assignment (X32 shape) and
+    * centroid update (X33 shape), re-literalizing the K×d rounded
+    * means between iterations. Per iteration the corpus sees exactly
+    * one narrow codegen'd pass (argmin + SSE scalar) and one
+    * partial-agg'd K×d-bounded shuffle (the X33 plan); the driver
+    * holds only K×d doubles — nothing corpus-proportional ever leaves
+    * the executors, which is why this IS distributed k-means at
+    * 100 TB, not a toy loop.
+    *
+    * Returns, per iteration, the centroids it produced and the
+    * within-cluster SSE of the assignment under the centroids
+    * ENTERING the iteration — the quantity Lloyd's algorithm
+    * guarantees non-increasing (ClusteringSpec pins it, with a small
+    * tolerance for the round-4 contract on d2 and the means).
+    */
+  private[graft] def lloyd(
+      s: SparkSession, dir: String, iterations: Int): Seq[(Seq[(Long, Array[Double])], Double)] = {
+    var cents = centroids(s, dir).map { case (cid, v) => cid -> v.map(_.toDouble) }
+    val hist = Seq.newBuilder[(Seq[(Long, Array[Double])], Double)]
+    for (_ <- 1 to iterations) {
+      val best = bestCentroidOf(cents)
+      val assigned = graft.Tables(s, dir, "embeddings")
+        .select(
+          best.getField("cid").cast("long").as("cid"),
+          best.getField("d2").as("d2"),
+          col("embedding"))
+      val sse = assigned.agg(sum(col("d2"))).head.getDouble(0)
+      // the X33 expression verbatim; collect is K×d rows — operator
+      // config, never corpus-proportional
+      val means = assigned
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), (col("pos") + 1).cast("long").as("dim"))
+        .agg(round(avg(col("col").cast("double")), 4).as("mean"))
+        .collect()
+      val next = means.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toArray
+      }
+      hist += ((next, sse))
+      cents = next
+    }
+    hist.result()
+  }
 
   private def kmeansUpdateSql: String =
     s"""WITH c AS (

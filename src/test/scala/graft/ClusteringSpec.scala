@@ -184,6 +184,50 @@ class ClusteringSpec extends AnyFunSuite {
       s"centroid update does not partial-aggregate before the shuffle:\n$plan")
   }
 
+  test("the composed Lloyd loop (assign → update → re-literalize) is distributed k-means") {
+    import org.apache.spark.sql.functions._
+    // SURVEY §2.5 X33's claim — "a driver loop alternating X32/X33 IS
+    // distributed k-means" — proven by composition: three iterations
+    // at sf0.001, re-literalizing the emitted K×d means each round.
+    val hist = Clustering.lloyd(spark, sf, 3)
+    assert(hist.length == 3)
+    hist.foreach { case (cents, _) =>
+      assert(cents.map(_._1) == (1L to 8L) && cents.forall(_._2.length == 64))
+    }
+    // (a) within-cluster SSE non-increasing across iterations. Lloyd
+    // guarantees it exactly; the round-4 contract on d2 and on the
+    // means adds ≤ 0.5e-4 noise per term, ~500 terms → 0.05 headroom.
+    val sses = hist.map(_._2)
+    sses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 0.05, s"SSE increased across an iteration: $sses")
+    }
+    assert(sses.last < sses.head, s"three iterations improved nothing: $sses")
+    // (b) iteration 2 is reproducible from the DECLARED update query's
+    // emitted (cid, dim, mean) rows — the row output is a sufficient
+    // centroid state, not just a report. Build centroids from
+    // q_kmeans_update's output and check the round-2 assignment
+    // decisions match the composed loop's exactly (the round-4-before-
+    // argmin rule makes the decision itself portable).
+    val emitted = SparkEntry.queries("q_kmeans_update")(spark, sf).collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toArray
+      }
+    emitted.zip(hist.head._1).foreach { case ((cidE, vE), (cidL, vL)) =>
+      assert(cidE == cidL)
+      vE.zip(vL).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1.0001e-4, s"cluster $cidE means diverged: $a vs $b")
+      }
+    }
+    def assignUnder(cents: Seq[(Long, Array[Double])]): Map[Long, Long] =
+      Tables(spark, sf, "embeddings")
+        .select(col("vec_id"),
+          Clustering.bestCentroidOf(cents).getField("cid").cast("long").as("cid"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assignUnder(emitted) == assignUnder(hist.head._1),
+      "round-2 assignments from the emitted rows diverge from the composed loop")
+  }
+
   test("q_kmeans_assign is narrow per-row work: no join, no aggregate, one sort exchange") {
     // K centroids are plan literals, so the argmin must compile to a
     // projection — the K-way cross join + window the oracle states
