@@ -196,7 +196,8 @@ object Similarity {
     * query), so the probe list enters the plan as literals, exactly
     * like the sign-LSH probe keys.
     */
-  private[graft] def ivfProbeCells(s: SparkSession, dir: String): Seq[Long] = {
+  private[graft] def ivfProbeCells(
+      s: SparkSession, dir: String, nProbe: Int = ivfNProbe): Seq[Long] = {
     val q = queryVec(s, dir)
     Clustering.centroids(s, dir)
       .map { case (cid, c) =>
@@ -205,7 +206,7 @@ object Similarity {
         while (i < q.length) { val t = q(i).toDouble - c(i).toDouble; d += t * t; i += 1 }
         (BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, cid)
       }
-      .sorted.take(ivfNProbe).map(_._2)
+      .sorted.take(nProbe).map(_._2)
   }
 
   /** X34 — IVF (inverted-file) cosine top-10: the OTHER standard ANN
