@@ -223,6 +223,89 @@ object Curation {
   private val stopListSql =
     "'the', 'a', 'of', 'to', 'and', 'is', 'in'"
 
+  /** Per-source document cap — operator config (the C4-style "domain
+    * cap" dial a crawl pipeline sets to stop any one site dominating
+    * the mix).
+    */
+  private[graft] val sourceCapM = 10L
+
+  /** X38 — per-source contribution caps: keep at most M documents per
+    * source, chosen by a deterministic salted-hash order (reproducible
+    * across runs/engines/partitionings — the X16 salted-uniform
+    * mechanism aimed at per-group selection instead of sampling).
+    * `filter(is_kept = 1)` IS the capped corpus; the rank column keeps
+    * the decision auditable.
+    *
+    * Scale shape (100 TB): sources are Zipf (one hot domain is the
+    * norm in crawls), so a source-keyed window would put the hottest
+    * domain in one sort task — ranks come from
+    * [[Extensions.rankedByRange]] instead (range partition on
+    * (source, hash): per-(partition, source) counts → broadcast
+    * offsets → offset + local rank; the largest serial unit is one
+    * range partition, never a whole source). The oracle states the
+    * textbook `row_number` window, so every verify run pins
+    * distributed ≡ textbook — the X31 precedent.
+    */
+  private def sourceCap(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(
+        col("doc_id"), col("source"),
+        md5(concat(lit("cap"), col("doc_id").cast("string"))).as("h"))
+    Extensions.rankedByRange(d, "source", Seq("h", "doc_id"), "src_rank")
+      .select(
+        col("doc_id"), col("source"),
+        col("src_rank").cast("long").as("src_rank"),
+        when(col("src_rank") <= sourceCapM, 1L).otherwise(0L).as("is_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** X39 — calibrated quality blend: per document, the percentile
+    * rank of each raw quality signal (length, type-token ratio, mean
+    * token length) and their mean — the score-calibration step an
+    * ensemble filter runs because raw signals live on incomparable
+    * scales (20 tokens vs 37% TTR vs 4.1 chars): percentile ranks are
+    * scale-free, so the blend weights signals equally instead of by
+    * arbitrary units. Ranks are tie-broken by doc_id, so both rank
+    * columns are exact integer permutations and the blend is a ratio
+    * of integers < 2⁵³ — identical IEEE quotient in both engines (the
+    * X29 rho argument).
+    *
+    * Scale shape (100 TB): each percentile is a GLOBAL ranking — the
+    * single-sort-task trap — so all three come from
+    * [[Extensions.rankedByRange]] under a constant group (the X31
+    * declared-path use), and the corpus count rides a broadcast
+    * one-row stats table (the X18 pattern). The oracle states the
+    * three textbook `row_number() OVER (ORDER BY …)` windows, pinning
+    * distributed ≡ textbook on every verify run.
+    */
+  private def qualityBlend(s: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val feats = Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        (size(array_distinct(w)).cast("double") * 100 / size(w)).as("ttr"),
+        (aggregate(transform(w, t => length(t)), lit(0), (acc, x) => acc + x)
+          .cast("double") / size(w)).as("atl"))
+      .withColumn("g", lit(1))
+    val stats = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val ranked =
+      Extensions.rankedByRange(
+        Extensions.rankedByRange(
+          Extensions.rankedByRange(feats, "g", Seq("n_tokens", "doc_id"), "r_len"),
+          "g", Seq("ttr", "doc_id"), "r_ttr"),
+        "g", Seq("atl", "doc_id"), "r_atl")
+    ranked.crossJoin(broadcast(stats))
+      .select(
+        col("doc_id"),
+        col("r_len").cast("long").as("r_len"),
+        col("r_ttr").cast("long").as("r_ttr"),
+        col("r_atl").cast("long").as("r_atl"),
+        round((col("r_len") + col("r_ttr") + col("r_atl") - lit(3L)).cast("double") /
+          (lit(3L) * (col("n_docs") - lit(1L))), 4).as("blend"))
+      .orderBy("doc_id")
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_decontaminate" -> QueryDef(
       decontaminate,
@@ -301,5 +384,35 @@ object Curation {
              |    ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4) + 0 AS weight
              |FROM c ORDER BY lang""".stripMargin),
       "X25 corpus mixing weights: sqrt temperature resampling over language shares"),
+    "q_source_cap" -> QueryDef(
+      sourceCap,
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, source, md5('cap' || CAST(doc_id AS VARCHAR)) AS h
+              |  FROM documents)
+              |SELECT doc_id, source,
+              |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS src_rank,
+              |  CAST(CASE WHEN row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+              |       <= $sourceCapM THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+              |FROM d ORDER BY doc_id""".stripMargin),
+      "X38 per-source contribution caps: keep at most M docs per source, salted order"),
+    "q_quality_blend" -> QueryDef(
+      qualityBlend,
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |f AS (SELECT doc_id,
+             |    CAST(len(w) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(w)) AS DOUBLE) * 100 / len(w) AS ttr,
+             |    CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w) AS atl
+             |  FROM t),
+             |r AS (SELECT doc_id,
+             |    row_number() OVER (ORDER BY n_tokens, doc_id) AS r_len,
+             |    row_number() OVER (ORDER BY ttr, doc_id) AS r_ttr,
+             |    row_number() OVER (ORDER BY atl, doc_id) AS r_atl,
+             |    count(*) OVER () AS n
+             |  FROM f)
+             |SELECT doc_id, CAST(r_len AS BIGINT) AS r_len, CAST(r_ttr AS BIGINT) AS r_ttr,
+             |  CAST(r_atl AS BIGINT) AS r_atl,
+             |  round(CAST(r_len + r_ttr + r_atl - 3 AS DOUBLE) / (3 * (n - 1)), 4) AS blend
+             |FROM r ORDER BY doc_id""".stripMargin),
+      "X39 calibrated quality blend: mean percentile rank of three quality signals"),
   )
 }

@@ -563,9 +563,13 @@ object Dedup {
     * Embeddings are fetched for candidates only (broadcast of the
     * small candidate list), never carried through the probe explode.
     */
-  private[graft] def dedupEmbed(
-      s: SparkSession, dir: String,
-      planes: Seq[(Int, Int)] = embedPlanes): DataFrame = {
+  /** X6's planted dedup corpus: every vector, plus a near-dup copy of
+    * every 20th (element 2 scaled ×1.5, id shifted +100000) — the
+    * dedup-family planted-truth pattern over embeddings, shared by
+    * the sign-LSH path ([[dedupEmbed]]) and the within-cell SemDeDup
+    * path ([[semDedup]]) so both detectors face the same truth set.
+    */
+  private[graft] def plantedVecs(s: SparkSession, dir: String): DataFrame = {
     val base = Tables(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
     val pert = Tables(s, dir, "embeddings")
@@ -574,7 +578,13 @@ object Dedup {
         (col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           when(i === 1, x.cast("double") * 1.5).otherwise(x.cast("double"))).as("emb"))
-    val vecs = base.unionByName(pert)
+    base.unionByName(pert)
+  }
+
+  private[graft] def dedupEmbed(
+      s: SparkSession, dir: String,
+      planes: Seq[(Int, Int)] = embedPlanes): DataFrame = {
+    val vecs = plantedVecs(s, dir)
       .withColumn("bucket",
         planes
           .map { case (d, w) => when(element_at(col("emb"), d) > 0, lit(w)).otherwise(lit(0)) }
@@ -598,6 +608,76 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score"))
       .orderBy("id_a", "id_b")
   }
+
+  /** X36 — SemDeDup: embedding near-dup pairs WITHIN k-means cells
+    * (Abbas et al. 2023) — the semantic-dedup shape real curation
+    * pipelines run at scale: coarse-quantize every vector to its
+    * nearest centroid (the X32 round-4 argmin, engine-portable), then
+    * compare pairs ONLY inside each cell. Complements X6: sign-LSH
+    * candidates are collision-driven (recall from multi-probe), cell
+    * candidates are partition-driven (recall = within-cell fraction
+    * of true pairs — on this corpus 24 of the 25 planted pairs land
+    * within-cell; the straddler is the documented SemDeDup miss).
+    *
+    * Scale shape (100 TB): ONE corpus shuffle by cell co-partitions
+    * both join sides (canonically equal subtrees ⇒ the exchange is
+    * reused, the Packing invariant), and the pairwise work runs
+    * locally per cell — Θ(N²/K) candidates, with K the operator knob
+    * real deployments grow with the corpus (tens of thousands of
+    * cells; K=8 here is the test-corpus setting of the same config
+    * the X32 centroids already are). Per-cell volume is the
+    * textbook SemDeDup cost, not an accident of the plan.
+    */
+  private[graft] def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val cents = Clustering.centroids(s, dir).map { case (cid, v) => cid -> v.map(_.toDouble) }
+    val vecs = plantedVecs(s, dir)
+      .filter(col("vec_id") =!= 0) // the reserved query vector is not corpus
+      .select(col("vec_id"), col("emb").as("embedding"))
+      .withColumn("cell", Clustering.bestCentroidOf(cents).getField("cid").cast("long"))
+    val a = vecs.select(col("vec_id").as("id_a"), col("cell"), col("embedding").as("ea"))
+    val b = vecs.select(col("vec_id").as("id_b"), col("cell"), col("embedding").as("eb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"), col("id_b"), col("cell"),
+        VectorOps.cosine(col("ea"), col("eb")).as("score"))
+      .filter(col("score") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("cell"), round(col("score"), 4).as("score"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private def semDedupSql: String =
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+       |all_vecs AS (
+       |  SELECT vec_id AS id, vec_id AS src, FALSE AS pert FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS id, vec_id AS src, TRUE AS pert FROM base WHERE vec_id % 20 = 0),
+       |elems AS (
+       |  SELECT id, i, CASE WHEN pert AND i = 2 THEN x * 1.5 ELSE x END AS x
+       |  FROM (
+       |    SELECT a.id, a.pert,
+       |      unnest(generate_series(1, len(b.embedding))) AS i,
+       |      unnest(list_transform(b.embedding, v -> CAST(v AS DOUBLE))) AS x
+       |    FROM all_vecs a JOIN base b ON b.vec_id = a.src)),
+       |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |      WHERE vec_id BETWEEN 1 AND ${Clustering.centroidK}),
+       |cd AS (
+       |  SELECT e.id, c.cid,
+       |    round(sum((e.x - CAST(c.ce[e.i] AS DOUBLE)) * (e.x - CAST(c.ce[e.i] AS DOUBLE))), 4) AS d2
+       |  FROM elems e, c GROUP BY e.id, c.cid),
+       |r AS (SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM cd),
+       |a AS (SELECT id, CAST(cid AS BIGINT) AS cell FROM r WHERE rn = 1 AND id <> 0),
+       |pairs AS (
+       |  SELECT x.id AS id_a, y.id AS id_b, x.cell
+       |  FROM a x JOIN a y ON x.cell = y.cell AND x.id < y.id),
+       |scored AS (
+       |  SELECT p.id_a, p.id_b, p.cell,
+       |    sum(ea.x * eb.x) / (sqrt(sum(ea.x * ea.x)) * sqrt(sum(eb.x * eb.x))) AS score
+       |  FROM pairs p JOIN elems ea ON ea.id = p.id_a
+       |  JOIN elems eb ON eb.id = p.id_b AND eb.i = ea.i
+       |  GROUP BY 1, 2, 3)
+       |SELECT id_a, id_b, cell, round(score, 4) + 0 AS score FROM scored
+       |WHERE score >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
   /** The dedup corpus's id column alone (documents ∪ planted copies)
     * — the probe side of [[Clustering]]'s X26 survivorship verdict.
@@ -839,5 +919,9 @@ object Dedup {
       (s, d) => dedupChunks(s, d),
       Some(chunkSql),
       "X28 chunk-level (paragraph) exact dedup, keep-first by doc_id"),
+    "q_semdedup" -> QueryDef(
+      semDedup,
+      Some(semDedupSql),
+      "X36 SemDeDup: within-cell embedding near-dup pairs over k-means cells"),
   )
 }

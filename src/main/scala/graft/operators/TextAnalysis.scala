@@ -438,6 +438,45 @@ object TextAnalysis {
       .orderBy("col_name")
   }
 
+  /** Top-V vocabulary size — operator config (a tokenizer's vocab
+    * budget), never corpus-proportional. 20 of this corpus's 31
+    * distinct tokens, so per-document coverage genuinely varies.
+    */
+  private[graft] val vocabV = 20
+
+  /** X37 — vocabulary coverage / OOV rate: per document, the share of
+    * tokens outside the corpus's own top-V vocabulary — the tokenizer
+    * coverage check a pipeline runs before committing to a vocab
+    * budget (high OOV ⇒ the tokenizer will shred those documents into
+    * bytes/unknowns; OOV-rate outliers are also a junk signal).
+    *
+    * Scale shape (100 TB): the vocab dictionary comes from its own
+    * cheap pass (the X17 df-dictionary pattern) and is bounded by V —
+    * a plan constant — so its join side auto-broadcasts with no hint;
+    * the token stream aggregates per doc with map-side partials.
+    * The top-V build itself is a bounded TakeOrderedAndProject here;
+    * over an UNBOUNDED vocabulary it is exactly the X22 problem — at
+    * that scale swap in the certified Misra–Gries path (same module)
+    * for the dictionary build; the per-doc coverage join is unchanged.
+    */
+  private def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabV)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(vocab, Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") * 100 / col("n_tokens"), 4).as("oov_pct"))
+      .orderBy("doc_id")
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_token_count" -> QueryDef(
       tokenCount,
@@ -586,5 +625,19 @@ object TextAnalysis {
              |FROM pairs p JOIN cbg USING (bg) JOIN cu USING (w1)
              |GROUP BY p.doc_id ORDER BY doc_id""".stripMargin),
       "X27 n-gram LM typicality scoring: avg bigram log-prob under the corpus model"),
+    "q_vocab_coverage" -> QueryDef(
+      vocabCoverage,
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+              |vocab AS (
+              |  SELECT tok FROM toks GROUP BY tok
+              |  ORDER BY count(*) DESC, tok ASC LIMIT $vocabV)
+              |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+              |  round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) * 100
+              |        / count(*), 4) AS oov_pct
+              |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+              |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin),
+      "X37 vocabulary coverage: per-doc OOV rate against the top-V corpus vocab"),
   )
 }
