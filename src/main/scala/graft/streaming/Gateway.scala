@@ -451,7 +451,9 @@ object Gateway {
     * serial-port side effects.
     */
   val serialBridgeNote: String =
-    "serial→TCP bridge (e.g. socat) feeds the socket listener; radio config writeback lives in the bridge"
+    "serial→TCP bridge (e.g. socat) feeds the socket listener; radio config writeback lives in the bridge" +
+      " — rehearsed end-to-end in GatewaySpec (\"S1 rehearsal\"): a byte pipe plays the UART with" +
+      " mid-line write fragmentation, a line-unaware pump plays socat, init writeback runs first"
 
   /** B6 — the reference hot-applies `runtime_settings` by mutating
     * live objects (※ oemgateway.py · check_settings). A running Spark

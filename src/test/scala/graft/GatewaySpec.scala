@@ -571,6 +571,78 @@ class GatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("S1 rehearsal: a serial→TCP bridge stub feeds the production socket path, writeback stays bridge-side") {
+    // The S1/S2 design note (Gateway.scala): serial hardware is
+    // bridged to the S3 socket source (`socat /dev/tty… TCP-LISTEN`),
+    // and the RFM2Pi radio-settings writeback stays IN the bridge.
+    // This sandbox has no UART, so rehearse the full pattern with the
+    // closest physical stand-in: a byte PIPE plays the serial port
+    // (with adversarial write fragmentation — a 9600-baud UART
+    // delivers bytes, not lines), a line-unaware pump thread plays
+    // socat, and the gateway consumes the UNCHANGED S3 socket path.
+    val out = Files.createTempDirectory("gw-out").toString
+    val ckpt = Files.createTempDirectory("gw-ckpt").toString
+    // serial RX (device → bridge) and TX (bridge → device) lines
+    val serialRx = new java.io.PipedInputStream(4096)
+    val deviceTx = new java.io.PipedOutputStream(serialRx)
+    val deviceRx = new java.io.PipedInputStream(4096)
+    val serialTx = new java.io.PipedOutputStream(deviceRx)
+    val deviceInit = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val server = new java.net.ServerSocket(0)
+    // the bridge: write the radio init commands to the serial TX line
+    // (the reference keeps frequency/group/baseid side effects exactly
+    // here), then pump serial RX bytes to the accepted TCP connection
+    // verbatim — no line framing, no decoding, no gateway logic
+    val bridge = new Thread(() => {
+      serialTx.write("4b\n210g\n".getBytes("US-ASCII")); serialTx.flush()
+      val sock = server.accept()
+      val os = sock.getOutputStream
+      val buf = new Array[Byte](64)
+      var n = serialRx.read(buf)
+      while (n >= 0) { os.write(buf, 0, n); os.flush(); n = serialRx.read(buf) }
+    })
+    bridge.setDaemon(true)
+    bridge.start()
+    // the device: a real RFM2Pi streams only after it is configured —
+    // block on the init commands, record them, then emit frames in
+    // fragments that split lines mid-token across writes
+    val device = new Thread(() => {
+      val r = new java.io.BufferedReader(new java.io.InputStreamReader(deviceRx, "US-ASCII"))
+      deviceInit.put(r.readLine()); deviceInit.put(r.readLine())
+      Seq("1000 7 3", ".0\n1004 7 5.0\nga", "rbage\n").foreach { chunk =>
+        deviceTx.write(chunk.getBytes("US-ASCII")); deviceTx.flush()
+        Thread.sleep(50) // inter-write gap: fragments arrive as separate reads
+      }
+    })
+    device.setDaemon(true)
+    device.start()
+    val c = GatewayConf(
+      listeners = Seq(ListenerConf("serial0", dialect = "socket",
+        host = "localhost", port = server.getLocalPort, embeddedTimestamp = true)),
+      buffers = Seq(BufferConf("main", s"$out/main", periodSeconds = 0)),
+      checkpointRoot = ckpt)
+    val queries = Gateway.run(spark, c)
+    try {
+      // the writeback direction really ran, and before any data flowed
+      assert(deviceInit.poll(30, java.util.concurrent.TimeUnit.SECONDS) === "4b")
+      assert(deviceInit.poll(30, java.util.concurrent.TimeUnit.SECONDS) === "210g")
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var st = Map.empty[(Long, Long, Int), (Long, Double)]
+      while (st.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        st =
+          try finalState(s"$out/main")
+          catch { case _: Throwable => Map.empty }
+      }
+      // same result as the direct-TCP S3 e2e: fragmentation is
+      // reassembled by the socket source, malformed frames drop
+      assert(st === Map((1000L, 7L, 0) -> (2L, 8.0)))
+    } finally {
+      queries.foreach(_.stop())
+      server.close()
+    }
+  }
+
   test("windowed state runs on the RocksDB state store (the 100 TB knob)") {
     val out = Files.createTempDirectory("gw-out").toString
     val ckpt = Files.createTempDirectory("gw-ckpt").toString
