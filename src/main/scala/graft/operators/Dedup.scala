@@ -615,9 +615,14 @@ object Dedup {
     * nearest centroid (the X32 round-4 argmin, engine-portable), then
     * compare pairs ONLY inside each cell. Complements X6: sign-LSH
     * candidates are collision-driven (recall from multi-probe), cell
-    * candidates are partition-driven (recall = within-cell fraction
-    * of true pairs — on this corpus 24 of the 25 planted pairs land
-    * within-cell; the straddler is the documented SemDeDup miss).
+    * candidates are partition-driven (recall = the within-cell
+    * fraction of true pairs — a pair whose endpoints quantize to
+    * different cells is the structural SemDeDup miss). On this corpus
+    * every corpus-side planted pair lands within-cell (DedupSpec pins
+    * the pair set ≡ the driver-recomputed same-cell slice of the
+    * planted truth); the 24-vs-25 delta against X6 is corpus
+    * definition, not recall — the reserved query vector (vec_id 0) is
+    * excluded here, so its planted copy has no partner.
     *
     * Scale shape (100 TB): ONE corpus shuffle by cell co-partitions
     * both join sides (canonically equal subtrees ⇒ the exchange is

@@ -203,6 +203,35 @@ class DedupSpec extends AnyFunSuite {
     assert(embedExpected.subsetOf(pairs("q_dedup_embed")))
   }
 
+  test("SemDeDup pairs are exactly the same-cell slice of the planted embedding truth") {
+    // X36 differential pin: cell partitioning decides recall — a pair
+    // is findable iff both endpoints quantize to the same cell.
+    // Recompute every corpus-side planted pair's cells driver-side
+    // (the X32 round-4 argmin over base and perturbed vectors) and
+    // require q_semdedup's pair set to BE the same-cell slice: every
+    // same-cell planted pair found, nothing else reported (the
+    // isotropic corpus has no genuine >= 0.8 pairs).
+    val got = SparkEntry.queries("q_semdedup")(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    val cents = graft.operators.Clustering.centroids(spark, sf)
+      .map { case (cid, v) => cid -> v.map(_.toDouble) }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cellOf(v: Array[Double]): Long = cents.map { case (cid, c) =>
+      (r4(v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum), cid)
+    }.min._2
+    def pert(v: Array[Double]) =
+      v.zipWithIndex.map { case (x, i) => if (i == 1) x * 1.5 else x }
+    val expected = vecs.keys
+      .filter(id => id % 20 == 0 && id != 0L) // vec 0 is the reserved query vector, not corpus
+      .filter(id => cellOf(vecs(id)) == cellOf(pert(vecs(id))))
+      .map(id => (id, id + 100000L)).toSet
+    assert(expected.nonEmpty, "planted truth set is empty — the pin is vacuous")
+    assert(got === expected,
+      s"semdedup pairs diverge from the same-cell planted slice: extra=${got -- expected} missing=${expected -- got}")
+  }
+
   test("chunk dedup: the boilerplate plant changes exactly the planted chunk") {
     // X28 differential pin: the corpus has real cross-doc chunk repeats
     // (its own planted near-dup docs), so the boilerplate's effect is

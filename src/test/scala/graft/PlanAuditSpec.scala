@@ -350,7 +350,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // partition spec — the offsets prefix window over the tiny
     // per-partition table is the one allowed exception, bounded by
     // shuffle.partitions rows)
-    Seq("q_pack_chunks", "q_split_hash").foreach { q =>
+    Seq("q_pack_chunks", "q_split_hash", "q_source_cap", "q_quality_blend").foreach { q =>
       val qe = SparkEntry.queries(q)(spark, sf).queryExecution
       import org.apache.spark.sql.catalyst.plans.logical
       val windows = qe.optimizedPlan.collect { case w: logical.Window => w }
@@ -407,6 +407,49 @@ class PlanAuditSpec extends AnyFunSuite {
       }
       assert(err.getMessage.contains("exchange.reuse"))
     } finally spark.conf.unset("spark.sql.exchange.reuse")
+  }
+
+  test("q_semdedup shuffles the corpus by cell once, shared by both self-join sides") {
+    // the X36 scale claim: cell assignment is narrow literal-centroid
+    // work, and the within-cell pairwise join co-partitions both
+    // sides with ONE executed corpus exchange (the second side reads
+    // a ReusedExchange). On the test corpus AQE auto-broadcasts one
+    // side (hint-free, so it retracts at scale) — force broadcast off
+    // to audit the 100 TB shape the plan degrades to.
+    assert(!SparkEntry.queries("q_semdedup")(spark, sf)
+      .queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q_semdedup")(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val reused = plan.linesIterator.filter(_.contains("ReusedExchange")).toSeq
+      assert(reused.exists(_.contains("hashpartitioning(cell")),
+        s"q_semdedup no longer shares the cell exchange across join sides:\n$plan")
+      val cellExchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(cell") && !l.contains("ReusedExchange"))
+      assert(cellExchanges === 1,
+        s"q_semdedup executes $cellExchanges cell exchanges (sides diverged):\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"q_semdedup degenerated to an unkeyed join:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("q_vocab_coverage broadcasts the V-bounded vocab and plans no window") {
+    val plan = SparkEntry.queries("q_vocab_coverage")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the dictionary side is bounded by V (a plan constant): its join
+    // must be a hint-free broadcast, and nothing should sort the
+    // corpus (the top-V build is a bounded TakeOrderedAndProject)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_vocab_coverage does not broadcast the vocab dictionary:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_vocab_coverage lost the bounded top-V build:\n$plan")
+    assert(!plan.contains("Window"), s"q_vocab_coverage plans a window:\n$plan")
   }
 
   test("q_sim_ivf is join-free: literal centroids and probe cells, filter + top-K only") {
