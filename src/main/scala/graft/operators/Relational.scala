@@ -187,6 +187,80 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** R25 — time-grid resampling with forward fill (gap-fill): each
+    * user's irregular event stream regularized onto a 6-hour grid
+    * spanning their activity, each grid instant carrying the value of
+    * the last reading at-or-before it — the downsampling/gap-fill
+    * step every sensor pipeline (and the reference's emoncms
+    * consumers) runs before charting or joining feeds; a grid instant
+    * before the first reading keeps NULL (no reading exists yet — an
+    * honest gap, not an extrapolation).
+    *
+    * Mechanics: per-user span aggregate → `sequence()` explode builds
+    * the grid (narrow); grid instants union with readings, tagged, and
+    * ONE user-keyed running `last(value, ignoreNulls)` window fills
+    * forward. Determinism: readings at exactly the grid instant sort
+    * BEFORE it (is_grid tie-key) so "at-or-before" includes them;
+    * same-timestamp readings resolve by event_id (last wins); grid
+    * rows carry event_id −1 so no NULL ever enters the sort key
+    * (Spark and DuckDB default NULL orderings differ).
+    *
+    * Scale shape (100 TB): every stage is user-keyed — the span
+    * aggregate has map-side partials, the fill window partitions by
+    * user (thousands of rows each, never a corpus sort), and the
+    * grid explode is bounded by span/step per user. No broadcast, no
+    * skewable key (per-user activity is bounded by time), output is
+    * |users| × span/step — the DOWNSAMPLED size, which is the point.
+    */
+  private def resample(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
+      .select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"), expr("INTERVAL 6 HOURS"))).as("ots"))
+    val u = e
+      .select(col("user_id"), col("ts").as("ots"), lit(0).as("is_grid"),
+        col("event_id"), col("value"))
+      .unionByName(grid.select(col("user_id"), col("ots"), lit(1).as("is_grid"),
+        lit(-1L).as("event_id"), lit(null).cast("double").as("value")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ots"), col("is_grid"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("fill", last(col("value"), ignoreNulls = true).over(w))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"), col("ots").as("grid_ts"), round(col("fill"), 4).as("value"))
+      .orderBy("user_id", "grid_ts")
+  }
+
+  /** R26 — latest-reading snapshot: each user's most recent event
+    * (timestamp, event id, value) — the "current feed values" state
+    * the reference's emoncms consumers hold, as a query. The scale
+    * point is the SHAPE: latest-per-key is an argmax AGGREGATE
+    * (`max_by` over the (time, id) order key — map-side partials, one
+    * bounded shuffle of one row per key), NOT the `row_number() = 1`
+    * window the textbook states — a window must materialize and sort
+    * every key's full history; the aggregate carries one running
+    * winner. The oracle states the window form, so every verify run
+    * pins aggregate ≡ window. Ties on timestamp resolve by event_id
+    * through the same composite key (struct ordering is
+    * lexicographic in both engines' forms).
+    */
+  private def latest(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(struct(col("us"), col("event_id"))).as("k"),
+        max_by(col("value"), struct(col("us"), col("event_id"))).as("v"))
+      .select(
+        col("user_id"),
+        col("k.us").as("last_us"),
+        col("k.event_id").as("last_event_id"),
+        round(col("v"), 4).as("last_value"))
+      .orderBy("user_id")
+
   /** R23 — composed multi-join top-K (the TPC-H Q3 shape): revenue of
     * the 10 biggest not-yet-shipped BUILDING-segment orders. The point
     * of the row is join ORDERING under selective filters: both date
@@ -765,6 +839,38 @@ object Relational {
              |  CAST(sum(gap) AS BIGINT) AS sum_gap_us
              |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
       "R22 inter-arrival gaps per user (lag window, integer-µs exact)"),
+    "q_resample" -> QueryDef(
+      resample,
+      Some("""WITH span AS (
+             |  SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+             |  FROM events GROUP BY user_id),
+             |grid AS (
+             |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS ots
+             |  FROM span),
+             |u AS (
+             |  SELECT user_id, ts AS ots, 0 AS is_grid, event_id, value FROM events
+             |  UNION ALL
+             |  SELECT user_id, ots, 1 AS is_grid, -1 AS event_id, CAST(NULL AS DOUBLE) AS value
+             |  FROM grid),
+             |f AS (
+             |  SELECT user_id, ots, is_grid,
+             |    last_value(value IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY ots, is_grid, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS fill
+             |  FROM u)
+             |SELECT user_id, ots AS grid_ts, round(fill, 4) + 0 AS value
+             |FROM f WHERE is_grid = 1 ORDER BY user_id, grid_ts""".stripMargin),
+      "R25 time-grid resampling with forward fill (6h grid per user, gap-honest)"),
+    "q_latest" -> QueryDef(
+      latest,
+      Some("""WITH r AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events)
+             |SELECT user_id, CAST(us AS BIGINT) AS last_us,
+             |  event_id AS last_event_id, round(value, 4) + 0 AS last_value
+             |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin),
+      "R26 latest-reading snapshot per user (argmax aggregate, window-pinned oracle)"),
     "q_revenue_top" -> QueryDef(
       revenueTop,
       Some("""SELECT o_orderkey, o_orderpriority,

@@ -439,6 +439,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_latest is an argmax aggregate, never a per-key history sort") {
+    // R26's scale claim: latest-per-key must plan as an aggregate with
+    // map-side partials (the shuffle carries one row per key), not the
+    // oracle's row_number window (which sorts every key's history)
+    val plan = SparkEntry.queries("q_latest")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q_latest plans a window:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"q_latest does not partial-aggregate before the shuffle:\n$plan")
+  }
+
+  test("q_resample's fill window is user-partitioned, never a corpus sort") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val qe = SparkEntry.queries("q_resample")(spark, sf).queryExecution
+    val windows = qe.optimizedPlan.collect { case w: logical.Window => w }
+    assert(windows.nonEmpty, "q_resample lost its fill window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"q_resample plans a corpus-wide single-partition window")
+  }
+
   test("q_vocab_coverage broadcasts the V-bounded vocab and plans no window") {
     val plan = SparkEntry.queries("q_vocab_coverage")(spark, sf)
       .queryExecution.executedPlan.toString
