@@ -643,6 +643,42 @@ class GatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("streaming feed state: latest reading per (node, channel) maintained incrementally") {
+    // R26's streaming twin — the reference's live emoncms feed state
+    // ("current value per input") as an incrementally-maintained
+    // argmax aggregate: state is ONE row per (node, channel) — bounded
+    // by key cardinality, not history — and, unlike the reference's
+    // receipt-time daemon (where a late frame would overwrite the feed
+    // with stale data), the event-time argmax ignores out-of-order
+    // frames older than the held reading.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    val latest = Gateway.decode(ms.toDF(), listener)
+      .select(col("ts"), col("node"), posexplode(col("values")))
+      .select(col("ts"), col("node"), col("pos").as("channel"), col("col").as("v"))
+      .groupBy(col("node"), col("channel"))
+      .agg(max(struct(col("ts"), col("v"))).as("k"))
+      .select(col("node"), col("channel"),
+        col("k.ts").as("last_ts"), col("k.v").as("last_value"))
+    val q = latest.writeStream.format("memory")
+      .queryName("feed_state").outputMode("complete").start()
+    def state = spark.table("feed_state").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getTimestamp(2).getTime / 1000, r.getDouble(3)))).toMap
+    try {
+      ms.addData("1000 7 3.0 4.5", "1004 9 2.5")
+      q.processAllAvailable()
+      assert(state === Map(
+        (7L, 0) -> ((1000L, 3.0)), (7L, 1) -> ((1000L, 4.5)), (9L, 0) -> ((1004L, 2.5))))
+      // node 7 advances; node 9's frame is OLDER and must not win
+      ms.addData("1010 7 9.9 4.5", "999 9 8.8")
+      q.processAllAvailable()
+      assert(state === Map(
+        (7L, 0) -> ((1010L, 9.9)), (7L, 1) -> ((1010L, 4.5)), (9L, 0) -> ((1004L, 2.5))))
+    } finally q.stop()
+  }
+
   test("windowed state runs on the RocksDB state store (the 100 TB knob)") {
     val out = Files.createTempDirectory("gw-out").toString
     val ckpt = Files.createTempDirectory("gw-ckpt").toString
