@@ -673,7 +673,7 @@ object Relational {
       aggDistinct,
       Some("""SELECT c_mktsegment, CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
              |  CAST(count(*) AS BIGINT) AS n_customers,
-             |  round(sum(c_acctbal), 4) AS sum_bal
+             |  round(sum(c_acctbal), 4) + 0 AS sum_bal
              |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
       "R6 distinct aggregate"),
     "q_agg_rollup" -> QueryDef(
