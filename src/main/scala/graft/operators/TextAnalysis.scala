@@ -477,6 +477,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** X40 — source-similarity matrix: cosine between per-source token
+    * distributions over the top-V vocabulary — the redundant-source
+    * diagnostic a curation pipeline runs before mixing (two mirrors
+    * of the same crawl show up as cosine ≈ 1, and X38's cap or X25's
+    * weights then treat them as one source, not two).
+    *
+    * Scale shape (100 TB): the corpus collapses FIRST — one
+    * (source, tok) count aggregate with map-side partials, restricted
+    * to the top-V dictionary (the X37 vocab, so the profile matrix is
+    * |sources| × V by construction, plan constants both) — and all
+    * pairwise work runs over that tiny matrix: a tok-keyed self-join
+    * of ≤ |sources|·V rows, then a (src_a, src_b)-keyed aggregate.
+    * Nothing pairwise ever touches documents. Cosine terms are exact
+    * integer products summed over ≤ V doubles — identical IEEE in
+    * both engines.
+    */
+  private def sourceSim(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabV)
+      .select(col("tok"))
+    val prof = toks.join(vocab, Seq("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val norm = prof.groupBy(col("source"))
+      .agg(sqrt(sum(col("c") * col("c"))).as("nrm"))
+    val a = prof.select(col("source").as("src_a"), col("tok"), col("c").as("ca"))
+    val b = prof.select(col("source").as("src_b"), col("tok"), col("c").as("cb"))
+    a.join(b, Seq("tok"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+      .join(norm.select(col("source").as("src_a"), col("nrm").as("na")), Seq("src_a"))
+      .join(norm.select(col("source").as("src_b"), col("nrm").as("nb")), Seq("src_b"))
+      .select(
+        col("src_a"), col("src_b"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cos_sim"))
+      .orderBy("src_a", "src_b")
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_token_count" -> QueryDef(
       tokenCount,
@@ -639,5 +681,26 @@ object TextAnalysis {
               |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
               |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin),
       "X37 vocabulary coverage: per-doc OOV rate against the top-V corpus vocab"),
+    "q_source_sim" -> QueryDef(
+      sourceSim,
+      Some(s"""WITH toks AS (
+              |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+              |vocab AS (
+              |  SELECT tok FROM toks GROUP BY tok
+              |  ORDER BY count(*) DESC, tok ASC LIMIT $vocabV),
+              |prof AS (
+              |  SELECT source, t.tok, CAST(count(*) AS DOUBLE) AS c
+              |  FROM toks t JOIN vocab v ON t.tok = v.tok
+              |  GROUP BY source, t.tok),
+              |nrm AS (SELECT source, sqrt(sum(c * c)) AS nrm FROM prof GROUP BY source),
+              |dots AS (
+              |  SELECT a.source AS src_a, b.source AS src_b, sum(a.c * b.c) AS dot
+              |  FROM prof a JOIN prof b ON a.tok = b.tok AND a.source < b.source
+              |  GROUP BY 1, 2)
+              |SELECT src_a, src_b, round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+              |FROM dots JOIN nrm na ON na.source = src_a
+              |JOIN nrm nb ON nb.source = src_b
+              |ORDER BY src_a, src_b""".stripMargin),
+      "X40 source-similarity matrix: cosine of per-source token profiles (top-V vocab)"),
   )
 }
