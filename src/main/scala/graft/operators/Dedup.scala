@@ -633,8 +633,13 @@ object Dedup {
     * the X32 centroids already are). Per-cell volume is the
     * textbook SemDeDup cost, not an accident of the plan.
     */
-  private[graft] def semDedup(s: SparkSession, dir: String): DataFrame = {
-    val cents = Clustering.centroids(s, dir).map { case (cid, v) => cid -> v.map(_.toDouble) }
+  private[graft] def semDedup(
+      s: SparkSession, dir: String, k: Int = Clustering.centroidK): DataFrame = {
+    // k is the SCALE KNOB (cells per corpus): the declared query uses
+    // the full fixed-centroid set; DedupSpec pins a coarser k against
+    // an independent driver recount, like the embedPlaneCount knob
+    val cents = Clustering.centroids(s, dir).take(k)
+      .map { case (cid, v) => cid -> v.map(_.toDouble) }
     val vecs = plantedVecs(s, dir)
       .filter(col("vec_id") =!= 0) // the reserved query vector is not corpus
       .select(col("vec_id"), col("emb").as("embedding"))
@@ -925,7 +930,7 @@ object Dedup {
       Some(chunkSql),
       "X28 chunk-level (paragraph) exact dedup, keep-first by doc_id"),
     "q_semdedup" -> QueryDef(
-      semDedup,
+      (s, d) => semDedup(s, d),
       Some(semDedupSql),
       "X36 SemDeDup: within-cell embedding near-dup pairs over k-means cells"),
   )

@@ -232,6 +232,33 @@ class DedupSpec extends AnyFunSuite {
       s"semdedup pairs diverge from the same-cell planted slice: extra=${got -- expected} missing=${expected -- got}")
   }
 
+  test("SemDeDup's cell count is a knob: coarser quantization still matches the driver recount") {
+    // the X36 scale claim says K is operator config. Run the operator
+    // at k=4 (coarser Voronoi cells) and pin it against the same
+    // independent driver recount as the declared k=8 path — the knob
+    // changes recall/cost, never correctness.
+    val k = 4
+    val got = graft.operators.Dedup.semDedup(spark, sf, k)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    val cents = graft.operators.Clustering.centroids(spark, sf).take(k)
+      .map { case (cid, v) => cid -> v.map(_.toDouble) }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cellOf(v: Array[Double]): Long = cents.map { case (cid, c) =>
+      (r4(v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum), cid)
+    }.min._2
+    def pert(v: Array[Double]) =
+      v.zipWithIndex.map { case (x, i) => if (i == 1) x * 1.5 else x }
+    val expected = vecs.keys
+      .filter(id => id % 20 == 0 && id != 0L)
+      .filter(id => cellOf(vecs(id)) == cellOf(pert(vecs(id))))
+      .map(id => (id, id + 100000L)).toSet
+    assert(expected.nonEmpty, "k=4 planted truth set is empty — the knob pin is vacuous")
+    assert(got === expected,
+      s"k=$k semdedup diverges from the driver recount: extra=${got -- expected} missing=${expected -- got}")
+  }
+
   test("chunk dedup: the boilerplate plant changes exactly the planted chunk") {
     // X28 differential pin: the corpus has real cross-doc chunk repeats
     // (its own planted near-dup docs), so the boilerplate's effect is
