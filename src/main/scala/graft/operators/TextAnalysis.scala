@@ -519,6 +519,91 @@ object TextAnalysis {
       .orderBy("src_a", "src_b")
   }
 
+  /** Merge steps the BPE learner runs — operator config (a real
+    * tokenizer trains tens of thousands; 10 keeps the oracle's
+    * generated CTE chain reviewable while exercising multi-character
+    * merges on this corpus).
+    */
+  private[graft] val bpeMergeSteps = 10
+
+  /** X41 — BPE vocabulary learning (the first N merge operations):
+    * the canonical tokenizer-training job over a corpus. The classic
+    * scale shape — and the one real BPE trainers use — is: ONE
+    * distributed pass builds the (word, freq) table (map-side
+    * partials; Heaps' law keeps the vocabulary ≪ corpus), then the
+    * merge loop runs over that vocab-bounded WEIGHTED table: per
+    * step, count adjacent symbol pairs (weighted by word frequency),
+    * take the argmax pair — (count DESC, left ASC, right ASC), so
+    * ties are engine-portable — and apply the merge left-to-right
+    * non-overlapping (both engines' `replace` semantics) to every
+    * word's symbol string. The driver sees ONE row per step (the
+    * argmax); the evolving symbol table stays cluster-side,
+    * `localCheckpoint`ed per step so lineage doesn't chain N
+    * replaces deep (the Lloyd/X21 iteration discipline).
+    *
+    * The oracle is the same loop UNROLLED: `bpeSql` generates the
+    * 3-CTE step (pairs → argmax → apply) `bpeMergeSteps` times, so
+    * every verify run pins the distributed loop ≡ the textbook
+    * unrolled form — merge by merge, count by count. No end-of-word
+    * marker (documented simplification; adding '</w>' is a one-line
+    * change to the seed string on both sides).
+    */
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wf = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var cur = wf
+      .select(col("freq"), concat(lit(" "),
+        array_join(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"), " "),
+        lit(" ")).as("str"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (step <- 1 to bpeMergeSteps) {
+      val best = cur
+        .select(col("freq"), split(trim(col("str")), " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()(0)
+      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((step.toLong, l, r, c))
+      cur = cur
+        .withColumn("str", expr(s"replace(str, ' $l $r ', ' $l$r ')"))
+        .localCheckpoint()
+    }
+    merges.toSeq.toDF("step", "l_sym", "r_sym", "pair_count").orderBy("step")
+  }
+
+  private def bpeSql: String = {
+    val steps = (1 to bpeMergeSteps).map { k =>
+      s"""p$k AS (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS c
+         |  FROM (SELECT freq, string_split(trim(str), ' ') AS syms FROM s${k - 1}) t,
+         |       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+         |  WHERE len(syms) >= 2
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT $k AS step, l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |s$k AS (
+         |  SELECT freq, replace(str, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS str
+         |  FROM s${k - 1}, b$k b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to bpeMergeSteps).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |wf AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+       |s0 AS (
+       |  SELECT freq, ' ' || array_to_string(
+       |    list_transform(generate_series(1, len(word)), i -> word[i]), ' ') || ' ' AS str
+       |  FROM wf),
+       |$steps
+       |SELECT CAST(step AS BIGINT) AS step, l AS l_sym, r AS r_sym, c AS pair_count
+       |FROM ($union) ORDER BY step""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_token_count" -> QueryDef(
       tokenCount,
@@ -702,5 +787,9 @@ object TextAnalysis {
               |JOIN nrm nb ON nb.source = src_b
               |ORDER BY src_a, src_b""".stripMargin),
       "X40 source-similarity matrix: cosine of per-source token profiles (top-V vocab)"),
+    "q_bpe_merges" -> QueryDef(
+      bpeMerges,
+      Some(bpeSql),
+      "X41 BPE vocabulary learning: first N merges over the weighted word-freq vocab"),
   )
 }
