@@ -534,9 +534,13 @@ object TextAnalysis {
     * merge loop runs over that vocab-bounded WEIGHTED table: per
     * step, count adjacent symbol pairs (weighted by word frequency),
     * take the argmax pair — (count DESC, left ASC, right ASC), so
-    * ties are engine-portable — and apply the merge left-to-right
-    * non-overlapping (both engines' `replace` semantics) to every
-    * word's symbol string. The driver sees ONE row per step (the
+    * ties are engine-portable — and apply the merge to every word's
+    * symbol string as TWO left-to-right non-overlapping `replace`
+    * passes (identical semantics both engines; the second pass
+    * recovers occurrences whose boundary space the first scan
+    * consumed, completing the textbook simultaneous merge — see the
+    * loop body for why it can never over-merge). The driver sees ONE
+    * row per step (the
     * argmax); the evolving symbol table stays cluster-side,
     * `localCheckpoint`ed per step so lineage doesn't chain N
     * replaces deep (the Lloyd/X21 iteration discipline).
@@ -553,13 +557,25 @@ object TextAnalysis {
     val wf = docs(s, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    bpeMergesFrom(wf, bpeMergeSteps)
+      .toDF("step", "l_sym", "r_sym", "pair_count").orderBy("step")
+  }
+
+  /** The merge loop itself, over any (word, freq) table — factored so
+    * the spec can drive degenerate vocabularies. Stops early (fewer
+    * than `steps` merges) when no adjacent pair remains — a library
+    * caller's exhausted-vocabulary case, not an error.
+    */
+  private[graft] def bpeMergesFrom(wf: DataFrame, steps: Int): Seq[(Long, String, String, Long)] = {
     var cur = wf
       .select(col("freq"), concat(lit(" "),
         array_join(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"), " "),
         lit(" ")).as("str"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    for (step <- 1 to bpeMergeSteps) {
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
       val best = cur
         .select(col("freq"), split(trim(col("str")), " ").as("syms"))
         .filter(size(col("syms")) >= 2)
@@ -569,14 +585,26 @@ object TextAnalysis {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("c"))
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()(0)
-      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((step.toLong, l, r, c))
-      cur = cur
-        .withColumn("str", expr(s"replace(str, ' $l $r ', ' $l$r ')"))
-        .localCheckpoint()
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step.toLong, l, r, c))
+        // replace TWICE: one left-to-right non-overlapping pass skips
+        // every second occurrence of a consecutive run (the match
+        // consumes the boundary space the next occurrence needs), so a
+        // second pass completes the textbook simultaneous merge. It
+        // can never over-merge: the replacement token 'lr' differs
+        // from both l and r, so a pass cannot form a NEW occurrence
+        // of the same pair — only recover a skipped one.
+        cur = cur
+          .withColumn("str",
+            expr(s"replace(replace(str, ' $l $r ', ' $l$r '), ' $l $r ', ' $l$r ')"))
+          .localCheckpoint()
+        step += 1
+      }
     }
-    merges.toSeq.toDF("step", "l_sym", "r_sym", "pair_count").orderBy("step")
+    merges.toSeq
   }
 
   private def bpeSql: String = {
@@ -589,7 +617,8 @@ object TextAnalysis {
          |  GROUP BY 1, 2),
          |b$k AS (SELECT $k AS step, l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
          |s$k AS (
-         |  SELECT freq, replace(str, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS str
+         |  SELECT freq, replace(replace(str, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
+         |                       ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS str
          |  FROM s${k - 1}, b$k b)""".stripMargin
     }.mkString(",\n")
     val union = (1 to bpeMergeSteps).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")

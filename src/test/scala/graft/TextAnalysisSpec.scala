@@ -12,6 +12,21 @@ import org.scalatest.funsuite.AnyFunSuite
 class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
 
+  test("BPE merge loop: hand-checked merges, deterministic ties, graceful exhaustion") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis.bpeMergesFrom
+    // abab×3 + ab×2: step 1 merges (a,b) with weight 2·3+2 = 8; step 2
+    // merges (ab,ab) weight 3; then every word is one symbol — the
+    // loop must STOP with 2 of the 10 requested merges, not throw
+    val wf = Seq(("abab", 3L), ("ab", 2L)).toDF("word", "freq")
+    assert(bpeMergesFrom(wf, 10) === Seq((1L, "a", "b", 8L), (2L, "ab", "ab", 3L)))
+    // equal-count ties resolve by (l, r) ascending — engine-portable
+    val tie = Seq(("cd", 1L), ("ab", 1L)).toDF("word", "freq")
+    assert(bpeMergesFrom(tie, 10) === Seq((1L, "a", "b", 1L), (2L, "c", "d", 1L)))
+    // empty vocabulary yields no merges at all
+    assert(bpeMergesFrom(Seq.empty[(String, Long)].toDF("word", "freq"), 3) === Seq.empty)
+  }
+
   test("repetition flag fires on exactly the planted boilerplate docs") {
     val sf = "/root/testdata/sf0.01"
     val rows = SparkEntry.queries("q_repetition")(spark, sf).collect()
