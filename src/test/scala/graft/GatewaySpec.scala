@@ -679,6 +679,36 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming downsample: last reading per (window, node), watermark-bounded state") {
+    // R25's streaming twin: regularize the irregular stream onto the
+    // window grid by keeping the LAST reading of each (window, node)
+    // — the live downsampler in front of a charting sink. Unlike the
+    // batch resample there is no forward fill (an empty window emits
+    // nothing; filling it would require the batch view), but state is
+    // watermark-bounded like every other windowed aggregate here.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    val down = Gateway.decode(ms.toDF(), listener)
+      .select(col("ts"), col("node"), element_at(col("values"), 1).as("v"))
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "10 seconds"), col("node"))
+      .agg(max(struct(col("ts"), col("v"))).as("k"))
+      .select(unix_seconds(col("window.start")).as("w"), col("node"),
+        col("k.v").as("last_value"))
+    val q = down.writeStream.format("memory")
+      .queryName("downsampled").outputMode("complete").start()
+    try {
+      // two readings inside one 10s window: the later one wins; a
+      // third reading in the next window emits its own grid row
+      ms.addData("1003 7 3.0", "1007 7 5.5", "1012 7 8.0")
+      q.processAllAvailable()
+      val got = spark.table("downsampled").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got === Map((1000L, 7L) -> 5.5, (1010L, 7L) -> 8.0))
+    } finally q.stop()
+  }
+
   test("windowed state runs on the RocksDB state store (the 100 TB knob)") {
     val out = Files.createTempDirectory("gw-out").toString
     val ckpt = Files.createTempDirectory("gw-ckpt").toString

@@ -459,6 +459,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_resample plans a corpus-wide single-partition window")
   }
 
+  test("q_source_sim's pairwise work runs over aggregated profiles, never documents") {
+    // the X40 scale claim: the corpus collapses to the (source, tok)
+    // profile matrix FIRST; every join input must sit above an
+    // aggregate — a join whose input is a raw documents scan would be
+    // the corpus-pairwise shape this operator exists to avoid
+    import org.apache.spark.sql.catalyst.plans.logical
+    val qe = SparkEntry.queries("q_source_sim")(spark, sf).queryExecution
+    val joins = qe.optimizedPlan.collect { case j: logical.Join => j }
+    assert(joins.nonEmpty, "q_source_sim lost its profile joins")
+    def bounded(p: logical.LogicalPlan): Boolean = p.collectFirst {
+      case a: logical.Aggregate => a
+      case l: logical.GlobalLimit => l
+    }.nonEmpty
+    // every join has at least one aggregate/limit-bounded side (the
+    // raw token stream may appear only against the V-bounded vocab)…
+    joins.foreach { j =>
+      assert(bounded(j.left) || bounded(j.right),
+        s"q_source_sim joins two corpus-shaped sides:\n$j")
+    }
+    // …and the pair-producing self-join is bounded on BOTH sides
+    assert(joins.exists(j => bounded(j.left) && bounded(j.right)),
+      "q_source_sim's profile self-join no longer sits above aggregates")
+  }
+
   test("q_vocab_coverage broadcasts the V-bounded vocab and plans no window") {
     val plan = SparkEntry.queries("q_vocab_coverage")(spark, sf)
       .queryExecution.executedPlan.toString
