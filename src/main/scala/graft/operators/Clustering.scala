@@ -189,6 +189,43 @@ object Clustering {
       .orderBy("doc_id")
   }
 
+  /** X42 — per-source duplication diagnostics: the X26 keep/drop
+    * verdict aggregated by crawl source — the "which feeds are
+    * redundant" dashboard a curation run reports (X40 measures source
+    * REDUNDANCY by token profile; this measures what dedup actually
+    * DROPPED per source, the actioned counterpart). Real documents
+    * only: the planted copies carry synthetic ids outside `documents`,
+    * so the source join naturally scopes the report to the corpus.
+    *
+    * Scale shape: reuses the memoized CC labels (bounded by dup rate),
+    * one broadcast-able verdict join (AQE, no hint — the X26 plan),
+    * one |sources|-bounded partial-agg'd aggregate. Nothing new
+    * touches the corpus beyond X26's own pass.
+    */
+  private def dupStats(s: SparkSession, dir: String): DataFrame =
+    dedupKeep(s, dir)
+      .join(graft.Tables(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("is_kept") === 0, 1L).otherwise(0L)).cast("long").as("n_dropped"))
+      .select(
+        col("source"), col("n_docs"), col("n_dropped"),
+        round(col("n_dropped").cast("double") * 100 / col("n_docs"), 4).as("dup_pct"))
+      .orderBy("source")
+
+  private def dupStatsSql: String =
+    s"""$clusterChainSql,
+       |verdict AS (
+       |  SELECT c.doc_id,
+       |    CASE WHEN COALESCE(l.cluster_id, c.doc_id) = c.doc_id THEN 1 ELSE 0 END AS is_kept
+       |  FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(1 - is_kept) AS BIGINT) AS n_dropped,
+       |  round(CAST(sum(1 - is_kept) AS DOUBLE) * 100 / count(*), 4) AS dup_pct
+       |FROM verdict v JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** Fixed k-means centroid count. Like the ANN query vector, the
     * centroid set of a real run is OPERATOR CONFIG (seeded or carried
     * over from the previous iteration), never corpus-proportional —
@@ -435,6 +472,10 @@ object Clustering {
       dedupKeep,
       Some(keepSql),
       "X26 dedup survivorship: per-doc canonical cluster and keep/drop verdict"),
+    "q_dup_stats" -> QueryDef(
+      dupStats,
+      Some(dupStatsSql),
+      "X42 per-source duplication diagnostics: docs/dropped/dup-rate by crawl source"),
     "q_kmeans_assign" -> QueryDef(
       kmeansAssign,
       Some(kmeansSql),
