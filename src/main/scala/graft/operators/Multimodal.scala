@@ -103,6 +103,32 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** X43 — per-modality payload statistics: the "dataset card" a
+    * multimodal corpus ships with (asset counts, byte volume, exact
+    * duplicate payloads, extent extrema per media type). Unlike
+    * `q_multimodal_meta` this aggregates over the BINARY column
+    * itself — `length(payload)` and `count(DISTINCT payload)` on
+    * byte-array semantics, so the oracle also certifies cross-engine
+    * parity of binary equality/size, the contract every downstream
+    * payload dedup rests on.
+    *
+    * Scale shape: one scan, map-side partial aggregation to
+    * |media_types| groups; the distinct rides the same Expand-based
+    * distinct-aggregate path as X13's profiling (the payload bytes do
+    * shuffle for the exact distinct — at 100 TB swap the HLL++ R6
+    * companion in for the approximate card, same module precedent).
+    */
+  private def mediaStats(s: SparkSession, dir: String): DataFrame =
+    assets(s, dir).toDF()
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).cast("long").as("n_assets"),
+        sum(length(col("payload"))).cast("long").as("total_bytes"),
+        countDistinct(col("payload")).cast("long").as("n_distinct_payloads"),
+        max(col("width")).cast("long").as("max_width"),
+        max(col("height")).cast("long").as("max_height"))
+      .orderBy("media_type")
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_multimodal_meta" -> QueryDef(
       multimodalMeta,
@@ -120,5 +146,21 @@ object Multimodal {
            |FROM documents ORDER BY doc_id""".stripMargin
       },
       "multimodal asset metadata/features over the opaque binary payload"),
+    "q_media_stats" -> QueryDef(
+      mediaStats,
+      Some("""WITH a AS (
+             |  SELECT doc_id,
+             |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             |    from_hex(md5(text)) AS payload,
+             |    ('0x' || substr(md5(text), 1, 2))::BIGINT AS width,
+             |    ('0x' || substr(md5(text), 3, 2))::BIGINT AS height
+             |  FROM documents)
+             |SELECT media_type, CAST(count(*) AS BIGINT) AS n_assets,
+             |  CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+             |  CAST(count(DISTINCT payload) AS BIGINT) AS n_distinct_payloads,
+             |  CAST(max(width) AS BIGINT) AS max_width,
+             |  CAST(max(height) AS BIGINT) AS max_height
+             |FROM a GROUP BY media_type ORDER BY media_type""".stripMargin),
+      "X43 per-modality payload statistics: counts/bytes/exact-dup cardinality/extents"),
   )
 }
