@@ -179,10 +179,13 @@ object Curation {
     * per-row HOF arithmetic over one token split — ONE corpus scan,
     * ZERO exchanges except the final order-by (PlanAuditSpec-pinned).
     * The within-doc bigram max that X20 computes by explode+groupBy
-    * is here an O(k²) HOF over the ≤100-token document — per-row work
-    * bounded by the document length cap, NOT corpus-proportional, so
-    * the narrow form wins at any scale (the declared X20 stays the
-    * general shape for unbounded documents).
+    * is here the longest equal-adjacent run of the SORTED bigram
+    * array — O(k log k) per ≤100-token document (r11; the original
+    * count-per-distinct HOF was O(k²) nominal and O(k³) measured, see
+    * [[verdictGates]]) — per-row work bounded by the document length
+    * cap, NOT corpus-proportional, so the narrow form wins at any
+    * scale (the declared X20 stays the general shape for unbounded
+    * documents).
     *
     * All gates are integer-exact (counts and integer comparisons), so
     * the oracle is hash-identical by construction.
@@ -198,10 +201,32 @@ object Curation {
     * batch on the same rows). Input needs (doc_id, text).
     */
   private[graft] def verdictGates(docs: DataFrame): DataFrame = {
+    // HOF discipline (the VectorOps.normalize rule, relearned the hard
+    // way in r11): HOF ARGUMENTS evaluate once per row, LAMBDA BODIES
+    // once per element — and the optimizer inlines intermediate
+    // columns into lambda bodies, so a lambda that references `w` or
+    // `bgs` re-evaluates split(text) per element: the original
+    // element_at(w, i) bigram build plus the filter(bgs, …) count
+    // inside the aggregate made this projection O(k³) per document
+    // (measured 661 docs/s). Every lambda below references ONLY its
+    // lambda variables; arrays ride in argument position:
+    //  - bigrams via zip_with over two slices (arguments);
+    //  - top-bigram count as the longest equal-adjacent run of the
+    //    SORTED bigram array — one O(k) aggregate pass with a struct
+    //    accumulator, same multiset max as the count-per-distinct
+    //    form (CurationSpec pins gate ≡ the declared X20 query).
     val bgs = expr(
-      "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
-        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) " +
-        "ELSE array() END")
+      "CASE WHEN size(w) >= 2 THEN zip_with(" +
+        "slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+        "(a, b) -> concat(a, ' ', b)) ELSE array() END")
+    val maxRun = expr(
+      "aggregate(array_sort(bgs), " +
+        "named_struct('best', 0, 'run', 0, 'prev', CAST(NULL AS STRING)), " +
+        "(acc, x) -> named_struct(" +
+        "  'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1)), " +
+        "  'run', IF(x <=> acc.prev, acc.run + 1, 1), " +
+        "  'prev', x), " +
+        "acc -> acc.best)")
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("bgs", bgs)
@@ -212,9 +237,7 @@ object Curation {
         (size(col("w")) >= 20 &&
           size(array_distinct(col("w"))) * 10 >= size(col("w")) * 3)
           .cast("long").as("is_quality"),
-        (coalesce(expr(
-          "aggregate(array_distinct(bgs), 0, (m, b) -> greatest(m, size(filter(bgs, x -> x = b))))"),
-          lit(0)) * 5 > size(col("bgs"))).cast("long").as("is_repetitive"))
+        (maxRun * 5 > size(col("bgs"))).cast("long").as("is_repetitive"))
       .withColumn("is_kept",
         (col("is_en") === 1 && col("is_quality") === 1 && col("is_repetitive") === 0)
           .cast("long"))

@@ -20,6 +20,44 @@ import org.scalatest.funsuite.AnyFunSuite
 class ThroughputSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
 
+  test("curation admission gates sustain >= 10k docs/s on 200k synthetic documents") {
+    // the LLM-pipeline analog of the frames/s gate: the composed X35
+    // verdict (language-ID + quality + repetition + keep) is the
+    // projection an online admission filter runs per document
+    // (CurationSpec pins it batch ≡ streaming). Same deliberately
+    // slack floor philosophy: an idle local[4] measures far higher;
+    // the gate only guards against a catastrophic narrow-path
+    // regression (e.g. the O(k²) bigram HOF degrading to something
+    // corpus-shaped).
+    val n = 200000L
+    // stopword-bearing synthetic English so the gates discriminate
+    // instead of rejecting everything at the first gate. MATERIALIZE
+    // the docs before timing: fusing the 40-term generator into the
+    // gate projection both skews the measurement (we want the gates'
+    // cost, not the synthesizer's) and, at this expression size, can
+    // push the fused stage out of whole-stage codegen — interpreted
+    // HOF lambdas then re-evaluate the generator per element, turning
+    // 2.6 s into minutes (observed).
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        lit("the") +: lit("a") +: lit("of") +: lit("is") +: (0 until 36).map(i =>
+          concat(lit("w"), ((col("id") + i) % 23).cast("string"))): _*).as("text"))
+      .cache()
+    try {
+      docs.count() // materialize the corpus outside the timed region
+      val gated = graft.operators.Curation.verdictGates(docs)
+      gated.count() // warm codegen
+      val t0 = System.nanoTime()
+      val kept = gated.filter(col("is_kept") === 1).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val dps = n / secs
+      info(f"$n docs in $secs%.2f s = $dps%.0f docs/s ($kept kept)")
+      assert(kept > 0, "every synthetic doc failed admission — the measurement is degenerate")
+      assert(dps >= 10000.0, f"admission throughput $dps%.0f docs/s below floor")
+    } finally docs.unpersist()
+  }
+
   test("gateway decode+window sustains >= 25k frames/s on 1M frames") {
     val n = 1000000L
     val frames = spark.range(n).select(
