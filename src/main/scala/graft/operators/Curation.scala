@@ -33,6 +33,18 @@ object Curation {
     * stream just to drop repeats the join filter would discard
     * anyway; `countDistinct` over the surviving rows is the same set
     * at a fraction of the shuffle volume).
+    *
+    * Measured dead end (r11), kept so it isn't re-tried: this
+    * `element_at(w, i)`-in-lambda form looks like the O(k³) trap the
+    * r11 [[verdictGates]] rewrite fixed, but it is NOT — a single
+    * transform feeding an explode stays in the codegen path where
+    * subexpression elimination hoists the split, and converting it
+    * (and the dedup shingle/bigram builds) to zip_with-over-slices
+    * folds benched q_decontaminate 0.7 → 1.1 s at sf0.1 (the fold
+    * materializes g−1 intermediate gram arrays). The lambda-body
+    * discipline matters where HOFs NEST (aggregate over distinct with
+    * column-referencing lambdas, as the verdict had); the flat
+    * explode shape is already the fast form.
     */
   private def grams(docs: DataFrame): DataFrame = {
     val concatGram = (1 until gramN)
