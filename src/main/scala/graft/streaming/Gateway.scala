@@ -76,7 +76,15 @@ object Gateway {
       port: Int = 50011,
       // Test harness only: frames carry "<epoch_sec> <frame…>" so
       // event time is deterministic; production stamps receipt time.
-      embeddedTimestamp: Boolean = false)
+      embeddedTimestamp: Boolean = false,
+      // When set, the listener reads line files from this directory
+      // (glob) instead of a TCP socket — the spool-bridge shape
+      // (`socat /dev/tty… > spool/frames-$(date).txt` style): unlike
+      // the socket source, the file source RECOVERS from a checkpoint
+      // (processed files are never re-read), which is what lets
+      // [[supervise]] restart a dead run with no loss and no
+      // duplication. The dialect still selects the frame decode.
+      spoolDir: Option[String] = None)
 
   /** `[buffers]` section analog (※ oemgatewaybuffer.py: `active`
     * runtime flag, `period` send interval). The sink target is either
@@ -101,11 +109,17 @@ object Gateway {
 
   /** S3 — TCP line source, 1:1 with the reference's socket listener. */
   def source(spark: SparkSession, l: ListenerConf): DataFrame =
-    spark.readStream
-      .format("socket")
-      .option("host", l.host)
-      .option("port", l.port)
-      .load() // yields `value: string`, one line per row
+    l.spoolDir match {
+      case Some(dir) =>
+        // `value: string`, one line per row — same shape as the socket
+        spark.readStream.format("text").load(s"$dir/*.txt")
+      case None =>
+        spark.readStream
+          .format("socket")
+          .option("host", l.host)
+          .option("port", l.port)
+          .load() // yields `value: string`, one line per row
+    }
 
   /** P1–P4 — lines → (ts, node, values). Malformed/unreliable frames
     * are dropped exactly as the batch analogs do (shared FrameCodec).
@@ -439,6 +453,106 @@ object Gateway {
     val deduped =
       if (conf.dedupFrames) dedupFrames(decoded, conf.watermarkDelay) else decoded
     start(aggregate(deduped, conf), conf, register)
+  }
+
+  /** Handle over a supervised gateway: the restart loop plus the
+    * currently-live queries ([[supervise]]).
+    */
+  final class Supervisor private[streaming] (
+      getQueries: () => Seq[StreamingQuery],
+      shutdown: () => Unit) {
+    def queries: Seq[StreamingQuery] = getQueries()
+    def restartCount: Int = restarts
+    @volatile private[streaming] var restarts = 0
+    def stop(): Unit = shutdown()
+  }
+
+  /** Run-forever semantics — the reference daemon's actual contract
+    * (its main loop never exits; a dropped serial/socket peer is
+    * retried forever). Two distinct failure modes need covering:
+    *
+    *  - a query that TERMINATES (failed sink batch, source that
+    *    refuses at start while the bridge is down): detected via
+    *    `isActive`;
+    *  - a peer that dies SILENTLY: Spark's socket source treats EOF
+    *    as idle, not failure — the query stays active forever reading
+    *    nothing, which is how a bare [[run]] outlives its bridge in
+    *    the worst way. `idleTimeoutMs > 0` restarts when no query has
+    *    processed a row for that long. Silence and death are
+    *    indistinguishable from this side of the wire (the reference
+    *    has the same blind spot), so set it well above the expected
+    *    reporting period; a false-positive restart is harmless —
+    *    which is the point of the design:
+    *
+    * every restart stops the remainder, waits `backoffMs`, and
+    * relaunches the WHOLE pipeline against the SAME checkpoints —
+    * windowed state resumes from the state store and the idempotent/
+    * replayed sinks absorb the reprocessed tail, the B5 kill-restart
+    * contract applied automatically (GatewaySpec pins no loss and no
+    * duplication across a peer-drop restart). A relaunch that itself
+    * fails (bridge still down) counts as another dead round and is
+    * retried, like the reference's reconnect-forever serial loop.
+    * `maxRestarts` bounds crash loops in tests; production leaves it
+    * unbounded.
+    *
+    * Source caveat, learned the hard way: Spark's socket source does
+    * NOT support recovery (its own production warning) — a restarted
+    * run fails committing offsets its fresh connection never served.
+    * Supervised restarts therefore pair with a RECOVERABLE listener:
+    * the `spoolDir` file listener here (the bridge appends line
+    * files; processed files are never re-read), or Kafka in a real
+    * deployment. The TCP socket path remains the live/low-latency
+    * listener for runs that are not expected to restart.
+    */
+  def supervise(
+      spark: SparkSession,
+      conf: GatewayConf,
+      backoffMs: Long = 1000,
+      maxRestarts: Int = Int.MaxValue,
+      idleTimeoutMs: Long = 0,
+      register: StreamingQuery => Unit = _ => ()): Supervisor = {
+    @volatile var stopped = false
+    @volatile var current: Seq[StreamingQuery] =
+      try run(spark, conf, register) catch { case _: Exception => Seq.empty }
+    lazy val sup: Supervisor = new Supervisor(
+      () => current,
+      () => {
+        stopped = true
+        current.foreach(q => try q.stop() catch { case _: Exception => () })
+      })
+    val loop = new Thread(() => {
+      // (runId, batchId) of the last data-bearing progress per query:
+      // a NEW data batch anywhere counts as liveness
+      val seen = scala.collection.mutable.Map.empty[java.util.UUID, Long]
+      var lastActivity = System.nanoTime()
+      while (!stopped && sup.restarts < maxRestarts) {
+        var fresh = false
+        current.foreach { q =>
+          val p = try q.lastProgress catch { case _: Exception => null }
+          if (p != null && p.numInputRows > 0 && !seen.get(q.runId).contains(p.batchId)) {
+            seen(q.runId) = p.batchId
+            fresh = true
+          }
+        }
+        if (fresh) lastActivity = System.nanoTime()
+        val dead = current.isEmpty || current.exists(q => !q.isActive)
+        val stale = idleTimeoutMs > 0 &&
+          (System.nanoTime() - lastActivity) > idleTimeoutMs * 1000000L
+        if (dead || stale) {
+          current.foreach(q => try q.stop() catch { case _: Exception => () })
+          Thread.sleep(backoffMs)
+          if (!stopped) {
+            current = try run(spark, conf, register) catch { case _: Exception => Seq.empty }
+            sup.restarts += 1
+            seen.clear()
+            lastActivity = System.nanoTime()
+          }
+        } else Thread.sleep(math.min(backoffMs, 200L))
+      }
+    }, "gateway-supervisor")
+    loop.setDaemon(true)
+    loop.start()
+    sup
   }
 
   /** S1/S2 — there is no serial source in Spark (nor serial hardware

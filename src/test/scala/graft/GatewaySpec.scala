@@ -709,6 +709,54 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("supervised gateway outlives a dead run: spool listener, auto-restart, no loss") {
+    // the reference daemon never exits — a dropped peer is retried
+    // forever. Gateway.supervise applies the B5 kill-restart contract
+    // automatically: when a run dies, it relaunches the pipeline from
+    // the same checkpoints. Restartability requires a RECOVERABLE
+    // listener (the socket source fails committing offsets its fresh
+    // connection never served — Spark's own production warning), so
+    // this drives the spool-file bridge shape: frames spooled before
+    // the crash and after the restart must BOTH land, exactly once.
+    val out = Files.createTempDirectory("gw-out").toString
+    val ckpt = Files.createTempDirectory("gw-ckpt").toString
+    val spool = Files.createTempDirectory("gw-spool")
+    def spoolFrames(name: String, frames: Seq[String]): Unit = {
+      val tmp = Files.createTempFile(spool, "w", ".tmp")
+      Files.write(tmp, frames.mkString("", "\n", "\n").getBytes("UTF-8"))
+      Files.move(tmp, spool.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val c = GatewayConf(
+      listeners = Seq(ListenerConf("spool", dialect = "socket",
+        embeddedTimestamp = true, spoolDir = Some(spool.toString))),
+      buffers = Seq(BufferConf("main", s"$out/main", periodSeconds = 0)),
+      checkpointRoot = ckpt)
+    spoolFrames("a.txt", Seq("1000 7 3.0", "1004 7 5.0"))
+    val sup = Gateway.supervise(spark, c, backoffMs = 500, maxRestarts = 20)
+    try {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      def state() =
+        try finalState(s"$out/main")
+        catch { case _: Throwable => Map.empty[(Long, Long, Int), (Long, Double)] }
+      while (state().get((1000L, 7L, 0)) != Some((2L, 8.0)) && System.nanoTime() < deadline)
+        Thread.sleep(500)
+      assert(state().get((1000L, 7L, 0)) === Some((2L, 8.0)), "pre-crash frames lost")
+      // kill the run out from under the supervisor (stands in for any
+      // fatal failure: sink exception, executor loss, OOM)
+      sup.queries.foreach(_.stop())
+      spoolFrames("b.txt", Seq("1100 9 2.5"))
+      while (state().get((1100L, 9L, 0)) != Some((1L, 2.5)) && System.nanoTime() < deadline)
+        Thread.sleep(500)
+      val st = state()
+      assert(st.get((1100L, 9L, 0)) === Some((1L, 2.5)), s"post-restart frame lost: $st")
+      // pre-crash state survived the restart unchanged: no loss, and
+      // the already-processed spool file was not re-read (no dup)
+      assert(st.get((1000L, 7L, 0)) === Some((2L, 8.0)), s"restart lost or duplicated state: $st")
+      assert(sup.restartCount >= 1, "the supervisor never restarted anything")
+    } finally sup.stop()
+  }
+
   test("windowed state runs on the RocksDB state store (the 100 TB knob)") {
     val out = Files.createTempDirectory("gw-out").toString
     val ckpt = Files.createTempDirectory("gw-ckpt").toString
