@@ -538,9 +538,18 @@ object TextAnalysis {
     * symbol string as TWO left-to-right non-overlapping `replace`
     * passes (identical semantics both engines; the second pass
     * recovers occurrences whose boundary space the first scan
-    * consumed, completing the textbook simultaneous merge — see the
-    * loop body for why it can never over-merge). The driver sees ONE
-    * row per step (the
+    * consumed — see the loop body for why it can never over-merge).
+    * Contract boundary, found by BpeMergeProps and an exhaustive
+    * driver-side search: SELF-pairs (l = r) are excluded from the
+    * argmax — over runs of one repeated symbol the replace scan and
+    * the textbook scan pair occurrences differently (and can even
+    * merge fewer on runs ≥ 6), and the textbook form needs regex
+    * lookahead that DuckDB's RE2 lacks. With the exclusion the
+    * operator is EXACTLY the textbook merge on every pair it can
+    * select (property-pinned for every distinct pair); real corpora
+    * essentially never pick a self-pair early, and this corpus's
+    * output is identical with or without the exclusion. The driver
+    * sees ONE row per step (the
     * argmax); the evolving symbol table stays cluster-side,
     * `localCheckpoint`ed per step so lineage doesn't chain N
     * replaces deep (the Lloyd/X21 iteration discipline).
@@ -582,6 +591,7 @@ object TextAnalysis {
         .select(col("freq"), explode(expr(
           "transform(sequence(1, size(syms) - 1), " +
             "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))")).as("p"))
+        .filter(col("p.l") =!= col("p.r")) // self-pairs excluded, see scaladoc
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("c"))
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
@@ -615,7 +625,7 @@ object TextAnalysis {
          |       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
          |  WHERE len(syms) >= 2
          |  GROUP BY 1, 2),
-         |b$k AS (SELECT $k AS step, l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |b$k AS (SELECT $k AS step, l, r, c FROM p$k WHERE l <> r ORDER BY c DESC, l, r LIMIT 1),
          |s$k AS (
          |  SELECT freq, replace(replace(str, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
          |                       ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS str

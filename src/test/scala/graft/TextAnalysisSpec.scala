@@ -15,11 +15,13 @@ class TextAnalysisSpec extends AnyFunSuite {
   test("BPE merge loop: hand-checked merges, deterministic ties, graceful exhaustion") {
     import spark.implicits._
     import graft.operators.TextAnalysis.bpeMergesFrom
-    // abab×3 + ab×2: step 1 merges (a,b) with weight 2·3+2 = 8; step 2
-    // merges (ab,ab) weight 3; then every word is one symbol — the
-    // loop must STOP with 2 of the 10 requested merges, not throw
-    val wf = Seq(("abab", 3L), ("ab", 2L)).toDF("word", "freq")
-    assert(bpeMergesFrom(wf, 10) === Seq((1L, "a", "b", 8L), (2L, "ab", "ab", 3L)))
+    // abab×3 + ab×2 + cd×1: step 1 merges (a,b) with weight 2·3+2 = 8;
+    // after it the only repeated pair is the SELF-pair (ab,ab), which
+    // the contract excludes (see bpeMergesFrom scaladoc), so step 2
+    // falls to (c,d); then nothing remains — the loop must STOP with
+    // 2 of the 10 requested merges, not throw
+    val wf = Seq(("abab", 3L), ("ab", 2L), ("cd", 1L)).toDF("word", "freq")
+    assert(bpeMergesFrom(wf, 10) === Seq((1L, "a", "b", 8L), (2L, "c", "d", 1L)))
     // equal-count ties resolve by (l, r) ascending — engine-portable
     val tie = Seq(("cd", 1L), ("ab", 1L)).toDF("word", "freq")
     assert(bpeMergesFrom(tie, 10) === Seq((1L, "a", "b", 1L), (2L, "c", "d", 1L)))
