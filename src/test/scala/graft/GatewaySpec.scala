@@ -757,6 +757,50 @@ class GatewaySpec extends AnyFunSuite {
     } finally sup.stop()
   }
 
+  test("idle-timeout restarts are harmless on a recoverable listener") {
+    // the supervisor's false-positive safety claim: silence and death
+    // are indistinguishable, so an idle restart must cost NOTHING —
+    // state intact, nothing re-read, and the next frames still land.
+    val out = Files.createTempDirectory("gw-out").toString
+    val ckpt = Files.createTempDirectory("gw-ckpt").toString
+    val spool = Files.createTempDirectory("gw-spool")
+    def spoolFrames(name: String, frames: Seq[String]): Unit = {
+      val tmp = Files.createTempFile(spool, "w", ".tmp")
+      Files.write(tmp, frames.mkString("", "\n", "\n").getBytes("UTF-8"))
+      Files.move(tmp, spool.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val c = GatewayConf(
+      listeners = Seq(ListenerConf("spool", dialect = "socket",
+        embeddedTimestamp = true, spoolDir = Some(spool.toString))),
+      buffers = Seq(BufferConf("main", s"$out/main", periodSeconds = 0)),
+      checkpointRoot = ckpt)
+    spoolFrames("a.txt", Seq("1000 7 3.0"))
+    val sup = Gateway.supervise(spark, c, backoffMs = 500, maxRestarts = 30,
+      idleTimeoutMs = 4000)
+    try {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      def state() =
+        try finalState(s"$out/main")
+        catch { case _: Throwable => Map.empty[(Long, Long, Int), (Long, Double)] }
+      while (state().get((1000L, 7L, 0)) != Some((1L, 3.0)) && System.nanoTime() < deadline)
+        Thread.sleep(500)
+      assert(state().get((1000L, 7L, 0)) === Some((1L, 3.0)))
+      // go quiet past the idle timeout: at least one false-positive
+      // restart must fire, and must change nothing
+      while (sup.restartCount < 1 && System.nanoTime() < deadline) Thread.sleep(500)
+      assert(sup.restartCount >= 1, "idle timeout never fired")
+      assert(state().get((1000L, 7L, 0)) === Some((1L, 3.0)),
+        "an idle restart lost or duplicated state")
+      // and the pipeline still ingests after the pointless restart
+      spoolFrames("b.txt", Seq("1100 9 2.5"))
+      while (state().get((1100L, 9L, 0)) != Some((1L, 2.5)) && System.nanoTime() < deadline)
+        Thread.sleep(500)
+      assert(state().get((1100L, 9L, 0)) === Some((1L, 2.5)),
+        s"post-idle-restart frame lost: ${state()}")
+    } finally sup.stop()
+  }
+
   test("windowed state runs on the RocksDB state store (the 100 TB knob)") {
     val out = Files.createTempDirectory("gw-out").toString
     val ckpt = Files.createTempDirectory("gw-ckpt").toString
