@@ -549,6 +549,9 @@ object Gateway {
           }
         } else Thread.sleep(math.min(backoffMs, 200L))
       }
+      // a stop() racing an in-flight relaunch could otherwise leave
+      // the fresh queries running: the loop owns the final cleanup
+      if (stopped) current.foreach(q => try q.stop() catch { case _: Exception => () })
     }, "gateway-supervisor")
     loop.setDaemon(true)
     loop.start()
