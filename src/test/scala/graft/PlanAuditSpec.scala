@@ -398,14 +398,17 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(live === 1,
         s"$q executes $live sampled range exchanges (branches diverged):\n$plan")
     }
-    // and the guard is live: a session with reuse disabled must refuse
-    // to build the plan rather than silently mis-join partition ids
+    // and the guard is live in BOTH operators: a session with reuse
+    // disabled must refuse to build either plan rather than silently
+    // mis-join partition ids
     spark.conf.set("spark.sql.exchange.reuse", "false")
     try {
-      val err = intercept[IllegalArgumentException] {
-        SparkEntry.queries("q_pack_chunks")(spark, sf)
+      Seq("q_pack_chunks", "q_split_hash").foreach { q =>
+        val err = intercept[IllegalArgumentException] {
+          SparkEntry.queries(q)(spark, sf)
+        }
+        assert(err.getMessage.contains("exchange.reuse"), s"$q guard is dead")
       }
-      assert(err.getMessage.contains("exchange.reuse"))
     } finally spark.conf.unset("spark.sql.exchange.reuse")
   }
 
