@@ -336,8 +336,12 @@ object Curation {
         col("r_len").cast("long").as("r_len"),
         col("r_ttr").cast("long").as("r_ttr"),
         col("r_atl").cast("long").as("r_atl"),
-        round((col("r_len") + col("r_ttr") + col("r_atl") - lit(3L)).cast("double") /
-          (lit(3L) * (col("n_docs") - lit(1L))), 4).as("blend"))
+        // Degenerate single-document corpus: Spark's non-ANSI x/0 is NULL
+        // while DuckDB's IEEE divide is NaN — guard BOTH sides to NULL
+        // (matching CASE WHEN in the oracle) so the engines agree.
+        when(col("n_docs") > 1,
+          round((col("r_len") + col("r_ttr") + col("r_atl") - lit(3L)).cast("double") /
+            (lit(3L) * (col("n_docs") - lit(1L))), 4)).as("blend"))
       .orderBy("doc_id")
   }
 
@@ -446,7 +450,9 @@ object Curation {
              |  FROM f)
              |SELECT doc_id, CAST(r_len AS BIGINT) AS r_len, CAST(r_ttr AS BIGINT) AS r_ttr,
              |  CAST(r_atl AS BIGINT) AS r_atl,
-             |  round(CAST(r_len + r_ttr + r_atl - 3 AS DOUBLE) / (3 * (n - 1)), 4) AS blend
+             |  CASE WHEN n > 1
+             |    THEN round(CAST(r_len + r_ttr + r_atl - 3 AS DOUBLE) / (3 * (n - 1)), 4)
+             |  END AS blend
              |FROM r ORDER BY doc_id""".stripMargin),
       "X39 calibrated quality blend: mean percentile rank of three quality signals"),
   )

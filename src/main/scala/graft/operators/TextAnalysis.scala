@@ -607,9 +607,11 @@ object TextAnalysis {
         // can never over-merge: the replacement token 'lr' differs
         // from both l and r, so a pass cannot form a NEW occurrence
         // of the same pair — only recover a skipped one.
+        // Column-API replace with lit() patterns: corpus symbols carrying
+        // quotes/backslashes must reach the engine as data, never as SQL text.
+        val (pat, rep) = (lit(s" $l $r "), lit(s" $l$r "))
         cur = cur
-          .withColumn("str",
-            expr(s"replace(replace(str, ' $l $r ', ' $l$r '), ' $l $r ', ' $l$r ')"))
+          .withColumn("str", replace(replace(col("str"), pat, rep), pat, rep))
           .localCheckpoint()
         step += 1
       }
