@@ -356,33 +356,104 @@ object Clustering {
     * ENTERING the iteration — the quantity Lloyd's algorithm
     * guarantees non-increasing (ClusteringSpec pins it, with a small
     * tolerance for the round-4 contract on d2 and the means).
+    *
+    * The SSE is carried as a SCALED INTEGER (round-4 d2 × 10⁴, summed
+    * as BIGINT): integer addition is order-independent, so the value
+    * is bit-identical no matter how the executors reassociate the
+    * sum — which is what lets [[kmeansLloyd]] declare it in the
+    * hash-compared oracle contract. One corpus pass per iteration:
+    * the scaled d2 rides the X33 explode and is recovered from the
+    * per-(cid,dim) partial sums (each vector's d2 lands in exactly d
+    * groups, so the group total is d × SSE — divide back out).
     */
   private[graft] def lloyd(
-      s: SparkSession, dir: String, iterations: Int): Seq[(Seq[(Long, Array[Double])], Double)] = {
+      s: SparkSession, dir: String, iterations: Int): Seq[(Seq[(Long, Array[Double])], Long)] = {
     var cents = centroids(s, dir).map { case (cid, v) => cid -> v.map(_.toDouble) }
-    val hist = Seq.newBuilder[(Seq[(Long, Array[Double])], Double)]
+    val hist = Seq.newBuilder[(Seq[(Long, Array[Double])], Long)]
     for (_ <- 1 to iterations) {
       val best = bestCentroidOf(cents)
-      val assigned = graft.Tables(s, dir, "embeddings")
+      // the X33 expression verbatim, plus the scaled-d2 rider; collect
+      // is K×d rows — operator config, never corpus-proportional
+      val rows = graft.Tables(s, dir, "embeddings")
         .select(
           best.getField("cid").cast("long").as("cid"),
-          best.getField("d2").as("d2"),
+          round(best.getField("d2") * lit(10000)).cast("long").as("sd2"),
           col("embedding"))
-      val sse = assigned.agg(sum(col("d2"))).head.getDouble(0)
-      // the X33 expression verbatim; collect is K×d rows — operator
-      // config, never corpus-proportional
-      val means = assigned
-        .select(col("cid"), posexplode(col("embedding")))
+        .select(col("cid"), col("sd2"), posexplode(col("embedding")))
         .groupBy(col("cid"), (col("pos") + 1).cast("long").as("dim"))
-        .agg(round(avg(col("col").cast("double")), 4).as("mean"))
+        .agg(round(avg(col("col").cast("double")), 4).as("mean"), sum(col("sd2")).as("g"))
         .collect()
-      val next = means.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
-        cid -> rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toArray
+      val dims = rows.map(_.getLong(1)).max
+      val sse = rows.map(_.getLong(3)).sum / dims
+      val next = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cid, rs) =>
+        cid -> rs.sortBy(_.getLong(1)).map(_.getDouble(2)).toArray
       }
       hist += ((next, sse))
       cents = next
     }
     hist.result()
+  }
+
+  private[graft] val lloydIters = 3
+
+  /** X32+X33 composed — the Lloyd loop DECLARED as a query: three
+    * iterations of assign → update → re-literalize, emitting every
+    * iteration's K×d centroid rows together with the scaled-integer
+    * within-cluster SSE of the assignment that produced them (SSE
+    * under the centroids ENTERING the iteration, the quantity Lloyd
+    * keeps non-increasing). The oracle is the loop UNROLLED — the
+    * X41 BPE precedent applied to k-means: each oracle iteration
+    * recomputes the textbook cross-join argmin under the previous
+    * iteration's ROUNDED means, so verify pins the distributed loop
+    * iteration by iteration, mean by mean, SSE by SSE.
+    *
+    * Portability is by construction, not luck: assignments compare
+    * round-4 d2 (the X32 rule), the means fed forward are the round-4
+    * literals on BOTH sides, and the SSE is an integer sum — the only
+    * float drift surface left is avg() reassociation inside one
+    * iteration, the same surface X33 already ships.
+    */
+  private def kmeansLloyd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lloyd(s, dir, lloydIters).zipWithIndex.flatMap { case ((cents, sse), i) =>
+      cents.flatMap { case (cid, v) =>
+        v.zipWithIndex.map { case (m, d) => (i + 1L, cid, d + 1L, m, sse) }
+      }
+    }.toDF("iter", "cid", "dim", "mean", "sse_scaled").orderBy("iter", "cid", "dim")
+  }
+
+  private def kmeansLloydSql: String = {
+    val iters = (1 to lloydIters).map { k =>
+      s"""d$k AS (
+         |  SELECT e.vec_id, c.cid,
+         |    round(list_sum(list_transform(list_zip(e.embedding, c.ce),
+         |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+         |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 4) AS d2
+         |  FROM embeddings e, c${k - 1} c),
+         |a$k AS (
+         |  SELECT vec_id, cid, d2 FROM (
+         |    SELECT vec_id, cid, d2,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM d$k)
+         |  WHERE rn = 1),
+         |sse$k AS (
+         |  SELECT CAST(sum(CAST(round(d2 * 10000, 0) AS BIGINT)) AS BIGINT) AS sse FROM a$k),
+         |m$k AS (
+         |  SELECT CAST(a.cid AS BIGINT) AS cid, CAST(s.i AS BIGINT) AS dim,
+         |    round(avg(CAST(e.embedding[s.i] AS DOUBLE)), 4) + 0 AS mean
+         |  FROM a$k a JOIN embeddings e USING (vec_id),
+         |    LATERAL unnest(generate_series(1, len(e.embedding))) AS s(i)
+         |  GROUP BY a.cid, s.i),
+         |c$k AS (SELECT cid, list(mean ORDER BY dim) AS ce FROM m$k GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to lloydIters)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS iter, m.cid, m.dim, m.mean, s.sse AS sse_scaled FROM m$k m, sse$k s")
+      .mkString(" UNION ALL ")
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND $centroidK),
+       |$iters
+       |SELECT * FROM ($union) ORDER BY iter, cid, dim""".stripMargin
   }
 
   private def kmeansUpdateSql: String =
@@ -484,5 +555,9 @@ object Clustering {
       kmeansUpdate,
       Some(kmeansUpdateSql),
       "X33 k-means centroid update: per-cluster per-dimension means, partial-agg before shuffle"),
+    "q_kmeans_lloyd" -> QueryDef(
+      kmeansLloyd,
+      Some(kmeansLloydSql),
+      "X32+X33 composed Lloyd loop: 3 iterations vs the unrolled oracle, means + scaled SSE"),
   )
 }
