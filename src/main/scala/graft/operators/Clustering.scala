@@ -499,24 +499,32 @@ object Clustering {
     * UNION-dedup semi-naive evaluation terminates it), grouped to
     * (member, min reachable).
     */
+  /** The verify → Jaccard cut → CC-labels CTE fragment (needs the
+    * minhash cand chain in scope) — factored so composed oracles (the
+    * X44 pipeline) can label a DERIVED corpus with the exact chain
+    * the standalone cluster oracles state.
+    */
+  private[graft] def ccLabelCtes: String =
+    """verified AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS shared
+      |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+      |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT v.id_a, v.id_b FROM verified v
+      |  JOIN card ca ON ca.doc_id = v.id_a
+      |  JOIN card cb ON cb.doc_id = v.id_b
+      |  WHERE 10 * v.shared >= 6 * (ca.n + cb.n - v.shared)),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach(v, x) AS (
+      |  SELECT DISTINCT u, u FROM edges
+      |  UNION
+      |  SELECT r.v, e.v FROM reach r JOIN edges e ON e.u = r.x),
+      |labels AS (SELECT v AS doc_id, min(x) AS cluster_id FROM reach GROUP BY v)""".stripMargin
+
   private def clusterChainSql: String =
     s"""WITH RECURSIVE ${Dedup.minhashCandSql},
-       |verified AS (
-       |  SELECT c.id_a, c.id_b, count(*) AS shared
-       |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
-       |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
-       |  GROUP BY 1, 2),
-       |pairs AS (
-       |  SELECT v.id_a, v.id_b FROM verified v
-       |  JOIN card ca ON ca.doc_id = v.id_a
-       |  JOIN card cb ON cb.doc_id = v.id_b
-       |  WHERE 10 * v.shared >= 6 * (ca.n + cb.n - v.shared)),
-       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
-       |reach(v, x) AS (
-       |  SELECT DISTINCT u, u FROM edges
-       |  UNION
-       |  SELECT r.v, e.v FROM reach r JOIN edges e ON e.u = r.x),
-       |labels AS (SELECT v AS doc_id, min(x) AS cluster_id FROM reach GROUP BY v)""".stripMargin
+       |$ccLabelCtes""".stripMargin
 
   private def clusterSql: String =
     s"""$clusterChainSql,

@@ -212,7 +212,18 @@ object Curation {
     * online admission filter; CurationSpec pins streaming output ≡
     * batch on the same rows). Input needs (doc_id, text).
     */
-  private[graft] def verdictGates(docs: DataFrame): DataFrame = {
+  private[graft] def verdictGates(docs: DataFrame): DataFrame =
+    withGateVerdicts(docs.select(col("doc_id"), col("text")))
+      .select(
+        col("doc_id"), col("is_en"), col("is_quality"),
+        col("is_repetitive"), col("is_kept"))
+
+  /** The gate verdicts APPENDED to the input frame (text and any
+    * carried columns preserved) — what a composed pipeline needs: the
+    * admitted corpus is `filter(is_kept = 1)` of this, with the text
+    * still in hand for the downstream dedup/pack stages.
+    */
+  private[graft] def withGateVerdicts(docs: DataFrame): DataFrame = {
     // HOF discipline (the VectorOps.normalize rule, relearned the hard
     // way in r11): HOF ARGUMENTS evaluate once per row, LAMBDA BODIES
     // once per element — and the optimizer inlines intermediate
@@ -240,22 +251,24 @@ object Curation {
         "  'prev', x), " +
         "acc -> acc.best)")
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("w", split(col("text"), " "))
       .withColumn("bgs", bgs)
-      .select(
-        col("doc_id"),
+      .withColumn("is_en",
         (size(expr(s"filter(w, x -> x IN ($stopListSql))")) * 10 >= size(col("w")))
-          .cast("long").as("is_en"),
+          .cast("long"))
+      .withColumn("is_quality",
         (size(col("w")) >= 20 &&
           size(array_distinct(col("w"))) * 10 >= size(col("w")) * 3)
-          .cast("long").as("is_quality"),
-        (maxRun * 5 > size(col("bgs"))).cast("long").as("is_repetitive"))
+          .cast("long"))
+      .withColumn("is_repetitive",
+        (maxRun * 5 > size(col("bgs"))).cast("long"))
+      .drop("w", "bgs")
       .withColumn("is_kept",
         (col("is_en") === 1 && col("is_quality") === 1 && col("is_repetitive") === 0)
           .cast("long"))
   }
 
-  private val stopListSql =
+  private[graft] val stopListSql =
     "'the', 'a', 'of', 'to', 'and', 'is', 'in'"
 
   /** Per-source document cap — operator config (the C4-style "domain
@@ -281,8 +294,15 @@ object Curation {
     * textbook `row_number` window, so every verify run pins
     * distributed ≡ textbook — the X31 precedent.
     */
-  private def sourceCap(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
+  private def sourceCap(s: SparkSession, dir: String): DataFrame =
+    sourceCapFrom(Tables(s, dir, "documents")).orderBy("doc_id")
+
+  /** The cap rank + verdict over an arbitrary (doc_id, source) frame
+    * — for composed pipelines capping a derived (already gated and
+    * deduped) corpus instead of the raw table.
+    */
+  private[graft] def sourceCapFrom(docs: DataFrame): DataFrame = {
+    val d = docs
       .select(
         col("doc_id"), col("source"),
         md5(concat(lit("cap"), col("doc_id").cast("string"))).as("h"))
@@ -291,7 +311,6 @@ object Curation {
         col("doc_id"), col("source"),
         col("src_rank").cast("long").as("src_rank"),
         when(col("src_rank") <= sourceCapM, 1L).otherwise(0L).as("is_kept"))
-      .orderBy("doc_id")
   }
 
   /** X39 — calibrated quality blend: per document, the percentile

@@ -53,16 +53,25 @@ object Dedup {
           regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
   }
 
-  private val corpusSql =
+  /** The shingle-index CTE chain (toks → idx → sh → card) over an
+    * arbitrary `corpus` CTE — parameterized so composed oracles (the
+    * X44 pipeline) can dedup a DERIVED corpus (e.g. the gate-admitted
+    * documents) with the exact same chain the standalone dedup
+    * oracles state.
+    */
+  private[graft] def corpusChainSqlOver(corpusCte: String): String =
+    s"""$corpusCte,
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+       |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx),
+       |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val corpusSql = corpusChainSqlOver(
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 200000 AS doc_id, regexp_replace(text, '^[^ ]+ ', '') AS text
-      |  FROM documents WHERE doc_id % 25 = 0),
-      |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
-      |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks),
-      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx),
-      |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+      |  FROM documents WHERE doc_id % 25 = 0)""".stripMargin)
 
   /** Distinct word-3-gram shingles per doc — the inverted index every
     * dedup variant builds on. Narrow until the final distinct.
@@ -87,8 +96,15 @@ object Dedup {
     * Generate. One doc_id exchange + window count is cheaper.
     */
   private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(corpus(s, dir))
+
+  /** The same index build over an arbitrary (doc_id, text) corpus
+    * frame — the Spark-side counterpart of [[corpusChainSqlOver]],
+    * for composed pipelines deduping a derived corpus.
+    */
+  private[graft] def shinglesOf(c: DataFrame): DataFrame =
     withDocCardinality(
-      corpus(s, dir)
+      c
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 3)
         .select(
@@ -700,20 +716,31 @@ object Dedup {
     * [[Clustering.connectedComponents]] (X21). Same pipeline as
     * `q_dedup_minhash`, minus the presentation columns.
     */
-  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleIndex(s, dir)
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(shingleIndex(s, dir))
+
+  /** The same verified-pair build over an arbitrary shingle index —
+    * for composed pipelines deduping a derived corpus (pair with
+    * [[shinglesOf]]).
+    */
+  private[graft] def minhashPairsOf(sh: DataFrame): DataFrame =
     verifyJaccard(sh, minhashCands(sh)).select(col("id_a"), col("id_b"))
-  }
 
   /** Shared CTE chain: corpus → shingles → signatures → bands → cand. */
-  private[graft] def minhashCandSql: String = {
+  private[graft] def minhashCandSql: String = minhashCandSqlOver(corpusSql)
+
+  /** The candidate chain over an arbitrary shingle chain (a
+    * [[corpusChainSqlOver]] instantiation) — parameterized for
+    * composed oracles.
+    */
+  private[graft] def minhashCandSqlOver(shingleChainSql: String): String = {
     val hashes = (0 until 2 * nBands)
       .map(i => s"min(((('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483648) * ${mixA(i)} + ${mixB(i)}) % 2147483647) AS h$i")
       .mkString(", ")
     val bands = (0 until nBands)
       .map(b => s"SELECT doc_id, $b AS band, h${2 * b} AS k1, h${2 * b + 1} AS k2 FROM sig")
       .mkString(" UNION ALL ")
-    s"""$corpusSql,
+    s"""$shingleChainSql,
        |sig AS (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
        |bands AS ($bands),
        |cand AS (

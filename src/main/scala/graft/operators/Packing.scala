@@ -112,8 +112,15 @@ object Packing {
     * guarantee — range partitions of a uniform hash key are uniform,
     * so no partition is hot no matter how the corpus is clustered.
     */
-  private def packChunks(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables(s, dir, "documents")
+  private def packChunks(s: SparkSession, dir: String): DataFrame =
+    packChunksFrom(Tables(s, dir, "documents")).orderBy("doc_id")
+
+  /** The packing layout over an arbitrary (doc_id, text) frame — for
+    * composed pipelines packing a derived (gated, deduped, capped)
+    * corpus instead of the raw table.
+    */
+  private[graft] def packChunksFrom(docs: DataFrame): DataFrame = {
+    val t = docs
       .select(
         col("doc_id"),
         md5(concat(lit("pack"), col("doc_id").cast("string"))).as("k"),
@@ -126,7 +133,6 @@ object Packing {
         col("tok"),
         expr(s"CAST(CASE WHEN (cb + tok - 1) DIV $ctxBudget > cb DIV $ctxBudget THEN 1 ELSE 0 END AS BIGINT)")
           .as("crosses"))
-      .orderBy("doc_id")
   }
 
   /** X31 — deterministic train/val/test split with a reproducible
@@ -146,8 +152,14 @@ object Packing {
     * failure the X29 scale companion exists for, here on the
     * DECLARED path).
     */
-  private def splitHash(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
+  private def splitHash(s: SparkSession, dir: String): DataFrame =
+    splitHashFrom(Tables(s, dir, "documents")).orderBy("doc_id")
+
+  /** The split assignment + shuffle position over an arbitrary frame
+    * with a doc_id column — the composed-pipeline entry point.
+    */
+  private[graft] def splitHashFrom(docs: DataFrame): DataFrame = {
+    val d = docs
       .select(
         col("doc_id"),
         (h32(concat(lit("split"), col("doc_id").cast("string"))) % 100).as("u"),
@@ -156,7 +168,6 @@ object Packing {
         when(col("u") < 90, "train").when(col("u") < 95, "val").otherwise("test"))
     Extensions.rankedByRange(d, "split", Seq("h", "doc_id"), "pos")
       .select(col("doc_id"), col("split"), col("pos").cast("long").as("pos"))
-      .orderBy("doc_id")
   }
 
   val defs: ListMap[String, QueryDef] = ListMap(

@@ -364,12 +364,18 @@ object TextAnalysis {
     * (the NFC expression short-circuits on already-normalized text,
     * which is ~every real row); no shuffle but the final order-by.
     */
+  /** The canonical text-normalization column (X23 as an expression):
+    * NFC-recompose, lowercase, collapse runs of spaces, trim — shared
+    * by the declared query and the composed pipeline's first stage.
+    */
+  private[graft] def normText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(lower(call_function("graft_nfc", c)), " +", " "))
+
   private def normalize(s: SparkSession, dir: String): DataFrame = {
     // "NFĆ  Tést  " with the accents DECOMPOSED (base + U+0301), so
     // NFC genuinely recomposes: 13 raw codepoints -> 11 normalized
     val plant = "NFC\u0301  Te\u0301st  "
-    val norm = trim(regexp_replace(
-      lower(call_function("graft_nfc", col("text"))), " +", " "))
+    val norm = normText(col("text"))
     docs(s, dir)
       .select(
         col("doc_id"),
