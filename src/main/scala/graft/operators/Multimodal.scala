@@ -9,13 +9,18 @@ import scala.collection.immutable.ListMap
 /** Multimodal-column plumbing (north-star obligation): image/audio/
   * video payloads ride as opaque `binary` columns next to a typed
   * metadata struct; decode / feature-extract / frame-sample run
-  * partition-wise over the binary batches. No media codecs exist in
-  * this environment, so the DECODE STEP IS A DETERMINISTIC STUB
-  * ([[MediaCodec.decodeStub]] — clearly marked); everything Spark-side
-  * — schema, binary transport, partitioning, the partition-iterator
-  * batch shape (`mapPartitions`, the JVM analog of `mapInPandas`), and
-  * the frame-slicing arithmetic — is real and tested
-  * (MultimodalSpec).
+  * partition-wise over the binary batches. No media codec libraries
+  * exist in this environment, so the container format is SYNTHETIC
+  * BUT REAL: assets are packed into a deterministic `GFTM` binary
+  * container (magic + version + media-type byte + typed TLV header +
+  * payload, [[MediaCodec]]), and [[mediaDecode]] PARSES those bytes
+  * back — bounds-checked, unknown-tags-skipped, validated — inside
+  * `mapPartitions` (the JVM analog of `mapInPandas`; a production
+  * deploy swaps the TLV parser for libjpeg/ffmpeg bindings behind the
+  * same per-partition iterator, nothing else changes). The decode
+  * query's oracle derives the expected metadata WITHOUT parsing
+  * (direct md5 arithmetic), so every verify run certifies the binary
+  * parser byte-for-byte.
   *
   * Scale notes (100 TB): payloads dominate row size, so the asset
   * table at scale is parquet with the binary column in its own chunk
@@ -37,14 +42,65 @@ object Multimodal {
       width: Int,
       height: Int)
 
-  /** Deterministic fake decoder — the `???` stand-in for libjpeg/
-    * ffmpeg. Produces a "brightness" feature (byte sum mod 256) and
-    * fixed-stride "frames" (4-byte slices), so tests can cross-check
-    * the partition-wise path against pure column arithmetic.
+  /** The `GFTM` synthetic container codec — a real binary format with
+    * a real parser, standing where libjpeg/ffmpeg would:
+    *
+    * {{{
+    * bytes 0-3   magic "GFTM"
+    * byte  4     version (0x01)
+    * byte  5     media type (0=image, 1=audio, 2=video)
+    * then TLV entries to end of buffer:
+    *   tag (1 byte) | length (2 bytes, big-endian) | value
+    *   0x01 width  (4-byte int)   0x02 height (4-byte int)
+    *   0x03 doc id (8-byte long)  0x7F payload (length bytes)
+    *   anything else: skip `length` bytes (forward compatibility —
+    *   every produced container carries one unknown tag on purpose,
+    *   so the skip path is exercised on every row, not just in a
+    *   unit test)
+    * }}}
+    *
+    * [[decode]] validates magic/version/media-type, bounds-checks
+    * every read, tolerates any TLV order, and requires all four
+    * typed fields — a parse, not a projection.
     */
   object MediaCodec {
-    def decodeStub(payload: Array[Byte]): Int =
-      payload.foldLeft(0)((acc, b) => acc + (b & 0xFF)) % 256
+    val Magic: Array[Byte] = Array('G', 'F', 'T', 'M').map(_.toByte)
+    val MagicHex = "4746544D"
+    val Version: Byte = 1
+    val mediaTypes: IndexedSeq[String] = IndexedSeq("image", "audio", "video")
+
+    final case class Decoded(
+        docId: Long, mediaType: String, width: Int, height: Int, payload: Array[Byte])
+
+    def decode(container: Array[Byte]): Decoded = {
+      val buf = java.nio.ByteBuffer.wrap(container) // big-endian
+      require(buf.remaining() >= 6, "container truncated before header")
+      val magic = new Array[Byte](4)
+      buf.get(magic)
+      require(java.util.Arrays.equals(magic, Magic), "bad magic")
+      require(buf.get() == Version, "unsupported container version")
+      val mt = buf.get() & 0xFF
+      require(mt < mediaTypes.length, s"unknown media type code $mt")
+      var width, height = -1
+      var docId = -1L
+      var payload: Array[Byte] = null
+      while (buf.hasRemaining) {
+        require(buf.remaining() >= 3, "truncated TLV header")
+        val tag = buf.get() & 0xFF
+        val len = buf.getShort() & 0xFFFF
+        require(buf.remaining() >= len, s"TLV $tag overruns the container")
+        tag match {
+          case 0x01 => require(len == 4, "width TLV must be 4 bytes"); width = buf.getInt()
+          case 0x02 => require(len == 4, "height TLV must be 4 bytes"); height = buf.getInt()
+          case 0x03 => require(len == 8, "doc-id TLV must be 8 bytes"); docId = buf.getLong()
+          case 0x7F => payload = new Array[Byte](len); buf.get(payload)
+          case _    => buf.position(buf.position() + len) // unknown: skip
+        }
+      }
+      require(width >= 0 && height >= 0 && docId >= 0 && payload != null,
+        "container missing a required field")
+      Decoded(docId, mediaTypes(mt), width, height, payload)
+    }
 
     def sampleFrames(payload: Array[Byte], frameBytes: Int): Seq[Array[Byte]] =
       payload.grouped(frameBytes).toSeq
@@ -68,15 +124,62 @@ object Multimodal {
       .as[MediaAsset]
   }
 
+  /** The corpus as `GFTM` containers — the encode side, stated as
+    * pure column arithmetic (one hex string assembled per row, then
+    * `unhex`): header, one DELIBERATE unknown tag (0x0A, so the
+    * parser's skip path runs on every row), width/height/doc-id TLVs,
+    * payload TLV. Deterministic, so the decode oracle can state the
+    * expected output without ever parsing.
+    */
+  def containers(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("text"))
+    val hexParts = concat(
+      lit(MediaCodec.MagicHex), lit("01"),
+      lpad(hex(col("doc_id") % 3), 2, "0"),
+      lit("0A0002"), lpad(hex(col("doc_id") % 65536), 4, "0"), // unknown tag
+      lit("010004"), lpad(substring(h, 1, 2), 8, "0"),
+      lit("020004"), lpad(substring(h, 3, 2), 8, "0"),
+      lit("030008"), lpad(hex(col("doc_id")), 16, "0"),
+      lit("7F0010"), h)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), unhex(hexParts).as("container"))
+  }
+
   /** Partition-wise decode: the batch shape a real extractor uses —
     * one iterator pass per partition, codec state amortized across the
-    * partition (the JVM mirror of `mapInPandas` batches).
+    * partition (the JVM mirror of `mapInPandas` batches). Emits the
+    * q_multimodal_meta schema, derived ENTIRELY by parsing the
+    * container bytes — the oracle derives the same values without
+    * parsing, so the hash compare certifies the parser.
     */
-  def decodeBrightness(s: SparkSession, in: Dataset[MediaAsset]): DataFrame = {
+  private def mediaDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    in.mapPartitions { it =>
-      // codec init would happen here, once per partition
-      it.map(a => (a.doc_id, a.media_type, MediaCodec.decodeStub(a.payload)))
+    containers(s, dir).select(col("container")).as[Array[Byte]]
+      .mapPartitions { it =>
+        // per-partition codec setup would happen here, once
+        it.map { bytes =>
+          val d = MediaCodec.decode(bytes)
+          val byteSum = d.payload.foldLeft(0L)((acc, b) => acc + (b & 0xFF))
+          (d.docId, d.mediaType, d.payload.length.toLong,
+            d.width.toLong, d.height.toLong, byteSum, byteSum % 256)
+        }
+      }
+      .toDF("doc_id", "media_type", "n_bytes", "width", "height", "byte_sum", "brightness")
+      .orderBy("doc_id")
+  }
+
+  /** Decode + feature-extract in one partition pass over containers
+    * (doc_id, media_type, brightness) — the compact extractor shape
+    * MultimodalSpec cross-checks against the relational reproduction.
+    */
+  def decodeBrightness(s: SparkSession, in: DataFrame): DataFrame = {
+    import s.implicits._
+    in.select(col("container")).as[Array[Byte]].mapPartitions { it =>
+      it.map { bytes =>
+        val d = MediaCodec.decode(bytes)
+        (d.docId, d.mediaType,
+          (d.payload.foldLeft(0L)((acc, b) => acc + (b & 0xFF)) % 256).toInt)
+      }
     }.toDF("doc_id", "media_type", "brightness")
   }
 
@@ -129,23 +232,34 @@ object Multimodal {
         max(col("height")).cast("long").as("max_height"))
       .orderBy("media_type")
 
+  /** The no-parse derivation of the asset metadata (direct md5
+    * arithmetic) — the oracle for BOTH the metadata query and the
+    * container-decode query: for the latter it is the independent
+    * ground truth the parsed bytes must reproduce.
+    */
+  private def metaSql: String = {
+    val byteSum = (0 until 16)
+      .map(i => s"('0x' || substr(md5(text), ${2 * i + 1}, 2))::BIGINT")
+      .mkString(" + ")
+    s"""SELECT doc_id,
+       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |  CAST(octet_length(from_hex(md5(text))) AS BIGINT) AS n_bytes,
+       |  ('0x' || substr(md5(text), 1, 2))::BIGINT AS width,
+       |  ('0x' || substr(md5(text), 3, 2))::BIGINT AS height,
+       |  CAST($byteSum AS BIGINT) AS byte_sum,
+       |  CAST(($byteSum) % 256 AS BIGINT) AS brightness
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_multimodal_meta" -> QueryDef(
       multimodalMeta,
-      Some {
-        val byteSum = (0 until 16)
-          .map(i => s"('0x' || substr(md5(text), ${2 * i + 1}, 2))::BIGINT")
-          .mkString(" + ")
-        s"""SELECT doc_id,
-           |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-           |  CAST(octet_length(from_hex(md5(text))) AS BIGINT) AS n_bytes,
-           |  ('0x' || substr(md5(text), 1, 2))::BIGINT AS width,
-           |  ('0x' || substr(md5(text), 3, 2))::BIGINT AS height,
-           |  CAST($byteSum AS BIGINT) AS byte_sum,
-           |  CAST(($byteSum) % 256 AS BIGINT) AS brightness
-           |FROM documents ORDER BY doc_id""".stripMargin
-      },
+      Some(metaSql),
       "multimodal asset metadata/features over the opaque binary payload"),
+    "q_media_decode" -> QueryDef(
+      mediaDecode,
+      Some(metaSql),
+      "X12 container decode: GFTM TLV parse in mapPartitions vs the no-parse oracle"),
     "q_media_stats" -> QueryDef(
       mediaStats,
       Some("""WITH a AS (

@@ -1,14 +1,16 @@
 package graft
 
 import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaCodec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The multimodal plumbing is real even though the codec is a stub:
-  * binary payloads survive the Dataset round-trip, the partition-wise
-  * decode path (mapPartitions) agrees with the relational reproduction
-  * of the same feature, and frame sampling slices the payload
-  * correctly.
+/** The multimodal path is a real binary parse: assets are packed into
+  * the `GFTM` TLV container by column arithmetic and decoded back by
+  * [[MediaCodec.decode]] inside mapPartitions. Pins: transport is
+  * byte-exact, the partition-wise decode reproduces the relational
+  * (no-parse) metadata exactly, the parser rejects corrupt containers
+  * and skips unknown tags, and frame sampling slices correctly.
   */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
@@ -23,9 +25,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
-  test("partition-wise decode stub equals the relational feature") {
+  test("partition-wise container decode equals the relational (no-parse) metadata") {
     import spark.implicits._
-    val viaPartitions = Multimodal.decodeBrightness(spark, Multimodal.assets(spark, sf))
+    val viaPartitions = Multimodal.decodeBrightness(spark, Multimodal.containers(spark, sf))
       .select("doc_id", "brightness").as[(Long, Int)].collect().toMap
     val viaColumns = SparkEntry.queries("q_multimodal_meta")(spark, sf)
       .select("doc_id", "brightness").as[(Long, Long)].collect().toMap
@@ -33,9 +35,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaPartitions.forall { case (id, b) => viaColumns(id) == b.toLong })
   }
 
+  test("full decode row-set matches the declared metadata query exactly") {
+    val decoded = SparkEntry.queries("q_media_decode")(spark, sf).collect()
+    val meta = SparkEntry.queries("q_multimodal_meta")(spark, sf).collect()
+    assert(decoded.length === meta.length)
+    decoded.zip(meta).foreach { case (d, m) => assert(d === m) }
+  }
+
+  test("the parser is a parser: corrupt containers are rejected, unknown tags skipped") {
+    import spark.implicits._
+    val one = Multimodal.containers(spark, sf)
+      .select(col("container")).as[Array[Byte]].head()
+    // every produced container already carries the deliberate unknown
+    // tag 0x0A — decoding one proves the skip path
+    val d = MediaCodec.decode(one)
+    assert(d.payload.length === 16 && Set("image", "audio", "video")(d.mediaType))
+    // corrupt magic
+    val badMagic = one.clone(); badMagic(0) = 'X'.toByte
+    assertThrows[IllegalArgumentException](MediaCodec.decode(badMagic))
+    // truncated mid-TLV
+    assertThrows[IllegalArgumentException](MediaCodec.decode(one.dropRight(3)))
+    // bad version
+    val badVer = one.clone(); badVer(4) = 9.toByte
+    assertThrows[IllegalArgumentException](MediaCodec.decode(badVer))
+    // a container missing its payload TLV fails the completeness check
+    assertThrows[IllegalArgumentException](MediaCodec.decode(one.dropRight(16 + 3)))
+  }
+
   test("frame sampling slices the payload at the declared stride") {
     val a = Multimodal.assets(spark, sf).head()
-    val frames = Multimodal.MediaCodec.sampleFrames(a.payload, 4)
+    val frames = MediaCodec.sampleFrames(a.payload, 4)
     assert(frames.length === 4 && frames.forall(_.length === 4))
     assert(frames.flatten.toSeq === a.payload.toSeq)
   }
