@@ -232,6 +232,27 @@ object Multimodal {
         max(col("height")).cast("long").as("max_height"))
       .orderBy("media_type")
 
+  /** The 100 TB form of [[mediaStats]]'s duplicate cardinality: the
+    * exact `count(DISTINCT payload)` shuffles the payload BYTES for
+    * the distinct (fine at sf, the scaladoc above owns it); this
+    * companion swaps in HLL++ (`approx_count_distinct`, the R6 scale
+    * path) so only constant-size sketches reach the exchange — the
+    * map-side partials absorb the bytes. MultimodalSpec pins the
+    * estimate within the rsd bound of the exact count at two SFs, so
+    * the swap is verified code, not a comment.
+    */
+  private[graft] def mediaStatsApprox(
+      s: SparkSession, dir: String, rsd: Double = 0.05): DataFrame =
+    assets(s, dir).toDF()
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).cast("long").as("n_assets"),
+        sum(length(col("payload"))).cast("long").as("total_bytes"),
+        approx_count_distinct(col("payload"), rsd).cast("long").as("n_distinct_payloads"),
+        max(col("width")).cast("long").as("max_width"),
+        max(col("height")).cast("long").as("max_height"))
+      .orderBy("media_type")
+
   /** The no-parse derivation of the asset metadata (direct md5
     * arithmetic) — the oracle for BOTH the metadata query and the
     * container-decode query: for the latter it is the independent

@@ -62,6 +62,27 @@ class MultimodalSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](MediaCodec.decode(one.dropRight(16 + 3)))
   }
 
+  test("HLL++ media-stats companion stays within rsd of the exact distinct at two SFs") {
+    // 5 sigma of the configured rsd, and every non-sketch column
+    // byte-identical — the 100 TB swap changes ONLY the estimate
+    val rsd = 0.05
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val exact = SparkEntry.queries("q_media_stats")(spark, d).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val approx = operators.Multimodal.mediaStatsApprox(spark, d, rsd).collect()
+      assert(approx.length === exact.size)
+      approx.foreach { a =>
+        val e = exact(a.getString(0))
+        assert(a.getLong(1) === e.getLong(1) && a.getLong(2) === e.getLong(2) &&
+          a.getLong(4) === e.getLong(4) && a.getLong(5) === e.getLong(5),
+          s"non-sketch columns diverged for ${a.getString(0)} at $d")
+        val (est, truth) = (a.getLong(3), e.getLong(3))
+        assert(math.abs(est - truth) <= math.max(1L, math.ceil(5 * rsd * truth).toLong),
+          s"${a.getString(0)} HLL estimate $est vs exact $truth exceeds 5x rsd at $d")
+      }
+    }
+  }
+
   test("frame sampling slices the payload at the declared stride") {
     val a = Multimodal.assets(spark, sf).head()
     val frames = MediaCodec.sampleFrames(a.payload, 4)
