@@ -253,4 +253,69 @@ class SimilaritySpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
   }
+
+  test("clustered-corpus recall companion: planted structure vs the isotropic floor") {
+    // VERDICT r11 "what's missing" #3: the README sweep is honest
+    // about being an isotropic-corpus FLOOR; this companion plants
+    // K=8 well-separated clusters (unit-norm centers, sigma=0.05
+    // per-dim noise, seeds vec_id 1..8 doubling as the IVF
+    // centroids, the query a member of cluster 0) in a LOCAL fixture
+    // with the production embeddings schema, and reruns the exact
+    // same sweep machinery. Deterministic seed, so the measured
+    // recalls are properties of the fixture, recorded in README.
+    import spark.implicits._
+    val dir = "/tmp/graft_clustered_fixture"
+    if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      val rnd = new scala.util.Random(20260813L)
+      val d = 64
+      val k = 8
+      val centers = Array.fill(k)(Array.fill(d)(rnd.nextGaussian()))
+        .map { v => val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+      def member(c: Array[Double]): Array[Float] =
+        c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      val rows = Seq.newBuilder[(Long, Array[Float], Int)]
+      rows += ((0L, member(centers(0)), 0)) // the query, in cluster 0
+      (1 to k).foreach(i => rows += ((i.toLong, member(centers(i - 1)), i - 1)))
+      (k + 1 until 500).foreach(i => rows += ((i.toLong, member(centers(i % k)), i % k)))
+      rows.result().toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    val brute = SparkEntry.queries("q_sim_cosine")(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).take(10).toSet
+    val corpus = Tables(spark, dir, "embeddings").count() - 1
+    val q = typedlit(Similarity.queryVec(spark, dir))
+    def top10(cands: org.apache.spark.sql.DataFrame): Set[Long] = cands
+      .select(col("vec_id"),
+        graft.operators.VectorOps.cosine(col("embedding"), q).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val lsh = Seq(1, 2).map { n =>
+      val cands = Similarity.probedCandidates(spark, dir, Similarity.planeSets.take(n))
+      (n, cands.count(), (top10(cands) & brute).size)
+    }
+    val ivf = Seq(1, 2, 4).map { n =>
+      val cells = Similarity.ivfProbeCells(spark, dir, n)
+      val cands = Tables(spark, dir, "embeddings")
+        .filter(col("vec_id") =!= 0 &&
+          graft.operators.Clustering.bestCentroid(spark, dir)
+            .getField("cid").isin(cells: _*))
+      (n, cands.count(), (top10(cands) & brute).size)
+    }
+    // planted-structure pins: the query's cluster IS its true
+    // neighbourhood, so one probed IVF cell recovers essentially the
+    // whole exact top-10 at ~1/8 of the corpus — the structural claim
+    // the isotropic caveat promises
+    assert(ivf.head._3 >= 8,
+      s"IVF nprobe=1 on a clustered corpus should recover >=8/10, got $ivf")
+    assert(ivf.head._2 <= corpus / 4, s"probed cell is not a small slice: $ivf")
+    ivf.sliding(2).foreach { case Seq((_, c1, r1), (_, c2, r2)) =>
+      assert(c2 >= c1 && r2 >= r1, s"probe widening lost candidates or recall: $ivf")
+    }
+    lsh.foreach { case (n, c, r) =>
+      info(f"clustered sign-LSH $n set(s): candidates $c%5d / $corpus (${100.0 * c / corpus}%.1f%%), recall@10 = $r/10")
+    }
+    ivf.foreach { case (n, c, r) =>
+      info(f"clustered IVF nprobe=$n: candidates $c%5d / $corpus (${100.0 * c / corpus}%.1f%%), recall@10 = $r/10")
+    }
+  }
 }
