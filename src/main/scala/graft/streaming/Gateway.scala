@@ -250,6 +250,56 @@ object Gateway {
         col("node"), col("channel"), col("n"), col("sum_v"), col("avg_v"))
   }
 
+  /** The north-star composition as ONE streaming pipeline: a document
+    * FEED through the gateway machinery — parse the feed line
+    * `"<epoch-seconds> <doc_id> <text…>"` (the document analog of the
+    * socket frame dialect), run the X35 curation verdict as the
+    * admission gate (stateless narrow, so the batch projection runs
+    * unchanged under the streaming engine —
+    * [[graft.operators.Curation.withGateVerdicts]], CurationSpec pins
+    * streaming ≡ batch), and window admitted volume per period (the
+    * B4 periodic-send shape). Works identically on a batch or
+    * streaming frame; GatewaySpec runs it end-to-end under the
+    * streaming engine and ThroughputSpec holds a docs/s floor on the
+    * composed path.
+    *
+    * Scale shape: parse + gates are per-row codegen'd work; the only
+    * shuffle is the windowed aggregate, keyed (window) with map-side
+    * partials — the same single-exchange profile as [[aggregate]].
+    */
+  def curatedFeed(
+      lines: DataFrame,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val parsed = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 && col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).cast("long").as("doc_id"),
+        col("p").getItem(2).as("text"))
+      // watermark declared on the parsed feed — but note Catalyst
+      // pushes the stateless gate predicate BELOW the watermark node,
+      // so event-time progress effectively tracks ADMITTED rows: a
+      // quiet period where nothing passes the gates does not close
+      // windows until the next admitted row arrives (GatewaySpec's
+      // flush rows are gate-passing for exactly this reason). A
+      // deployment needing gate-independent liveness sends a
+      // heartbeat row that passes the gates, the same way the
+      // reference's time-broadcast keeps its radio link live.
+      .withWatermark("ts", watermarkDelay)
+    graft.operators.Curation.withGateVerdicts(parsed)
+      .filter(col("is_kept") === 1)
+      .groupBy(window(col("ts"), windowDuration))
+      .agg(
+        count(lit(1)).as("n_admitted"),
+        sum(length(col("text"))).as("admitted_chars"))
+      .select(
+        col("window.start").as("window_start"),
+        col("n_admitted"), col("admitted_chars"))
+  }
+
   /** B3 — bulk-upload delta encoding: one reference time per
     * micro-batch (`sentat`), every row's time expressed as an offset
     * against it (※ OemGatewayEmoncmsBuffer._send_data payload

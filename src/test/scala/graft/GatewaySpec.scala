@@ -924,6 +924,53 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curated document feed: parse → X35 gate → window runs under the streaming engine ≡ batch") {
+    // the north-star composition (ETL gateway + LLM curation) as one
+    // STREAMING pipeline, not just the CurationSpec unit pin: doc-feed
+    // lines through Gateway.curatedFeed on a MemoryStream, append-mode
+    // windows flushed by a far-future row, compared to the batch run
+    // of the identical composition on the identical lines
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val en = "the a of to and is in " + (1 to 14).map(i => s"tok$i").mkString(" ")
+    val junk = (1 to 25).map(i => s"x$i").mkString(" ")
+    val lines = Seq(
+      s"1000 1 $en", s"1003 2 $en", s"1005 3 $junk", // junk fails is_en
+      s"1012 4 $en", s"1015 5 short text",           // short fails is_quality
+      s"1017 6 $en")
+    // flush rows must PASS the gates: Catalyst pushes the stateless
+    // gate predicate below the EventTimeWatermark node, so only
+    // admitted rows advance event time — a gate-failing flush would
+    // never close the windows (observed; the debug progress showed
+    // the watermark pinned while the flush batch reported no event
+    // time). Far-future ts keeps their own window unemitted.
+    val flush = s"9999 99 $en"
+    val ms = MemoryStream[String]
+    val sink = s"curated_feed_${System.nanoTime()}"
+    val q = Gateway.curatedFeed(ms.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      ms.addData(lines: _*)
+      q.processAllAvailable()
+      ms.addData(flush)
+      q.processAllAvailable()
+      // watermark is computed at batch START, so the eviction that
+      // emits the closed windows needs one follow-up batch
+      ms.addData(s"9999 100 $en")
+      q.processAllAvailable()
+      val streamed = spark.table(sink)
+        .select(unix_seconds(col("window_start")), col("n_admitted"), col("admitted_chars"))
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = Gateway.curatedFeed(lines.toDF("value"))
+        .select(unix_seconds(col("window_start")), col("n_admitted"), col("admitted_chars"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"streaming composition diverges from batch: $streamed vs $batch")
+      // and the gates actually gated: 4 of 6 docs admitted, 2 windows
+      assert(batch.toSeq.map(_._2).sum === 4L && batch.size === 2, s"unexpected admission: $batch")
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped (documented superset of REF)") {
     val out = Files.createTempDirectory("gw-out").toString
     val ckpt = Files.createTempDirectory("gw-ckpt").toString

@@ -58,6 +58,36 @@ class ThroughputSpec extends AnyFunSuite {
     } finally docs.unpersist()
   }
 
+  test("composed feed (parse → X35 gate → window) sustains >= 10k docs/s on 200k doc lines") {
+    // the r11 verdict's #7: the north-star ETL+curation composition
+    // held at throughput, not just in the unit pin — the FULL
+    // Gateway.curatedFeed path (line parse, admission gates, windowed
+    // aggregate), same batch-execution rationale and slack-floor
+    // philosophy as the sibling gates-only test above (GatewaySpec
+    // runs the identical composition under the streaming engine)
+    val n = 200000L
+    val lines = spark.range(n).select(
+      concat_ws(" ",
+        (col("id") % 86400).cast("string"),       // epoch-second token
+        col("id").cast("string"),                 // doc_id token
+        concat_ws(" ",
+          lit("the") +: lit("a") +: lit("of") +: lit("is") +: (0 until 36).map(i =>
+            concat(lit("w"), ((col("id") + i) % 23).cast("string"))): _*)).as("value"))
+      .cache()
+    try {
+      lines.count() // materialize outside the timed region
+      val fed = Gateway.curatedFeed(lines)
+      fed.count() // warm codegen
+      val t0 = System.nanoTime()
+      val windows = fed.agg(sum(col("n_admitted"))).collect()(0).getLong(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val dps = n / secs
+      info(f"$n doc lines in $secs%.2f s = $dps%.0f docs/s ($windows admitted)")
+      assert(windows > 0, "every synthetic doc failed admission — the measurement is degenerate")
+      assert(dps >= 10000.0, f"composed-feed throughput $dps%.0f docs/s below floor")
+    } finally lines.unpersist()
+  }
+
   test("gateway decode+window sustains >= 25k frames/s on 1M frames") {
     val n = 1000000L
     val frames = spark.range(n).select(
