@@ -46,9 +46,10 @@ object Curation {
     * column-referencing lambdas, as the verdict had); the flat
     * explode shape is already the fast form.
     */
-  private def grams(docs: DataFrame): DataFrame = {
-    val concatGram = (1 until gramN)
-      .foldLeft("element_at(w, i)") { (acc, j) => s"concat($acc, ' ', element_at(w, i + $j))" }
+  private val concatGram = (1 until gramN)
+    .foldLeft("element_at(w, i)") { (acc, j) => s"concat($acc, ' ', element_at(w, i + $j))" }
+
+  private def grams(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= gramN)
@@ -56,7 +57,22 @@ object Curation {
         col("doc_id"),
         explode(expr(s"transform(sequence(1, size(w) - ${gramN - 1}), i -> $concatGram)"))
           .as("gram"))
-  }
+
+  /** Per-doc DISTINCT grams — dedup happens inside the row
+    * (`array_distinct` over the per-doc gram array, bounded by the
+    * document length) before the explode, so no shuffle is ever spent
+    * deduplicating; the exploded stream is distinct-per-doc by
+    * construction.
+    */
+  private def gramsDistinctPerDoc(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= gramN)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          s"array_distinct(transform(sequence(1, size(w) - ${gramN - 1}), i -> $concatGram))"))
+          .as("gram"))
 
   /** X15 — benchmark decontamination: flag training documents sharing
     * any word-8-gram with the held-out benchmark set (every 50th doc),
@@ -177,6 +193,76 @@ object Curation {
         round(sqrt(col("n_docs")) / sum(sqrt(col("n_docs"))).over(w), 4))
       .select(col("lang"), col("n_docs").cast("long").as("n_docs"), col("weight"))
       .orderBy("lang")
+  }
+
+  /** X47 — first-occurrence novelty: per document, the fraction of
+    * its distinct word-8-grams whose corpus-wide FIRST occurrence
+    * (minimum doc_id — corpus position) is this document. The
+    * dedup-family diagnostic that separates "document repeats known
+    * text" (novelty → 0, near-dup candidates, boilerplate) from
+    * "document contributes new text" (novelty → 1) without pairwise
+    * comparison — first-occurrence attribution is an aggregate, not
+    * a join of documents against documents.
+    *
+    * Scale shape: gram dedup is per-row ([[gramsDistinctPerDoc]]);
+    * then ONE gram-keyed shuffle computes min(doc_id) per gram and
+    * the join of the stream back to it is co-partitioned on the same
+    * key (the aggregate's exchange feeds both sides), followed by one
+    * |docs|-keyed aggregate. Nothing is ever corpus × corpus.
+    */
+  private def novelty(s: SparkSession, dir: String): DataFrame = {
+    val g = gramsDistinctPerDoc(Tables(s, dir, "documents"))
+    val first = g.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    g.join(first, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_novel"))
+      .select(
+        col("doc_id"),
+        col("n_grams").cast("long").as("n_grams"),
+        col("n_novel").cast("long").as("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 4).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** X45 — mixture MATERIALIZATION: execute X25's temperature
+    * resampling as a deterministic per-document accept/reject, the
+    * step that turns mixing weights into an actual training corpus.
+    * sqrt-temperature target shares imply per-language sampling rates
+    * ∝ 1/sqrt(n_l); normalizing so the rarest language keeps
+    * everything gives rate_l = sqrt(n_min / n_l). Each document draws
+    * a salted hash-uniform u ∈ [0, 1e6) and is kept iff
+    * u < floor(1e6 · sqrt(n_min / n_l)) — the threshold is computed
+    * once per language on a |langs|-row table from IEEE
+    * correctly-rounded ops (divide, sqrt, multiply, floor), so both
+    * engines derive bit-identical integer thresholds and the per-row
+    * compare is integer-exact. No float ever touches a per-document
+    * row.
+    *
+    * Scale shape: one |langs|-bounded aggregate, a broadcast
+    * equi-join of its thresholds back onto the corpus, and a per-row
+    * filter — the corpus itself never shuffles (the final order-by is
+    * the declared-query presentation contract, not the operator). At
+    * 100 TB the rate table is still five rows.
+    */
+  private def mixSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val thr = Tables(s, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      .withColumn("n_min", min(col("n_l")).over(w))
+      .select(col("lang"),
+        floor(lit(1000000.0) * sqrt(col("n_min").cast("double") / col("n_l")))
+          .cast("long").as("thr"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        (h32(concat(lit("mix"), col("doc_id").cast("string"))) % 1000000).as("u"))
+      .join(broadcast(thr), Seq("lang"))
+      .filter(col("u") < col("thr"))
+      .select(col("doc_id"), col("lang"), col("u").cast("long").as("u"))
+      .orderBy("doc_id")
   }
 
   /** X35 — the composed curation verdict: per document, the three
@@ -474,5 +560,36 @@ object Curation {
              |  END AS blend
              |FROM r ORDER BY doc_id""".stripMargin),
       "X39 calibrated quality blend: mean percentile rank of three quality signals"),
+    "q_mix_sample" -> QueryDef(
+      mixSample,
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+             |          FROM documents GROUP BY lang),
+             |r AS (SELECT lang, n_l, min(n_l) OVER () AS n_min FROM c),
+             |t AS (SELECT lang,
+             |        CAST(floor(1000000.0 * sqrt(CAST(n_min AS DOUBLE) / n_l)) AS BIGINT) AS thr
+             |      FROM r),
+             |d AS (SELECT doc_id, lang,
+             |        ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS u
+             |      FROM documents)
+             |SELECT d.doc_id, d.lang, d.u
+             |FROM d JOIN t USING (lang) WHERE d.u < t.thr
+             |ORDER BY doc_id""".stripMargin),
+      "X45 mixture materialization: per-language hash accept/reject at sqrt-temperature rates"),
+    "q_novelty" -> QueryDef(
+      novelty,
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |g AS (
+              |  SELECT DISTINCT doc_id, $gramSqlExpr AS gram
+              |  FROM t, LATERAL unnest(generate_series(1, len(w) - ${gramN - 1})) AS s(i)
+              |  WHERE len(w) >= $gramN),
+              |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+              |SELECT g.doc_id,
+              |  CAST(count(*) AS BIGINT) AS n_grams,
+              |  CAST(count(CASE WHEN f.first_doc = g.doc_id THEN 1 END) AS BIGINT) AS n_novel,
+              |  round(CAST(count(CASE WHEN f.first_doc = g.doc_id THEN 1 END) AS DOUBLE)
+              |        / count(*), 4) + 0 AS novelty
+              |FROM g JOIN f USING (gram)
+              |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin),
+      "X47 first-occurrence novelty: share of a doc's distinct 8-grams first seen in it"),
   )
 }

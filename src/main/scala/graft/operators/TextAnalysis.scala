@@ -651,6 +651,60 @@ object TextAnalysis {
        |FROM ($union) ORDER BY step""".stripMargin
   }
 
+  /** Points fitted by the Zipf regression — the distribution head,
+    * where rank is unambiguous; deep-tail ranks are tie-dominated and
+    * carry no slope information.
+    */
+  private val zipfTopN = 100
+
+  /** X48 — Zipf power-law fit: how closely the corpus's token
+    * frequencies follow freq ∝ rank^s, the standard
+    * natural-language-ness diagnostic (natural text sits near
+    * s ≈ −1; templated or synthetic corpora drift flat or steep).
+    * OLS of ln(freq) on ln(rank) over the top-[[zipfTopN]] tokens,
+    * in CLOSED FORM from five aggregates — no iterative fitting.
+    *
+    * Float discipline: ln values are snapped to 1e-6 fixed point
+    * (round · 1e6 → BIGINT), so every SUM is integer-exact and
+    * order-independent — a double sum would be partition-order
+    * dependent in Spark and engine-order dependent in the oracle.
+    * Slope and intercept are then a fixed sequence of
+    * correctly-rounded IEEE double ops over identical integers, so
+    * both engines produce bit-identical results before the round-4.
+    *
+    * Scale shape: one token-count aggregate (map-side partials), a
+    * distributed top-K (TakeOrderedAndProject — no global sort
+    * materializes the vocab), a 100-row window, and a scalar
+    * aggregate. Corpus-proportional work is exactly the one
+    * token-count pass.
+    */
+  private def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy().orderBy(col("freq").desc, col("tok").asc)
+    val pts = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc)
+      .limit(zipfTopN)
+      .withColumn("rnk", row_number().over(w))
+      .select(
+        round(log(col("rnk").cast("double")) * 1000000, 0).cast("long").as("x"),
+        round(log(col("freq").cast("double")) * 1000000, 0).cast("long").as("y"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    pts
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(
+        col("n").cast("long").as("n_pts"),
+        round(num / den, 4).as("slope"),
+        round(col("sy") / (col("n") * lit(1000000.0))
+          - (num / den) * (col("sx") / (col("n") * lit(1000000.0))), 4).as("ln_intercept"))
+      .orderBy("n_pts")
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_token_count" -> QueryDef(
       tokenCount,
@@ -838,5 +892,24 @@ object TextAnalysis {
       bpeMerges,
       Some(bpeSql),
       "X41 BPE vocabulary learning: first N merges over the weighted word-freq vocab"),
+    "q_zipf_fit" -> QueryDef(
+      zipfFit,
+      Some(s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+              |wf AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY tok
+              |       ORDER BY freq DESC, tok ASC LIMIT $zipfTopN),
+              |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rnk FROM wf),
+              |p AS (SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+              |             CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y
+              |      FROM r),
+              |a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+              |             sum(x * y) AS sxy, sum(x * x) AS sxx
+              |      FROM p)
+              |SELECT n AS n_pts,
+              |  round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 4) + 0 AS slope,
+              |  round(sy / (n * 1000000.0)
+              |    - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+              |      * (sx / (n * 1000000.0)), 4) + 0 AS ln_intercept
+              |FROM a ORDER BY n_pts""".stripMargin),
+      "X48 Zipf power-law fit: OLS slope of ln freq on ln rank over the top tokens"),
   )
 }
