@@ -60,6 +60,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(s"graft_mg_topk capacity must be >= 1, got $cap")
         MisraGries(children(0), cap)
       }))
+    // count–min sketch: graft_cms(tok, depth, width) — same
+    // foldable-literal validation discipline as graft_mg_topk
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CmsSketch].getName, "graft_cms"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 3)
+          throw new IllegalArgumentException(
+            s"graft_cms(tok, depth, width) takes exactly 3 arguments, got ${children.length}")
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Int =
+          e match {
+            case l if l.foldable && l.dataType == org.apache.spark.sql.types.IntegerType =>
+              l.eval().asInstanceOf[Int]
+            case l => throw new IllegalArgumentException(
+              s"graft_cms $name must be a foldable INT literal, got ${l.sql}")
+          }
+        val depth = intLit(children(1), "depth")
+        val width = intLit(children(2), "width")
+        if (depth < 1 || depth > CmsSketch.maxDepth)
+          throw new IllegalArgumentException(
+            s"graft_cms depth must be in [1, ${CmsSketch.maxDepth}], got $depth")
+        if (width < 1)
+          throw new IllegalArgumentException(s"graft_cms width must be >= 1, got $width")
+        CmsSketch(children(0), depth, width)
+      }))
     // one-pass SimHash majority-vote sketch
     ext.injectFunction((
       FunctionIdentifier("graft_simhash_sketch"),

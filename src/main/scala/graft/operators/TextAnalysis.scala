@@ -651,6 +651,57 @@ object TextAnalysis {
        |FROM ($union) ORDER BY step""".stripMargin
   }
 
+  /** Count–min geometry for the declared query: depth 4 (δ ≈ e⁻⁴),
+    * width 256 — deliberately NARROWER than this corpus's vocabulary
+    * so collisions actually occur and the overcount column is
+    * non-vacuous (ε = e/256 ≈ 1% of corpus mass; a deployment sizes
+    * width to its ε the usual way).
+    */
+  private val cmsDepth = 4
+  private val cmsWidth = 256
+  private val cmsTopN = 20
+
+  /** X46 — count–min sketch frequency estimation: the one-pass
+    * constant-memory answer to "how frequent is token t" at corpus
+    * scale, companion to the X22 Misra–Gries top-K (which finds the
+    * heavy tokens but cannot be queried for an arbitrary one). The
+    * sketch aggregates through [[graft.functions.CmsSketch]] — a
+    * depth×width counter grid, map-side partial merge by elementwise
+    * addition, NO vocabulary-keyed shuffle — and the declared query
+    * reads estimates for the top-[[cmsTopN]] tokens next to their
+    * exact counts, materializing the CMS guarantee (est ≥ exact,
+    * overcount bounded) as data.
+    *
+    * The oracle recomputes the SAME counters relationally (group
+    * token counts by (row, bucket), sum) — valid because CMS merge is
+    * pure addition, so the one-pass sketch is bit-identical to the
+    * relational definition regardless of partitioning (unlike MG,
+    * whose counters are order-dependent once a decrement fires).
+    *
+    * Scale shape: one corpus scan feeds both the sketch (constant
+    * memory) and the exact top-K (token-keyed agg + distributed
+    * top-K; at 100 TB a deployment swaps this presentation side for
+    * the MG candidates + recount — the sketch side is already the
+    * scale path). The 1-row sketch joins back by broadcast.
+    */
+  private def cmsFreq(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(explode(split(col("text"), " ")).as("tok"))
+    val sk = toks.agg(
+      call_function("graft_cms", col("tok"), lit(cmsDepth), lit(cmsWidth)).as("counters"))
+    val wf = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc).limit(cmsTopN)
+    val est = least((0 until cmsDepth).map { j =>
+      element_at(col("counters"),
+        ((h32(concat(lit(s"cms$j"), col("tok"))) % cmsWidth) + lit(j * cmsWidth) + 1)
+          .cast("int"))
+    }: _*)
+    wf.crossJoin(broadcast(sk)) // exactly 1 row by construction
+      .select(col("tok"), col("freq").cast("long").as("freq"),
+        est.cast("long").as("cms_est"),
+        (est - col("freq")).cast("long").as("overcount"))
+      .orderBy(col("freq").desc, col("tok").asc)
+  }
+
   /** Points fitted by the Zipf regression — the distribution head,
     * where rank is unambiguous; deep-tail ranks are tie-dominated and
     * carry no slope information.
@@ -911,5 +962,21 @@ object TextAnalysis {
               |      * (sx / (n * 1000000.0)), 4) + 0 AS ln_intercept
               |FROM a ORDER BY n_pts""".stripMargin),
       "X48 Zipf power-law fit: OLS slope of ln freq on ln rank over the top tokens"),
+    "q_cms_freq" -> QueryDef(
+      cmsFreq,
+      Some(s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+              |wf AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY tok),
+              |h AS (
+              |  SELECT tok, freq, j,
+              |    ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || tok), 1, 8))::BIGINT
+              |      % $cmsWidth AS bucket
+              |  FROM wf, LATERAL unnest(generate_series(0, ${cmsDepth - 1})) AS u(j)),
+              |c AS (SELECT j, bucket, sum(freq) AS cnt FROM h GROUP BY j, bucket),
+              |e AS (
+              |  SELECT h.tok, min(h.freq) AS freq, CAST(min(c.cnt) AS BIGINT) AS est
+              |  FROM h JOIN c USING (j, bucket) GROUP BY h.tok)
+              |SELECT tok, freq, est AS cms_est, est - freq AS overcount
+              |FROM e ORDER BY freq DESC, tok LIMIT $cmsTopN""".stripMargin),
+      "X46 count-min sketch: one-pass frequency estimates vs exact for the top tokens"),
   )
 }
