@@ -625,7 +625,12 @@ object TextAnalysis {
     merges.toSeq
   }
 
-  private def bpeSql: String = {
+  /** The merge-derivation CTE prefix shared by the X41 oracle and the
+    * X44 encode oracle: word freqs, the char-spaced seed, and the
+    * unrolled (pairs → argmax → apply) chain producing b1..bN (the
+    * merge chosen at each step) and s1..sN (the vocab after it).
+    */
+  private def bpeStepCtes: String = {
     val steps = (1 to bpeMergeSteps).map { k =>
       s"""p$k AS (
          |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS c
@@ -639,16 +644,86 @@ object TextAnalysis {
          |                       ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS str
          |  FROM s${k - 1}, b$k b)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to bpeMergeSteps).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")
-    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    s"""w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
        |wf AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
        |s0 AS (
        |  SELECT freq, ' ' || array_to_string(
        |    list_transform(generate_series(1, len(word)), i -> word[i]), ' ') || ' ' AS str
        |  FROM wf),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def bpeSql: String = {
+    val union = (1 to bpeMergeSteps).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")
+    s"""WITH $bpeStepCtes
        |SELECT CAST(step AS BIGINT) AS step, l AS l_sym, r AS r_sym, c AS pair_count
        |FROM ($union) ORDER BY step""".stripMargin
+  }
+
+  /** The X44 encode oracle: derive the merges (shared CTEs), then
+    * replay them in order over every WORD INSTANCE of every document
+    * — e0 is the char-spaced instance table, e_k applies merge k with
+    * the same two-pass replace — and count surviving symbols per doc.
+    */
+  private def bpeEncodeSql: String = {
+    val applies = (1 to bpeMergeSteps).map { k =>
+      s"""e$k AS (
+         |  SELECT doc_id,
+         |    replace(replace(str, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
+         |            ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS str
+         |  FROM e${k - 1}, b$k b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeStepCtes,
+       |e0 AS (
+       |  SELECT doc_id, ' ' || array_to_string(
+       |    list_transform(generate_series(1, len(word)), i -> word[i]), ' ') || ' ' AS str
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t),
+       |$applies
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(string_split(trim(str), ' '))) AS BIGINT) AS n_bpe_tokens
+       |FROM e$bpeMergeSteps GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** X44 — BPE ENCODE: apply the X41-learned merges to the corpus,
+    * the tokenizer-application pass a training pipeline runs over
+    * every document after the vocabulary is fixed. Learning runs once
+    * (the [[bpeMergesFrom]] driver loop — N bounded 1-row collects);
+    * encoding then replays the N merges IN LEARNED ORDER over every
+    * word instance as a chain of 2N codegen'd `replace`es in a single
+    * projection (two passes per merge complete consecutive runs, the
+    * X41 discipline) — per-row narrow work, no join against a merge
+    * table, because the merges are literals by the time the encode
+    * plan is built. Output is the per-document token count after
+    * merging, the number a batch-size/cost planner actually needs.
+    *
+    * Scale shape: one corpus scan for learning's word-freq table
+    * (vocab-bounded agg), one for encoding; the encode side's only
+    * shuffle is the final per-doc count. The merge list rides the
+    * closure (N strings), never a broadcast table.
+    */
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val wf = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val merges = bpeMergesFrom(wf, bpeMergeSteps)
+    val seed = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .withColumn("str", concat(lit(" "),
+        array_join(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"), " "),
+        lit(" ")))
+    val encoded = merges.foldLeft(seed) { case (df, (_, l, r, _)) =>
+      val (pat, rep) = (lit(s" $l $r "), lit(s" $l$r "))
+      df.withColumn("str", replace(replace(col("str"), pat, rep), pat, rep))
+    }
+    encoded
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(split(trim(col("str")), " "))).as("n_bpe"))
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("n_bpe").cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
   }
 
   /** Count–min geometry for the declared query: depth 4 (δ ≈ e⁻⁴),
@@ -978,5 +1053,9 @@ object TextAnalysis {
               |SELECT tok, freq, est AS cms_est, est - freq AS overcount
               |FROM e ORDER BY freq DESC, tok LIMIT $cmsTopN""".stripMargin),
       "X46 count-min sketch: one-pass frequency estimates vs exact for the top tokens"),
+    "q_bpe_encode" -> QueryDef(
+      bpeEncode,
+      Some(bpeEncodeSql),
+      "X44 BPE encode: apply the learned merges to every document, count tokens"),
   )
 }
