@@ -204,25 +204,35 @@ object Curation {
     * comparison — first-occurrence attribution is an aggregate, not
     * a join of documents against documents.
     *
-    * Scale shape: gram dedup is per-row ([[gramsDistinctPerDoc]]);
-    * then ONE gram-keyed shuffle computes min(doc_id) per gram and
-    * the join of the stream back to it is co-partitioned on the same
-    * key (the aggregate's exchange feeds both sides), followed by one
-    * |docs|-keyed aggregate. Nothing is ever corpus × corpus.
+    * Scale shape: gram dedup is per-row ([[gramsDistinctPerDoc]]),
+    * and the gram stream is touched by exactly ONE gram-keyed
+    * aggregate (map-side partials absorb hot boilerplate grams) —
+    * after it everything is DOC-cardinality: novel counts are the
+    * first-occurrence table re-grouped by first_doc, denominators are
+    * per-row array sizes, and the two meet in a doc-keyed join of two
+    * |docs|-sized tables. The first draft joined the gram-cardinality
+    * first-occurrence table back against the gram stream — a
+    * corpus-proportional broadcast (or a second corpus-wide shuffle)
+    * at scale; nothing in this shape broadcasts anything
+    * corpus-proportional. Never corpus × corpus.
     */
   private def novelty(s: SparkSession, dir: String): DataFrame = {
-    val g = gramsDistinctPerDoc(Tables(s, dir, "documents"))
-    val first = g.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
-    g.join(first, Seq("gram"))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_grams"),
-        count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_novel"))
+    val perDoc = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= gramN)
+      .select(col("doc_id"),
+        size(expr(s"array_distinct(transform(sequence(1, size(w) - ${gramN - 1}), " +
+          s"i -> $concatGram))")).as("n_grams"))
+    val novel = gramsDistinctPerDoc(Tables(s, dir, "documents"))
+      .groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, perDoc("doc_id") === novel("first_doc"), "left")
       .select(
         col("doc_id"),
         col("n_grams").cast("long").as("n_grams"),
-        col("n_novel").cast("long").as("n_novel"),
-        round(col("n_novel").cast("double") / col("n_grams"), 4).as("novelty"))
+        coalesce(col("n_novel"), lit(0L)).cast("long").as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_grams"), 4)
+          .as("novelty"))
       .orderBy("doc_id")
   }
 
@@ -582,14 +592,14 @@ object Curation {
               |  SELECT DISTINCT doc_id, $gramSqlExpr AS gram
               |  FROM t, LATERAL unnest(generate_series(1, len(w) - ${gramN - 1})) AS s(i)
               |  WHERE len(w) >= $gramN),
-              |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
-              |SELECT g.doc_id,
-              |  CAST(count(*) AS BIGINT) AS n_grams,
-              |  CAST(count(CASE WHEN f.first_doc = g.doc_id THEN 1 END) AS BIGINT) AS n_novel,
-              |  round(CAST(count(CASE WHEN f.first_doc = g.doc_id THEN 1 END) AS DOUBLE)
-              |        / count(*), 4) + 0 AS novelty
-              |FROM g JOIN f USING (gram)
-              |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin),
+              |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
+              |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+              |nv AS (SELECT first_doc, CAST(count(*) AS BIGINT) AS n_novel FROM f GROUP BY first_doc)
+              |SELECT pd.doc_id, pd.n_grams,
+              |  COALESCE(nv.n_novel, 0) AS n_novel,
+              |  round(CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / pd.n_grams, 4) + 0 AS novelty
+              |FROM pd LEFT JOIN nv ON nv.first_doc = pd.doc_id
+              |ORDER BY doc_id""".stripMargin),
       "X47 first-occurrence novelty: share of a doc's distinct 8-grams first seen in it"),
   )
 }

@@ -506,4 +506,55 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"IVF top-10 is not a bounded sort:\n$plan")
   }
+
+  private def hashExchanges(plan: String): Seq[String] =
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+
+  test("q_mix_sample touches the corpus with zero shuffles: one lang-keyed tiny agg, broadcast back") {
+    val plan = SparkEntry.queries("q_mix_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val ex = hashExchanges(plan)
+    assert(ex.size == 1 && ex.head.contains("lang"),
+      s"q_mix_sample should shuffle only the |langs|-row rate build:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_mix_sample thresholds are not broadcast onto the corpus:\n$plan")
+  }
+
+  test("q_bpe_encode is join-free: merges are literals, one doc-keyed aggregate") {
+    val plan = SparkEntry.queries("q_bpe_encode")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"q_bpe_encode joins against a merge table instead of inlining literals:\n$plan")
+    assert(hashExchanges(plan).size == 1,
+      s"q_bpe_encode should shuffle once (the per-doc count):\n$plan")
+  }
+
+  test("q_cms_freq builds the sketch one-pass with map-side partials and a bounded top-K") {
+    val plan = SparkEntry.queries("q_cms_freq")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_cms") && plan.contains("ObjectHashAggregate"),
+      s"CMS counters are not built by the one-pass partial-merging aggregate:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_cms_freq's exact top-20 is not a bounded sort:\n$plan")
+  }
+
+  test("q_zipf_fit never globally sorts the vocab: bounded top-K feeds the regression") {
+    val plan = SparkEntry.queries("q_zipf_fit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_zipf_fit materializes a global vocab sort:\n$plan")
+    assert(hashExchanges(plan).size == 1,
+      s"q_zipf_fit should shuffle once (the token count):\n$plan")
+  }
+
+  test("q_novelty aggregates the gram stream once; everything after is doc-cardinality") {
+    val plan = SparkEntry.queries("q_novelty")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val ex = hashExchanges(plan)
+    // one gram-keyed exchange (the first-occurrence agg), one
+    // doc-keyed (novel counts); the gram-cardinality first-occurrence
+    // table must never be broadcast or re-joined against the stream
+    assert(ex.size == 2 && ex.exists(_.contains("gram")) && ex.exists(_.contains("first_doc")),
+      s"q_novelty's exchange profile drifted from {gram, first_doc}:\n$plan")
+  }
 }
