@@ -195,6 +195,96 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** Per-source sample size for the weighted sampler. */
+  private val esSampleM = 15
+
+  /** X49 — deterministic WEIGHTED sampling without replacement
+    * (Efraimidis–Spirakis, IPL 2006): keep the M docs per source with
+    * the best exponential-race keys, where doc i's key is
+    * −ln(uᵢ)/wᵢ (smaller = better) with uᵢ a salted hash-uniform and
+    * wᵢ = n_chars — so inclusion probability is proportional to
+    * document size, the standard "sample by mass, not by count"
+    * corpus draw. Like X16/X45 the randomness is content-hash
+    * derived, never `rand()`: the sample is reproducible
+    * run-to-run, engine-to-engine, and under repartitioning. The key
+    * arithmetic ((h+1)/2³², ln, divide) is correctly-rounded IEEE on
+    * identical inputs, so both engines rank identical doubles.
+    *
+    * Scale shape: keys are per-row narrow work; per-source ranking
+    * goes through [[Extensions.rankedByRange]] (range-partitioned,
+    * no source-keyed window on a potentially-Zipf source
+    * distribution — the X38 discipline).
+    */
+  private def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        ((-log((h32(concat(lit("ws"), col("doc_id").cast("string"))) + 1) / lit(4294967296.0)))
+          / col("n_chars")).as("mkey"))
+    Extensions.rankedByRange(d, "source", Seq("mkey", "doc_id"), "smp_rank")
+      .filter(col("smp_rank") <= esSampleM)
+      .select(col("doc_id"), col("source"), col("smp_rank").cast("long").as("smp_rank"))
+      .orderBy("doc_id")
+  }
+
+  /** Bloom geometry for X50: 16384 bits (256 words, 2 KiB), 3
+    * hashes. At the synthetic eval set's ~600 distinct grams the fill
+    * is ~11%, so gram-level false positives run ~0.1% — present (the
+    * FP accounting stays non-vacuous, the X46 philosophy) without
+    * drowning the exact signal; a deployment sizes bits/gram to its
+    * FP budget the standard way.
+    */
+  private val bloomBits = 16384
+  private val bloomK = 3
+
+  private def bloomPosSql(i: Int): String =
+    s"('0x' || substr(md5('bl$i' || gram), 1, 8))::BIGINT % $bloomBits"
+
+  /** X50 — Bloom-filter decontamination, the 100 TB scale path for
+    * X15: instead of (semi-)joining training grams against the
+    * benchmark gram SET (broadcast grows with the eval battery), fold
+    * the benchmark grams into a [[bloomBits]]-bit Bloom filter and
+    * test each training gram against it with per-row bit arithmetic —
+    * the broadcast is 2 KiB no matter how many benchmarks are in
+    * the battery, and the only corpus shuffle left is the per-doc
+    * flag count. One-sided error in the safe direction: every truly
+    * shared gram is flagged (no false negatives — contamination is
+    * never missed), false positives quarantine extra docs, the cheap
+    * failure. CurationSpec pins the flagged set ⊇ X15's exact set.
+    *
+    * Both engines derive the SAME filter (md5-prefix positions,
+    * integer bit ops), so the oracle — which recomputes membership
+    * relationally against the distinct-position set — is exact,
+    * false positives included.
+    */
+  private def decontamBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bench = d.filter(col("doc_id") % 50 === 0)
+    val train = d.filter(col("doc_id") % 50 =!= 0)
+      .unionByName(bench.select(
+        (col("doc_id") + 300000).as("doc_id"),
+        regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
+    val posCols = (0 until bloomK)
+      .map(i => h32(concat(lit(s"bl$i"), col("gram"))) % bloomBits)
+    val bloomMap = grams(bench).select(col("gram")).distinct()
+      .select(explode(array(posCols: _*)).as("p"))
+      .groupBy(expr("CAST(p DIV 64 AS BIGINT)").as("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))").as("m"))
+      .agg(map_from_arrays(collect_list(col("w")), collect_list(col("m"))).as("bm"))
+    def member(i: Int): String = {
+      val p = s"pmod(CAST(conv(substring(md5(concat('bl$i', gram)), 1, 8), 16, 10) " +
+        s"AS BIGINT), $bloomBits)"
+      s"(coalesce(element_at(bm, CAST($p DIV 64 AS BIGINT)), CAST(0 AS BIGINT)) & " +
+        s"shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT))) != 0"
+    }
+    gramsDistinctPerDoc(train)
+      .crossJoin(broadcast(bloomMap)) // exactly 1 row (64 words) by construction
+      .filter(expr((0 until bloomK).map(member).mkString(" AND ")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_flagged"))
+      .select(col("doc_id"), col("n_flagged").cast("long").as("n_flagged"))
+      .orderBy("doc_id")
+  }
+
   /** X47 — first-occurrence novelty: per document, the fraction of
     * its distinct word-8-grams whose corpus-wide FIRST occurrence
     * (minimum doc_id — corpus position) is this document. The
@@ -601,5 +691,45 @@ object Curation {
               |FROM pd LEFT JOIN nv ON nv.first_doc = pd.doc_id
               |ORDER BY doc_id""".stripMargin),
       "X47 first-occurrence novelty: share of a doc's distinct 8-grams first seen in it"),
+    "q_weighted_sample" -> QueryDef(
+      weightedSample,
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, source,
+              |    -ln((('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+              |        / 4294967296.0) / n_chars AS mkey
+              |  FROM documents),
+              |r AS (SELECT doc_id, source,
+              |        row_number() OVER (PARTITION BY source ORDER BY mkey, doc_id) AS smp_rank
+              |      FROM d)
+              |SELECT doc_id, source, CAST(smp_rank AS BIGINT) AS smp_rank
+              |FROM r WHERE smp_rank <= $esSampleM ORDER BY doc_id""".stripMargin),
+      "X49 Efraimidis-Spirakis weighted sampling: M docs per source, odds by size"),
+    "q_decontam_bloom" -> QueryDef(
+      decontamBloom,
+      Some(s"""WITH d AS (SELECT doc_id, text FROM documents),
+              |bench AS (SELECT doc_id, text FROM d WHERE doc_id % 50 = 0),
+              |train AS (
+              |  SELECT doc_id, text FROM d WHERE doc_id % 50 <> 0
+              |  UNION ALL
+              |  SELECT doc_id + 300000 AS doc_id,
+              |         regexp_replace(text, '^[^ ]+ ', '') AS text FROM bench),
+              |bg AS (
+              |  SELECT DISTINCT $gramSqlExpr AS gram
+              |  FROM (SELECT string_split(text, ' ') AS w FROM bench) t,
+              |       LATERAL unnest(generate_series(1, len(w) - ${gramN - 1})) AS s(i)
+              |  WHERE len(w) >= $gramN),
+              |bp AS (SELECT DISTINCT unnest([${(0 until bloomK).map(bloomPosSql).mkString(", ")}]) AS p
+              |       FROM bg),
+              |tg AS (
+              |  SELECT DISTINCT doc_id, $gramSqlExpr AS gram
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train) t,
+              |       LATERAL unnest(generate_series(1, len(w) - ${gramN - 1})) AS s(i)
+              |  WHERE len(w) >= $gramN)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+              |FROM tg
+              |WHERE ${(0 until bloomK).map(i => s"${bloomPosSql(i)} IN (SELECT p FROM bp)")
+                .mkString("\n  AND ")}
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "X50 Bloom-filter decontamination: 2 KiB filter broadcast, superset of exact"),
   )
 }

@@ -177,4 +177,44 @@ class CurationSpec extends AnyFunSuite {
     val scans = plan.linesIterator.count(_.contains("Scan parquet"))
     assert(scans === 1, s"composed verdict reads the corpus $scans times:\n$plan")
   }
+
+  test("bloom decontamination is a strict superset of exact, with a bounded FP tax") {
+    val exact = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = SparkEntry.queries("q_decontam_bloom")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no false negatives, ever: a truly shared gram sets all its
+    // bits, so every exactly-contaminated doc is flagged with at
+    // least as much evidence
+    exact.foreach { case (id, nShared) =>
+      assert(bloom.contains(id), s"bloom missed exactly-contaminated doc $id")
+      assert(bloom(id) >= nShared,
+        s"doc $id: bloom evidence ${bloom(id)} < exact $nShared")
+    }
+    // and the FP tax stays a tax, not a flood (filter ~11% full at
+    // this eval-set size → ~0.1% gram-level FPs)
+    assert(bloom.size < exact.size + 30,
+      s"bloom flagged ${bloom.size} docs vs ${exact.size} exact — filter saturated")
+  }
+
+  test("weighted sample caps per source, ranks contiguously, and biases toward large docs") {
+    val docs = Tables(spark, sf, "documents")
+    val sample = SparkEntry.queries("q_weighted_sample")(spark, sf).collect()
+    val bySource = sample.groupBy(_.getString(1))
+    bySource.foreach { case (src, rows) =>
+      val ranks = rows.map(_.getLong(2)).sorted
+      assert(ranks.length <= 15, s"$src oversampled: ${ranks.length}")
+      assert(ranks === (1L to ranks.length).toArray, s"$src ranks not contiguous: ${ranks.toSeq}")
+    }
+    // Efraimidis–Spirakis with w = n_chars: inclusion odds scale with
+    // document size, so the sampled mean size must exceed the corpus
+    // mean (deterministic fixture, deterministic sample)
+    val sizes = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sampledIds = sample.map(_.getLong(0)).toSet
+    val sampledMean = sampledIds.toSeq.map(sizes).sum.toDouble / sampledIds.size
+    val corpusMean = sizes.values.sum.toDouble / sizes.size
+    assert(sampledMean > corpusMean,
+      f"size-weighted sample mean $sampledMean%.1f not above corpus mean $corpusMean%.1f")
+  }
 }

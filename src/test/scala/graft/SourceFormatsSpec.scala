@@ -34,4 +34,10 @@ class SourceFormatsSpec extends AnyFunSuite {
       "header" -> "true",
       "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS"))
   }
+
+  test("events round-trip through ORC exactly") {
+    // the other columnar archive format Spark ships natively — same
+    // binary-exact contract as parquet (no timestampFormat games)
+    roundtrip("orc", Map.empty)
+  }
 }
