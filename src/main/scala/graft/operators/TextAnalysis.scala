@@ -726,6 +726,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** X51 — per-source KL divergence from the corpus token
+    * distribution: D(p_source ‖ p_corpus) over the top-V vocabulary —
+    * the source ANOMALY diagnostic complementing X40's pairwise
+    * cosine (X40 asks "which sources duplicate each other"; this
+    * asks "which source doesn't look like the corpus at all" —
+    * machine-generated feeds, wrong-language crawls, templated spam
+    * all surface as KL outliers before any pairwise work).
+    *
+    * Numerics: each term p·ln(p/q) is computed from
+    * correctly-rounded IEEE ops on exact integer counts, snapped to
+    * 1e-6 fixed point, then SUMMED AS INTEGERS — order-independent
+    * (the X48 discipline; a double sum would be partition-order
+    * dependent). p = 0 terms contribute 0 by absence; q = 0 is
+    * impossible (the corpus marginal dominates every source).
+    *
+    * Scale shape: identical to X40 — the corpus collapses to the
+    * |sources| × V profile first (map-side partials, V-bounded
+    * broadcast vocab join), and every KL term computes on that tiny
+    * matrix; the 1-row corpus total is a window over the V-row
+    * marginal, not a join.
+    */
+  private def sourceKl(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabV)
+      .select(col("tok"))
+    val prof = toks.join(vocab, Seq("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ci = prof.groupBy(col("tok")).agg(sum(col("c")).as("ci"))
+      .withColumn("tc", sum(col("ci")).over(wAll))
+    val ts = prof.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+    val p = col("c").cast("double") / col("ts")
+    val q = col("ci").cast("double") / col("tc")
+    prof.join(ci, Seq("tok")).join(ts, Seq("source"))
+      .select(col("source"), col("ts"),
+        round(lit(1000000.0) * p * log(p / q), 0).cast("long").as("term"))
+      .groupBy(col("source"), col("ts"))
+      .agg(sum(col("term")).as("t6"))
+      .select(col("source"), col("ts").cast("long").as("n_vocab_toks"),
+        round(col("t6") / lit(1000000.0), 4).as("kl"))
+      .orderBy("source")
+  }
+
   /** Count–min geometry for the declared query: depth 4 (δ ≈ e⁻⁴),
     * width 256 — deliberately NARROWER than this corpus's vocabulary
     * so collisions actually occur and the overcount column is
@@ -1057,5 +1105,27 @@ object TextAnalysis {
       bpeEncode,
       Some(bpeEncodeSql),
       "X44 BPE encode: apply the learned merges to every document, count tokens"),
+    "q_source_kl" -> QueryDef(
+      sourceKl,
+      Some(s"""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+              |vocab AS (
+              |  SELECT tok FROM w GROUP BY tok
+              |  ORDER BY count(*) DESC, tok ASC LIMIT $vocabV),
+              |prof AS (
+              |  SELECT source, t.tok, CAST(count(*) AS BIGINT) AS c
+              |  FROM w t JOIN vocab v ON t.tok = v.tok
+              |  GROUP BY source, t.tok),
+              |ci AS (SELECT tok, sum(c) AS ci, sum(sum(c)) OVER () AS tc FROM prof GROUP BY tok),
+              |ts AS (SELECT source, sum(c) AS ts FROM prof GROUP BY source),
+              |terms AS (
+              |  SELECT p.source, t.ts,
+              |    CAST(round(1000000.0 * (CAST(p.c AS DOUBLE) / t.ts)
+              |      * ln((CAST(p.c AS DOUBLE) / t.ts) / (CAST(i.ci AS DOUBLE) / i.tc)), 0)
+              |      AS BIGINT) AS term
+              |  FROM prof p JOIN ci i ON i.tok = p.tok JOIN ts t ON t.source = p.source)
+              |SELECT source, CAST(ts AS BIGINT) AS n_vocab_toks,
+              |  round(sum(term) / 1000000.0, 4) + 0 AS kl
+              |FROM terms GROUP BY source, ts ORDER BY source""".stripMargin),
+      "X51 per-source KL divergence from the corpus token distribution (top-V vocab)"),
   )
 }
