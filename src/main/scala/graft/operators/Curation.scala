@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.collection.immutable.ListMap
@@ -237,7 +237,7 @@ object Curation {
   private val bloomK = 3
 
   private def bloomPosSql(i: Int): String =
-    s"('0x' || substr(md5('bl$i' || gram), 1, 8))::BIGINT % $bloomBits"
+    s"('0x' || substr(md5('bl' || gram), ${1 + 8 * i}, 8))::BIGINT % $bloomBits"
 
   /** X50 — Bloom-filter decontamination, the 100 TB scale path for
     * X15: instead of (semi-)joining training grams against the
@@ -263,20 +263,25 @@ object Curation {
       .unionByName(bench.select(
         (col("doc_id") + 300000).as("doc_id"),
         regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
-    val posCols = (0 until bloomK)
-      .map(i => h32(concat(lit(s"bl$i"), col("gram"))) % bloomBits)
+    // The k positions are DISJOINT 8-hex-char slices of ONE md5 — one
+    // digest per gram instead of k; the digest over the ~60-char gram
+    // string is the dominant per-row cost of the membership scan.
+    def posFrom(h: Column, i: Int): Column =
+      conv(substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % bloomBits
     val bloomMap = grams(bench).select(col("gram")).distinct()
-      .select(explode(array(posCols: _*)).as("p"))
+      .select(md5(concat(lit("bl"), col("gram"))).as("h"))
+      .select(explode(array((0 until bloomK).map(i => posFrom(col("h"), i)): _*)).as("p"))
       .groupBy(expr("CAST(p DIV 64 AS BIGINT)").as("w"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))").as("m"))
       .agg(map_from_arrays(collect_list(col("w")), collect_list(col("m"))).as("bm"))
     def member(i: Int): String = {
-      val p = s"pmod(CAST(conv(substring(md5(concat('bl$i', gram)), 1, 8), 16, 10) " +
+      val p = s"pmod(CAST(conv(substring(h, ${1 + 8 * i}, 8), 16, 10) " +
         s"AS BIGINT), $bloomBits)"
       s"(coalesce(element_at(bm, CAST($p DIV 64 AS BIGINT)), CAST(0 AS BIGINT)) & " +
         s"shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT))) != 0"
     }
     gramsDistinctPerDoc(train)
+      .select(col("doc_id"), md5(concat(lit("bl"), col("gram"))).as("h"))
       .crossJoin(broadcast(bloomMap)) // exactly 1 row (64 words) by construction
       .filter(expr((0 until bloomK).map(member).mkString(" AND ")))
       .groupBy(col("doc_id"))
