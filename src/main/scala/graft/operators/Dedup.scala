@@ -258,7 +258,17 @@ object Dedup {
     * that is linear in (candidate pairs × high-df postings per doc)
     * — and empty on this corpus — keeping counts exact.
     */
-  private[graft] def nearPairs(sh: DataFrame, maxDf: Long): DataFrame = {
+  private[graft] def nearPairs(sh: DataFrame, maxDf: Long): DataFrame =
+    jaccardCut(collisionShared(sh, maxDf, sizeCompat = true))
+
+  /** The capped-collision shared-shingle aggregate underlying both
+    * the Jaccard cut (X5a) and the containment cut (X54). When
+    * `sizeCompat` the AllPairs length filter prunes pairs that cannot
+    * reach Jaccard ≥ 0.6; containment must NOT apply it — a 30-token
+    * excerpt inside a 100-token doc is exactly the size-mismatched
+    * pair that filter exists to drop.
+    */
+  private def collisionShared(sh: DataFrame, maxDf: Long, sizeCompat: Boolean): DataFrame = {
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val highShingles = dfreq.filter(col("df") > maxDf).select("shingle")
     val capped = sh.join(dfreq.filter(col("df") <= maxDf).select("shingle"), "shingle")
@@ -280,10 +290,14 @@ object Dedup {
     // size-compatible). The win grows with length spread; on this
     // corpus lengths cluster, so the filter is a floor, not the
     // headline.
+    val joinCond = {
+      val base = col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
+      if (sizeCompat)
+        base && col("a.n") * 10 >= col("b.n") * 6 && col("b.n") * 10 >= col("a.n") * 6
+      else base
+    }
     val sharedKept = capped.as("a")
-      .join(capped.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
-          && col("a.n") * 10 >= col("b.n") * 6 && col("b.n") * 10 >= col("a.n") * 6)
+      .join(capped.as("b"), joinCond)
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(
         count(lit(1)).as("shared_kept"),
@@ -316,7 +330,7 @@ object Dedup {
             (col("shared_kept") + coalesce(col("extra"), lit(0L))).as("shared"),
             col("n_a"), col("n_b"))
       }
-    jaccardCut(shared)
+    shared
   }
 
   /** X5a — n-gram Jaccard near-dup: every pair colliding on a
@@ -335,6 +349,88 @@ object Dedup {
     */
   private def dedupNear(s: SparkSession, dir: String): DataFrame =
     nearPairs(shingleIndex(s, dir), nearMaxDf)
+
+  /** Excerpt length for the X54 containment plant: long enough to
+    * carry unambiguous shingle evidence, short enough that excerpt
+    * Jaccard vs its source (≈ 28 / n_source) sits far below the 0.6
+    * near-dup cut.
+    */
+  private val excerptTokens = 30
+
+  /** X54 — CONTAINMENT scoring: C(A ⊂ B) = |S(A)∩S(B)| / min|S| over
+    * the same capped collision index as X5a, cut at ≥ 0.9. Resemblance
+    * (Jaccard) and containment are Broder's two distinct measures: a
+    * 30-token excerpt quoted inside a 100-token doc has J ≈ 0.29 —
+    * invisible to every near-dup variant — but containment 1.0. This
+    * is the quote/subset detector a curation pipeline runs beside
+    * near-dedup (a doc wholly contained in a longer one is redundant
+    * even though Jaccard says "different"). The corpus is extended
+    * with planted excerpts (first [[excerptTokens]] tokens of every
+    * doc_id % 30 == 0 doc, id + 400000) so the contained-pair class is
+    * non-vacuous and oracle-certified.
+    *
+    * Shape notes vs X5a: same df-capped inverted index, same exact
+    * correction-join argument — but the AllPairs length filter MUST
+    * be absent (the size-mismatched pairs it prunes are precisely the
+    * contained ones), which is why [[collisionShared]] parameterizes
+    * it. Collision volume without the length filter is bounded by the
+    * same df cap; the cut then runs on the aggregated pair table.
+    */
+  private def containment(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val ext = corpus(s, dir).unionByName(
+      base.filter(col("doc_id") % 30 === 0)
+        .select(
+          (col("doc_id") + 400000).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, excerptTokens), " ").as("text")))
+    val sh = cachedIndex(s, dir, "shingles_containment")(shinglesOf(ext))
+    collisionShared(sh, nearMaxDf, sizeCompat = false)
+      .filter(col("shared") * 10 >= least(col("n_a"), col("n_b")) * 9)
+      .select(
+        col("id_a"), col("id_b"),
+        col("shared").cast("long").as("shared"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        round(col("shared") / least(col("n_a"), col("n_b")), 4).as("cont"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val containSql = {
+    val chain = corpusChainSqlOver(
+      s"""corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, regexp_replace(text, '^[^ ]+ ', '') AS text
+         |  FROM documents WHERE doc_id % 25 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 400000 AS doc_id,
+         |         array_to_string((string_split(text, ' '))[1:$excerptTokens], ' ') AS text
+         |  FROM documents WHERE doc_id % 30 = 0)""".stripMargin)
+    s"""WITH $chain,
+       |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+       |capped AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq USING (shingle) WHERE df <= $nearMaxDf),
+       |shared_kept AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_kept
+       |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sh_high AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq USING (shingle) WHERE df > $nearMaxDf),
+       |corr AS (
+       |  SELECT k.id_a, k.id_b, count(*) AS extra
+       |  FROM shared_kept k JOIN sh_high sa ON sa.doc_id = k.id_a
+       |  JOIN sh_high sb ON sb.doc_id = k.id_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |verified AS (
+       |  SELECT k.id_a, k.id_b, k.shared_kept + COALESCE(c.extra, 0) AS shared
+       |  FROM shared_kept k LEFT JOIN corr c ON c.id_a = k.id_a AND c.id_b = k.id_b)
+       |SELECT v.id_a, v.id_b, CAST(v.shared AS BIGINT) AS shared,
+       |  CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+       |  round(v.shared / least(ca.n, cb.n), 4) AS cont
+       |FROM verified v
+       |JOIN card ca ON ca.doc_id = v.id_a
+       |JOIN card cb ON cb.doc_id = v.id_b
+       |WHERE 10 * v.shared >= 9 * least(ca.n, cb.n)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   private val nBands = 4 // 8 minhashes, bands of 2
 
@@ -365,11 +461,13 @@ object Dedup {
       .agg(array((0 until 2 * nBands).map(i =>
         min((minhashBase * mixA(i) + mixB(i)) % minhashMod)): _*).as("sig"))
 
-  /** Banded-MinHash candidate pairs — shared by the Jaccard-verified
-    * (X5b) and edit-distance-verified (X5d) variants.
+  /** One (doc_id, band, k1, k2) row per signature band — the LSH
+    * bucket keys. Shared by the self-join candidate build and the
+    * incremental new-vs-index build (X53), which joins two DISJOINT
+    * band streams instead of one against itself.
     */
-  private def minhashCands(sh: DataFrame): DataFrame = {
-    val bands = minhashSig(sh).select(
+  private def minhashBands(sh: DataFrame): DataFrame =
+    minhashSig(sh).select(
       col("doc_id"),
       explode(array((0 until nBands).map(b =>
         struct(
@@ -377,6 +475,12 @@ object Dedup {
           element_at(col("sig"), 2 * b + 1).as("k1"),
           element_at(col("sig"), 2 * b + 2).as("k2"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+
+  /** Banded-MinHash candidate pairs — shared by the Jaccard-verified
+    * (X5b) and edit-distance-verified (X5d) variants.
+    */
+  private def minhashCands(sh: DataFrame): DataFrame = {
+    val bands = minhashBands(sh)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
@@ -394,6 +498,50 @@ object Dedup {
     val sh = shingleIndex(s, dir)
     verifyJaccard(sh, minhashCands(sh))
   }
+
+  /** X53 — INCREMENTAL near-dedup: the production ingest shape, where
+    * a new batch is deduplicated against an already-indexed corpus
+    * instead of re-deduplicating everything. Incoming docs
+    * (doc_id % 4 == 0 here — in production, the new crawl slice) band
+    * their MinHash signatures exactly as X5b does, but the band join
+    * runs new-vs-INDEX only: no incoming×incoming and no index×index
+    * pairs are ever generated, so per-batch cost is proportional to
+    * the BATCH (the index side is a prebuilt, reusable band table — at
+    * 100 TB it is written once, bucketed by (band, k1, k2), and every
+    * nightly batch joins against it co-located, touching no historic
+    * text). Verification is the same broadcast-candidates exact
+    * Jaccard as X5b, so DedupSpec can pin this query ≡ the X5b pair
+    * set restricted to split-crossing pairs — the two formulations
+    * provably agree on the shared universe.
+    *
+    * Output: (id_a = incoming, id_b = indexed) verified pairs — the
+    * per-batch quarantine list.
+    */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(s, dir)
+    val newBands = minhashBands(sh.filter(col("doc_id") % 4 === 0))
+    val idxBands = minhashBands(sh.filter(col("doc_id") % 4 =!= 0))
+    val cands = newBands.as("a")
+      .join(idxBands.as("b"),
+        col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
+          col("a.k2") === col("b.k2"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyJaccard(sh, cands)
+  }
+
+  private def incrementalSql: String =
+    s"""WITH ${sigBandsSqlOver(corpusSql)},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       |  WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS shared
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2)
+       |$verifySqlTail""".stripMargin
 
   /** X5d — fuzzy dedup: the same LSH candidates, verified by edit
     * distance on a 100-char prefix instead of Jaccard (catches
@@ -733,7 +881,10 @@ object Dedup {
     * [[corpusChainSqlOver]] instantiation) — parameterized for
     * composed oracles.
     */
-  private[graft] def minhashCandSqlOver(shingleChainSql: String): String = {
+  /** The signature + band-key CTEs alone (through `bands`) — shared
+    * by the self-join candidate chain and X53's directional one.
+    */
+  private def sigBandsSqlOver(shingleChainSql: String): String = {
     val hashes = (0 until 2 * nBands)
       .map(i => s"min(((('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483648) * ${mixA(i)} + ${mixB(i)}) % 2147483647) AS h$i")
       .mkString(", ")
@@ -742,11 +893,14 @@ object Dedup {
       .mkString(" UNION ALL ")
     s"""$shingleChainSql,
        |sig AS (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
-       |bands AS ($bands),
+       |bands AS ($bands)""".stripMargin
+  }
+
+  private[graft] def minhashCandSqlOver(shingleChainSql: String): String =
+    s"""${sigBandsSqlOver(shingleChainSql)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   private def minhashSql: String =
     s"""WITH $minhashCandSql,
@@ -860,6 +1014,110 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** A chunk is boilerplate when it occurs in MORE DISTINCT DOCS than
+    * this — high enough that organic near-dup pairs (df 2–3 on this
+    * corpus) never qualify, low enough that the planted footer
+    * (df ≈ |docs|/7) always does.
+    */
+  private[graft] val boilerplateDf = 4L
+
+  /** Hard cap on the hot-chunk set the driver will literalize; the
+    * build fails loudly rather than planning an unbounded literal.
+    * True boilerplate is small by nature (it is the text REPEATED
+    * VERBATIM across a corpus — menus, footers, license headers), so
+    * a cap this size is head-room, not a tuning knob.
+    */
+  private[graft] val boilerplateMax = 4096
+
+  /** X52 — frequent-chunk boilerplate REMOVAL (the C4/CCNet/
+    * RefinedWeb "discard any line shared by ≥ N pages" cleaning step,
+    * stated over this corpus's [[chunkTokens]]-token windows since
+    * its documents are single-line). Two phases:
+    *
+    *  1. df pass — ONE chunk-hash-keyed aggregate (map-side partials
+    *     absorb the hot chunks) finds hashes in > [[boilerplateDf]]
+    *     distinct docs. That hot set is bounded by true boilerplate
+    *     cardinality (guarded by [[boilerplateMax]]) and is
+    *     LITERALIZED into the plan, the X32 literal-centroid
+    *     precedent — so phase 2 needs no join at all.
+    *  2. strip pass — per-row: rebuild each doc's chunk array, drop
+    *     members of the literal hot set, reassemble in chunk order.
+    *     The corpus text NEVER shuffles — the only exchange in the
+    *     whole query moves 16-byte chunk hashes; reassembly is an
+    *     in-row `filter`/`array_join`, not a regroup of exploded
+    *     chunks (the naive explode → anti-join → groupBy(doc) form
+    *     re-shuffles the full corpus text on doc_id).
+    *
+    * Output per doc: window count, dropped count, and the md5 of the
+    * reassembled kept stream (`clean_sig`) so the oracle certifies
+    * ORDER-PRESERVING reassembly, not just counts. The ragged tail
+    * (< [[chunkTokens]] tokens) is outside every window and therefore
+    * never dropped; docs shorter than one window are excluded, as in
+    * X28.
+    */
+  private def boilerplateStrip(s: SparkSession, dir: String): DataFrame = {
+    val ct = chunkTokens
+    val chunked = Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(chunkBoilerplate + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= ct)
+      .select(
+        col("doc_id"),
+        transform(
+          sequence(lit(0), (size(col("toks")) / ct).cast("int") - 1),
+          i => array_join(slice(col("toks"), i * ct + 1, lit(ct)), " ")).as("chunks"))
+    val hot = chunked
+      .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+      .groupBy(md5(col("chunk")).as("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > boilerplateDf)
+      .select("h")
+      .limit(boilerplateMax + 1)
+      .collect().map(_.getString(0))
+    require(hot.length <= boilerplateMax,
+      s"hot-chunk set exceeds $boilerplateMax — corpus is template spam, not boilerplate-strippable")
+    val hotLit = typedLit(hot.sorted.toSeq)
+    chunked
+      .select(
+        col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        filter(col("chunks"), c => !array_contains(hotLit, md5(c))).as("kept"))
+      .select(
+        col("doc_id"),
+        col("n_chunks"),
+        (col("n_chunks") - size(col("kept"))).cast("long").as("n_dropped"),
+        md5(array_join(col("kept"), " ")).as("clean_sig"))
+      .orderBy("doc_id")
+  }
+
+  private val boilerplateSql = {
+    val ct = chunkTokens
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN '$chunkBoilerplate ' || text ELSE text END AS text
+       |  FROM documents),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d WHERE len(string_split(text, ' ')) >= $ct),
+       |c AS (
+       |  SELECT doc_id, i, array_to_string(toks[(i*$ct+1):(i*$ct+$ct)], ' ') AS chunk
+       |  FROM t, LATERAL unnest(range(len(toks) // $ct)) AS u(i)),
+       |hot AS (SELECT md5(chunk) AS h FROM c GROUP BY md5(chunk) HAVING count(DISTINCT doc_id) > $boilerplateDf),
+       |kept AS (SELECT doc_id, i, chunk FROM c WHERE md5(chunk) NOT IN (SELECT h FROM hot)),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |         md5(string_agg(chunk, ' ' ORDER BY i)) AS clean_sig
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id AS doc_id,
+       |  CAST(len(toks) // $ct AS BIGINT) AS n_chunks,
+       |  CAST(len(toks) // $ct - coalesce(agg.n_kept, 0) AS BIGINT) AS n_dropped,
+       |  coalesce(agg.clean_sig, md5('')) AS clean_sig
+       |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   private val chunkSql = {
     val ct = chunkTokens
     s"""WITH d AS (
@@ -905,6 +1163,14 @@ object Dedup {
       dedupMinhash,
       Some(minhashSql),
       "X5b banded MinHash LSH near-dup (8 hashes, 4 bands), exact-verified"),
+    "q_dedup_incr" -> QueryDef(
+      dedupIncremental,
+      Some(incrementalSql),
+      "X53 incremental near-dedup: new batch banded against the prebuilt index, no batch-internal pairs"),
+    "q_containment" -> QueryDef(
+      containment,
+      Some(containSql),
+      "X54 containment (asymmetric overlap) scoring: excerpt/subset pairs Jaccard cannot see"),
     "q_dedup_simhash" -> QueryDef(
       dedupSimhash,
       Some(simhashSql),
@@ -956,6 +1222,10 @@ object Dedup {
       (s, d) => dedupChunks(s, d),
       Some(chunkSql),
       "X28 chunk-level (paragraph) exact dedup, keep-first by doc_id"),
+    "q_boilerplate_strip" -> QueryDef(
+      boilerplateStrip,
+      Some(boilerplateSql),
+      "X52 frequent-chunk boilerplate removal with order-certified in-row reassembly"),
     "q_semdedup" -> QueryDef(
       (s, d) => semDedup(s, d),
       Some(semDedupSql),

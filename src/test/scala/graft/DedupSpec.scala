@@ -295,4 +295,84 @@ class DedupSpec extends AnyFunSuite {
     // own near-dup docs share chunks even with the plant off
     assert(off.values.map(_._2).sum > 0L)
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("boilerplate strip drops exactly the planted footer, reassembles in order") {
+    val dir = "/root/testdata/sf0.01"
+    val ct = graft.operators.Dedup.chunkTokens
+    val footer = "this content is mirrored from the upstream boilerplate navigation footer menu text"
+    val rows = SparkEntry.queries("q_boilerplate_strip")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, (nChunks, nDropped, cleanSig)) =>
+      val toks = (if (id % 7 == 0) footer + " " + docs(id) else docs(id)).split(" ")
+      val windows = toks.grouped(ct).filter(_.length == ct).map(_.mkString(" ")).toSeq
+      assert(nChunks === windows.size.toLong, s"doc $id window count")
+      if (id % 7 == 0) {
+        // the hot set is exactly the planted footer on this corpus —
+        // organic chunk df stays under the threshold (drift fails here)
+        assert(nDropped === 1L, s"doc $id dropped $nDropped chunks, expected the footer only")
+        assert(cleanSig === md5Hex(windows.drop(1).mkString(" ")),
+          s"doc $id reassembly not order-preserving")
+      } else {
+        assert(nDropped === 0L, s"organic chunk stripped from doc $id")
+        assert(cleanSig === md5Hex(windows.mkString(" ")))
+      }
+    }
+  }
+
+  test("incremental dedup == X5b pair set restricted to split-crossing pairs") {
+    val dir = "/root/testdata/sf0.01"
+    def pairs(q: String) = SparkEntry.queries(q)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // X5b's universe with (incoming, indexed) orientation imposed:
+    // both queries band identical per-doc signatures and share the
+    // exact-Jaccard verify, so on the crossing subset they must agree
+    // EXACTLY — a recall gap here means the directional band join
+    // dropped a bucket
+    val expected = pairs("q_dedup_minhash").flatMap { case (a, b, s, u) =>
+      (a % 4 == 0, b % 4 == 0) match {
+        case (true, false) => Some((a, b, s, u))
+        case (false, true) => Some((b, a, s, u))
+        case _             => None
+      }
+    }
+    val incr = pairs("q_dedup_incr")
+    assert(incr.nonEmpty, "vacuous incremental pin — no split-crossing near-dups")
+    assert(incr === expected)
+    incr.foreach { case (a, b, _, _) =>
+      assert(a % 4 == 0 && b % 4 != 0, s"pair ($a,$b) violates the new-vs-index orientation")
+    }
+  }
+
+  test("containment: planted excerpts score 1.0 and are invisible to Jaccard") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_containment")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val byPair = rows.map(t => (t._1, t._2) -> t._6).toMap
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val planted = docs.keys.filter(id => id % 30 == 0 && docs(id).split(" ").length >= 3).toSeq
+    assert(planted.nonEmpty)
+    // an excerpt's shingles are a subset of its source's, so shared ==
+    // |S(excerpt)| and containment is exactly 1.0
+    planted.foreach { id =>
+      assert(byPair.get((id, id + 400000)).contains(1.0),
+        s"excerpt of doc $id not fully contained: ${byPair.get((id, id + 400000))}")
+    }
+    // the class this operator exists for: contained pairs BELOW the
+    // near-dup Jaccard cut (J < 0.6) — invisible to X5a/b/c/d
+    assert(rows.exists { case (_, _, s, na, nb, c) =>
+      c == 1.0 && 10 * s < 6 * (na + nb - s)
+    }, "no contained-but-not-near-dup pair — the plant is vacuous")
+    // every emitted row satisfies the declared cut
+    rows.foreach { case (a, b, s, na, nb, _) =>
+      assert(10 * s >= 9 * math.min(na, nb), s"pair ($a,$b) violates the containment cut")
+    }
+  }
 }
