@@ -44,7 +44,7 @@ object Dedup {
     * shifted by 200000; every 25th doc). Same derivation in every
     * oracle, so sf0.01 always contains true near-dups.
     */
-  private def corpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     d.unionByName(
       d.filter(col("doc_id") % 25 === 0)
@@ -432,7 +432,7 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  private val nBands = 4 // 8 minhashes, bands of 2
+  private[graft] val nBands = 4 // 8 minhashes, bands of 2
 
   import graft.functions.MinHashSketch.{mixA, mixB, mod => minhashMod}
 
@@ -466,7 +466,7 @@ object Dedup {
     * incremental new-vs-index build (X53), which joins two DISJOINT
     * band streams instead of one against itself.
     */
-  private def minhashBands(sh: DataFrame): DataFrame =
+  private[graft] def minhashBands(sh: DataFrame): DataFrame =
     minhashSig(sh).select(
       col("doc_id"),
       explode(array((0 until nBands).map(b =>
@@ -475,6 +475,24 @@ object Dedup {
           element_at(col("sig"), 2 * b + 1).as("k1"),
           element_at(col("sig"), 2 * b + 2).as("k2"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+
+  /** The two static-index tables the STREAMING incremental dedup
+    * ([[graft.streaming.Gateway.dedupFeed]]) joins each micro-batch
+    * against — exactly what X53's batch form derives from the indexed
+    * half (doc_id % 4 != 0): the band-bucket table and the per-doc
+    * shingle-set + cardinality table. In production these are written
+    * once, bucketed by band key / doc_id, and reused across batches;
+    * here they ride the memoized [[shingleIndex]].
+    */
+  private[graft] def incrementalIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val shIdx = shingleIndex(s, dir).filter(col("doc_id") % 4 =!= 0)
+    val bands = minhashBands(shIdx)
+      .withColumnRenamed("doc_id", "idx_id")
+    val sets = shIdx.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("idx_shingles"), min(col("n")).as("n_b"))
+      .withColumnRenamed("doc_id", "idx_id")
+    (bands, sets)
+  }
 
   /** Banded-MinHash candidate pairs — shared by the Jaccard-verified
     * (X5b) and edit-distance-verified (X5d) variants.

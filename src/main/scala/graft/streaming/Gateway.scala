@@ -300,6 +300,73 @@ object Gateway {
         col("n_admitted"), col("admitted_chars"))
   }
 
+  /** Streaming X53 — incremental near-dedup of an incoming document
+    * feed against a PREBUILT static index
+    * ([[graft.operators.Dedup.incrementalIndex]]), the ingest-time
+    * quarantine the batch `q_dedup_incr` runs nightly. Everything on
+    * the stream side is computed IN-ROW — shingle set, the 8 MinHash
+    * slots (an `array_min` over the row's own shingles equals the
+    * [[graft.functions.MinHashSketch]] aggregate over the same set),
+    * band keys — so the stream needs NO streaming aggregate at all:
+    * two stateless stream-static equi-joins (band match, then the
+    * matched index doc's shingle set for the exact-Jaccard verify)
+    * and one watermark-bounded `dropDuplicatesWithinWatermark` to
+    * flag each incoming doc once. Emits `(ts, doc_id)` quarantine
+    * rows in append mode with no window to flush.
+    *
+    * Scale note: the verify carries the incoming doc's shingle array
+    * through its ≤ [[graft.operators.Dedup.nBands]] band rows — the
+    * micro-batch-side mirror of the batch form's broadcast-candidates
+    * verify; the alternative (re-join candidates to the incoming
+    * batch) trades that for a third join. The static band table is
+    * bucketed by band key in production, so the band join is
+    * co-located and the historic corpus text is never touched.
+    */
+  def dedupFeed(
+      lines: DataFrame,
+      indexBands: DataFrame,
+      indexSets: DataFrame,
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    import graft.functions.MinHashSketch.{mixA, mixB, mod => mhMod}
+    val parsed = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 && col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).cast("long").as("doc_id"),
+        col("p").getItem(2).as("text"))
+      .withWatermark("ts", watermarkDelay)
+    val shingled = parsed
+      .select(col("ts"), col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("ts"), col("doc_id"),
+        array_distinct(transform(sequence(lit(1), size(col("w")) - 2), i =>
+          concat(
+            element_at(col("w"), i), lit(" "),
+            element_at(col("w"), i + 1), lit(" "),
+            element_at(col("w"), i + 2)))).as("shingles"))
+    def sigSlot(i: Int) =
+      array_min(transform(col("shingles"), sh =>
+        ((conv(substring(md5(sh), 1, 8), 16, 10).cast("long") % 2147483648L)
+          * mixA(i) + mixB(i)) % mhMod))
+    shingled
+      .select(col("ts"), col("doc_id"), col("shingles"), size(col("shingles")).as("n_a"),
+        explode(array((0 until graft.operators.Dedup.nBands).map(b =>
+          struct(
+            lit(b).as("band"),
+            sigSlot(2 * b).as("k1"),
+            sigSlot(2 * b + 1).as("k2"))): _*)).as("bk"))
+      .select(col("ts"), col("doc_id"), col("shingles"), col("n_a"),
+        col("bk.band").as("band"), col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+      .join(indexBands, Seq("band", "k1", "k2"))
+      .join(indexSets, Seq("idx_id"))
+      .withColumn("shared", size(array_intersect(col("shingles"), col("idx_shingles"))))
+      .filter(col("shared") * 10 >= (col("n_a") + col("n_b") - col("shared")) * 6)
+      .select(col("ts"), col("doc_id"))
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
   /** B3 — bulk-upload delta encoding: one reference time per
     * micro-batch (`sentat`), every row's time expressed as an offset
     * against it (※ OemGatewayEmoncmsBuffer._send_data payload

@@ -971,6 +971,41 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup flags exactly the batch X53 incoming set") {
+    // the ingest-time form of q_dedup_incr: the X53 incoming half
+    // (doc_id % 4 == 0) replayed as a document feed, stream-static
+    // joined against the SAME prebuilt band/shingle index the batch
+    // query derives — the flagged quarantine set must equal the batch
+    // query's verified incoming ids exactly (in-row signatures ==
+    // sketch-aggregate signatures, band keys equal, same Jaccard cut)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val incoming = graft.operators.Dedup.corpus(spark, dir)
+      .filter(col("doc_id") % 4 === 0)
+      .collect().map(r => s"1000 ${r.getLong(0)} ${r.getString(1)}")
+    val (bands, sets) = graft.operators.Dedup.incrementalIndex(spark, dir)
+    val ms = MemoryStream[String]
+    val sink = s"dedup_feed_${System.nanoTime()}"
+    val q = Gateway.dedupFeed(ms.toDF(), bands, sets)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      ms.addData(incoming.toSeq: _*)
+      q.processAllAvailable()
+      // duplicate delivery of the same feed must not re-flag: the
+      // within-watermark dedup state absorbs the at-least-once replay
+      ms.addData(incoming.take(5).toSeq: _*)
+      q.processAllAvailable()
+      val flagged = spark.table(sink).select("doc_id").as[Long].collect().toList
+      val batch = SparkEntry.queries("q_dedup_incr")(spark, dir)
+        .select("id_a").as[Long].collect().toSet
+      assert(batch.nonEmpty, "vacuous pin: no split-crossing near-dups at this SF")
+      assert(flagged.toSet === batch,
+        s"streamed quarantine ${flagged.toSet} != batch incremental $batch")
+      assert(flagged.size === flagged.toSet.size, "replayed rows were re-flagged")
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped (documented superset of REF)") {
     val out = Files.createTempDirectory("gw-out").toString
     val ckpt = Files.createTempDirectory("gw-ckpt").toString
