@@ -251,6 +251,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans === 1, s"q_profile plans $scans file scans:\n$plan")
   }
 
+  test("q_boilerplate_strip's strip phase is join-free: the corpus never shuffles") {
+    // X52's scale contract: the df>threshold hot set is literalized
+    // into the plan (the build-time collect is bounded by
+    // boilerplateMax), so the strip phase is scan -> in-row
+    // filter/reassemble -> final sort. Any Join or extra Exchange
+    // here means the corpus text started moving again.
+    val plan = SparkEntry.queries("q_boilerplate_strip")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"strip phase grew a join:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges === 1, s"strip phase plans $exchanges exchanges (want the final sort only):\n$plan")
+    assert("FileScan".r.findAllIn(plan).size === 1, s"strip phase re-scans:\n$plan")
+  }
+
+  test("q_containment and q_dedup_incr keep equi-joins only") {
+    // X54 drops the AllPairs length filter — the one predicate in the
+    // X5a join that is NOT an equi-key — so it must still plan hash/
+    // merge joins on the shingle (resp. band) keys, never a nested
+    // loop over pairs
+    for (q <- Seq("q_containment", "q_dedup_incr")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$q degenerated to a nested loop:\n$plan")
+    }
+  }
+
   test("q_range_join plans an equi-join on the time bin, never a nested loop") {
     // the binned rewrite is the whole point of R21: the naive BETWEEN
     // join has no equi-key, so Catalyst would plan
