@@ -1136,6 +1136,82 @@ object Dedup {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  /** X55 — LONGEST SHARED CHUNK RUN per doc pair: the chunk-granular
+    * reading of "deduplicating long substrings" (Lee et al., ACL'22 —
+    * their suffix-array pass removes verbatim spans; at corpus scale
+    * the chunk-run approximation is what a distributed engine can
+    * state relationally). A pair sharing ONE window is a phrase echo;
+    * a pair sharing a RUN of consecutive windows is a copied span —
+    * this query measures the spans that exact/near dedup's set
+    * measures deliberately ignore.
+    *
+    * Relational shape: collision join on the chunk hash (df-capped at
+    * [[boilerplateDf]] — chunks hotter than that are boilerplate,
+    * X52's business, and would quadratically explode the join on
+    * exactly the chunk class that carries no copy evidence), then
+    * classic gaps-and-islands per (pair, diagonal): aligned positions
+    * i_a − i_b share a diagonal, consecutive i_a minus row_number is
+    * constant within an island, one count per island, max per pair.
+    * The islands window is keyed by (id_a, id_b, d) — pair-bounded
+    * partitions (≤ windows-per-doc rows each), never corpus-keyed.
+    * Cut at max_run ≥ 2 (≥ 2·[[chunkTokens]] verbatim tokens).
+    */
+  private def chunkRuns(s: SparkSession, dir: String): DataFrame = {
+    val ct = chunkTokens
+    val chunks = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= ct)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), (size(col("toks")) / ct).cast("int") - 1),
+          i => md5(array_join(slice(col("toks"), i * ct + 1, lit(ct)), " ")))))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "h")
+    val dfreq = chunks.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+    val kept = chunks.join(dfreq.filter(col("df") <= boilerplateDf).select("h"), "h")
+    val matched = kept.as("a")
+      .join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.i").as("i_a"), (col("a.i") - col("b.i")).as("d"))
+    val islands = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("d")).orderBy(col("i_a"))
+    matched
+      .withColumn("grp", col("i_a") - row_number().over(islands))
+      .groupBy(col("id_a"), col("id_b"), col("d"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("run")).cast("long").as("max_run"),
+        sum(col("run")).cast("long").as("n_shared"))
+      .filter(col("max_run") >= 2)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val chunkRunsSql = {
+    val ct = chunkTokens
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $ct),
+       |c AS (
+       |  SELECT doc_id, i, md5(array_to_string(toks[(i*$ct+1):(i*$ct+$ct)], ' ')) AS h
+       |  FROM t, LATERAL unnest(range(len(toks) // $ct)) AS u(i)),
+       |dfreq AS (SELECT h, count(DISTINCT doc_id) AS df FROM c GROUP BY h),
+       |kept AS (SELECT c.* FROM c JOIN dfreq USING (h) WHERE df <= $boilerplateDf),
+       |m AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS i_a, a.i - b.i AS d
+       |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |r AS (
+       |  SELECT id_a, id_b, d,
+       |         i_a - row_number() OVER (PARTITION BY id_a, id_b, d ORDER BY i_a) AS grp
+       |  FROM m),
+       |runs AS (SELECT id_a, id_b, d, grp, count(*) AS run FROM r GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b,
+       |  CAST(max(run) AS BIGINT) AS max_run,
+       |  CAST(sum(run) AS BIGINT) AS n_shared
+       |FROM runs GROUP BY 1, 2 HAVING max(run) >= 2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private val chunkSql = {
     val ct = chunkTokens
     s"""WITH d AS (
@@ -1244,6 +1320,10 @@ object Dedup {
       boilerplateStrip,
       Some(boilerplateSql),
       "X52 frequent-chunk boilerplate removal with order-certified in-row reassembly"),
+    "q_chunk_runs" -> QueryDef(
+      chunkRuns,
+      Some(chunkRunsSql),
+      "X55 longest shared chunk run per pair: copied-span detection via gaps-and-islands"),
     "q_semdedup" -> QueryDef(
       (s, d) => semDedup(s, d),
       Some(semDedupSql),

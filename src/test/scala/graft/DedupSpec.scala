@@ -326,6 +326,40 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk runs == a sequential gaps-and-islands recount over the raw corpus") {
+    val dir = "/root/testdata/sf0.01"
+    val ct = graft.operators.Dedup.chunkTokens
+    val cap = graft.operators.Dedup.boilerplateDf
+    val rows = SparkEntry.queries("q_chunk_runs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.nonEmpty && rows.values.exists(_._1 >= 3), s"vacuous run pin: $rows")
+    // independent truth: chunk every doc sequentially, cap df, walk
+    // every pair's diagonals
+    val docChunks = Tables(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").grouped(ct).filter(_.length == ct).map(_.mkString(" ")).toVector)
+      .filter(_._2.nonEmpty).toMap
+    val df = docChunks.toSeq.flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.size }
+    val kept = docChunks.map { case (id, cs) =>
+      id -> cs.zipWithIndex.filter { case (c, _) => df(c) <= cap }
+    }
+    val expected = (for {
+      a <- kept.keys.toSeq; b <- kept.keys.toSeq if a < b
+      hits = for {
+        (ca, ia) <- kept(a); (cb, ib) <- kept(b) if ca == cb
+      } yield (ia, ia - ib)
+      if hits.nonEmpty
+    } yield {
+      val runs = hits.groupBy(_._2).values.flatMap { diag =>
+        val is = diag.map(_._1).sorted
+        is.zipWithIndex.groupBy { case (i, r) => i - r }.values.map(_.size)
+      }.toSeq
+      (a, b) -> ((runs.max.toLong, runs.sum.toLong))
+    }).filter(_._2._1 >= 2).toMap
+    assert(rows === expected, s"distributed runs diverge from sequential recount")
+  }
+
   test("incremental dedup == X5b pair set restricted to split-crossing pairs") {
     val dir = "/root/testdata/sf0.01"
     def pairs(q: String) = SparkEntry.queries(q)(spark, dir).collect()
