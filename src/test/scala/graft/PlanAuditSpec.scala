@@ -278,6 +278,63 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("a bucketed band index makes the X53 join shuffle-free on the index side") {
+    // X53's scaladoc claims the production index is "written once,
+    // bucketed by (band, k1, k2), and every nightly batch joins
+    // co-located" — this substantiates the claim with a REAL bucketed
+    // write + join plan: the bucketed scan must reach the sort-merge
+    // join with NO Exchange above it (only the batch side shuffles).
+    // Broadcast pinned off (both knobs — AQE re-plans small sides) so
+    // the test exercises the shuffle shape it claims to.
+    val dedup = graft.operators.Dedup
+    val dir = "/root/testdata/sf0.01"
+    val (bands, _) = dedup.incrementalIndex(spark, dir)
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val tbl = s"band_index_${System.nanoTime()}"
+    bands.write
+      .option("path", s"$warehouse/$tbl")
+      .bucketBy(4, "band", "k1", "k2")
+      .sortBy("band", "k1", "k2")
+      .format("parquet")
+      .saveAsTable(tbl)
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      prev.foreach { case (k, _) => spark.conf.set(k, "-1") }
+      val idx = spark.table(tbl)
+      // the incoming batch as a LOCAL relation (one micro-batch worth
+      // of band rows), so the joined plan's exchange count is
+      // decisive: 1 = the incoming side only, 2 = the "bucketed"
+      // index shuffled after all
+      import spark.implicits._
+      val newBands = dedup.minhashBands(
+        dedup.shingleIndex(spark, dir)
+          .filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 0))
+        .withColumnRenamed("doc_id", "new_id")
+      val incoming = newBands.as[(Long, Int, Long, Long)].collect().toSeq
+        .toDF("new_id", "band", "k1", "k2")
+      val joined = incoming.join(idx, Seq("band", "k1", "k2"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges === 1, s"want exactly one exchange (the incoming side); got $exchanges:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"index scan is not bucketed:\n$plan")
+      // and bucketing changed only the plan, not the result
+      val viaBuckets = joined.select("new_id", "idx_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val viaShuffle = incoming.join(bands, Seq("band", "k1", "k2"))
+        .select("new_id", "idx_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(viaBuckets.nonEmpty && viaBuckets === viaShuffle)
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("q_range_join plans an equi-join on the time bin, never a nested loop") {
     // the binned rewrite is the whole point of R21: the naive BETWEEN
     // join has no equi-key, so Catalyst would plan
