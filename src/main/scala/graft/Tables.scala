@@ -15,16 +15,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-      // default. GraftConf.ensure (called once at session setup by
-      // Verify/Bench/entry/tests) enables the legacy nanos-as-long read;
-      // here we truncate to microseconds — exactly what DuckDB does on
-      // read (SURVEY.md §7.3), so oracle parity is preserved. `div`
-      // keeps the arithmetic in integer space: ~1.7e18 ns overflows
-      // double's exact integer range.
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      // events.ts has shipped in two encodings across driver testdata
+      // generations: parquet TIMESTAMP(NANOS) (which Spark 4 refuses
+      // unless read as raw longs — GraftConf.ensure enables the legacy
+      // nanos-as-long read) and native TIMESTAMP(MICROS). Branch on the
+      // type Spark actually read: a long column is nanos and gets
+      // truncated to microseconds — exactly what DuckDB does on read
+      // (SURVEY.md §7.3), so oracle parity is preserved; `div` keeps the
+      // arithmetic in integer space (~1.7e18 ns overflows double's exact
+      // integer range). A timestamp column is already µs and passes
+      // through untouched.
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // isAdjustedToUTC=false parquet reads as TIMESTAMP_NTZ; the
+          // operator surface (unix_micros, window(), watermarks) wants
+          // TIMESTAMP. The cast interprets the naive value in the session
+          // timezone — pinned to UTC at every entry point — which is the
+          // same instant DuckDB assigns the naive timestamp, so oracle
+          // parity is preserved.
+          df.withColumn("ts",
+            df("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
@@ -41,10 +57,16 @@ object Tables {
   */
 object GraftConf {
   /** Idempotent; safe to call from any entry point. */
-  def ensure(spark: SparkSession): Unit =
-    // events.ts is TIMESTAMP(NANOS) parquet; Spark 4 refuses it unless
-    // read as raw longs (Tables truncates to µs, matching DuckDB).
+  def ensure(spark: SparkSession): Unit = {
+    // events.ts is TIMESTAMP(NANOS) parquet in some testdata
+    // generations; Spark 4 refuses it unless read as raw longs
+    // (Tables truncates to µs, matching DuckDB).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // TIMESTAMP_NTZ generations are cast to TIMESTAMP in the session
+    // zone (Tables); pin it to UTC everywhere so the instant matches
+    // the oracle's naive-timestamp reading regardless of machine TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
 }
 
 /** One declared operator: the Spark implementation plus (when the
