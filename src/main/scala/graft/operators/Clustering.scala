@@ -542,6 +542,68 @@ object Clustering {
        |FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
+  /** Per-cell quota for X57 — deliberately smaller than the typical
+    * cell population at every SF so the cap binds in some cells and
+    * not others (both branches of the keep decision stay non-vacuous,
+    * the X38 philosophy applied to semantic cells).
+    */
+  private[graft] val clusterSampleM = 25
+
+  /** X57 — cluster-balanced (diversity) sampling: keep at most M
+    * vectors per k-means cell, chosen by a salted hash-uniform — the
+    * "semantic mixing" step SemDeDup-style pipelines run after
+    * clustering: per-CELL caps flatten over-represented semantic
+    * regions the way X38's per-SOURCE caps flatten over-crawled
+    * feeds (provenance says nothing about meaning; the cell id is
+    * the meaning-keyed stratum). Selection key is a salted md5
+    * uniform, NEVER `rand()` — reproducible engine-to-engine and
+    * under repartitioning (the X16/X49 discipline).
+    *
+    * Scale shape: assignment is the X32 narrow literal-centroid
+    * argmin (no join, no shuffle); the per-cell ranking goes through
+    * [[graft.operators.Extensions.rankedByRange]] — K is small and a
+    * popular cell is exactly the X38 Zipf hazard, so no task ever
+    * sorts a whole cell. Output is the kept rows only; rank carried
+    * so the cap is auditable.
+    */
+  private def clusterSample(s: SparkSession, dir: String): DataFrame = {
+    val assigned = graft.Tables(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        bestCentroid(s, dir).getField("cid").cast("long").as("cid"),
+        graft.operators.Hashing.h32(
+          concat(lit("cs"), col("vec_id").cast("string"))).as("u"))
+    Extensions.rankedByRange(assigned, "cid", Seq("u", "vec_id"), "cs_rank")
+      .filter(col("cs_rank") <= clusterSampleM)
+      .select(col("vec_id"), col("cid"), col("cs_rank").cast("long").as("cs_rank"))
+      .orderBy("vec_id")
+  }
+
+  private def clusterSampleSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND $centroidK),
+       |d AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(list_sum(list_transform(list_zip(e.embedding, c.ce),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 4) AS d2
+       |  FROM embeddings e, c),
+       |a AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM d),
+       |u AS (
+       |  SELECT vec_id, cid,
+       |    ('0x' || substr(md5('cs' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS u
+       |  FROM a WHERE rn = 1),
+       |r AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY cid ORDER BY u, vec_id) AS cs_rank
+       |  FROM u)
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(cs_rank AS BIGINT) AS cs_rank
+       |FROM r WHERE cs_rank <= $clusterSampleM ORDER BY vec_id""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_dedup_cluster" -> QueryDef(
       dedupCluster,
@@ -567,5 +629,9 @@ object Clustering {
       kmeansLloyd,
       Some(kmeansLloydSql),
       "X32+X33 composed Lloyd loop: 3 iterations vs the unrolled oracle, means + scaled SSE"),
+    "q_cluster_sample" -> QueryDef(
+      clusterSample,
+      Some(clusterSampleSql),
+      "X57 cluster-balanced sampling: at most M vectors per k-means cell, hash-uniform pick"),
   )
 }

@@ -555,6 +555,78 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** X58 — DSIR importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every raw document by log p_target(doc) − log p_raw(doc) under
+    * bag-of-bigrams models of a target (here the `en` slice — the
+    * "looks like the high-quality reference corpus" proxy; a real run
+    * points this at Wikipedia) and of the raw corpus itself. Docs
+    * that score high look more target-like than corpus-typical and
+    * get resampled up — the principled replacement for a hand-tuned
+    * quality-blend when a trusted target corpus exists (complements
+    * X39: blend = hand-weighted signals, DSIR = distribution match).
+    *
+    * Add-1 smoothing over the RAW feature space (every corpus bigram;
+    * target-absent bigrams get mass 1/(T+B)) keeps every ln finite —
+    * raw-absent bigrams cannot occur in scoring because the feature
+    * stream is corpus text.
+    *
+    * Numerics (the X48/X51 discipline): both ln terms are snapped to
+    * 1e-6 fixed point PER BIGRAM in the bounded dictionary, their
+    * exact-integer difference is weighted by the exact per-doc count,
+    * and the per-doc total is SUMMED AS INTEGERS — order-independent
+    * where a double sum is partition-order dependent.
+    *
+    * Scale shape: q_lm_score's exactly — the (doc, bigram) stream
+    * joins ONE vocabulary-bounded dictionary (Heaps-law sublinear;
+    * no hint: auto-broadcast while small, AQE beyond), then one
+    * doc-keyed aggregate with map-side partials; the three scalar
+    * totals ride the dictionary rows, never a corpus-proportional
+    * broadcast.
+    */
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val pairs = d
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"""
+          .stripMargin)).as("bg"))
+    val cR = pairs.groupBy(col("bg")).agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("lang") === dsirTargetLang, 1L).otherwise(0L)).as("c_t"))
+    // scalar totals (R, T, B) ride a 1-row broadcast onto the
+    // B-bounded dictionary — never onto corpus rows
+    val tot = cR.agg(
+      sum(col("c_r")).as("tr"), sum(col("c_t")).as("tt"),
+      count(lit(1)).as("b"))
+    val dict = cR.crossJoin(broadcast(tot))
+      .select(col("bg"),
+        (round(lit(1000000.0) * log((col("c_t") + 1).cast("double") / (col("tt") + col("b"))), 0).cast("long")
+          - round(lit(1000000.0) * log((col("c_r") + 1).cast("double") / (col("tr") + col("b"))), 0).cast("long"))
+          .as("delta6"))
+    // Final round-4 happens in INTEGER space: the per-doc total is an
+    // exact count of 1e-6 units, and `round(total/1e6, 4)` would put
+    // engines on opposite sides whenever the total ends in 50 (the
+    // double nearest x.xxxx5 prints differently per round
+    // implementation — a real sf0.1 hit, doc 706). HALF_UP on the
+    // exact integer (|s|+50 div 100, sign restored) is portable by
+    // construction; the final /1e4 maps identical integers to
+    // identical doubles.
+    val s6 = sum(col("delta6"))
+    val q4 = (floor((abs(s6) + 50) / 100) * when(s6 < 0, -1).otherwise(1)).cast("long")
+    pairs
+      .join(dict, "bg")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        (q4 / lit(10000.0)).as("logratio"))
+      .orderBy("doc_id")
+  }
+
+  private[graft] val dsirTargetLang = "en"
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_decontaminate" -> QueryDef(
       decontaminate,
@@ -736,5 +808,30 @@ object Curation {
                 .mkString("\n  AND ")}
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "X50 Bloom-filter decontamination: 2 KiB filter broadcast, superset of exact"),
+    "q_dsir_weights" -> QueryDef(
+      dsirWeights,
+      Some(s"""WITH p AS (
+              |  SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS bg
+              |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents) t,
+              |       LATERAL unnest(generate_series(1, len(w) - 1)) AS s(i)
+              |  WHERE len(w) >= 2),
+              |cr AS (
+              |  SELECT bg, count(*) AS c_r,
+              |    sum(CASE WHEN lang = '$dsirTargetLang' THEN 1 ELSE 0 END) AS c_t
+              |  FROM p GROUP BY bg),
+              |tot AS (SELECT sum(c_r) AS tr, sum(c_t) AS tt, count(*) AS b FROM cr),
+              |dict AS (
+              |  SELECT bg,
+              |    CAST(round(1000000.0 * ln(CAST(c_t + 1 AS DOUBLE) / (tt + b)), 0) AS BIGINT)
+              |    - CAST(round(1000000.0 * ln(CAST(c_r + 1 AS DOUBLE) / (tr + b)), 0) AS BIGINT)
+              |      AS delta6
+              |  FROM cr, tot)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |  CAST(floor((abs(sum(delta6)) + 50) / 100)
+              |       * (CASE WHEN sum(delta6) < 0 THEN -1 ELSE 1 END) AS BIGINT)
+              |    / 10000.0 AS logratio
+              |FROM p JOIN dict USING (bg)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "X58 DSIR importance weights: per-doc target-vs-raw bigram log-likelihood ratio"),
   )
 }

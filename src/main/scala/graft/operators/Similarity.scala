@@ -305,6 +305,121 @@ object Similarity {
        |          WHERE b.vec_id <> 0 AND ($orCond))""".stripMargin
   }
 
+  /** PQ geometry for X59: 8 subspaces × 8 dims over the 64-dim
+    * embedding, 4 codewords per subspace — the codebook rows are the
+    * embeddings of vec_id 1..4 (the X32/X34 "index parameters are
+    * operator CONFIG" argument: a real deployment trains codebooks
+    * offline per subspace and ships them; fixed rows are the
+    * cross-engine-reproducible stand-in, exactly like the IVF
+    * centroids). k=4 is deliberately tiny so quantization error is
+    * VISIBLE — the adc_d2 ranking genuinely differs from exact L2,
+    * which is the property SimilaritySpec measures (a k where ADC ≡
+    * exact would make the whole approximation vacuous).
+    */
+  private[graft] val pqM = 8
+  private[graft] val pqSubDim = 8
+  private[graft] val pqK = 4
+
+  /** Codebook: per subspace j, the j-th 8-dim slice of each of the
+    * pqK config rows. Rides the [[Clustering.centroids]] memo (rows
+    * 1..4 of it) — one fetch serves kmeans, IVF, and PQ.
+    */
+  private def pqCodebook(s: SparkSession, dir: String): Seq[(Long, Array[Double])] =
+    Clustering.centroids(s, dir).take(pqK)
+      .map { case (cid, v) => cid -> v.map(_.toDouble) }
+
+  /** X59 — product-quantization ADC top-10: the memory-bound ANN
+    * scale path that LSH (X7) and IVF (X34) don't cover — each vector
+    * compresses to m=8 code BYTES (here: nibbles), and query-time
+    * scoring is m table lookups instead of d multiplies (Jégou et
+    * al., "Product Quantization for Nearest Neighbor Search", TPAMI
+    * 2011). At 100 TB the codes table is ~1/32 the embedding bytes:
+    * the rerank candidate set is produced WITHOUT touching raw
+    * vectors, which is the point — IO, not FLOPs, is the 100 TB ANN
+    * bottleneck.
+    *
+    * Engine-portable by the X32 discipline applied per subspace: the
+    * per-subspace assignment rounds d² to 4 dp BEFORE the argmin with
+    * codeword-id tie-break, and the ADC estimate sums the 8 looked-up
+    * query-to-codeword distances AS INTEGER ten-thousandths (the
+    * round-4 values are not exact decimals as doubles; their integer
+    * image is order-independent under addition — the X48 fixed-point
+    * discipline applied to distance accumulation).
+    *
+    * Scale shape: encoding and lookup are pure narrow per-row literal
+    * work inside WholeStageCodegen — the codebook and the query's
+    * 8×4 ADC table are plan literals; no join, no shuffle, and the
+    * top-10 is a TakeOrdered. (A deployment materializes the codes
+    * table once and scans only it; here encode+score fuse into one
+    * pass over the corpus, which is the same plan minus the reused
+    * materialization.)
+    */
+  private def simPq(s: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(s, dir)
+    val q = queryVec(s, dir).map(_.toDouble)
+    // Driver-side ADC table: adc4(j)(c-1) = round4(d²(q_j, cw_{c,j}))
+    // as integer ten-thousandths (exact by construction).
+    val adc4: IndexedSeq[IndexedSeq[Long]] =
+      (0 until pqM).map { j =>
+        cb.map { case (_, v) =>
+          var d = 0.0
+          var i = j * pqSubDim
+          while (i < (j + 1) * pqSubDim) { val t = q(i) - v(i); d += t * t; i += 1 }
+          (BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact
+        }.toIndexedSeq
+      }
+    def subCol(j: Int): Column = slice(col("embedding"), j * pqSubDim + 1, pqSubDim)
+    // code_j = argmin codeword by (round-4 d², cid); cids are 1..pqK,
+    // so the code doubles as the 1-based ADC lookup index
+    def codeJ(j: Int): Column = least(cb.map { case (cid, v) =>
+      struct(
+        round(VectorOps.l2Sq(subCol(j),
+          typedlit(v.slice(j * pqSubDim, (j + 1) * pqSubDim).toSeq)), 4).as("d2"),
+        lit(cid).as("c"))
+    }: _*).getField("c")
+    val adcInt = (0 until pqM).map { j =>
+      element_at(array(adc4(j).map(lit): _*), codeJ(j).cast("int"))
+    }.reduce(_ + _)
+    Tables(s, dir, "embeddings")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        round(adcInt / lit(10000.0), 4).as("adc_d2"))
+      .orderBy(col("adc_d2").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  private def pqSql: String =
+    s"""WITH cb AS (
+       |  SELECT vec_id AS c, embedding AS ce FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND $pqK),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |js AS (SELECT unnest(generate_series(0, ${pqM - 1})) AS j),
+       |dc AS (
+       |  SELECT e.vec_id, e.label, js.j, cb.c,
+       |    round(list_sum(list_transform(
+       |      list_zip(e.embedding[js.j*$pqSubDim+1 : js.j*$pqSubDim+$pqSubDim],
+       |               cb.ce[js.j*$pqSubDim+1 : js.j*$pqSubDim+$pqSubDim]),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 4) AS d2
+       |  FROM embeddings e, js, cb WHERE e.vec_id <> 0),
+       |code AS (
+       |  SELECT vec_id, label, j, c,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+       |  FROM dc),
+       |qd AS (
+       |  SELECT js.j, cb.c,
+       |    CAST(round(round(list_sum(list_transform(
+       |      list_zip(q.qe[js.j*$pqSubDim+1 : js.j*$pqSubDim+$pqSubDim],
+       |               cb.ce[js.j*$pqSubDim+1 : js.j*$pqSubDim+$pqSubDim]),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 4) * 10000, 0) AS BIGINT) AS a4
+       |  FROM q, js, cb)
+       |SELECT vec_id, label, round(sum(a4) / 10000.0, 4) + 0 AS adc_d2
+       |FROM code JOIN qd USING (j, c)
+       |WHERE rn = 1
+       |GROUP BY vec_id, label
+       |ORDER BY adc_d2 ASC, vec_id ASC LIMIT 10""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_sim_bucketed" -> QueryDef(
       simBucketed,
@@ -335,5 +450,9 @@ object Similarity {
       simIvf,
       Some(ivfSql),
       "X34 IVF cosine top-10: fixed-centroid coarse cells, literal nprobe probe"),
+    "q_sim_pq" -> QueryDef(
+      simPq,
+      Some(pqSql),
+      "X59 product-quantization ADC top-10: 8x8-dim codebook encode, integer lookup sum"),
   )
 }

@@ -769,8 +769,16 @@ object TextAnalysis {
         round(lit(1000000.0) * p * log(p / q), 0).cast("long").as("term"))
       .groupBy(col("source"), col("ts"))
       .agg(sum(col("term")).as("t6"))
+      // round-4 in INTEGER space (the q_dsir_weights discipline): the
+      // total is an exact count of 1e-6 units, and a double round of
+      // total/1e6 flips engines whenever the total ends in 50; HALF_UP
+      // on the integer is portable by construction. KL ≥ 0 only holds
+      // over the FULL support — the top-V truncation can make a
+      // source's restricted sum slightly negative, so the sign branch
+      // stays.
       .select(col("source"), col("ts").cast("long").as("n_vocab_toks"),
-        round(col("t6") / lit(1000000.0), 4).as("kl"))
+        ((floor((abs(col("t6")) + 50) / 100)
+          * when(col("t6") < 0, -1).otherwise(1)).cast("long") / lit(10000.0)).as("kl"))
       .orderBy("source")
   }
 
@@ -877,6 +885,59 @@ object TextAnalysis {
         round(col("sy") / (col("n") * lit(1000000.0))
           - (num / den) * (col("sx") / (col("n") * lit(1000000.0))), 4).as("ln_intercept"))
       .orderBy("n_pts")
+  }
+
+  /** X56 — per-source distribution drift: the exact two-sample
+    * Kolmogorov–Smirnov statistic between each source's document-length
+    * distribution and the whole corpus's — the scalar monitor a
+    * production pipeline alarms on when a crawl source silently changes
+    * shape (truncation bugs, template switches, paywall stubs all move
+    * the length ECDF long before they move mean length). Complements
+    * X51: KL sees token-CONTENT drift, this sees size/shape drift.
+    *
+    * Exactness: sup|F_s − F_all| over a STEP function pair is attained
+    * at a jump point of either sample, and every corpus jump between
+    * two consecutive source jumps is dominated by the left-limit
+    * evaluation at the next source jump — so evaluating both F(v) and
+    * F(v⁻) at the SOURCE's jump points only is exact, with no
+    * source×grid expansion (and no cartesian, per the house plan
+    * audit). Differences are computed as cross-multiplied exact
+    * integers |cum_s·N − cum_all·n_s| (no float until one final
+    * divide), so the max is engine-portable by construction.
+    *
+    * Scale shape: the corpus collapses FIRST to the per-(source,
+    * length) count matrix — |sources| × |distinct lengths|, bounded by
+    * max document length, not by corpus size (the X40/X51 collapse
+    * discipline); every window below runs on that tiny matrix. The
+    * corpus-marginal windows are single-task over ≤|distinct lengths|
+    * rows — a plan constant, documented like q_source_kl's.
+    */
+  private def sourceDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = docs(s, dir).groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cv = m.groupBy(col("n_chars")).agg(sum(col("c")).as("cv"))
+      .withColumn("cum_all",
+        sum(col("cv")).over(Window.partitionBy().orderBy(col("n_chars"))))
+      .withColumn("n_total", sum(col("cv")).over(wAll))
+    val ms = m
+      .withColumn("cum_s",
+        sum(col("c")).over(Window.partitionBy(col("source")).orderBy(col("n_chars"))))
+      .withColumn("n_s",
+        sum(col("c")).over(Window.partitionBy(col("source"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val atV = abs(col("cum_s") * col("n_total") - col("cum_all") * col("n_s"))
+    val atVMinus = abs((col("cum_s") - col("c")) * col("n_total")
+      - (col("cum_all") - col("cv")) * col("n_s"))
+    ms.join(cv, "n_chars")
+      .groupBy(col("source"), col("n_s"))
+      .agg(max(greatest(atV, atVMinus)).as("ks_num"),
+        max(col("n_total")).as("n_total"))
+      .select(col("source"), col("n_s").cast("long").as("n_docs"),
+        round(col("ks_num").cast("double") / (col("n_s") * col("n_total")), 4).as("ks"))
+      .orderBy("source")
   }
 
   val defs: ListMap[String, QueryDef] = ListMap(
@@ -1124,8 +1185,35 @@ object TextAnalysis {
               |      AS BIGINT) AS term
               |  FROM prof p JOIN ci i ON i.tok = p.tok JOIN ts t ON t.source = p.source)
               |SELECT source, CAST(ts AS BIGINT) AS n_vocab_toks,
-              |  round(sum(term) / 1000000.0, 4) + 0 AS kl
+              |  CAST(floor((abs(sum(term)) + 50) / 100)
+              |       * (CASE WHEN sum(term) < 0 THEN -1 ELSE 1 END) AS BIGINT)
+              |    / 10000.0 AS kl
               |FROM terms GROUP BY source, ts ORDER BY source""".stripMargin),
       "X51 per-source KL divergence from the corpus token distribution (top-V vocab)"),
+    "q_source_drift" -> QueryDef(
+      sourceDrift,
+      Some("""WITH m AS (
+             |  SELECT source, n_chars, count(*) AS c
+             |  FROM documents GROUP BY source, n_chars),
+             |cv AS (
+             |  SELECT n_chars, sum(c) AS cv,
+             |    sum(sum(c)) OVER (ORDER BY n_chars) AS cum_all,
+             |    sum(sum(c)) OVER () AS n_total
+             |  FROM m GROUP BY n_chars),
+             |ms AS (
+             |  SELECT source, n_chars, c,
+             |    sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum_s,
+             |    sum(c) OVER (PARTITION BY source) AS n_s
+             |  FROM m),
+             |j AS (
+             |  SELECT s.source, s.n_s, v.n_total,
+             |    greatest(
+             |      abs(s.cum_s * v.n_total - v.cum_all * s.n_s),
+             |      abs((s.cum_s - s.c) * v.n_total - (v.cum_all - v.cv) * s.n_s)) AS dd
+             |  FROM ms s JOIN cv v USING (n_chars))
+             |SELECT source, CAST(n_s AS BIGINT) AS n_docs,
+             |  round(CAST(max(dd) AS DOUBLE) / (n_s * n_total), 4) + 0 AS ks
+             |FROM j GROUP BY source, n_s, n_total ORDER BY source""".stripMargin),
+      "X56 per-source length-distribution drift: exact two-sample KS vs the corpus"),
   )
 }
