@@ -39,7 +39,17 @@ object Tables {
           // parity is preserved.
           df.withColumn("ts",
             df("ts").cast(org.apache.spark.sql.types.TimestampType))
-        case _ => df
+        case org.apache.spark.sql.types.TimestampType => df
+        case other =>
+          // Fail LOUDLY on a fourth encoding (r13 ADVICE): a silent
+          // pass-through here would let e.g. a plain-INT64-micros
+          // generation ride the nanos branch's assumptions into every
+          // events query. LongType-means-nanos above is itself an
+          // assumption; this guard at least pins the known universe.
+          throw new IllegalStateException(
+            s"events.ts read as unexpected type $other — known encodings are " +
+              "TIMESTAMP(NANOS)-as-long, TIMESTAMP_NTZ, and TIMESTAMP(MICROS); " +
+              "inspect the parquet footer before wiring a new branch")
       }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")

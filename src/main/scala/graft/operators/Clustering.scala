@@ -542,12 +542,17 @@ object Clustering {
        |FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
-  /** Per-cell quota for X57 — deliberately smaller than the typical
-    * cell population at every SF so the cap binds in some cells and
-    * not others (both branches of the keep decision stay non-vacuous,
-    * the X38 philosophy applied to semantic cells).
+  /** Per-cell quota for X57 — chosen strictly between the smallest
+    * and largest cell populations at the SPEC/ORACLE SFs (sf0.001
+    * cells span 55–80 vectors, sf0.01 span 44–75; measured r14), so
+    * the cap binds in some cells and not others there — both branches
+    * of the keep decision stay non-vacuous (ClusteringSpec pins it;
+    * the X38 philosophy applied to semantic cells). At sf0.1+ every
+    * cell exceeds M and the cap binds everywhere — the production
+    * shape: a 100 TB diversity quota is expected to truncate every
+    * over-represented semantic region.
     */
-  private[graft] val clusterSampleM = 25
+  private[graft] val clusterSampleM = 60
 
   /** X57 — cluster-balanced (diversity) sampling: keep at most M
     * vectors per k-means cell, chosen by a salted hash-uniform — the

@@ -931,12 +931,24 @@ object TextAnalysis {
     val atV = abs(col("cum_s") * col("n_total") - col("cum_all") * col("n_s"))
     val atVMinus = abs((col("cum_s") - col("c")) * col("n_total")
       - (col("cum_all") - col("cv")) * col("n_s"))
+    // Final round-4 in INTEGER space (r13 ADVICE — the q_dsir_weights/
+    // q_source_kl discipline applied here too): ks_num/(n_s*n_total) is
+    // an exact rational that can land on a decimal .xxxx5 tie where
+    // Spark's BigDecimal HALF_UP and DuckDB's double round diverge.
+    // q4 = (2*10000*ks_num + den) div (2*den) is HALF_UP by
+    // construction; DECIMAL(38,0) carries the cross-multiplied
+    // intermediate (n_s*n_total alone overflows BIGINT at ~1e10 docs).
     ms.join(cv, "n_chars")
       .groupBy(col("source"), col("n_s"))
       .agg(max(greatest(atV, atVMinus)).as("ks_num"),
         max(col("n_total")).as("n_total"))
+      .withColumn("q4", expr(
+        """CAST((CAST(ks_num AS DECIMAL(38,0)) * 20000
+          |       + CAST(n_s AS DECIMAL(38,0)) * n_total)
+          |  DIV (2 * CAST(n_s AS DECIMAL(38,0)) * n_total) AS BIGINT)"""
+          .stripMargin))
       .select(col("source"), col("n_s").cast("long").as("n_docs"),
-        round(col("ks_num").cast("double") / (col("n_s") * col("n_total")), 4).as("ks"))
+        (col("q4") / lit(10000.0)).as("ks"))
       .orderBy("source")
   }
 
@@ -1212,7 +1224,8 @@ object TextAnalysis {
              |      abs((s.cum_s - s.c) * v.n_total - (v.cum_all - v.cv) * s.n_s)) AS dd
              |  FROM ms s JOIN cv v USING (n_chars))
              |SELECT source, CAST(n_s AS BIGINT) AS n_docs,
-             |  round(CAST(max(dd) AS DOUBLE) / (n_s * n_total), 4) + 0 AS ks
+             |  CAST((CAST(max(dd) AS HUGEINT) * 20000 + CAST(n_s AS HUGEINT) * n_total)
+             |       // (2 * CAST(n_s AS HUGEINT) * n_total) AS BIGINT) / 10000.0 AS ks
              |FROM j GROUP BY source, n_s, n_total ORDER BY source""".stripMargin),
       "X56 per-source length-distribution drift: exact two-sample KS vs the corpus"),
   )

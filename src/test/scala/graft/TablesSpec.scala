@@ -16,14 +16,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * branches to the SAME instants so the next generator change is a
   * red test here, not 20 missing correctness rows.
   */
-class TablesSpec extends AnyFunSuite {
+class TablesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = SparkFixture.spark
 
   // One reference row: 2024-01-01T00:00:01.234567Z.
   private val micros = 1704067201234567L
 
+  // r13 ADVICE: delete the per-test temp dirs instead of leaking
+  // parquet on every run. Loads are eagerly materialized below, so
+  // nothing reads the files after afterAll.
+  private val tmpDirs = scala.collection.mutable.ListBuffer.empty[java.io.File]
+  override def afterAll(): Unit =
+    tmpDirs.foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(d))
+
   private def writeAndLoad(writeDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft-events-enc").toString
+    tmpDirs += new java.io.File(dir)
     writeDf.write.mode("overwrite").parquet(s"$dir/events.parquet")
     Tables(spark, dir, "events")
   }
@@ -57,5 +65,17 @@ class TablesSpec extends AnyFunSuite {
         lit(micros * 1000L + 999L).as("ts"))) // sub-µs ns that must truncate, not round
     assert(df.schema("ts").dataType === TimestampType)
     assert(df.select(unix_micros(col("ts"))).head.getLong(0) === micros)
+  }
+
+  test("a fourth, unknown ts encoding fails loudly instead of passing through") {
+    // r13 ADVICE: the old `case _ => df` silently admitted any future
+    // encoding into every events query; now it names the type and throws.
+    val ex = intercept[IllegalStateException] {
+      writeAndLoad(
+        spark.range(1).select(
+          col("id").as("event_id"),
+          lit("2024-01-01T00:00:01Z").as("ts")))
+    }
+    assert(ex.getMessage.contains("unexpected type"))
   }
 }
