@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 
 import scala.collection.immutable.ListMap
 
-/** X44 — the production curation pipeline composed as ONE DAG
-  * (SURVEY.md §2.5 composition mandate): normalize (X23) → curation
+/** The production curation pipeline composed as ONE DAG — SURVEY
+  * §2.5's composition-mandate row, not an X-numbered operator of its
+  * own: normalize (X23) → curation
   * gates (X35) → near-dup keep/drop (X5b+X21+X26) → per-source caps
   * (X38) → sequence packing (X30) → train/val/test split (X31), per
   * document, with every stage's verdict on the row — the artifact a

@@ -241,4 +241,72 @@ class ClusteringSpec extends AnyFunSuite {
     assert(plan.split("Exchange").length - 1 <= 1,
       s"k-means assignment should shuffle only for the final order-by:\n$plan")
   }
+
+  test("q_cluster_sample: driver recount, cap binds in some cells only, repartition-stable") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val m = Clustering.clusterSampleM
+    val got = SparkEntry.queries("q_cluster_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // Independent driver truth: argmin assignment (round-4, cid
+    // tie-break) + md5-prefix uniform + per-cell (u, vec_id) rank
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cents = Clustering.centroids(spark, dir)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d2(a: Array[Float], b: Array[Float]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    def h32(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    // every embeddings row is a corpus member here, including vec_id 0
+    // — the house convention of the clustering family (q_kmeans_assign
+    // ranks row 0 too)
+    val assigned = vecs.toSeq.map { case (id, v) =>
+      (id, cents.map { case (cid, c) => (r4(d2(v, c)), cid) }.min._2, h32(s"cs$id"))
+    }
+    val cellPop = assigned.groupBy(_._2).view.mapValues(_.size).toMap
+    val expected = assigned.groupBy(_._2).toSeq.flatMap { case (cid, rows) =>
+      rows.sortBy { case (id, _, u) => (u, id) }.zipWithIndex
+        .take(m).map { case ((id, _, _), i) => (id, cid, (i + 1).toLong) }
+    }.sortBy(_._1)
+    assert(got.toSeq === expected, "declared sample diverges from the driver recount")
+
+    // the M=60 quota binds in some cells and not others at this SF
+    // (r13 ADVICE: at M=25 the cap bound everywhere and the keep-all
+    // branch was untested) — both branches non-vacuous
+    val kept = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(kept.values.exists(_ == m), s"no cell binds the cap: $kept")
+    assert(kept.exists { case (cid, k) => k < m && k == cellPop(cid) },
+      s"no under-cap cell kept all its rows: kept=$kept pop=$cellPop")
+    // ranks are contiguous 1..k within every cell
+    got.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.size.toLong),
+        s"ranks not contiguous in cell $cid")
+    }
+
+    // the salted-hash selection is stable under physical layout: the
+    // same ranking built over a repartitioned input matches row-for-row
+    val reparted = graft.Tables(spark, dir, "embeddings")
+      .repartition(7, col("label"))
+      .select(
+        col("vec_id"),
+        Clustering.bestCentroid(spark, dir).getField("cid").cast("long").as("cid"),
+        graft.operators.Hashing.h32(
+          concat(lit("cs"), col("vec_id").cast("string"))).as("u"))
+    val got2 = graft.operators.Extensions
+      .rankedByRange(reparted, "cid", Seq("u", "vec_id"), "cs_rank")
+      .filter(col("cs_rank") <= m)
+      .select(col("vec_id"), col("cid"), col("cs_rank").cast("long").as("cs_rank"))
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got2.toSeq === got.toSeq, "sample changed under repartitioning")
+  }
 }

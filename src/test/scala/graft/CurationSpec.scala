@@ -217,4 +217,89 @@ class CurationSpec extends AnyFunSuite {
     assert(sampledMean > corpusMean,
       f"size-weighted sample mean $sampledMean%.1f not above corpus mean $corpusMean%.1f")
   }
+
+  /** Driver-side DSIR recount: the operator's exact fixed-point
+    * pipeline (per-bigram round-6 ln snap, integer delta sum, integer
+    * HALF_UP round-4) in independent collection code. Returns
+    * (doc_id -> (n_bigrams, logratio), doc_id -> exact s6 total).
+    */
+  private def dsirDriver(dir: String): (Map[Long, (Long, Double)], Map[Long, Long]) = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bigrams(text: String): Seq[String] = {
+      val w = text.split(" ", -1)
+      if (w.length < 2) Seq.empty
+      else (0 until w.length - 1).map(i => w(i) + " " + w(i + 1))
+    }
+    val occ = docs.flatMap { case (id, lang, text) => bigrams(text).map(bg => (id, lang, bg)) }
+    val cR = occ.groupBy(_._3).view.mapValues { rows =>
+      (rows.length.toLong,
+        rows.count(_._2 == graft.operators.Curation.dsirTargetLang).toLong)
+    }.toMap
+    val tr = cR.values.map(_._1).sum
+    val tt = cR.values.map(_._2).sum
+    val b = cR.size.toLong
+    // round-6 snap exactly as Spark's round(1e6 * ln, 0): the DOUBLE
+    // product first (not an exact decimal multiply), then HALF_UP on
+    // its shortest-repr decimal (scala BigDecimal(double) is
+    // valueOf-based, same as Spark's Round)
+    def snap6(x: Double): Long =
+      BigDecimal(1000000.0 * x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    val delta6 = cR.map { case (bg, (cr, ct)) =>
+      bg -> (snap6(math.log((ct + 1).toDouble / (tt + b)))
+        - snap6(math.log((cr + 1).toDouble / (tr + b))))
+    }
+    val s6ByDoc = occ.groupBy(_._1).view
+      .mapValues(rows => rows.map(r => delta6(r._3)).sum).toMap
+    val result = occ.groupBy(_._1).map { case (id, rows) =>
+      val s6 = s6ByDoc(id)
+      val q4 = ((s6.abs + 50) / 100) * (if (s6 < 0) -1L else 1L)
+      id -> (rows.length.toLong, q4 / 10000.0)
+    }
+    (result, s6ByDoc)
+  }
+
+  test("q_dsir_weights: en slice scores higher and matches a full driver recount") {
+    val (expected, _) = dsirDriver(sf)
+    val got = SparkEntry.queries("q_dsir_weights")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === expected, "DSIR weights diverge from the driver recount")
+    // the operator does its job: target-language docs average a higher
+    // target/raw logratio than the rest (that is what importance
+    // resampling then exploits)
+    val langs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (en, other) = got.toSeq.partition { case (id, _) =>
+      langs(id) == graft.operators.Curation.dsirTargetLang
+    }
+    assert(en.nonEmpty && other.nonEmpty, "vacuous slice split")
+    val enMean = en.map(_._2._2).sum / en.size
+    val otherMean = other.map(_._2._2).sum / other.size
+    assert(enMean > otherMean,
+      f"en mean logratio $enMean%.4f not above non-en $otherMean%.4f")
+  }
+
+  test("DSIR integer HALF_UP rounding is pinned on a boundary-landing total") {
+    // r13 found a real x.xxxx5 tie at sf0.1 (doc 706): a double
+    // round(total/1e6, 4) puts Spark and DuckDB on opposite sides.
+    // Verify the declared query resolves every boundary-landing doc
+    // (|s6| ≡ 50 mod 100 — the exact ties) to the integer HALF_UP
+    // image, against the driver-recounted exact totals.
+    val dir = "/root/testdata/sf0.1"
+    val (_, s6ByDoc) = dsirDriver(dir)
+    val boundary = s6ByDoc.filter { case (_, s6) => s6.abs % 100 == 50 }
+    assert(boundary.nonEmpty,
+      "no boundary-landing totals at sf0.1 — the tie case is no longer exercised")
+    val got = SparkEntry.queries("q_dsir_weights")(spark, dir)
+      .filter(col("doc_id").isin(boundary.keys.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    boundary.foreach { case (id, s6) =>
+      val q4 = ((s6.abs + 50) / 100) * (if (s6 < 0) -1L else 1L)
+      assert(got(id) === q4 / 10000.0,
+        s"doc $id: boundary total $s6 rounded to ${got(id)}, expected ${q4 / 10000.0}")
+    }
+    info(s"${boundary.size} boundary-landing doc(s) at sf0.1: ${boundary.keys.toSeq.sorted.take(5).mkString(", ")}")
+  }
 }

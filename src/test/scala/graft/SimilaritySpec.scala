@@ -318,4 +318,77 @@ class SimilaritySpec extends AnyFunSuite {
       info(f"clustered IVF nprobe=$n: candidates $c%5d / $corpus (${100.0 * c / corpus}%.1f%%), recall@10 = $r/10")
     }
   }
+
+  /** Driver-side PQ machinery shared by the X59 tests: exactly the
+    * operator's construction (per-subspace round-4 argmin with cid
+    * tie-break, ADC lookups summed as integer ten-thousandths), in
+    * independent collection code.
+    */
+  private def pqDriver(dir: String): (Map[Long, (Double, Double)], Seq[(Long, Double)], Seq[(Long, Double)]) = {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    val q = vecs(0L)
+    val cb = graft.operators.Clustering.centroids(spark, dir).take(Similarity.pqK)
+      .map { case (cid, v) => cid -> v.map(_.toDouble) }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def subD2(a: Array[Double], c: Array[Double], j: Int): Double = {
+      var d = 0.0; var i = j * Similarity.pqSubDim
+      while (i < (j + 1) * Similarity.pqSubDim) { val t = a(i) - c(i); d += t * t; i += 1 }
+      d
+    }
+    val adc4: IndexedSeq[Map[Long, Long]] = (0 until Similarity.pqM).map { j =>
+      cb.map { case (cid, c) =>
+        cid -> (BigDecimal(subD2(q, c, j)).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact
+      }.toMap
+    }
+    def fullD2(v: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = q(i) - v(i); d += t * t; i += 1 }
+      d
+    }
+    val both = vecs.view.filterKeys(_ != 0L).map { case (id, v) =>
+      val adcInt = (0 until Similarity.pqM).map { j =>
+        val code = cb.map { case (cid, c) => (r4(subD2(v, c, j)), cid) }.min._2
+        adc4(j)(code)
+      }.sum
+      id -> (r4(adcInt / 10000.0), r4(fullD2(v)))
+    }.toMap
+    val adcTop = both.toSeq.map { case (id, (a, _)) => (id, a) }
+      .sortBy { case (id, a) => (a, id) }.take(10)
+    val exactTop = both.toSeq.map { case (id, (_, e)) => (id, e) }
+      .sortBy { case (id, e) => (e, id) }.take(10)
+    (both, adcTop, exactTop)
+  }
+
+  test("q_sim_pq matches an independent driver-side encode+ADC recount") {
+    val (_, adcTop, _) = pqDriver(sf)
+    val got = SparkEntry.queries("q_sim_pq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got === adcTop, "declared ADC top-10 diverges from the driver recount")
+  }
+
+  test("PQ quantization is non-vacuous and its recall@10 vs exact L2 is measured") {
+    // Discharges the Similarity scaladoc claim (r13 VERDICT item 2):
+    // with k=4 codewords the ADC estimate genuinely differs from exact
+    // L2 — a k where ADC == exact would make the approximation (and
+    // this whole operator) vacuous — and the recall of the ADC top-10
+    // against the exact-L2 top-10 is a measured property of the
+    // deterministic corpora, recorded in the README sweep table with
+    // the isotropic caveat.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val (both, adcTop, exactTop) = pqDriver(dir)
+      val errs = both.values.map { case (a, e) => math.abs(a - e) }
+      val meanErr = errs.sum / errs.size
+      assert(meanErr > 0.0,
+        s"ADC estimates are exactly the true distances at $dir — vacuous quantization")
+      // ADC must still carry signal: its top-10 overlaps the exact
+      // top-10 (measured 1/10 at both SFs — isotropic vectors + k=4
+      // codewords are the PQ worst case, the README caveat; the
+      // assertion is the non-degeneracy floor, not a regression pin)
+      val recall = (adcTop.map(_._1).toSet & exactTop.map(_._1).toSet).size
+      assert(recall >= 1, s"ADC top-10 shares nothing with exact L2 at $dir")
+      info(f"PQ ADC at $dir: mean |adc_d2 - exact_d2| = $meanErr%.4f, recall@10 = $recall/10")
+    }
+  }
 }

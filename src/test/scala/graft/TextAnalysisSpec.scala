@@ -150,4 +150,50 @@ class TextAnalysisSpec extends AnyFunSuite {
       run(toks, graft.operators.TextAnalysis.mgCapacity, 20)
     }
   }
+
+  test("q_source_drift equals a sequential driver-side two-sample KS recount per source") {
+    // The distributed statistic evaluates F(v) and F(v-) at the
+    // SOURCE's jump points only, arguing by step-function dominance
+    // that this attains the true sup (the left-limit argument in the
+    // X56 scaladoc). This recount is the textbook SEQUENTIAL sweep
+    // over the merged samples — independent code, exact integers —
+    // so a hole in that argument fails here, not in production.
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.Tables(spark, dir, "documents")
+        .select(col("source"), col("n_chars")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val nTotal = docs.length.toLong
+      val allSorted = docs.map(_._2).sorted
+      def cumAll(v: Long): Long = {
+        // count of corpus lengths <= v (binary search on the sorted array)
+        var lo = 0; var hi = allSorted.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (allSorted(mid) <= v) lo = mid + 1 else hi = mid
+        }
+        lo.toLong
+      }
+      val expected = docs.groupBy(_._1).toSeq.map { case (src, rows) =>
+        val xs = rows.map(_._2).sorted
+        val nS = xs.length.toLong
+        // sweep every corpus jump point: at each distinct corpus value
+        // v, F_s(v) = #{x_s <= v}/n_s — the true sup over the full
+        // merged grid, no left-limit shortcut
+        var ksNum = BigInt(0)
+        allSorted.distinct.foreach { v =>
+          val cs = BigInt(xs.count(_ <= v)) * nTotal
+          val ca = BigInt(cumAll(v)) * nS
+          if ((cs - ca).abs > ksNum) ksNum = (cs - ca).abs
+        }
+        val den = BigInt(nS) * nTotal
+        val q4 = (ksNum * 20000 + den) / (den * 2)
+        (src, nS, q4.toLong / 10000.0)
+      }.sortBy(_._1)
+      val got = SparkEntry.queries("q_source_drift")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got === expected, s"KS drift diverges from the sequential recount at $dir")
+      assert(got.exists(_._3 > 0.0), s"vacuous pin at $dir: every source KS is 0")
+    }
+  }
 }
