@@ -354,37 +354,105 @@ object Similarity {
     * pass over the corpus, which is the same plan minus the reused
     * materialization.)
     */
-  private def simPq(s: SparkSession, dir: String): DataFrame = {
+  /** Driver-side ADC table: adc4(j)(c-1) = round4(d²(q_j, cw_{c,j}))
+    * as integer ten-thousandths (exact by construction).
+    */
+  private def adcTable(s: SparkSession, dir: String): IndexedSeq[IndexedSeq[Long]] = {
     val cb = pqCodebook(s, dir)
     val q = queryVec(s, dir).map(_.toDouble)
-    // Driver-side ADC table: adc4(j)(c-1) = round4(d²(q_j, cw_{c,j}))
-    // as integer ten-thousandths (exact by construction).
-    val adc4: IndexedSeq[IndexedSeq[Long]] =
-      (0 until pqM).map { j =>
-        cb.map { case (_, v) =>
-          var d = 0.0
-          var i = j * pqSubDim
-          while (i < (j + 1) * pqSubDim) { val t = q(i) - v(i); d += t * t; i += 1 }
-          (BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact
-        }.toIndexedSeq
-      }
-    def subCol(j: Int): Column = slice(col("embedding"), j * pqSubDim + 1, pqSubDim)
-    // code_j = argmin codeword by (round-4 d², cid); cids are 1..pqK,
-    // so the code doubles as the 1-based ADC lookup index
-    def codeJ(j: Int): Column = least(cb.map { case (cid, v) =>
+    (0 until pqM).map { j =>
+      cb.map { case (_, v) =>
+        var d = 0.0
+        var i = j * pqSubDim
+        while (i < (j + 1) * pqSubDim) { val t = q(i) - v(i); d += t * t; i += 1 }
+        (BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact
+      }.toIndexedSeq
+    }
+  }
+
+  /** The j-th PQ code of `embedding`: argmin codeword by (round-4 d²,
+    * cid); cids are 1..pqK, so the code doubles as the 1-based ADC
+    * lookup index. Pure literal-codebook projection — this is the
+    * column a deployment writes into its codes table.
+    */
+  private[graft] def pqCodeJ(s: SparkSession, dir: String, j: Int): Column = {
+    val subCol = slice(col("embedding"), j * pqSubDim + 1, pqSubDim)
+    least(pqCodebook(s, dir).map { case (cid, v) =>
       struct(
-        round(VectorOps.l2Sq(subCol(j),
+        round(VectorOps.l2Sq(subCol,
           typedlit(v.slice(j * pqSubDim, (j + 1) * pqSubDim).toSeq)), 4).as("d2"),
         lit(cid).as("c"))
     }: _*).getField("c")
-    val adcInt = (0 until pqM).map { j =>
+  }
+
+  /** ADC estimate as integer ten-thousandths: 8 literal-array lookups
+    * summed. `codeJ` supplies the per-subspace code column — computed
+    * from the embedding in the fused paths, read from a materialized
+    * codes table in the SimilaritySpec codes-only pin.
+    */
+  private[graft] def adcIntOf(s: SparkSession, dir: String, codeJ: Int => Column): Column = {
+    val adc4 = adcTable(s, dir)
+    (0 until pqM).map { j =>
       element_at(array(adc4(j).map(lit): _*), codeJ(j).cast("int"))
     }.reduce(_ + _)
+  }
+
+  private def simPq(s: SparkSession, dir: String): DataFrame = {
+    val adcInt = adcIntOf(s, dir, pqCodeJ(s, dir, _))
     Tables(s, dir, "embeddings")
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"),
         round(adcInt / lit(10000.0), 4).as("adc_d2"))
       .orderBy(col("adc_d2").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Rerank width for X60 (IVFADC): the ADC shortlist handed to exact
+    * scoring. The recall lever that costs R raw-vector reads, not a
+    * wider scan.
+    */
+  private[graft] val ivfpqRerank = 50
+
+  /** X60 — IVFADC top-10, the composed Jégou et al. pipeline and the
+    * actual 100 TB ANN shape: coarse-quantize to the X34 IVF cells,
+    * PQ-encode with the X59 codebook, probe the query's `ivfNProbe`
+    * nearest cells reading ONLY PQ codes, ADC-score the candidates,
+    * then exact-rerank the integer-ADC top-`ivfpqRerank` against the
+    * raw vectors. The division of labor: the cell probe bounds the
+    * candidate set (~nprobe/K of the corpus), ADC bounds the bytes per
+    * candidate (8 code nibbles, no raw vector), and the rerank bounds
+    * the approximation error (the final 10 are EXACT round-4 L2 over
+    * a 50-row set — PQ only chooses the shortlist).
+    *
+    * Encodes RAW vectors, not cell residuals (the paper's IVFADC
+    * encodes r = v − centroid): raw codes keep ONE query-constant ADC
+    * table for all cells, where residual codes need a per-probed-cell
+    * table. The recall cost of that choice is absorbed by the exact
+    * rerank; documented, not hidden.
+    *
+    * Scale shape: on a codes table written partitioned by cell —
+    * (cell, vec_id, c0..c7, label), ~1/32 the corpus bytes — the probe
+    * IN-list prunes partitions exactly like X34 (SimilaritySpec pins
+    * partitions-read == probed cells on such a write, scoring from
+    * codes alone); the ADC pass is narrow integer lookups in
+    * WholeStageCodegen; both top-Ks are TakeOrdered (no global sort);
+    * and the rerank touches raw vectors for exactly R ids — at 100 TB
+    * an id-keyed point-lookup join, here fused into one scan because
+    * the corpus and codes share a file.
+    */
+  private def simIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val cells = ivfProbeCells(s, dir)
+    val adcInt = adcIntOf(s, dir, pqCodeJ(s, dir, _))
+    val shortlist = Tables(s, dir, "embeddings")
+      .filter(col("vec_id") =!= 0 &&
+        Clustering.bestCentroid(s, dir).getField("cid").isin(cells: _*))
+      .select(col("vec_id"), col("label"), col("embedding"), adcInt.as("adc4"))
+      .orderBy(col("adc4").asc, col("vec_id").asc)
+      .limit(ivfpqRerank)
+    shortlist
+      .select(col("vec_id"), col("label"),
+        round(VectorOps.l2Sq(col("embedding"), qLit(s, dir)), 4).as("dist_sq"))
+      .orderBy(col("dist_sq").asc, col("vec_id").asc)
       .limit(10)
   }
 
@@ -454,5 +522,75 @@ object Similarity {
       simPq,
       Some(pqSql),
       "X59 product-quantization ADC top-10: 8x8-dim codebook encode, integer lookup sum"),
+    "q_sim_ivfpq" -> QueryDef(
+      simIvfPq,
+      Some(ivfPqSql),
+      "X60 IVFADC top-10: cell probe + ADC shortlist + exact rerank, the composed 100TB ANN"),
   )
+
+  private def ivfPqSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND ${Clustering.centroidK}),
+       |cb AS (
+       |  SELECT vec_id AS c, embedding AS ce FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND $pqK),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qcell AS (
+       |  SELECT cents.cid,
+       |    round(list_sum(list_transform(list_zip(q.qe, cents.ce),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 4) AS d2
+       |  FROM cents, q),
+       |probe AS (SELECT cid FROM qcell ORDER BY d2, cid LIMIT $ivfNProbe),
+       |dcell AS (
+       |  SELECT e.vec_id, cents.cid,
+       |    round(list_sum(list_transform(list_zip(e.embedding, cents.ce),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 4) AS d2
+       |  FROM embeddings e, cents),
+       |acell AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM dcell) WHERE rn = 1),
+       |cand AS (
+       |  SELECT e.vec_id, e.label, e.embedding FROM embeddings e
+       |  JOIN acell a USING (vec_id)
+       |  WHERE e.vec_id <> 0 AND a.cid IN (SELECT cid FROM probe)),
+       |js AS (SELECT unnest(generate_series(0, ${pqM - 1})) AS j),
+       |dc AS (
+       |  SELECT e.vec_id, js.j, cb.c,
+       |    round(list_sum(list_transform(
+       |      list_zip(e.embedding[js.j*$pqSubDim+1 : js.j*$pqSubDim+$pqSubDim],
+       |               cb.ce[js.j*$pqSubDim+1 : js.j*$pqSubDim+$pqSubDim]),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 4) AS d2
+       |  FROM cand e, js, cb),
+       |code AS (
+       |  SELECT vec_id, j, c,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+       |  FROM dc),
+       |qd AS (
+       |  SELECT js.j, cb.c,
+       |    CAST(round(round(list_sum(list_transform(
+       |      list_zip(q.qe[js.j*$pqSubDim+1 : js.j*$pqSubDim+$pqSubDim],
+       |               cb.ce[js.j*$pqSubDim+1 : js.j*$pqSubDim+$pqSubDim]),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 4) * 10000, 0) AS BIGINT) AS a4
+       |  FROM q, js, cb),
+       |adc AS (
+       |  SELECT code.vec_id, sum(qd.a4) AS adc4
+       |  FROM code JOIN qd USING (j, c)
+       |  WHERE code.rn = 1 GROUP BY code.vec_id),
+       |short AS (
+       |  SELECT cand.vec_id, cand.label, cand.embedding
+       |  FROM adc JOIN cand USING (vec_id)
+       |  ORDER BY adc.adc4, cand.vec_id LIMIT $ivfpqRerank)
+       |SELECT s.vec_id, s.label,
+       |  round(list_sum(list_transform(list_zip(s.embedding, q.qe),
+       |    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 4) AS dist_sq
+       |FROM short s, q
+       |ORDER BY dist_sq ASC, s.vec_id ASC LIMIT 10""".stripMargin
 }

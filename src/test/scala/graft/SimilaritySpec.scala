@@ -391,4 +391,124 @@ class SimilaritySpec extends AnyFunSuite {
       info(f"PQ ADC at $dir: mean |adc_d2 - exact_d2| = $meanErr%.4f, recall@10 = $recall/10")
     }
   }
+
+  test("q_sim_ivfpq matches a driver IVFADC recount and rerank dominates raw ADC recall") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val vecs = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val cents = graft.operators.Clustering.centroids(spark, dir)
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def d2(a: Array[Float], b: Array[Float]) = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+        s
+      }
+      val probe = Similarity.ivfProbeCells(spark, dir).toSet
+      def cellOf(v: Array[Float]): Long =
+        cents.map { case (cid, c) => (r4(d2(v, c)), cid) }.min._2
+      val (adcAll, _, _) = pqDriver(dir)
+      val inProbe = vecs.view.filterKeys(_ != 0L)
+        .filter { case (_, v) => probe(cellOf(v)) }.toMap
+      // the operator's shortlist: integer-ADC ascending with vec_id
+      // tie-break over the probed cells (adc_d2 here is the rounded
+      // image of the same integer, so ordering by it is identical)
+      val shortlist = inProbe.keys.toSeq
+        .map(id => (id, adcAll(id)._1)).sortBy { case (id, a) => (a, id) }
+        .take(Similarity.ivfpqRerank)
+      val q = vecs(0L)
+      val expected = shortlist
+        .map { case (id, _) => (id, r4(d2(q, vecs(id)))) }
+        .sortBy { case (id, e) => (e, id) }.take(10)
+      val got = SparkEntry.queries("q_sim_ivfpq")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(got === expected, s"IVFADC result diverges from the driver recount at $dir")
+      // every hit came out of a probed cell — the probe really bounds it
+      got.foreach { case (id, _) =>
+        assert(probe(cellOf(vecs(id))), s"hit $id outside the probed cells at $dir")
+      }
+      // the exact rerank's reason to exist: within the probed cells its
+      // top-10 recall vs the in-probe exact truth can only dominate
+      // taking the raw ADC top-10 (ADC only CHOOSES the 50-row
+      // shortlist; the final ranking is exact)
+      val exactInProbe = inProbe.toSeq
+        .map { case (id, v) => (id, r4(d2(q, v))) }
+        .sortBy { case (id, e) => (e, id) }.take(10).map(_._1).toSet
+      val adcTop10 = inProbe.keys.toSeq
+        .map(id => (id, adcAll(id)._1)).sortBy { case (id, a) => (a, id) }
+        .take(10).map(_._1).toSet
+      val rerankRecall = (got.map(_._1).toSet & exactInProbe).size
+      val adcRecall = (adcTop10 & exactInProbe).size
+      assert(rerankRecall >= adcRecall,
+        s"rerank lost recall vs raw ADC at $dir: $rerankRecall < $adcRecall")
+      info(f"IVFADC at $dir: in-probe recall@10 rerank=$rerankRecall/10 vs raw ADC=$adcRecall/10")
+    }
+  }
+
+  test("the IVFADC probe scores from a cell-partitioned CODES table, pruned to probed cells") {
+    // The 100 TB claim of q_sim_ivfpq: the shortlist is produced
+    // without touching raw vectors, from a codes table ~1/32 the
+    // corpus bytes, reading only the probed cells' partitions.
+    // Materialize that exact layout — (cell, vec_id, label, c0..c7),
+    // partitioned by cell — score ADC from the code columns alone,
+    // and pin both the partition metric and shortlist equality with
+    // the declared fused query.
+    val dir = "/root/testdata/sf0.01"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_codes").toString
+    try {
+      val codeCols = (0 until Similarity.pqM).map(j =>
+        Similarity.pqCodeJ(spark, dir, j).cast("int").as(s"c$j"))
+      Tables(spark, dir, "embeddings")
+        .select(Seq(
+          graft.operators.Clustering.bestCentroid(spark, dir)
+            .getField("cid").cast("long").as("cell"),
+          col("vec_id"), col("label")) ++ codeCols: _*)
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      val cells = Similarity.ivfProbeCells(spark, dir)
+      val codes = spark.read.parquet(tmp)
+      // ADC over the stored codes — no embedding column exists here
+      val adcFromCodes = Similarity.adcIntOf(spark, dir, j => col(s"c$j"))
+      val shortDf = codes
+        .filter(col("vec_id") =!= 0 && col("cell").isin(cells: _*))
+        .select(col("vec_id"), adcFromCodes.as("adc4"))
+        .orderBy(col("adc4").asc, col("vec_id").asc)
+        .limit(Similarity.ivfpqRerank)
+      val shortFromCodes = shortDf
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // partition pruning: the executed scan read exactly the probed cells
+      val scan = shortDf.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scan.nonEmpty, "no FileSourceScanExec under the codes probe")
+      assert(scan.get.metrics("numPartitions").value === cells.size.toLong,
+        "codes probe read partitions outside the probed cells")
+      // the codes-only shortlist is the fused query's shortlist: rerun
+      // the declared query's shortlist stage driver-side from raw
+      // vectors and compare ids+scores
+      val vecs = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val cents = graft.operators.Clustering.centroids(spark, dir)
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def d2(a: Array[Float], b: Array[Float]) = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+        s
+      }
+      val probeSet = cells.toSet
+      val (adcAll, _, _) = pqDriver(dir)
+      val expected = vecs.view.filterKeys(_ != 0L)
+        .filter { case (_, v) =>
+          probeSet(cents.map { case (cid, c) => (r4(d2(v, c)), cid) }.min._2)
+        }
+        .keys.toSeq
+        .map(id => (id, (adcAll(id)._1 * 10000).round))
+        .sortBy { case (id, a) => (a, id) }
+        .take(Similarity.ivfpqRerank)
+      assert(shortFromCodes === expected,
+        "codes-table shortlist diverges from the raw-vector shortlist")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
