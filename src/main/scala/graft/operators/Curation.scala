@@ -584,15 +584,30 @@ object Curation {
     * totals ride the dictionary rows, never a corpus-proportional
     * broadcast.
     */
-  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
-    val pairs = d
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+  /** The (doc, bigram) occurrence stream of `docs` (doc_id, …, text);
+    * docs under 2 words drop out (no bigram).
+    */
+  private def bigramPairsOf(docs: DataFrame, carry: Column*): DataFrame =
+    docs
+      .select(col("doc_id") +: carry :+ split(col("text"), " ").as("w"): _*)
       .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(expr(
+      .select(col("doc_id") +: carry :+ explode(expr(
         """transform(sequence(1, size(w) - 1),
           |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"""
-          .stripMargin)).as("bg"))
+          .stripMargin)).as("bg"): _*)
+
+  /** X58 factored: the smoothed log-ratio dictionary is built from
+    * `corpus` (doc_id, lang, text — the raw model AND the target's
+    * `en` slice), weights are emitted for `scoreDocs` (doc_id, text).
+    * The standalone query scores the whole corpus; the composed
+    * pipeline scores only its survivors while the raw model stays the
+    * full corpus — the 100 TB shape (never pay scoring for docs
+    * already dropped). `scoreDocs` must be a subset of `corpus` (an
+    * unknown bigram would silently drop from the inner dictionary
+    * join).
+    */
+  private[graft] def dsirFrom(corpus: DataFrame, scoreDocs: DataFrame): DataFrame = {
+    val pairs = bigramPairsOf(corpus, col("lang"))
     val cR = pairs.groupBy(col("bg")).agg(
       count(lit(1)).as("c_r"),
       sum(when(col("lang") === dsirTargetLang, 1L).otherwise(0L)).as("c_t"))
@@ -616,13 +631,17 @@ object Curation {
     // identical doubles.
     val s6 = sum(col("delta6"))
     val q4 = (floor((abs(s6) + 50) / 100) * when(s6 < 0, -1).otherwise(1)).cast("long")
-    pairs
+    bigramPairsOf(scoreDocs)
       .join(dict, "bg")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast("long").as("n_bigrams"),
         (q4 / lit(10000.0)).as("logratio"))
-      .orderBy("doc_id")
+  }
+
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    dsirFrom(d, d.select(col("doc_id"), col("text"))).orderBy("doc_id")
   }
 
   private[graft] val dsirTargetLang = "en"

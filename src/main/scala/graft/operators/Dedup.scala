@@ -1073,6 +1073,54 @@ object Dedup {
     * never dropped; docs shorter than one window are excluded, as in
     * X28.
     */
+  /** X52 factored for the composed pipeline: replace `text` with the
+    * boilerplate-stripped rebuild (kept windows + the ragged tail,
+    * which [[chunkTokens]]-windowing can never drop), carrying every
+    * other input column through plus `bp_dropped` (windows removed; 0
+    * for docs shorter than one window). Phase 1 (the df pass + hot-set
+    * literalization) runs EAGERLY over the input at plan-build time —
+    * callers hand in a materialized frame (the pipeline's checkpointed
+    * normalize output) so that pass reads blocks, not parquet, and the
+    * one-scan pin survives. Phase 2 is the same narrow per-row
+    * filter/reassemble as the declared query — corpus text never
+    * shuffles.
+    */
+  private[graft] def boilerplateCleanFrom(norm: DataFrame): DataFrame = {
+    val ct = chunkTokens
+    def chunksOf(toks: Column): Column = transform(
+      sequence(lit(0), (size(toks) / ct).cast("int") - 1),
+      i => array_join(slice(toks, i * ct + 1, lit(ct)), " "))
+    val hot = norm
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= ct)
+      .select(col("doc_id"), explode(chunksOf(col("toks"))).as("chunk"))
+      .groupBy(md5(col("chunk")).as("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > boilerplateDf)
+      .select("h")
+      .limit(boilerplateMax + 1)
+      .collect().map(_.getString(0))
+    require(hot.length <= boilerplateMax,
+      s"hot-chunk set exceeds $boilerplateMax — corpus is template spam, not boilerplate-strippable")
+    val hotLit = typedLit(hot.sorted.toSeq)
+    val toks = col("__bp_toks")
+    val kept = filter(chunksOf(toks), c => !array_contains(hotLit, md5(c)))
+    // tail tokens append as-is: array_join flattens the mixed
+    // chunk-string/token granularity back to one space-joined text
+    // (nw via cast-truncated division — bare `/` on Columns is DOUBLE)
+    val nw = (size(toks) / ct).cast("int")
+    val tail = slice(toks, nw * ct + 1, size(toks) - nw * ct)
+    norm
+      .withColumn("__bp_toks", split(col("text"), " "))
+      .withColumn("bp_dropped",
+        when(size(toks) < ct, lit(0L))
+          .otherwise((size(chunksOf(toks)) - size(kept)).cast("long")))
+      .withColumn("text",
+        when(size(toks) < ct, col("text"))
+          .otherwise(array_join(concat(kept, tail), " ")))
+      .drop("__bp_toks")
+  }
+
   private def boilerplateStrip(s: SparkSession, dir: String): DataFrame = {
     val ct = chunkTokens
     val chunked = Tables(s, dir, "documents")

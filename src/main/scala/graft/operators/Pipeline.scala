@@ -8,12 +8,14 @@ import scala.collection.immutable.ListMap
 
 /** The production curation pipeline composed as ONE DAG — SURVEY
   * §2.5's composition-mandate row, not an X-numbered operator of its
-  * own: normalize (X23) → curation
+  * own: normalize (X23) → boilerplate strip (X52, r14) → curation
   * gates (X35) → near-dup keep/drop (X5b+X21+X26) → per-source caps
-  * (X38) → sequence packing (X30) → train/val/test split (X31), per
-  * document, with every stage's verdict on the row — the artifact a
-  * real training-data run materializes (the "fate table": why each
-  * document was kept or dropped, and where the survivors landed).
+  * (X38) → sequence packing (X30) → train/val/test split (X31), with
+  * DSIR importance weights (X58, r14) emitted on the final survivors,
+  * per document, with every stage's verdict on the row — the artifact
+  * a real training-data run materializes (the "fate table": why each
+  * document was kept or dropped, where the survivors landed, and the
+  * selection signal a resampling run reads off it).
   *
   * Every stage is the DECLARED operator's factored body pointed at
   * the previous stage's survivors instead of the raw table
@@ -53,11 +55,20 @@ object Pipeline {
     * the end-to-end verdict.
     */
   private def pipelineFate(s: SparkSession, dir: String): DataFrame = {
+    // ONE corpus scan, materialized immediately: the X52 hot-set df
+    // pass below is an EAGER job at plan-build time, and it must read
+    // these blocks — not parquet — for the one-scan pin to survive.
+    // (A durable pipeline writes this normalized corpus; the second
+    // checkpoint below stands in for its cleaned-corpus write.)
     val norm = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("source"), TextAnalysis.normText(col("text")).as("text"))
-    // ONE corpus scan, materialized: everything downstream (including
-    // the CC fixpoint's repeated passes) reads these blocks
-    val gated = Curation.withGateVerdicts(norm).localCheckpoint()
+      .select(col("doc_id"), col("source"), col("lang"),
+        TextAnalysis.normText(col("text")).as("text"))
+      .localCheckpoint()
+    // X52 between normalize and the gates: strip corpus-frequent
+    // windows so boilerplate never pollutes the gate statistics or
+    // feeds the dedup shingles
+    val stripped = Dedup.boilerplateCleanFrom(norm)
+    val gated = Curation.withGateVerdicts(stripped).localCheckpoint()
     val admitted = gated.filter(col("is_kept") === 1)
       .select(col("doc_id"), col("source"), col("text"))
     val labels = Clustering.connectedComponents(
@@ -75,9 +86,16 @@ object Pipeline {
       .join(capped.filter(col("is_kept") === 1).select(col("doc_id")), Seq("doc_id"))
     val packed = Packing.packChunksFrom(keptDocs.select(col("doc_id"), col("text")))
     val splits = Packing.splitHashFrom(keptDocs.select(col("doc_id")))
+    // X58 on the survivors: the raw model is the full stripped corpus
+    // (every doc the pipeline saw), scoring only the finally-kept set
+    // — the selection signal a resampling run reads off the fate table
+    val dsir = Curation.dsirFrom(
+      gated.select(col("doc_id"), col("lang"), col("text")),
+      keptDocs.select(col("doc_id"), col("text")))
     gated
       .select(
-        col("doc_id"), col("is_en"), col("is_quality"), col("is_repetitive"),
+        col("doc_id"), col("bp_dropped"),
+        col("is_en"), col("is_quality"), col("is_repetitive"),
         col("is_kept").as("gate_kept"))
       .join(dkeep, Seq("doc_id"), "left")
       .join(
@@ -88,6 +106,8 @@ object Pipeline {
         packed.select(col("doc_id"), col("tok"), col("bin"), col("bin_offset"), col("crosses")),
         Seq("doc_id"), "left")
       .join(splits.select(col("doc_id"), col("split"), col("pos")), Seq("doc_id"), "left")
+      .join(dsir.select(col("doc_id"), col("logratio").as("dsir_logratio")),
+        Seq("doc_id"), "left")
       .withColumn("kept",
         when(col("gate_kept") === 1 && col("dup_kept") === 1 && col("cap_kept") === 1, 1L)
           .otherwise(0L))
@@ -103,17 +123,45 @@ object Pipeline {
   private def pipelineSql: String = {
     val dedupChain = Dedup.minhashCandSqlOver(
       Dedup.corpusChainSqlOver("corpus AS (SELECT doc_id, text FROM admitted)"))
+    val ct = Dedup.chunkTokens
     s"""WITH RECURSIVE norm0 AS (
-       |  SELECT doc_id, source,
+       |  SELECT doc_id, source, lang,
        |    trim(regexp_replace(lower(nfc_normalize(text)), ' +', ' ', 'g')) AS text
        |  FROM documents),
+       |bp0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM norm0),
+       |bpc AS (
+       |  SELECT doc_id, i, array_to_string(toks[(i*$ct+1):(i*$ct+$ct)], ' ') AS chunk
+       |  FROM bp0, LATERAL unnest(range(len(toks) // $ct)) AS u(i)
+       |  WHERE len(toks) >= $ct),
+       |bphot AS (
+       |  SELECT md5(chunk) AS h FROM bpc
+       |  GROUP BY md5(chunk) HAVING count(DISTINCT doc_id) > ${Dedup.boilerplateDf}),
+       |bpkeep AS (
+       |  SELECT doc_id, i, chunk FROM bpc
+       |  WHERE md5(chunk) NOT IN (SELECT h FROM bphot)),
+       |bpbody AS (
+       |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY i) AS body, count(*) AS n_kept
+       |  FROM bpkeep GROUP BY doc_id),
+       |norm1 AS (
+       |  SELECT n.doc_id, n.source, n.lang,
+       |    CASE WHEN len(b.toks) < $ct THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(len(b.toks) // $ct - COALESCE(y.n_kept, 0) AS BIGINT)
+       |    END AS bp_dropped,
+       |    CASE WHEN len(b.toks) < $ct THEN n.text
+       |         ELSE trim(COALESCE(y.body, '') ||
+       |           CASE WHEN len(b.toks) % $ct > 0
+       |                THEN ' ' || array_to_string(
+       |                  b.toks[(len(b.toks) // $ct * $ct + 1):len(b.toks)], ' ')
+       |                ELSE '' END)
+       |    END AS text
+       |  FROM norm0 n JOIN bp0 b USING (doc_id) LEFT JOIN bpbody y USING (doc_id)),
        |t0 AS (
        |  SELECT doc_id, string_split(text, ' ') AS w,
        |    CASE WHEN len(string_split(text, ' ')) >= 2
        |         THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
        |              i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])
        |         ELSE [] END AS bgs
-       |  FROM norm0),
+       |  FROM norm1),
        |g0 AS (
        |  SELECT doc_id,
        |    CAST(CASE WHEN 10 * len(list_filter(w, x -> x IN (${Curation.stopListSql})))
@@ -131,7 +179,7 @@ object Pipeline {
        |  FROM g0),
        |admitted AS (
        |  SELECT n.doc_id, n.source, n.text
-       |  FROM norm0 n JOIN gv USING (doc_id) WHERE gv.gate_kept = 1),
+       |  FROM norm1 n JOIN gv USING (doc_id) WHERE gv.gate_kept = 1),
        |$dedupChain,
        |${Clustering.ccLabelCtes},
        |dkeep AS (
@@ -180,17 +228,44 @@ object Pipeline {
        |sp AS (
        |  SELECT doc_id, split,
        |    CAST(row_number() OVER (PARTITION BY split ORDER BY h, doc_id) AS BIGINT) AS pos
-       |  FROM sl)
-       |SELECT gv.doc_id, gv.is_en, gv.is_quality, gv.is_repetitive, gv.gate_kept,
+       |  FROM sl),
+       |dp AS (
+       |  SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS bg
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM norm1) t,
+       |       LATERAL unnest(generate_series(1, len(w) - 1)) AS dsu(i)
+       |  WHERE len(w) >= 2),
+       |dcr AS (
+       |  SELECT bg, count(*) AS c_r,
+       |    sum(CASE WHEN lang = '${Curation.dsirTargetLang}' THEN 1 ELSE 0 END) AS c_t
+       |  FROM dp GROUP BY bg),
+       |dtot AS (SELECT sum(c_r) AS tr, sum(c_t) AS tt, count(*) AS b FROM dcr),
+       |ddict AS (
+       |  SELECT bg,
+       |    CAST(round(1000000.0 * ln(CAST(c_t + 1 AS DOUBLE) / (tt + b)), 0) AS BIGINT)
+       |    - CAST(round(1000000.0 * ln(CAST(c_r + 1 AS DOUBLE) / (tr + b)), 0) AS BIGINT)
+       |      AS delta6
+       |  FROM dcr, dtot),
+       |dsirw AS (
+       |  SELECT dp.doc_id,
+       |    CAST(floor((abs(sum(delta6)) + 50) / 100)
+       |         * (CASE WHEN sum(delta6) < 0 THEN -1 ELSE 1 END) AS BIGINT)
+       |      / 10000.0 AS dsir_logratio
+       |  FROM dp JOIN ddict USING (bg)
+       |  JOIN keptd kd ON kd.doc_id = dp.doc_id
+       |  GROUP BY dp.doc_id)
+       |SELECT gv.doc_id, n1.bp_dropped,
+       |  gv.is_en, gv.is_quality, gv.is_repetitive, gv.gate_kept,
        |  k.dup_kept, c.src_rank, c.cap_kept,
-       |  p.tok, p.bin, p.bin_offset, p.crosses, s.split, s.pos,
+       |  p.tok, p.bin, p.bin_offset, p.crosses, s.split, s.pos, w.dsir_logratio,
        |  CAST(CASE WHEN gv.gate_kept = 1 AND k.dup_kept = 1 AND c.cap_kept = 1
        |       THEN 1 ELSE 0 END AS BIGINT) AS kept
        |FROM gv
+       |JOIN norm1 n1 ON n1.doc_id = gv.doc_id
        |LEFT JOIN dkeep k ON k.doc_id = gv.doc_id
        |LEFT JOIN capv c ON c.doc_id = gv.doc_id
        |LEFT JOIN pk2 p ON p.doc_id = gv.doc_id
        |LEFT JOIN sp s ON s.doc_id = gv.doc_id
+       |LEFT JOIN dsirw w ON w.doc_id = gv.doc_id
        |ORDER BY gv.doc_id""".stripMargin
   }
 
@@ -198,6 +273,6 @@ object Pipeline {
     "q_pipeline" -> QueryDef(
       pipelineFate,
       Some(pipelineSql),
-      "X44 composed curation pipeline: normalize → gates → dedup → caps → pack → split, one DAG"),
+      "composed curation pipeline: normalize → strip → gates → dedup → caps → pack → split + DSIR, one DAG"),
   )
 }

@@ -74,12 +74,23 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     val composed = fate().collect().map(r => r.getLong(0) -> r).toMap
 
-    // Stage 0+1 run separately: normalize, then gates, from scratch
+    // Stage 0+0.5+1 run separately: normalize, boilerplate strip
+    // (r14), then gates, from scratch
     val norm = Tables(spark, sf, "documents")
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), col("lang"),
         operators.TextAnalysis.normText(col("text")).as("text"))
-    val gatedRows = operators.Curation.withGateVerdicts(norm).collect()
+    val strippedRows = operators.Dedup.boilerplateCleanFrom(norm).collect()
+    val strippedDf = strippedRows
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("lang"), r.getAs[String]("text")))
+      .toSeq.toDF("doc_id", "source", "lang", "text")
+    val gatedRows = operators.Curation.withGateVerdicts(strippedDf).collect()
     assert(gatedRows.nonEmpty)
+    strippedRows.foreach { sr =>
+      val c = composed(sr.getAs[Long]("doc_id"))
+      assert(c.getAs[Long]("bp_dropped") == sr.getAs[Long]("bp_dropped"),
+        s"bp_dropped for ${sr.getAs[Long]("doc_id")}")
+    }
     gatedRows.foreach { g =>
       val c = composed(g.getAs[Long]("doc_id"))
       assert(c.getAs[Long]("is_en") == g.getAs[Long]("is_en"))
@@ -140,6 +151,22 @@ class PipelineSpec extends AnyFunSuite {
     val keptIds = kept.map(_._1).toSet
     composed.values.filter(_.getAs[Long]("kept") == 1L)
       .foreach(r => assert(keptIds.contains(r.getLong(0))))
+
+    // Stage 6 (r14): DSIR weights from the materialized stripped
+    // corpus (raw model = every doc the pipeline saw) scored on the
+    // materialized kept set
+    val dsirRows = operators.Curation.dsirFrom(
+      strippedDf.select(col("doc_id"), col("lang"), col("text")),
+      keptDf.select(col("doc_id"), col("text")))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("logratio")).toMap
+    kept.foreach { case (id, _, _) =>
+      assert(composed(id).getAs[Double]("dsir_logratio") == dsirRows(id),
+        s"dsir_logratio for $id")
+    }
+    // dropped docs carry no selection signal
+    composed.values.filter(_.getAs[Long]("kept") == 0L)
+      .foreach(r => assert(r.isNullAt(r.fieldIndex("dsir_logratio")),
+        s"dropped doc ${r.getLong(0)} has a dsir weight"))
   }
 
   test("no exchange class beyond the standalone per-stage plans") {
@@ -155,7 +182,8 @@ class PipelineSpec extends AnyFunSuite {
         .map { case (scheme, keys) => s"$scheme(${keys.mkString(",")})" }
         .toSet
     val composed = classesOf(fate().queryExecution.executedPlan.toString)
-    val standalone = Seq("q_source_cap", "q_pack_chunks", "q_split_hash", "q_dedup_keep")
+    val standalone = Seq("q_source_cap", "q_pack_chunks", "q_split_hash", "q_dedup_keep",
+      "q_dsir_weights")
       .flatMap(q => classesOf(
         SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString))
       .toSet
