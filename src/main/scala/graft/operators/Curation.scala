@@ -587,7 +587,7 @@ object Curation {
   /** The (doc, bigram) occurrence stream of `docs` (doc_id, …, text);
     * docs under 2 words drop out (no bigram).
     */
-  private def bigramPairsOf(docs: DataFrame, carry: Column*): DataFrame =
+  private[graft] def bigramPairsOf(docs: DataFrame, carry: Column*): DataFrame =
     docs
       .select(col("doc_id") +: carry :+ split(col("text"), " ").as("w"): _*)
       .filter(size(col("w")) >= 2)
@@ -606,9 +606,14 @@ object Curation {
     * unknown bigram would silently drop from the inner dictionary
     * join).
     */
-  private[graft] def dsirFrom(corpus: DataFrame, scoreDocs: DataFrame): DataFrame = {
-    val pairs = bigramPairsOf(corpus, col("lang"))
-    val cR = pairs.groupBy(col("bg")).agg(
+  /** The X58 dictionary artifact: (bg, delta6) — the smoothed
+    * target-vs-raw log-ratio per corpus bigram, 1e-6 fixed point.
+    * Heaps-law bounded, so a deployment materializes it offline and
+    * ships it to the ingest tier ([[graft.streaming.Gateway
+    * .admitFeed]] takes it as its static join side).
+    */
+  private[graft] def dsirDict(corpus: DataFrame): DataFrame = {
+    val cR = bigramPairsOf(corpus, col("lang")).groupBy(col("bg")).agg(
       count(lit(1)).as("c_r"),
       sum(when(col("lang") === dsirTargetLang, 1L).otherwise(0L)).as("c_t"))
     // scalar totals (R, T, B) ride a 1-row broadcast onto the
@@ -616,28 +621,35 @@ object Curation {
     val tot = cR.agg(
       sum(col("c_r")).as("tr"), sum(col("c_t")).as("tt"),
       count(lit(1)).as("b"))
-    val dict = cR.crossJoin(broadcast(tot))
+    cR.crossJoin(broadcast(tot))
       .select(col("bg"),
         (round(lit(1000000.0) * log((col("c_t") + 1).cast("double") / (col("tt") + col("b"))), 0).cast("long")
           - round(lit(1000000.0) * log((col("c_r") + 1).cast("double") / (col("tr") + col("b"))), 0).cast("long"))
           .as("delta6"))
-    // Final round-4 happens in INTEGER space: the per-doc total is an
-    // exact count of 1e-6 units, and `round(total/1e6, 4)` would put
-    // engines on opposite sides whenever the total ends in 50 (the
-    // double nearest x.xxxx5 prints differently per round
-    // implementation — a real sf0.1 hit, doc 706). HALF_UP on the
-    // exact integer (|s|+50 div 100, sign restored) is portable by
-    // construction; the final /1e4 maps identical integers to
-    // identical doubles.
+  }
+
+  /** The integer HALF_UP round-4 of a summed delta6 column: the per-doc
+    * total is an exact count of 1e-6 units, and `round(total/1e6, 4)`
+    * would put engines on opposite sides whenever the total ends in 50
+    * (the double nearest x.xxxx5 prints differently per round
+    * implementation — a real sf0.1 hit, doc 706). HALF_UP on the exact
+    * integer (|s|+50 div 100, sign restored) is portable by
+    * construction; the final /1e4 maps identical integers to identical
+    * doubles.
+    */
+  private[graft] def dsirLogratio: Column = {
     val s6 = sum(col("delta6"))
-    val q4 = (floor((abs(s6) + 50) / 100) * when(s6 < 0, -1).otherwise(1)).cast("long")
+    ((floor((abs(s6) + 50) / 100) * when(s6 < 0, -1).otherwise(1)).cast("long")
+      / lit(10000.0)).as("logratio")
+  }
+
+  private[graft] def dsirFrom(corpus: DataFrame, scoreDocs: DataFrame): DataFrame =
     bigramPairsOf(scoreDocs)
-      .join(dict, "bg")
+      .join(dsirDict(corpus), "bg")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast("long").as("n_bigrams"),
-        (q4 / lit(10000.0)).as("logratio"))
-  }
+        dsirLogratio)
 
   private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")

@@ -1085,15 +1085,24 @@ object Dedup {
     * filter/reassemble as the declared query — corpus text never
     * shuffles.
     */
-  private[graft] def boilerplateCleanFrom(norm: DataFrame): DataFrame = {
-    val ct = chunkTokens
-    def chunksOf(toks: Column): Column = transform(
-      sequence(lit(0), (size(toks) / ct).cast("int") - 1),
-      i => array_join(slice(toks, i * ct + 1, lit(ct)), " "))
+  private[graft] def boilerplateCleanFrom(norm: DataFrame): DataFrame =
+    stripWithHot(norm, boilerplateHotSet(norm))
+
+  private def chunkArrOf(toks: Column): Column = transform(
+    sequence(lit(0), (size(toks) / chunkTokens).cast("int") - 1),
+    i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))
+
+  /** Phase 1 of the X52 factored form: the corpus-frequent chunk
+    * hashes, EAGERLY collected and bounded by [[boilerplateMax]]. The
+    * artifact a deployment refreshes offline and ships to its
+    * ingest tier — [[graft.streaming.Gateway.admitFeed]] takes it as
+    * a parameter, the batch pipeline literalizes it in place.
+    */
+  private[graft] def boilerplateHotSet(norm: DataFrame): Seq[String] = {
     val hot = norm
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= ct)
-      .select(col("doc_id"), explode(chunksOf(col("toks"))).as("chunk"))
+      .filter(size(col("toks")) >= chunkTokens)
+      .select(col("doc_id"), explode(chunkArrOf(col("toks"))).as("chunk"))
       .groupBy(md5(col("chunk")).as("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > boilerplateDf)
@@ -1102,19 +1111,28 @@ object Dedup {
       .collect().map(_.getString(0))
     require(hot.length <= boilerplateMax,
       s"hot-chunk set exceeds $boilerplateMax — corpus is template spam, not boilerplate-strippable")
-    val hotLit = typedLit(hot.sorted.toSeq)
+    hot.sorted.toSeq
+  }
+
+  /** Phase 2 of the X52 factored form: the narrow per-row strip
+    * against a literal hot set — identical in batch and on a stream
+    * (stateless projection, no join, no state).
+    */
+  private[graft] def stripWithHot(df: DataFrame, hot: Seq[String]): DataFrame = {
+    val ct = chunkTokens
+    val hotLit = typedLit(hot)
     val toks = col("__bp_toks")
-    val kept = filter(chunksOf(toks), c => !array_contains(hotLit, md5(c)))
+    val kept = filter(chunkArrOf(toks), c => !array_contains(hotLit, md5(c)))
     // tail tokens append as-is: array_join flattens the mixed
     // chunk-string/token granularity back to one space-joined text
     // (nw via cast-truncated division — bare `/` on Columns is DOUBLE)
     val nw = (size(toks) / ct).cast("int")
     val tail = slice(toks, nw * ct + 1, size(toks) - nw * ct)
-    norm
+    df
       .withColumn("__bp_toks", split(col("text"), " "))
       .withColumn("bp_dropped",
         when(size(toks) < ct, lit(0L))
-          .otherwise((size(chunksOf(toks)) - size(kept)).cast("long")))
+          .otherwise((size(chunkArrOf(toks)) - size(kept)).cast("long")))
       .withColumn("text",
         when(size(toks) < ct, col("text"))
           .otherwise(array_join(concat(kept, tail), " ")))

@@ -300,6 +300,63 @@ object Gateway {
         col("n_admitted"), col("admitted_chars"))
   }
 
+  /** Streaming X52+X35+X58 — the full ingest-time admission path the
+    * r14 batch pipeline runs, on a live document feed: strip
+    * corpus-frequent boilerplate windows (X52 phase 2 — the hot-chunk
+    * set is the bounded artifact a deployment refreshes offline from
+    * the historic corpus, [[graft.operators.Dedup.boilerplateHotSet]],
+    * and ships here as plan literals; the strip itself is a stateless
+    * narrow projection, identical batch and stream), gate on the X35
+    * curation verdicts (stateless), then score each admitted doc's
+    * DSIR importance weight (X58) against the PREBUILT dictionary
+    * ([[graft.operators.Curation.dsirDict]], Heaps-law bounded): the
+    * (doc, bigram) stream inner-joins the static dictionary — a
+    * stateless stream-static equi-join, the [[dedupFeed]] shape — and
+    * one watermark-bounded windowed aggregate keyed (window, doc_id)
+    * sums the exact 1e-6 integer deltas, emitting each admitted doc's
+    * `(window_start, doc_id, bp_dropped, n_bigrams, logratio)` once
+    * its window closes. The integer sum is order-free, so stream
+    * micro-batching cannot change a weight (the X48/X58 fixed-point
+    * discipline is exactly what makes stream ≡ batch pinnable
+    * row-for-row).
+    *
+    * Scale shape: strip + gates + bigram explode are per-row codegen'd
+    * work; the dictionary join auto-broadcasts while the dict is small
+    * and shuffles on `bg` beyond (the batch X58 profile); the only
+    * stateful operator is the (window, doc_id)-keyed aggregate whose
+    * state is bounded by watermark × admission rate.
+    */
+  def admitFeed(
+      lines: DataFrame,
+      hotChunks: Seq[String],
+      dict: DataFrame,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val parsed = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 && col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).cast("long").as("doc_id"),
+        col("p").getItem(2).as("text"))
+      .withWatermark("ts", watermarkDelay)
+    val stripped = graft.operators.Dedup.stripWithHot(parsed, hotChunks)
+    val admitted = graft.operators.Curation.withGateVerdicts(stripped)
+      .filter(col("is_kept") === 1)
+    graft.operators.Curation
+      .bigramPairsOf(admitted, col("ts"), col("bp_dropped"))
+      .join(dict, Seq("bg"))
+      .groupBy(window(col("ts"), windowDuration), col("doc_id"))
+      .agg(
+        max(col("bp_dropped")).as("bp_dropped"),
+        count(lit(1)).cast("long").as("n_bigrams"),
+        graft.operators.Curation.dsirLogratio)
+      .select(
+        col("window.start").as("window_start"),
+        col("doc_id"), col("bp_dropped"), col("n_bigrams"), col("logratio"))
+  }
+
   /** Streaming X53 — incremental near-dedup of an incoming document
     * feed against a PREBUILT static index
     * ([[graft.operators.Dedup.incrementalIndex]]), the ingest-time

@@ -1006,6 +1006,75 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming admission: strip → gates → DSIR weights ≡ the batch composition row-for-row") {
+    // the r14 ingest path: the X52 hot set and X58 dictionary are the
+    // bounded offline artifacts, the stream strips/gates/scores
+    // against them — same lines through Gateway.admitFeed under the
+    // streaming engine and as a batch frame must agree row-for-row
+    // (the integer fixed-point sum is what makes this pinnable: no
+    // float reassociation across micro-batch boundaries)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // plant a 12-token boilerplate prefix on every 7th doc so the hot
+    // set is non-empty on this natural corpus (the declared X52 query
+    // plants the same way)
+    val bp = "this content is mirrored from the upstream boilerplate navigation footer menu text"
+    val planted = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.operators.TextAnalysis.normText(
+          when(col("doc_id") % 7 === 0, concat(lit(bp + " "), col("text")))
+            .otherwise(col("text"))).as("text"))
+    val hot = graft.operators.Dedup.boilerplateHotSet(planted)
+    assert(hot.nonEmpty, "vacuous pin: planted boilerplate did not reach the hot set")
+    val dict = graft.operators.Curation.dsirDict(planted).cache()
+    dict.count()
+    try {
+      val feed = planted.filter(col("doc_id") % 5 === 0)
+        .collect().map(r => s"1000 ${r.getAs[Long]("doc_id")} ${r.getAs[String]("text")}")
+      val en = "the a of to and is in " + (1 to 14).map(i => s"tok$i").mkString(" ")
+      val ms = MemoryStream[String]
+      val sink = s"admit_feed_${System.nanoTime()}"
+      val q = Gateway.admitFeed(ms.toDF(), hot, dict)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        ms.addData(feed.toSeq: _*)
+        q.processAllAvailable()
+        // gate-passing far-future rows advance the watermark and close
+        // the feed's windows (their own window stays unemitted)
+        ms.addData(s"9999 9990 $en")
+        q.processAllAvailable()
+        ms.addData(s"9999 9991 $en")
+        q.processAllAvailable()
+        val streamed = spark.table(sink)
+          .select(unix_seconds(col("window_start")), col("doc_id"),
+            col("bp_dropped"), col("n_bigrams"), col("logratio"))
+          .as[(Long, Long, Long, Long, Double)].collect().toSet
+        val batch = Gateway.admitFeed(feed.toSeq.toDF("value"), hot, dict)
+          .select(unix_seconds(col("window_start")), col("doc_id"),
+            col("bp_dropped"), col("n_bigrams"), col("logratio"))
+          .as[(Long, Long, Long, Long, Double)].collect().toSet
+        assert(batch.nonEmpty, "vacuous pin: no doc in the feed survived admission")
+        assert(streamed === batch,
+          s"streaming admission diverges from batch: $streamed vs $batch")
+        // the strip branch is non-vacuous: some admitted doc lost its
+        // planted boilerplate window on the way in
+        assert(batch.exists(_._3 > 0L), s"no admitted doc was stripped: $batch")
+        // and the weights are the X58 composition's: score the same
+        // stripped survivors with dsirFrom over the same corpus
+        val admittedIds = batch.map(_._2)
+        val strippedDocs = graft.operators.Dedup.stripWithHot(planted, hot)
+          .filter(col("doc_id").isin(admittedIds.toSeq: _*))
+          .select(col("doc_id"), col("text"))
+        val direct = graft.operators.Curation.dsirFrom(planted, strippedDocs)
+          .collect().map(r => r.getLong(0) -> r.getAs[Double]("logratio")).toMap
+        batch.foreach { case (_, id, _, _, lr) =>
+          assert(direct(id) === lr, s"stream weight for $id diverges from dsirFrom")
+        }
+      } finally q.stop()
+    } finally dict.unpersist()
+  }
+
   test("late data beyond the watermark is dropped (documented superset of REF)") {
     val out = Files.createTempDirectory("gw-out").toString
     val ckpt = Files.createTempDirectory("gw-ckpt").toString
