@@ -658,6 +658,77 @@ object Curation {
 
   private[graft] val dsirTargetLang = "en"
 
+  /** X62 — cross-split near-dup leakage: every val/test document that
+    * has a VERIFIED near-duplicate (the X5b MinHash pipeline's ≥0.6
+    * Jaccard edges) inside the train split. Benchmark decontamination
+    * (X15/X50) guards against leaking an EXTERNAL eval set; this
+    * guards the pipeline's OWN split — a near-dup straddling the
+    * X31 hash split silently turns held-out loss into memorization
+    * measurement, which is why published pipelines (RefinedWeb,
+    * Dolma) dedup BEFORE splitting and audit after.
+    *
+    * Scale shape: the X31 split is a pure function of doc_id
+    * ([[Packing.splitOf]]), so split membership is a narrow
+    * projection ON the verified-pair edge list — no join against a
+    * corpus-sized split table, no extra shuffle beyond the one
+    * per-eval-doc aggregate of an LSH-bounded edge set. Both
+    * (train, eval) orientations of each undirected edge are checked;
+    * a val↔test edge is NOT leakage (neither side is trained on) and
+    * is dropped, same as train↔train.
+    */
+  private def splitLeakage(s: SparkSession, dir: String): DataFrame =
+    splitLeakageFrom(Dedup.minhashPairs(s, dir))
+
+  /** The leakage scan over an arbitrary verified-pair edge list —
+    * (id_a, id_b) with id_a < id_b, as [[Dedup.minhashPairsOf]]
+    * emits — so composed pipelines can audit a derived corpus.
+    */
+  private[graft] def splitLeakageFrom(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(
+      col("id_a"), col("id_b"),
+      Packing.splitOf(col("id_a")).as("sa"),
+      Packing.splitOf(col("id_b")).as("sb"))
+    val oriented = e
+      .filter(col("sa") === "train" && col("sb") =!= "train")
+      .select(col("id_b").as("eval_id"), col("sb").as("eval_split"), col("id_a").as("train_id"))
+      .unionByName(
+        e.filter(col("sb") === "train" && col("sa") =!= "train")
+          .select(col("id_a").as("eval_id"), col("sa").as("eval_split"), col("id_b").as("train_id")))
+    oriented
+      .groupBy("eval_id", "eval_split")
+      .agg(
+        count(lit(1)).cast("long").as("n_leaks"),
+        min(col("train_id")).cast("long").as("first_train_id"))
+      .orderBy("eval_id")
+  }
+
+  private def splitLeakageSql: String =
+    s"""WITH ${Dedup.minhashCandSql},
+       |verified AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS shared
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT v.id_a, v.id_b FROM verified v
+       |  JOIN card ca ON ca.doc_id = v.id_a
+       |  JOIN card cb ON cb.doc_id = v.id_b
+       |  WHERE 10 * v.shared >= 6 * (ca.n + cb.n - v.shared)),
+       |sp AS (
+       |  SELECT id_a, id_b,
+       |    ${Packing.splitCaseSql("id_a")} AS sa,
+       |    ${Packing.splitCaseSql("id_b")} AS sb
+       |  FROM pairs),
+       |o AS (
+       |  SELECT id_b AS eval_id, sb AS eval_split, id_a AS train_id
+       |  FROM sp WHERE sa = 'train' AND sb <> 'train'
+       |  UNION ALL
+       |  SELECT id_a AS eval_id, sa AS eval_split, id_b AS train_id
+       |  FROM sp WHERE sb = 'train' AND sa <> 'train')
+       |SELECT eval_id, eval_split, CAST(count(*) AS BIGINT) AS n_leaks,
+       |  CAST(min(train_id) AS BIGINT) AS first_train_id
+       |FROM o GROUP BY 1, 2 ORDER BY eval_id""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_decontaminate" -> QueryDef(
       decontaminate,
@@ -864,5 +935,9 @@ object Curation {
               |FROM p JOIN dict USING (bg)
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "X58 DSIR importance weights: per-doc target-vs-raw bigram log-likelihood ratio"),
+    "q_split_leakage" -> QueryDef(
+      splitLeakage,
+      Some(splitLeakageSql),
+      "X62 cross-split leakage: val/test docs with a verified near-dup in train"),
   )
 }

@@ -69,7 +69,7 @@ object Extensions {
     * IVF-bucketed variant (Similarity.scala) where only the probed
     * cluster is scanned; brute force remains the correctness baseline.
     */
-  private def simCosine(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def simCosine(s: SparkSession, dir: String): DataFrame = {
     // query vector as a plan literal (see Similarity.queryVec): the
     // query-side norm constant-folds and the brute-force scan — the
     // query shape where skipped scoring pays most — plans through the

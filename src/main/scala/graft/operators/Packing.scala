@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.collection.immutable.ListMap
@@ -155,6 +155,24 @@ object Packing {
   private def splitHash(s: SparkSession, dir: String): DataFrame =
     splitHashFrom(Tables(s, dir, "documents")).orderBy("doc_id")
 
+  /** Split membership as a PURE FUNCTION of the doc id (the X31
+    * hash-percentile rule factored out): anything that needs to know a
+    * doc's split — X31 itself, the X62 cross-split leakage scan — can
+    * compute it in a narrow projection instead of joining a
+    * corpus-sized split table. At 100 TB that is the difference
+    * between a map and a shuffle.
+    */
+  private[graft] def splitOf(id: Column): Column = {
+    val u = h32(concat(lit("split"), id.cast("string"))) % 100
+    when(u < 90, "train").when(u < 95, "val").otherwise("test")
+  }
+
+  /** DuckDB twin of [[splitOf]] over an arbitrary id expression. */
+  private[graft] def splitCaseSql(idExpr: String): String = {
+    val u = s"('0x' || substr(md5('split' || CAST($idExpr AS VARCHAR)), 1, 8))::BIGINT % 100"
+    s"CASE WHEN $u < 90 THEN 'train' WHEN $u < 95 THEN 'val' ELSE 'test' END"
+  }
+
   /** The split assignment + shuffle position over an arbitrary frame
     * with a doc_id column — the composed-pipeline entry point.
     */
@@ -162,10 +180,8 @@ object Packing {
     val d = docs
       .select(
         col("doc_id"),
-        (h32(concat(lit("split"), col("doc_id").cast("string"))) % 100).as("u"),
         md5(concat(lit("ord"), col("doc_id").cast("string"))).as("h"))
-      .withColumn("split",
-        when(col("u") < 90, "train").when(col("u") < 95, "val").otherwise("test"))
+      .withColumn("split", splitOf(col("doc_id")))
     Extensions.rankedByRange(d, "split", Seq("h", "doc_id"), "pos")
       .select(col("doc_id"), col("split"), col("pos").cast("long").as("pos"))
   }

@@ -186,6 +186,102 @@ object Search {
 
   private val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
 
+  /** RRF dampening constant — k = 60, the value of the original
+    * Cormack–Clarke–Buettcher paper and of every production hybrid
+    * search default since.
+    */
+  private[graft] val rrfK = 60
+
+  /** X61 — hybrid retrieval via reciprocal-rank fusion: the X18 BM25
+    * top-20 (lexical leg) fused with the X4 cosine top-20 over the
+    * aligned embedding table (dense leg; vec_id ≡ doc_id in this
+    * corpus) by RRF(d) = Σ_legs 1/(k + rank_leg(d)). Rank fusion, not
+    * score fusion, is the production choice precisely because BM25
+    * and cosine scores live on incomparable scales — ranks need no
+    * calibration. Ranks are taken over each leg's ROUNDED score with
+    * the doc-id tie-break (the house ranking rule), so both engines
+    * rank identical values; 1/(k+r) sums two exactly-representable
+    * doubles in a fixed order, so the rounded fusion score is
+    * engine-portable.
+    *
+    * Scale shape: each leg ends in a distributed TakeOrdered top-20;
+    * everything after — the rank windows, the full-outer rank join,
+    * the fusion arithmetic — runs over ≤ 2·20 rows BY CONSTRUCTION
+    * (the unpartitioned windows are bounded by the upstream limit,
+    * not by corpus size, which is why they are allowed here and
+    * banned over corpus-keyed frames). At 100 TB the legs are the
+    * whole cost, and they are the already-audited X18/X4 plans.
+    */
+  private def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val lex = bm25(s, dir)
+      .withColumn("lex_rk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("lex_rk"))
+    val dense = Extensions.simCosine(s, dir)
+      .withColumn("vec_rk",
+        row_number().over(Window.orderBy(col("score").desc, col("vec_id").asc)).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("vec_rk"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"), col("lex_rk"), col("vec_rk"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rk")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("vec_rk")), lit(0.0)),
+          4).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+  }
+
+  private def bm25Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |dd AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM d),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM dd),
+       |tf AS (
+       |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(w) AS tok FROM dd)
+       |  WHERE tok IN ($termList)
+       |  GROUP BY doc_id, dl, tok),
+       |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |  round(sum(
+       |    ln(CAST(1.0 AS DOUBLE) +
+       |       (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+       |    * (tf * CAST(2.2 AS DOUBLE) /
+       |       (tf + CAST(1.2 AS DOUBLE) *
+       |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl /
+       |         (CAST(sum_dl AS DOUBLE) / n_docs))))), 4) AS score
+       |FROM tf JOIN dft USING (tok) CROSS JOIN stats
+       |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  private def rrfFusionSql: String =
+    s"""WITH lex0 AS ($bm25Sql),
+       |lex AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS lex_rk
+       |  FROM lex0),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT e.vec_id,
+       |    list_sum(list_transform(list_zip(e.embedding, q.qe),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> 0),
+       |den0 AS (
+       |  SELECT vec_id, round(score, 4) + 0 AS score FROM scored
+       |  ORDER BY score DESC, vec_id ASC LIMIT 20),
+       |den AS (
+       |  SELECT vec_id AS doc_id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS BIGINT) AS vec_rk
+       |  FROM den0)
+       |SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id, lex_rk, vec_rk,
+       |  round(COALESCE(CAST(1.0 AS DOUBLE) / ($rrfK + lex_rk), 0) +
+       |        COALESCE(CAST(1.0 AS DOUBLE) / ($rrfK + vec_rk), 0), 4) + 0 AS rrf
+       |FROM lex FULL JOIN den ON lex.doc_id = den.doc_id
+       |ORDER BY rrf DESC, doc_id ASC""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_tfidf" -> QueryDef(
       tfidf,
@@ -208,27 +304,7 @@ object Search {
       "X17 TF-IDF: per-document top-3 terms by tf * ln(N/df)"),
     "q_bm25" -> QueryDef(
       bm25,
-      Some(s"""WITH d AS (
-              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-              |dd AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM d),
-              |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-              |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM dd),
-              |tf AS (
-              |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
-              |  FROM (SELECT doc_id, dl, unnest(w) AS tok FROM dd)
-              |  WHERE tok IN ($termList)
-              |  GROUP BY doc_id, dl, tok),
-              |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok)
-              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-              |  round(sum(
-              |    ln(CAST(1.0 AS DOUBLE) +
-              |       (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
-              |    * (tf * CAST(2.2 AS DOUBLE) /
-              |       (tf + CAST(1.2 AS DOUBLE) *
-              |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl /
-              |         (CAST(sum_dl AS DOUBLE) / n_docs))))), 4) AS score
-              |FROM tf JOIN dft USING (tok) CROSS JOIN stats
-              |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin),
+      Some(bm25Sql),
       "X18 BM25 search ranking: top-20 documents for a fixed term query"),
     "q_phrase_search" -> QueryDef(
       phraseSearch,
@@ -249,5 +325,9 @@ object Search {
               |FROM l0 JOIN l1 USING (doc_id, p0) JOIN l2 USING (doc_id, p0)
               |GROUP BY 1 ORDER BY doc_id""".stripMargin),
       "X24 exact phrase search via positional-inverted-index adjacency joins"),
+    "q_rrf_fusion" -> QueryDef(
+      rrfFusion,
+      Some(rrfFusionSql),
+      "X61 hybrid retrieval: BM25 + cosine top-20 legs fused by reciprocal-rank fusion"),
   )
 }

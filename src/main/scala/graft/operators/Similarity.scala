@@ -309,8 +309,10 @@ object Similarity {
     * embedding, 4 codewords per subspace — the codebook rows are the
     * embeddings of vec_id 1..4 (the X32/X34 "index parameters are
     * operator CONFIG" argument: a real deployment trains codebooks
-    * offline per subspace and ships them; fixed rows are the
-    * cross-engine-reproducible stand-in, exactly like the IVF
+    * offline per subspace and ships them — [[trainedPqCodebook]] IS
+    * that trainer, with its reconstruction-MSE drop measured in
+    * SimilaritySpec; fixed rows are the cross-engine-reproducible
+    * stand-in the DECLARED query keeps, exactly like the IVF
     * centroids). k=4 is deliberately tiny so quantization error is
     * VISIBLE — the adc_d2 ranking genuinely differs from exact L2,
     * which is the property SimilaritySpec measures (a k where ADC ≡
@@ -354,47 +356,126 @@ object Similarity {
     * pass over the corpus, which is the same plan minus the reused
     * materialization.)
     */
-  /** Driver-side ADC table: adc4(j)(c-1) = round4(d²(q_j, cw_{c,j}))
-    * as integer ten-thousandths (exact by construction).
+  /** The config codebook in PER-SUBSPACE form — per subspace j, the
+    * pqK (cid, 8-dim slice) codewords. The per-subspace shape is the
+    * general one: a TRAINED codebook ([[trainedPqCodebook]]) optimizes
+    * each subspace independently, so its codewords are not slices of
+    * any shared full vector.
     */
-  private def adcTable(s: SparkSession, dir: String): IndexedSeq[IndexedSeq[Long]] = {
+  private[graft] def perSubCodebook(
+      s: SparkSession, dir: String): IndexedSeq[Seq[(Long, Array[Double])]] = {
     val cb = pqCodebook(s, dir)
-    val q = queryVec(s, dir).map(_.toDouble)
     (0 until pqM).map { j =>
-      cb.map { case (_, v) =>
-        var d = 0.0
-        var i = j * pqSubDim
-        while (i < (j + 1) * pqSubDim) { val t = q(i) - v(i); d += t * t; i += 1 }
-        (BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact
-      }.toIndexedSeq
+      cb.map { case (cid, v) => cid -> v.slice(j * pqSubDim, (j + 1) * pqSubDim) }
     }
   }
 
-  /** The j-th PQ code of `embedding`: argmin codeword by (round-4 d²,
-    * cid); cids are 1..pqK, so the code doubles as the 1-based ADC
-    * lookup index. Pure literal-codebook projection — this is the
-    * column a deployment writes into its codes table.
+  /** Driver-side ADC table for an explicit per-subspace codebook:
+    * adc4(j)(c-1) = round4(d²(q_j, cw_{c,j})) as integer
+    * ten-thousandths (exact by construction).
     */
-  private[graft] def pqCodeJ(s: SparkSession, dir: String, j: Int): Column = {
+  private def adcTableOf(
+      q: Array[Double], cb: IndexedSeq[Seq[(Long, Array[Double])]]): IndexedSeq[IndexedSeq[Long]] =
+    (0 until pqM).map { j =>
+      cb(j).map { case (_, v) =>
+        var d = 0.0
+        var i = 0
+        while (i < pqSubDim) { val t = q(j * pqSubDim + i) - v(i); d += t * t; i += 1 }
+        (BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact
+      }.toIndexedSeq
+    }
+
+  /** The j-th PQ code of `embedding` under an explicit per-subspace
+    * codebook: argmin codeword by (round-4 d², cid); cids are 1..pqK,
+    * so the code doubles as the 1-based ADC lookup index. Pure
+    * literal-codebook projection — this is the column a deployment
+    * writes into its codes table.
+    */
+  private[graft] def pqCodeJOf(
+      cb: IndexedSeq[Seq[(Long, Array[Double])]], j: Int): Column = {
     val subCol = slice(col("embedding"), j * pqSubDim + 1, pqSubDim)
-    least(pqCodebook(s, dir).map { case (cid, v) =>
+    least(cb(j).map { case (cid, v) =>
       struct(
-        round(VectorOps.l2Sq(subCol,
-          typedlit(v.slice(j * pqSubDim, (j + 1) * pqSubDim).toSeq)), 4).as("d2"),
+        round(VectorOps.l2Sq(subCol, typedlit(v.toSeq)), 4).as("d2"),
         lit(cid).as("c"))
     }: _*).getField("c")
   }
 
-  /** ADC estimate as integer ten-thousandths: 8 literal-array lookups
-    * summed. `codeJ` supplies the per-subspace code column — computed
-    * from the embedding in the fused paths, read from a materialized
-    * codes table in the SimilaritySpec codes-only pin.
+  /** The declared queries' code column — the config codebook. */
+  private[graft] def pqCodeJ(s: SparkSession, dir: String, j: Int): Column =
+    pqCodeJOf(perSubCodebook(s, dir), j)
+
+  /** ADC estimate as integer ten-thousandths under an explicit
+    * codebook: 8 literal-array lookups summed. `codeJ` supplies the
+    * per-subspace code column — computed from the embedding in the
+    * fused paths, read from a materialized codes table in the
+    * SimilaritySpec codes-only pin.
     */
-  private[graft] def adcIntOf(s: SparkSession, dir: String, codeJ: Int => Column): Column = {
-    val adc4 = adcTable(s, dir)
+  private[graft] def adcIntOfCb(
+      s: SparkSession, dir: String,
+      cb: IndexedSeq[Seq[(Long, Array[Double])]], codeJ: Int => Column): Column = {
+    val adc4 = adcTableOf(queryVec(s, dir).map(_.toDouble), cb)
     (0 until pqM).map { j =>
       element_at(array(adc4(j).map(lit): _*), codeJ(j).cast("int"))
     }.reduce(_ + _)
+  }
+
+  /** The declared queries' ADC column — the config codebook. */
+  private[graft] def adcIntOf(s: SparkSession, dir: String, codeJ: Int => Column): Column =
+    adcIntOfCb(s, dir, perSubCodebook(s, dir), codeJ)
+
+  /** Offline per-subspace Lloyd training of the PQ codebook — the
+    * X33 k-means machinery applied to each 8-dim slice, making the
+    * X59 scaladoc's "real deployments train codebooks offline"
+    * operational. Seeded from the config rows (so cids stay 1..pqK
+    * and the ADC lookup index semantics are unchanged); an emptied
+    * codeword keeps its previous centroid, the standard Lloyd
+    * empty-cluster rule that also guarantees all pqK cids survive.
+    *
+    * ONE corpus pass per iteration trains ALL pqM subspaces: the
+    * per-row code array rides the X33 posexplode, and the shuffle
+    * carries at most pqM × pqK × pqSubDim = 256 groups of partial
+    * sums — plan constants, nothing corpus-proportional, same
+    * argument as [[Clustering.lloyd]]. A per-subspace loop would
+    * scan the corpus 8× per iteration for no reason.
+    *
+    * ScalaTest-only companion (the r9 `ivfTopK` pattern): the
+    * DECLARED q_sim_pq keeps the engine-portable config codebook —
+    * training's round-4 means are reproducible, but pinning 3
+    * iterations × 256 means in a DuckDB oracle buys no coverage the
+    * SimilaritySpec ADC-error measurement doesn't already give.
+    */
+  private[graft] def trainedPqCodebook(
+      s: SparkSession, dir: String, iters: Int): IndexedSeq[Seq[(Long, Array[Double])]] = {
+    var cb = perSubCodebook(s, dir)
+    for (_ <- 1 to iters) {
+      val codes = array((0 until pqM).map(j => pqCodeJOf(cb, j).cast("int")): _*)
+      // two selects for the same reason as Clustering.kmeansUpdate:
+      // resolving the argmin structs inside the generator projection
+      // loses the struct field names
+      val rows = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") =!= 0)
+        .select(codes.as("cs"), col("embedding"))
+        .select(col("cs"), posexplode(col("embedding")))
+        .select(
+          expr(s"CAST(pos DIV $pqSubDim AS INT)").as("j"),
+          expr(s"element_at(cs, CAST(pos DIV $pqSubDim AS INT) + 1)").as("c"),
+          expr(s"CAST(pos % $pqSubDim AS INT)").as("d"),
+          col("col").cast("double").as("x"))
+        .groupBy(col("j"), col("c"), col("d"))
+        .agg(round(avg(col("x")), 4).as("mean"))
+        .collect()
+      val byJc = rows.groupBy(r => (r.getInt(0), r.getInt(1).toLong))
+      cb = (0 until pqM).map { j =>
+        cb(j).map { case (cid, old) =>
+          byJc.get((j, cid)) match {
+            case Some(rs) => cid -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+            case None => cid -> old
+          }
+        }
+      }
+    }
+    cb
   }
 
   private def simPq(s: SparkSession, dir: String): DataFrame = {

@@ -302,4 +302,40 @@ class CurationSpec extends AnyFunSuite {
     }
     info(s"${boundary.size} boundary-landing doc(s) at sf0.1: ${boundary.keys.toSeq.sorted.take(5).mkString(", ")}")
   }
+
+  test("q_split_leakage matches a driver recount over the verified pair list and never flags train") {
+    def splitOf(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split$id".getBytes("UTF-8"))
+      val u = java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) % 100
+      if (u < 90) "train" else if (u < 95) "val" else "test"
+    }
+    // the verified edge list is exactly q_dedup_minhash's (id_a, id_b)
+    // — itself oracle-green — so recounting leakage from it in the
+    // driver is an independent path through the split orientation
+    val pairs = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs
+      .flatMap { case (a, b) =>
+        val (sa, sb) = (splitOf(a), splitOf(b))
+        Seq(
+          if (sa == "train" && sb != "train") Some((b, sb, a)) else None,
+          if (sb == "train" && sa != "train") Some((a, sa, b)) else None
+        ).flatten
+      }
+      .groupBy(t => (t._1, t._2))
+      .map { case ((id, sp), rows) => (id, sp, rows.length.toLong, rows.map(_._3).min) }
+      .toSet
+    val got = SparkEntry.queries("q_split_leakage")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected, "leakage rows diverge from the driver recount")
+    assert(got.nonEmpty, "no leakage found at sf0.01 — the check is vacuous at this SF")
+    // orientation invariants: the flagged doc is never in train, and
+    // its witness always is
+    got.foreach { case (evalId, evalSplit, _, trainId) =>
+      assert(evalSplit != "train" && splitOf(evalId) == evalSplit,
+        s"eval doc $evalId mis-assigned split $evalSplit")
+      assert(splitOf(trainId) == "train", s"witness $trainId is not a train doc")
+    }
+  }
 }

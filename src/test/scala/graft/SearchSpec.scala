@@ -88,4 +88,42 @@ class SearchSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("rrf fusion matches a driver recount from its two legs, and two-leg docs dominate") {
+    // recount the fusion from the legs' own declared outputs — both
+    // oracle-green — ranking in the driver exactly as the operator
+    // ranks (rounded score desc, id asc)
+    val lex = SparkEntry.queries("q_bm25")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val den = SparkEntry.queries("q_sim_cosine")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (lex.keySet ++ den.keySet).map { id =>
+      val rrf = lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        den.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, lex.get(id), den.get(id), r4(rrf))
+    }
+    val got = SparkEntry.queries("q_rrf_fusion")(spark, sf).collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getDouble(3))
+    }
+    assert(got.map(_._1).toSet.size === got.length, "duplicate doc in fused output")
+    assert(got.toSet === expected, "fusion diverges from the driver recount")
+    // with k = 60 and 20-deep legs, min two-leg score 2/80 beats max
+    // one-leg score 1/61 — membership in both legs ALWAYS outranks
+    // either leg alone, which is the fusion's whole point
+    val (both, single) = got.partition(r => r._2.isDefined && r._3.isDefined)
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.map(_._4).min > single.map(_._4).max,
+        "a two-leg doc scored below a single-leg doc")
+    // the output order is the fused ranking
+    val scores = got.map(_._4).toSeq
+    assert(scores === scores.sorted.reverse, "output not in descending rrf order")
+  }
 }
