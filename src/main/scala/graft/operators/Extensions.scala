@@ -211,6 +211,69 @@ object Extensions {
       .orderBy("event_type")
   }
 
+  /** X63 — temporal distribution drift: per event type, the exact
+    * two-sample Kolmogorov–Smirnov statistic between the EARLY and
+    * LATE halves of the stream (split at the midpoint of the observed
+    * time range), over value histograms binned to 0.1 — "did this
+    * signal's distribution move over the window?" is the temporal twin
+    * of X56's per-source question, and the alarm a production ingest
+    * raises for sensor recalibration, unit changes, and seasonal
+    * breaks. Binning to a fixed 0.1 grid is what a monitoring
+    * histogram does anyway, and it is what makes the collapse
+    * discipline hold for a CONTINUOUS measure: the count matrix is
+    * (type, bin, half), bounded by the value range × 10 — a plan
+    * constant — never by corpus size.
+    *
+    * Exactness: both halves share the bin grid, so both ECDFs jump
+    * only at shared points and evaluating the difference AT the grid
+    * points is the exact sup — no left-limit term (that subtlety is
+    * X56's, where the two samples have distinct jump sets; on a
+    * shared grid F(v⁻) at the next jump equals F at the previous
+    * one, already evaluated). Differences are cross-multiplied exact
+    * integers |cum0·n1 − cum1·n0|; the final round-4 happens in
+    * integer space (the X56/X58 HALF_UP discipline), DECIMAL(38,0)
+    * against BIGINT overflow at ~1e10 events per type.
+    *
+    * Scale shape: one narrow projection (µs, bin), a 1-row global
+    * min/max aggregate riding the sanctioned broadcast cross join,
+    * one (type, bin) count aggregate with map-side partials, then
+    * windows over the bin-bounded matrix only. A type living
+    * entirely in one half has no two-sample comparison and is
+    * dropped (documented; both engines drop it identically).
+    */
+  private def timeDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, dir, "events").select(
+      col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      floor(col("value") * 10).cast("long").as("bin"))
+    val mid = e.agg(expr("CAST((min(us) + max(us)) DIV 2 AS BIGINT)").as("mid"))
+    val m = e.crossJoin(broadcast(mid)) // exactly 1 row by construction
+      .select(col("event_type"), col("bin"),
+        when(col("us") <= col("mid"), 1L).otherwise(0L).as("early"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("early")).as("c0"), sum(lit(1L) - col("early")).as("c1"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    m.withColumn("cum0", sum(col("c0")).over(wCum))
+      .withColumn("cum1", sum(col("c1")).over(wCum))
+      .withColumn("n0", sum(col("c0")).over(wAll))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .groupBy(col("event_type"), col("n0"), col("n1"))
+      .agg(max(abs(col("cum0") * col("n1") - col("cum1") * col("n0"))).as("ks_num"))
+      .filter(col("n0") > 0 && col("n1") > 0)
+      .withColumn("q4", expr(
+        """CAST((CAST(ks_num AS DECIMAL(38,0)) * 20000
+          |       + CAST(n0 AS DECIMAL(38,0)) * n1)
+          |  DIV (2 * CAST(n0 AS DECIMAL(38,0)) * n1) AS BIGINT)""".stripMargin))
+      .select(col("event_type"),
+        col("n0").cast("long").as("n_early"),
+        col("n1").cast("long").as("n_late"),
+        (col("q4") / lit(10000.0)).as("ks"))
+      .orderBy("event_type")
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_json_extract" -> QueryDef(
       jsonExtract,
@@ -271,5 +334,34 @@ object Extensions {
              |          (count(*) * (count(*) * count(*) - 1)), 4) + 0 END AS rho
              |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin),
       "X29 Spearman rank correlation (tie-broken exact ranks), value vs props.k"),
+    "q_time_drift" -> QueryDef(
+      timeDrift,
+      Some("""WITH e AS (
+             |  SELECT event_type, epoch_us(ts) AS us,
+             |    CAST(floor(value * 10) AS BIGINT) AS bin
+             |  FROM events),
+             |mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+             |m AS (
+             |  SELECT event_type, bin,
+             |    sum(CASE WHEN us <= mid THEN 1 ELSE 0 END) AS c0,
+             |    sum(CASE WHEN us > mid THEN 1 ELSE 0 END) AS c1
+             |  FROM e, mid GROUP BY 1, 2),
+             |c AS (
+             |  SELECT event_type, c0, c1,
+             |    sum(c0) OVER (PARTITION BY event_type ORDER BY bin) AS cum0,
+             |    sum(c1) OVER (PARTITION BY event_type ORDER BY bin) AS cum1,
+             |    sum(c0) OVER (PARTITION BY event_type) AS n0,
+             |    sum(c1) OVER (PARTITION BY event_type) AS n1
+             |  FROM m),
+             |k AS (
+             |  SELECT event_type, n0, n1,
+             |    max(abs(cum0 * n1 - cum1 * n0)) AS ks_num
+             |  FROM c GROUP BY 1, 2, 3)
+             |SELECT event_type, CAST(n0 AS BIGINT) AS n_early,
+             |  CAST(n1 AS BIGINT) AS n_late,
+             |  CAST((CAST(ks_num AS HUGEINT) * 20000 + CAST(n0 AS HUGEINT) * n1)
+             |       // (2 * CAST(n0 AS HUGEINT) * n1) AS BIGINT) / 10000.0 AS ks
+             |FROM k WHERE n0 > 0 AND n1 > 0 ORDER BY event_type""".stripMargin),
+      "X63 temporal drift: exact two-sample KS, early vs late half per event type"),
   )
 }

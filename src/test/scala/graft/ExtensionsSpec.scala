@@ -38,4 +38,41 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(l.contains("__pid"), s"a rank window lost its partition-id key:\n$l")
     }
   }
+
+  test("q_time_drift equals a sequential driver-side two-sample KS recount per type") {
+    // Independent path through the shared-grid argument: the operator
+    // evaluates the ECDF difference only at the (type, bin) matrix's
+    // grid points; this recount sweeps the merged raw samples the
+    // textbook way (after the same 0.1 binning — the statistic is
+    // DEFINED on the binned histograms) with exact integers.
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val evs = graft.Tables(spark, dir, "events")
+        .select(col("event_type"),
+          org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"),
+          col("value"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      val mid = (evs.map(_._2).min + evs.map(_._2).max) / 2
+      val expected = evs.groupBy(_._1).toSeq.flatMap { case (tp, rows) =>
+        val early = rows.filter(_._2 <= mid).map(e => math.floor(e._3 * 10).toLong).sorted
+        val late = rows.filter(_._2 > mid).map(e => math.floor(e._3 * 10).toLong).sorted
+        val (n0, n1) = (early.length.toLong, late.length.toLong)
+        if (n0 == 0 || n1 == 0) None
+        else {
+          def cumLe(xs: Array[Long], v: Long): Long = xs.count(_ <= v).toLong
+          var ksNum = BigInt(0)
+          (early ++ late).distinct.foreach { v =>
+            val d = (BigInt(cumLe(early, v)) * n1 - BigInt(cumLe(late, v)) * n0).abs
+            if (d > ksNum) ksNum = d
+          }
+          val den = BigInt(n0) * n1
+          Some((tp, n0, n1, ((ksNum * 20000 + den) / (den * 2)).toLong / 10000.0))
+        }
+      }.sortBy(_._1)
+      val got = SparkEntry.queries("q_time_drift")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(got === expected, s"time-drift KS diverges from the sequential recount at $dir")
+      assert(got.nonEmpty && got.forall { case (_, _, _, ks) => ks >= 0.0 && ks <= 1.0 })
+    }
+  }
 }

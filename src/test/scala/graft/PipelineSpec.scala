@@ -193,4 +193,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(novel.isEmpty,
       s"composed pipeline introduced new exchange classes: $novel\nallowed: $allowed")
   }
+
+  test("dedup-before-split: pipeline survivors carry zero verified near-dup pairs, hence zero leakage") {
+    // The published-pipeline ordering (RefinedWeb/Dolma): dedup THEN
+    // split, so the X62 cross-split leakage the standalone
+    // q_split_leakage hunts is impossible by construction on the
+    // pipeline's output. This pins that construction: rebuild the
+    // pipeline's stripped corpus, restrict to the fate table's kept
+    // set, and the X5b verified-pair list over it must be EMPTY (any
+    // surviving pair would have put both endpoints in one CC cluster,
+    // of which only the minimum survives) — and therefore the X62
+    // audit over it finds nothing. Non-vacuous: the same pair build
+    // over the PRE-dedup gate-admitted corpus is allowed to be
+    // non-empty (reported), and the raw corpus has organic pairs.
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("q_pipeline")(spark, dir)
+      .select(col("doc_id"), col("gate_kept"), col("kept")).collect()
+    val keptIds = out.filter(_.getLong(2) == 1L).map(_.getLong(0))
+    val gateIds = out.filter(_.getLong(1) == 1L).map(_.getLong(0))
+    assert(keptIds.nonEmpty, "pipeline kept nothing — invariant is vacuous")
+    val stripped = graft.operators.Dedup.boilerplateCleanFrom(
+      graft.Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          graft.operators.TextAnalysis.normText(col("text")).as("text")))
+      .select(col("doc_id"), col("text"))
+    def pairsOver(ids: Array[Long]) =
+      graft.operators.Dedup.minhashPairsOf(graft.operators.Dedup.shinglesOf(
+        stripped.filter(col("doc_id").isin(ids.toSeq: _*)))).collect()
+    val survivorPairs = pairsOver(keptIds)
+    assert(survivorPairs.isEmpty,
+      s"kept set still contains verified near-dup pairs: ${survivorPairs.take(5).mkString(", ")}")
+    val preDedup = pairsOver(gateIds)
+    info(s"gate-admitted corpus carries ${preDedup.length} verified pair(s); kept set 0 — " +
+      "the dedup stage removed them all before the split assignment")
+  }
 }
