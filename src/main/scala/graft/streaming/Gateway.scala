@@ -300,6 +300,87 @@ object Gateway {
         col("n_admitted"), col("admitted_chars"))
   }
 
+  /** Streaming X63 — windowed distribution-drift monitor: per
+    * event-time window and event type, the exact two-sample KS
+    * statistic of the window's binned value histogram against a
+    * REFERENCE histogram (the known-good distribution a deployment
+    * ships from the offline X63/batch run — the same
+    * bounded-offline-artifact pattern as [[admitFeed]]'s hot set and
+    * dictionary). This is what X63's scaladoc calls "the alarm a
+    * production ingest raises": computed ON the ingest path, per
+    * window, instead of nightly.
+    *
+    * The reference grid is operator CONFIG (plan literals), which is
+    * what makes the whole statistic fold into ONE streaming
+    * aggregate: the per-window histogram is B `sum(when(idx = i))`
+    * columns assembled into an array (state per (window, type) = B
+    * longs, a plan constant), and the KS sup over the SHARED grid is
+    * a narrow post-aggregate HOF fold — running cumulative vs the
+    * reference's literal cumulative array, max of cross-multiplied
+    * exact integer differences. No chained stateful operators, no
+    * second aggregation, nothing corpus-proportional. Values outside
+    * the grid clamp to the edge bins (standard histogram clamping —
+    * the reference grid must cover the expected range; a flood of
+    * clamped values IS drift and shows up as such). The final
+    * round-4 is the X56/X58 integer HALF_UP in DECIMAL space; the
+    * in-fold cross product stays in BIGINT, exact while
+    * n_window × n_ref < 2⁶³ (move the fold to DECIMAL past ~3e9×3e9,
+    * as the batch X63 already does for its totals).
+    */
+  def driftFeed(
+      lines: DataFrame,
+      refGrid: Seq[Long],
+      refCum: Seq[Long],
+      nRef: Long,
+      binWidth: Long = 10L,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    require(refGrid.nonEmpty && refGrid.size == refCum.size,
+      "reference grid and cumulative counts must align")
+    require(refGrid == refGrid.sorted && nRef > 0, "reference grid must be ascending and non-empty")
+    val parsed = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 && col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(2).cast("double").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).as("event_type"),
+        col("p").getItem(2).cast("double").as("value"))
+      .withWatermark("ts", watermarkDelay)
+    val bMax = refGrid.size - 1
+    val idx = least(
+      greatest(floor(col("value") / binWidth).cast("long") - lit(refGrid.head), lit(0L)),
+      lit(bMax.toLong))
+    val counts = parsed
+      .withColumn("i", idx)
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(
+        array((0 to bMax).map(i => sum(when(col("i") === i, 1L).otherwise(0L))): _*).as("h"),
+        count(lit(1)).cast("long").as("n"))
+    val refCumLit = array(refCum.map(lit): _*)
+    counts
+      .withColumn("ks_num",
+        org.apache.spark.sql.functions.aggregate( // Gateway.aggregate shadows the HOF
+          zip_with(col("h"), refCumLit, (c, rc) => struct(c.as("c"), rc.as("rc"))),
+          struct(lit(0L).as("cum"), lit(0L).as("mx")),
+          (acc, x) => {
+            val cum = acc.getField("cum") + x.getField("c")
+            struct(
+              cum.as("cum"),
+              greatest(acc.getField("mx"),
+                abs(cum * lit(nRef) - x.getField("rc") * col("n"))).as("mx"))
+          },
+          acc => acc.getField("mx")))
+      .withColumn("q4", expr(
+        s"""CAST((CAST(ks_num AS DECIMAL(38,0)) * 20000
+           |       + CAST(n AS DECIMAL(38,0)) * ${nRef}L)
+           |  DIV (2 * CAST(n AS DECIMAL(38,0)) * ${nRef}L) AS BIGINT)""".stripMargin))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"),
+        (col("q4") / lit(10000.0)).as("ks"))
+  }
+
   /** Streaming X52+X35+X58 — the full ingest-time admission path the
     * r14 batch pipeline runs, on a live document feed: strip
     * corpus-frequent boilerplate windows (X52 phase 2 — the hot-chunk

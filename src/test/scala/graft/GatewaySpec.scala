@@ -1094,4 +1094,69 @@ class GatewaySpec extends AnyFunSuite {
     assert(st((2090L, 1L, 0)) === (1L, 1.0))
     assert(st.keySet === Set((2000L, 1L, 0), (2100L, 1L, 0), (2090L, 1L, 0)))
   }
+
+  test("streaming drift monitor: windowed KS vs a reference histogram, stream == batch == recount") {
+    // Streaming X63: the reference histogram is the offline artifact
+    // (here: the events table's EARLY half), the stream is the late
+    // half, and the per-(window, type) KS must be identical under the
+    // streaming engine, as a batch frame, and in a sequential driver
+    // recount — the integer cross-multiplied fold is what makes the
+    // three agree exactly (no float accumulates across micro-batches).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(unix_seconds(col("ts")).as("sec"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val mid = (evs.map(_._1).min + evs.map(_._1).max) / 2
+    val early = evs.filter(_._1 <= mid)
+    val late = evs.filter(_._1 > mid)
+    val binW = 10L
+    def binOf(v: Double): Long = math.floor(v / binW).toLong
+    val grid: Seq[Long] = evs.map(e => binOf(e._3)).min to evs.map(e => binOf(e._3)).max
+    val refCounts = early.groupBy(e => binOf(e._3)).view.mapValues(_.size.toLong).toMap
+    val refCum = grid.scanLeft(0L)((acc, b) => acc + refCounts.getOrElse(b, 0L)).tail
+    val nRef = early.length.toLong
+    val feed = late.map { case (s, t, v) => s"$s $t $v" }.toSeq
+    val ms = MemoryStream[String]
+    val sink = s"drift_feed_${System.nanoTime()}"
+    val q = Gateway.driftFeed(ms.toDF(), grid, refCum, nRef, binW, "1 day", "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      ms.addData(feed: _*)
+      q.processAllAvailable()
+      // far-future rows advance the watermark and close the feed's
+      // windows; their own window stays unemitted
+      ms.addData("9999999999 sentinel 0.0")
+      q.processAllAvailable()
+      ms.addData("9999999999 sentinel 0.0")
+      q.processAllAvailable()
+      val cols = Seq(unix_seconds(col("window_start")).as("ws"),
+        col("event_type"), col("n"), col("ks"))
+      val streamed = spark.table(sink).select(cols: _*)
+        .as[(Long, String, Long, Double)].collect().toSet
+      val batch = Gateway.driftFeed(feed.toDF("value"), grid, refCum, nRef, binW, "1 day", "1 hour")
+        .select(cols: _*).as[(Long, String, Long, Double)].collect().toSet
+      assert(batch.nonEmpty, "vacuous pin: no window closed")
+      assert(streamed === batch, s"streaming drift diverges from batch")
+      // sequential driver recount, UTC-epoch-aligned 1-day windows
+      val expected = late.groupBy { case (s, t, _) => ((s / 86400) * 86400, t) }
+        .map { case ((ws, t), rows) =>
+          val n = rows.length.toLong
+          val cnt = rows.groupBy(r =>
+            math.min(math.max(binOf(r._3), grid.head), grid.last))
+            .view.mapValues(_.size.toLong).toMap
+          var cum = 0L; var mx = BigInt(0)
+          grid.zipWithIndex.foreach { case (b, i) =>
+            cum += cnt.getOrElse(b, 0L)
+            val d = (BigInt(cum) * nRef - BigInt(refCum(i)) * n).abs
+            if (d > mx) mx = d
+          }
+          val den = BigInt(n) * nRef
+          (ws, t, n, ((mx * 20000 + den) / (den * 2)).toLong / 10000.0)
+        }.toSet
+      assert(batch === expected, "drift KS diverges from the sequential recount")
+      // non-vacuous: some window genuinely drifted from the reference
+      assert(streamed.exists(_._4 > 0.0), "all windows identical to reference — vacuous")
+    } finally q.stop()
+  }
 }
