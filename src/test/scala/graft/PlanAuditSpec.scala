@@ -641,4 +641,62 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ex.size == 2 && ex.exists(_.contains("gram")) && ex.exists(_.contains("first_doc")),
       s"q_novelty's exchange profile drifted from {gram, first_doc}:\n$plan")
   }
+
+  test("q_rrf_fusion's legs end in distributed top-Ks; windows run over the bounded merge only") {
+    val plan = SparkEntry.queries("q_rrf_fusion")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // each leg's limit must plan as TakeOrderedAndProject (distributed
+    // top-20), never a global Sort + CollectLimit over the corpus
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
+      s"rrf legs lost their TakeOrdered top-Ks:\n$plan")
+    // the unpartitioned rank windows are legitimate ONLY because they
+    // sit above the 20-row limits; both must consume a limit subtree
+    assert(plan.contains("Window"), "rank windows disappeared")
+    // and the corpus-sized inputs never reach a single-partition
+    // exchange except the post-limit fusion (≤40 rows)
+    val singleParts = plan.linesIterator.filter(_.contains("Exchange SinglePartition")).size
+    assert(singleParts <= 3,
+      s"too many single-partition exchanges ($singleParts) — a corpus-sized sort leaked in:\n$plan")
+  }
+
+  test("q_time_drift collapses to the (type, bin) matrix before any window") {
+    val plan = SparkEntry.queries("q_time_drift")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the 1-row midpoint aggregate rides the sanctioned broadcast
+    // nested-loop join; the event stream itself shuffles once into
+    // the (type, bin) count matrix, and every window partitions by
+    // event_type OVER THAT MATRIX (bin-bounded), never over raw rows
+    assert(plan.contains("BroadcastNestedLoopJoin"), "midpoint should broadcast as 1 row")
+    val ex = hashExchanges(plan)
+    assert(ex.exists(l => l.contains("event_type") && l.contains("bin")),
+      s"missing the (event_type, bin) collapse exchange:\n$plan")
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("event_type")),
+      s"a drift window lost its event_type key:\n${windows.mkString("\n")}")
+  }
+
+  test("q_split_leakage derives splits as a projection — no join beyond the dedup machinery") {
+    // split membership is a pure function of doc_id (Packing.splitOf):
+    // the plan must contain the leakage logic as narrow projections on
+    // the verified-pair output, with NO extra join or exchange beyond
+    // what q_dedup_minhash itself plans (plus the final per-eval-doc
+    // aggregate)
+    def joins(p: String): Int =
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)".r
+        .findAllIn(p).size
+    val leak = SparkEntry.queries("q_split_leakage")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val minhash = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the pair list is consumed twice (two orientations), so allow up
+    // to 2x the minhash machinery's joins — but not a single join more
+    // (a split-table join would add doc_id-keyed joins on top)
+    assert(joins(leak) <= 2 * joins(minhash),
+      s"leakage plan joined beyond the pair machinery: ${joins(leak)} vs minhash ${joins(minhash)}:\n$leak")
+    // a column named exactly `split` (the X31 output) in this plan
+    // would mean a materialized split table joined in; the oriented
+    // projections only ever bind sa/sb/eval_split
+    assert("\\bsplit#".r.findFirstIn(leak).isEmpty,
+      "a materialized split table leaked into the plan")
+  }
 }
