@@ -82,8 +82,10 @@ object Similarity {
     */
   def releaseQueryVecs(s: SparkSession): Unit = releaseQueryVecs(_ eq s)
 
-  private[graft] def releaseQueryVecs(cond: SparkSession => Boolean): Unit =
+  private[graft] def releaseQueryVecs(cond: SparkSession => Boolean): Unit = {
     qMemo.keys.filter(k => cond(k._1)).foreach(qMemo.remove)
+    sq8Memo.keys.filter(k => cond(k._1)).foreach(sq8Memo.remove)
+  }
 
   private[graft] def hasMemoizedQueryVec(s: SparkSession, dir: String): Boolean =
     qMemo.contains((s, dir))
@@ -569,6 +571,122 @@ object Similarity {
        |GROUP BY vec_id, label
        |ORDER BY adc_d2 ASC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** SQ8 quantization levels (codes 0..255 — the faiss
+    * `ScalarQuantizer QT_8bit` geometry).
+    */
+  private[graft] val sq8Levels = 256
+
+  private val sq8Memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[(Double, Double)]]
+
+  /** Per-dimension [lo, hi] quantization bounds for X64, trained on
+    * the search corpus in ONE aggregate pass (128 min/max partials,
+    * map-side combined — the "train" step a deployment runs once and
+    * ships with the index, exactly like the IVF centroids / PQ
+    * codebook ride config). Memoized per (session, dir) like
+    * [[queryVec]]; a degenerate dimension (lo == hi) fails loudly —
+    * silently emitting a 0-width step would turn that dimension's
+    * codes into division-by-zero NaNs downstream.
+    */
+  private[graft] def sq8Bounds(s: SparkSession, dir: String): Array[(Double, Double)] = {
+    SessionCleanup.arm(s)
+    sq8Memo.getOrElseUpdate((s, dir), {
+      val dim = pqM * pqSubDim
+      val aggs = (1 to dim).flatMap(j => Seq(
+        min(element_at(col("embedding"), j).cast("double")).as(s"lo$j"),
+        max(element_at(col("embedding"), j).cast("double")).as(s"hi$j")))
+      val row = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") =!= 0)
+        .agg(aggs.head, aggs.tail: _*)
+        .head()
+      Array.tabulate(dim) { i =>
+        val lo = row.getDouble(2 * i)
+        val hi = row.getDouble(2 * i + 1)
+        if (!(hi > lo)) throw new IllegalStateException(
+          s"SQ8: degenerate embedding dimension ${i + 1} (lo == hi == $lo) in $dir")
+        (lo, hi)
+      }
+    })
+  }
+
+  /** The SQ8 code of dimension `j` (1-based) under bounds (lo, hi):
+    * clamp(floor((v − lo) · 256 / (hi − lo)), 0, 255). Written in
+    * EXACTLY the oracle's operation order so both engines run the
+    * same IEEE double sequence; floor (not round) so the only values
+    * landing on an integer boundary are v == lo and v == hi, both
+    * absorbed by the clamp.
+    */
+  private def sq8Code(v: Column, lo: Double, hi: Double): Column =
+    least(lit(255L), greatest(lit(0L),
+      floor((v.cast("double") - lit(lo)) * lit(256) / (lit(hi) - lit(lo)))))
+
+  /** X64 — scalar-quantization (SQ8) ADC top-10: the OTHER memory-
+    * bound ANN compression (faiss's default `SQ8` index family) —
+    * each dimension quantizes independently to an 8-bit code under
+    * per-dimension affine bounds, so the codes table is exactly 1/4
+    * the float32 corpus bytes with NO codebook assignment work
+    * (encode is a subtract-scale-floor, not pqK distance argmins).
+    * Complements X59: PQ compresses harder (1/32) but coarser; SQ8
+    * is the high-recall tier a deployment reranks FROM (measured
+    * recall@10 vs exact L2 = 9/10 at sf0.001, 10/10 at sf0.01, vs
+    * 1/10 for raw PQ ADC — SimilaritySpec pins the dominance).
+    *
+    * Distance is asymmetric-style over reconstructed steps:
+    * d̂² = Σ_j ((c_j − qc_j) · step_j)², accumulated by the X59
+    * discipline — each per-dimension term rounds to 4 dp and sums as
+    * integer ten-thousandths, order-free. Codes, steps, and the
+    * query's codes are plan literals (bounds collected once, 128
+    * doubles); scoring is pure narrow WholeStageCodegen arithmetic —
+    * no join, no shuffle, one TakeOrdered. At 100 TB: bounds-train is
+    * a one-pass min/max job shipped with the index; the scan reads
+    * only the codes table.
+    */
+  private def simSq8(s: SparkSession, dir: String): DataFrame = {
+    val b = sq8Bounds(s, dir)
+    val q = queryVec(s, dir)
+    val terms = (1 to pqM * pqSubDim).map { j =>
+      val (lo, hi) = b(j - 1)
+      val step = (hi - lo) / 256
+      val qc = math.min(255L, math.max(0L,
+        math.floor((q(j - 1).toDouble - lo) * 256 / (hi - lo)).toLong))
+      val diff = (sq8Code(element_at(col("embedding"), j), lo, hi) - lit(qc)).cast("double") * lit(step)
+      round(round(diff * diff, 4) * lit(10000), 0).cast("long")
+    }
+    Tables(s, dir, "embeddings")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        round(terms.reduce(_ + _) / lit(10000.0), 4).as("sq_d2"))
+      .orderBy(col("sq_d2").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  private def sq8Sql: String = {
+    val dim = pqM * pqSubDim
+    s"""WITH js AS (SELECT unnest(generate_series(1, $dim)) AS j),
+       |b AS (
+       |  SELECT js.j,
+       |    min(CAST(e.embedding[js.j] AS DOUBLE)) AS lo,
+       |    max(CAST(e.embedding[js.j] AS DOUBLE)) AS hi
+       |  FROM embeddings e, js WHERE e.vec_id <> 0 GROUP BY js.j),
+       |p AS (
+       |  SELECT b.j, b.lo, b.hi, (b.hi - b.lo) / 256 AS step,
+       |    LEAST(255, GREATEST(0, CAST(floor(
+       |      (CAST(q.embedding[b.j] AS DOUBLE) - b.lo) * 256 / (b.hi - b.lo)) AS BIGINT))) AS qc
+       |  FROM b, embeddings q WHERE q.vec_id = 0),
+       |c AS (
+       |  SELECT e.vec_id, e.label, p.step, p.qc,
+       |    LEAST(255, GREATEST(0, CAST(floor(
+       |      (CAST(e.embedding[p.j] AS DOUBLE) - p.lo) * 256 / (p.hi - p.lo)) AS BIGINT))) AS cj
+       |  FROM embeddings e, p WHERE e.vec_id <> 0),
+       |t AS (
+       |  SELECT vec_id, label,
+       |    CAST(round(round(((cj - qc) * step) * ((cj - qc) * step), 4) * 10000, 0) AS BIGINT) AS t4
+       |  FROM c)
+       |SELECT vec_id, label, round(sum(t4) / 10000.0, 4) + 0 AS sq_d2
+       |FROM t GROUP BY vec_id, label
+       |ORDER BY sq_d2 ASC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_sim_bucketed" -> QueryDef(
       simBucketed,
@@ -607,6 +725,10 @@ object Similarity {
       simIvfPq,
       Some(ivfPqSql),
       "X60 IVFADC top-10: cell probe + ADC shortlist + exact rerank, the composed 100TB ANN"),
+    "q_sim_sq8" -> QueryDef(
+      simSq8,
+      Some(sq8Sql),
+      "X64 scalar-quantization (SQ8) top-10: per-dim 8-bit affine codes, integer ADC sum"),
   )
 
   private def ivfPqSql: String =

@@ -369,6 +369,72 @@ class SimilaritySpec extends AnyFunSuite {
     (both, adcTop, exactTop)
   }
 
+  /** Driver-side SQ8 machinery mirroring the X64 construction in
+    * independent collection code: per-dim min/max bounds, affine
+    * floor-clamp codes, per-dim round-4 terms summed as integer
+    * ten-thousandths.
+    */
+  private def sq8Driver(dir: String): (Map[Long, (Double, Double)], Seq[(Long, Double)], Seq[(Long, Double)]) = {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    val q = vecs(0L)
+    val dim = Similarity.pqM * Similarity.pqSubDim
+    val corpus = vecs.view.filterKeys(_ != 0L).toMap
+    val lo = (0 until dim).map(j => corpus.values.map(_(j)).min)
+    val hi = (0 until dim).map(j => corpus.values.map(_(j)).max)
+    def code(v: Double, j: Int): Long =
+      math.min(255L, math.max(0L, math.floor((v - lo(j)) * 256 / (hi(j) - lo(j))).toLong))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qc = (0 until dim).map(j => code(q(j), j))
+    val both = corpus.map { case (id, v) =>
+      val sq4 = (0 until dim).map { j =>
+        val d = (code(v(j), j) - qc(j)).toDouble * ((hi(j) - lo(j)) / 256)
+        (BigDecimal(d * d).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact
+      }.sum
+      val exact = {
+        var s = 0.0; var i = 0
+        while (i < dim) { val t = q(i) - v(i); s += t * t; i += 1 }
+        s
+      }
+      id -> (r4(sq4 / 10000.0), r4(exact))
+    }
+    val sqTop = both.toSeq.map { case (id, (a, _)) => (id, a) }
+      .sortBy { case (id, a) => (a, id) }.take(10)
+    val exactTop = both.toSeq.map { case (id, (_, e)) => (id, e) }
+      .sortBy { case (id, e) => (e, id) }.take(10)
+    (both, sqTop, exactTop)
+  }
+
+  test("q_sim_sq8 matches an independent driver-side quantize+score recount") {
+    val (_, sqTop, _) = sq8Driver(sf)
+    val got = SparkEntry.queries("q_sim_sq8")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got === sqTop, "declared SQ8 top-10 diverges from the driver recount")
+  }
+
+  test("SQ8 is non-vacuous and its recall@10 vs exact L2 dominates raw PQ ADC") {
+    // The compression-vs-fidelity ladder the Similarity scaladoc
+    // claims: SQ8 (8 bits/dim, 1/4 bytes) must approximate — mean
+    // |sq_d2 − exact_d2| > 0 — yet rank nearly exactly, strictly
+    // dominating PQ's 4-codeword ADC (1/32 bytes) on the same corpus.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val (both, sqTop, exactTop) = sq8Driver(dir)
+      val errs = both.values.map { case (a, e) => math.abs(a - e) }
+      val meanErr = errs.sum / errs.size
+      assert(meanErr > 0.0,
+        s"SQ8 estimates are exactly the true distances at $dir — vacuous quantization")
+      val recall = (sqTop.map(_._1).toSet & exactTop.map(_._1).toSet).size
+      val (_, pqTop, _) = pqDriver(dir)
+      val pqRecall = (pqTop.map(_._1).toSet & exactTop.map(_._1).toSet).size
+      assert(recall > pqRecall,
+        s"SQ8 recall@10 ($recall) does not dominate PQ ADC ($pqRecall) at $dir")
+      assert(recall >= 8, s"SQ8 recall@10 = $recall/10 at $dir — 8-bit codes should rank near-exactly")
+      info(f"SQ8 at $dir: mean |sq_d2 - exact_d2| = $meanErr%.4f, " +
+        f"recall@10 = $recall/10 (PQ ADC: $pqRecall/10)")
+    }
+  }
+
   test("q_sim_pq matches an independent driver-side encode+ADC recount") {
     val (_, adcTop, _) = pqDriver(sf)
     val got = SparkEntry.queries("q_sim_pq")(spark, sf)
