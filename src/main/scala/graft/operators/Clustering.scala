@@ -85,7 +85,7 @@ object Clustering {
     // below still guards that) — one scalar aggregate over the
     // checkpointed edges, far cheaper than the symmetric difference
     def sig(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
@@ -609,6 +609,97 @@ object Clustering {
        |SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(cs_rank AS BIGINT) AS cs_rank
        |FROM r WHERE cs_rank <= $clusterSampleM ORDER BY vec_id""".stripMargin
 
+  /** Power-iteration count for X65. Three rounds is the monitoring
+    * depth, not a convergence fixpoint — power iteration contracts
+    * geometrically, and the DuckDB oracle unrolls the same three.
+    */
+  private[graft] val prIters = 3
+
+  /** X65 — PageRank over the near-dup graph (`q_dup_pagerank`): the
+    * centrality signal a curation pipeline reads off its own duplicate
+    * graph (Brin & Page 1998 on the X5b edge set instead of the web).
+    * High-rank nodes are the template/boilerplate HUBS — documents
+    * whose near-dup neighborhoods are themselves well-connected — a
+    * finer triage signal than raw degree (X42 counts edges; PageRank
+    * weighs WHOSE edges) for choosing which cluster exemplars a human
+    * reviews first.
+    *
+    * Engine-portable by integer fixed point end-to-end: ranks live in
+    * millionths, each edge contributes `r div deg` (floor division),
+    * and the damped update is `150000 div N + (17·Σ) div 20` —
+    * 0.85 as the exact rational 17/20, no float anywhere, so the
+    * result is independent of partitioning and summation order (the
+    * classic distributed-PageRank nondeterminism is float
+    * accumulation; the integer image removes it). Every node of the
+    * symmetrized graph has out-degree ≥ 1, so there are no dangling
+    * nodes and no mass-leak correction term.
+    *
+    * Scale shape: the edge set is LSH-bounded (collision volume, not
+    * corpus-quadratic), localCheckpoint'd ONCE so the three unrolled
+    * iterations re-read materialized edges instead of re-running the
+    * MinHash build; each iteration is one src-keyed broadcast-free
+    * join plus one dst-keyed aggregate whose integer partial sums
+    * map-side combine. N and the two rank constants are driver
+    * scalars (one bounded count — the K-centroids precedent).
+    */
+  private def dupPagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(s, dir)
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    val deg = sym.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+    val n = deg.count()
+    val r0 = if (n == 0) 0L else 1000000L / n
+    val base = if (n == 0) 0L else 150000L / n
+    val ewd = sym.join(deg, "src")
+    var ranks = deg.select(col("src").as("doc_id"), lit(r0).as("r"))
+    for (_ <- 1 to prIters) {
+      ranks = ewd.join(ranks, col("src") === col("doc_id"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg((lit(base) + expr("(17 * sum(c)) div 20")).cast("long").as("r"))
+        .select(col("dst").as("doc_id"), col("r"))
+    }
+    deg.select(col("src").as("doc_id"), col("deg"))
+      .join(ranks, "doc_id")
+      .select(col("doc_id"), col("deg"), col("r").as("pr6"))
+      .orderBy("doc_id")
+  }
+
+  private def pagerankSql: String = {
+    def iter(prev: String, name: String): String =
+      s"""$name AS (
+         |  SELECT e.dst AS doc_id,
+         |    CAST(150000 // nn.n + (17 * sum(r.r // d.deg)) // 20 AS BIGINT) AS r
+         |  FROM sym e JOIN $prev r ON r.doc_id = e.src
+         |  JOIN deg d ON d.src = e.src, nn
+         |  GROUP BY e.dst, nn.n)""".stripMargin
+    s"""WITH ${Dedup.minhashCandSql},
+       |verified AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS shared
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT v.id_a, v.id_b FROM verified v
+       |  JOIN card ca ON ca.doc_id = v.id_a
+       |  JOIN card cb ON cb.doc_id = v.id_b
+       |  WHERE 10 * v.shared >= 6 * (ca.n + cb.n - v.shared)),
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT d.src AS doc_id, CAST(1000000 // nn.n AS BIGINT) AS r FROM deg d, nn),
+       |${iter("r0", "i1")},
+       |${iter("i1", "i2")},
+       |${iter("i2", "i3")}
+       |SELECT d.src AS doc_id, d.deg, i3.r AS pr6
+       |FROM deg d JOIN i3 ON i3.doc_id = d.src
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_dedup_cluster" -> QueryDef(
       dedupCluster,
@@ -638,5 +729,9 @@ object Clustering {
       clusterSample,
       Some(clusterSampleSql),
       "X57 cluster-balanced sampling: at most M vectors per k-means cell, hash-uniform pick"),
+    "q_dup_pagerank" -> QueryDef(
+      dupPagerank,
+      Some(pagerankSql),
+      "X65 near-dup graph PageRank: integer fixed-point damped power iteration, 3 rounds"),
   )
 }

@@ -309,4 +309,35 @@ class ClusteringSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got2.toSeq === got.toSeq, "sample changed under repartitioning")
   }
+
+  test("q_dup_pagerank matches a sequential integer power-iteration recount") {
+    // The X65 pin: the distributed damped update — integer millionths,
+    // floor division per edge, 17/20 damping — recomputed in plain
+    // sequential Scala over the same verified-pair edge list must
+    // agree EXACTLY (integer fixed point has one right answer; any
+    // float in the distributed path would drift from this recount).
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val pairs = graft.operators.Dedup.minhashPairs(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val sym = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      val deg = sym.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+      val inbound = sym.map { case (s0, d0) => d0 -> s0 }
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+      val n = deg.size
+      assert(n > 0, s"no dup-graph nodes at $dir — the recount is vacuous")
+      var r: Map[Long, Long] = deg.map { case (v, _) => v -> 1000000L / n }.toMap
+      for (_ <- 1 to Clustering.prIters)
+        r = deg.map { case (v, _) =>
+          v -> (150000L / n + 17L * inbound(v).map(u => r(u) / deg(u)).sum / 20L)
+        }.toMap
+      val got = SparkEntry.queries("q_dup_pagerank")(spark, dir)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+      val want = deg.keys.toSeq.sorted.map(v => (v, deg(v), r(v)))
+      assert(got === want, s"distributed PageRank diverges from the recount at $dir")
+      val mass = r.values.sum
+      assert(mass <= 1000000L && mass > 0L,
+        s"rank mass $mass escaped [1, 1e6] — floor division can only LOSE mass")
+      info(s"$dir: ${n} dup-graph nodes, rank mass ${mass}/1000000 after ${Clustering.prIters} rounds")
+    }
+  }
 }
