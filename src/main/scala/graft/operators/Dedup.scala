@@ -1222,6 +1222,105 @@ object Dedup {
     * partitions (≤ windows-per-doc rows each), never corpus-keyed.
     * Cut at max_run ≥ 2 (≥ 2·[[chunkTokens]] verbatim tokens).
     */
+  /** CDC geometry for X66: boundary AFTER token i when the 32-bit
+    * hash of the trailing `cdcWindow`-token window is ≡ 0 mod
+    * `cdcDivisor` — expected chunk length = cdcDivisor tokens. The
+    * rolling-window-hash boundary rule of LBFS/rsync-style content-
+    * defined chunking (Muthitacharoen et al., SOSP 2001), in the
+    * h32 house hash so both engines agree bit-for-bit.
+    */
+  private[graft] val cdcWindow = 4
+  private[graft] val cdcDivisor = 8
+
+  /** The per-doc CDC chunk stream: (doc_id, h) with h = md5 of each
+    * chunk's token text. ENTIRELY NARROW — boundary detection, the
+    * boundary array, and chunk extraction are per-row array lambdas
+    * (no per-doc window, no explode until the finished chunk), which
+    * is CDC's 100 TB property: chunking parallelizes embarrassingly
+    * and the ONLY shuffle in the whole operator is the final
+    * group-by-hash. The ANSI guard: `element_at(allb, i)` sits in the
+    * OTHERWISE branch of the index-0 CASE, so codegen never evaluates
+    * index 0 (CaseWhen emits branch code, not eager evaluation).
+    */
+  private[graft] def cdcChunkStream(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val bpos = when(n >= cdcWindow,
+      filter(sequence(lit(cdcWindow), n),
+        i => Hashing.h32(array_join(slice(toks, i - (cdcWindow - 1), lit(cdcWindow)), " "))
+          % cdcDivisor === 0))
+      .otherwise(array().cast("array<int>"))
+    // boundary list always ends at n (array_distinct: bpos is strictly
+    // ascending and <= n, so this appends n exactly once)
+    val allb = array_distinct(concat(bpos, array(n)))
+    val starts = transform(allb, (_, i) =>
+      when(i === 0, lit(1)).otherwise(element_at(allb, i) + 1))
+    val chunks = zip_with(allb, starts, (b, st) =>
+      md5(array_join(slice(toks, st, b - st + 1), " ")))
+    docs.select(col("doc_id"), explode(chunks).as("h"))
+  }
+
+  /** X66 — content-defined chunk sharing (`q_cdc_chunks`): the
+    * production chunk-dedup geometry X28's fixed 12-token windows
+    * approximate. Fixed-size chunking is SHIFT-FRAGILE — prepend two
+    * tokens and every downstream window changes, so storage/transfer
+    * dedup (LBFS, rsync, borg/restic) cuts chunks where the CONTENT
+    * says to: after any token whose trailing-window hash hits
+    * 0 mod 8. An insertion disturbs only the chunks overlapping the
+    * edit; boundaries re-synchronize within one window width
+    * (DedupSpec pins exactly this: ≥60 % of a doc's CDC chunks
+    * survive a 2-token prepend while the X28 fixed grid keeps <10 %).
+    *
+    * Same plant as X28 (the doc_id % 7 boilerplate prefix) so the
+    * shared-chunk surface is non-vacuous by construction; output is
+    * the cross-doc shared-chunk index (chunk hash → doc spread) — the
+    * artifact a storage-dedup tier keys its block store by.
+    */
+  private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(chunkBoilerplate + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+    cdcChunkStream(planted)
+      .groupBy(col("h"))
+      .agg(
+        countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_occ"),
+        min(col("doc_id")).cast("long").as("min_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("h")
+  }
+
+  private def cdcSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN '$chunkBoilerplate ' || text
+       |         ELSE text END AS text
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM d),
+       |b1 AS (
+       |  SELECT doc_id, s.i AS b
+       |  FROM t, LATERAL unnest(generate_series($cdcWindow, n)) AS s(i)
+       |  WHERE ('0x' || substr(md5(array_to_string(w[s.i-${cdcWindow - 1}:s.i], ' ')), 1, 8))::BIGINT
+       |        % $cdcDivisor = 0),
+       |b2 AS (SELECT doc_id, b FROM b1 UNION SELECT doc_id, n AS b FROM t),
+       |st AS (
+       |  SELECT doc_id, b,
+       |    coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0) + 1 AS st
+       |  FROM b2),
+       |ch AS (
+       |  SELECT s.doc_id, md5(array_to_string(t.w[s.st:s.b], ' ')) AS h
+       |  FROM st s JOIN t USING (doc_id))
+       |SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_occ, CAST(min(doc_id) AS BIGINT) AS min_doc
+       |FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY h""".stripMargin
+
   private def chunkRuns(s: SparkSession, dir: String): DataFrame = {
     val ct = chunkTokens
     val chunks = Tables(s, dir, "documents")
@@ -1390,6 +1489,10 @@ object Dedup {
       chunkRuns,
       Some(chunkRunsSql),
       "X55 longest shared chunk run per pair: copied-span detection via gaps-and-islands"),
+    "q_cdc_chunks" -> QueryDef(
+      cdcChunks,
+      Some(cdcSql),
+      "X66 content-defined chunking: rolling-window boundary rule, cross-doc shared-chunk index"),
     "q_semdedup" -> QueryDef(
       (s, d) => semDedup(s, d),
       Some(semDedupSql),

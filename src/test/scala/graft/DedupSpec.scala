@@ -409,4 +409,52 @@ class DedupSpec extends AnyFunSuite {
       assert(10 * s >= 9 * math.min(na, nb), s"pair ($a,$b) violates the containment cut")
     }
   }
+
+  test("CDC chunking re-synchronizes after a prepend; the fixed grid does not") {
+    // X66's reason to exist: prepend two tokens to every document and
+    // re-chunk. Content-defined boundaries depend only on the trailing
+    // token window, so every boundary past the edit survives and with
+    // it every chunk not overlapping the edit; the X28 fixed 12-token
+    // grid shifts wholesale. Survival = |chunks(orig) ∩ chunks(shifted)|
+    // / |chunks(orig)|, averaged over the corpus.
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val shifted = docs.select(col("doc_id"), concat(lit("prepended edit "), col("text")).as("text"))
+    def cdcSets(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.cdcChunkStream(d)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def fixedSets(d: org.apache.spark.sql.DataFrame) = {
+      val ct = 12
+      d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= ct)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), (size(col("toks")) / ct).cast("int") - 1),
+          i => md5(array_join(slice(col("toks"), i * ct + 1, lit(ct)), " ")))).as("h"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    }
+    def survival(orig: Map[Long, Set[String]], shift: Map[Long, Set[String]]): Double = {
+      val per = orig.collect { case (id, cs) if cs.nonEmpty =>
+        (cs & shift.getOrElse(id, Set.empty)).size.toDouble / cs.size
+      }
+      per.sum / per.size
+    }
+    val cdcS = survival(cdcSets(docs), cdcSets(shifted))
+    val fixS = survival(fixedSets(docs), fixedSets(shifted))
+    assert(cdcS >= 0.6, f"CDC chunk survival after a 2-token prepend is only $cdcS%.2f")
+    assert(fixS < 0.1, f"fixed-grid survival $fixS%.2f — the shift-fragility contrast is gone")
+    info(f"2-token prepend: CDC chunk survival $cdcS%.2f, fixed 12-token grid $fixS%.2f")
+  }
+
+  test("q_cdc_chunks is non-vacuous at both SFs and counts are internally consistent") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = SparkEntry.queries("q_cdc_chunks")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.nonEmpty, s"no cross-doc shared CDC chunk at $dir — the plant is vacuous")
+      rows.foreach { case (h, nDocs, nOcc, _) =>
+        assert(nDocs >= 2 && nOcc >= nDocs, s"chunk $h: n_docs=$nDocs n_occ=$nOcc")
+      }
+    }
+  }
 }
