@@ -658,6 +658,89 @@ object Curation {
 
   private[graft] val dsirTargetLang = "en"
 
+  /** Hashed-feature space size for X67 — the hashing-trick dimension
+    * (Weinberger et al., ICML 2009). 64 buckets is deliberately small
+    * so collisions are EXERCISED, not avoided: the serving plan must
+    * be correct under collision, which is the hashing trick's whole
+    * bargain.
+    */
+  private[graft] val clfBuckets = 64L
+
+  /** The bucket weight in integer millionths: a deterministic
+    * md5-derived stand-in (±0.1) for offline-trained coefficients.
+    * What the operator exercises is the SERVING plan of a hashed
+    * linear model — the weight VALUES would ship from training; their
+    * derivation here is an expression both engines compute
+    * identically, plan-equivalent to a 64-row broadcast literal.
+    */
+  private def clfW6(b: Column): Column =
+    Hashing.h32(concat(lit("qw"), b.cast("string"))) % 200001L - 100000L
+
+  /** X67 — hashed-feature linear quality classifier
+    * (`q_quality_clf`): the fastText-style serving shape every
+    * production corpus filter ends up with (CCNet's LM filter,
+    * GPT-3's quality classifier, RefinedWeb's line filters): features
+    * are word unigrams + bigrams hashed into [[clfBuckets]] buckets,
+    * the score is the sum of bucket weights, keep = score ≥ 0.
+    *
+    * The hashing trick is what makes this a 100 TB operator: there is
+    * NO vocabulary dictionary and NO join — bucket and weight are
+    * pure narrow expressions on the exploded feature stream
+    * (vocabulary-unbounded corpora can't ship a dictionary to every
+    * executor; the hash IS the dictionary), and the only shuffle is
+    * the one doc-keyed aggregate of integer partials. Integer
+    * end-to-end: weights in millionths, the per-feature mean via
+    * truncation-toward-zero division with the sign handled
+    * explicitly (`abs div` then restore) because Spark's `div`
+    * truncates while DuckDB's `//` floors — they agree only on
+    * non-negative operands, the X58 HALF_UP lesson applied to
+    * integer division.
+    */
+  private def qualityClf(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val feats = d.select(col("doc_id"), explode(concat(
+      col("w"),
+      when(size(col("w")) >= 2, expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"""
+          .stripMargin))
+        .otherwise(array().cast("array<string>")))).as("f"))
+    feats
+      .select(col("doc_id"), clfW6(Hashing.h32(col("f")) % clfBuckets).as("w6"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_feats"),
+        sum(col("w6")).cast("long").as("score6"))
+      .select(
+        col("doc_id"), col("n_feats"),
+        (when(col("score6") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("abs(score6) div n_feats")).cast("long").as("logit6"),
+        (col("score6") >= 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private def qualityClfSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |f AS (
+       |  SELECT doc_id, unnest(w) AS f FROM t
+       |  UNION ALL
+       |  SELECT doc_id, w[i] || ' ' || w[i+1] AS f
+       |  FROM t, LATERAL unnest(generate_series(1, len(w) - 1)) AS s(i)
+       |  WHERE len(w) >= 2),
+       |sc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |    CAST(sum(
+       |      ('0x' || substr(md5('qw' || CAST(
+       |        ('0x' || substr(md5(f), 1, 8))::BIGINT % $clfBuckets
+       |      AS VARCHAR)), 1, 8))::BIGINT % 200001 - 100000) AS BIGINT) AS score6
+       |  FROM f GROUP BY doc_id)
+       |SELECT doc_id, n_feats,
+       |  CAST(CASE WHEN score6 < 0 THEN -(abs(score6) // n_feats)
+       |            ELSE score6 // n_feats END AS BIGINT) AS logit6,
+       |  score6 >= 0 AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+
   /** X62 — cross-split near-dup leakage: every val/test document that
     * has a VERIFIED near-duplicate (the X5b MinHash pipeline's ≥0.6
     * Jaccard edges) inside the train split. Benchmark decontamination
@@ -939,5 +1022,9 @@ object Curation {
       splitLeakage,
       Some(splitLeakageSql),
       "X62 cross-split leakage: val/test docs with a verified near-dup in train"),
+    "q_quality_clf" -> QueryDef(
+      qualityClf,
+      Some(qualityClfSql),
+      "X67 hashed-feature linear quality classifier: hashing-trick serving, no dictionary join"),
   )
 }

@@ -338,4 +338,32 @@ class CurationSpec extends AnyFunSuite {
       assert(splitOf(trainId) == "train", s"witness $trainId is not a train doc")
     }
   }
+
+  test("q_quality_clf matches a sequential hashing-trick recount; both verdicts non-vacuous") {
+    // X67: the whole serving path — feature stream, bucket hash,
+    // md5-derived weight, integer sum, sign-explicit truncating mean —
+    // recomputed in plain Scala must agree exactly per doc.
+    def h32(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val w = text.split(" ", -1).toSeq
+      val feats = w ++ (if (w.size >= 2) w.sliding(2).map(_.mkString(" ")).toSeq else Nil)
+      val score6 = feats.map(f => h32("qw" + (h32(f) % 64).toString) % 200001 - 100000).sum
+      val n = feats.size.toLong
+      val mean = if (score6 < 0) -(math.abs(score6) / n) else score6 / n
+      (id, n, mean, score6 >= 0)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_quality_clf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got === expected.toSeq, "declared classifier diverges from the sequential recount")
+    val kept = got.count(_._4)
+    assert(kept > 0 && kept < got.size,
+      s"verdict is vacuous: $kept/${got.size} kept — both branches must be exercised")
+    info(s"$kept/${got.size} docs keep=true at sf0.01")
+  }
 }
