@@ -651,7 +651,9 @@ object Clustering {
     val n = deg.count()
     val r0 = if (n == 0) 0L else 1000000L / n
     val base = if (n == 0) 0L else 150000L / n
-    val ewd = sym.join(deg, "src")
+    // materialize (src, dst, deg) once: without this every unrolled
+    // iteration re-aggregates degree and re-joins it onto the edges
+    val ewd = sym.join(deg, "src").localCheckpoint()
     var ranks = deg.select(col("src").as("doc_id"), lit(r0).as("r"))
     for (_ <- 1 to prIters) {
       ranks = ewd.join(ranks, col("src") === col("doc_id"))

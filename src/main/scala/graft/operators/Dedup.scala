@@ -1229,20 +1229,32 @@ object Dedup {
     * defined chunking (Muthitacharoen et al., SOSP 2001), in the
     * h32 house hash so both engines agree bit-for-bit.
     */
-  private[graft] val cdcWindow = 4
-  private[graft] val cdcDivisor = 8
+  private[graft] val cdcWindow = graft.functions.CdcChunks.window
+  private[graft] val cdcDivisor = graft.functions.CdcChunks.divisor
 
   /** The per-doc CDC chunk stream: (doc_id, h) with h = md5 of each
-    * chunk's token text. ENTIRELY NARROW — boundary detection, the
-    * boundary array, and chunk extraction are per-row array lambdas
-    * (no per-doc window, no explode until the finished chunk), which
-    * is CDC's 100 TB property: chunking parallelizes embarrassingly
-    * and the ONLY shuffle in the whole operator is the final
-    * group-by-hash. The ANSI guard: `element_at(allb, i)` sits in the
-    * OTHERWISE branch of the index-0 CASE, so codegen never evaluates
-    * index 0 (CaseWhen emits branch code, not eager evaluation).
+    * chunk's token text. ENTIRELY NARROW — the whole boundary-detect +
+    * chunk-extract loop runs in the native
+    * [[graft.functions.CdcChunks]] expression (one static call per
+    * row inside the WholeStageCodegen span; no per-doc window, no
+    * explode until the finished chunk), which is CDC's 100 TB
+    * property: chunking parallelizes embarrassingly and the ONLY
+    * shuffle in the whole operator is the final group-by-hash. The
+    * declarative twin below exists so DedupSpec can pin the native
+    * loop against the HOF composition it replaced (the HOF form is
+    * semantically identical but pays interpreted per-element
+    * evaluation — 15.8 s vs 0.6 s at sf0.1).
     */
-  private[graft] def cdcChunkStream(docs: DataFrame): DataFrame = {
+  private[graft] def cdcChunkStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(call_function("graft_cdc_chunks", split(col("text"), " "))).as("h"))
+
+  /** The declarative HOF form of the same chunk rule — DedupSpec pins
+    * native ≡ declarative; not used by any declared query (the
+    * nested HOF lambdas evaluate interpreted, the 40× tax the native
+    * expression exists to remove).
+    */
+  private[graft] def cdcChunkStreamDeclarative(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val n = size(toks)
     val bpos = when(n >= cdcWindow,

@@ -447,6 +447,22 @@ class DedupSpec extends AnyFunSuite {
     info(f"2-token prepend: CDC chunk survival $cdcS%.2f, fixed 12-token grid $fixS%.2f")
   }
 
+  test("native CDC chunker emits exactly the declarative HOF form's chunks") {
+    // the native expression replaced the filter/transform/zip_with
+    // composition for speed (interpreted HOF lambdas, 40x); the rule
+    // must not have drifted in translation — per-doc chunk SEQUENCES
+    // (with multiplicity, in order) must be identical
+    val docs = Tables(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    def seqs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val native = seqs(graft.operators.Dedup.cdcChunkStream(docs))
+    val declarative = seqs(graft.operators.Dedup.cdcChunkStreamDeclarative(docs))
+    assert(native === declarative, "native CDC loop diverged from the declarative rule")
+    assert(native.nonEmpty)
+  }
+
   test("q_cdc_chunks is non-vacuous at both SFs and counts are internally consistent") {
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
       val rows = SparkEntry.queries("q_cdc_chunks")(spark, dir)

@@ -675,6 +675,59 @@ class PlanAuditSpec extends AnyFunSuite {
       s"a drift window lost its event_type key:\n${windows.mkString("\n")}")
   }
 
+  test("q_sim_sq8 is one narrow codegen'd scan into a bounded top-K — no join, no exchange") {
+    // X64's scale shape: bounds and query codes are plan literals
+    // (collected at construction), so the scoring pass must be a
+    // single WholeStageCodegen scan feeding TakeOrderedAndProject —
+    // any Exchange or Join here means the quantizer fell out of the
+    // narrow path
+    val plan = SparkEntry.queries("q_sim_sq8")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"SQ8 scoring plans a join:\n$plan")
+    assert(!plan.contains("Exchange"), s"SQ8 scoring shuffles:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"SQ8 top-10 is not a bounded sort:\n$plan")
+    assert(plan.contains("*(1)"),
+      s"SQ8 arithmetic fell out of whole-stage codegen (no *(n) stage):\n$plan")
+  }
+
+  test("q_dup_pagerank iterates over checkpointed edges — the MinHash build never re-runs") {
+    // the localCheckpoints are load-bearing: 3 unrolled iterations
+    // each consume the edge set, and without materialization every
+    // one would re-run the shingle→signature→band→verify pipeline
+    // (and the per-iteration degree join would re-aggregate raw
+    // pairs). The executed plan must read ONLY materialized RDDs.
+    val plan = SparkEntry.queries("q_dup_pagerank")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"PageRank re-reads parquet — a checkpoint is not materializing:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"PageRank plan shows no checkpointed edge scan:\n$plan")
+  }
+
+  test("q_cdc_chunks chunks narrowly: shuffles only the finished chunk hashes") {
+    // X66's whole point at scale: boundary detection and chunk
+    // extraction are per-row array lambdas — no per-doc Window, no
+    // join; the only movement is the chunk-hash aggregate (2 hash
+    // exchanges: the count-distinct expand pair) plus the final sort
+    val plan = SparkEntry.queries("q_cdc_chunks")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"CDC chunking plans a join:\n$plan")
+    assert(!plan.contains("Window"), s"CDC chunking plans a per-doc window:\n$plan")
+    assert(hashExchanges(plan).size == 2,
+      s"CDC should shuffle chunk hashes twice (distinct expand + final agg):\n$plan")
+  }
+
+  test("q_quality_clf serves with no dictionary: one doc-keyed shuffle, no join, no window") {
+    val plan = SparkEntry.queries("q_quality_clf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"the hashing trick means NO weight-table join; plan has one:\n$plan")
+    assert(!plan.contains("Window"), s"classifier plans a window:\n$plan")
+    assert(hashExchanges(plan).size == 1,
+      s"classifier should shuffle once (the doc aggregate):\n$plan")
+  }
+
   test("q_split_leakage derives splits as a projection — no join beyond the dedup machinery") {
     // split membership is a pure function of doc_id (Packing.splitOf):
     // the plan must contain the leakage logic as narrow projections on
