@@ -1333,6 +1333,103 @@ object Dedup {
        |FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY h""".stripMargin
 
+  /** X68 geometry: sliding-gram width (the exact-match unit) and the
+    * minimum shared-run length worth reporting, in TOKENS (Lee et
+    * al. use 50 BPE tokens on web-scale corpora; 12 fits this
+    * corpus's ~100-token documents while keeping the threshold doing
+    * real work — a run of k consecutive shared 8-grams certifies an
+    * exact shared substring of k+7 tokens, so the filter is k ≥ 5).
+    */
+  private[graft] val substrGramN = 8
+  private[graft] val substrMinTokens = 12
+  private[graft] val substrMaxDf = 64L
+
+  /** X68 — exact shared-substring detection (`q_substr_dedup`): the
+    * Lee et al. ("Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022) exact-substring semantic, which their suffix
+    * array computes single-node and this operator re-expresses
+    * distributed: for every doc pair, the LONGEST run of tokens
+    * shared verbatim at ANY alignment. X55's fixed 12-token chunk
+    * grid detects a shared span only when the two copies' offsets
+    * agree mod 12; sliding 8-grams at every position make the
+    * detection ALIGNMENT-FREE and the length EXACT — a shared
+    * substring of T ≥ 12 tokens yields exactly T−7 consecutive
+    * shared grams on one (id_a, id_b, offset-difference) diagonal,
+    * recovered by the X55 gaps-and-islands trick, so max_run = k+7
+    * is the true length, not a grid approximation.
+    *
+    * Scale: the gram stream is one narrow explode (n rows/doc — the
+    * X15 stream with positions kept); the self-join is df-capped at
+    * [[substrMaxDf]] (the X5a posting-cap discipline — a pair is
+    * missed only if EVERY gram of its shared run is corpus-wide
+    * boilerplate, which X52 strips upstream in the composed
+    * pipeline); islands run per (pair, diagonal) — partitions
+    * bounded by matched-gram volume, never corpus size.
+    */
+  private def substrDedup(s: SparkSession, dir: String): DataFrame = {
+    val n = substrGramN
+    val concatGram = (1 until n)
+      .foldLeft("element_at(w, i)") { (acc, j) => s"concat($acc, ' ', element_at(w, i + $j))" }
+    val grams = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> md5($concatGram))")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+    val dfreq = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= substrMaxDf)
+      .select("h")
+    val kept = grams.join(dfreq, "h")
+    val matched = kept.as("a")
+      .join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.i").as("i_a"), (col("a.i") - col("b.i")).as("d"))
+    val islands = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("d")).orderBy(col("i_a"))
+    matched
+      .withColumn("grp", col("i_a") - row_number().over(islands))
+      .groupBy(col("id_a"), col("id_b"), col("d"), col("grp"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        (max(col("k")) + lit(n - 1)).cast("long").as("max_run"),
+        sum(col("k")).cast("long").as("n_shared_grams"))
+      .filter(col("max_run") >= substrMinTokens)
+      .orderBy("id_a", "id_b")
+  }
+
+  private def substrSql: String = {
+    val n = substrGramN
+    val gramExpr = (1 until n).foldLeft("w[i]") { (acc, j) => s"$acc || ' ' || w[i + $j]" }
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $n),
+       |g AS (
+       |  SELECT doc_id, s.i, md5($gramExpr) AS h
+       |  FROM t, LATERAL unnest(generate_series(1, len(w) - ${n - 1})) AS s(i)),
+       |dfq AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) <= $substrMaxDf),
+       |k AS (SELECT g.* FROM g JOIN dfq USING (h)),
+       |m AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS i_a, a.i - b.i AS d
+       |  FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT id_a, id_b, d,
+       |    i_a - row_number() OVER (PARTITION BY id_a, id_b, d ORDER BY i_a) AS grp
+       |  FROM m),
+       |runs AS (
+       |  SELECT id_a, id_b, d, grp, count(*) AS k
+       |  FROM isl GROUP BY id_a, id_b, d, grp)
+       |SELECT id_a, id_b,
+       |  CAST(max(k) + ${n - 1} AS BIGINT) AS max_run,
+       |  CAST(sum(k) AS BIGINT) AS n_shared_grams
+       |FROM runs GROUP BY id_a, id_b
+       |HAVING max(k) + ${n - 1} >= $substrMinTokens
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private def chunkRuns(s: SparkSession, dir: String): DataFrame = {
     val ct = chunkTokens
     val chunks = Tables(s, dir, "documents")
@@ -1505,6 +1602,10 @@ object Dedup {
       cdcChunks,
       Some(cdcSql),
       "X66 content-defined chunking: rolling-window boundary rule, cross-doc shared-chunk index"),
+    "q_substr_dedup" -> QueryDef(
+      substrDedup,
+      Some(substrSql),
+      "X68 exact shared substrings (Lee et al.): sliding-gram diagonals, alignment-free runs"),
     "q_semdedup" -> QueryDef(
       (s, d) => semDedup(s, d),
       Some(semDedupSql),

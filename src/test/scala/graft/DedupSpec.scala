@@ -463,6 +463,50 @@ class DedupSpec extends AnyFunSuite {
     assert(native.nonEmpty)
   }
 
+  test("q_substr_dedup max_run equals a driver token-LCS recount, and no pair is missed") {
+    // X68's exactness claim: max_run is the TRUE longest common token
+    // substring (any alignment), certified against an O(n·m) dynamic-
+    // programming recount; at sf0.001 the recount also runs over ALL
+    // doc pairs to certify completeness (the df cap bit nothing).
+    def lcsTokens(a: Array[String], b: Array[String]): Int = {
+      val prev = new Array[Int](b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length) {
+        for (j <- 1 to b.length) {
+          cur(j) = if (a(i - 1) == b(j - 1)) prev(j - 1) + 1 else 0
+          if (cur(j) > best) best = cur(j)
+        }
+        System.arraycopy(cur, 0, prev, 0, cur.length)
+      }
+      best
+    }
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val toks = Tables(spark, dir, "documents")
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+      val got = SparkEntry.queries("q_substr_dedup")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got.nonEmpty, s"no exact shared substring found at $dir")
+      got.foreach { case ((a, b), run) =>
+        val truth = lcsTokens(toks(a), toks(b))
+        assert(truth.toLong === run,
+          s"pair ($a,$b): declared max_run $run, DP recount $truth at $dir")
+      }
+      if (dir.endsWith("sf0.001")) {
+        val ids = toks.keys.toSeq.sorted
+        val missed = for {
+          ai <- ids.indices; bi <- (ai + 1) until ids.size
+          a = ids(ai); b = ids(bi)
+          if lcsTokens(toks(a), toks(b)) >= graft.operators.Dedup.substrMinTokens
+          if !got.contains((a, b))
+        } yield (a, b)
+        assert(missed.isEmpty, s"pairs with a >=12-token shared run missed: $missed")
+      }
+      info(s"$dir: ${got.size} pairs, longest exact shared run ${got.values.max} tokens")
+    }
+  }
+
   test("q_cdc_chunks is non-vacuous at both SFs and counts are internally consistent") {
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
       val rows = SparkEntry.queries("q_cdc_chunks")(spark, dir)
