@@ -676,6 +676,39 @@ object Curation {
   private def clfW6(b: Column): Column =
     Hashing.h32(concat(lit("qw"), b.cast("string"))) % 200001L - 100000L
 
+  /** The X67 classifier computed IN-ROW — `clf_n_feats`,
+    * `clf_score6`, `clf_logit6`, `clf_keep` as narrow columns with no
+    * explode and no aggregate — for the streaming ingest path, where
+    * the per-doc feature explode + re-group would force a second
+    * streaming aggregate ([[graft.streaming.Gateway.admitFeed]]
+    * carries these through its one windowed aggregate instead).
+    * Same arithmetic as [[qualityClf]] feature-for-feature
+    * (GatewaySpec pins in-row ≡ declared operator on identical
+    * docs). HOF discipline per the [[withGateVerdicts]] lesson:
+    * arrays ride in argument position, lambdas reference only their
+    * own variables.
+    */
+  private[graft] def withClfColumns(df: DataFrame): DataFrame = {
+    val w6OfF =
+      "CAST(conv(substring(md5(concat('qw', CAST(" +
+        s"CAST(conv(substring(md5(f), 1, 8), 16, 10) AS BIGINT) % $clfBuckets" +
+        " AS STRING))), 1, 8), 16, 10) AS BIGINT) % 200001 - 100000"
+    df
+      .withColumn("__clf_w", split(col("text"), " "))
+      .withColumn("__clf_feats", expr(
+        "CASE WHEN size(__clf_w) >= 2 THEN concat(__clf_w, zip_with(" +
+          "slice(__clf_w, 1, size(__clf_w) - 1), slice(__clf_w, 2, size(__clf_w) - 1), " +
+          "(a, b) -> concat(a, ' ', b))) ELSE __clf_w END"))
+      .withColumn("clf_n_feats", size(col("__clf_feats")).cast("long"))
+      .withColumn("clf_score6", expr(
+        s"aggregate(__clf_feats, CAST(0 AS BIGINT), (acc, f) -> acc + ($w6OfF))"))
+      .withColumn("clf_logit6",
+        (when(col("clf_score6") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("abs(clf_score6) div clf_n_feats")).cast("long"))
+      .withColumn("clf_keep", (col("clf_score6") >= 0).cast("boolean"))
+      .drop("__clf_w", "__clf_feats")
+  }
+
   /** X67 — hashed-feature linear quality classifier
     * (`q_quality_clf`): the fastText-style serving shape every
     * production corpus filter ends up with (CCNet's LM filter,

@@ -395,11 +395,19 @@ object Gateway {
     * stateless stream-static equi-join, the [[dedupFeed]] shape — and
     * one watermark-bounded windowed aggregate keyed (window, doc_id)
     * sums the exact 1e-6 integer deltas, emitting each admitted doc's
-    * `(window_start, doc_id, bp_dropped, n_bigrams, logratio)` once
-    * its window closes. The integer sum is order-free, so stream
-    * micro-batching cannot change a weight (the X48/X58 fixed-point
-    * discipline is exactly what makes stream ≡ batch pinnable
-    * row-for-row).
+    * `(window_start, doc_id, bp_dropped, n_bigrams, logratio,
+    * clf_logit6, clf_keep)` once its window closes. The integer sum
+    * is order-free, so stream micro-batching cannot change a weight
+    * (the X48/X58 fixed-point discipline is exactly what makes
+    * stream ≡ batch pinnable row-for-row).
+    *
+    * The X67 quality-classifier verdict rides the same path (r14
+    * second wave): [[graft.operators.Curation.withClfColumns]]
+    * computes it IN-ROW on the stripped text — no feature explode, no
+    * second streaming aggregate; the per-doc-constant columns forward
+    * through the existing aggregate as max(). GatewaySpec pins stream
+    * ≡ batch ≡ the in-row twin, and CurationSpec pins the in-row twin
+    * ≡ the declared explode+aggregate operator.
     *
     * Scale shape: strip + gates + bigram explode are per-row codegen'd
     * work; the dictionary join auto-broadcasts while the dict is small
@@ -423,19 +431,29 @@ object Gateway {
         col("p").getItem(2).as("text"))
       .withWatermark("ts", watermarkDelay)
     val stripped = graft.operators.Dedup.stripWithHot(parsed, hotChunks)
-    val admitted = graft.operators.Curation.withGateVerdicts(stripped)
-      .filter(col("is_kept") === 1)
+    val admitted = graft.operators.Curation.withClfColumns(
+      graft.operators.Curation.withGateVerdicts(stripped)
+        .filter(col("is_kept") === 1))
+      // carry columns must be plain references: bigramPairsOf projects
+      // them on both sides of its explode
+      .withColumn("clf_k", when(col("clf_keep"), lit(1L)).otherwise(lit(0L)))
     graft.operators.Curation
-      .bigramPairsOf(admitted, col("ts"), col("bp_dropped"))
+      .bigramPairsOf(admitted, col("ts"), col("bp_dropped"),
+        col("clf_logit6"), col("clf_k"))
       .join(dict, Seq("bg"))
       .groupBy(window(col("ts"), windowDuration), col("doc_id"))
       .agg(
         max(col("bp_dropped")).as("bp_dropped"),
         count(lit(1)).cast("long").as("n_bigrams"),
-        graft.operators.Curation.dsirLogratio)
+        graft.operators.Curation.dsirLogratio,
+        // X67 rides the same aggregate: the in-row classifier columns
+        // are constant per doc, so max() just forwards them
+        max(col("clf_logit6")).as("clf_logit6"),
+        (max(col("clf_k")) === 1L).as("clf_keep"))
       .select(
         col("window.start").as("window_start"),
-        col("doc_id"), col("bp_dropped"), col("n_bigrams"), col("logratio"))
+        col("doc_id"), col("bp_dropped"), col("n_bigrams"), col("logratio"),
+        col("clf_logit6"), col("clf_keep"))
   }
 
   /** Streaming X53 — incremental near-dedup of an incoming document

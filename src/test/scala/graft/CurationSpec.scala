@@ -366,4 +366,19 @@ class CurationSpec extends AnyFunSuite {
       s"verdict is vacuous: $kept/${got.size} kept — both branches must be exercised")
     info(s"$kept/${got.size} docs keep=true at sf0.01")
   }
+
+  test("the in-row classifier twin equals the declared explode+aggregate form") {
+    // withClfColumns is the streaming shape (no explode, no extra
+    // aggregate); it must be the SAME function as q_quality_clf —
+    // any feature-set or rounding drift between the two breaks the
+    // stream ≡ batch story silently
+    val inRow = graft.operators.Curation.withClfColumns(
+      Tables(spark, sf, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("clf_n_feats"), col("clf_logit6"), col("clf_keep"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val declared = SparkEntry.queries("q_quality_clf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(inRow === declared, "in-row classifier twin diverges from the declared operator")
+  }
 }

@@ -1046,14 +1046,15 @@ class GatewaySpec extends AnyFunSuite {
         q.processAllAvailable()
         ms.addData(s"9999 9991 $en")
         q.processAllAvailable()
+        val cols = Seq(unix_seconds(col("window_start")), col("doc_id"),
+          col("bp_dropped"), col("n_bigrams"), col("logratio"),
+          col("clf_logit6"), col("clf_keep"))
         val streamed = spark.table(sink)
-          .select(unix_seconds(col("window_start")), col("doc_id"),
-            col("bp_dropped"), col("n_bigrams"), col("logratio"))
-          .as[(Long, Long, Long, Long, Double)].collect().toSet
+          .select(cols: _*)
+          .as[(Long, Long, Long, Long, Double, Long, Boolean)].collect().toSet
         val batch = Gateway.admitFeed(feed.toSeq.toDF("value"), hot, dict)
-          .select(unix_seconds(col("window_start")), col("doc_id"),
-            col("bp_dropped"), col("n_bigrams"), col("logratio"))
-          .as[(Long, Long, Long, Long, Double)].collect().toSet
+          .select(cols: _*)
+          .as[(Long, Long, Long, Long, Double, Long, Boolean)].collect().toSet
         assert(batch.nonEmpty, "vacuous pin: no doc in the feed survived admission")
         assert(streamed === batch,
           s"streaming admission diverges from batch: $streamed vs $batch")
@@ -1068,8 +1069,18 @@ class GatewaySpec extends AnyFunSuite {
           .select(col("doc_id"), col("text"))
         val direct = graft.operators.Curation.dsirFrom(planted, strippedDocs)
           .collect().map(r => r.getLong(0) -> r.getAs[Double]("logratio")).toMap
-        batch.foreach { case (_, id, _, _, lr) =>
+        batch.foreach { case (_, id, _, _, lr, _, _) =>
           assert(direct(id) === lr, s"stream weight for $id diverges from dsirFrom")
+        }
+        // and the in-row X67 columns are the DECLARED classifier's
+        // arithmetic: score the same stripped survivors through
+        // withClfColumns (the batch-query twin, feature-for-feature)
+        val clfDirect = graft.operators.Curation.withClfColumns(strippedDocs)
+          .select(col("doc_id"), col("clf_logit6"), col("clf_keep"))
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+        batch.foreach { case (_, id, _, _, _, lg, kp) =>
+          assert(clfDirect(id) === ((lg, kp)),
+            s"stream classifier for $id diverges from the in-row twin")
         }
       } finally q.stop()
     } finally dict.unpersist()
