@@ -702,6 +702,82 @@ object Clustering {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** X71 — per-source embedding centroid vs the corpus centroid
+    * (`q_source_centroid`): the SEMANTIC twin of X40/X51's
+    * token-distribution source diagnostics — a source whose centroid
+    * points away from the corpus (low cosine) or collapses toward a
+    * point (norm outlier: machine-generated near-identical pages have
+    * a LONG centroid because their vectors agree; diverse human text
+    * cancels toward the mean) is flagged before any pairwise work.
+    *
+    * Numerics — order-free by construction: every component is
+    * snapped to integer millionths at the scan (round(x·10⁶), the
+    * X51 fixed-point snap), so centroid numerators are EXACT integer
+    * sums — partition/accumulation order cannot move them, unlike a
+    * double `avg`. The 1/n and 1/N denominators cancel inside cosine
+    * (cos(a/n, b/N) = cos(a, b)), so cosine computes directly on the
+    * integer sum vectors: products ride DECIMAL(38,0) (gv² ~ 6·10²⁰
+    * at sf1 overflows BIGINT — the X63 lesson), and the only floats
+    * are final IEEE-exact casts, sqrt, divides, then round-4.
+    *
+    * Scale shape: one narrow snap+explode pass with map-side partial
+    * sums — the shuffle carries |sources|×d integer partials (plan
+    * constants), never N×d rows (the X33 argument); everything after
+    * the first aggregate runs on the |sources|×d matrix. The
+    * doc→source join is id-keyed (in a real layout source rides the
+    * embedding row — zero join).
+    */
+  private def sourceCentroid(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        round(col("col").cast("double") * 1000000.0, 0).cast("long").as("xf"))
+    val meta = graft.Tables(s, dir, "documents")
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val sv = e.join(meta, "vec_id")
+      .groupBy(col("source"), col("dim"))
+      .agg(sum(col("xf")).as("sv"), count(lit(1)).as("nd"))
+    val g = sv.groupBy(col("dim")).agg(sum(col("sv")).as("gv"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    sv.join(g, "dim")
+      .groupBy(col("source"))
+      .agg(
+        max(col("nd")).cast("long").as("n_docs"),
+        sum(dec(col("sv")) * dec(col("gv"))).as("dot"),
+        sum(dec(col("sv")) * dec(col("sv"))).as("na"),
+        sum(dec(col("gv")) * dec(col("gv"))).as("nb"))
+      .select(col("source"), col("n_docs"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 4)
+          .as("cos_corpus"),
+        round(sqrt(col("na").cast("double")) /
+          (col("n_docs").cast("double") * 1000000.0), 4).as("centroid_norm"))
+      .orderBy("source")
+  }
+
+  private def sourceCentroidSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, s.i AS dim,
+      |    CAST(round(CAST(emb[s.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xf
+      |  FROM (SELECT vec_id, embedding AS emb FROM embeddings) t,
+      |  LATERAL unnest(generate_series(1, len(emb))) AS s(i)),
+      |sv AS (
+      |  SELECT d.source, e.dim, CAST(sum(e.xf) AS HUGEINT) AS sv,
+      |    CAST(count(*) AS BIGINT) AS nd
+      |  FROM e JOIN documents d ON d.doc_id = e.vec_id
+      |  GROUP BY d.source, e.dim),
+      |g AS (SELECT dim, CAST(sum(sv) AS HUGEINT) AS gv FROM sv GROUP BY dim),
+      |a AS (
+      |  SELECT source, CAST(max(nd) AS BIGINT) AS n_docs,
+      |    sum(sv * gv) AS dot, sum(sv * sv) AS na, sum(gv * gv) AS nb
+      |  FROM sv JOIN g USING (dim) GROUP BY source)
+      |SELECT source, n_docs,
+      |  round(CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4) + 0 AS cos_corpus,
+      |  round(sqrt(CAST(na AS DOUBLE)) /
+      |    (CAST(n_docs AS DOUBLE) * 1000000.0), 4) + 0 AS centroid_norm
+      |FROM a ORDER BY source""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_dedup_cluster" -> QueryDef(
       dedupCluster,
@@ -735,5 +811,9 @@ object Clustering {
       dupPagerank,
       Some(pagerankSql),
       "X65 near-dup graph PageRank: integer fixed-point damped power iteration, 3 rounds"),
+    "q_source_centroid" -> QueryDef(
+      sourceCentroid,
+      Some(sourceCentroidSql),
+      "X71 per-source embedding centroid vs corpus: integer-snapped sums, decimal cosine"),
   )
 }

@@ -845,6 +845,75 @@ object Curation {
        |  CAST(min(train_id) AS BIGINT) AS first_train_id
        |FROM o GROUP BY 1, 2 ORDER BY eval_id""".stripMargin
 
+  /** X72 — corpus snapshot diff (`q_snapshot_diff`): the delta
+    * classification an INCREMENTAL crawl pipeline runs between corpus
+    * versions before doing anything else — added / removed / changed /
+    * unchanged per doc_id, detected by content-hash compare, never by
+    * comparing text bytes. Only 'added' and 'changed' docs re-enter
+    * the expensive path (X53 deduplicates them against the standing
+    * index; X35's gates re-score them); 'unchanged' — the bulk of any
+    * recrawl — is skipped entirely, which is the whole economics of
+    * incremental processing at 100 TB.
+    *
+    * Snapshots are derived deterministically from the one shipped
+    * corpus (the X3/X15 synthesis discipline, identical on the oracle
+    * side): the old snapshot is missing every doc_id ≡ 5 (mod 13)
+    * [→ added], carries a stale revision hash for doc_id ≡ 0 (mod 17)
+    * [→ changed], and has extra +200000-keyed docs for doc_id ≡ 0
+    * (mod 23) that the new snapshot dropped [→ removed].
+    *
+    * Scale shape: two narrow hash projections (md5 computed in the
+    * scan stage — at 100 TB the hash is persisted as a manifest
+    * column, making this a manifest-only job that never reads text),
+    * ONE id-keyed full-outer join — equi-join on the natural key, AQE
+    * handles skewless id space — and a 4-row classification
+    * aggregate with map-side partials.
+    */
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val oldSnap = d.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, md5(concat(col("text"), lit(" v1"))))
+          .otherwise(md5(col("text"))).as("oh"))
+      .unionByName(
+        d.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), md5(col("text")).as("oh")))
+    val newSnap = d.select(col("doc_id"), md5(col("text")).as("nh"))
+    oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("oh").isNull, "added")
+          .when(col("nh").isNull, "removed")
+          .when(col("oh") =!= col("nh"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        min(col("doc_id")).cast("long").as("min_doc_id"),
+        max(col("doc_id")).cast("long").as("max_doc_id"))
+      .orderBy("status")
+  }
+
+  private def snapshotDiffSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |snap_a AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 17 = 0 THEN md5(text || ' v1') ELSE md5(text) END AS oh
+      |  FROM d WHERE doc_id % 13 <> 5
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, md5(text) AS oh FROM d WHERE doc_id % 23 = 0),
+      |snap_b AS (SELECT doc_id, md5(text) AS nh FROM d),
+      |j AS (
+      |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      |    CASE WHEN a.oh IS NULL THEN 'added'
+      |         WHEN b.nh IS NULL THEN 'removed'
+      |         WHEN a.oh <> b.nh THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM snap_a a FULL JOIN snap_b b ON a.doc_id = b.doc_id)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+      |  CAST(max(doc_id) AS BIGINT) AS max_doc_id
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_decontaminate" -> QueryDef(
       decontaminate,
@@ -1059,5 +1128,9 @@ object Curation {
       qualityClf,
       Some(qualityClfSql),
       "X67 hashed-feature linear quality classifier: hashing-trick serving, no dictionary join"),
+    "q_snapshot_diff" -> QueryDef(
+      snapshotDiff,
+      Some(snapshotDiffSql),
+      "X72 corpus snapshot diff: hash-compare full-outer delta (added/removed/changed)"),
   )
 }

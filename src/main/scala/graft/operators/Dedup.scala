@@ -1430,6 +1430,96 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** X69 — per-doc duplicated-token fraction (`q_dup_fraction`): the
+    * corpus health number Lee et al. (ACL 2022) report as "% of tokens
+    * inside a duplicated substring" — for each doc, the fraction of
+    * its token positions covered by at least one [[substrGramN]]-token
+    * window shared verbatim with ANOTHER doc. X68 answers "which pairs
+    * share how much"; this answers the per-doc triage question a
+    * pipeline acts on ("trim or drop THIS doc — most of it exists
+    * elsewhere"), without materializing pairs at all.
+    *
+    * Coverage is an interval union: a shared gram starting at i covers
+    * [i, i+n−1]; equal-length intervals merge exactly by the
+    * gaps-and-islands rule (new island when the next start jumps by
+    * more than n), so union length = Σ islands (max_i − min_i + n) —
+    * no per-token explode of the covered set. The final fraction is
+    * rounded in INTEGER space ((2·10⁴·dup + n_tok) div (2·n_tok), the
+    * X58/X51 HALF_UP discipline) — dup/n_tok is an exact rational and
+    * a double divide-then-round can flip engines on .xxxx5 ties.
+    *
+    * Scale: gram df in [2, [[substrMaxDf]]] — the lower bound is the
+    * semantics (shared means df ≥ 2), the upper is the X5a/X68 posting
+    * cap (corpus-boilerplate grams are struck by X52 upstream in the
+    * composed pipeline, so the cap costs recall only on text that is
+    * boilerplate anyway). One narrow positioned-gram explode, one df
+    * aggregate, one semi-join back, then doc-keyed windows bounded by
+    * doc length — never corpus-keyed, never pairwise.
+    */
+  private def dupFraction(s: SparkSession, dir: String): DataFrame = {
+    val n = substrGramN
+    val concatGram = (1 until n)
+      .foldLeft("element_at(w, i)") { (acc, j) => s"concat($acc, ' ', element_at(w, i + $j))" }
+    val grams = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        posexplode(expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> md5($concatGram))")))
+      .select(col("doc_id"), col("n_tokens"), (col("pos") + 1).as("i"), col("col").as("h"))
+    val shared = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= substrMaxDf)
+      .select("h")
+    val starts = grams.join(shared, "h").select("doc_id", "n_tokens", "i")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    starts
+      .withColumn("brk",
+        when(col("i") - lag(col("i"), 1).over(wDoc) > n, 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(
+        wDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("n_tokens"), col("grp"))
+      .agg((max(col("i")) - min(col("i")) + n).as("cov"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(sum(col("cov")).cast("long").as("dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        (expr("(20000 * dup_tokens + n_tokens) div (2 * n_tokens)").cast("double") / 10000.0)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  private def dupFractionSql: String = {
+    val n = substrGramN
+    val gramExpr = (1 until n).foldLeft("w[i]") { (acc, j) => s"$acc || ' ' || w[i + $j]" }
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $n),
+       |g AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, s.i, md5($gramExpr) AS h
+       |  FROM t, LATERAL unnest(generate_series(1, len(w) - ${n - 1})) AS s(i)),
+       |sh AS (SELECT h FROM g GROUP BY h
+       |       HAVING count(DISTINCT doc_id) BETWEEN 2 AND $substrMaxDf),
+       |st AS (SELECT g.doc_id, g.n_tokens, g.i FROM g JOIN sh USING (h)),
+       |isl AS (
+       |  SELECT doc_id, n_tokens, i,
+       |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > $n
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM st),
+       |grps AS (
+       |  SELECT doc_id, n_tokens, i,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |  FROM isl),
+       |cov AS (
+       |  SELECT doc_id, n_tokens, grp, max(i) - min(i) + $n AS cov
+       |  FROM grps GROUP BY doc_id, n_tokens, grp),
+       |d AS (
+       |  SELECT doc_id, n_tokens, CAST(sum(cov) AS BIGINT) AS dup_tokens
+       |  FROM cov GROUP BY doc_id, n_tokens)
+       |SELECT doc_id, n_tokens, dup_tokens,
+       |  CAST((20000 * dup_tokens + n_tokens) // (2 * n_tokens) AS DOUBLE) / 10000.0 AS dup_frac
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   private def chunkRuns(s: SparkSession, dir: String): DataFrame = {
     val ct = chunkTokens
     val chunks = Tables(s, dir, "documents")
@@ -1606,6 +1696,10 @@ object Dedup {
       substrDedup,
       Some(substrSql),
       "X68 exact shared substrings (Lee et al.): sliding-gram diagonals, alignment-free runs"),
+    "q_dup_fraction" -> QueryDef(
+      dupFraction,
+      Some(dupFractionSql),
+      "X69 per-doc duplicated-token fraction: shared-gram interval union, integer-round"),
     "q_semdedup" -> QueryDef(
       (s, d) => semDedup(s, d),
       Some(semDedupSql),

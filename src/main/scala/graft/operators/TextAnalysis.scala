@@ -665,7 +665,11 @@ object TextAnalysis {
     * — e0 is the char-spaced instance table, e_k applies merge k with
     * the same two-pass replace — and count surviving symbols per doc.
     */
-  private def bpeEncodeSql: String = {
+  /** Shared encode-side CTE chain (learn CTEs + per-word-instance
+    * merge replay), reused by the X44 per-doc oracle and the X70
+    * per-language fertility oracle on top of it.
+    */
+  private def bpeEncodeCtes: String = {
     val applies = (1 to bpeMergeSteps).map { k =>
       s"""e$k AS (
          |  SELECT doc_id,
@@ -673,17 +677,20 @@ object TextAnalysis {
          |            ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS str
          |  FROM e${k - 1}, b$k b)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $bpeStepCtes,
+    s"""$bpeStepCtes,
        |e0 AS (
        |  SELECT doc_id, ' ' || array_to_string(
        |    list_transform(generate_series(1, len(word)), i -> word[i]), ' ') || ' ' AS str
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t),
-       |$applies
+       |$applies""".stripMargin
+  }
+
+  private def bpeEncodeSql: String =
+    s"""WITH $bpeEncodeCtes
        |SELECT doc_id,
        |  CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(len(string_split(trim(str), ' '))) AS BIGINT) AS n_bpe_tokens
        |FROM e$bpeMergeSteps GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
 
   /** X44 — BPE ENCODE: apply the X41-learned merges to the corpus,
     * the tokenizer-application pass a training pipeline runs over
@@ -702,7 +709,11 @@ object TextAnalysis {
     * shuffle is the final per-doc count. The merge list rides the
     * closure (N strings), never a broadcast table.
     */
-  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc (doc_id, n_words, n_bpe_tokens) after replaying the
+    * learned merges — the encode core shared by X44 (per-doc counts)
+    * and X70 (per-language fertility aggregate).
+    */
+  private def bpeEncodedPerDoc(s: SparkSession, dir: String): DataFrame = {
     val wf = docs(s, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
@@ -723,8 +734,68 @@ object TextAnalysis {
         sum(size(split(trim(col("str")), " "))).as("n_bpe"))
       .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
         col("n_bpe").cast("long").as("n_bpe_tokens"))
-      .orderBy("doc_id")
   }
+
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeEncodedPerDoc(s, dir).orderBy("doc_id")
+
+  /** X70 — tokenizer fertility per language (`q_tok_fertility`): the
+    * standard tokenizer-evaluation table (fertility = subword tokens
+    * per whitespace word; compression = chars per subword token) that
+    * decides whether a vocabulary under-serves a language — a
+    * high-fertility language pays more sequence length per sentence
+    * and effectively trains on less text (the multilingual-tokenizer
+    * fairness number reported since mBERT/XLM-R). Composes the X44
+    * encode (X41-learned merges replayed as literal `replace` chains)
+    * with a per-language aggregate over exact integer totals.
+    *
+    * Numerics: Σtokens, Σwords, Σchars are exact BIGINTs, so both
+    * ratios are exact rationals rounded 4dp IN INTEGER SPACE
+    * ((2·10⁴·num + den) div (2·den), the X58/X51 HALF_UP discipline)
+    * — no float exists anywhere in this operator.
+    *
+    * Scale shape: the encode side is X44's (narrow literal replay,
+    * one doc-keyed agg); this adds a broadcast-sized doc→lang join
+    * column (in a real run lang rides the same row, zero join) and a
+    * |languages|-row final aggregate with map-side partials.
+    */
+  private def tokFertility(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = bpeEncodedPerDoc(s, dir)
+    val meta = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    perDoc.join(meta, "doc_id")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_words")).as("sw"),
+        sum(col("n_bpe_tokens")).as("sb"),
+        sum(col("n_chars")).as("sc"))
+      .select(col("lang"), col("n_docs"),
+        col("sb").cast("long").as("n_bpe_tokens"),
+        (expr("(20000 * sb + sw) div (2 * sw)").cast("double") / 10000.0).as("fertility"),
+        (expr("(20000 * sc + sb) div (2 * sb)").cast("double") / 10000.0).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  private def tokFertilitySql: String =
+    s"""WITH $bpeEncodeCtes,
+       |enc AS (
+       |  SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(len(string_split(trim(str), ' '))) AS BIGINT) AS n_bpe
+       |  FROM e$bpeMergeSteps GROUP BY doc_id),
+       |j AS (
+       |  SELECT d.lang, e.n_words, e.n_bpe, d.n_chars
+       |  FROM enc e JOIN documents d USING (doc_id)),
+       |a AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_words) AS BIGINT) AS sw,
+       |    CAST(sum(n_bpe) AS BIGINT) AS sb,
+       |    CAST(sum(n_chars) AS BIGINT) AS sc
+       |  FROM j GROUP BY lang)
+       |SELECT lang, n_docs, sb AS n_bpe_tokens,
+       |  CAST((20000 * sb + sw) // (2 * sw) AS DOUBLE) / 10000.0 AS fertility,
+       |  CAST((20000 * sc + sb) // (2 * sb) AS DOUBLE) / 10000.0 AS chars_per_token
+       |FROM a ORDER BY lang""".stripMargin
 
   /** X51 — per-source KL divergence from the corpus token
     * distribution: D(p_source ‖ p_corpus) over the top-V vocabulary —
@@ -1178,6 +1249,10 @@ object TextAnalysis {
       bpeEncode,
       Some(bpeEncodeSql),
       "X44 BPE encode: apply the learned merges to every document, count tokens"),
+    "q_tok_fertility" -> QueryDef(
+      tokFertility,
+      Some(tokFertilitySql),
+      "X70 tokenizer fertility per language: subword/word and chars/token, integer-round"),
     "q_source_kl" -> QueryDef(
       sourceKl,
       Some(s"""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),

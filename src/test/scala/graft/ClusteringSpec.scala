@@ -340,4 +340,44 @@ class ClusteringSpec extends AnyFunSuite {
       info(s"$dir: ${n} dup-graph nodes, rank mass ${mass}/1000000 after ${Clustering.prIters} rounds")
     }
   }
+
+  test("q_source_centroid matches a driver integer-fixed-point recount") {
+    // X71's order-free claim made operational: the recount snaps every
+    // component with the SAME shortest-repr HALF_UP rule Spark's round
+    // uses (BigDecimal.valueOf), sums exactly in BigInt, and replays
+    // the IEEE tail (cast, sqrt, divide, round-4) — any accumulation-
+    // order sensitivity or decimal-overflow null in the distributed
+    // plan diverges here.
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def snap(x: Double): Long =
+      JBD.valueOf(x * 1000000.0).setScale(0, RoundingMode.HALF_UP).longValueExact
+    def r4(x: Double): Double =
+      JBD.valueOf(x).setScale(4, RoundingMode.HALF_UP).doubleValue
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val emb = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val src = Tables(spark, dir, "documents").select("doc_id", "source")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val dims = emb.head._2.length
+      val sums = emb.toSeq.groupBy { case (id, _) => src(id) }.map { case (s0, vs) =>
+        val a = Array.fill(dims)(BigInt(0))
+        vs.foreach { case (_, v) => for (d <- 0 until dims) a(d) += snap(v(d).toDouble) }
+        s0 -> (vs.size.toLong, a)
+      }
+      val global = Array.fill(dims)(BigInt(0))
+      sums.values.foreach { case (_, a) => for (d <- 0 until dims) global(d) += a(d) }
+      val expected = sums.map { case (s0, (nd, a)) =>
+        val dot = (0 until dims).map(d => a(d) * global(d)).sum
+        val na = (0 until dims).map(d => a(d) * a(d)).sum
+        val nb = (0 until dims).map(d => global(d) * global(d)).sum
+        s0 -> (nd,
+          r4(dot.doubleValue / (math.sqrt(na.doubleValue) * math.sqrt(nb.doubleValue))),
+          r4(math.sqrt(na.doubleValue) / (nd.toDouble * 1000000.0)))
+      }
+      val got = SparkEntry.queries("q_source_centroid")(spark, dir)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(got === expected, s"source-centroid recount diverges at $dir")
+      assert(got.size >= 2, s"vacuous centroid pin at $dir")
+    }
+  }
 }

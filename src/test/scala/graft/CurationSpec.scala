@@ -381,4 +381,25 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
     assert(inRow === declared, "in-row classifier twin diverges from the declared operator")
   }
+
+  test("q_snapshot_diff classifies exactly the planted deltas, all four classes non-vacuous") {
+    for (dir <- Seq("/root/testdata/sf0.001", sf)) {
+      val ids = Tables(spark, dir, "documents")
+        .select("doc_id").collect().map(_.getLong(0))
+      val added = ids.filter(_ % 13 == 5)
+      val removed = ids.filter(_ % 23 == 0).map(_ + 200000L)
+      val changed = ids.filter(id => id % 17 == 0 && id % 13 != 5)
+      val unchanged = ids.filter(id => id % 13 != 5 && id % 17 != 0)
+      val expected = Seq(
+        "added" -> added, "changed" -> changed,
+        "removed" -> removed, "unchanged" -> unchanged)
+        .map { case (st, xs) =>
+          assert(xs.nonEmpty, s"class '$st' vacuous at $dir — the plant covers nothing")
+          st -> (xs.length.toLong, xs.min, xs.max)
+        }.toMap
+      val got = SparkEntry.queries("q_snapshot_diff")(spark, dir)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got === expected, s"snapshot-diff classification diverges at $dir")
+    }
+  }
 }

@@ -507,6 +507,48 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dup_fraction equals a sequential coverage-array recount and rounds in integer space") {
+    // X69's exactness claim: dup_tokens is the interval UNION of all
+    // cross-doc-shared n-gram windows — certified against a brute
+    // boolean coverage array per doc (mark every covered position,
+    // count), with the df-band [2, substrMaxDf] applied identically.
+    val n = graft.operators.Dedup.substrGramN
+    val maxDf = graft.operators.Dedup.substrMaxDf
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val toks = Tables(spark, dir, "documents")
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+      val gramDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+      for ((id, w) <- toks if w.length >= n; i <- 0 to w.length - n) {
+        val g = w.slice(i, i + n).mkString(" ")
+        gramDocs.getOrElseUpdate(g, scala.collection.mutable.Set.empty) += id
+      }
+      val shared = gramDocs.collect {
+        case (g, ds) if ds.size >= 2 && ds.size <= maxDf => g
+      }.toSet
+      val expected: Map[Long, (Long, Long, Double)] = toks.flatMap { case (id, w) =>
+        if (w.length < n) None
+        else {
+          val cov = new Array[Boolean](w.length)
+          for (i <- 0 to w.length - n if shared(w.slice(i, i + n).mkString(" ")); j <- i until i + n)
+            cov(j) = true
+          val dup = cov.count(identity).toLong
+          if (dup == 0) None
+          else {
+            val q4 = (20000L * dup + w.length) / (2L * w.length)
+            Some(id -> (w.length.toLong, dup, q4 / 10000.0))
+          }
+        }
+      }
+      val got = SparkEntry.queries("q_dup_fraction")(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(got === expected, s"dup-fraction recount diverges at $dir")
+      assert(got.nonEmpty && got.values.exists(_._3 > 0), s"vacuous dup-fraction pin at $dir")
+      info(s"$dir: ${got.size} docs carry shared spans, " +
+        f"max dup_frac ${got.values.map(_._3).max}%.4f")
+    }
+  }
+
   test("q_cdc_chunks is non-vacuous at both SFs and counts are internally consistent") {
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
       val rows = SparkEntry.queries("q_cdc_chunks")(spark, dir)

@@ -196,4 +196,38 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(got.exists(_._3 > 0.0), s"vacuous pin at $dir: every source KS is 0")
     }
   }
+
+  test("q_tok_fertility equals a per-language recount from the per-doc encode, ratios >= 1") {
+    // X70 composes the oracle-green X44 per-doc encode with a language
+    // aggregate; the recount re-derives every language row from
+    // q_bpe_encode's own output with driver-side integer HALF_UP
+    // rounds, so an aggregation or rounding drift fails loudly here.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val perDoc = SparkEntry.queries("q_bpe_encode")(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val metaRows = Tables(spark, dir, "documents")
+        .selectExpr("doc_id", "lang", "CAST(n_chars AS BIGINT) AS n_chars")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      val agg = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long)]
+      perDoc.foreach { case (id, (nw, nb)) =>
+        val (lang, nc) = metaRows(id)
+        val (d, w, b, c) = agg.getOrElse(lang, (0L, 0L, 0L, 0L))
+        agg(lang) = (d + 1, w + nw, b + nb, c + nc)
+      }
+      val expected = agg.map { case (lang, (d, w, b, c)) =>
+        lang -> (d, b,
+          ((20000L * b + w) / (2L * w)) / 10000.0,
+          ((20000L * c + b) / (2L * b)) / 10000.0)
+      }.toMap
+      val got = SparkEntry.queries("q_tok_fertility")(spark, dir)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+      assert(got === expected, s"fertility recount diverges at $dir")
+      got.foreach { case (lang, (_, _, fert, cpt)) =>
+        assert(fert >= 1.0, s"$lang fertility $fert < 1 — a word encodes to < 1 token?")
+        assert(cpt >= 1.0, s"$lang chars/token $cpt < 1 — a token spans < 1 char?")
+      }
+    }
+  }
 }
