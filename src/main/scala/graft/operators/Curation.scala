@@ -914,6 +914,86 @@ object Curation {
       |  CAST(max(doc_id) AS BIGINT) AS max_doc_id
       |FROM j GROUP BY status ORDER BY status""".stripMargin
 
+  /** X73 — Gopher-style quality-rule cascade (`q_rule_filter`): the
+    * published heuristic rule SET (Rae et al. 2021, Appendix A1.1;
+    * reused by MassiveText/RefinedWeb/Dolma) as one narrow pass with
+    * PER-RULE diagnostics — X10/X39 blend signals into a score; a
+    * production filter also needs the rule-level breakdown ("23% of
+    * src9 fails the stopword rule") to debug a source, so every rule
+    * emits its own flag next to the verdict. Thresholds are scaled to
+    * this corpus's 10–99-word docs (documented; a deployment retunes
+    * them per corpus exactly like Gopher did per MassiveText slice)
+    * and chosen so BOTH branches of every rule fire at sf0.01
+    * (CurationSpec pins non-vacuity).
+    *
+    * Rules (all integer-exact — no float exists in this operator):
+    *   r_wordcount: 20 ≤ n ≤ 80;
+    *   r_meanwordlen: mean word length ∈ [3, 4.5] as cross-multiplied
+    *     integers (3n ≤ Σlen ∧ 2Σlen ≤ 9n);
+    *   r_stopwords: ≥ 2 DISTINCT stopwords of the 8-word Gopher set;
+    *   r_repetition: most frequent token ≤ 20% of words (5·max ≤ n) —
+    *     the "fraction of chars in top-1 token" rule restated on the
+    *     token axis.
+    *
+    * Scale shape: ENTIRELY per-row array lambdas inside one codegen'd
+    * projection — zero joins, zero aggregates, zero shuffles except
+    * the presentation order-by; the 100 TB cost is exactly one scan.
+    * The in-row top-token count is O(L·distinct) per doc — the
+    * Gopher-rule regime (docs bounded, token map fits in one row);
+    * a long-doc corpus would flip that one rule to the X8 explode
+    * shape and keep the rest narrow.
+    */
+  private val ruleStopwords = Seq("the", "a", "of", "and", "to", "in", "that", "with")
+
+  private def ruleFilter(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = ruleStopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("slen", expr("aggregate(w, 0L, (acc, x) -> acc + length(x))"))
+      .withColumn("nstop",
+        expr(s"size(array_intersect(array_distinct(w), $stopArr))").cast("long"))
+      .withColumn("maxc",
+        expr("array_max(transform(array_distinct(w), t -> size(filter(w, x -> x = t))))")
+          .cast("long"))
+      .select(col("doc_id"), col("n").as("n_words"),
+        (col("n") >= 20 && col("n") <= 80).as("r_wordcount"),
+        (lit(3) * col("n") <= col("slen") && lit(2) * col("slen") <= lit(9) * col("n"))
+          .as("r_meanwordlen"),
+        (col("nstop") >= 2).as("r_stopwords"),
+        (lit(5) * col("maxc") <= col("n")).as("r_repetition"))
+      .withColumn("n_failed",
+        (lit(4) - col("r_wordcount").cast("long") - col("r_meanwordlen").cast("long")
+          - col("r_stopwords").cast("long") - col("r_repetition").cast("long")).as("n_failed"))
+      .withColumn("keep", col("n_failed") === 0)
+      .orderBy("doc_id")
+  }
+
+  private def ruleFilterSql: String = {
+    val stopList = ruleStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n,
+       |    CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS slen,
+       |    CAST(len(list_intersect(list_distinct(w), $stopList)) AS BIGINT) AS nstop,
+       |    CAST(list_max(list_transform(list_distinct(w),
+       |      t -> len(list_filter(w, x -> x = t)))) AS BIGINT) AS maxc
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, n AS n_words,
+       |    (n >= 20 AND n <= 80) AS r_wordcount,
+       |    (3 * n <= slen AND 2 * slen <= 9 * n) AS r_meanwordlen,
+       |    (nstop >= 2) AS r_stopwords,
+       |    (5 * maxc <= n) AS r_repetition
+       |  FROM f)
+       |SELECT doc_id, n_words, r_wordcount, r_meanwordlen, r_stopwords, r_repetition,
+       |  CAST(4 - CAST(r_wordcount AS INT) - CAST(r_meanwordlen AS INT)
+       |     - CAST(r_stopwords AS INT) - CAST(r_repetition AS INT) AS BIGINT) AS n_failed,
+       |  (r_wordcount AND r_meanwordlen AND r_stopwords AND r_repetition) AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_decontaminate" -> QueryDef(
       decontaminate,
@@ -1132,5 +1212,9 @@ object Curation {
       snapshotDiff,
       Some(snapshotDiffSql),
       "X72 corpus snapshot diff: hash-compare full-outer delta (added/removed/changed)"),
+    "q_rule_filter" -> QueryDef(
+      ruleFilter,
+      Some(ruleFilterSql),
+      "X73 Gopher-style rule cascade: per-rule integer-exact flags in one narrow pass"),
   )
 }

@@ -382,6 +382,37 @@ class CurationSpec extends AnyFunSuite {
     assert(inRow === declared, "in-row classifier twin diverges from the declared operator")
   }
 
+  test("q_rule_filter matches a sequential rule recount; every rule fires both ways at sf0.01") {
+    val stop = Set("the", "a", "of", "and", "to", "in", "that", "with")
+    for (dir <- Seq("/root/testdata/sf0.001", sf)) {
+      val expected = Tables(spark, dir, "documents").select("doc_id", "text")
+        .collect().map { r =>
+          val (id, w) = (r.getLong(0), r.getString(1).split(" ", -1))
+          val n = w.length.toLong
+          val slen = w.map(_.length.toLong).sum
+          val nstop = w.distinct.count(stop)
+          val maxc = w.groupBy(identity).values.map(_.size).max.toLong
+          val flags = Seq(n >= 20 && n <= 80,
+            3 * n <= slen && 2 * slen <= 9 * n, nstop >= 2, 5 * maxc <= n)
+          (id, n, flags(0), flags(1), flags(2), flags(3),
+            flags.count(!_).toLong, flags.forall(identity))
+        }.sortBy(_._1).toSeq
+      val got = SparkEntry.queries("q_rule_filter")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4), r.getBoolean(5), r.getLong(6), r.getBoolean(7))).toSeq
+      assert(got === expected, s"rule-cascade recount diverges at $dir")
+      if (dir == sf) {
+        val cols = Seq[((Long, Long, Boolean, Boolean, Boolean, Boolean, Long, Boolean)) => Boolean](
+          _._3, _._4, _._5, _._6, _._8)
+        val names = Seq("r_wordcount", "r_meanwordlen", "r_stopwords", "r_repetition", "keep")
+        cols.zip(names).foreach { case (f, nm) =>
+          assert(got.exists(f) && got.exists(!f(_)),
+            s"rule $nm is vacuous at $dir — one branch never fires")
+        }
+      }
+    }
+  }
+
   test("q_snapshot_diff classifies exactly the planted deltas, all four classes non-vacuous") {
     for (dir <- Seq("/root/testdata/sf0.001", sf)) {
       val ids = Tables(spark, dir, "documents")
