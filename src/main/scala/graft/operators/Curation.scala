@@ -945,10 +945,15 @@ object Curation {
     */
   private val ruleStopwords = Seq("the", "a", "of", "and", "to", "in", "that", "with")
 
-  private def ruleFilter(s: SparkSession, dir: String): DataFrame = {
+  /** The X73 rule columns on any (…, text) frame — STATELESS narrow
+    * work, so the same projection runs unchanged under the streaming
+    * engine ([[graft.streaming.Gateway.deltaFeed]] rides it; the
+    * withGateVerdicts precedent).
+    */
+  private[graft] def withRuleFlags(docs: DataFrame): DataFrame = {
     val stopArr = ruleStopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    docs
+      .withColumn("w", split(col("text"), " "))
       .withColumn("n", size(col("w")).cast("long"))
       .withColumn("slen", expr("aggregate(w, 0L, (acc, x) -> acc + length(x))"))
       .withColumn("nstop",
@@ -956,18 +961,24 @@ object Curation {
       .withColumn("maxc",
         expr("array_max(transform(array_distinct(w), t -> size(filter(w, x -> x = t))))")
           .cast("long"))
-      .select(col("doc_id"), col("n").as("n_words"),
-        (col("n") >= 20 && col("n") <= 80).as("r_wordcount"),
-        (lit(3) * col("n") <= col("slen") && lit(2) * col("slen") <= lit(9) * col("n"))
-          .as("r_meanwordlen"),
-        (col("nstop") >= 2).as("r_stopwords"),
-        (lit(5) * col("maxc") <= col("n")).as("r_repetition"))
+      .withColumn("n_words", col("n"))
+      .withColumn("r_wordcount", col("n") >= 20 && col("n") <= 80)
+      .withColumn("r_meanwordlen",
+        lit(3) * col("n") <= col("slen") && lit(2) * col("slen") <= lit(9) * col("n"))
+      .withColumn("r_stopwords", col("nstop") >= 2)
+      .withColumn("r_repetition", lit(5) * col("maxc") <= col("n"))
       .withColumn("n_failed",
-        (lit(4) - col("r_wordcount").cast("long") - col("r_meanwordlen").cast("long")
-          - col("r_stopwords").cast("long") - col("r_repetition").cast("long")).as("n_failed"))
+        lit(4) - col("r_wordcount").cast("long") - col("r_meanwordlen").cast("long")
+          - col("r_stopwords").cast("long") - col("r_repetition").cast("long"))
       .withColumn("keep", col("n_failed") === 0)
-      .orderBy("doc_id")
+      .drop("w", "n", "slen", "nstop", "maxc")
   }
+
+  private def ruleFilter(s: SparkSession, dir: String): DataFrame =
+    withRuleFlags(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_words"), col("r_wordcount"), col("r_meanwordlen"),
+        col("r_stopwords"), col("r_repetition"), col("n_failed"), col("keep"))
+      .orderBy("doc_id")
 
   private def ruleFilterSql: String = {
     val stopList = ruleStopwords.map(w => s"'$w'").mkString("[", ", ", "]")

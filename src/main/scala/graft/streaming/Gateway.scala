@@ -523,6 +523,49 @@ object Gateway {
       .dropDuplicatesWithinWatermark("doc_id")
   }
 
+  /** Streaming X72+X73 — incremental snapshot delta on the ingest
+    * path: classify each incoming document against the STATIC
+    * previous-version manifest (doc_id → content hash — the bounded
+    * offline artifact a recrawl ships, the [[admitFeed]] hot-set /
+    * dictionary pattern), drop 'unchanged' (the whole economics of
+    * recrawl processing), and run the X73 rule cascade on what
+    * remains — so only genuinely NEW text that also passes the
+    * published quality rules proceeds downstream.
+    *
+    * 'removed' is structurally invisible here: a stream carries rows,
+    * not absences, so deletions remain the batch `q_snapshot_diff`'s
+    * job (documented asymmetry, not a gap).
+    *
+    * Everything is STATELESS: one narrow hash projection, one
+    * stream-static left equi-join on doc_id (the manifest is
+    * broadcast at this size and bucketed on doc_id at 100 TB), and
+    * the X73 narrow rule columns
+    * ([[graft.operators.Curation.withRuleFlags]] — the same
+    * projection as the declared batch query, which is what GatewaySpec
+    * pins stream ≡ batch on). Append mode with no window to flush,
+    * no streaming aggregate, no state store.
+    */
+  def deltaFeed(lines: DataFrame, manifest: DataFrame): DataFrame = {
+    val parsed = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 && col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).cast("long").as("doc_id"),
+        col("p").getItem(2).as("text"))
+    graft.operators.Curation.withRuleFlags(
+      parsed
+        .withColumn("nh", md5(col("text")))
+        .join(manifest, Seq("doc_id"), "left_outer")
+        .withColumn("status",
+          when(col("old_hash").isNull, "added")
+            .when(col("old_hash") =!= col("nh"), "changed")
+            .otherwise("unchanged"))
+        .filter(col("status") =!= "unchanged"))
+      .select(col("ts"), col("doc_id"), col("status"), col("n_failed"), col("keep"))
+  }
+
   /** B3 — bulk-upload delta encoding: one reference time per
     * micro-batch (`sentat`), every row's time expressed as an offset
     * against it (※ OemGatewayEmoncmsBuffer._send_data payload

@@ -1086,6 +1086,65 @@ class GatewaySpec extends AnyFunSuite {
     } finally dict.unpersist()
   }
 
+  test("streaming snapshot delta: classify vs static manifest → rule gate ≡ batch row-for-row") {
+    // the X72+X73 ingest shape: the previous-version manifest is the
+    // bounded offline artifact; the stream classifies against it,
+    // drops 'unchanged', and rule-gates the survivors. Stream and
+    // batch run the SAME stateless projections, so they must agree
+    // row-for-row; the classification itself is recounted against the
+    // planted derivation.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // manifest = the X72 old snapshot: %13==5 docs missing (added),
+    // %17==0 docs carry a stale-revision hash (changed)
+    val manifest = docs.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, md5(concat(col("text"), lit(" v1"))))
+          .otherwise(md5(col("text"))).as("old_hash"))
+      .cache()
+    manifest.count()
+    try {
+      val feed = docs.collect()
+        .map(r => s"1000 ${r.getLong(0)} ${r.getString(1)}")
+      val ms = MemoryStream[String]
+      val sink = s"delta_feed_${System.nanoTime()}"
+      val q = Gateway.deltaFeed(ms.toDF(), manifest)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        ms.addData(feed.toSeq: _*)
+        q.processAllAvailable()
+        val cols = Seq(unix_seconds(col("ts")), col("doc_id"), col("status"),
+          col("n_failed"), col("keep"))
+        val streamed = spark.table(sink).select(cols: _*)
+          .as[(Long, Long, String, Long, Boolean)].collect().toSet
+        val batch = Gateway.deltaFeed(feed.toSeq.toDF("value"), manifest)
+          .select(cols: _*)
+          .as[(Long, Long, String, Long, Boolean)].collect().toSet
+        assert(batch.nonEmpty, "vacuous pin: no added/changed doc in the feed")
+        assert(streamed === batch, "streaming snapshot delta diverges from batch")
+        // classification recount from the planted derivation: exactly
+        // the %13==5 docs are added, exactly the %17==0 (and present)
+        // docs are changed, nothing else passes
+        val ids = docs.collect().map(_.getLong(0)).toSet
+        val expAdded = ids.filter(_ % 13 == 5)
+        val expChanged = ids.filter(id => id % 17 == 0 && id % 13 != 5)
+        assert(batch.filter(_._3 == "added").map(_._2) === expAdded)
+        assert(batch.filter(_._3 == "changed").map(_._2) === expChanged)
+        // and the rule columns equal the declared X73 projection on
+        // the same surviving docs
+        val direct = graft.operators.Curation.withRuleFlags(
+          docs.filter(col("doc_id").isin((expAdded ++ expChanged).toSeq: _*)))
+          .select(col("doc_id"), col("n_failed"), col("keep"))
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+        batch.foreach { case (_, id, _, nf, kp) =>
+          assert(direct(id) === ((nf, kp)), s"rule gate for $id diverges from the batch twin")
+        }
+      } finally q.stop()
+    } finally manifest.unpersist()
+  }
+
   test("late data beyond the watermark is dropped (documented superset of REF)") {
     val out = Files.createTempDirectory("gw-out").toString
     val ckpt = Files.createTempDirectory("gw-ckpt").toString
