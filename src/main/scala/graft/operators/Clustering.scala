@@ -737,9 +737,12 @@ object Clustering {
     val sv = e.join(meta, "vec_id")
       .groupBy(col("source"), col("dim"))
       .agg(sum(col("xf")).as("sv"), count(lit(1)).as("nd"))
+    // the corpus marginal is ≤ d rows BY CONSTRUCTION — declare the
+    // broadcast instead of letting stats guess (a SMJ here costs two
+    // pointless exchanges of plan-constant-sized data)
     val g = sv.groupBy(col("dim")).agg(sum(col("sv")).as("gv"))
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-    sv.join(g, "dim")
+    sv.join(broadcast(g), "dim")
       .groupBy(col("source"))
       .agg(
         max(col("nd")).cast("long").as("n_docs"),

@@ -752,4 +752,57 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("\\bsplit#".r.findFirstIn(leak).isEmpty,
       "a materialized split table leaked into the plan")
   }
+
+  private def joinOps(p: String): Int =
+    "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)".r
+      .findAllIn(p).size
+
+  test("q_rule_filter is one narrow codegen'd pass: no join, no window, no hash exchange") {
+    // X73's whole scale claim: every rule is a per-row array lambda,
+    // so the corpus cost is exactly one scan — the only exchange is
+    // the presentation sort's range partitioning
+    val plan = SparkEntry.queries("q_rule_filter")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(joinOps(plan) == 0, s"rule cascade plans a join:\n$plan")
+    assert(!plan.contains("Window"), s"rule cascade plans a window:\n$plan")
+    assert(hashExchanges(plan).isEmpty, s"rule cascade shuffles beyond the sort:\n$plan")
+  }
+
+  test("q_dup_fraction windows stay doc-keyed — coverage never partitions corpus-wide") {
+    val plan = SparkEntry.queries("q_dup_fraction")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"expected the islands windows in:\n$plan")
+    assert(windows.forall(_.contains("doc_id")),
+      s"a coverage window lost its doc_id key:\n${windows.mkString("\n")}")
+  }
+
+  test("q_snapshot_diff is ONE full-outer id join into the 4-row classify") {
+    val plan = SparkEntry.queries("q_snapshot_diff")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(joinOps(plan) == 1 && plan.contains("FullOuter"),
+      s"snapshot diff should plan exactly one full-outer join:\n$plan")
+    assert(!plan.contains("Window"), s"snapshot diff plans a window:\n$plan")
+  }
+
+  test("q_tok_fertility joins only the doc metadata — merges stay plan literals") {
+    val plan = SparkEntry.queries("q_tok_fertility")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(joinOps(plan) == 1,
+      s"fertility should join once (doc→lang); a merge-table join leaked in:\n$plan")
+    assert(!plan.contains("Window"), s"fertility plans a window:\n$plan")
+  }
+
+  test("q_source_centroid collapses to the (source, dim) matrix; the marginal broadcasts") {
+    // X71's scale shape: the corpus-proportional stream shuffles ONCE
+    // into |sources|×d integer partials; the d-row corpus marginal is
+    // a declared broadcast (stats would SMJ two plan-constant sides)
+    val plan = SparkEntry.queries("q_source_centroid")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(hashExchanges(plan).exists(l => l.contains("source") && l.contains("dim")),
+      s"missing the (source, dim) collapse exchange:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a plan-constant side fell into a sort-merge join:\n$plan")
+    assert(!plan.contains("Window"), s"centroid plans a window:\n$plan")
+  }
 }
