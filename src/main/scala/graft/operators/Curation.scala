@@ -945,6 +945,28 @@ object Curation {
     */
   private val ruleStopwords = Seq("the", "a", "of", "and", "to", "in", "that", "with")
 
+  /** The X73 rule-failure count as a DuckDB CTE over `$from(doc_id,
+    * text)` — the oracle-side twin of [[withRuleFlags]], factored so
+    * the composed pipeline oracle can state the same arithmetic over
+    * its stripped corpus.
+    */
+  private[graft] def ruleFailedCteSql(from: String): String = {
+    val stopList = ruleStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""rf AS (
+       |  SELECT doc_id,
+       |    CAST(4 - CASE WHEN n >= 20 AND n <= 80 THEN 1 ELSE 0 END
+       |           - CASE WHEN 3 * n <= slen AND 2 * slen <= 9 * n THEN 1 ELSE 0 END
+       |           - CASE WHEN nstop >= 2 THEN 1 ELSE 0 END
+       |           - CASE WHEN 5 * maxc <= n THEN 1 ELSE 0 END AS BIGINT) AS rule_failed
+       |  FROM (
+       |    SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+       |      CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS slen,
+       |      CAST(len(list_intersect(list_distinct(w), $stopList)) AS BIGINT) AS nstop,
+       |      CAST(list_max(list_transform(list_distinct(w),
+       |        t -> len(list_filter(w, x -> x = t)))) AS BIGINT) AS maxc
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $from) rt))""".stripMargin
+  }
+
   /** The X73 rule columns on any (…, text) frame — STATELESS narrow
     * work, so the same projection runs unchanged under the streaming
     * engine ([[graft.streaming.Gateway.deltaFeed]] rides it; the

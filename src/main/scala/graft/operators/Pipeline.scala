@@ -11,7 +11,10 @@ import scala.collection.immutable.ListMap
   * own: normalize (X23) → boilerplate strip (X52, r14) → curation
   * gates (X35) → near-dup keep/drop (X5b+X21+X26) → per-source caps
   * (X38) → sequence packing (X30) → train/val/test split (X31), with
-  * DSIR importance weights (X58, r14) emitted on the final survivors,
+  * DSIR importance weights (X58, r14) emitted on the final survivors
+  * and the X73 rule-failure count (r14) as a per-row diagnostic on
+  * the stripped corpus (admission stays the gates' job; the rule
+  * breakdown is what a curator reads to tune them),
   * per document, with every stage's verdict on the row — the artifact
   * a real training-data run materializes (the "fate table": why each
   * document was kept or dropped, where the survivors landed, and the
@@ -92,11 +95,19 @@ object Pipeline {
     val dsir = Curation.dsirFrom(
       gated.select(col("doc_id"), col("lang"), col("text")),
       keptDocs.select(col("doc_id"), col("text")))
+    // X73 (r14) as a fate-table DIAGNOSTIC on the stripped corpus:
+    // the rule-failure count rides every row (admission stays the X35
+    // gates' job — the rule breakdown is what a curator reads to tune
+    // them). Narrow projection off the gate checkpoint: no new scan,
+    // the one-scan pin is untouched.
+    val rules = Curation.withRuleFlags(gated.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_failed").as("rule_failed"))
     gated
       .select(
         col("doc_id"), col("bp_dropped"),
         col("is_en"), col("is_quality"), col("is_repetitive"),
         col("is_kept").as("gate_kept"))
+      .join(rules, Seq("doc_id"), "left")
       .join(dkeep, Seq("doc_id"), "left")
       .join(
         capped.select(
@@ -253,7 +264,8 @@ object Pipeline {
        |  FROM dp JOIN ddict USING (bg)
        |  JOIN keptd kd ON kd.doc_id = dp.doc_id
        |  GROUP BY dp.doc_id)
-       |SELECT gv.doc_id, n1.bp_dropped,
+       |,${Curation.ruleFailedCteSql("norm1")}
+       |SELECT gv.doc_id, n1.bp_dropped, rf.rule_failed,
        |  gv.is_en, gv.is_quality, gv.is_repetitive, gv.gate_kept,
        |  k.dup_kept, c.src_rank, c.cap_kept,
        |  p.tok, p.bin, p.bin_offset, p.crosses, s.split, s.pos, w.dsir_logratio,
@@ -261,6 +273,7 @@ object Pipeline {
        |       THEN 1 ELSE 0 END AS BIGINT) AS kept
        |FROM gv
        |JOIN norm1 n1 ON n1.doc_id = gv.doc_id
+       |LEFT JOIN rf ON rf.doc_id = gv.doc_id
        |LEFT JOIN dkeep k ON k.doc_id = gv.doc_id
        |LEFT JOIN capv c ON c.doc_id = gv.doc_id
        |LEFT JOIN pk2 p ON p.doc_id = gv.doc_id
@@ -273,6 +286,6 @@ object Pipeline {
     "q_pipeline" -> QueryDef(
       pipelineFate,
       Some(pipelineSql),
-      "composed curation pipeline: normalize → strip → gates → dedup → caps → pack → split + DSIR, one DAG"),
+      "composed curation pipeline: normalize → strip → gates → dedup → caps → pack → split + DSIR + rule diagnostics, one DAG"),
   )
 }
