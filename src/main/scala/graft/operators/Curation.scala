@@ -1027,6 +1027,85 @@ object Curation {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** X74 — token-budget epoch allocation (`q_token_budget`): the
+    * data-constrained planning step (Muennighoff et al., NeurIPS 2023
+    * — repeating data is near-free up to ~4 epochs, then decays):
+    * given a training token budget B larger than the corpus, allocate
+    * tokens per source as full corpus epochs plus a remainder round.
+    * Every source repeats together for e = min(B div T, 4) full
+    * epochs (T = corpus tokens); the remaining budget fills sources
+    * in a salted-hash priority order (deterministic engine-to-engine,
+    * the X38 ordering discipline — a real run orders by quality or
+    * staleness instead), the last source taking a partial allocation.
+    * B is derived as 3T/2 here so the remainder round is non-vacuous:
+    * every branch of the allocator (full source, partial source,
+    * unfunded source) fires at sf0.01 (CurationSpec pins it).
+    *
+    * Integer-exact end-to-end: token counts, the budget, the running
+    * remainder fill (a prefix-sum window over the ≤|sources|
+    * dictionary — the "window over aggregate, never the corpus"
+    * rule), and the final epochs ratio rounded 4dp in integer space.
+    *
+    * Scale shape: one corpus aggregate with map-side partials into a
+    * |sources|-row dictionary; everything after runs on that
+    * dictionary. At 100 TB the allocator's cost is the token count
+    * it would need anyway.
+    */
+  private def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wOrd = Window.partitionBy()
+      .orderBy(md5(concat(lit("budget"), col("source"))), col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("tok")).as("n_tokens"))
+      .withColumn("t_all", sum(col("n_tokens")).over(wAll))
+      .withColumn("budget", expr("(3 * t_all) div 2"))
+      .withColumn("full_epochs", least(expr("budget div t_all"), lit(4L)))
+      .withColumn("rem",
+        when(col("full_epochs") < 4, col("budget") - col("full_epochs") * col("t_all"))
+          .otherwise(lit(0L)))
+      .withColumn("cum_prev", coalesce(sum(col("n_tokens")).over(wOrd), lit(0L)))
+      .withColumn("extra_tokens",
+        greatest(lit(0L), least(col("n_tokens"), col("rem") - col("cum_prev"))))
+      .withColumn("total_alloc",
+        col("full_epochs") * col("n_tokens") + col("extra_tokens"))
+      .select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
+        col("full_epochs").cast("long").as("full_epochs"),
+        col("extra_tokens").cast("long").as("extra_tokens"),
+        col("total_alloc").cast("long").as("total_alloc"),
+        (expr("(20000 * total_alloc + n_tokens) div (2 * n_tokens)").cast("double") / 10000.0)
+          .as("epochs"))
+      .orderBy("source")
+  }
+
+  private def tokenBudgetSql: String =
+    """WITH d AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+      |s AS (SELECT source, CAST(sum(tok) AS BIGINT) AS n_tokens FROM d GROUP BY source),
+      |t AS (SELECT s.*, sum(n_tokens) OVER () AS t_all FROM s),
+      |b AS (
+      |  SELECT t.*, (3 * t_all) // 2 AS budget,
+      |    least(((3 * t_all) // 2) // t_all, 4) AS full_epochs
+      |  FROM t),
+      |r AS (
+      |  SELECT b.*,
+      |    CASE WHEN full_epochs < 4 THEN budget - full_epochs * t_all ELSE 0 END AS rem,
+      |    COALESCE(sum(n_tokens) OVER (ORDER BY md5('budget' || source), source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      |  FROM b)
+      |SELECT source, n_tokens,
+      |  CAST(full_epochs AS BIGINT) AS full_epochs,
+      |  CAST(greatest(0, least(n_tokens, rem - cum_prev)) AS BIGINT) AS extra_tokens,
+      |  CAST(full_epochs * n_tokens
+      |    + greatest(0, least(n_tokens, rem - cum_prev)) AS BIGINT) AS total_alloc,
+      |  CAST((20000 * (full_epochs * n_tokens + greatest(0, least(n_tokens, rem - cum_prev)))
+      |    + n_tokens) // (2 * n_tokens) AS DOUBLE) / 10000.0 AS epochs
+      |FROM r ORDER BY source""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_decontaminate" -> QueryDef(
       decontaminate,
@@ -1249,5 +1328,9 @@ object Curation {
       ruleFilter,
       Some(ruleFilterSql),
       "X73 Gopher-style rule cascade: per-rule integer-exact flags in one narrow pass"),
+    "q_token_budget" -> QueryDef(
+      tokenBudget,
+      Some(tokenBudgetSql),
+      "X74 data-constrained epoch allocation: full epochs + salted remainder fill per source"),
   )
 }

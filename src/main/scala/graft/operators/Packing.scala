@@ -186,6 +186,80 @@ object Packing {
       .select(col("doc_id"), col("split"), col("pos").cast("long").as("pos"))
   }
 
+  /** Candidate context lengths for the X75 efficiency report —
+    * powers of two around [[ctxBudget]], the grid a sequence-length
+    * decision actually scans.
+    */
+  private[graft] val ctxCandidates = Seq(128L, 256L, 512L, 1024L)
+
+  /** X75 — packing-efficiency report (`q_pack_efficiency`): the
+    * context-length planning table read before committing a model's
+    * sequence length — for each candidate C, how many bins the X30
+    * greedy layout needs, the tail waste, and the fraction of
+    * documents split across a bin boundary (the attention-
+    * fragmentation cost concat-and-chunk packing pays; the reason
+    * papers report "document boundary crossings" next to packing
+    * efficiency). One prefix-sum pass is shared by ALL candidates:
+    * the cumulative offsets don't depend on C, so the per-C numbers
+    * are conditional aggregates over the same cum frame — a 4×
+    * narrow expand into a 4-GROUP aggregate (map-side partials make
+    * the 4-group shuffle a plan constant), not four packings.
+    *
+    * Integer-exact throughout: bins = ceil-div, waste = bins·C − T,
+    * crossing fraction rounded 4dp in integer space (the X58
+    * discipline).
+    */
+  private def packEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(concat(lit("pack"), col("doc_id").cast("string"))).as("k"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    prefixSumByRange(t, Seq("k", "doc_id"), "tok", "cb")
+      .select(col("tok"), col("cb"),
+        explode(array(ctxCandidates.map(lit(_)): _*)).as("ctx"))
+      .groupBy(col("ctx"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("tok")).cast("long").as("total_tokens"),
+        sum(expr("CASE WHEN (cb + tok - 1) div ctx > cb div ctx THEN 1 ELSE 0 END"))
+          .cast("long").as("n_crossing"))
+      .select(col("ctx"), col("n_docs"), col("total_tokens"),
+        expr("(total_tokens + ctx - 1) div ctx").cast("long").as("n_bins"),
+        (expr("(total_tokens + ctx - 1) div ctx") * col("ctx") - col("total_tokens"))
+          .cast("long").as("tail_waste"),
+        col("n_crossing"),
+        (expr("(20000 * n_crossing + n_docs) div (2 * n_docs)").cast("double") / 10000.0)
+          .as("crossing_frac"))
+      .orderBy("ctx")
+  }
+
+  private def packEfficiencySql: String =
+    s"""WITH pt AS (
+       |  SELECT doc_id, md5('pack' || CAST(doc_id AS VARCHAR)) AS k,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |pk AS (
+       |  SELECT doc_id, tok,
+       |    COALESCE(SUM(tok) OVER (ORDER BY k, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM pt),
+       |x AS (
+       |  SELECT pk.tok, pk.cb, c.ctx
+       |  FROM pk CROSS JOIN (SELECT unnest([${ctxCandidates.mkString(", ")}]) AS ctx) c),
+       |a AS (
+       |  SELECT ctx, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(tok) AS BIGINT) AS total_tokens,
+       |    CAST(sum(CASE WHEN (cb + tok - 1) // ctx > cb // ctx THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_crossing
+       |  FROM x GROUP BY ctx)
+       |SELECT CAST(ctx AS BIGINT) AS ctx, n_docs, total_tokens,
+       |  CAST((total_tokens + ctx - 1) // ctx AS BIGINT) AS n_bins,
+       |  CAST(((total_tokens + ctx - 1) // ctx) * ctx - total_tokens AS BIGINT) AS tail_waste,
+       |  n_crossing,
+       |  CAST((20000 * n_crossing + n_docs) // (2 * n_docs) AS DOUBLE) / 10000.0 AS crossing_frac
+       |FROM a ORDER BY ctx""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_pack_chunks" -> QueryDef(
       packChunks,
@@ -219,5 +293,9 @@ object Packing {
              |  CAST(row_number() OVER (PARTITION BY split ORDER BY h, doc_id) AS BIGINT) AS pos
              |FROM l ORDER BY doc_id""".stripMargin),
       "X31 deterministic train/val/test split with reproducible shuffle positions"),
+    "q_pack_efficiency" -> QueryDef(
+      packEfficiency,
+      Some(packEfficiencySql),
+      "X75 packing-efficiency report: bins/waste/boundary-crossings per context length"),
   )
 }

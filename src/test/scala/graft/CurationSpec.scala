@@ -413,6 +413,40 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_token_budget spends the budget exactly; funded/partial/unfunded branches all fire") {
+    def md5Hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    for (dir <- Seq("/root/testdata/sf0.001", sf)) {
+      val perSrc = Tables(spark, dir, "documents").select("source", "text")
+        .collect().map(r => r.getString(0) -> r.getString(1).split(" ", -1).length.toLong)
+        .groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._2).sum }
+      val t = perSrc.values.sum
+      val b = 3 * t / 2
+      val e = math.min(b / t, 4L)
+      val rem = if (e < 4) b - e * t else 0L
+      var cum = 0L
+      val expected = perSrc.toSeq.sortBy { case (s0, _) => (md5Hex(s"budget$s0"), s0) }
+        .map { case (s0, n) =>
+          val extra = math.max(0L, math.min(n, rem - cum))
+          cum += n
+          s0 -> ((n, e, extra, e * n + extra, ((20000L * (e * n + extra) + n) / (2L * n)) / 10000.0))
+        }.toMap
+      val got = SparkEntry.queries("q_token_budget")(spark, dir)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))).toMap
+      assert(got === expected, s"token-budget recount diverges at $dir")
+      // rem < T by construction, so the remainder fill completes and
+      // the allocation spends the budget EXACTLY
+      assert(got.values.map(_._4).sum === b,
+        s"allocation ${got.values.map(_._4).sum} != budget $b at $dir")
+      if (dir == sf) {
+        assert(got.values.exists(v => v._3 == v._1), "no fully-funded remainder source")
+        assert(got.values.exists(v => v._3 > 0 && v._3 < v._1), "no partially-funded source")
+        assert(got.values.exists(_._3 == 0), "no unfunded source")
+      }
+    }
+  }
+
   test("q_snapshot_diff classifies exactly the planted deltas, all four classes non-vacuous") {
     for (dir <- Seq("/root/testdata/sf0.001", sf)) {
       val ids = Tables(spark, dir, "documents")

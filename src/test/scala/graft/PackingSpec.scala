@@ -109,4 +109,32 @@ class PackingSpec extends AnyFunSuite {
     val rho = 1.0 - 6.0 * d2 / (n * (n * n - 1.0))
     assert(math.abs(rho) < 0.2, s"shuffle order correlates with doc order: rho=$rho")
   }
+
+  test("q_pack_efficiency equals a sequential concat-and-chunk recount at every candidate length") {
+    def md5Hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+        .sortBy { case (id, _) => (md5Hex(s"pack$id"), id) }
+      val toks = docs.map(_._2)
+      val cums = toks.scanLeft(0L)(_ + _).dropRight(1)
+      val total = toks.sum
+      val nd = docs.length.toLong
+      val expected = graft.operators.Packing.ctxCandidates.map { c =>
+        val nc = toks.zip(cums).count { case (tok, cb) => (cb + tok - 1) / c > cb / c }.toLong
+        val bins = (total + c - 1) / c
+        c -> ((nd, total, bins, bins * c - total, nc,
+          ((20000L * nc + nd) / (2L * nd)) / 10000.0))
+      }.toMap
+      val got = SparkEntry.queries("q_pack_efficiency")(spark, dir)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+      assert(got === expected, s"pack-efficiency recount diverges at $dir")
+      // the report is non-degenerate: some doc crosses at the smallest
+      // candidate, and waste is always bounded by the context length
+      assert(got(graft.operators.Packing.ctxCandidates.head)._5 > 0)
+      got.foreach { case (c, (_, _, _, waste, _, _)) => assert(waste >= 0 && waste < c) }
+    }
+  }
 }
