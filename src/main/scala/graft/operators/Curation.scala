@@ -1106,6 +1106,58 @@ object Curation {
       |    + n_tokens) // (2 * n_tokens) AS DOUBLE) / 10000.0 AS epochs
       |FROM r ORDER BY source""".stripMargin
 
+  /** X76 — relative quality cut per source (`q_quality_cut`): the
+    * CCNet-family filtering rule ("keep the best q% of EACH source",
+    * there by perplexity buckets; here by an exact type-token-ratio
+    * score) — RELATIVE thresholds instead of X73's absolute rules,
+    * because an absolute cut tuned on one source guts another (the
+    * reason CCNet buckets per snapshot/language). Keeps the top 30%
+    * per source by score, ties broken by doc_id.
+    *
+    * Integer-exact: the score is TTR in parts-per-million
+    * ((distinct·10⁶) div n — an exact integer, no float), the rank is
+    * over (−score, doc_id), and the keep rule is the cross-multiplied
+    * compare 10·rank ≤ 3·n_source. Engine-portable by construction.
+    *
+    * Scale shape: ranking goes through [[Extensions.rankedByRange]]
+    * — per-(partition, source) counts → prefix offsets → offset +
+    * local rank — so no task ever sorts a whole source (a source-keyed
+    * window is the X38 Zipf hazard: at 100 TB one crawl source can be
+    * half the corpus); the per-source totals join back broadcast-sized.
+    */
+  private def qualityCut(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000) div size(split(text, ' '))")
+          .as("score_ppm"))
+      .withColumn("neg_score", -col("score_ppm"))
+    val ranked = Extensions.rankedByRange(
+      scored, "source", Seq("neg_score", "doc_id"), "src_rank")
+    val totals = ranked.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    ranked.join(totals, "source")
+      .select(col("doc_id"), col("source"), col("score_ppm"),
+        col("src_rank").cast("long").as("src_rank"),
+        when(lit(10) * col("src_rank") <= lit(3) * col("n_src"), 1L).otherwise(0L)
+          .cast("long").as("is_kept"))
+      .orderBy("doc_id")
+  }
+
+  private def qualityCutSql: String =
+    """WITH sc AS (
+      |  SELECT doc_id, source,
+      |    (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000)
+      |      // len(string_split(text, ' ')) AS score_ppm
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, score_ppm,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS src_rank,
+      |    count(*) OVER (PARTITION BY source) AS n_src
+      |  FROM sc)
+      |SELECT doc_id, source, score_ppm, src_rank,
+      |  CAST(CASE WHEN 10 * src_rank <= 3 * n_src THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_decontaminate" -> QueryDef(
       decontaminate,
@@ -1332,5 +1384,9 @@ object Curation {
       tokenBudget,
       Some(tokenBudgetSql),
       "X74 data-constrained epoch allocation: full epochs + salted remainder fill per source"),
+    "q_quality_cut" -> QueryDef(
+      qualityCut,
+      Some(qualityCutSql),
+      "X76 relative quality cut: keep the top 30% per source by integer TTR rank"),
   )
 }

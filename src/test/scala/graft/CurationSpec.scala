@@ -447,6 +447,34 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_quality_cut keeps exactly the top 30% per source by TTR rank, recounted sequentially") {
+    for (dir <- Seq("/root/testdata/sf0.001", sf)) {
+      val scored = Tables(spark, dir, "documents").select("doc_id", "source", "text")
+        .collect().map { r =>
+          val w = r.getString(2).split(" ", -1)
+          (r.getLong(0), r.getString(1), w.distinct.length.toLong * 1000000L / w.length)
+        }
+      val expected: Map[Long, (String, Long, Long, Long)] =
+        scored.groupBy(_._2).toSeq.flatMap { case (_, xs) =>
+          val n = xs.length.toLong
+          xs.sortBy { case (id, _, sc) => (-sc, id) }.zipWithIndex.map {
+            case ((id, s0, sc), i) =>
+              id -> ((s0, sc, i + 1L, if (10L * (i + 1) <= 3 * n) 1L else 0L))
+          }
+        }.toMap
+      val got = SparkEntry.queries("q_quality_cut")(spark, dir)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))).toMap
+      assert(got.toMap === expected, s"quality-cut recount diverges at $dir")
+      // the relative rule's signature: every source keeps exactly
+      // floor(3n/10) docs, regardless of its absolute score level
+      got.values.groupBy(_._1).foreach { case (s0, vs) =>
+        val kept = vs.count(_._4 == 1L)
+        assert(kept === (3 * vs.size / 10), s"source $s0 kept $kept of ${vs.size}")
+      }
+    }
+  }
+
   test("q_snapshot_diff classifies exactly the planted deltas, all four classes non-vacuous") {
     for (dir <- Seq("/root/testdata/sf0.001", sf)) {
       val ids = Tables(spark, dir, "documents")
