@@ -1126,16 +1126,28 @@ object Curation {
     * half the corpus); the per-source totals join back broadcast-sized.
     */
   private def qualityCut(s: SparkSession, dir: String): DataFrame = {
+    // EVERY column entering rankedByRange is a range-partitioning key
+    // (source, neg_score, doc_id) — deliberately: a non-key payload
+    // column here gets pruned BELOW the range exchange in the offsets
+    // branch only, the two branches' exchange subtrees stop being
+    // canonically equal, reuse dies, and each branch samples its OWN
+    // split points — silently wrong offsets at scale (caught by the
+    // ONE-range-exchange plan pin). score_ppm is re-derived from the
+    // key after ranking instead of riding through.
     val scored = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"),
-        expr("(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000) div size(split(text, ' '))")
-          .as("score_ppm"))
-      .withColumn("neg_score", -col("score_ppm"))
+        (-expr("(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000) div size(split(text, ' '))"))
+          .as("neg_score"))
     val ranked = Extensions.rankedByRange(
       scored, "source", Seq("neg_score", "doc_id"), "src_rank")
-    val totals = ranked.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    // totals off the PRE-exchange frame, not `ranked`: a second
+    // consumer of the ranked subtree would instantiate a second
+    // sampled range exchange, while this branch needs only counts,
+    // which no split point can move. It costs a column-pruned second
+    // scan — the cheap side at 100 TB.
+    val totals = scored.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
     ranked.join(totals, "source")
-      .select(col("doc_id"), col("source"), col("score_ppm"),
+      .select(col("doc_id"), col("source"), (-col("neg_score")).as("score_ppm"),
         col("src_rank").cast("long").as("src_rank"),
         when(lit(10) * col("src_rank") <= lit(3) * col("n_src"), 1L).otherwise(0L)
           .cast("long").as("is_kept"))

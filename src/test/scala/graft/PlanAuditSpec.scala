@@ -434,7 +434,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // partition spec — the offsets prefix window over the tiny
     // per-partition table is the one allowed exception, bounded by
     // shuffle.partitions rows)
-    Seq("q_pack_chunks", "q_split_hash", "q_source_cap", "q_quality_blend").foreach { q =>
+    Seq("q_pack_chunks", "q_split_hash", "q_source_cap", "q_quality_blend",
+        "q_quality_cut", "q_pack_efficiency").foreach { q =>
       val qe = SparkEntry.queries(q)(spark, sf).queryExecution
       import org.apache.spark.sql.catalyst.plans.logical
       val windows = qe.optimizedPlan.collect { case w: logical.Window => w }
@@ -465,7 +466,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // ReusedExchange/reused stage, and exactly ONE range exchange may
     // execute. A plan change that breaks canonical-equality reuse
     // fails here instead of producing wrong prefix sums at 100 TB.
-    Seq("q_pack_chunks", "q_split_hash").foreach { q =>
+    Seq("q_pack_chunks", "q_split_hash", "q_quality_cut", "q_pack_efficiency").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect() // AQE finalizes stage reuse at runtime
       // the rendered AQE plan appends an "== Initial Plan ==" section;
@@ -791,6 +792,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(joinOps(plan) == 1,
       s"fertility should join once (doc→lang); a merge-table join leaked in:\n$plan")
     assert(!plan.contains("Window"), s"fertility plans a window:\n$plan")
+  }
+
+  test("q_token_budget windows run over the |sources| dictionary, never the corpus") {
+    // X74's scale claim: the corpus contributes ONE aggregate with
+    // map-side partials; both allocator windows (the total frame and
+    // the remainder prefix) read the tiny dictionary AGGREGATE
+    val qe = SparkEntry.queries("q_token_budget")(spark, sf).queryExecution
+    import org.apache.spark.sql.catalyst.plans.logical
+    val windows = qe.optimizedPlan.collect { case w: logical.Window => w }
+    assert(windows.nonEmpty, "q_token_budget lost its allocator windows")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: logical.Aggregate => a }.nonEmpty,
+        s"an allocator window reads corpus rows, not the source dictionary:\n$w")
+    }
+    assert(joinOps(qe.executedPlan.toString) == 0,
+      "the allocator should be window-only over one aggregate — a join leaked in")
   }
 
   test("q_source_centroid collapses to the (source, dim) matrix; the marginal broadcasts") {
