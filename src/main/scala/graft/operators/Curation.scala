@@ -525,22 +525,29 @@ object Curation {
     */
   private def qualityBlend(s: SparkSession, dir: String): DataFrame = {
     val w = split(col("text"), " ")
-    val feats = Tables(s, dir, "documents")
-      .select(
-        col("doc_id"),
-        size(w).cast("long").as("n_tokens"),
-        (size(array_distinct(w)).cast("double") * 100 / size(w)).as("ttr"),
-        (aggregate(transform(w, t => length(t)), lit(0), (acc, x) => acc + x)
-          .cast("double") / size(w)).as("atl"))
-      .withColumn("g", lit(1))
-    val stats = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
-    val ranked =
+    // THREE INDEPENDENT rankings joined on doc_id, not one frame
+    // ranked thrice (the r14 payload-pruning find, see q_quality_cut):
+    // a non-key column riding through rankedByRange gets pruned below
+    // the range exchange in the offsets branch only, canonical
+    // equality dies, and the branches sample their OWN split points —
+    // the nested form executed 8 sampled exchanges instead of 3.
+    // Each ranking's input carries ONLY range keys (g, value,
+    // doc_id), so its two branches stay provably one exchange; the
+    // doc_id equi-joins are the same class the fate table plans.
+    def rankOf(value: Column, name: String, out: String): DataFrame =
       Extensions.rankedByRange(
-        Extensions.rankedByRange(
-          Extensions.rankedByRange(feats, "g", Seq("n_tokens", "doc_id"), "r_len"),
-          "g", Seq("ttr", "doc_id"), "r_ttr"),
-        "g", Seq("atl", "doc_id"), "r_atl")
-    ranked.crossJoin(broadcast(stats))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), value.as(name)).withColumn("g", lit(1)),
+        "g", Seq(name, "doc_id"), out)
+        .select(col("doc_id"), col(out))
+    val rLen = rankOf(size(w).cast("long"), "n_tokens", "r_len")
+    val rTtr = rankOf(
+      size(array_distinct(w)).cast("double") * 100 / size(w), "ttr", "r_ttr")
+    val rAtl = rankOf(
+      aggregate(transform(w, t => length(t)), lit(0), (acc, x) => acc + x)
+        .cast("double") / size(w), "atl", "r_atl")
+    val stats = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    rLen.join(rTtr, "doc_id").join(rAtl, "doc_id").crossJoin(broadcast(stats))
       .select(
         col("doc_id"),
         col("r_len").cast("long").as("r_len"),

@@ -160,6 +160,17 @@ object Extensions {
       "rankedByRange requires spark.sql.exchange.reuse: the offsets and " +
         "local-rank branches must share one range exchange or their partition " +
         "ids diverge (independently sampled split points)")
+    // r14 find: a non-key payload column is pruned below the range
+    // exchange in the offsets branch ONLY (the local branch keeps it),
+    // the branches stop being canonically equal, reuse dies, and each
+    // samples its OWN split points — wrong offsets at scale, invisible
+    // at test SFs where tiny samples coincide. Forbid it structurally:
+    // callers join ranks back by their unique tie-break key instead.
+    require(e.columns.toSet == (group +: key).toSet,
+      s"rankedByRange input must carry ONLY range-key columns; got " +
+        s"[${e.columns.mkString(", ")}] vs keys [${(group +: key).mkString(", ")}] — " +
+        "a payload column breaks canonical exchange reuse (independently sampled " +
+        "split points); join ranks back by the unique key instead")
     val parts = e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val sortCols = (group +: key).map(col)
     val b = e.repartitionByRange(parts, sortCols: _*)
@@ -193,7 +204,11 @@ object Extensions {
       .select(
         col("event_type"), col("event_id"), col("value"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
-    val rv = rankedByRange(e, "event_type", Seq("value", "event_id"), "rv")
+    // only range keys enter each ranking (the r14 payload-pruning
+    // find): e carries k, a non-key for THIS ranking, which would
+    // split the offsets/local branches into two sampled exchanges
+    val rv = rankedByRange(e.select(col("event_type"), col("event_id"), col("value")),
+      "event_type", Seq("value", "event_id"), "rv")
       .select(col("event_type"), col("event_id"), col("rv"))
     val rk = rankedByRange(e.select(col("event_type"), col("event_id"), col("k")),
       "event_type", Seq("k", "event_id"), "rk")

@@ -466,7 +466,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // ReusedExchange/reused stage, and exactly ONE range exchange may
     // execute. A plan change that breaks canonical-equality reuse
     // fails here instead of producing wrong prefix sums at 100 TB.
-    Seq("q_pack_chunks", "q_split_hash", "q_quality_cut", "q_pack_efficiency").foreach { q =>
+    Seq("q_pack_chunks", "q_split_hash", "q_quality_cut", "q_pack_efficiency",
+        "q_weighted_sample", "q_cluster_sample", "q_source_cap").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect() // AQE finalizes stage reuse at runtime
       // the rendered AQE plan appends an "== Initial Plan ==" section;
@@ -792,6 +793,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(joinOps(plan) == 1,
       s"fertility should join once (doc→lang); a merge-table join leaked in:\n$plan")
     assert(!plan.contains("Window"), s"fertility plans a window:\n$plan")
+  }
+
+  test("q_quality_blend's three independent rankings each reuse their one sampled exchange") {
+    // the r14 payload-pruning find made structural: the nested
+    // rank-thrice form executed EIGHT sampled range exchanges (each
+    // ranking's offsets branch pruned the other features below its
+    // exchange and diverged); the independent-rankings form must show
+    // exactly 3 live sampled exchanges, each with a reused twin
+    val df = SparkEntry.queries("q_quality_blend")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val live = plan.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") && l.contains("REPARTITION_BY_NUM")
+        && !l.contains("ReusedExchange"))
+    val reused = plan.linesIterator.count(l =>
+      l.contains("ReusedExchange") && l.contains("rangepartitioning"))
+    assert(live == 3 && reused == 3,
+      s"quality blend: $live live / $reused reused sampled exchanges (want 3/3):\n$plan")
   }
 
   test("q_token_budget windows run over the |sources| dictionary, never the corpus") {
