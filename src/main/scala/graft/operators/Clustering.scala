@@ -781,6 +781,93 @@ object Clustering {
       |    (CAST(n_docs AS DOUBLE) * 1000000.0), 4) + 0 AS centroid_norm
       |FROM a ORDER BY source""".stripMargin
 
+  /** X77 — per-source semantic mixture KL (`q_semantic_mix`): X51's
+    * fixed-point KL arithmetic pointed at X32's k-means cells instead
+    * of the token vocabulary — "does this source COVER the corpus's
+    * semantic regions, or camp in a corner of embedding space?" The
+    * three source diagnostics now triangulate: X51 = lexical shape,
+    * X71 = semantic first moment (centroid), X77 = the full semantic
+    * DISTRIBUTION over cells — a source can match the centroid
+    * (symmetric bimodal) while its cell histogram screams, and vice
+    * versa. KL(p_source ‖ p_corpus) over the K-cell histogram; q = 0
+    * impossible (the corpus marginal dominates every source), absent
+    * cells contribute 0 by absence.
+    *
+    * Numerics: X51's discipline verbatim — each p·ln(p/q) term from
+    * correctly-rounded IEEE ops on exact integer counts, snapped to
+    * 1e-6 fixed point, summed AS INTEGERS (order-free), final round-4
+    * HALF_UP in integer space with the sign branch.
+    *
+    * Scale shape: assignment is the X32 narrow literal-centroid
+    * argmin (no join for the centroids), one id-keyed source join,
+    * then the corpus collapses to the ǀsourcesǀ×K matrix (map-side
+    * partials) and every KL term computes on that — the X51/X40 plan.
+    */
+  private def semanticMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = graft.Tables(s, dir, "embeddings")
+      .select(col("vec_id"), bestCentroid(s, dir).getField("cid").cast("long").as("cid"))
+    val withSrc = assigned.join(
+      graft.Tables(s, dir, "documents").select(col("doc_id").as("vec_id"), col("source")),
+      "vec_id")
+    val prof = withSrc.groupBy(col("source"), col("cid")).agg(count(lit(1)).as("c"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ci = prof.groupBy(col("cid")).agg(sum(col("c")).as("ci"))
+      .withColumn("tc", sum(col("ci")).over(wAll))
+    val ts = prof.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+    val p = col("c").cast("double") / col("ts")
+    val q = col("ci").cast("double") / col("tc")
+    prof.join(ci, Seq("cid")).join(ts, Seq("source"))
+      .select(col("source"), col("ts"),
+        round(lit(1000000.0) * p * log(p / q), 0).cast("long").as("term"))
+      .groupBy(col("source"), col("ts"))
+      .agg(sum(col("term")).as("t6"))
+      // full support (no truncation) ⟹ KL ≥ 0 mathematically, but the
+      // per-term snap can leave a tiny negative total on a uniform
+      // source — keep X51's sign branch so both engines state it
+      .select(col("source"), col("ts").cast("long").as("n_vecs"),
+        ((floor((abs(col("t6")) + 50) / 100)
+          * when(col("t6") < 0, -1).otherwise(1)).cast("long") / lit(10000.0))
+          .as("semantic_kl"))
+      .orderBy("source")
+  }
+
+  private def semanticMixSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND $centroidK),
+       |d AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(list_sum(list_transform(list_zip(e.embedding, c.ce),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 4) AS d2
+       |  FROM embeddings e, c),
+       |a AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM d),
+       |j AS (
+       |  SELECT doc.source, a.cid FROM a
+       |  JOIN documents doc ON doc.doc_id = a.vec_id
+       |  WHERE a.rn = 1),
+       |prof AS (
+       |  SELECT source, cid, CAST(count(*) AS BIGINT) AS c
+       |  FROM j GROUP BY source, cid),
+       |ci AS (SELECT cid, sum(c) AS ci, sum(sum(c)) OVER () AS tc FROM prof GROUP BY cid),
+       |ts AS (SELECT source, sum(c) AS ts FROM prof GROUP BY source),
+       |terms AS (
+       |  SELECT p.source, t.ts,
+       |    CAST(round(1000000.0 * (CAST(p.c AS DOUBLE) / t.ts)
+       |      * ln((CAST(p.c AS DOUBLE) / t.ts) / (CAST(i.ci AS DOUBLE) / i.tc)), 0)
+       |      AS BIGINT) AS term
+       |  FROM prof p JOIN ci i ON i.cid = p.cid JOIN ts t ON t.source = p.source)
+       |SELECT source, CAST(ts AS BIGINT) AS n_vecs,
+       |  CAST(floor((abs(sum(term)) + 50) / 100)
+       |       * (CASE WHEN sum(term) < 0 THEN -1 ELSE 1 END) AS BIGINT)
+       |    / 10000.0 AS semantic_kl
+       |FROM terms GROUP BY source, ts ORDER BY source""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_dedup_cluster" -> QueryDef(
       dedupCluster,
@@ -818,5 +905,9 @@ object Clustering {
       sourceCentroid,
       Some(sourceCentroidSql),
       "X71 per-source embedding centroid vs corpus: integer-snapped sums, decimal cosine"),
+    "q_semantic_mix" -> QueryDef(
+      semanticMix,
+      Some(semanticMixSql),
+      "X77 per-source semantic mixture KL over k-means cells, fixed-point integer sum"),
   )
 }

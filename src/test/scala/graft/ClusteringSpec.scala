@@ -341,6 +341,40 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("q_semantic_mix equals a driver fixed-point KL recount off the declared assignment") {
+    // the recount path runs through q_kmeans_assign's own (oracle-
+    // green) cell assignment, so this pins the X77 composition
+    // independently: histogram → per-term snap → integer sum →
+    // integer HALF_UP round, all replayed sequentially
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def snap6(x: Double): Long =
+      JBD.valueOf(x).setScale(0, RoundingMode.HALF_UP).longValueExact
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val cid = SparkEntry.queries("q_kmeans_assign")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val src = Tables(spark, dir, "documents").select("doc_id", "source")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val prof = cid.toSeq.flatMap { case (v, c) => src.get(v).map(s0 => (s0, c)) }
+        .groupBy(identity).map { case ((s0, c), xs) => (s0, c) -> xs.size.toLong }
+      val ci = prof.groupBy(_._1._2).map { case (c, xs) => c -> xs.values.sum }
+      val tc = ci.values.sum
+      val ts = prof.groupBy(_._1._1).map { case (s0, xs) => s0 -> xs.values.sum }
+      val expected = ts.map { case (s0, t) =>
+        val t6 = prof.collect { case ((`s0`, c), n) =>
+          val p = n.toDouble / t
+          val q = ci(c).toDouble / tc
+          snap6(1000000.0 * p * math.log(p / q))
+        }.sum
+        val q4 = (math.abs(t6) + 50) / 100 * (if (t6 < 0) -1 else 1)
+        s0 -> ((t, q4 / 10000.0))
+      }
+      val got = SparkEntry.queries("q_semantic_mix")(spark, dir)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got === expected, s"semantic-mix recount diverges at $dir")
+      assert(got.values.exists(_._2 > 0.0), s"vacuous pin at $dir: every source KL is 0")
+    }
+  }
+
   test("q_source_centroid matches a driver integer-fixed-point recount") {
     // X71's order-free claim made operational: the recount snaps every
     // component with the SAME shortest-repr HALF_UP rule Spark's round
