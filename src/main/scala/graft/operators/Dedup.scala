@@ -1520,6 +1520,111 @@ object Dedup {
        |FROM d ORDER BY doc_id""".stripMargin
   }
 
+  /** Winnowing window width (w). With k = [[substrGramN]] grams, the
+    * Schleimer guarantee span is w + k − 1 = 11 tokens: any pair of
+    * docs sharing a verbatim run of ≥ 11 tokens SHARES at least one
+    * selected fingerprint — DedupSpec certifies it against the X68
+    * exact-substring pairs.
+    */
+  private[graft] val winnowW = 4
+
+  /** X78 — winnowing fingerprint selection (`q_winnow`): the standard
+    * document-fingerprinting algorithm (Schleimer, Wilkerson, Aiken,
+    * SIGMOD 2003 — MOSS): in every window of [[winnowW]] consecutive
+    * k-gram hashes select the MINIMUM (rightmost on ties); the
+    * distinct selected set is the doc's fingerprint. The bargain over
+    * indexing every gram (X68/X69's stream): expected density 2/(w+1)
+    * — the index shrinks ~2.5× here — while the GUARANTEE survives:
+    * any shared run of ≥ w+k−1 tokens shares a selected fingerprint,
+    * because some window of the run lies wholly inside both copies
+    * and both select the same minimal gram. That guarantee is what
+    * separates winnowing from naive sampling (mod-p selection misses
+    * arbitrarily long matches); at 100 TB it is the difference
+    * between a bounded fingerprint index and the full gram posting
+    * list.
+    *
+    * Declared output is the CROSS-DOC shared-fingerprint index
+    * (df ≥ 2) — the artifact a plagiarism/copy detector actually
+    * queries. The plan is the X68 row shape, NOT nested array
+    * lambdas: an all-array formulation (windows as `slice`s over a
+    * materialized hash column) re-hits the r9 HOF-inlining trap —
+    * project collapse inlines the full gram-hash transform into
+    * every window's slice, turning one md5 per gram into O(doc²)
+    * md5s (measured 3m17s at sf0.01/32 threads vs 4s for this
+    * plan). Instead: ONE posexplode of the gram stream (one md5
+    * per gram), then ONE per-doc sliding frame `[CURRENT, w-1
+    * FOLLOWING]` where `max(struct(-h, pos))` IS the rightmost
+    * minimum (largest −h = smallest h; position breaks ties
+    * rightward), full windows gated by `count = w`. Shuffles: the
+    * doc_id window exchange (partition width bounded by max doc
+    * length, never corpus size) and the fingerprint aggregate.
+    * Hashes are the house exact-integer h32 (first 8 md5 hex
+    * chars), identical in both engines.
+    */
+  private def winnow(s: SparkSession, dir: String): DataFrame = {
+    val k = substrGramN
+    val w = winnowW
+    val concatGram = (1 until k)
+      .foldLeft("element_at(ws, i)") { (acc, j) => s"concat($acc, ' ', element_at(ws, i + $j))" }
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i")).rowsBetween(0, w - 1)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= k + w - 1)
+      // The transform is guarded to be TOTAL (empty on short rows):
+      // InferFiltersFromGenerate derives a size>0 predicate from the
+      // posexplode and can evaluate it ahead of the length filter's
+      // conjunct, where an unguarded sequence(1, n<1) descends
+      // through 0 and crashes element_at on the very rows the
+      // filter exists to drop.
+      .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN size(ws) >= ${k + w - 1} THEN " +
+          s"transform(sequence(1, size(ws) - ${k - 1}), " +
+          s"i -> CAST(conv(substring(md5($concatGram), 1, 8), 16, 10) AS BIGINT)) " +
+          s"ELSE CAST(array() AS ARRAY<BIGINT>) END")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+      .withColumn("m", max(struct((-col("h")).as("nh"), col("i").as("p"), col("h").as("mh"))).over(win))
+      .withColumn("n_in", count(lit(1)).over(win))
+      .filter(col("n_in") === w) // full windows only
+      .select(col("doc_id"), col("m.p").as("p"), col("m.mh").as("h"))
+      .distinct()
+      .groupBy(col("h"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).cast("long").as("n_occ"),
+        min(col("doc_id")).cast("long").as("min_doc"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"), col("n_docs").cast("long").as("n_docs"),
+        col("n_occ"), col("min_doc"))
+      .orderBy("h")
+  }
+
+  private def winnowSql: String = {
+    val k = substrGramN
+    val w = winnowW
+    val gramExpr = (1 until k).foldLeft("ws[i]") { (acc, j) => s"$acc || ' ' || ws[i + $j]" }
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE len(string_split(text, ' ')) >= ${k + w - 1}),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, len(ws) - ${k - 1}),
+       |      i -> ('0x' || substr(md5($gramExpr), 1, 8))::BIGINT) AS hs
+       |  FROM t),
+       |sel AS (
+       |  SELECT doc_id, hs,
+       |    list_distinct(list_transform(generate_series(1, len(hs) - ${w - 1}),
+       |      j -> j + $w - list_position(list_reverse(hs[j:j+${w - 1}]),
+       |                                  list_min(hs[j:j+${w - 1}])))) AS ps
+       |  FROM g),
+       |f AS (
+       |  SELECT doc_id, hs[u.p] AS h
+       |  FROM sel, LATERAL unnest(ps) AS u(p))
+       |SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_occ, CAST(min(doc_id) AS BIGINT) AS min_doc
+       |FROM f GROUP BY h HAVING count(DISTINCT doc_id) >= 2 ORDER BY h""".stripMargin
+  }
+
   private def chunkRuns(s: SparkSession, dir: String): DataFrame = {
     val ct = chunkTokens
     val chunks = Tables(s, dir, "documents")
@@ -1700,6 +1805,10 @@ object Dedup {
       dupFraction,
       Some(dupFractionSql),
       "X69 per-doc duplicated-token fraction: shared-gram interval union, integer-round"),
+    "q_winnow" -> QueryDef(
+      winnow,
+      Some(winnowSql),
+      "X78 winnowing fingerprints (MOSS): rightmost-min window selection, shared index"),
     "q_semdedup" -> QueryDef(
       (s, d) => semDedup(s, d),
       Some(semDedupSql),
