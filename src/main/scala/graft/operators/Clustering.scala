@@ -868,6 +868,94 @@ object Clustering {
        |    / 10000.0 AS semantic_kl
        |FROM terms GROUP BY source, ts ORDER BY source""".stripMargin
 
+  /** X79 — per-source embedding dispersion (`q_source_dispersion`):
+    * the second-moment completion of the source-geometry triad (X71 =
+    * first moment, X77 = cell histogram): the mean pairwise squared
+    * L2 distance among a source's vectors — a machine-generated
+    * near-duplicate farm disperses toward 0 while a diverse human
+    * slice stays wide, and unlike the centroid NORM this number
+    * cannot be fooled by a symmetric bimodal source. SemDeDup (X36)
+    * prunes pairs; this is the one-number screen a curator reads
+    * FIRST to decide which source even needs pairwise work.
+    *
+    * The scale story is the operator: the naive plan is an O(n²)
+    * self-join per source — dead at 10⁹ docs. The variance identity
+    *   Σ_{i<j} ||x_i − x_j||² = n·Σ_i||x_i||² − ||Σ_i x_i||²
+    * computes the EXACT same number from one narrow pass: per-dim
+    * sums and square-sums with map-side partials; the shuffle
+    * carries |sources|×d integer partials (plan constants), and the
+    * identity is evaluated on that matrix. ClusteringSpec certifies
+    * the identity against a brute-force pairwise recount at
+    * sf0.001, exact to the integer.
+    *
+    * Numerics — the X71/X63 discipline: components snap to integer
+    * millionths at the scan, so every sum is exact and order-free;
+    * per-element xf² ≤ ~10¹² rides BIGINT, cross-source products and
+    * the cross-multiplied rounding ride DECIMAL(38,0) (n·S2 alone
+    * passes 10¹⁹ at sf1 shape — the BIGINT cliff); the only float is
+    * the final ÷10⁴ presentation cast. Output units are the original
+    * embedding scale (the 10¹² snap factor divides out in `den`).
+    * Singleton sources have no pairs and are dropped (documented —
+    * n(n−1) = 0), never divided by zero.
+    */
+  private def sourceDispersion(s: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val e = graft.Tables(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        round(col("col").cast("double") * 1000000.0, 0).cast("long").as("xf"))
+    val meta = graft.Tables(s, dir, "documents")
+      .select(col("doc_id").as("vec_id"), col("source"))
+    e.join(meta, "vec_id")
+      .groupBy(col("source"), col("dim"))
+      .agg(sum(col("xf")).as("sv"),
+        sum(dec(col("xf") * col("xf"))).as("ss"),
+        count(lit(1)).as("nd"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("nd")).cast("long").as("n_docs"),
+        sum(col("ss")).as("s2"),
+        sum(dec(col("sv")) * dec(col("sv"))).as("s1sq"))
+      .filter(col("n_docs") >= 2)
+      .withColumn("num", (dec(col("n_docs")) * col("s2") - col("s1sq")) * lit(2))
+      .withColumn("den",
+        dec(col("n_docs")) * (dec(col("n_docs")) - lit(1)) * lit(1000000000000L))
+      .withColumn("dnn", dec(col("n_docs")) * lit(1000000000000L))
+      .select(col("source"), col("n_docs"),
+        (expr("CAST((num * 20000 + den) DIV (2 * den) AS BIGINT)") / lit(10000.0))
+          .as("mean_pair_d2"),
+        (expr("CAST((s2 * 20000 + dnn) DIV (2 * dnn) AS BIGINT)") / lit(10000.0))
+          .as("mean_norm2"))
+      .orderBy("source")
+  }
+
+  private def sourceDispersionSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, s.i AS dim,
+      |    CAST(round(CAST(emb[s.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xf
+      |  FROM (SELECT vec_id, embedding AS emb FROM embeddings) t,
+      |  LATERAL unnest(generate_series(1, len(emb))) AS s(i)),
+      |sv AS (
+      |  SELECT d.source, e.dim, CAST(sum(e.xf) AS HUGEINT) AS sv,
+      |    CAST(sum(CAST(e.xf AS HUGEINT) * e.xf) AS HUGEINT) AS ss,
+      |    CAST(count(*) AS BIGINT) AS nd
+      |  FROM e JOIN documents d ON d.doc_id = e.vec_id
+      |  GROUP BY d.source, e.dim),
+      |a AS (
+      |  SELECT source, CAST(max(nd) AS BIGINT) AS n_docs,
+      |    sum(ss) AS s2, sum(sv * sv) AS s1sq
+      |  FROM sv GROUP BY source),
+      |b AS (
+      |  SELECT source, n_docs, s2,
+      |    2 * (CAST(n_docs AS HUGEINT) * s2 - s1sq) AS num,
+      |    CAST(n_docs AS HUGEINT) * (n_docs - 1) * 1000000000000 AS den,
+      |    CAST(n_docs AS HUGEINT) * 1000000000000 AS dnn
+      |  FROM a WHERE n_docs >= 2)
+      |SELECT source, n_docs,
+      |  CAST((num * 20000 + den) // (2 * den) AS BIGINT) / 10000.0 AS mean_pair_d2,
+      |  CAST((s2 * 20000 + dnn) // (2 * dnn) AS BIGINT) / 10000.0 AS mean_norm2
+      |FROM b ORDER BY source""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_dedup_cluster" -> QueryDef(
       dedupCluster,
@@ -909,5 +997,9 @@ object Clustering {
       semanticMix,
       Some(semanticMixSql),
       "X77 per-source semantic mixture KL over k-means cells, fixed-point integer sum"),
+    "q_source_dispersion" -> QueryDef(
+      sourceDispersion,
+      Some(sourceDispersionSql),
+      "X79 per-source embedding dispersion: exact mean pairwise d2 via the variance identity"),
   )
 }

@@ -414,4 +414,43 @@ class ClusteringSpec extends AnyFunSuite {
       assert(got.size >= 2, s"vacuous centroid pin at $dir")
     }
   }
+
+  test("q_source_dispersion equals a brute-force pairwise recount, to the integer") {
+    // X79's whole claim is that the one-pass variance identity equals
+    // the O(n²) pairwise sum it replaces. The recount computes the
+    // LITERAL pairwise sum Σ_{i<j}||x_i−x_j||² over snapped-integer
+    // vectors in BigInt, then applies the same integer HALF_UP
+    // round-4 — so both the identity and the rounding are certified,
+    // not re-derived.
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def snap(x: Double): Long =
+      JBD.valueOf(x * 1000000.0).setScale(0, RoundingMode.HALF_UP).longValueExact
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val emb = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(f => snap(f.toDouble)))
+        .toMap
+      val src = Tables(spark, dir, "documents").select("doc_id", "source")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = emb.toSeq.groupBy { case (id, _) => src(id) }.collect {
+        case (s0, vs) if vs.size >= 2 =>
+          val vecs = vs.map(_._2)
+          val n = vecs.size
+          var pairSum = BigInt(0)
+          for (i <- vecs.indices; j <- (i + 1) until n; d <- vecs(i).indices) {
+            val diff = BigInt(vecs(i)(d) - vecs(j)(d))
+            pairSum += diff * diff
+          }
+          val s2 = vecs.map(v => v.map(x => BigInt(x) * BigInt(x)).sum).sum
+          val den = BigInt(n) * BigInt(n - 1) * BigInt(1000000000000L)
+          val dnn = BigInt(n) * BigInt(1000000000000L)
+          val q4 = (BigInt(2) * pairSum * 20000 + den) / (den * 2)
+          val qn = (s2 * 20000 + dnn) / (dnn * 2)
+          s0 -> (n.toLong, q4.toLong / 10000.0, qn.toLong / 10000.0)
+      }
+      val got = SparkEntry.queries("q_source_dispersion")(spark, dir)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(got === expected, s"dispersion pairwise recount diverges at $dir")
+      assert(got.size >= 2 && got.values.exists(_._2 > 0), s"vacuous dispersion pin at $dir")
+    }
+  }
 }

@@ -841,4 +841,38 @@ class PlanAuditSpec extends AnyFunSuite {
       s"a plan-constant side fell into a sort-merge join:\n$plan")
     assert(!plan.contains("Window"), s"centroid plans a window:\n$plan")
   }
+
+  test("q_source_dispersion collapses to the (source, dim) matrix — no pairwise join, no window") {
+    // X79's reason to exist: the naive form is an O(n²) self-join.
+    // The plan must contain exactly ONE join (the id-keyed doc→source
+    // metadata join), a (source, dim) collapse exchange, and nothing
+    // window-shaped.
+    val plan = SparkEntry.queries("q_source_dispersion")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(joinOps(plan) == 1,
+      s"dispersion should join once (doc→source); a pairwise join leaked in:\n$plan")
+    assert(hashExchanges(plan).exists(l => l.contains("source") && l.contains("dim")),
+      s"missing the (source, dim) collapse exchange:\n$plan")
+    assert(!plan.contains("Window"), s"dispersion plans a window:\n$plan")
+  }
+
+  test("q_winnow hashes each gram once and selects via one doc-keyed sliding frame") {
+    // X78's scale shape: ONE posexplode of the gram stream, ONE
+    // per-doc window. The pin that matters is md5 appearing exactly
+    // once in the plan text — the all-array draft let project
+    // collapse inline the gram-hash transform into every window
+    // slice (O(doc²) md5s, measured 3m17s vs 4s at sf0.01), and
+    // repeated expression text is exactly how that regression reads
+    // in a plan.
+    val plan = SparkEntry.queries("q_winnow")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"winnow plans a join:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Generate")) == 1,
+      s"gram stream should explode exactly once:\n$plan")
+    assert("md5\\(".r.findAllIn(plan).size == 1,
+      s"gram hash is computed more than once — the HOF-inlining regression:\n$plan")
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
+      s"a selection window lost its doc_id key:\n${windows.mkString("\n")}")
+  }
 }
