@@ -1023,6 +1023,83 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** X80 — per-source vocabulary saturation (`q_vocab_saturation`):
+    * the "will more crawl buy new words?" planning numbers, via two
+    * published estimators computed EXACTLY from the frequency-of-
+    * frequencies: Good–Turing's missing mass P₀ = N₁/N (the
+    * probability the NEXT token is an unseen type — Good 1953; the
+    * saturation dial data-constrained scaling reads), and the
+    * bias-corrected Chao1 richness floor V + N₁(N₁−1)/(2(N₂+1))
+    * (Chao 1984/1987 — a lower bound on the TRUE vocabulary the
+    * source would reveal at infinite sampling; the +1 correction
+    * makes it total when doubletons are absent, so no divide-by-zero
+    * branch exists). A source with high P₀ / chao1 ≫ V is still
+    * yielding vocabulary; one with P₀ ≈ 0 is saturated and more of
+    * it buys repetition — X74's epoch allocator and X25's mixing
+    * weights read exactly this distinction.
+    *
+    * Scale shape: the exact path is two aggregates — the (source,
+    * tok) vocabulary collapse (map-side partials absorb the Zipf
+    * head, the same shape as the green q_doc_freq/q_ngram_freq) and
+    * the |sources|-row frequency-of-frequencies rollup; nothing
+    * after the first shuffle exceeds vocabulary cardinality, and
+    * nothing anywhere is corpus-pairwise. The X22/X46 sketches
+    * remain the sub-vocabulary-memory companions; hapax/doubleton
+    * COUNTS are exactly what sketches cannot deliver (every hapax
+    * is by definition below any sketch threshold), so the exact
+    * vocab aggregate is the honest cost of this operator.
+    *
+    * Numerics: all counts integer; both ratios round-4 by integer
+    * HALF_UP (the X51 discipline); N₁² rides DECIMAL(38,0) (a 10⁹
+    * hapax vocabulary squares past BIGINT — the X63 lesson).
+    */
+  private def vocabSaturation(s: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_doubleton"))
+      .withColumn("q4u", expr(
+        "CAST((20000 * CAST(n_hapax AS DECIMAL(38,0)) + n_tokens) DIV (2 * CAST(n_tokens AS DECIMAL(38,0))) AS BIGINT)"))
+      .withColumn("q4c", expr(
+        """CAST((20000 * CAST(n_hapax AS DECIMAL(38,0)) * (n_hapax - 1)
+          |       + 2 * (CAST(n_doubleton AS DECIMAL(38,0)) + 1))
+          |  DIV (4 * (CAST(n_doubleton AS DECIMAL(38,0)) + 1)) AS BIGINT)""".stripMargin))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        col("n_hapax"), col("n_doubleton"),
+        (col("q4u") / lit(10000.0)).as("unseen_mass"),
+        (col("vocab").cast("double") + col("q4c") / lit(10000.0)).as("chao1"))
+      .orderBy("source")
+  }
+
+  private def vocabSaturationSql: String =
+    """WITH t AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |v AS (
+      |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM t GROUP BY source, tok),
+      |a AS (
+      |  SELECT source,
+      |    CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS vocab,
+      |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_doubleton
+      |  FROM v GROUP BY source)
+      |SELECT source, n_tokens, vocab, n_hapax, n_doubleton,
+      |  CAST((20000 * CAST(n_hapax AS HUGEINT) + n_tokens)
+      |       // (2 * CAST(n_tokens AS HUGEINT)) AS BIGINT) / 10000.0 AS unseen_mass,
+      |  CAST(vocab AS DOUBLE)
+      |    + CAST((20000 * CAST(n_hapax AS HUGEINT) * (n_hapax - 1)
+      |            + 2 * (CAST(n_doubleton AS HUGEINT) + 1))
+      |           // (4 * (CAST(n_doubleton AS HUGEINT) + 1)) AS BIGINT) / 10000.0 AS chao1
+      |FROM a ORDER BY source""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_token_count" -> QueryDef(
       tokenCount,
@@ -1303,5 +1380,9 @@ object TextAnalysis {
              |       // (2 * CAST(n_s AS HUGEINT) * n_total) AS BIGINT) / 10000.0 AS ks
              |FROM j GROUP BY source, n_s, n_total ORDER BY source""".stripMargin),
       "X56 per-source length-distribution drift: exact two-sample KS vs the corpus"),
+    "q_vocab_saturation" -> QueryDef(
+      vocabSaturation,
+      Some(vocabSaturationSql),
+      "X80 per-source vocabulary saturation: Good-Turing unseen mass + bias-corrected Chao1"),
   )
 }

@@ -856,6 +856,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"dispersion plans a window:\n$plan")
   }
 
+  test("q_vocab_saturation is two aggregates — vocab collapse then |sources| rollup, no join") {
+    // X80's exact path: the (source, tok) collapse with map-side
+    // partials, then the frequency-of-frequencies rollup. Anything
+    // join- or window-shaped here means an estimator fell off the
+    // two-aggregate plan.
+    val plan = SparkEntry.queries("q_vocab_saturation")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"vocab saturation plans a join:\n$plan")
+    assert(!plan.contains("Window"), s"vocab saturation plans a window:\n$plan")
+    assert(hashExchanges(plan).exists(l => l.contains("source") && l.contains("tok")),
+      s"missing the (source, tok) vocabulary collapse:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"vocabulary aggregate lost its map-side partial:\n$plan")
+  }
+
   test("q_winnow hashes each gram once and selects via one doc-keyed sliding frame") {
     // X78's scale shape: ONE posexplode of the gram stream, ONE
     // per-doc window. The pin that matters is md5 appearing exactly

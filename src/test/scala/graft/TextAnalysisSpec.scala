@@ -230,4 +230,41 @@ class TextAnalysisSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_vocab_saturation equals a sequential frequency-of-frequencies recount") {
+    // X80's estimators re-derived from scratch: tokenize, count, build
+    // the freq-of-freqs, apply Good–Turing P0 and bias-corrected Chao1
+    // with BigInt HALF_UP — so the distributed conditional aggregate
+    // AND the integer rounding are both certified. Estimator sanity
+    // rides along: chao1 is a richness floor (>= vocab), P0 a
+    // probability, and the corpus must be non-degenerate in the ways
+    // the estimators care about (hapaxes and doubletons both present).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Tables(spark, dir, "documents").select("source", "text").collect()
+      val expected = rows.groupBy(_.getString(0)).map { case (src, rs) =>
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+        rs.foreach(_.getString(1).split(" ", -1).foreach(t =>
+          counts.update(t, counts.getOrElse(t, 0L) + 1)))
+        val n = counts.valuesIterator.sum
+        val v = counts.size.toLong
+        val n1 = counts.valuesIterator.count(_ == 1L).toLong
+        val n2 = counts.valuesIterator.count(_ == 2L).toLong
+        val q4u = (BigInt(20000) * n1 + n) / (BigInt(2) * n)
+        val q4c = (BigInt(20000) * n1 * (n1 - 1) + 2 * (BigInt(n2) + 1)) /
+          (BigInt(4) * (n2 + 1))
+        src -> (n, v, n1, n2, q4u.toLong / 10000.0, v.toDouble + q4c.toLong / 10000.0)
+      }
+      val got = SparkEntry.queries("q_vocab_saturation")(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getDouble(5), r.getDouble(6))).toMap
+      assert(got === expected, s"vocab-saturation recount diverges at $dir")
+      got.foreach { case (src, (_, v, _, _, p0, chao1)) =>
+        assert(p0 >= 0.0 && p0 <= 1.0, s"$src unseen mass $p0 outside [0,1]")
+        assert(chao1 >= v.toDouble, s"$src chao1 $chao1 below observed vocab $v")
+      }
+      assert(got.values.exists(_._3 > 0) && got.values.exists(_._4 > 0),
+        s"degenerate corpus at $dir: no hapaxes or no doubletons — estimator pin vacuous")
+    }
+  }
 }
