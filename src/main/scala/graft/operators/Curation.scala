@@ -1113,6 +1113,132 @@ object Curation {
       |    + n_tokens) // (2 * n_tokens) AS DOUBLE) / 10000.0 AS epochs
       |FROM r ORDER BY source""".stripMargin
 
+  /** X81 — training-order emission (`q_train_order`): X74's epoch
+    * allocation materialized into the artifact a dataloader actually
+    * consumes — one row per (document, epoch) with a deterministic
+    * global shuffle position and the token count to take. Full
+    * epochs 1..e carry every document whole; the remainder round
+    * (epoch e+1) funds each source's documents in salted-hash order
+    * until X74's per-source `extra_tokens` runs out, the boundary
+    * document truncated to exactly the remaining tokens — so
+    * Σ tok_take == the training budget B, to the token, and the
+    * per-source remainder sums equal `q_token_budget`'s
+    * `extra_tokens` column row-for-row (CurationSpec pins both,
+    * plus per-epoch position contiguity and repartition stability).
+    *
+    * Scale shape — two range machines, no corpus window: the
+    * within-source funding cutoff is [[Packing.prefixSumByRange]]
+    * keyed (source, h, doc_id) with the per-source offset subtracted
+    * from a broadcast ≤ǀsourcesǀ dictionary (a source-keyed window
+    * over the corpus is the X38 Zipf hazard), and the per-epoch
+    * shuffle position is [[Extensions.rankedByRange]] grouped by
+    * epoch — epochs are the one partition key guaranteed balanced
+    * (every epoch is the corpus), so no task ever sorts a whole
+    * epoch. Both machines keep the payload-pruning rule: only range
+    * keys enter, everything else joins back by (epoch, doc_id).
+    * Output volume is O(corpus × epochs) — that IS the artifact; a
+    * real run writes it partitioned by epoch and streams each in
+    * `pos` order.
+    */
+  private def trainOrder(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dd = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    // global scalars (1 row — the sanctioned broadcast): corpus
+    // tokens, budget B = 3T/2 (X74's non-vacuity choice), full epochs
+    val g = dd.agg(sum(col("tok")).as("t_all"))
+      .withColumn("budget", expr("(3 * t_all) div 2"))
+      .withColumn("fe", least(expr("budget div t_all"), lit(4L)))
+      .withColumn("rem",
+        when(col("fe") < 4, col("budget") - col("fe") * col("t_all")).otherwise(lit(0L)))
+      .select(col("fe"), col("rem"))
+    // X74's remainder fill over the |sources| dictionary: how many
+    // extra tokens each source gets in the remainder round
+    val wOrd = Window.partitionBy()
+      .orderBy(md5(concat(lit("budget"), col("source"))), col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nTok = dd.groupBy(col("source")).agg(sum(col("tok")).as("n_tokens"))
+    val dict = nTok.crossJoin(broadcast(g))
+      .withColumn("cum_prev", coalesce(sum(col("n_tokens")).over(wOrd), lit(0L)))
+      .withColumn("extra",
+        greatest(lit(0L), least(col("n_tokens"), col("rem") - col("cum_prev"))))
+      .select(col("source"), col("extra"))
+    val full = dd.crossJoin(broadcast(g.select(col("fe"))))
+      .select(col("doc_id"), explode(expr("sequence(1, greatest(fe, 1))")).as("epoch"),
+        col("tok").as("tok_take"))
+    // within-source funding order: global range prefix sum keyed
+    // (source, h, doc_id) minus the source's broadcast offset —
+    // sources are contiguous under the range order, so the
+    // difference IS the within-source exclusive running sum
+    val keyed = dd
+      .withColumn("h", md5(concat(lit("order"), col("doc_id"))))
+      .select(col("source"), col("h"), col("doc_id"), col("tok"))
+    val ps = Packing.prefixSumByRange(keyed, Seq("source", "h", "doc_id"), "tok", "gcum")
+    val srcOff = nTok
+      .withColumn("soff",
+        coalesce(sum(col("n_tokens")).over(
+          Window.partitionBy().orderBy(col("source"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("soff"))
+    val remRows = ps.join(broadcast(srcOff), "source")
+      .join(broadcast(dict), "source")
+      .crossJoin(broadcast(g.select(col("fe"))))
+      .withColumn("cum_prev", col("gcum") - col("soff"))
+      .filter(col("cum_prev") < col("extra"))
+      .select(col("doc_id"), (col("fe") + 1).as("epoch"),
+        least(col("tok"), col("extra") - col("cum_prev")).as("tok_take"))
+    val u = full.unionByName(remRows)
+    val rk = u
+      .withColumn("sh", md5(concat(lit("shuffle"), col("epoch"), lit(":"), col("doc_id"))))
+      .select(col("epoch"), col("sh"), col("doc_id"))
+    val ranked = Extensions.rankedByRange(rk, "epoch", Seq("sh", "doc_id"), "pos")
+    u.join(ranked.select(col("epoch"), col("doc_id"), col("pos")), Seq("epoch", "doc_id"))
+      .select(col("epoch").cast("long").as("epoch"), col("pos"),
+        col("doc_id"), col("tok_take").cast("long").as("tok_take"))
+      .orderBy("epoch", "pos")
+  }
+
+  private def trainOrderSql: String =
+    """WITH dd AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+      |g AS (
+      |  SELECT least(((3 * sum(tok)) // 2) // sum(tok), 4) AS fe,
+      |    CASE WHEN least(((3 * sum(tok)) // 2) // sum(tok), 4) < 4
+      |         THEN (3 * sum(tok)) // 2
+      |              - least(((3 * sum(tok)) // 2) // sum(tok), 4) * sum(tok)
+      |         ELSE 0 END AS rem
+      |  FROM dd),
+      |st AS (SELECT source, CAST(sum(tok) AS BIGINT) AS n_tokens FROM dd GROUP BY source),
+      |dict AS (
+      |  SELECT source,
+      |    greatest(0, least(n_tokens, (SELECT rem FROM g) - COALESCE(
+      |      sum(n_tokens) OVER (ORDER BY md5('budget' || source), source
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS extra
+      |  FROM st),
+      |fl AS (
+      |  SELECT d.doc_id, e.epoch, d.tok AS tok_take
+      |  FROM dd d, (SELECT unnest(generate_series(1,
+      |    CAST(greatest((SELECT fe FROM g), 1) AS BIGINT))) AS epoch) e),
+      |rc AS (
+      |  SELECT doc_id, source, tok,
+      |    COALESCE(sum(tok) OVER (PARTITION BY source
+      |      ORDER BY md5('order' || doc_id), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      |  FROM dd),
+      |rm AS (
+      |  SELECT r.doc_id, (SELECT fe FROM g) + 1 AS epoch,
+      |    least(r.tok, x.extra - r.cum_prev) AS tok_take
+      |  FROM rc r JOIN dict x USING (source)
+      |  WHERE r.cum_prev < x.extra),
+      |u AS (SELECT * FROM fl UNION ALL SELECT * FROM rm)
+      |SELECT CAST(epoch AS BIGINT) AS epoch,
+      |  CAST(row_number() OVER (PARTITION BY epoch
+      |    ORDER BY md5('shuffle' || epoch || ':' || doc_id), doc_id) AS BIGINT) AS pos,
+      |  doc_id, CAST(tok_take AS BIGINT) AS tok_take
+      |FROM u ORDER BY epoch, pos""".stripMargin
+
   /** X76 — relative quality cut per source (`q_quality_cut`): the
     * CCNet-family filtering rule ("keep the best q% of EACH source",
     * there by perplexity buckets; here by an exact type-token-ratio
@@ -1403,6 +1529,10 @@ object Curation {
       tokenBudget,
       Some(tokenBudgetSql),
       "X74 data-constrained epoch allocation: full epochs + salted remainder fill per source"),
+    "q_train_order" -> QueryDef(
+      trainOrder,
+      Some(trainOrderSql),
+      "X81 training-order emission: X74 epochs materialized with per-epoch shuffle positions"),
     "q_quality_cut" -> QueryDef(
       qualityCut,
       Some(qualityCutSql),

@@ -495,4 +495,67 @@ class CurationSpec extends AnyFunSuite {
       assert(got === expected, s"snapshot-diff classification diverges at $dir")
     }
   }
+
+  test("q_train_order: sequential recount, budget exact to the token, X74-consistent") {
+    // X81's full contract re-derived on the driver: the same epoch
+    // allocation, the same salted funding order with the prefix-sum
+    // cutoff (boundary doc truncated), the same per-epoch shuffle
+    // ranking — compared row-for-row. Then the two cross-operator
+    // invariants that make it X74's materialization rather than a
+    // lookalike: sum(tok_take) == B exactly, and the per-source
+    // remainder sums equal q_token_budget's extra_tokens column.
+    def md5Hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables(spark, dir, "documents").select("doc_id", "source", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2).split(" ", -1).length.toLong))
+      val t = docs.map(_._3).sum
+      val budget = 3 * t / 2
+      val fe = math.min(budget / t, 4L)
+      val rem = if (fe < 4) budget - fe * t else 0L
+      // X74's remainder fill over sources in salted order
+      val srcTok = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val srcOrder = srcTok.keys.toSeq.sortBy(s0 => (md5Hex("budget" + s0), s0))
+      var left = rem
+      val extra = srcOrder.map { s0 =>
+        val e = math.max(0L, math.min(srcTok(s0), left)); left -= e; s0 -> e
+      }.toMap
+      // remainder round: docs funded in salted order, boundary truncated
+      val remRows = docs.groupBy(_._2).toSeq.flatMap { case (s0, ds) =>
+        var cum = 0L
+        ds.sortBy { case (id, _, _) => (md5Hex("order" + id), id) }.flatMap {
+          case (id, _, tok) =>
+            val take = math.min(tok, extra(s0) - cum)
+            cum += tok
+            if (take > 0) Some((id, fe + 1, take)) else None
+        }
+      }
+      val fullRows = for (e <- 1L to fe; (id, _, tok) <- docs) yield (id, e, tok)
+      val expected = (fullRows ++ remRows).groupBy(_._2).toSeq.flatMap { case (e, rows) =>
+        rows.sortBy { case (id, _, _) => (md5Hex(s"shuffle$e:$id"), id) }.zipWithIndex
+          .map { case ((id, _, take), i) => (e, (i + 1).toLong, id, take) }
+      }.sortBy(r => (r._1, r._2))
+      val got = SparkEntry.queries("q_train_order")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got === expected, s"train-order recount diverges at $dir")
+      assert(got.map(_._4).sum === budget,
+        s"emitted tokens != budget at $dir: ${got.map(_._4).sum} vs $budget")
+      // cross-operator: q_token_budget's extra_tokens per source
+      val tb = SparkEntry.queries("q_token_budget")(spark, dir)
+        .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+      val docSrc = docs.map(d => d._1 -> d._2).toMap
+      val remBySrc = remRows.groupBy(r => docSrc(r._1)).view.mapValues(_.map(_._3).sum).toMap
+      tb.foreach { case (s0, (xtra, _)) =>
+        assert(remBySrc.getOrElse(s0, 0L) === xtra,
+          s"source $s0 remainder ${remBySrc.getOrElse(s0, 0L)} != q_token_budget extra $xtra")
+      }
+      assert(got.map(_._4).sum === tb.values.map(_._2).sum,
+        s"total emitted != q_token_budget total_alloc at $dir")
+      // non-vacuity: a truncated boundary doc exists (tok_take < doc tokens)
+      val tokOf = docs.map(d => d._1 -> d._3).toMap
+      assert(remRows.exists { case (id, _, take) => take < tokOf(id) },
+        s"no truncated boundary doc at $dir — the partial-funding branch is vacuous")
+    }
+  }
 }

@@ -856,6 +856,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"dispersion plans a window:\n$plan")
   }
 
+  test("q_train_order runs two reused range machines and windows only dictionaries") {
+    // X81 composes prefixSumByRange (funding cutoff) and rankedByRange
+    // (per-epoch positions): each samples split points per
+    // instantiation, so each must execute exactly ONE range exchange
+    // read by both its branches — two live sampled exchanges total,
+    // both reused. And the corpus may never pass through a
+    // single-partition window: every empty-partitionSpec window must
+    // sit over an aggregate (the |sources| dictionary), the
+    // cluster-sample/pack-chunks discipline.
+    val df = SparkEntry.queries("q_train_order")(spark, sf)
+    df.collect() // AQE finalizes stage reuse at runtime
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val live = plan.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") && l.contains("REPARTITION_BY_NUM")
+        && !l.contains("ReusedExchange"))
+    assert(live === 2,
+      s"train-order executes $live sampled range exchanges, expected 2 (one per machine):\n$plan")
+    val reused = plan.linesIterator.filter(l =>
+      l.contains("ReusedExchange") && l.contains("rangepartitioning")).toSeq
+    assert(reused.size >= 2,
+      s"a range machine lost branch reuse (${reused.size} reused):\n$plan")
+    import org.apache.spark.sql.catalyst.plans.logical
+    val qe = SparkEntry.queries("q_train_order")(spark, sf).queryExecution
+    qe.optimizedPlan.collect { case w: logical.Window => w }
+      .filter(_.partitionSpec.isEmpty).foreach { w =>
+        assert(w.child.collectFirst { case a: logical.Aggregate => a }.nonEmpty,
+          s"train-order plans a corpus-wide single-partition window:\n$w")
+      }
+  }
+
   test("q_vocab_saturation is two aggregates — vocab collapse then |sources| rollup, no join") {
     // X80's exact path: the (source, tok) collapse with map-side
     // partials, then the frequency-of-frequencies rollup. Anything
