@@ -1100,6 +1100,74 @@ object TextAnalysis {
       |           // (4 * (CAST(n_doubleton AS HUGEINT) + 1)) AS BIGINT) / 10000.0 AS chao1
       |FROM a ORDER BY source""".stripMargin
 
+  /** X82 — per-document character entropy (`q_char_entropy`): the
+    * classic information-theoretic gibberish screen — Shannon entropy
+    * in bits over the doc's character distribution. Base64 blobs and
+    * hex dumps sit near log₂ǀalphabetǀ (high), keyboard-mash and
+    * repeated-char padding sit low, prose clusters in a band — the
+    * signal the X73 rule cascade can't see (all four rules are
+    * token-level; a doc of 50 distinct gibberish "words" passes every
+    * one). Complements X20's token repetition the same way X79
+    * complements X71: distribution, not top-1.
+    *
+    * Numerics — X51's fixed-point discipline verbatim: exact integer
+    * (doc, char) counts; each (c/n)·log₂(n/c) term from correctly-
+    * rounded IEEE ops on those integers, snapped to 1e-6, summed AS
+    * INTEGERS (order-free), final round-4 HALF_UP in integer space
+    * (terms are ≥ 0 — c ≤ n — so no sign branch). Spaces count as
+    * characters (documented; the separator carries real information
+    * about token-length structure).
+    *
+    * Scale shape: split('') is ONE linear pass per doc (an indexed
+    * substring loop would re-scan UTF-8 from the start per char —
+    * quadratic on long docs, the r9 trap's CPU twin); then the
+    * (doc, char) collapse with map-side partials — bounded at
+    * ǀalphabetǀ rows per doc — and a doc-keyed window over that
+    * ≤ǀalphabetǀ stream (the q_dup_fraction "windows stay doc-keyed"
+    * rule; never corpus-wide). Empty docs are filtered identically in
+    * both engines (split('') of '' is [] in Spark but [''] in DuckDB
+    * — the one divergent edge).
+    */
+  private def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs(s, dir)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("term", round(
+        lit(1000000.0) * (col("c").cast("double") / col("n"))
+          * log(col("n").cast("double") / col("c")) / log(lit(2.0)), 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).cast("long").as("n_chars"),
+        count(lit(1)).cast("long").as("n_distinct_chars"),
+        sum(col("term")).as("st"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        (floor((col("st") + lit(50)) / lit(100)).cast("long") / lit(10000.0))
+          .as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
+  private def charEntropySql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |  FROM documents WHERE len(text) >= 1),
+      |c AS (
+      |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+      |  FROM ch GROUP BY doc_id, ch),
+      |w AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM c),
+      |t AS (
+      |  SELECT doc_id, n,
+      |    CAST(round(1000000.0 * (CAST(c AS DOUBLE) / n)
+      |      * ln(CAST(n AS DOUBLE) / c) / ln(2.0), 0) AS BIGINT) AS term
+      |  FROM w)
+      |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+      |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+      |  CAST(floor((sum(term) + 50) / 100) AS BIGINT) / 10000.0 AS entropy_bits
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_token_count" -> QueryDef(
       tokenCount,
@@ -1384,5 +1452,9 @@ object TextAnalysis {
       vocabSaturation,
       Some(vocabSaturationSql),
       "X80 per-source vocabulary saturation: Good-Turing unseen mass + bias-corrected Chao1"),
+    "q_char_entropy" -> QueryDef(
+      charEntropy,
+      Some(charEntropySql),
+      "X82 per-doc character entropy in bits: fixed-point integer terms, gibberish screen"),
   )
 }

@@ -901,6 +901,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"vocabulary aggregate lost its map-side partial:\n$plan")
   }
 
+  test("q_char_entropy windows stay doc-keyed over the collapsed (doc, char) stream") {
+    // X82: the n-per-doc window runs over the ≤|alphabet|-per-doc
+    // count matrix, never raw characters corpus-wide, and nothing
+    // joins.
+    val plan = SparkEntry.queries("q_char_entropy")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"char entropy plans a join:\n$plan")
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
+      s"an entropy window lost its doc_id key:\n${windows.mkString("\n")}")
+  }
+
   test("q_winnow hashes each gram once and selects via one doc-keyed sliding frame") {
     // X78's scale shape: ONE posexplode of the gram stream, ONE
     // per-doc window. The pin that matters is md5 appearing exactly

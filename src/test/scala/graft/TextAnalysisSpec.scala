@@ -267,4 +267,35 @@ class TextAnalysisSpec extends AnyFunSuite {
         s"degenerate corpus at $dir: no hapaxes or no doubletons — estimator pin vacuous")
     }
   }
+
+  test("q_char_entropy equals a sequential fixed-point recount and respects entropy bounds") {
+    // X82's arithmetic replayed per doc: exact char counts, the same
+    // IEEE term (c/n)·log₂(n/c) snapped to 1e-6 HALF_UP, integer sum,
+    // integer round-4. Bounds ride along: 0 ≤ H ≤ log₂(distinct)
+    // (+1e-4 rounding slack), and the corpus must actually spread
+    // (min < max) or the screen screens nothing.
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def snap6(x: Double): Long =
+      JBD.valueOf(x).setScale(0, RoundingMode.HALF_UP).longValueExact
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Tables(spark, dir, "documents").select("doc_id", "text").collect()
+      val expected = rows.filter(_.getString(1).nonEmpty).map { r =>
+        val counts = r.getString(1).toSeq.groupBy(identity).map { case (_, g) => g.size.toLong }
+        val n = counts.sum
+        val st = counts.map { c =>
+          snap6(1000000.0 * (c.toDouble / n) * math.log(n.toDouble / c) / math.log(2.0))
+        }.sum
+        r.getLong(0) -> (n, counts.size.toLong, (st + 50) / 100 / 10000.0)
+      }.toMap
+      val got = SparkEntry.queries("q_char_entropy")(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(got === expected, s"char-entropy recount diverges at $dir")
+      got.foreach { case (id, (_, dct, h)) =>
+        assert(h >= 0.0 && h <= math.log(dct.toDouble) / math.log(2.0) + 1e-4,
+          s"doc $id entropy $h outside [0, log2($dct)]")
+      }
+      val hs = got.values.map(_._3)
+      assert(hs.min < hs.max, s"flat entropy surface at $dir — the screen is vacuous")
+    }
+  }
 }
