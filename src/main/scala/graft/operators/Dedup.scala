@@ -1625,6 +1625,89 @@ object Dedup {
        |FROM f GROUP BY h HAVING count(DISTINCT doc_id) >= 2 ORDER BY h""".stripMargin
   }
 
+  /** X83's private 64-slot universal-hash family (the 8-slot
+    * [[graft.functions.MinHashSketch]] family is sized for banding,
+    * not estimation — 8 slots give a ±0.125-resolution Jaccard, 64
+    * give ±0.016 with σ = √(J(1−J)/64) ≤ 0.063). Constants are
+    * derived from fixed LCG mixes at class-load and interpolated
+    * into BOTH engines' arithmetic; A is odd and < 2³¹ so
+    * base·A < 2⁶² never overflows a signed long in either engine.
+    */
+  private[graft] val soA: IndexedSeq[Long] =
+    (1 to 64).map(i => ((2862933555777941757L * i + 3037000493L) & 0x7FFFFFFFL) | 1L)
+  private[graft] val soB: IndexedSeq[Long] =
+    (1 to 64).map(i => (6364136223846793005L * i + 1442695040888963407L) & 0x7FFFFFFFL)
+
+  /** X83 — per-source shingle-overlap matrix via merged MinHash
+    * signatures (`q_source_overlap`): estimated Jaccard between every
+    * source PAIR's 3-gram shingle SETS — "are two crawls the same
+    * corpus wearing different names?" — the planning number read
+    * before X21/X26 spend pairwise work deduping across them. X40
+    * compares token-frequency PROFILES (distribution shape); this
+    * estimates true SET overlap, which profiles cannot see (two
+    * sources can share every token yet no shingle).
+    *
+    * The operator IS the sketch algebra: a MinHash signature is
+    * mergeable (elementwise min — commutative, associative,
+    * idempotent), so the per-source signature is ONE aggregate over
+    * the raw shingle stream — no per-source distinct (duplicates
+    * cannot move a min), no shingle-set join, map-side partials
+    * shrink the shuffle to ǀsourcesǀ rows of 64 longs. At 100 TB the
+    * exact pairwise set-intersection is a corpus-sized join per pair;
+    * the sketch path is one pass + a ǀsourcesǀ² matrix of plan
+    * constants. DedupSpec certifies (a) the declared signature ==
+    * the elementwise-min merge of independently recomputed per-DOC
+    * signatures (mergeability, operationally), and (b) estimate
+    * quality against the exact per-pair shingle Jaccard.
+    *
+    * The pair join is a ǀsourcesǀ-row broadcast nested loop (the
+    * sanctioned tiny-aggregate BNLJ shape); match counting is a
+    * 64-lane zip on plan-constant rows. Estimate rounds 4dp in
+    * integer space: (20000·m + 64) div 128.
+    */
+  private def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val base = h32(col("shingle")) % 2147483648L
+    val sh = Tables(s, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(w) - 2), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+        .as("shingle"))
+    val sig = sh.groupBy(col("source"))
+      .agg(array((0 until 64).map(i =>
+        min((base * soA(i) + soB(i)) % lit(2147483647L))): _*).as("sig"))
+    sig.as("a").join(broadcast(sig.as("b")), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        expr("CAST(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) AS BIGINT)")
+          .as("n_match"))
+      .withColumn("est_jaccard",
+        expr("CAST((20000 * n_match + 64) DIV 128 AS BIGINT)") / lit(10000.0))
+      .orderBy("source_a", "source_b")
+  }
+
+  private def sourceOverlapSql: String = {
+    val hashes = (0 until 64)
+      .map(i => s"min(((('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483648) * ${soA(i)} + ${soB(i)}) % 2147483647) AS h$i")
+      .mkString(", ")
+    val matches = (0 until 64)
+      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT source, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |ix AS (SELECT source, w, unnest(generate_series(1, len(w) - 2)) AS i FROM t),
+       |shs AS (SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM ix),
+       |sig AS (SELECT source, $hashes FROM shs GROUP BY source),
+       |m AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST($matches AS BIGINT) AS n_match
+       |  FROM sig a JOIN sig b ON a.source < b.source)
+       |SELECT source_a, source_b, n_match,
+       |  CAST((20000 * n_match + 64) // 128 AS BIGINT) / 10000.0 AS est_jaccard
+       |FROM m ORDER BY source_a, source_b""".stripMargin
+  }
+
   private def chunkRuns(s: SparkSession, dir: String): DataFrame = {
     val ct = chunkTokens
     val chunks = Tables(s, dir, "documents")
@@ -1809,6 +1892,10 @@ object Dedup {
       winnow,
       Some(winnowSql),
       "X78 winnowing fingerprints (MOSS): rightmost-min window selection, shared index"),
+    "q_source_overlap" -> QueryDef(
+      sourceOverlap,
+      Some(sourceOverlapSql),
+      "X83 per-source shingle-overlap matrix: merged 64-slot MinHash, estimate vs exact pinned"),
     "q_semdedup" -> QueryDef(
       (s, d) => semDedup(s, d),
       Some(semDedupSql),

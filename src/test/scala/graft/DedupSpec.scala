@@ -560,6 +560,63 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q_source_overlap: declared matches a distinct-set recount; estimate tracks exact Jaccard") {
+    // X83's two claims. (1) Mergeability, operationally: the declared
+    // n_match comes from ONE aggregate over the raw (duplicated)
+    // shingle stream; the recount builds each source's DISTINCT
+    // shingle set and hashes that — exact equality means min-merge
+    // over duplicates ≡ the set signature, which is the whole 100 TB
+    // argument. (2) Estimate quality vs the exact pairwise Jaccard
+    // the sketch replaces (deterministic — fixed hash family).
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32s(x: String): Long = {
+      md.reset()
+      val d = md.digest(x.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = Tables(spark, dir, "documents").select("source", "text").collect()
+      val srcSets = rows.groupBy(_.getString(0)).map { case (s0, rs) =>
+        s0 -> rs.flatMap(r => shingles(r.getString(1))).toSet
+      }
+      def sig(set: Set[String]): IndexedSeq[Long] = {
+        val bases = set.toSeq.map(sh => h32s(sh) % 2147483648L)
+        (0 until 64).map(i =>
+          bases.map(b => (b * graft.operators.Dedup.soA(i)
+            + graft.operators.Dedup.soB(i)) % 2147483647L).min)
+      }
+      val sigs = srcSets.map { case (s0, set) => s0 -> sig(set) }
+      val pairs = srcSets.keys.toSeq.sorted
+      val expected = (for {
+        ai <- pairs.indices; bi <- (ai + 1) until pairs.size
+        a = pairs(ai); b = pairs(bi)
+      } yield {
+        val m = (0 until 64).count(i => sigs(a)(i) == sigs(b)(i)).toLong
+        (a, b) -> (m, (20000 * m + 64) / 128 / 10000.0)
+      }).toMap
+      val got = SparkEntry.queries("q_source_overlap")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(got === expected, s"source-overlap signature recount diverges at $dir")
+      // estimate quality vs exact Jaccard on the same distinct sets
+      val errs = got.map { case ((a, b), (_, est)) =>
+        val inter = srcSets(a).intersect(srcSets(b)).size.toDouble
+        val uni = srcSets(a).union(srcSets(b)).size.toDouble
+        math.abs(est - (if (uni == 0) 0.0 else inter / uni))
+      }
+      assert(errs.sum / errs.size < 0.08,
+        f"mean ǀest − exactǀ ${errs.sum / errs.size}%.4f exceeds 0.08 at $dir")
+      assert(errs.max < 0.25, f"worst pair error ${errs.max}%.4f exceeds 0.25 at $dir")
+      info(f"$dir: ${got.size} pairs, mean abs err ${errs.sum / errs.size}%.4f, " +
+        f"max ${errs.max}%.4f (k=64 σ ≤ 0.063)")
+    }
+  }
+
   test("q_winnow: sequential recount, the w+k-1 guarantee vs X68 pairs, and density") {
     // X78's three claims, certified independently of both engines:
     // (1) the declared shared-fingerprint index equals a plain-Scala

@@ -901,6 +901,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"vocabulary aggregate lost its map-side partial:\n$plan")
   }
 
+  test("q_source_overlap shuffles only |sources| signature rows — no shingle-set join") {
+    // X83's mergeability cashed out in the plan: the 64-slot min
+    // aggregate partial-aggregates the shingle stream map-side, the
+    // only hash exchange carries source-keyed signature rows, and the
+    // pair matrix rides the sanctioned tiny-aggregate broadcast
+    // nested loop — never a sort-merge join of shingle sets.
+    val plan = SparkEntry.queries("q_source_overlap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"pair matrix lost its broadcast nested loop:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a corpus-sized side fell into a sort-merge join:\n$plan")
+    val ex = hashExchanges(plan)
+    assert(ex.nonEmpty && ex.forall(_.contains("source")),
+      s"a non-signature hash exchange appeared:\n${ex.mkString("\n")}")
+    assert(!plan.contains("Window"), s"overlap plans a window:\n$plan")
+  }
+
   test("q_char_entropy windows stay doc-keyed over the collapsed (doc, char) stream") {
     // X82: the n-per-doc window runs over the ≤|alphabet|-per-doc
     // count matrix, never raw characters corpus-wide, and nothing
