@@ -381,6 +381,52 @@ object Gateway {
         (col("q4") / lit(10000.0)).as("ks"))
   }
 
+  /** Streaming X37/X80 — windowed novel-vocabulary monitor
+    * (`novelFeed`): per event-time window, the fraction of incoming
+    * tokens OUTSIDE a static reference vocabulary — the live
+    * saturation dial whose offline twins are X37 (per-doc OOV) and
+    * X80 (per-source unseen mass). A crawl that suddenly spikes OOV
+    * is yielding new vocabulary (or drifting into another language /
+    * gibberish — X9/X82 decide which); one that flatlines near 0 is
+    * re-crawling what the corpus already has. The reference vocab is
+    * the bounded offline artifact (X37's top-V list) shipped as plan
+    * literals, so the per-token test is a stateless `array_contains`
+    * — no stream-static join, no state beyond ONE watermark-bounded
+    * windowed sum. Counts are exact integers; the OOV percentage
+    * rounds 4dp in integer space, so micro-batch boundaries cannot
+    * move a digit (the [[driftFeed]] argument) and GatewaySpec pins
+    * stream ≡ batch ≡ sequential recount.
+    */
+  def novelFeed(
+      lines: DataFrame,
+      vocab: Seq[String],
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    require(vocab.nonEmpty, "reference vocabulary must be non-empty")
+    val parsed = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 && col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).cast("long").as("doc_id"),
+        col("p").getItem(2).as("text"))
+      .withWatermark("ts", watermarkDelay)
+    val vocabArr = array(vocab.map(lit): _*)
+    parsed
+      .select(col("ts"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("oov", when(array_contains(vocabArr, col("tok")), 0L).otherwise(1L))
+      .groupBy(window(col("ts"), windowDuration))
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("oov")).cast("long").as("n_oov"))
+      .select(
+        col("window.start").as("window_start"),
+        col("n_tokens"), col("n_oov"),
+        (expr("(2000000 * n_oov + n_tokens) div (2 * n_tokens)").cast("double") / lit(10000.0))
+          .as("oov_pct"))
+  }
+
   /** Streaming X52+X35+X58 — the full ingest-time admission path the
     * r14 batch pipeline runs, on a live document feed: strip
     * corpus-frequent boilerplate windows (X52 phase 2 — the hot-chunk

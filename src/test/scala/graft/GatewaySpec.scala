@@ -1229,4 +1229,56 @@ class GatewaySpec extends AnyFunSuite {
       assert(streamed.exists(_._4 > 0.0), "all windows identical to reference — vacuous")
     } finally q.stop()
   }
+
+  test("streaming novelty monitor: windowed OOV rate vs a static vocab, stream == batch == recount") {
+    // Streaming X37/X80: the reference vocab is the offline top-20
+    // artifact; docs arrive over three event-time days so several
+    // windows close. The integer OOV percentage must agree under the
+    // streaming engine, as a batch frame, and in a sequential driver
+    // recount.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    // offline artifact: top-20 tokens by (count desc, token asc) — X37's rule
+    val vocab = docs.flatMap(_._2.split(" ", -1)).groupBy(identity).toSeq
+      .map { case (t, xs) => (t, xs.length) }
+      .sortBy { case (t, c) => (-c, t) }.take(20).map(_._1)
+    // spread docs over 3 days by doc_id so multiple daily windows close
+    val base = 1700000000L
+    val feed = docs.map { case (id, t) => (base + (id % 3) * 86400, id, t) }
+    val lines = feed.map { case (s, id, t) => s"$s $id $t" }.toSeq
+    val ms = MemoryStream[String]
+    val sink = s"novel_feed_${System.nanoTime()}"
+    val q = Gateway.novelFeed(ms.toDF(), vocab, "1 day", "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      ms.addData(lines: _*)
+      q.processAllAvailable()
+      ms.addData("9999999999 0 sentinel")
+      q.processAllAvailable()
+      ms.addData("9999999999 0 sentinel")
+      q.processAllAvailable()
+      val cols = Seq(unix_seconds(col("window_start")).as("ws"),
+        col("n_tokens"), col("n_oov"), col("oov_pct"))
+      val streamed = spark.table(sink).select(cols: _*)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val batch = Gateway.novelFeed(lines.toDF("value"), vocab, "1 day", "1 hour")
+        .select(cols: _*).as[(Long, Long, Long, Double)].collect().toSet
+      assert(batch.nonEmpty, "vacuous pin: no window closed")
+      assert(streamed === batch, "streaming novelty diverges from batch")
+      val vset = vocab.toSet
+      val expected = feed.groupBy { case (s, _, _) => (s / 86400) * 86400 }
+        .map { case (ws, rows) =>
+          val toks = rows.flatMap(_._3.split(" ", -1))
+          val n = toks.length.toLong
+          val oov = toks.count(t => !vset(t)).toLong
+          (ws, n, oov, (2000000L * oov + n) / (2 * n) / 10000.0)
+        }.toSet
+      assert(batch === expected, "novelty diverges from the sequential recount")
+      assert(streamed.size >= 3, s"expected >= 3 closed daily windows, got ${streamed.size}")
+      assert(streamed.exists(_._3 > 0) && streamed.forall(_._2 > 0),
+        "vacuous: no OOV tokens anywhere")
+    } finally q.stop()
+  }
 }
