@@ -956,6 +956,87 @@ object Clustering {
       |  CAST((s2 * 20000 + dnn) // (2 * dnn) AS BIGINT) / 10000.0 AS mean_norm2
       |FROM b ORDER BY source""".stripMargin
 
+  /** X84 match threshold: 6 of 64 signature slots (est. Jaccard
+    * ≈ 0.094). Chosen so BOTH branches are non-vacuous at both test
+    * SFs — multi-node families (a 6-source chain at sf0.01, two
+    * pairs at sf0.001) AND singletons — pinned in ClusteringSpec.
+    * Integer compare on n_match, never on the rounded estimate.
+    */
+  private[graft] val familyMinMatch = 6L
+
+  /** X84 — source-family detection (`q_source_family`): X83's
+    * overlap matrix thresholded into an undirected graph and resolved
+    * by the X21 alternating-star CC machinery — "which sources are
+    * the same corpus wearing different names" made into an explicit
+    * partition, the input X38's caps and X25's weights actually want
+    * (two mirrors should share one cap, not get two). Family id =
+    * lexicographically smallest member, singletons are their own
+    * family of 1 (every source appears in the output — the keepSql
+    * convention).
+    *
+    * Scale shape: all heavy lifting is X83's ONE sketch pass; the
+    * graph CC runs over ≤ǀsourcesǀ² thresholded edges — plan
+    * constants — through [[connectedComponents]] (the same
+    * large/small-star fixpoint that handles corpus-sized dup graphs,
+    * here at toy size). The name↔id mapping is a construction-time
+    * collect of ǀsourcesǀ strings (the centroids-class bounded
+    * collect), embedded as literal maps.
+    */
+  private def sourceFamily(s: SparkSession, dir: String): DataFrame = {
+    val names = graft.Tables(s, dir, "documents")
+      .select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val idx = names.zipWithIndex.map { case (n, i) => n -> i.toLong }.toMap
+    val toIdx = map(names.flatMap(n => Seq(lit(n), lit(idx(n)))): _*)
+    val fromIdx = map(names.flatMap(n => Seq(lit(idx(n)), lit(n))): _*)
+    val edges = Dedup.sourceOverlap(s, dir)
+      .filter(col("n_match") >= familyMinMatch)
+      .select(element_at(toIdx, col("source_a")).as("id_a"),
+        element_at(toIdx, col("source_b")).as("id_b"))
+    val labels = connectedComponents(edges)
+      .select(element_at(fromIdx, col("doc_id")).as("source"),
+        element_at(fromIdx, col("cluster_id")).as("family"),
+        col("cluster_size"))
+    graft.Tables(s, dir, "documents").select(col("source")).distinct()
+      .join(labels, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("family"), col("source")).as("family"),
+        coalesce(col("cluster_size"), lit(1L)).cast("long").as("family_size"))
+      .orderBy("source")
+  }
+
+  private def sourceFamilySql: String = {
+    val hashes = (0 until 64)
+      .map(i => s"min(((('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483648) * ${Dedup.soA(i)} + ${Dedup.soB(i)}) % 2147483647) AS h$i")
+      .mkString(", ")
+    val matches = (0 until 64)
+      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH RECURSIVE t AS (
+       |  SELECT source, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |ix AS (SELECT source, w, unnest(generate_series(1, len(w) - 2)) AS i FROM t),
+       |shs AS (SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM ix),
+       |sig AS (SELECT source, $hashes FROM shs GROUP BY source),
+       |e0 AS (
+       |  SELECT a.source AS u, b.source AS v
+       |  FROM sig a JOIN sig b ON a.source < b.source
+       |  WHERE $matches >= $familyMinMatch),
+       |edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       |reach(v, x) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT r.v, e.v FROM reach r JOIN edges e ON e.u = r.x),
+       |labels AS (SELECT v AS source, min(x) AS family FROM reach GROUP BY v),
+       |sizes AS (SELECT family, count(*) AS fs FROM labels GROUP BY family),
+       |alls AS (SELECT DISTINCT source FROM documents)
+       |SELECT a.source, COALESCE(l.family, a.source) AS family,
+       |  CAST(COALESCE(s2.fs, 1) AS BIGINT) AS family_size
+       |FROM alls a LEFT JOIN labels l ON l.source = a.source
+       |LEFT JOIN sizes s2 ON s2.family = l.family
+       |ORDER BY a.source""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_dedup_cluster" -> QueryDef(
       dedupCluster,
@@ -1001,5 +1082,9 @@ object Clustering {
       sourceDispersion,
       Some(sourceDispersionSql),
       "X79 per-source embedding dispersion: exact mean pairwise d2 via the variance identity"),
+    "q_source_family" -> QueryDef(
+      sourceFamily,
+      Some(sourceFamilySql),
+      "X84 source families: X83 overlap graph thresholded, X21 CC labels, singletons kept"),
   )
 }

@@ -1665,7 +1665,7 @@ object Dedup {
     * 64-lane zip on plan-constant rows. Estimate rounds 4dp in
     * integer space: (20000·m + 64) div 128.
     */
-  private def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val base = h32(col("shingle")) % 2147483648L
     val sh = Tables(s, dir, "documents")
       .select(col("source"), split(col("text"), " ").as("w"))

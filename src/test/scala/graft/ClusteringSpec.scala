@@ -453,4 +453,40 @@ class ClusteringSpec extends AnyFunSuite {
       assert(got.size >= 2 && got.values.exists(_._2 > 0), s"vacuous dispersion pin at $dir")
     }
   }
+
+  test("q_source_family equals a union-find over the declared overlap edges, both branches live") {
+    // X84's composition certified off its own (oracle-green) input:
+    // threshold q_source_overlap at familyMinMatch, union-find on the
+    // driver, family = lexicographic min member, singletons size 1.
+    // Non-vacuity in BOTH directions: at least one multi-source
+    // family (the threshold finds real overlap) and at least one
+    // singleton (it doesn't glue everything).
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val edges = SparkEntry.queries("q_source_overlap")(spark, dir)
+        .collect().filter(_.getLong(2) >= Clustering.familyMinMatch)
+        .map(r => (r.getString(0), r.getString(1)))
+      val all = Tables(spark, dir, "documents").select("source").distinct()
+        .collect().map(_.getString(0)).sorted
+      val parent = scala.collection.mutable.Map(all.map(s0 => s0 -> s0): _*)
+      def find(x: String): String =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val fam = all.map(s0 => s0 -> find(s0)).toMap
+      // path-compressed roots are not necessarily the min member; remap
+      val minOf = fam.groupBy(_._2).map { case (r, xs) => r -> xs.keys.min }
+      val sizes = fam.groupBy(_._2).map { case (r, xs) => minOf(r) -> xs.size.toLong }
+      val expected = all.map(s0 => (s0, minOf(fam(s0)), sizes(minOf(fam(s0))))).toSeq
+      val got = SparkEntry.queries("q_source_family")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got === expected, s"family recount diverges at $dir")
+      assert(got.exists(_._3 >= 2), s"no multi-source family at $dir — threshold vacuous")
+      assert(got.exists(_._3 == 1), s"no singleton at $dir — threshold glues everything")
+      got.filter(r => r._1 == r._2).foreach { case (s0, f, _) =>
+        assert(f == got.filter(_._2 == f).map(_._1).min, s"family $f is not its min member")
+      }
+    }
+  }
 }
