@@ -187,6 +187,50 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** R27 debounce tolerance: 900 s in microseconds. Sized so both
+    * branches are heavily exercised at the test SFs (median per-type
+    * gap ≈ 892 s at sf0.01 — roughly half the stream suppresses).
+    */
+  private[graft] val debounceUs = 900000000L
+
+  /** R27 — duplicate-burst suppression (`q_debounce`): keep an event
+    * iff it is the type's first, or arrived more than [[debounceUs]]
+    * after the PREVIOUS event of its type — the relational form of
+    * the reference gateway's repeated-frame discard (a sensor that
+    * re-sends its reading every few seconds should not multiply
+    * downstream rows). Gap-from-previous-EVENT (debounce) semantics,
+    * deliberately: gap-from-previous-KEPT is a sequential recurrence
+    * no window function expresses — the streaming engine's
+    * per-key state handles that shape instead
+    * ([[graft.streaming.Gateway]]'s exact-dedup feed covers the
+    * key-identity variant).
+    *
+    * One type-keyed lag window (the R22 shape — per-type volume is
+    * time-bounded, no skew), then a filter; emits the kept rows with
+    * their suppression evidence (the gap, −1 for each type's first).
+    */
+  private def debounce(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNull || col("gap_us") > debounceUs)
+      .select(col("event_id"), col("event_type"), col("us"),
+        coalesce(col("gap_us"), lit(-1L)).as("prev_gap_us"))
+      .orderBy("event_id")
+  }
+
+  private def debounceSql: String =
+    s"""WITH g AS (
+       |  SELECT event_id, event_type, epoch_us(ts) AS us,
+       |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+       |      PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS gap_us
+       |  FROM events)
+       |SELECT event_id, event_type, us,
+       |  CAST(COALESCE(gap_us, -1) AS BIGINT) AS prev_gap_us
+       |FROM g WHERE gap_us IS NULL OR gap_us > $debounceUs
+       |ORDER BY event_id""".stripMargin
+
   /** R25 — time-grid resampling with forward fill (gap-fill): each
     * user's irregular event stream regularized onto a 6-hour grid
     * spanning their activity, each grid instant carrying the value of
@@ -839,6 +883,10 @@ object Relational {
              |  CAST(sum(gap) AS BIGINT) AS sum_gap_us
              |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
       "R22 inter-arrival gaps per user (lag window, integer-µs exact)"),
+    "q_debounce" -> QueryDef(
+      debounce,
+      Some(debounceSql),
+      "R27 duplicate-burst suppression: keep events > 900s after their type's previous"),
     "q_resample" -> QueryDef(
       resample,
       Some("""WITH span AS (

@@ -381,6 +381,33 @@ object Gateway {
         (col("q4") / lit(10000.0)).as("ks"))
   }
 
+  /** Streaming R27 twin — exact repeated-frame suppression
+    * (`dedupExactFeed`): drop frames whose (type, value) key was
+    * already seen within the watermark horizon — the reference
+    * gateway's "don't re-post the reading the sensor re-sent"
+    * behavior, on the engine's own bounded-state primitive
+    * (`dropDuplicatesWithinWatermark`). The watermark bound is the
+    * 100 TB story: a global `dropDuplicates` on a stream keeps state
+    * forever (every key ever seen); here state expires with the
+    * watermark, so memory is bounded by key churn per horizon — and
+    * the OBSERVABLE consequence, pinned in GatewaySpec, is that a
+    * key re-sent after its state expired is admitted AGAIN (batch
+    * R27 [[graft.operators.Relational]] `q_debounce` is the
+    * gap-based relational analog; this is the key-identity variant).
+    */
+  def dedupExactFeed(lines: DataFrame, watermarkDelay: String = "30 seconds"): DataFrame = {
+    lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 && col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(2).cast("double").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).as("event_type"),
+        col("p").getItem(2).cast("double").as("reading"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_type", "reading")
+  }
+
   /** Streaming X37/X80 — windowed novel-vocabulary monitor
     * (`novelFeed`): per event-time window, the fraction of incoming
     * tokens OUTSIDE a static reference vocabulary — the live

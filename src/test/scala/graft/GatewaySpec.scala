@@ -1281,4 +1281,45 @@ class GatewaySpec extends AnyFunSuite {
         "vacuous: no OOV tokens anywhere")
     } finally q.stop()
   }
+
+  test("streaming exact dedup: within-watermark duplicates dropped, expired keys re-admitted") {
+    // The two halves of dropDuplicatesWithinWatermark's contract:
+    // (1) a frame re-sent while its key state lives is suppressed —
+    //     the batch distinct of the same rows, row-for-row;
+    // (2) the SAME frame re-sent after the watermark passed its
+    //     state's horizon is admitted again — the bounded-state
+    //     behavior that separates this from a forever-state global
+    //     dropDuplicates (and the reason it survives unbounded key
+    //     churn at 100 TB).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1700000000L
+    // phase 1: three readings, each sent twice (plus one triple)
+    val p1 = Seq(
+      s"$base power 100.0", s"$base power 100.0",
+      s"${base + 5} power 101.0",
+      s"${base + 9} temp 21.5", s"${base + 9} temp 21.5", s"${base + 9} temp 21.5")
+    // phase 2: far-future rows advance the watermark (10s delay) well
+    // past phase 1's state, then phase 3 re-sends an identical frame
+    val p2 = Seq(s"${base + 1000} power 102.0")
+    val p3 = Seq(s"${base + 1001} power 100.0") // same key as the first frame
+    val ms = MemoryStream[String]
+    val sink = s"dedup_exact_${System.nanoTime()}"
+    val q = Gateway.dedupExactFeed(ms.toDF(), "10 seconds")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      ms.addData(p1: _*); q.processAllAvailable()
+      ms.addData(p2: _*); q.processAllAvailable()
+      ms.addData(p3: _*); q.processAllAvailable()
+      val got = spark.table(sink)
+        .select(unix_seconds(col("ts")), col("event_type"), col("reading"))
+        .as[(Long, String, Double)].collect().toSeq.sorted
+      val expected = Seq(
+        (base, "power", 100.0), (base + 5, "power", 101.0), (base + 9, "temp", 21.5),
+        (base + 1000, "power", 102.0),
+        (base + 1001, "power", 100.0)). sorted
+      assert(got === expected,
+        s"dedup feed emitted $got — duplicates survived or the expired key was not re-admitted")
+    } finally q.stop()
+  }
 }
