@@ -408,6 +408,51 @@ object Gateway {
       .dropDuplicatesWithinWatermark("event_type", "reading")
   }
 
+  /** Streaming X22 — windowed heavy-hitter monitor (`hitterFeed`):
+    * the [[graft.functions.MisraGries]] `TypedImperativeAggregate`
+    * run PER EVENT-TIME WINDOW under the streaming engine — "which
+    * tokens dominate this hour's ingest" with memory bounded by the
+    * sketch capacity, not the window's vocabulary. This is the
+    * sketch's mergeability doing real work: each micro-batch folds
+    * its tokens into the serialized state-store buffer. The exact
+    * candidate set and spill are fold-order-DEPENDENT — micro-batch
+    * boundaries legitimately move them, the same reason batch X22
+    * recounts its candidates exactly; what the sketch GUARANTEES
+    * regardless of order are its laws, and those are what GatewaySpec
+    * pins on the multi-batch stream against a driver recount: token
+    * totals exact, superset (every token with true count > spill is
+    * among the candidates), spill ≤ n/(capacity+1), ≤ capacity
+    * candidates. Emits each window's candidate set and
+    * spill bound once the watermark closes it; the offline
+    * certificate/recount machinery (X22 phase 2–3) is batch-side by
+    * design — a stream cannot re-scan its past to recount.
+    */
+  def hitterFeed(
+      lines: DataFrame,
+      capacity: Int = 16,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val parsed = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 && col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(2).as("text"))
+      .withWatermark("ts", watermarkDelay)
+    parsed
+      .select(col("ts"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(window(col("ts"), windowDuration))
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        call_function("graft_mg_topk", col("tok"), lit(capacity)).as("mg"))
+      .select(
+        col("window.start").as("window_start"),
+        col("n_tokens"),
+        col("mg.spill").as("spill"),
+        col("mg.toks").as("candidates"))
+  }
+
   /** Streaming X37/X80 — windowed novel-vocabulary monitor
     * (`novelFeed`): per event-time window, the fraction of incoming
     * tokens OUTSIDE a static reference vocabulary — the live

@@ -1322,4 +1322,67 @@ class GatewaySpec extends AnyFunSuite {
         s"dedup feed emitted $got — duplicates survived or the expired key was not re-admitted")
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: MG laws hold across micro-batch state merges") {
+    // Streaming X22: the TypedImperativeAggregate's serialized buffer
+    // lives in the state store between micro-batches, so feeding the
+    // same windows' documents across THREE separate addData calls
+    // (watermark delay > the whole span, so no window closes early)
+    // exercises serialize → merge → serialize. The exact candidate
+    // set is fold-order-dependent — so the pins are the sketch's
+    // order-INDEPENDENT laws, checked per window against exact driver
+    // counts, on both the streamed and the one-pass batch output:
+    // token totals exact, superset (count > spill ⟹ candidate),
+    // spill ≤ n/(capacity+1), ≤ capacity candidates.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val base = 1700000000L
+    val feed = docs.map { case (id, t) => (base + (id % 2) * 86400, id, t) }
+    val lines = feed.map { case (s, id, t) => s"$s $id $t" }
+    val parts = lines.grouped(math.max(1, lines.length / 3)).toSeq
+    assert(parts.size >= 3, "need >= 3 micro-batches to exercise state merge")
+    val cap = 16
+    val exact = feed.groupBy { case (s, _, _) => (s / 86400) * 86400 }
+      .map { case (ws, rows) =>
+        ws -> rows.flatMap(_._3.split(" ", -1))
+          .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      }
+    def checkLaws(tag: String, out: Map[Long, (Long, Long, Set[String])]): Unit = {
+      assert(out.keySet === exact.keySet, s"$tag: missing or extra windows")
+      exact.foreach { case (ws, counts) =>
+        val (n, spill, cands) = out(ws)
+        assert(n === counts.values.sum, s"$tag window $ws token count off")
+        assert(spill <= n / (cap + 1), s"$tag window $ws spill $spill above the MG bound")
+        val missed = counts.filter { case (t, c) => c > spill && !cands(t) }
+        assert(missed.isEmpty,
+          s"$tag window $ws: tokens with count > spill=$spill missing from candidates: $missed")
+        assert(cands.nonEmpty && cands.size <= cap, s"$tag window $ws candidates out of bounds")
+      }
+    }
+    val ms = MemoryStream[String]
+    val sink = s"hitter_feed_${System.nanoTime()}"
+    val q = Gateway.hitterFeed(ms.toDF(), cap, "1 day", "3 days")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      parts.foreach { p => ms.addData(p: _*); q.processAllAvailable() }
+      ms.addData("9999999999 0 sentinel"); q.processAllAvailable()
+      ms.addData("9999999999 0 sentinel"); q.processAllAvailable()
+      val cols = Seq(unix_seconds(col("window_start")).as("ws"),
+        col("n_tokens"), col("spill"), col("candidates"))
+      val streamed = spark.table(sink).select(cols: _*)
+        .as[(Long, Long, Long, Seq[String])].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4.toSet)).toMap
+      val batch = Gateway.hitterFeed(lines.toSeq.toDF("value"), cap, "1 day", "3 days")
+        .select(cols: _*).as[(Long, Long, Long, Seq[String])].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4.toSet)).toMap
+      assert(streamed.size >= 2, "vacuous pin: fewer than 2 windows closed")
+      checkLaws("stream", streamed)
+      checkLaws("batch", batch)
+      // non-vacuity of the merge path: the sketch actually spilled
+      // somewhere (capacity bound bit), else the laws are trivial
+      assert(streamed.values.exists(_._2 > 0), "no window spilled — capacity never bound")
+    } finally q.stop()
+  }
 }
