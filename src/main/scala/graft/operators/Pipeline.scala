@@ -12,9 +12,10 @@ import scala.collection.immutable.ListMap
   * gates (X35) → near-dup keep/drop (X5b+X21+X26) → per-source caps
   * (X38) → sequence packing (X30) → train/val/test split (X31), with
   * DSIR importance weights (X58, r14) emitted on the final survivors
-  * and the X73 rule-failure count (r14) as a per-row diagnostic on
-  * the stripped corpus (admission stays the gates' job; the rule
-  * breakdown is what a curator reads to tune them),
+  * and the X73 rule-failure count plus the X82 character entropy
+  * (both r14) as per-row diagnostics on the stripped corpus
+  * (admission stays the gates' job; the rule breakdown and the
+  * gibberish screen are what a curator reads to tune them),
   * per document, with every stage's verdict on the row — the artifact
   * a real training-data run materializes (the "fate table": why each
   * document was kept or dropped, where the survivors landed, and the
@@ -102,12 +103,20 @@ object Pipeline {
     // the one-scan pin is untouched.
     val rules = Curation.withRuleFlags(gated.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("n_failed").as("rule_failed"))
+    // X82 (r14) as a second fate-table diagnostic, same contract as
+    // the rule count: character entropy of the stripped text — the
+    // gibberish screen a curator reads next to the rule breakdown.
+    // Off the gate checkpoint, so the one-scan pin is untouched;
+    // empty-after-strip docs carry NULL (no distribution exists).
+    val ent = TextAnalysis.charEntropyFrom(gated.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("entropy_bits"))
     gated
       .select(
         col("doc_id"), col("bp_dropped"),
         col("is_en"), col("is_quality"), col("is_repetitive"),
         col("is_kept").as("gate_kept"))
       .join(rules, Seq("doc_id"), "left")
+      .join(ent, Seq("doc_id"), "left")
       .join(dkeep, Seq("doc_id"), "left")
       .join(
         capped.select(
@@ -265,7 +274,8 @@ object Pipeline {
        |  JOIN keptd kd ON kd.doc_id = dp.doc_id
        |  GROUP BY dp.doc_id)
        |,${Curation.ruleFailedCteSql("norm1")}
-       |SELECT gv.doc_id, n1.bp_dropped, rf.rule_failed,
+       |,${TextAnalysis.charEntropyCteSql("norm1")}
+       |SELECT gv.doc_id, n1.bp_dropped, rf.rule_failed, e.entropy_bits,
        |  gv.is_en, gv.is_quality, gv.is_repetitive, gv.gate_kept,
        |  k.dup_kept, c.src_rank, c.cap_kept,
        |  p.tok, p.bin, p.bin_offset, p.crosses, s.split, s.pos, w.dsir_logratio,
@@ -274,6 +284,7 @@ object Pipeline {
        |FROM gv
        |JOIN norm1 n1 ON n1.doc_id = gv.doc_id
        |LEFT JOIN rf ON rf.doc_id = gv.doc_id
+       |LEFT JOIN ent e ON e.doc_id = gv.doc_id
        |LEFT JOIN dkeep k ON k.doc_id = gv.doc_id
        |LEFT JOIN capv c ON c.doc_id = gv.doc_id
        |LEFT JOIN pk2 p ON p.doc_id = gv.doc_id

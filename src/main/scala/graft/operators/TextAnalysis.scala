@@ -1128,10 +1128,13 @@ object TextAnalysis {
     * both engines (split('') of '' is [] in Spark but [''] in DuckDB
     * — the one divergent edge).
     */
-  private def charEntropy(s: SparkSession, dir: String): DataFrame = {
+  /** The X82 body over an arbitrary (doc_id, text) frame — factored
+    * so the composed pipeline can ride the same arithmetic on its
+    * stripped corpus (the withRuleFlags precedent).
+    */
+  private[graft] def charEntropyFrom(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs(s, dir)
-      .filter(length(col("text")) >= 1)
+    d.filter(length(col("text")) >= 1)
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
       .groupBy(col("doc_id"), col("ch"))
       .agg(count(lit(1)).as("c"))
@@ -1147,26 +1150,38 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
         (floor((col("st") + lit(50)) / lit(100)).cast("long") / lit(10000.0))
           .as("entropy_bits"))
-      .orderBy("doc_id")
   }
 
+  private def charEntropy(s: SparkSession, dir: String): DataFrame =
+    charEntropyFrom(docs(s, dir).select(col("doc_id"), col("text"))).orderBy("doc_id")
+
+  /** The X82 chain as DuckDB CTEs over `$from(doc_id, text)` — the
+    * oracle-side twin of [[charEntropyFrom]], ending in
+    * `ent(doc_id, n_chars, n_distinct_chars, entropy_bits)`.
+    */
+  private[graft] def charEntropyCteSql(from: String): String =
+    s"""ech AS (
+       |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+       |  FROM $from WHERE len(text) >= 1),
+       |ec AS (
+       |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+       |  FROM ech GROUP BY doc_id, ch),
+       |ew AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM ec),
+       |et AS (
+       |  SELECT doc_id, n,
+       |    CAST(round(1000000.0 * (CAST(c AS DOUBLE) / n)
+       |      * ln(CAST(n AS DOUBLE) / c) / ln(2.0), 0) AS BIGINT) AS term
+       |  FROM ew),
+       |ent AS (
+       |  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+       |    CAST(count(*) AS BIGINT) AS n_distinct_chars,
+       |    CAST(floor((sum(term) + 50) / 100) AS BIGINT) / 10000.0 AS entropy_bits
+       |  FROM et GROUP BY doc_id)""".stripMargin
+
   private def charEntropySql: String =
-    """WITH ch AS (
-      |  SELECT doc_id, unnest(string_split(text, '')) AS ch
-      |  FROM documents WHERE len(text) >= 1),
-      |c AS (
-      |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
-      |  FROM ch GROUP BY doc_id, ch),
-      |w AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM c),
-      |t AS (
-      |  SELECT doc_id, n,
-      |    CAST(round(1000000.0 * (CAST(c AS DOUBLE) / n)
-      |      * ln(CAST(n AS DOUBLE) / c) / ln(2.0), 0) AS BIGINT) AS term
-      |  FROM w)
-      |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
-      |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
-      |  CAST(floor((sum(term) + 50) / 100) AS BIGINT) / 10000.0 AS entropy_bits
-      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"""WITH ${charEntropyCteSql("documents")}
+       |SELECT doc_id, n_chars, n_distinct_chars, entropy_bits
+       |FROM ent ORDER BY doc_id""".stripMargin
 
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_token_count" -> QueryDef(

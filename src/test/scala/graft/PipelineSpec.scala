@@ -183,7 +183,7 @@ class PipelineSpec extends AnyFunSuite {
         .toSet
     val composed = classesOf(fate().queryExecution.executedPlan.toString)
     val standalone = Seq("q_source_cap", "q_pack_chunks", "q_split_hash", "q_dedup_keep",
-      "q_dsir_weights")
+      "q_dsir_weights", "q_char_entropy")
       .flatMap(q => classesOf(
         SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString))
       .toSet
