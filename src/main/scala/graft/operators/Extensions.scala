@@ -289,6 +289,58 @@ object Extensions {
       .orderBy("event_type")
   }
 
+  /** X85 — exact per-source order statistics (`q_source_quantiles`):
+    * the per-GROUP twin of R16's global quantiles — each source's
+    * exact lower median and p90 of document length, the two numbers
+    * a curator reads before trusting a mean (doc-length
+    * distributions are heavy-tailed; X56's KS says WHETHER a source
+    * drifted, these say WHERE its mass sits). Rank selection is
+    * integer-exact in both engines: median at rank (n+1) div 2, p90
+    * at rank (9n+9) div 10 (= ⌈0.9n⌉), ties broken by doc_id.
+    *
+    * The scale point is HOW the rank is computed: the textbook
+    * `row_number() OVER (PARTITION BY source)` sorts every source's
+    * full history in one task — the X38 Zipf hazard when one source
+    * is half the corpus. [[rankedByRange]] replaces it (per-
+    * (partition, source) counts → prefix offsets → offset + local
+    * rank), so the largest serial unit is one range partition; the
+    * count dictionary broadcasts back and the two target ranks
+    * filter before the per-source collapse. The oracle states the
+    * window form — every verify run pins range-machine ≡ window.
+    */
+  private def sourceQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("source"), col("n_chars"), col("doc_id"))
+    val rk = rankedByRange(d, "source", Seq("n_chars", "doc_id"), "rk")
+    val cnt = d.groupBy(col("source")).agg(count(lit(1)).cast("long").as("n_docs"))
+    rk.join(broadcast(cnt), "source")
+      .filter(col("rk") === expr("(n_docs + 1) div 2")
+        || col("rk") === expr("(9 * n_docs + 9) div 10"))
+      .groupBy(col("source"), col("n_docs"))
+      .agg(
+        max(when(col("rk") === expr("(n_docs + 1) div 2"), col("n_chars")))
+          .cast("long").as("median_chars"),
+        max(when(col("rk") === expr("(9 * n_docs + 9) div 10"), col("n_chars")))
+          .cast("long").as("p90_chars"))
+      .orderBy("source")
+  }
+
+  private def sourceQuantilesSql: String =
+    """WITH d AS (SELECT source, n_chars, doc_id FROM documents),
+      |rk AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk
+      |  FROM d),
+      |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY source)
+      |SELECT r.source, c.n_docs,
+      |  CAST(max(CASE WHEN r.rk = (c.n_docs + 1) // 2 THEN r.n_chars END) AS BIGINT)
+      |    AS median_chars,
+      |  CAST(max(CASE WHEN r.rk = (9 * c.n_docs + 9) // 10 THEN r.n_chars END) AS BIGINT)
+      |    AS p90_chars
+      |FROM rk r JOIN c USING (source)
+      |WHERE r.rk = (c.n_docs + 1) // 2 OR r.rk = (9 * c.n_docs + 9) // 10
+      |GROUP BY r.source, c.n_docs ORDER BY r.source""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_json_extract" -> QueryDef(
       jsonExtract,
@@ -378,5 +430,9 @@ object Extensions {
              |       // (2 * CAST(n0 AS HUGEINT) * n1) AS BIGINT) / 10000.0 AS ks
              |FROM k WHERE n0 > 0 AND n1 > 0 ORDER BY event_type""".stripMargin),
       "X63 temporal drift: exact two-sample KS, early vs late half per event type"),
+    "q_source_quantiles" -> QueryDef(
+      sourceQuantiles,
+      Some(sourceQuantilesSql),
+      "X85 exact per-source median/p90 doc length via range ranking, no per-source sort task"),
   )
 }

@@ -75,4 +75,26 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(got.nonEmpty && got.forall { case (_, _, _, ks) => ks >= 0.0 && ks <= 1.0 })
     }
   }
+
+  test("q_source_quantiles equals a driver sort-and-pick recount at both SFs") {
+    // X85's rank rules replayed: per source, sort (n_chars, doc_id),
+    // pick ranks (n+1) div 2 and (9n+9) div 10. Also the order-
+    // statistic sanity median <= p90, and at least one source where
+    // they differ (tiny-n collapse would make the pin near-vacuous).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Tables(spark, dir, "documents").select("source", "n_chars", "doc_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val expected = rows.groupBy(_._1).map { case (s0, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3)).map(_._2)
+        val n = sorted.length
+        s0 -> (n.toLong, sorted(((n + 1) / 2).toInt - 1), sorted(((9 * n + 9) / 10).toInt - 1))
+      }
+      val got = SparkEntry.queries("q_source_quantiles")(spark, dir)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got === expected, s"source-quantile recount diverges at $dir")
+      got.values.foreach { case (_, med, p90) => assert(med <= p90, "median above p90") }
+      assert(got.values.exists { case (_, med, p90) => med < p90 },
+        s"median == p90 everywhere at $dir — near-vacuous pin")
+    }
+  }
 }
