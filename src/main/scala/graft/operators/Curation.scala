@@ -950,7 +950,7 @@ object Curation {
     * a long-doc corpus would flip that one rule to the X8 explode
     * shape and keep the rest narrow.
     */
-  private val ruleStopwords = Seq("the", "a", "of", "and", "to", "in", "that", "with")
+  private[graft] val ruleStopwords = Seq("the", "a", "of", "and", "to", "in", "that", "with")
 
   /** The X73 rule-failure count as a DuckDB CTE over `$from(doc_id,
     * text)` — the oracle-side twin of [[withRuleFlags]], factored so

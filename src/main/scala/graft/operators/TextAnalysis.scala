@@ -1183,6 +1183,92 @@ object TextAnalysis {
        |SELECT doc_id, n_chars, n_distinct_chars, entropy_bits
        |FROM ent ORDER BY doc_id""".stripMargin
 
+  /** X86 — one-row corpus datasheet (`q_corpus_card`): the summary
+    * table a dataset card / Dolma-style report leads with, as ONE
+    * query — docs, sources, languages, token and char volume, mean
+    * doc length, vocabulary size with its hapax share (X80's
+    * saturation numerator), and the share of docs passing every X73
+    * rule. Each number exists in some per-group operator already;
+    * the card is the artifact a release pipeline publishes, so it is
+    * declared as its own row rather than left to a dashboard to
+    * re-derive.
+    *
+    * Scale shape: one narrow pass with the X73 in-row flags feeding
+    * a single global aggregate (the two countDistincts expand over
+    * plan-constant-cardinality columns), plus the (tok) vocabulary
+    * collapse (the X80 shape) reduced to one row — the two 1-row
+    * frames meet in the sanctioned broadcast nested loop. Ratios
+    * round 4dp in integer space.
+    */
+  private def corpusCard(s: SparkSession, dir: String): DataFrame = {
+    val base = Curation.withRuleFlags(
+      docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text")))
+    val a = base.groupBy().agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      countDistinct(col("source")).cast("long").as("n_sources"),
+      countDistinct(col("lang")).cast("long").as("n_langs"),
+      sum(col("n_words")).cast("long").as("n_tokens"),
+      sum(col("n_chars")).cast("long").as("n_chars"),
+      sum(when(col("n_failed") === 0, 1L).otherwise(0L)).cast("long").as("n_rule_clean"))
+    val b = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy().agg(
+        count(lit(1)).cast("long").as("vocab_size"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("n_hapax"))
+    a.crossJoin(broadcast(b))
+      .select(
+        col("n_docs"), col("n_sources"), col("n_langs"),
+        col("n_tokens"), col("n_chars"),
+        (expr("(20000 * n_tokens + n_docs) div (2 * n_docs)").cast("double") / 10000.0)
+          .as("mean_doc_tokens"),
+        col("vocab_size"), col("n_hapax"),
+        (expr("(2000000 * n_rule_clean + n_docs) div (2 * n_docs)").cast("double") / 10000.0)
+          .as("pct_rule_clean"))
+  }
+
+  private def corpusCardSql: String = {
+    val stopList = Curation.ruleStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH rt AS (SELECT doc_id, source, lang, n_chars, string_split(text, ' ') AS w
+       |  FROM documents),
+       |rf AS (
+       |  SELECT source, lang, n_chars, CAST(len(w) AS BIGINT) AS n,
+       |    CAST(4 - CASE WHEN len(w) >= 20 AND len(w) <= 80 THEN 1 ELSE 0 END
+       |           - CASE WHEN 3 * len(w) <= list_sum(list_transform(w, x -> len(x)))
+       |                   AND 2 * list_sum(list_transform(w, x -> len(x))) <= 9 * len(w)
+       |                  THEN 1 ELSE 0 END
+       |           - CASE WHEN len(list_intersect(list_distinct(w), $stopList)) >= 2
+       |                  THEN 1 ELSE 0 END
+       |           - CASE WHEN 5 * list_max(list_transform(list_distinct(w),
+       |                    t -> len(list_filter(w, x -> x = t)))) <= len(w)
+       |                  THEN 1 ELSE 0 END AS BIGINT) AS n_failed
+       |  FROM rt),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(sum(n) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |    CAST(sum(CASE WHEN n_failed = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_clean
+       |  FROM rf),
+       |v AS (
+       |  SELECT tok, count(*) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY tok),
+       |b AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+       |  FROM v)
+       |SELECT n_docs, n_sources, n_langs, n_tokens, n_chars,
+       |  CAST((20000 * n_tokens + n_docs) // (2 * n_docs) AS BIGINT) / 10000.0
+       |    AS mean_doc_tokens,
+       |  vocab_size, n_hapax,
+       |  CAST((2000000 * n_rule_clean + n_docs) // (2 * n_docs) AS BIGINT) / 10000.0
+       |    AS pct_rule_clean
+       |FROM a, b""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_token_count" -> QueryDef(
       tokenCount,
@@ -1471,5 +1557,9 @@ object TextAnalysis {
       charEntropy,
       Some(charEntropySql),
       "X82 per-doc character entropy in bits: fixed-point integer terms, gibberish screen"),
+    "q_corpus_card" -> QueryDef(
+      corpusCard,
+      Some(corpusCardSql),
+      "X86 one-row corpus datasheet: volume, diversity, vocab + hapax share, rule-clean pct"),
   )
 }

@@ -298,4 +298,42 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(hs.min < hs.max, s"flat entropy surface at $dir — the screen is vacuous")
     }
   }
+
+  test("q_corpus_card equals a sequential datasheet recount") {
+    // X86 re-derived from the raw rows: volumes, distincts, the X73
+    // rule replay for the clean share, the global vocab/hapax split,
+    // and both integer-rounded ratios.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Tables(spark, dir, "documents")
+        .select("doc_id", "source", "lang", "n_chars", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+      val stop = Set("the", "a", "of", "and", "to", "in", "that", "with")
+      def cleanDoc(t: String): Boolean = {
+        val w = t.split(" ", -1)
+        val n = w.length
+        val slen = w.map(_.length.toLong).sum
+        val maxc = w.groupBy(identity).values.map(_.size).max
+        (n >= 20 && n <= 80) && (3L * n <= slen && 2 * slen <= 9L * n) &&
+          w.toSet.intersect(stop).size >= 2 && 5L * maxc <= n
+      }
+      val nd = rows.length.toLong
+      val nt = rows.map(_._5.split(" ", -1).length.toLong).sum
+      val clean = rows.count(r => cleanDoc(r._5)).toLong
+      val vc = rows.flatMap(_._5.split(" ", -1)).groupBy(identity)
+        .map { case (_, xs) => xs.size.toLong }
+      val expected = (nd, rows.map(_._2).distinct.length.toLong,
+        rows.map(_._3).distinct.length.toLong, nt, rows.map(_._4).sum,
+        (20000 * nt + nd) / (2 * nd) / 10000.0,
+        vc.size.toLong, vc.count(_ == 1L).toLong,
+        (2000000 * clean + nd) / (2 * nd) / 10000.0)
+      val r = SparkEntry.queries("q_corpus_card")(spark, dir).collect()
+      assert(r.length == 1, "card must be one row")
+      val got = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+        r(0).getLong(4), r(0).getDouble(5), r(0).getLong(6), r(0).getLong(7),
+        r(0).getDouble(8))
+      assert(got === expected, s"corpus-card recount diverges at $dir")
+      assert(got._9 > 0.0 && got._9 < 100.0,
+        s"rule-clean share degenerate at $dir — both rule branches must be live")
+    }
+  }
 }
