@@ -1037,6 +1037,47 @@ object Clustering {
        |ORDER BY a.source""".stripMargin
   }
 
+  /** X87 — cross-source duplication-pressure matrix (`q_dup_flow`):
+    * X68's verbatim-copy pairs rolled up to the (source, source)
+    * grain — WHERE does exact duplication actually flow? X42 counts
+    * each source's own casualties and X83 PREDICTS overlap from
+    * sketches; this MEASURES the realized copy traffic between
+    * source pairs (diagonal = within-source boilerplate/mirroring,
+    * off-diagonal = cross-crawl syndication — the pair a curator
+    * deduplicates FIRST). Unordered pair key via least/greatest, so
+    * each flow appears once.
+    *
+    * Scale: the heavy lifting is X68's bounded machinery (df-capped
+    * positioned-gram join); what rides on top is two id-keyed
+    * metadata joins on the PAIR set (bounded by true duplication,
+    * never corpus²) and a ≤ǀsourcesǀ² aggregate.
+    */
+  private def dupFlow(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+    Dedup.substrDedup(s, dir)
+      .join(m.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+      .join(m.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        max(col("max_run")).cast("long").as("max_shared_run"),
+        sum(col("n_shared_grams")).cast("long").as("n_shared_grams"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private def dupFlowSql: String =
+    s"""WITH p AS (
+       |${Dedup.substrSql}
+       |),
+       |m AS (SELECT doc_id, source FROM documents)
+       |SELECT least(ma.source, mb.source) AS source_a,
+       |  greatest(ma.source, mb.source) AS source_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(max(p.max_run) AS BIGINT) AS max_shared_run,
+       |  CAST(sum(p.n_shared_grams) AS BIGINT) AS n_shared_grams
+       |FROM p JOIN m ma ON ma.doc_id = p.id_a JOIN m mb ON mb.doc_id = p.id_b
+       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_dedup_cluster" -> QueryDef(
       dedupCluster,
@@ -1086,5 +1127,9 @@ object Clustering {
       sourceFamily,
       Some(sourceFamilySql),
       "X84 source families: X83 overlap graph thresholded, X21 CC labels, singletons kept"),
+    "q_dup_flow" -> QueryDef(
+      dupFlow,
+      Some(dupFlowSql),
+      "X87 cross-source duplication-pressure matrix over the X68 exact-copy pairs"),
   )
 }

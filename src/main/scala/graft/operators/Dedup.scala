@@ -1366,7 +1366,7 @@ object Dedup {
     * pipeline); islands run per (pair, diagonal) — partitions
     * bounded by matched-gram volume, never corpus size.
     */
-  private def substrDedup(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def substrDedup(s: SparkSession, dir: String): DataFrame = {
     val n = substrGramN
     val concatGram = (1 until n)
       .foldLeft("element_at(w, i)") { (acc, j) => s"concat($acc, ' ', element_at(w, i + $j))" }
@@ -1401,7 +1401,7 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  private def substrSql: String = {
+  private[graft] def substrSql: String = {
     val n = substrGramN
     val gramExpr = (1 until n).foldLeft("w[i]") { (acc, j) => s"$acc || ' ' || w[i + $j]" }
     s"""WITH t AS (

@@ -489,4 +489,28 @@ class ClusteringSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_dup_flow equals a rollup of the declared X68 pairs through source metadata") {
+    // X87 is pure composition: recount it off the (oracle-green)
+    // q_substr_dedup output joined to sources on the driver, and pin
+    // the unordered-pair invariant.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val src = Tables(spark, dir, "documents").select("doc_id", "source")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val pairs = SparkEntry.queries("q_substr_dedup")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val expected = pairs.groupBy { case (a, b, _, _) =>
+        val (sa, sb) = (src(a), src(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+      }.map { case (k, rs) =>
+        k -> (rs.length.toLong, rs.map(_._3).max, rs.map(_._4).sum)
+      }
+      val got = SparkEntry.queries("q_dup_flow")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got === expected, s"dup-flow rollup diverges at $dir")
+      assert(got.nonEmpty, s"no duplication flow at $dir — vacuous")
+      got.keys.foreach { case (a, b) => assert(a <= b, s"pair ($a,$b) not in canonical order") }
+    }
+  }
 }
