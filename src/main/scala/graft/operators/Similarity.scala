@@ -687,6 +687,88 @@ object Similarity {
        |ORDER BY sq_d2 ASC, vec_id ASC LIMIT 10""".stripMargin
   }
 
+  /** X88 projection geometry: 64 → 16 dims with a literal Achlioptas
+    * ±1 sign matrix (JL with database-friendly entries — Achlioptas
+    * 2001 showed ±1 preserves the Johnson–Lindenstrauss guarantee;
+    * no gaussian sampling, no float matrix). Signs derive from a
+    * fixed LCG at class-load and are interpolated into both engines.
+    */
+  private[graft] val jlK = 16
+  private[graft] val jlSigns: IndexedSeq[IndexedSeq[Long]] =
+    (0 until jlK).map(i => (0 until 64).map { j =>
+      if ((((6364136223846793005L * (i * 64 + j + 1) + 1442695040888963407L) >>> 33) & 1L) == 1L) 1L
+      else -1L
+    })
+
+  /** X88 — Johnson–Lindenstrauss random projection (`q_jl_project`):
+    * the dimension-REDUCTION member of the compression family (X59
+    * PQ and X64 SQ8 quantize values; IVF partitions space; JL
+    * shrinks the dimension itself — the standard first move before
+    * an index build or a pairwise pass when d is the cost driver).
+    * Declared output is the per-vector audit row: exact integer
+    * squared norms before and after, and their ratio against the
+    * isometry expectation E[‖Px‖²] = k·‖x‖² — the number that says
+    * whether the projection is safe to build on.
+    *
+    * Integer-exact by construction: components snap to millionths at
+    * the scan, the ±1 matrix makes every projected component an
+    * exact integer SUM (order-free — no float matrix multiply), both
+    * norms are exact integer sums of squares, and the ratio rounds
+    * 4dp in integer space on DECIMAL(38,0) cross-products. Scale
+    * shape: one narrow posexplode + ONE vec_id aggregate computing
+    * all 16 components as literal-sign conditional sums with
+    * map-side partials — no join, no window; the matrix is a plan
+    * literal. SimilaritySpec recounts sequentially and measures the
+    * JL concentration (mean ratio ≈ 1, bounded spread) — the
+    * distortion evidence, not just the algebra.
+    */
+  private def jlProject(s: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val e = graft.Tables(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        round(col("col").cast("double") * 1000000.0, 0).cast("long").as("xf"))
+    val comps = (0 until jlK).map { i =>
+      val signs = array(jlSigns(i).map(lit): _*)
+      sum(element_at(signs, col("dim")) * col("xf")).as(s"c$i")
+    }
+    val aggCols = comps :+ sum(col("xf") * col("xf")).as("n2")
+    e.groupBy(col("vec_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("pn2",
+        (0 until jlK).map(i => dec(col(s"c$i")) * dec(col(s"c$i"))).reduce(_ + _))
+      .withColumn("den", dec(col("n2")) * lit(jlK))
+      .select(col("vec_id"), col("n2").as("norm2_f"),
+        col("pn2").cast("decimal(38,0)").as("proj_norm2_f"),
+        (expr("CAST((pn2 * 20000 + den) DIV (2 * den) AS BIGINT)") / lit(10000.0))
+          .as("isometry_ratio"))
+      .select(col("vec_id"), col("norm2_f"),
+        col("proj_norm2_f").cast("long").as("proj_norm2_f"), col("isometry_ratio"))
+      .orderBy("vec_id")
+  }
+
+  private def jlSql: String = {
+    val compSums = (0 until jlK).map { i =>
+      val lst = jlSigns(i).mkString("[", ", ", "]")
+      s"sum(($lst)[dim] * xf) AS c$i"
+    }.mkString(", ")
+    val pn = (0 until jlK).map(i => s"CAST(c$i AS HUGEINT) * c$i").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, s.i AS dim,
+       |    CAST(round(CAST(emb[s.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xf
+       |  FROM (SELECT vec_id, embedding AS emb FROM embeddings) t,
+       |  LATERAL unnest(generate_series(1, len(emb))) AS s(i)),
+       |a AS (
+       |  SELECT vec_id, $compSums,
+       |    CAST(sum(CAST(xf AS HUGEINT) * xf) AS HUGEINT) AS n2
+       |  FROM e GROUP BY vec_id),
+       |b AS (SELECT vec_id, n2, $pn AS pn2, n2 * $jlK AS den FROM a)
+       |SELECT vec_id, CAST(n2 AS BIGINT) AS norm2_f,
+       |  CAST(pn2 AS BIGINT) AS proj_norm2_f,
+       |  CAST((pn2 * 20000 + den) // (2 * den) AS BIGINT) / 10000.0 AS isometry_ratio
+       |FROM b ORDER BY vec_id""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_sim_bucketed" -> QueryDef(
       simBucketed,
@@ -729,6 +811,10 @@ object Similarity {
       simSq8,
       Some(sq8Sql),
       "X64 scalar-quantization (SQ8) top-10: per-dim 8-bit affine codes, integer ADC sum"),
+    "q_jl_project" -> QueryDef(
+      jlProject,
+      Some(jlSql),
+      "X88 JL +/-1 projection 64->16: exact integer components, per-vector isometry audit"),
   )
 
   private def ivfPqSql: String =

@@ -664,4 +664,53 @@ class SimilaritySpec extends AnyFunSuite {
         f"recall@10 ${rungs.head._3}/10 -> ${rungs.last._3}/10")
     }
   }
+
+  test("q_jl_project: sequential recount, isometry concentration, pairwise distortion") {
+    // X88's algebra replayed exactly (snap → ±1 sums → BigInt norms →
+    // integer round), then the JL evidence: per-vector ratios center
+    // on 1, and — the claim that matters for downstream use — the
+    // PAIRWISE squared-distance ratio (projected/(k·original)) over a
+    // deterministic pair sample also centers on 1 (distances are what
+    // the lemma preserves; single-vector ratios are its special case).
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def snap(x: Double): Long =
+      JBD.valueOf(x * 1000000.0).setScale(0, RoundingMode.HALF_UP).longValueExact
+    val k = graft.operators.Similarity.jlK
+    val signs = graft.operators.Similarity.jlSigns
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val emb = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(f => snap(f.toDouble)))
+        .toMap
+      def proj(v: Array[Long]): IndexedSeq[BigInt] =
+        (0 until k).map(i => v.indices.map(d => BigInt(signs(i)(d)) * v(d)).sum)
+      val expected = emb.map { case (id, v) =>
+        val p = proj(v)
+        val n2 = v.map(x => BigInt(x) * x).sum
+        val pn2 = p.map(c => c * c).sum
+        val den = n2 * k
+        id -> (n2.toLong, pn2.toLong, ((pn2 * 20000 + den) / (den * 2)).toLong / 10000.0)
+      }
+      val got = SparkEntry.queries("q_jl_project")(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(got === expected, s"JL recount diverges at $dir")
+      val ratios = got.values.map(_._3).toSeq
+      val mean = ratios.sum / ratios.size
+      assert(mean > 0.85 && mean < 1.15, f"per-vector isometry mean $mean%.4f off 1 at $dir")
+      assert(ratios.forall(_ > 0.0), s"degenerate zero projection at $dir")
+      // pairwise: consecutive-id pairs — deterministic, spans the corpus
+      val ids = emb.keys.toSeq.sorted
+      val pairRatios = ids.sliding(2).collect { case Seq(a, b) =>
+        val (va, vb) = (emb(a), emb(b))
+        val diff = va.indices.map(d => va(d) - vb(d)).toArray
+        val d2 = diff.map(x => BigInt(x) * x).sum
+        val pd = proj(diff)
+        if (d2 == 0) BigDecimal(1)
+        else BigDecimal(pd.map(c => c * c).sum) / (BigDecimal(d2) * k)
+      }.toSeq
+      val pmean = (pairRatios.sum / pairRatios.size).toDouble
+      assert(pmean > 0.8 && pmean < 1.2,
+        f"pairwise distortion mean $pmean%.4f off 1 at $dir — projection unsafe for distances")
+      info(f"$dir: per-vector mean $mean%.4f, pairwise mean $pmean%.4f over ${pairRatios.size} pairs")
+    }
+  }
 }
