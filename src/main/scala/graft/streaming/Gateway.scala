@@ -58,6 +58,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 final case class Reading(node: Long, tsUs: Long, value: Double)
 
+/** One typed event for [[Gateway.debounceFeed]]. */
+final case class TypedEvent(eventId: Long, eventType: String, us: Long)
+
+/** A kept (debounced) event with its suppression evidence. */
+final case class DebouncedEvent(eventId: Long, eventType: String, us: Long, prevGapUs: Long)
+
 /** Per-node buffer status emitted by [[Gateway.bufferCapStream]]. */
 final case class BufStatus(node: Long, buffered: Int, evictedTotal: Long)
 
@@ -767,6 +773,40 @@ object Gateway {
             allTs.drop(evictNow), allVs.drop(evictNow), prev.evicted + evictNow)
           state.update(next)
           Iterator.single(BufStatus(node, next.tsUs.length, next.evicted))
+      }
+  }
+
+  /** Streaming R27, gap semantics — `debounceFeed`: the EXACT twin of
+    * the batch `q_debounce` rule (keep an event iff it is its type's
+    * first or arrived more than τ after the type's PREVIOUS event),
+    * as per-type streaming state. [[dedupExactFeed]] covers the
+    * key-identity variant on the engine's built-in primitive; the
+    * gap rule needs the previous event's TIMESTAMP, which is
+    * `flatMapGroupsWithState` territory: state = the last-seen µs
+    * per type (one long — bounded by ǀtypesǀ, not traffic), each
+    * micro-batch's events for a type sorted by (us, event_id) before
+    * the fold so batch boundaries cannot reorder the comparison.
+    * Exactly-once parity holds when events arrive in event-time
+    * order (the gateway's spool/socket contract); GatewaySpec pins
+    * the streamed keep set ≡ the batch `q_debounce` rows over the
+    * same events, split across micro-batches.
+    */
+  def debounceFeed(events: Dataset[TypedEvent], tolUs: Long): Dataset[DebouncedEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.eventType)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[TypedEvent], state: GroupState[Long]) =>
+          val sorted = it.toArray.sortBy(e => (e.us, e.eventId))
+          var lastUs = state.getOption.getOrElse(Long.MinValue)
+          val kept = sorted.flatMap { e =>
+            val gap = if (lastUs == Long.MinValue) -1L else e.us - lastUs
+            val keep = gap == -1L || gap > tolUs
+            lastUs = e.us // gap-from-previous-EVENT: every event advances the anchor
+            if (keep) Some(DebouncedEvent(e.eventId, tpe, e.us, gap)) else None
+          }
+          state.update(lastUs)
+          kept.iterator
       }
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.Gateway
+import graft.streaming.{Gateway, TypedEvent}
 import graft.streaming.Gateway.{BufferConf, GatewayConf, ListenerConf}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1383,6 +1383,40 @@ class GatewaySpec extends AnyFunSuite {
       // non-vacuity of the merge path: the sketch actually spilled
       // somewhere (capacity bound bit), else the laws are trivial
       assert(streamed.values.exists(_._2 > 0), "no window spilled — capacity never bound")
+    } finally q.stop()
+  }
+
+  test("streaming gap debounce == batch q_debounce row-for-row across micro-batch cuts") {
+    // The R27 gap twin: the real events table fed in event-time order
+    // but split across three micro-batches at arbitrary points, so
+    // per-type anchors MUST survive the state store for parity to
+    // hold. The expected set is the declared (oracle-green) batch
+    // q_debounce itself.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val evs = Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => TypedEvent(r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(e => (e.us, e.eventId)) // the gateway's in-order arrival contract
+    val parts = evs.grouped(math.max(1, evs.length / 3)).toSeq
+    assert(parts.size >= 3, "need >= 3 micro-batches to exercise the anchor state")
+    val ms = MemoryStream[TypedEvent]
+    val sink = s"debounce_feed_${System.nanoTime()}"
+    val q = Gateway.debounceFeed(ms.toDS(), graft.operators.Relational.debounceUs)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      parts.foreach { p => ms.addData(p: _*); q.processAllAvailable() }
+      val streamed = spark.table(sink)
+        .select(col("eventId"), col("eventType"), col("us"), col("prevGapUs"))
+        .as[(Long, String, Long, Long)].collect().toSet
+      val batch = SparkEntry.queries("q_debounce")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(batch.nonEmpty && batch.size < evs.length,
+        "vacuous: batch debounce kept everything or nothing")
+      assert(streamed === batch,
+        s"streamed debounce diverges from batch q_debounce " +
+          s"(stream ${streamed.size} rows, batch ${batch.size})")
     } finally q.stop()
   }
 }
