@@ -231,6 +231,84 @@ object Relational {
        |FROM g WHERE gap_us IS NULL OR gap_us > $debounceUs
        |ORDER BY event_id""".stripMargin
 
+  /** R28 conversion window: 24 h in microseconds — the product-
+    * analytics default. Sized so every funnel branch is live at both
+    * test SFs (depths 1, 2 and 3 all occur; an UNwindowed funnel is
+    * vacuous here — every user eventually clicks and purchases, so
+    * all 150 users reached depth 3 and no constraint was tested).
+    */
+  private[graft] val funnelWindowUs = 86400000000L
+
+  /** R28 — windowed-funnel analysis (`q_funnel`): per user, the
+    * earliest `view`, the earliest `click` strictly after that view
+    * AND within [[funnelWindowUs]] of it, and the earliest `purchase`
+    * under the same constraint relative to the click — the
+    * product-analytics staple (Amplitude/Mixpanel's conversion
+    * funnel) as three chained order-and-window-constrained minima,
+    * with each user's reached depth. Absent stages carry −1 (never
+    * NULL in a sort-adjacent column — the R25 rule); a later-stage
+    * event before the anchor or past the window does not count,
+    * which is what separates a funnel from three independent mins.
+    *
+    * Scale shape: three narrow filtered aggregates (each a user-keyed
+    * min with map-side partials — the corpus collapses to ǀusersǀ
+    * rows before any join) chained by user-keyed equi-joins, then one
+    * left-join assembly onto the distinct-user spine. No window
+    * function, no self-join of raw events; per-stage state is one
+    * timestamp per user, the same bound a streaming funnel would
+    * hold.
+    */
+  private def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("us") > col("t1") && col("us") <= col("t1") + funnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("us") > col("t2") && col("us") <= col("t2") + funnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    e.select(col("user_id")).distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("t1"), lit(-1L)).as("t_view"),
+        coalesce(col("t2"), lit(-1L)).as("t_click"),
+        coalesce(col("t3"), lit(-1L)).as("t_purchase"),
+        (col("t1").isNotNull.cast("long") + col("t2").isNotNull.cast("long")
+          + col("t3").isNotNull.cast("long")).as("depth"))
+      .orderBy("user_id")
+  }
+
+  private def funnelSql: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.us) AS t2
+      |  FROM e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.us > v.t1
+      |    AND e.us <= v.t1 + $funnelWindowUs GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.us) AS t3
+      |  FROM e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.us > c.t2
+      |    AND e.us <= c.t2 + $funnelWindowUs GROUP BY e.user_id),
+      |u AS (SELECT DISTINCT user_id FROM e)
+      |SELECT u.user_id,
+      |  CAST(COALESCE(v.t1, -1) AS BIGINT) AS t_view,
+      |  CAST(COALESCE(c.t2, -1) AS BIGINT) AS t_click,
+      |  CAST(COALESCE(p.t3, -1) AS BIGINT) AS t_purchase,
+      |  CAST((CASE WHEN v.t1 IS NULL THEN 0 ELSE 1 END)
+      |     + (CASE WHEN c.t2 IS NULL THEN 0 ELSE 1 END)
+      |     + (CASE WHEN p.t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS depth
+      |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      |LEFT JOIN p USING (user_id)
+      |ORDER BY u.user_id""".stripMargin
+
   /** R25 — time-grid resampling with forward fill (gap-fill): each
     * user's irregular event stream regularized onto a 6-hour grid
     * spanning their activity, each grid instant carrying the value of
@@ -887,6 +965,10 @@ object Relational {
       debounce,
       Some(debounceSql),
       "R27 duplicate-burst suppression: keep events > 900s after their type's previous"),
+    "q_funnel" -> QueryDef(
+      funnel,
+      Some(funnelSql),
+      "R28 ordered funnel view->click->purchase: chained order-constrained minima per user"),
     "q_resample" -> QueryDef(
       resample,
       Some("""WITH span AS (

@@ -45,4 +45,50 @@ class SessionsSpec extends AnyFunSuite {
     assert(hashExchanges === 1,
       s"sessionize plans $hashExchanges hash exchanges — the session aggregate must reuse the window's user_id clustering:\n$plan")
   }
+
+  test("q_funnel equals a sequential per-user scan and every depth occurs") {
+    // R28 re-derived the obvious way: walk each user's time-ordered
+    // events once, advancing a stage pointer — the chained-minima
+    // formulation must agree exactly. Non-vacuity: all four depths
+    // (0..3) occur, else a stage constraint is untested.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val evs = Tables(spark, dir, "events")
+        .select(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts")).as("us"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val stages = Seq("view", "click", "purchase")
+      val w = graft.operators.Relational.funnelWindowUs
+      val expected = evs.groupBy(_._1).map { case (u, rows) =>
+        val ordered = rows.sortBy(_._3)
+        val ts = Array(-1L, -1L, -1L)
+        var stage = 0
+        var anchor = Long.MinValue
+        ordered.foreach { case (_, tp, us) =>
+          if (stage < 3 && tp == stages(stage) && us > anchor
+            && (stage == 0 || us <= anchor + w)) {
+            ts(stage) = us; anchor = us; stage += 1
+          }
+        }
+        u -> (ts(0), ts(1), ts(2), stage.toLong)
+      }
+      val got = SparkEntry.queries("q_funnel")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got === expected, s"funnel recount diverges at $dir")
+      val depths = got.values.map(_._4).toSet
+      assert(Set(1L, 2L, 3L).subsetOf(depths),
+        s"depths $depths at $dir — a stage constraint is untested (conversion window vacuous)")
+    }
+  }
+
+  test("q_funnel plans no window and shuffles only user-keyed aggregates") {
+    val plan = SparkEntry.queries("q_funnel")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"funnel plans a window:\n$plan")
+    val ex = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.nonEmpty && ex.forall(_.contains("user_id")),
+      s"a non-user-keyed exchange appeared:\n${ex.mkString("\n")}")
+  }
 }
