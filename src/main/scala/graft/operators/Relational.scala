@@ -309,6 +309,67 @@ object Relational {
       |LEFT JOIN p USING (user_id)
       |ORDER BY u.user_id""".stripMargin
 
+  /** R29 — cohort retention (`q_retention`): the other half of the
+    * product-analytics pair with R28 — group users into DAILY
+    * cohorts by their FIRST `signup` event, then for each (cohort
+    * day, day offset ≥ 0) count how many of the cohort were active
+    * (any event) that day, as an exact integer matrix plus a round-4
+    * retention percentage. Offset 0 is 100% by construction (the
+    * signup itself is day-0 activity) and later cells DECAY — both
+    * pinned; the grain matters: at this corpus's density a weekly
+    * matrix is all-100% and discriminates nothing (measured before
+    * choosing daily).
+    *
+    * Days are integer epoch-µs div 86400·10⁶ — no calendar library,
+    * identical arithmetic in both engines. Scale shape: one
+    * user-keyed min for cohorts (map-side partials), one distinct
+    * (user, day) activity collapse, a user-keyed equi-join, then the
+    * ≤ǀdaysǀ² matrix rollup joined to ≤ǀdaysǀ cohort sizes — the
+    * corpus collapses to user/day grain before any join; no window
+    * function anywhere.
+    */
+  private def retention(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(expr("us div 86400000000")).as("cw"))
+    val active = e.select(col("user_id"), expr("us div 86400000000").as("aw")).distinct()
+    val mat = active.join(cohort, "user_id")
+      .filter(col("aw") >= col("cw"))
+      .groupBy(col("cw"), (col("aw") - col("cw")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val sizes = cohort.groupBy(col("cw")).agg(count(lit(1)).as("n_cohort"))
+    mat.join(sizes, "cw")
+      .select(col("cw").cast("long").as("cohort_day"),
+        col("day_offset").cast("long").as("day_offset"),
+        col("n_active").cast("long").as("n_active"),
+        col("n_cohort").cast("long").as("n_cohort"),
+        (expr("(2000000 * n_active + n_cohort) div (2 * n_cohort)").cast("double") / 10000.0)
+          .as("retention_pct"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private def retentionSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |cohort AS (
+      |  SELECT user_id, min(us // 86400000000) AS cw
+      |  FROM e WHERE event_type = 'signup' GROUP BY user_id),
+      |active AS (SELECT DISTINCT user_id, us // 86400000000 AS aw FROM e),
+      |mat AS (
+      |  SELECT c.cw, a.aw - c.cw AS day_offset,
+      |    count(DISTINCT a.user_id) AS n_active
+      |  FROM active a JOIN cohort c USING (user_id)
+      |  WHERE a.aw >= c.cw GROUP BY c.cw, a.aw - c.cw),
+      |sizes AS (SELECT cw, count(*) AS n_cohort FROM cohort GROUP BY cw)
+      |SELECT CAST(m.cw AS BIGINT) AS cohort_day,
+      |  CAST(m.day_offset AS BIGINT) AS day_offset,
+      |  CAST(m.n_active AS BIGINT) AS n_active,
+      |  CAST(s.n_cohort AS BIGINT) AS n_cohort,
+      |  CAST((2000000 * m.n_active + s.n_cohort) // (2 * s.n_cohort) AS BIGINT) / 10000.0
+      |    AS retention_pct
+      |FROM mat m JOIN sizes s USING (cw)
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   /** R25 — time-grid resampling with forward fill (gap-fill): each
     * user's irregular event stream regularized onto a 6-hour grid
     * spanning their activity, each grid instant carrying the value of
@@ -969,6 +1030,10 @@ object Relational {
       funnel,
       Some(funnelSql),
       "R28 ordered funnel view->click->purchase: chained order-constrained minima per user"),
+    "q_retention" -> QueryDef(
+      retention,
+      Some(retentionSql),
+      "R29 daily cohort retention: signup cohorts x day offsets, integer-exact matrix"),
     "q_resample" -> QueryDef(
       resample,
       Some("""WITH span AS (

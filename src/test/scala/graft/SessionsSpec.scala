@@ -83,6 +83,43 @@ class SessionsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_retention equals a sequential cohort recount, day 0 is 100%, later cells decay") {
+    // R29 re-derived: first signup day per user, distinct activity
+    // days, the (cohort, offset) matrix with integer HALF_UP pcts.
+    // Day 0 must be exactly 100.0 for every cohort (the signup IS
+    // day-0 activity), and some later cell must sit below 100% —
+    // the reason the operator is DAILY: a weekly matrix is all-100%
+    // on this corpus and discriminates nothing (measured).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val evs = Tables(spark, dir, "events")
+        .select(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts")).as("us"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val week = (us: Long) => Math.floorDiv(us, 86400000000L)
+      val cohort = evs.filter(_._2 == "signup").groupBy(_._1)
+        .map { case (u, rs) => u -> rs.map(r => week(r._3)).min }
+      val activity = evs.map(r => (r._1, week(r._3))).distinct
+      val expected = activity.flatMap { case (u, aw) =>
+        cohort.get(u).filter(aw >= _).map(cw => (cw, aw - cw))
+      }.groupBy(identity).map { case ((cw, off), xs) =>
+        val nAct = xs.length.toLong
+        val nCoh = cohort.values.count(_ == cw).toLong
+        (cw, off) -> (nAct, nCoh, (2000000L * nAct + nCoh) / (2 * nCoh) / 10000.0)
+      }
+      val got = SparkEntry.queries("q_retention")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      assert(got === expected, s"retention recount diverges at $dir")
+      val w0 = got.collect { case ((_, 0L), (_, _, pct)) => pct }
+      assert(w0.nonEmpty && w0.forall(_ == 100.0),
+        s"day-0 retention not 100% at $dir: $w0")
+      assert(got.exists { case ((_, off), (_, _, pct)) => off > 0 && pct < 100.0 },
+        s"no decaying cell at $dir — the matrix discriminates nothing")
+    }
+  }
+
   test("q_funnel plans no window and shuffles only user-keyed aggregates") {
     val plan = SparkEntry.queries("q_funnel")(spark, sf)
       .queryExecution.executedPlan.toString
