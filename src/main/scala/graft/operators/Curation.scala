@@ -921,6 +921,113 @@ object Curation {
       |  CAST(max(doc_id) AS BIGINT) AS max_doc_id
       |FROM j GROUP BY status ORDER BY status""".stripMargin
 
+  /** X89 — CDC merge / upsert (`q_upsert`): the MERGE INTO every
+    * lakehouse maintenance job runs — a base snapshot plus an ordered
+    * change feed (updates that insert on a missing key, deletes)
+    * collapsed to the merged live table. X72 DIAGNOSES what changed
+    * between two snapshots; X89 APPLIES a change stream, the other
+    * half of keeping a 100 TB corpus current without rewriting it
+    * from scratch. Semantics are SCD-type-1 / Delta-MERGE: per key,
+    * the highest-sequence operation wins (update ⇒ new payload,
+    * insert if the key is absent from base; delete ⇒ row absent from
+    * the output), everything untouched rides through unchanged.
+    *
+    * Both inputs derive deterministically from `documents` (the X72
+    * pattern): base = docs with doc_id % 13 ≠ 5; the feed carries
+    * seq-1 inserts on the % 13 = 5 holdout (the insert path), seq-2
+    * updates on doc_id % 7 = 3, seq-3 updates on doc_id % 14 = 3
+    * (latest-wins is observable, not vacuous), and seq-4 deletes on
+    * doc_id % 11 = 4 (CRT guarantees keys carrying insert-then-update,
+    * update-then-delete and insert-then-delete, so every precedence
+    * branch fires). Sequence numbers are distinct per stream, so a key
+    * hit by several streams always has a unique latest op.
+    * Output per live row: payload hash, origin (kept/updated/
+    * inserted) and the number of feed ops the key absorbed.
+    *
+    * Determinism: sequence numbers are distinct per key by
+    * construction (one row per key per stream, stream-distinct seqs),
+    * so the `max(struct(seq, op, payload))` argmax is total — no
+    * float, no tie. The delete filter is
+    * null-coalesced: a key with no feed row has a NULL op, and a bare
+    * `op =!= "D"` would filter it out (three-valued logic), silently
+    * dropping every untouched base row.
+    *
+    * Scale shape: ONE keyed aggregate over the change feed (the
+    * struct-argmax plans as partial-then-final SortAggregate, so the
+    * feed collapses map-side before its shuffle) + ONE id-keyed
+    * full-outer join. Full outer cannot broadcast in Spark (neither
+    * side's unmatched rows survive a broadcast build), so the join is
+    * honestly a keyed shuffle join on doc_id — the same cost shape a
+    * Delta/Iceberg MERGE pays, linear in base + feed with no skew
+    * beyond the id space itself. An UPDATE-only feed against a
+    * partition-pruned base would drop to the X72 equi-join shape;
+    * the full-outer is what pays for the insert path. Never a window
+    * over the base, never a driver collect. (The feed re-derives from
+    * `documents` per stream here — a fixture artifact; a real feed is
+    * its own small table and the base is scanned once.)
+    */
+  private def upsert(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val base = d.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"), md5(col("text")).as("bh"))
+    val feed = d.filter(col("doc_id") % 13 === 5)
+      .select(col("doc_id"), lit(1L).as("seq"), lit("U").as("op"),
+        md5(concat(col("text"), lit(" i1"))).as("p"))
+      .unionByName(d.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), lit(2L).as("seq"), lit("U").as("op"),
+          md5(concat(col("text"), lit(" u1"))).as("p")))
+      .unionByName(d.filter(col("doc_id") % 14 === 3)
+        .select(col("doc_id"), lit(3L).as("seq"), lit("U").as("op"),
+          md5(concat(col("text"), lit(" u2"))).as("p")))
+      .unionByName(d.filter(col("doc_id") % 11 === 4)
+        .select(col("doc_id"), lit(4L).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("p")))
+    val latest = feed.groupBy(col("doc_id"))
+      .agg(max(struct(col("seq"), col("op"), col("p"))).as("m"),
+        count(lit(1)).as("n_ops"))
+      .select(col("doc_id"), col("m.op").as("lop"), col("m.p").as("lp"),
+        col("n_ops"))
+    base.join(latest, Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("lop") =!= "D", lit(true)))
+      .select(
+        col("doc_id"),
+        coalesce(col("lp"), col("bh")).as("h"),
+        when(col("lop").isNull, "kept")
+          .when(col("bh").isNull, "inserted")
+          .otherwise("updated").as("origin"),
+        coalesce(col("n_ops"), lit(0L)).cast("long").as("n_ops"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def upsertSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |base AS (SELECT doc_id, md5(text) AS bh FROM d WHERE doc_id % 13 <> 5),
+      |feed AS (
+      |  SELECT doc_id, 1 AS seq, 'U' AS op, md5(text || ' i1') AS p FROM d WHERE doc_id % 13 = 5
+      |  UNION ALL
+      |  SELECT doc_id, 2 AS seq, 'U' AS op, md5(text || ' u1') AS p FROM d WHERE doc_id % 7 = 3
+      |  UNION ALL
+      |  SELECT doc_id, 3 AS seq, 'U' AS op, md5(text || ' u2') AS p FROM d WHERE doc_id % 14 = 3
+      |  UNION ALL
+      |  SELECT doc_id, 4 AS seq, 'D' AS op, CAST(NULL AS VARCHAR) AS p FROM d WHERE doc_id % 11 = 4),
+    |latest AS (
+      |  SELECT doc_id, op AS lop, p AS lp, n_ops
+      |  FROM (SELECT *,
+      |          row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn,
+      |          count(*) OVER (PARTITION BY doc_id) AS n_ops
+      |        FROM feed) t
+      |  WHERE rn = 1),
+      |j AS (
+      |  SELECT coalesce(b.doc_id, l.doc_id) AS doc_id, b.bh, l.lop, l.lp, l.n_ops
+      |  FROM base b FULL JOIN latest l ON b.doc_id = l.doc_id)
+      |SELECT doc_id, coalesce(lp, bh) AS h,
+      |  CASE WHEN lop IS NULL THEN 'kept'
+      |       WHEN bh IS NULL THEN 'inserted'
+      |       ELSE 'updated' END AS origin,
+      |  CAST(coalesce(n_ops, 0) AS BIGINT) AS n_ops
+      |FROM j WHERE lop IS NULL OR lop <> 'D'
+      |ORDER BY doc_id""".stripMargin
+
   /** X73 — Gopher-style quality-rule cascade (`q_rule_filter`): the
     * published heuristic rule SET (Rae et al. 2021, Appendix A1.1;
     * reused by MassiveText/RefinedWeb/Dolma) as one narrow pass with
@@ -1521,6 +1628,10 @@ object Curation {
       snapshotDiff,
       Some(snapshotDiffSql),
       "X72 corpus snapshot diff: hash-compare full-outer delta (added/removed/changed)"),
+    "q_upsert" -> QueryDef(
+      upsert,
+      Some(upsertSql),
+      "X89 CDC merge / upsert: latest-op-wins change feed applied to a base snapshot"),
     "q_rule_filter" -> QueryDef(
       ruleFilter,
       Some(ruleFilterSql),

@@ -558,4 +558,64 @@ class CurationSpec extends AnyFunSuite {
         s"no truncated boundary doc at $dir — the partial-funding branch is vacuous")
     }
   }
+
+  test("q_upsert: sequential merge recount; every precedence branch non-vacuous") {
+    for (dir <- Seq("/root/testdata/sf0.001", sf)) {
+      val ids = Tables(spark, dir, "documents")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      // driver-side replay of the merge semantics: per key, the
+      // highest-seq op wins (ins=1 < u1=2 < u2=3 < del=4)
+      def lastOp(id: Long): Option[(String, Long)] = {
+        val ops = Seq(
+          (1L, "i1", id % 13 == 5), (2L, "u1", id % 7 == 3),
+          (3L, "u2", id % 14 == 3), (4L, "D", id % 11 == 4)
+        ).filter(_._3)
+        if (ops.isEmpty) None
+        else Some((ops.maxBy(_._1)._2, ops.length.toLong))
+      }
+      val expected = ids.flatMap { id =>
+        val inBase = id % 13 != 5
+        lastOp(id) match {
+          case Some(("D", _))  => None // deleted — absent whatever came before
+          case Some((tag, n))  =>
+            Some(id -> (tag, if (inBase) "updated" else "inserted", n))
+          case None            =>
+            if (inBase) Some(id -> ("base", "kept", 0L)) else None
+        }
+      }.toMap
+      val got = SparkEntry.queries("q_upsert")(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3))).toMap
+      assert(got.keySet === expected.keySet, s"live-row key set diverges at $dir")
+      expected.foreach { case (id, (tag, origin, n)) =>
+        val (_, gotOrigin, gotN) = got(id)
+        assert(gotOrigin == origin && gotN == n,
+          s"doc $id at $dir: got ($gotOrigin, $gotN) want ($origin, $n)")
+      }
+      // every path of the precedence lattice must actually fire
+      def branch(p: Long => Boolean, what: String): Unit =
+        assert(ids.exists(p), s"$what vacuous at $dir")
+      branch(id => id % 13 != 5 && id % 7 != 3 && id % 14 != 3 && id % 11 != 4,
+        "kept (untouched base row)")
+      branch(id => id % 13 != 5 && id % 7 == 3 && id % 11 != 4, "plain update")
+      branch(id => id % 13 != 5 && id % 14 == 3 && id % 11 != 4,
+        "latest-wins double update")
+      branch(id => id % 13 == 5 && id % 11 != 4 && id % 7 != 3, "plain insert")
+      branch(id => id % 13 == 5 && id % 7 == 3 && id % 11 != 4, "insert-then-update")
+      branch(id => id % 13 != 5 && id % 7 == 3 && id % 11 == 4, "update-then-delete")
+      branch(id => id % 13 == 5 && id % 11 == 4, "insert-then-delete")
+      // and latest-wins is OBSERVABLE: a double-updated key must carry
+      // the u2 payload, not u1 (hash inequality is the witness)
+      val dbl = ids.find(id => id % 14 == 3 && id % 11 != 4).get
+      val (h, _, _) = got(dbl)
+      val Seq(u1h, u2h) = {
+        val t = Tables(spark, dir, "documents")
+          .filter(col("doc_id") === dbl)
+          .select(md5(concat(col("text"), lit(" u1"))),
+            md5(concat(col("text"), lit(" u2"))))
+          .head()
+        Seq(t.getString(0), t.getString(1))
+      }
+      assert(h == u2h && h != u1h, s"doc $dbl at $dir carries ${h} — latest-wins broken")
+    }
+  }
 }
