@@ -189,6 +189,67 @@ object Clustering {
       .orderBy("doc_id")
   }
 
+  /** X90 — quality-keyed cluster representative (`q_dedup_rep`): per
+    * duplicate cluster, the member a quality-aware pipeline KEEPS —
+    * the longest document, doc_id tie-break (RefinedWeb's
+    * keep-the-longest rule; any deterministic quality key slots into
+    * the same argmax). X26 keeps the canonical MINIMUM id — correct
+    * as a set operation but id-blind: when a crawl's richer capture
+    * of a page carries a larger id, X26 drops the better copy. X90
+    * emits, per cluster, the size, the quality representative and
+    * whether it coincides with X26's canonical min (`rep_is_min` —
+    * the rows where it is 0 are exactly the docs the id-blind rule
+    * would have thrown away; ClusteringSpec pins both values occur).
+    *
+    * Determinism: the argmax is `max(struct(n_chars, -doc_id))` —
+    * integer length, negated-id tie-break, total order with no float
+    * anywhere.
+    *
+    * Scale shape: reuses the memoized CC labels (bounded by dup
+    * volume, NOT corpus size); ONE id-keyed join fetches member
+    * lengths from the corpus scan (AQE broadcasts the label side from
+    * runtime stats — no hint, retracts if dup volume grows), then ONE
+    * keyed aggregate over the labels with map-side partial argmax.
+    * Never a corpus-wide window, never a collect.
+    */
+  private def dedupRep(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(s, dir).select(col("doc_id"), col("cluster_id"))
+    val len = Dedup.corpus(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    labels.join(len, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("m"),
+        min(col("doc_id")).as("min_id"))
+      .select(
+        col("cluster_id").cast("long").as("cluster_id"),
+        col("n_members").cast("long").as("n_members"),
+        (-col("m.nd")).cast("long").as("rep_id"),
+        col("m.n_chars").cast("long").as("rep_chars"),
+        when(col("m.nd") === -col("min_id"), 1L).otherwise(0L).as("rep_is_min"))
+      .orderBy("cluster_id")
+  }
+
+  private def dedupRepSql: String =
+    s"""$clusterChainSql,
+       |len AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM corpus),
+       |r AS (
+       |  SELECT l.cluster_id, l.doc_id, len.n_chars,
+       |    row_number() OVER (
+       |      PARTITION BY l.cluster_id ORDER BY len.n_chars DESC, l.doc_id) AS rn
+       |  FROM labels l JOIN len USING (doc_id)),
+       |agg AS (
+       |  SELECT cluster_id, count(*) AS n_members, min(doc_id) AS min_id
+       |  FROM r GROUP BY cluster_id)
+       |SELECT CAST(r.cluster_id AS BIGINT) AS cluster_id,
+       |  CAST(agg.n_members AS BIGINT) AS n_members,
+       |  CAST(r.doc_id AS BIGINT) AS rep_id,
+       |  r.n_chars AS rep_chars,
+       |  CAST(CASE WHEN r.doc_id = agg.min_id THEN 1 ELSE 0 END AS BIGINT) AS rep_is_min
+       |FROM r JOIN agg USING (cluster_id)
+       |WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   /** X42 — per-source duplication diagnostics: the X26 keep/drop
     * verdict aggregated by crawl source — the "which feeds are
     * redundant" dashboard a curation run reports (X40 measures source
@@ -1087,6 +1148,10 @@ object Clustering {
       dedupKeep,
       Some(keepSql),
       "X26 dedup survivorship: per-doc canonical cluster and keep/drop verdict"),
+    "q_dedup_rep" -> QueryDef(
+      dedupRep,
+      Some(dedupRepSql),
+      "X90 quality-keyed cluster representative: keep-the-longest per dup cluster vs X26's min-id"),
     "q_dup_stats" -> QueryDef(
       dupStats,
       Some(dupStatsSql),

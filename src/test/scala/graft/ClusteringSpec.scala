@@ -513,4 +513,31 @@ class ClusteringSpec extends AnyFunSuite {
       got.keys.foreach { case (a, b) => assert(a <= b, s"pair ($a,$b) not in canonical order") }
     }
   }
+
+  test("q_dedup_rep picks each cluster's longest member; rep≠min-id occurs and is pinned") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    // ground truth off the oracle-green declared cluster labels + the
+    // dedup corpus's own text lengths (copies are not in `documents`)
+    val members = SparkEntry.queries("q_dedup_cluster")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val len = graft.operators.Dedup.corpus(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = members.groupBy(_._2).map { case (cid, ms) =>
+      val ids = ms.map(_._1)
+      val rep = ids.maxBy(id => (len(id), -id))
+      cid -> (ids.length.toLong, rep, len(rep),
+        if (rep == ids.min) 1L else 0L)
+    }
+    val got = SparkEntry.queries("q_dedup_rep")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === expected, "q_dedup_rep diverges from the sequential argmax recount")
+    // the operator's reason to exist: clusters where the quality rep
+    // is NOT the canonical min X26 keeps — and the dull case too
+    val flags = got.values.map(_._4).toSet
+    assert(flags == Set(0L, 1L),
+      s"rep_is_min branches degenerate (saw $flags) — the keep-longest rule is vacuous vs X26")
+  }
 }

@@ -788,6 +788,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"snapshot diff plans a window:\n$plan")
   }
 
+  test("q_upsert: one full-outer id join, feed collapsed map-side, no window") {
+    val plan = SparkEntry.queries("q_upsert")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(joinOps(plan) == 1 && plan.contains("FullOuter"),
+      s"upsert should plan exactly one full-outer merge join:\n$plan")
+    assert(!plan.contains("Window"), s"upsert plans a window:\n$plan")
+    // the latest-op argmax must show a partial aggregate BELOW the
+    // feed's exchange (map-side collapse — the feed shuffles collapsed
+    // keys, not raw ops); struct-max plans as SortAggregate pairs
+    assert(plan.linesIterator.count(_.trim.startsWith("+- SortAggregate")) >= 2
+      || plan.contains("partial_max"),
+      s"feed argmax lost its map-side partial:\n$plan")
+  }
+
   test("q_tok_fertility joins only the doc metadata — merges stay plan literals") {
     val plan = SparkEntry.queries("q_tok_fertility")(spark, sf)
       .queryExecution.executedPlan.toString
