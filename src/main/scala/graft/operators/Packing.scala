@@ -260,6 +260,74 @@ object Packing {
        |  CAST((20000 * n_crossing + n_docs) // (2 * n_docs) AS DOUBLE) / 10000.0 AS crossing_frac
        |FROM a ORDER BY ctx""".stripMargin
 
+  /** Compaction target size in payload bytes. 4 KiB against this
+    * corpus's 49–553-byte docs ⇒ several docs per file and several
+    * files per source at sf0.01 — the knob a real OPTIMIZE sets to
+    * ~1 GiB. Deliberately NOT row-count-based: compaction exists to
+    * equalize BYTES (scan cost), which doc counts only proxy.
+    */
+  private[graft] val targetFileBytes = 4096L
+
+  /** X91 — compaction / file bin-packing plan (`q_compact_plan`): the
+    * OPTIMIZE step every streaming-ingested 100 TB table needs —
+    * micro-batch sinks write thousands of KB-sized files, and scan
+    * cost degrades with file count (driver listing, task scheduling,
+    * per-file open overhead), so a maintenance job periodically
+    * rewrites each partition's small files into ~target-sized ones.
+    * This operator emits the PLAN: a deterministic (source, file_seq)
+    * assignment — docs in (source, doc_id) order, cut greedily at the
+    * byte target — with per-planned-file stats (docs, bytes, id
+    * range). The rewrite job executes it with ONE
+    * `repartitionByRange(source, file_seq)` + per-file writers; the
+    * plan itself is what needs the distributed thinking.
+    *
+    * Scale shape: the only corpus-wide structure is the byte prefix
+    * sum, and it reuses [[prefixSumByRange]] GLOBALLY over the total
+    * order (source, doc_id) — a per-SOURCE window would put one
+    * source's whole byte stream in a single sort task (the X38/X85
+    * skew hazard, on the operator whose very premise is that some
+    * sources are huge). The per-source exclusive prefix is recovered
+    * arithmetically: global_prefix − min(global_prefix) over the
+    * source (a ≤|sources|-row aggregate broadcast back, the house
+    * bounded-broadcast rule). File cut = prefix DIV target; the final
+    * rollup is one keyed aggregate on (source, file_seq) with
+    * map-side partials. All integer (ASCII corpus: length == bytes),
+    * no float anywhere.
+    */
+  private def compactPlan(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("bytes"))
+    val b = prefixSumByRange(t, Seq("source", "doc_id"), "bytes", "cb")
+    val base = b.groupBy(col("source")).agg(min(col("cb")).as("base"))
+    b.join(base, Seq("source"))
+      .withColumn("file_seq",
+        expr(s"CAST((cb - base) DIV $targetFileBytes AS BIGINT)"))
+      .groupBy(col("source"), col("file_seq"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("bytes")).cast("long").as("bytes"),
+        min(col("doc_id")).cast("long").as("first_doc"),
+        max(col("doc_id")).cast("long").as("last_doc"))
+      .orderBy(col("source"), col("file_seq"))
+  }
+
+  private def compactPlanSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS bytes FROM documents),
+       |p AS (
+       |  SELECT doc_id, source, bytes,
+       |    COALESCE(SUM(bytes) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS loc
+       |  FROM d)
+       |SELECT source, CAST(loc // $targetFileBytes AS BIGINT) AS file_seq,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(bytes) AS BIGINT) AS bytes,
+       |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+       |  CAST(max(doc_id) AS BIGINT) AS last_doc
+       |FROM p GROUP BY source, file_seq
+       |ORDER BY source, file_seq""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_pack_chunks" -> QueryDef(
       packChunks,
@@ -297,5 +365,9 @@ object Packing {
       packEfficiency,
       Some(packEfficiencySql),
       "X75 packing-efficiency report: bins/waste/boundary-crossings per context length"),
+    "q_compact_plan" -> QueryDef(
+      compactPlan,
+      Some(compactPlanSql),
+      "X91 compaction plan: greedy byte-target file bin-packing per source, exact prefix sums"),
   )
 }

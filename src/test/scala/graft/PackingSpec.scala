@@ -137,4 +137,48 @@ class PackingSpec extends AnyFunSuite {
       got.foreach { case (c, (_, _, _, waste, _, _)) => assert(waste >= 0 && waste < c) }
     }
   }
+
+  test("q_compact_plan equals a sequential greedy bin-pack per source; multi-file sources exist") {
+    import org.apache.spark.sql.functions._
+    val target = graft.operators.Packing.targetFileBytes
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("source"), col("doc_id"), length(col("text")).cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // driver-side greedy replay: per source in doc_id order, cut at
+      // the byte target off the exclusive prefix
+      val expected = docs.groupBy(_._1).flatMap { case (src, ds) =>
+        var cum = 0L
+        ds.sortBy(_._2).map { case (_, id, bytes) =>
+          val f = cum / target; cum += bytes
+          ((src, f), (id, bytes))
+        }.groupBy(_._1).map { case (k, xs) =>
+          k -> (xs.length.toLong, xs.map(_._2._2).sum,
+            xs.map(_._2._1).min, xs.map(_._2._1).max)
+        }
+      }
+      val got = SparkEntry.queries("q_compact_plan")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(got === expected, s"compaction plan diverges from the greedy replay at $dir")
+      // conservation: planned bytes == corpus bytes, no doc lost
+      assert(got.values.map(_._2).sum === docs.map(_._3).sum, s"byte leak at $dir")
+      assert(got.values.map(_._1).sum === docs.length.toLong, s"doc leak at $dir")
+    }
+    // the operator's reason to exist fires at sf0.01: sources larger
+    // than one target file get split, and every non-final file is
+    // near-full (short by at most one straddling document)
+    val at01 = SparkEntry.queries("q_compact_plan")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val bySrc = at01.groupBy(_._1)
+    assert(bySrc.exists(_._2.length > 1), "no source split into several files — target too big")
+    val maxDoc = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .agg(max(length(col("text")).cast("long"))).head().getLong(0)
+    bySrc.foreach { case (src, fs) =>
+      fs.sortBy(_._2).dropRight(1).foreach { case (_, seq, bytes) =>
+        assert(bytes > target - maxDoc,
+          s"$src file $seq holds $bytes bytes — greedy cut drifted from the target")
+      }
+    }
+  }
 }
