@@ -328,6 +328,104 @@ object Packing {
        |FROM p GROUP BY source, file_seq
        |ORDER BY source, file_seq""".stripMargin
 
+  /** Output file count for the X92 Z-order layout — the "file" grain
+    * min/max stats attach to. 16 against 1k–10k-row test events; a
+    * real OPTIMIZE ZORDER derives it from total bytes / target size
+    * (X91's knob).
+    */
+  private[graft] val zorderFiles = 16L
+
+  /** Bit-interleave of two 8-bit lattice coordinates as a pure
+    * integer-arithmetic expression — Σᵢ bitᵢ(a)·4ⁱ + bitᵢ(b)·2·4ⁱ,
+    * stated with div/mod/multiply only so the SAME formula string
+    * (modulo each engine's integer-division spelling) evaluates
+    * bit-identically in Spark and DuckDB. Generated, not hand-written:
+    * 16 terms that could silently drift are one loop here.
+    */
+  private[graft] def zInterleaveExpr(a: String, b: String, divOp: String): String =
+    (0 until 8).map { i =>
+      val p = 1L << i
+      val q = 1L << (2 * i)
+      s"((($a) $divOp $p) % 2) * $q + ((($b) $divOp $p) % 2) * ${2 * q}"
+    }.mkString(" + ")
+
+  /** X92 — Z-order (space-filling-curve) layout (`q_zorder`): the
+    * multi-dimensional data-skipping step — Delta's OPTIMIZE ZORDER,
+    * Iceberg's sort-order rewrite — for tables queried on MORE THAN
+    * ONE column. A time-ordered events table skips beautifully on
+    * `ts` predicates and not at all on `user_id` (every file spans
+    * the full user range); linearizing on the interleaved bits of
+    * both dimensions gives every file a small RECTANGLE in
+    * (user, time) space, so min/max file stats prune on either
+    * predicate, at the cost of each dimension's span growing from
+    * ~1/F to ~1/√F of its domain. Declared output is the stats table
+    * the skipping decision actually reads: per planned file, row
+    * count and the (user-bucket, time-bucket) min/max rectangle —
+    * PackingSpec measures the claim by comparing summed rectangle
+    * areas against the naive id-ordered layout.
+    *
+    * Mechanics, all integer-exact: both dimensions scale to a 0..255
+    * lattice off a one-row min/max stats broadcast (the X18 pattern —
+    * `((v − v₀)·256) div (v₁ − v₀ + 1)`), the z-value is
+    * [[zInterleaveExpr]] (pure div/mod arithmetic, same formula
+    * interpolated into both engines), and the file cut is the X31
+    * machinery: global z-rank via [[Extensions.rankedByRange]] under
+    * a constant group (never a single-task global sort), ranks joined
+    * back by the unique event id, `file = ((rank−1)·F) div n`.
+    *
+    * Scale shape: one events scan + two plan-constant broadcasts +
+    * ONE executed range exchange (reuse-pinned) + an id-keyed rank
+    * join + a ≤F-row aggregate. At 100 TB the same plan IS the
+    * rewrite job — swap the final aggregate for
+    * `repartitionByRange(file_id)` writers and keep the stats as the
+    * manifest entries.
+    */
+  private def zorder(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val stats = e.agg(
+      min(col("user_id")).as("u0"), max(col("user_id")).as("u1"),
+      min(col("us")).as("t0"), max(col("us")).as("t1"),
+      count(lit(1)).as("n"))
+    val z = e.crossJoin(broadcast(stats))
+      .select(col("event_id"), col("n"),
+        expr("CAST(((user_id - u0) * 256) DIV (u1 - u0 + 1) AS BIGINT)").as("ub"),
+        expr("CAST(((us - t0) * 256) DIV (t1 - t0 + 1) AS BIGINT)").as("tb"))
+      .withColumn("z", expr(zInterleaveExpr("ub", "tb", "DIV")).cast("long"))
+    val ranked = Extensions.rankedByRange(
+      z.select(col("z"), col("event_id")).withColumn("g", lit(1)),
+      "g", Seq("z", "event_id"), "zr")
+      .select(col("event_id"), col("zr"))
+    z.join(ranked, Seq("event_id"))
+      .withColumn("file_id", expr(s"CAST(((zr - 1) * $zorderFiles) DIV n AS BIGINT)"))
+      .groupBy(col("file_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        min(col("ub")).cast("long").as("ub_min"),
+        max(col("ub")).cast("long").as("ub_max"),
+        min(col("tb")).cast("long").as("tb_min"),
+        max(col("tb")).cast("long").as("tb_max"))
+      .orderBy(col("file_id"))
+  }
+
+  private def zorderSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+       |st AS (SELECT min(user_id) AS u0, max(user_id) AS u1,
+       |         min(us) AS t0, max(us) AS t1, count(*) AS n FROM e),
+       |b AS (
+       |  SELECT event_id, n,
+       |    ((user_id - u0) * 256) // (u1 - u0 + 1) AS ub,
+       |    ((us - t0) * 256) // (t1 - t0 + 1) AS tb
+       |  FROM e, st),
+       |z AS (SELECT event_id, n, ub, tb,
+       |        ${zInterleaveExpr("ub", "tb", "//")} AS z FROM b),
+       |r AS (SELECT *, row_number() OVER (ORDER BY z, event_id) AS zr FROM z)
+       |SELECT CAST(((zr - 1) * $zorderFiles) // n AS BIGINT) AS file_id,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(min(ub) AS BIGINT) AS ub_min, CAST(max(ub) AS BIGINT) AS ub_max,
+       |  CAST(min(tb) AS BIGINT) AS tb_min, CAST(max(tb) AS BIGINT) AS tb_max
+       |FROM r GROUP BY file_id ORDER BY file_id""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_pack_chunks" -> QueryDef(
       packChunks,
@@ -369,5 +467,9 @@ object Packing {
       compactPlan,
       Some(compactPlanSql),
       "X91 compaction plan: greedy byte-target file bin-packing per source, exact prefix sums"),
+    "q_zorder" -> QueryDef(
+      zorder,
+      Some(zorderSql),
+      "X92 Z-order layout: bit-interleaved (user, time) file assignment + min/max skipping stats"),
   )
 }

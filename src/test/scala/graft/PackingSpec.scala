@@ -181,4 +181,63 @@ class PackingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_zorder equals a sequential interleave recount and out-prunes the id-ordered layout") {
+    import org.apache.spark.sql.functions._
+    val F = graft.operators.Packing.zorderFiles.toInt
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Tables(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val (u0, u1) = (rows.map(_._2).min, rows.map(_._2).max)
+      val (t0, t1) = (rows.map(_._3).min, rows.map(_._3).max)
+      val n = rows.length.toLong
+      def interleave(a: Long, b: Long): Long =
+        (0 until 8).map { i =>
+          ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1)
+        }.sum
+      val coords = rows.map { case (id, u, us) =>
+        val ub = (u - u0) * 256 / (u1 - u0 + 1)
+        val tb = (us - t0) * 256 / (t1 - t0 + 1)
+        (id, ub, tb, interleave(ub, tb))
+      }
+      // sequential replay of the declared layout
+      val zFiles = coords.sortBy(c => (c._4, c._1)).zipWithIndex
+        .map { case ((_, ub, tb, _), i) => (i.toLong * F / n, ub, tb) }
+        .groupBy(_._1).map { case (f, xs) =>
+          f -> (xs.length.toLong,
+            xs.map(_._2).min, xs.map(_._2).max, xs.map(_._3).min, xs.map(_._3).max)
+        }
+      val got = SparkEntry.queries("q_zorder")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(got === zFiles, s"z-order stats diverge from the sequential replay at $dir")
+      // the skipping claim, measured: for a point predicate on ONE
+      // dimension, how many of the F files does the min/max rectangle
+      // force open, averaged over the dimension's occupied values?
+      // The id-ordered (≈ time-ordered) layout prunes time perfectly
+      // and users not at all; Z-order must beat it on the WORST
+      // dimension — that trade is the whole reason the operator exists.
+      def avgOpen(files: Iterable[(Long, Long)], probes: Seq[Long]): Double =
+        probes.map(v => files.count { case (lo, hi) => lo <= v && v <= hi }).sum
+          .toDouble / probes.length
+      def worst(stats: Iterable[(Long, Long, Long, Long, Long)]): Double = {
+        val uProbes = coords.map(_._2).distinct.toSeq
+        val tProbes = coords.map(_._3).distinct.toSeq
+        math.max(
+          avgOpen(stats.map(s => (s._2, s._3)), uProbes),
+          avgOpen(stats.map(s => (s._4, s._5)), tProbes))
+      }
+      val idFiles = coords.sortBy(_._1).zipWithIndex
+        .map { case ((_, ub, tb, _), i) => (i.toLong * F / n, ub, tb) }
+        .groupBy(_._1).map { case (_, xs) =>
+          (xs.length.toLong,
+            xs.map(_._2).min, xs.map(_._2).max, xs.map(_._3).min, xs.map(_._3).max)
+        }
+      val (zWorst, idWorst) = (worst(got.values), worst(idFiles))
+      assert(zWorst < 0.7 * idWorst,
+        s"z-order worst-dimension pruning ($zWorst files) does not clearly beat " +
+          s"the id-ordered layout ($idWorst files) at $dir")
+    }
+  }
 }

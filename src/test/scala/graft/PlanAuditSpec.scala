@@ -435,7 +435,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // per-partition table is the one allowed exception, bounded by
     // shuffle.partitions rows)
     Seq("q_pack_chunks", "q_split_hash", "q_source_cap", "q_quality_blend",
-        "q_quality_cut", "q_pack_efficiency", "q_compact_plan").foreach { q =>
+        "q_quality_cut", "q_pack_efficiency", "q_compact_plan",
+        "q_zorder").foreach { q =>
       val qe = SparkEntry.queries(q)(spark, sf).queryExecution
       import org.apache.spark.sql.catalyst.plans.logical
       val windows = qe.optimizedPlan.collect { case w: logical.Window => w }
@@ -468,7 +469,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // fails here instead of producing wrong prefix sums at 100 TB.
     Seq("q_pack_chunks", "q_split_hash", "q_quality_cut", "q_pack_efficiency",
         "q_weighted_sample", "q_cluster_sample", "q_source_cap",
-        "q_source_quantiles", "q_compact_plan").foreach { q =>
+        "q_source_quantiles", "q_compact_plan", "q_zorder").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect() // AQE finalizes stage reuse at runtime
       // the rendered AQE plan appends an "== Initial Plan ==" section;
