@@ -769,6 +769,62 @@ object Similarity {
        |FROM b ORDER BY vec_id""".stripMargin
   }
 
+  /** X93 — exact embedding gram matrix (`q_embed_gram`): Σᵥ xᵥxᵥᵀ as
+    * ONE distributed aggregate — the d×d sufficient statistic behind
+    * PCA/whitening/covariance (cov = G/n − μμᵀ): the standard first
+    * move when a 100 TB embedding column needs a DATA-DRIVEN
+    * projection instead of X88's oblivious JL signs. The full
+    * pipeline splits exactly here: the corpus-sized half is this gram
+    * aggregate; the d×d eigensolve is driver-side on 2080 numbers
+    * (SimilaritySpec runs that power iteration and measures the top
+    * component's variance share — the operator IS distributed PCA's
+    * data pass).
+    *
+    * Integer-exact: components snap to millionths at the scan (the
+    * X71 rule), so every product is an exact integer in 10⁻¹² units
+    * and the sum is order-free — no float matmul anywhere, the oracle
+    * hash-matches by construction.
+    *
+    * Scale shape: ZERO joins — the d(d+1)/2 upper-triangle products
+    * are generated IN-ROW by one nested-transform expression feeding
+    * one explode (the narrow X73 regime: no cross-projection HOF
+    * reference for CollapseProject to re-inline, r14 winnow lesson),
+    * then ONE (i,j)-keyed aggregate whose map-side partials collapse
+    * every partition to ≤2080 rows before the only shuffle. The
+    * interior runs in DECIMAL(38,0): at 10⁹ vectors a cell is ~10²¹
+    * — past long, inside HUGEINT/decimal (the declared BIGINT output
+    * is exact at test SFs; a 100 TB run keeps the decimal column).
+    */
+  private def embedGram(s: SparkSession, dir: String): DataFrame = {
+    val pairs = expr(
+      """flatten(transform(sequence(1, size(embedding)), i ->
+        |  transform(sequence(i, size(embedding)), j ->
+        |    struct(i AS i, j AS j,
+        |      CAST(round(CAST(element_at(embedding, i) AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |      * CAST(round(CAST(element_at(embedding, j) AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS p))))
+        |""".stripMargin)
+    Tables(s, dir, "embeddings")
+      .select(explode(pairs).as("x"))
+      .select(col("x.i").as("dim_i"), col("x.j").as("dim_j"), col("x.p").as("p"))
+      .groupBy(col("dim_i"), col("dim_j"))
+      .agg(sum(col("p").cast("decimal(38,0)")).as("g"))
+      .select(col("dim_i").cast("long").as("dim_i"),
+        col("dim_j").cast("long").as("dim_j"),
+        col("g").cast("long").as("g_fixed"))
+      .orderBy(col("dim_i"), col("dim_j"))
+  }
+
+  private def embedGramSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, s.i AS i,
+      |    CAST(round(CAST(emb[s.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xf
+      |  FROM (SELECT vec_id, embedding AS emb FROM embeddings) t,
+      |  LATERAL unnest(generate_series(1, len(emb))) AS s(i))
+      |SELECT CAST(a.i AS BIGINT) AS dim_i, CAST(b.i AS BIGINT) AS dim_j,
+      |  CAST(sum(CAST(a.xf AS HUGEINT) * b.xf) AS BIGINT) AS g_fixed
+      |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |GROUP BY a.i, b.i ORDER BY dim_i, dim_j""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_sim_bucketed" -> QueryDef(
       simBucketed,
@@ -815,6 +871,10 @@ object Similarity {
       jlProject,
       Some(jlSql),
       "X88 JL +/-1 projection 64->16: exact integer components, per-vector isometry audit"),
+    "q_embed_gram" -> QueryDef(
+      embedGram,
+      Some(embedGramSql),
+      "X93 exact embedding gram matrix: one in-row upper-triangle expand + one (i,j) aggregate"),
   )
 
   private def ivfPqSql: String =

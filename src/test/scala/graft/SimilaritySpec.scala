@@ -713,4 +713,49 @@ class SimilaritySpec extends AnyFunSuite {
       info(f"$dir: per-vector mean $mean%.4f, pairwise mean $pmean%.4f over ${pairRatios.size} pairs")
     }
   }
+
+  test("q_embed_gram equals a driver XᵀX recount; its eigensolve completes distributed PCA") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val vecs = Tables(spark, dir, "embeddings")
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(x => math.round(x.toDouble * 1e6)).toArray)
+      val d = vecs.head.length
+      val expected = (for {
+        i <- 1 to d; j <- i to d
+      } yield (i.toLong, j.toLong) ->
+        vecs.map(v => v(i - 1) * v(j - 1)).sum).toMap
+      val got = SparkEntry.queries("q_embed_gram")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === expected, s"gram matrix diverges from the driver XᵀX at $dir")
+      // the driver-side half of PCA on the collected d×d statistic:
+      // power iteration must converge to a dominant eigenpair whose
+      // variance share is a real number — above the flat-spectrum
+      // floor (1/d of the trace) and within the trace. This closes
+      // the loop: the declared aggregate IS the data pass of PCA.
+      val g = Array.tabulate(d, d) { (a, b) =>
+        val (i, j) = (math.min(a, b) + 1L, math.max(a, b) + 1L)
+        got((i, j)).toDouble / 1e12
+      }
+      var v = Array.fill(d)(1.0 / math.sqrt(d))
+      var lambda = 0.0
+      (1 to 200).foreach { _ =>
+        val w = g.map(row => row.zip(v).map { case (x, y) => x * y }.sum)
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        v = w.map(_ / norm)
+        lambda = norm
+      }
+      val trace = (0 until d).map(i => g(i)(i)).sum
+      assert(lambda > trace / d,
+        s"top eigenvalue $lambda below the flat-spectrum floor ${trace / d} at $dir")
+      assert(lambda <= trace * (1 + 1e-9),
+        s"top eigenvalue $lambda exceeds the trace $trace at $dir — gram not PSD-consistent")
+      info(f"$dir: top component carries ${100 * lambda / trace}%.1f%% of the variance (d=$d)")
+    }
+    // scale-shape pin: the gram pass is join-free and window-free —
+    // one in-row expand into one keyed aggregate
+    val plan = SparkEntry.queries("q_embed_gram")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"q_embed_gram plans a join:\n$plan")
+    assert(!plan.contains("Window"), s"q_embed_gram plans a window:\n$plan")
+  }
 }
