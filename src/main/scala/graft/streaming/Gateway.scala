@@ -70,6 +70,24 @@ final case class BufStatus(node: Long, buffered: Int, evictedTotal: Long)
 /** bufferCapStream state as parallel primitive arrays (clean encoder). */
 private[streaming] final case class BufState(tsUs: Array[Long], values: Array[Double], evicted: Long)
 
+/** One CDC operation for [[Gateway.upsertFeed]]: `op` is "U" (update /
+  * insert-on-missing) with payload `p`, or "D" (delete, `p` null);
+  * `inBase` is the stream-static membership flag against the base
+  * snapshot (joined upstream — the state function never reads the
+  * base table).
+  */
+final case class CdcOp(docId: Long, seq: Long, op: String, p: String, inBase: Boolean)
+
+/** The continuously-maintained merge verdict for one touched key:
+  * `live` 0 means the key is currently deleted (a tombstone the
+  * downstream view consumer needs); `h` is the latest payload for
+  * live rows, null for tombstones.
+  */
+final case class UpsertVerdict(docId: Long, h: String, origin: String, nOps: Long, live: Long)
+
+/** upsertFeed state: the highest-sequence op seen so far + op count. */
+private[streaming] final case class UpsertState(seq: Long, op: String, p: String, nOps: Long)
+
 object Gateway {
 
   /** `[listeners]` section analog (※ oemgateway.conf: per-listener
@@ -807,6 +825,57 @@ object Gateway {
           }
           state.update(lastUs)
           kept.iterator
+      }
+  }
+
+  /** Streaming X89 — `upsertFeed`: the batch CDC merge (`q_upsert`)
+    * as a continuously-maintained view — the Delta streaming-MERGE
+    * shape: a change feed arrives as a stream, per-key state holds
+    * the highest-sequence operation seen so far, and every
+    * micro-batch emits each touched key's CURRENT merged verdict
+    * (latest payload + origin for live keys, a tombstone for deleted
+    * ones — downstream view consumers need the tombstone, so `live`
+    * is a column, not a filter).
+    *
+    * Latest-wins is by SEQUENCE, not arrival: an op whose seq is
+    * below the state's only increments the op count, so the verdict
+    * is invariant under cross-batch reordering — GatewaySpec delivers
+    * the ops SCRAMBLED across micro-batches and pins each key's final
+    * verdict ≡ the batch `q_upsert` row. Untouched base rows are not
+    * the stream's business (the batch full-outer's kept side); a
+    * consumer materializes base ∪ live verdicts.
+    *
+    * Scale shape: state is ONE (seq, op, payload, count) per DISTINCT
+    * touched key — bounded by the live change-key set, not traffic,
+    * and orders of magnitude under the table size (the same argument
+    * as the batch side's feed-pays-the-shuffle). `inBase` rides in on
+    * each op from an upstream stream-static id join against the base
+    * snapshot (the admitFeed dictionary pattern); the state function
+    * itself never touches the base table.
+    */
+  def upsertFeed(ops: Dataset[CdcOp]): Dataset[UpsertVerdict] = {
+    import ops.sparkSession.implicits._
+    ops
+      .groupByKey(_.docId)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (id: Long, it: Iterator[CdcOp], state: GroupState[UpsertState]) =>
+          val incoming = it.toArray.sortBy(_.seq)
+          var st = state.getOption.getOrElse(UpsertState(Long.MinValue, null, null, 0L))
+          var inBase = false
+          incoming.foreach { o =>
+            inBase = o.inBase
+            st =
+              if (o.seq > st.seq) UpsertState(o.seq, o.op, o.p, st.nOps + 1)
+              else st.copy(nOps = st.nOps + 1)
+          }
+          state.update(st)
+          val live = st.op != "D"
+          Iterator.single(UpsertVerdict(
+            id,
+            if (live) st.p else null,
+            if (inBase) "updated" else "inserted",
+            st.nOps,
+            if (live) 1L else 0L))
       }
   }
 

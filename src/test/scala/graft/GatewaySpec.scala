@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{Gateway, TypedEvent}
+import graft.streaming.{CdcOp, Gateway, TypedEvent}
 import graft.streaming.Gateway.{BufferConf, GatewayConf, ListenerConf}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1417,6 +1417,66 @@ class GatewaySpec extends AnyFunSuite {
       assert(streamed === batch,
         s"streamed debounce diverges from batch q_debounce " +
           s"(stream ${streamed.size} rows, batch ${batch.size})")
+    } finally q.stop()
+  }
+
+  test("upsertFeed: scrambled cross-batch CDC ops converge to the batch q_upsert verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // the same four deterministic streams the batch operator derives
+    // (X89: ins seq1 on %13=5, u1 seq2 on %7=3, u2 seq3 on %14=3,
+    // del seq4 on %11=4), delivered OUT of sequence order across
+    // micro-batches — latest-wins must be by seq, not arrival
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(col("text"), lit(" i1"))),
+        md5(concat(col("text"), lit(" u1"))),
+        md5(concat(col("text"), lit(" u2"))))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    def inBase(id: Long) = id % 13 != 5
+    val ops = docs.flatMap { case (id, i1, u1, u2) =>
+      Seq(
+        Option.when(id % 13 == 5)(CdcOp(id, 1L, "U", i1, inBase(id))),
+        Option.when(id % 7 == 3)(CdcOp(id, 2L, "U", u1, inBase(id))),
+        Option.when(id % 14 == 3)(CdcOp(id, 3L, "U", u2, inBase(id))),
+        Option.when(id % 11 == 4)(CdcOp(id, 4L, "D", null, inBase(id)))
+      ).flatten
+    }
+    assert(ops.nonEmpty && ops.exists(_.op == "D") && ops.exists(!_.inBase))
+    // scramble: high seqs first, then lows — three batches
+    val parts = ops.sortBy(o => (-o.seq, o.docId)).grouped((ops.length + 2) / 3).toSeq
+    assert(parts.size >= 3)
+    val ms = MemoryStream[CdcOp]
+    val sink = s"upsert_feed_${System.nanoTime()}"
+    val q = Gateway.upsertFeed(ms.toDS())
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    try {
+      parts.foreach { p => ms.addData(p: _*); q.processAllAvailable() }
+      // update-mode memory sink appends each emission; a key's verdict
+      // is its LAST emitted row (track by max nOps — monotone per key)
+      val finals = spark.table(sink)
+        .select(col("docId"), col("h"), col("origin"), col("nOps"), col("live"))
+        .collect().map(r => (r.getLong(0),
+          (Option(r.getString(1)), r.getString(2), r.getLong(3), r.getLong(4))))
+        .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).maxBy(_._3) }
+      val batch = SparkEntry.queries("q_upsert")(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3))).toMap
+      val touched = ops.map(_.docId).toSet
+      assert(finals.keySet === touched, "stream emitted verdicts for the wrong key set")
+      finals.foreach { case (id, (h, origin, nOps, live)) =>
+        batch.get(id) match {
+          case Some((bh, bo, bn)) => // live in batch output
+            assert(live == 1L && h.contains(bh) && origin == bo && nOps == bn,
+              s"key $id: stream ($h, $origin, $nOps, live=$live) vs batch ($bh, $bo, $bn)")
+          case None => // deleted by the feed → tombstone
+            assert(live == 0L && h.isEmpty,
+              s"key $id deleted in batch but stream says live=$live h=$h")
+        }
+      }
+      // untouched base rows are the batch side's kept rows only
+      assert(batch.keys.count(id => !touched.contains(id)) > 0,
+        "no untouched kept rows — the batch/stream division of labour is vacuous")
     } finally q.stop()
   }
 }
