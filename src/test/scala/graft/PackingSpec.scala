@@ -240,4 +240,68 @@ class PackingSpec extends AnyFunSuite {
           s"the id-ordered layout ($idWorst files) at $dir")
     }
   }
+
+  test("the z-order layout, written for real, serves a point predicate from stats-pruned files") {
+    // X92's claim made physical (the X7/X34 partition-pin precedent):
+    // materialize the 16 planned files as a file_id-partitioned
+    // parquet layout, prune with the DECLARED stats table the way a
+    // manifest-driven reader (Delta/Iceberg) does — files whose
+    // [min,max] rectangle misses the predicate are never opened —
+    // and read the scan's own partition metric to prove it.
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val F = graft.operators.Packing.zorderFiles
+    val stats = SparkEntry.queries("q_zorder")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // rebuild the per-event assignment exactly as the spec above did
+    val rows = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (u0, u1) = (rows.map(_._2).min, rows.map(_._2).max)
+    val (t0, t1) = (rows.map(_._3).min, rows.map(_._3).max)
+    val n = rows.length.toLong
+    def interleave(a: Long, b: Long): Long =
+      (0 until 8).map { i =>
+        ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1)
+      }.sum
+    val assign = rows.map { case (id, u, us) =>
+      val ub = (u - u0) * 256 / (u1 - u0 + 1)
+      (id, ub, interleave(ub, (us - t0) * 256 / (t1 - t0 + 1)))
+    }.sortBy(c => (c._3, c._1)).zipWithIndex
+      .map { case ((id, ub, _), i) => (id, ub, i.toLong * F / n) }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_layout").toString
+    try {
+      import spark.implicits._
+      assign.map { case (id, ub, f) => (id, ub, f) }.toSeq
+        .toDF("event_id", "ub", "file_id")
+        .write.mode("overwrite").partitionBy("file_id").parquet(tmp)
+      val layout = spark.read.parquet(tmp)
+      // a point predicate on the WEAK dimension of a time-ordered
+      // table: one user bucket; candidate files from the stats alone
+      val probeUb = assign.map(_._2).groupBy(identity).maxBy(_._2.length)._1
+      val cand = stats.filter { case (_, lo, hi, _, _) => lo <= probeUb && probeUb <= hi }
+        .map(_._1)
+      assert(cand.nonEmpty && cand.length < F,
+        s"stats prune nothing for ub=$probeUb (${cand.length} of $F files) — pin vacuous")
+      def partitionsRead(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        val scan = df.queryExecution.executedPlan.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        assert(scan.nonEmpty, "no FileSourceScanExec in the probe plan")
+        scan.get.metrics("numPartitions").value
+      }
+      val probe = layout.filter(col("file_id").isin(cand: _*) && col("ub") === probeUb)
+      assert(partitionsRead(probe) === cand.length.toLong,
+        "probe opened files outside the stats-pruned candidate set")
+      assert(partitionsRead(spark.read.parquet(tmp)) === F)
+      // and pruning loses nothing: the pruned read returns every
+      // matching event (the stats candidates COVER the predicate)
+      val full = layout.filter(col("ub") === probeUb).count()
+      assert(probe.count() === full && full > 0,
+        s"stats-pruned read dropped rows ($full matching events)")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
