@@ -1028,6 +1028,94 @@ object Curation {
       |FROM j WHERE lop IS NULL OR lop <> 'D'
       |ORDER BY doc_id""".stripMargin
 
+  /** Bootstrap replicate count for X94. 50 balances a usable CI
+    * against the B× replicate fan-out a Poisson bootstrap pays.
+    */
+  private[graft] val bootstrapB = 50
+
+  /** X94 — Poisson-bootstrap uncertainty (`q_bootstrap`): the error
+    * bar on a corpus statistic — every curation dashboard reports
+    * "mean tokens per doc = 54.2"; a 100 TB decision ("did the new
+    * filter change the corpus?") needs to know whether ±0.4 of drift
+    * is signal or sampling noise. The streaming-friendly bootstrap
+    * (Chamandy et al., "Estimating uncertainty for massive data
+    * streams"): instead of resampling n-out-of-n (a global
+    * shuffle-with-replacement — undistributable), each doc enters
+    * replicate r with an independent Poisson(1) weight, which matches
+    * multinomial resampling to O(1/n) and needs only per-row
+    * arithmetic. Declared output: per replicate, the effective count
+    * and the weighted mean token count; the replicate SPREAD is the
+    * CI (CurationSpec computes it and sanity-checks against
+    * σ/√n theory).
+    *
+    * Determinism: the Poisson draw is an inverse-CDF walk on a salted
+    * hash-uniform u ∈ [0, 10⁶) (the X16/X49 discipline — NEVER
+    * rand()), with the pmf thresholds fixed as millionth-grid
+    * constants (367879/735759/919699/981012/996340/999406, tail
+    * capped at 6 — the grid approximation IS the definition, so both
+    * engines agree exactly); the mean rounds 4dp in integer space.
+    *
+    * Scale shape: ONE scan fanned out ×B by an in-row explode, then
+    * ONE B-group aggregate whose map-side partials collapse every
+    * partition to ≤B rows before the only shuffle. The B× row
+    * multiplier is the honest price of the Poisson bootstrap and is
+    * CPU-narrow (two hashes and a CASE per replicate row); bag of
+    * little bootstraps would trade it for subsample orchestration —
+    * documented alternative, not taken at B=50.
+    */
+  private def bootstrap(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .select(col("doc_id"), col("tok"),
+        explode(sequence(lit(1), lit(bootstrapB))).as("r"))
+      .withColumn("u6",
+        h32(concat(lit("boot"), col("r").cast("string"), lit("_"),
+          col("doc_id").cast("string"))) % 1000000L)
+      .withColumn("w",
+        when(col("u6") < 367879L, 0L).when(col("u6") < 735759L, 1L)
+          .when(col("u6") < 919699L, 2L).when(col("u6") < 981012L, 3L)
+          .when(col("u6") < 996340L, 4L).when(col("u6") < 999406L, 5L)
+          .otherwise(6L))
+    t.groupBy(col("r"))
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("tok")).as("num"))
+      .select(
+        col("r").cast("long").as("rep"),
+        col("n_eff").cast("long").as("n_eff"),
+        when(col("n_eff") > 0,
+          expr("CAST((20000 * num + n_eff) DIV (2 * n_eff) AS BIGINT)")
+            .cast("double") / 10000.0).as("mean_tok"))
+      .orderBy(col("rep"))
+  }
+
+  private def bootstrapSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |x AS (
+       |  SELECT doc_id, tok, s.r
+       |  FROM d, LATERAL unnest(generate_series(1, $bootstrapB)) AS s(r)),
+       |u AS (
+       |  SELECT r, tok,
+       |    ('0x' || substr(md5('boot' || CAST(r AS VARCHAR) || '_'
+       |      || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS u6
+       |  FROM x),
+       |v AS (
+       |  SELECT r, tok,
+       |    CASE WHEN u6 < 367879 THEN 0 WHEN u6 < 735759 THEN 1
+       |         WHEN u6 < 919699 THEN 2 WHEN u6 < 981012 THEN 3
+       |         WHEN u6 < 996340 THEN 4 WHEN u6 < 999406 THEN 5
+       |         ELSE 6 END AS w
+       |  FROM u),
+       |a AS (
+       |  SELECT r, CAST(sum(w) AS BIGINT) AS n_eff,
+       |    CAST(sum(w * tok) AS BIGINT) AS num
+       |  FROM v GROUP BY r)
+       |SELECT CAST(r AS BIGINT) AS rep, n_eff,
+       |  CASE WHEN n_eff > 0
+       |       THEN CAST((20000 * num + n_eff) // (2 * n_eff) AS BIGINT) / 10000.0
+       |       END AS mean_tok
+       |FROM a ORDER BY rep""".stripMargin
+
   /** X73 — Gopher-style quality-rule cascade (`q_rule_filter`): the
     * published heuristic rule SET (Rae et al. 2021, Appendix A1.1;
     * reused by MassiveText/RefinedWeb/Dolma) as one narrow pass with
@@ -1628,6 +1716,10 @@ object Curation {
       snapshotDiff,
       Some(snapshotDiffSql),
       "X72 corpus snapshot diff: hash-compare full-outer delta (added/removed/changed)"),
+    "q_bootstrap" -> QueryDef(
+      bootstrap,
+      Some(bootstrapSql),
+      "X94 Poisson-bootstrap uncertainty: per-replicate weighted corpus means, hash-deterministic"),
     "q_upsert" -> QueryDef(
       upsert,
       Some(upsertSql),

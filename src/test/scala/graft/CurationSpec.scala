@@ -559,6 +559,58 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bootstrap: sequential recount; replicate spread matches sigma/sqrt(n) theory") {
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def pois(u6: Long): Long =
+      if (u6 < 367879L) 0L else if (u6 < 735759L) 1L else if (u6 < 919699L) 2L
+      else if (u6 < 981012L) 3L else if (u6 < 996340L) 4L
+      else if (u6 < 999406L) 5L else 6L
+    val B = graft.operators.Curation.bootstrapB
+    for (dir <- Seq("/root/testdata/sf0.001", sf)) {
+      val toks = Tables(spark, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val expected = (1 to B).map { r =>
+        val ws = toks.map { case (id, tok) => (pois(h32(s"boot${r}_$id") % 1000000L), tok) }
+        val nEff = ws.map(_._1).sum
+        val num = ws.map { case (w, t) => w * t }.sum
+        r.toLong -> (nEff, (20000L * num + nEff) / (2L * nEff) / 10000.0)
+      }.toMap
+      val got = SparkEntry.queries("q_bootstrap")(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got === expected, s"bootstrap replicates diverge from the driver replay at $dir")
+      // statistical closure on the larger corpus: the replicate spread
+      // IS the standard error — it must agree with sigma/sqrt(n)
+      // within a loose factor, and the true mean must sit inside the
+      // replicate range (these are deterministic numbers; the bounds
+      // only fail if the weighting scheme is broken)
+      if (dir == sf) {
+        val means = got.values.map(_._2).toSeq
+        val mm = means.sum / means.size
+        val repSd = math.sqrt(means.map(m => (m - mm) * (m - mm)).sum / (means.size - 1))
+        val n = toks.length.toDouble
+        val trueMean = toks.map(_._2).sum / n
+        val sigma = math.sqrt(toks.map(t => (t._2 - trueMean) * (t._2 - trueMean)).sum / (n - 1))
+        val theory = sigma / math.sqrt(n)
+        assert(repSd > 0.5 * theory && repSd < 2.0 * theory,
+          f"replicate sd $repSd%.4f vs theory $theory%.4f — bootstrap miscalibrated")
+        assert(means.min <= trueMean && trueMean <= means.max,
+          f"true mean $trueMean%.2f outside the replicate range [${means.min}, ${means.max}]")
+        // and the Poisson weights themselves: P(w=0) on the grid is
+        // 0.367879; the realized share over B x n draws must be close
+        val zeros = (1 to B).flatMap(r => toks.map { case (id, _) =>
+          if (pois(h32(s"boot${r}_$id") % 1000000L) == 0L) 1 else 0 }).sum
+        val share = zeros.toDouble / (B * toks.length)
+        assert(math.abs(share - 0.367879) < 0.01,
+          f"P(w=0) realized $share%.4f — hash-uniform grid is biased")
+      }
+    }
+  }
+
   test("q_upsert: sequential merge recount; every precedence branch non-vacuous") {
     for (dir <- Seq("/root/testdata/sf0.001", sf)) {
       val ids = Tables(spark, dir, "documents")
