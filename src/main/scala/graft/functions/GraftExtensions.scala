@@ -34,6 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSketch].getName, "graft_minhash_sig"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSketch(children(0))))
+    // one-pass upper-triangle gram accumulator (X93 scale path)
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_sketch"),
+      new ExpressionInfo(classOf[GramSketch].getName, "graft_gram_sketch"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GramSketch(children(0))))
     // codegen'd Unicode NFC normalization
     ext.injectFunction((
       FunctionIdentifier("graft_nfc"),

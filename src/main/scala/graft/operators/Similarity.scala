@@ -785,17 +785,41 @@ object Similarity {
     * and the sum is order-free — no float matmul anywhere, the oracle
     * hash-matches by construction.
     *
-    * Scale shape: ZERO joins — the d(d+1)/2 upper-triangle products
-    * are generated IN-ROW by one nested-transform expression feeding
-    * one explode (the narrow X73 regime: no cross-projection HOF
-    * reference for CollapseProject to re-inline, r14 winnow lesson),
-    * then ONE (i,j)-keyed aggregate whose map-side partials collapse
-    * every partition to ≤2080 rows before the only shuffle. The
-    * interior runs in DECIMAL(38,0): at 10⁹ vectors a cell is ~10²¹
-    * — past long, inside HUGEINT/decimal (the declared BIGINT output
-    * is exact at test SFs; a 100 TB run keeps the decimal column).
+    * Scale shape: ZERO joins, ZERO per-pair rows — each vector's
+    * d(d+1)/2 products accumulate into a single triangle buffer
+    * inside the one-pass [[graft.functions.GramSketch]] aggregate
+    * (ObjectHashAggregate, full map-side partials: a partition ships
+    * ONE 2080-long buffer, merge is elementwise add), and only the
+    * final ≤2080 struct rows explode for presentation. The first cut
+    * of this operator exploded every product through a hash aggregate
+    * — correct, but 43.9 s on the sf1-shape fixture vs 0.88 s for the
+    * sketch (measured, min-of-passes — a 50× cut); that explode form stays as
+    * [[embedGramExplode]], DECIMAL-interior, and SimilaritySpec pins
+    * the two paths elementwise-equal on every run — which is also
+    * the check that keeps the sketch's documented long-overflow
+    * bound (~9·10⁶ unit-scale vectors; 128-bit cells past that)
+    * honest rather than assumed.
     */
-  private def embedGram(s: SparkSession, dir: String): DataFrame = {
+  private def embedGram(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(expr(
+        """graft_gram_sketch(
+          |  transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)))
+          |""".stripMargin).as("gs"))
+      .select(explode(col("gs")).as("x"))
+      .select(col("x.i").as("dim_i"), col("x.j").as("dim_j"),
+        col("x.g").as("g_fixed"))
+      .orderBy(col("dim_i"), col("dim_j"))
+
+  /** The declarative explode-and-aggregate twin of [[embedGram]] —
+    * d(d+1)/2 in-row products into a DECIMAL(38,0) hash aggregate.
+    * Same integers with a wider interior; the declared path's
+    * long-buffer sketch is pinned elementwise-equal to this form by
+    * SimilaritySpec on every run (the MinHashSketch two-path
+    * discipline), which is also what makes the sketch's documented
+    * overflow bound checkable rather than assumed.
+    */
+  private[graft] def embedGramExplode(s: SparkSession, dir: String): DataFrame = {
     val pairs = expr(
       """flatten(transform(sequence(1, size(embedding)), i ->
         |  transform(sequence(i, size(embedding)), j ->

@@ -751,11 +751,25 @@ class SimilaritySpec extends AnyFunSuite {
         s"top eigenvalue $lambda exceeds the trace $trace at $dir — gram not PSD-consistent")
       info(f"$dir: top component carries ${100 * lambda / trace}%.1f%% of the variance (d=$d)")
     }
-    // scale-shape pin: the gram pass is join-free and window-free —
-    // one in-row expand into one keyed aggregate
+    // scale-shape pin: the gram pass is join-free and window-free and
+    // runs through the one-buffer GramSketch aggregate (a partition
+    // ships ONE triangle buffer, not d(d+1)/2 exploded rows)
     val plan = SparkEntry.queries("q_embed_gram")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"q_embed_gram plans a join:\n$plan")
     assert(!plan.contains("Window"), s"q_embed_gram plans a window:\n$plan")
+    assert(plan.contains("graft_gram_sketch") && plan.contains("ObjectHashAggregate"),
+      s"q_embed_gram no longer runs through the GramSketch aggregate:\n$plan")
+    // two-path discipline (the MinHashSketch precedent): the sketch's
+    // long-buffer arithmetic must equal the DECIMAL-interior explode
+    // form elementwise — this is also the standing check on the
+    // sketch's documented long-overflow bound
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val sketch = SparkEntry.queries("q_embed_gram")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val exploded = Similarity.embedGramExplode(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(sketch === exploded, s"GramSketch diverges from the decimal explode form at $dir")
+    }
   }
 }
