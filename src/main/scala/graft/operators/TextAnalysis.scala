@@ -958,6 +958,123 @@ object TextAnalysis {
       .orderBy("n_pts")
   }
 
+  /** X95 nested-prefix thresholds over the 2²⁰ hash-uniform domain:
+    * halving bands 2²⁰ ≫ k for k = 8..0 — powers of two so every
+    * threshold is exact in integer space (10⁶ does not halve evenly
+    * past 2⁶).
+    */
+  private[graft] val heapsThresholds: Seq[Long] = (8 to 0 by -1).map(k => 1048576L >> k)
+
+  /** X95 — vocabulary growth / Heaps'-law fit (`q_vocab_growth`): the
+    * scaling-law question a 100 TB acquisition decision actually asks
+    * — "how much NEW vocabulary does 10× more data buy?" — answered
+    * by fitting V(n) = K·nᵝ over nested corpus prefixes. X80 measures
+    * the unseen mass AT the current size (Good–Turing: how saturated
+    * are we); X95 fits the growth CURVE (how fast does saturation
+    * approach). The fit unit is the word-3-gram vocabulary (the dedup
+    * family's shingle space): this corpus's 31-word token vocabulary
+    * saturates after ~50 docs, a degenerate β ≈ 0, while the ~30k
+    * combinatorial shingle space grows with a measurable sublinear
+    * exponent — the regime real Heaps studies fit.
+    *
+    * The distributed trick is ORDER-FREE prefixes: instead of ranking
+    * docs (a global sort) the "first n docs" are the docs whose
+    * salted hash-uniform u < threshold, for nested power-of-two
+    * thresholds — so prefix membership is a per-row filter, each
+    * shingle's first-appearance prefix is just min(u) over its docs
+    * (ONE shingle-keyed aggregate), and every checkpoint count is a
+    * conditional sum. No window over anything corpus-sized; the ×9
+    * checkpoint fan-out runs over the doc table and the ǀvocabǀ-row
+    * min table, both collapsed before it. The OLS is X48's fixed-point
+    * discipline: ln-values snapped to integer millionths, integer
+    * sums, one fixed sequence of double ops — bit-identical engines.
+    * Empty or shingle-free bands drop out (deterministically in both
+    * engines) before the log.
+    */
+  private def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val thrArr = array(heapsThresholds.map(lit(_)): _*)
+    val uOf = h32(concat(lit("heaps"), col("doc_id").cast("string"))) % 1048576L
+    val nd = docs(s, dir).select(uOf.as("u"))
+      .select(col("u"), explode(thrArr).as("chk"))
+      .groupBy(col("chk"))
+      .agg(sum(when(col("u") < col("chk"), 1L).otherwise(0L)).as("n_docs"))
+    val tokMin = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(uOf.as("u"), explode(expr(
+        "transform(sequence(1, size(w) - 2), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+        .as("g"))
+      .groupBy(col("g")).agg(min(col("u")).as("tu"))
+    val vc = tokMin
+      .select(col("tu"), explode(thrArr).as("chk"))
+      .groupBy(col("chk"))
+      .agg(sum(when(col("tu") < col("chk"), 1L).otherwise(0L)).as("vocab"))
+    val pts = nd.join(vc, Seq("chk"))
+      .filter(col("n_docs") > 0 && col("vocab") > 0)
+      .select(col("chk"), col("n_docs"), col("vocab"),
+        round(log(col("n_docs").cast("double")) * 1000000, 0).cast("long").as("x"),
+        round(log(col("vocab").cast("double")) * 1000000, 0).cast("long").as("y"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val fit = pts.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(
+        when(den > 0, round(num / den, 4)).as("heaps_beta"),
+        when(den > 0,
+          round(col("sy") / (col("n") * lit(1000000.0))
+            - (num / den) * (col("sx") / (col("n") * lit(1000000.0))), 4))
+          .as("ln_intercept"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("chk").cast("long").as("chk"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("vocab").cast("long").as("vocab"),
+        col("heaps_beta"), col("ln_intercept"))
+      .orderBy(col("chk"))
+  }
+
+  private def vocabGrowthSql: String =
+    s"""WITH d AS (
+       |  SELECT ('0x' || substr(md5('heaps' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |           % 1048576 AS u
+       |  FROM documents),
+       |thr AS (SELECT unnest([${heapsThresholds.mkString(", ")}]) AS chk),
+       |nd AS (
+       |  SELECT chk, CAST(sum(CASE WHEN u < chk THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+       |  FROM d, thr GROUP BY chk),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+       |       FROM t WHERE len(w) >= 3),
+       |g AS (
+       |  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g,
+       |    min(('0x' || substr(md5('heaps' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |        % 1048576) AS tu
+       |  FROM ix GROUP BY 1),
+       |vc AS (
+       |  SELECT chk, CAST(sum(CASE WHEN tu < chk THEN 1 ELSE 0 END) AS BIGINT) AS vocab
+       |  FROM g, thr GROUP BY chk),
+       |pts AS (
+       |  SELECT chk, n_docs, vocab,
+       |    CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+       |    CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT) AS y
+       |  FROM nd JOIN vc USING (chk) WHERE n_docs > 0 AND vocab > 0),
+       |f AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * y) AS sxy, sum(x * x) AS sxx
+       |  FROM pts)
+       |SELECT CAST(pts.chk AS BIGINT) AS chk, pts.n_docs, pts.vocab,
+       |  CASE WHEN n * sxx - sx * sx > 0
+       |       THEN round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 4) + 0
+       |       END AS heaps_beta,
+       |  CASE WHEN n * sxx - sx * sx > 0
+       |       THEN round(sy / (n * 1000000.0)
+       |         - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+       |           * (sx / (n * 1000000.0)), 4) + 0
+       |       END AS ln_intercept
+       |FROM pts, f ORDER BY chk""".stripMargin
+
   /** X56 — per-source distribution drift: the exact two-sample
     * Kolmogorov–Smirnov statistic between each source's document-length
     * distribution and the whole corpus's — the scalar monitor a
@@ -1456,6 +1573,10 @@ object TextAnalysis {
       bpeMerges,
       Some(bpeSql),
       "X41 BPE vocabulary learning: first N merges over the weighted word-freq vocab"),
+    "q_vocab_growth" -> QueryDef(
+      vocabGrowth,
+      Some(vocabGrowthSql),
+      "X95 Heaps'-law vocabulary growth: nested hash-prefix checkpoints + fixed-point OLS fit"),
     "q_zipf_fit" -> QueryDef(
       zipfFit,
       Some(s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -336,4 +336,58 @@ class TextAnalysisSpec extends AnyFunSuite {
         s"rule-clean share degenerate at $dir — both rule branches must be live")
     }
   }
+
+  test("q_vocab_growth: sequential recount; growth monotone; Heaps fit in the sane band") {
+    import org.apache.spark.sql.functions._
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docRows = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val uOf = docRows.map { case (id, _) => id -> h32(s"heaps$id") % 1048576L }.toMap
+      val tokMin = scala.collection.mutable.Map.empty[String, Long]
+      docRows.foreach { case (id, text) =>
+        val w = text.split(" ")
+        if (w.length >= 3) (0 to w.length - 3).foreach { i =>
+          val g = s"${w(i)} ${w(i + 1)} ${w(i + 2)}"
+          val u = uOf(id)
+          if (!tokMin.get(g).exists(_ <= u)) tokMin(g) = u
+        }
+      }
+      val thrs = graft.operators.TextAnalysis.heapsThresholds
+      val exp = thrs.map { t =>
+        t -> (uOf.values.count(_ < t).toLong, tokMin.values.count(_ < t).toLong)
+      }.filter { case (_, (n, v)) => n > 0 && v > 0 }
+      // fixed-point OLS replay
+      val pts = exp.map { case (_, (n, v)) =>
+        (math.round(math.log(n.toDouble) * 1e6), math.round(math.log(v.toDouble) * 1e6))
+      }
+      val (np, sx, sy) = (pts.length.toLong, pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val den = np * sxx - sx * sx
+      val beta = BigDecimal((np * sxy - sx * sy).toDouble / den)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val got = SparkEntry.queries("q_vocab_growth")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.map(g => g._1 -> ((g._2, g._3))).toMap ===
+        exp.toMap.map { case (t, nv) => t -> nv },
+        s"checkpoint counts diverge from the sequential replay at $dir")
+      assert(got.forall(_._4 == beta), s"Heaps beta diverges from the driver OLS at $dir")
+      // growth must be monotone in the nested prefixes (supersets)
+      val sorted = got.sortBy(_._1).toSeq
+      sorted.sliding(2).foreach { case Seq(a, b) =>
+        assert(a._2 <= b._2 && a._3 <= b._3, s"non-monotone growth at $dir: $a -> $b")
+      }
+      // the fit lives where a pre-saturation combinatorial vocabulary
+      // should: near-linear, strictly positive (a token-level fit on
+      // this 31-word corpus would collapse to ~0 — the reason the
+      // operator fits the shingle space)
+      assert(beta > 0.5 && beta < 1.3, s"Heaps beta $beta out of the sane band at $dir")
+    }
+  }
 }
