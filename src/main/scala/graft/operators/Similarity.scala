@@ -769,6 +769,77 @@ object Similarity {
        |FROM b ORDER BY vec_id""".stripMargin
   }
 
+  /** X96 — IVF index health report (`q_ivf_stats`): the cell-balance
+    * table an ANN deployment reads BEFORE trusting X34's probe — IVF's
+    * latency and recall promises assume roughly-even cells, and a
+    * skewed or empty-cell index (bad centroids, drifted corpus) breaks
+    * both silently: a hot cell makes nprobe scans slow, empty cells
+    * waste probe budget. Per cell: population, corpus share; every
+    * row carries the one-number verdict `imbalance` = n_max·K/N (1.0
+    * = perfectly even; a deployment alarms past ~2). The cell table
+    * left-joins the counts so an empty cell would surface as a zero
+    * row, not silently vanish — structurally unreachable under THIS
+    * corpus's centroids-are-rows-1..K convention (every centroid row
+    * assigns to itself), but exactly the finding the report exists
+    * for when centroids come from an offline k-means as their own
+    * table (SimilaritySpec pins the reachable invariants: K rows
+    * always, counts conserve the corpus, imbalance recounted).
+    *
+    * Scale shape: the assignment is X32's narrow literal-centroid
+    * argmin (no join), collapsed map-side into a ≤K-row aggregate;
+    * the K-row cell table left-joins it (plan-constant broadcast) and
+    * the max/total verdict rides a 1-row broadcast (the X18 pattern).
+    * Shares the memoized centroid fetch with X32/X34. Query vector
+    * row 0 is excluded exactly as the X34 probe excludes it. Shares
+    * round 4dp in integer space.
+    */
+  private def ivfStats(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(s, dir, "embeddings")
+      .filter(col("vec_id") =!= 0)
+      .select(Clustering.bestCentroid(s, dir).getField("cid").as("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    val cells = s.range(1, Clustering.centroidK + 1)
+      .select(col("id").cast("long").as("cid"))
+    val tot = counts.agg(
+      sum(col("n")).as("nt"), max(col("n")).as("nmax"),
+      count(lit(1)).as("k_used"))
+    cells.join(counts, Seq("cid"), "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("cid"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_vecs"),
+        (expr("CAST((20000 * coalesce(n, 0) + nt) DIV (2 * nt) AS BIGINT)")
+          .cast("double") / 10000.0).as("share"),
+        (expr(s"CAST((20000 * nmax * ${Clustering.centroidK} + nt) DIV (2 * nt) AS BIGINT)")
+          .cast("double") / 10000.0).as("imbalance"))
+      .orderBy(col("cid"))
+  }
+
+  private def ivfStatsSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND ${Clustering.centroidK}),
+       |d AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(list_sum(list_transform(list_zip(e.embedding, c.ce),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 4) AS d2
+       |  FROM embeddings e, c WHERE e.vec_id <> 0),
+       |r AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM d),
+       |cnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM r WHERE rn = 1 GROUP BY cid),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(max(n) AS BIGINT) AS nmax FROM cnt),
+       |cells AS (SELECT unnest(generate_series(1, ${Clustering.centroidK})) AS cid)
+       |SELECT CAST(cells.cid AS BIGINT) AS cid,
+       |  CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_vecs,
+       |  CAST((20000 * coalesce(cnt.n, 0) + nt) // (2 * nt) AS BIGINT) / 10000.0 AS share,
+       |  CAST((20000 * nmax * ${Clustering.centroidK} + nt) // (2 * nt) AS BIGINT) / 10000.0
+       |    AS imbalance
+       |FROM cells LEFT JOIN cnt ON cnt.cid = cells.cid, tot
+       |ORDER BY cid""".stripMargin
+
   /** X93 — exact embedding gram matrix (`q_embed_gram`): Σᵥ xᵥxᵥᵀ as
     * ONE distributed aggregate — the d×d sufficient statistic behind
     * PCA/whitening/covariance (cov = G/n − μμᵀ): the standard first
@@ -899,6 +970,10 @@ object Similarity {
       embedGram,
       Some(embedGramSql),
       "X93 exact embedding gram matrix: one in-row upper-triangle expand + one (i,j) aggregate"),
+    "q_ivf_stats" -> QueryDef(
+      ivfStats,
+      Some(ivfStatsSql),
+      "X96 IVF index health: per-cell population/share + the n_max*K/N imbalance verdict"),
   )
 
   private def ivfPqSql: String =

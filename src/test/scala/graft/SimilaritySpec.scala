@@ -772,4 +772,35 @@ class SimilaritySpec extends AnyFunSuite {
       assert(sketch === exploded, s"GramSketch diverges from the decimal explode form at $dir")
     }
   }
+
+  test("q_ivf_stats: counts equal the declared assignment, conserve the corpus, imbalance exact") {
+    import graft.operators.Clustering
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // ground truth off the oracle-green X32 assignment machinery
+      val assigned = Tables(spark, dir, "embeddings")
+        .filter(col("vec_id") =!= 0)
+        .select(Clustering.bestCentroid(spark, dir).getField("cid").as("cid"))
+        .collect().map(_.getLong(0))
+      val byCell = assigned.groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+      val n = assigned.length.toLong
+      val nmax = byCell.values.max
+      val k = Clustering.centroidK
+      val imb = ((20000L * nmax * k + n) / (2L * n)).toDouble / 10000.0
+      val got = SparkEntry.queries("q_ivf_stats")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      // always exactly K rows — a cell missing from the counts would
+      // surface as a zero row, never vanish (the report's whole point
+      // when centroids are an external table)
+      assert(got.map(_._1).toSeq === (1L to k).toSeq, s"cell table wrong at $dir")
+      assert(got.map(g => g._1 -> g._2).toMap === byCell.withDefaultValue(0L).toMap
+        .++((1L to k).map(c => c -> byCell.getOrElse(c, 0L))),
+        s"cell counts diverge at $dir")
+      assert(got.map(_._2).sum === n, s"corpus not conserved at $dir")
+      assert(got.forall(_._4 == imb), s"imbalance verdict wrong at $dir")
+      // shares sum to ~1 (each rounds independently)
+      val shareSum = got.map(_._3).sum
+      assert(math.abs(shareSum - 1.0) < k * 1e-4, s"shares sum to $shareSum at $dir")
+      assert(imb >= 1.0, s"imbalance $imb below 1 — arithmetic broken")
+    }
+  }
 }
