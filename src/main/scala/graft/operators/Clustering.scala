@@ -583,7 +583,7 @@ object Clustering {
       |  SELECT r.v, e.v FROM reach r JOIN edges e ON e.u = r.x),
       |labels AS (SELECT v AS doc_id, min(x) AS cluster_id FROM reach GROUP BY v)""".stripMargin
 
-  private def clusterChainSql: String =
+  private[graft] def clusterChainSql: String =
     s"""WITH RECURSIVE ${Dedup.minhashCandSql},
        |$ccLabelCtes""".stripMargin
 

@@ -716,6 +716,52 @@ object Curation {
       .drop("__clf_w", "__clf_feats")
   }
 
+  /** X97 — leakage-free (cluster-keyed) split (`q_split_cluster`):
+    * the REMEDIATION for what X62 measures. X31 splits by a hash of
+    * the doc id, so a near-dup pair can straddle train/val and turn
+    * held-out loss into memorization measurement; the published fix
+    * (RefinedWeb/Dolma dedup-before-split) generalizes to: hash the
+    * duplicate-CLUSTER's canonical id instead of the doc's own, so
+    * every X21 cluster lands wholly in one split and cross-split
+    * near-dup leakage is zero BY CONSTRUCTION (CurationSpec replays
+    * the X62 audit over this assignment and pins the empty result,
+    * next to a non-empty naive-split audit — the remediation is
+    * observable, not asserted). `moved` flags the docs whose split
+    * differs from X31's naive assignment — the blast radius of the
+    * fix, bounded by the dup volume.
+    *
+    * Scale shape: the labels are the memoized CC output (bounded by
+    * dup volume, NOT corpus size); the corpus id stream left-joins
+    * them — the X26 shape, AQE-broadcast at runtime stats, no hint —
+    * and split membership stays a pure per-row function of the
+    * resulting key ([[Packing.splitOf]]): no corpus-sized split
+    * table, no extra shuffle.
+    */
+  private def splitCluster(s: SparkSession, dir: String): DataFrame = {
+    val labels = Clustering.clusterLabels(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    Dedup.corpusIds(s, dir)
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).cast("long").as("skey"))
+      .select(col("doc_id"), col("skey"),
+        Packing.splitOf(col("skey")).as("split"),
+        when(Packing.splitOf(col("skey")) === Packing.splitOf(col("doc_id")), 0L)
+          .otherwise(1L).as("moved"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def splitClusterSql: String =
+    s"""${Clustering.clusterChainSql},
+       |k AS (
+       |  SELECT c.doc_id, COALESCE(l.cluster_id, c.doc_id) AS skey
+       |  FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id)
+       |SELECT doc_id, CAST(skey AS BIGINT) AS skey,
+       |  ${Packing.splitCaseSql("skey")} AS split,
+       |  CAST(CASE WHEN ${Packing.splitCaseSql("skey")} = ${Packing.splitCaseSql("doc_id")}
+       |       THEN 0 ELSE 1 END AS BIGINT) AS moved
+       |FROM k ORDER BY doc_id""".stripMargin
+
   /** X67 — hashed-feature linear quality classifier
     * (`q_quality_clf`): the fastText-style serving shape every
     * production corpus filter ends up with (CCNet's LM filter,
@@ -1708,6 +1754,10 @@ object Curation {
       splitLeakage,
       Some(splitLeakageSql),
       "X62 cross-split leakage: val/test docs with a verified near-dup in train"),
+    "q_split_cluster" -> QueryDef(
+      splitCluster,
+      Some(splitClusterSql),
+      "X97 leakage-free split: X31's hash split keyed by the X21 cluster canonical id"),
     "q_quality_clf" -> QueryDef(
       qualityClf,
       Some(qualityClfSql),

@@ -611,6 +611,48 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_split_cluster: zero cross-split near-dup leakage by construction; naive split leaks") {
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def splitOf(id: Long): String = {
+      val u = h32(s"split$id") % 100
+      if (u < 90) "train" else if (u < 95) "val" else "test"
+    }
+    val dir = sf
+    val got = SparkEntry.queries("q_split_cluster")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+    // sequential recount off the oracle-green cluster labels
+    val labels = SparkEntry.queries("q_dedup_cluster")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, (skey, split, moved)) =>
+      val expKey = labels.getOrElse(id, id)
+      assert(skey == expKey, s"doc $id split key $skey != canonical $expKey")
+      assert(split == splitOf(expKey), s"doc $id split $split != hash of $expKey")
+      assert(moved == (if (splitOf(expKey) == splitOf(id)) 0L else 1L), s"doc $id moved flag")
+    }
+    // the remediation, OBSERVED: no verified near-dup pair straddles
+    // splits under the cluster key — while the naive X31 split audit
+    // (q_split_leakage) finds real leaks on the same pair set
+    val pairs = graft.operators.Dedup.minhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(got(a)._2 == got(b)._2,
+        s"near-dup pair ($a, $b) straddles splits ${got(a)._2}/${got(b)._2}")
+    }
+    val naiveLeaks = SparkEntry.queries("q_split_leakage")(spark, dir).count()
+    assert(naiveLeaks > 0, "naive split leaks nothing — the remediation pin is vacuous")
+    // the fix's blast radius is real but bounded: both moved branches
+    // fire, and the split proportions stay ≈ 90/5/5
+    assert(got.values.map(_._3).toSet == Set(0L, 1L), "moved branches degenerate")
+    val n = got.size.toDouble
+    val trainShare = got.values.count(_._2 == "train") / n
+    assert(trainShare > 0.85 && trainShare < 0.95, s"train share drifted to $trainShare")
+  }
+
   test("q_upsert: sequential merge recount; every precedence branch non-vacuous") {
     for (dir <- Seq("/root/testdata/sf0.001", sf)) {
       val ids = Tables(spark, dir, "documents")
