@@ -426,6 +426,86 @@ object Packing {
        |  CAST(min(tb) AS BIGINT) AS tb_min, CAST(max(tb) AS BIGINT) AS tb_max
        |FROM r GROUP BY file_id ORDER BY file_id""".stripMargin
 
+  /** X98 — training-window provenance audit (`q_bin_provenance`): the
+    * "what is actually in batch N" table — per X30 context window, the
+    * doc count, distinct-source count, dominant source and its share,
+    * with the corpus-wide worst dominance riding every row as the
+    * one-number verdict. The salted shuffle order exists precisely so
+    * no window is dominated by one crawl (source-correlated windows
+    * bias gradients the way unshuffled epochs do); this operator is
+    * the AUDIT that the shuffle did its job, and the table a
+    * data-incident responder greps when one source turns out poisoned
+    * ("which windows did src9 touch?").
+    *
+    * Determinism: dominance ties break by the struct-max order
+    * (count, then lexicographically LAST source) — mirrored in the
+    * oracle as `ORDER BY c DESC, source DESC`; shares round 4dp in
+    * integer space.
+    *
+    * Scale shape: X30's prefix-sum machinery unchanged (one range
+    * exchange), one id-keyed metadata join, then two nested
+    * aggregates whose grain shrinks monotonically — (bin, source) ≤
+    * bins×ǀsourcesǀ, then bins — with map-side partials; the verdict
+    * is a 1-row broadcast (the X18 pattern). Never a corpus window.
+    */
+  private def binProvenance(s: SparkSession, dir: String): DataFrame = {
+    val meta = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+    val bs = packChunksFrom(Tables(s, dir, "documents"))
+      .select(col("doc_id"), col("bin"))
+      .join(meta, Seq("doc_id"))
+      .groupBy(col("bin"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val perBin = bs.groupBy(col("bin"))
+      .agg(
+        sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        max(struct(col("c"), col("source"))).as("m"))
+      .select(col("bin"), col("n_docs"), col("n_sources"),
+        col("m.source").as("top_source"),
+        expr("CAST((20000 * m.c + n_docs) DIV (2 * n_docs) AS BIGINT)").as("ts4"))
+    val worst = perBin.agg(max(col("ts4")).as("wt4"))
+    perBin.crossJoin(broadcast(worst))
+      .select(
+        col("bin").cast("long").as("bin"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_sources").cast("long").as("n_sources"),
+        col("top_source"),
+        (col("ts4").cast("double") / 10000.0).as("top_share"),
+        (col("wt4").cast("double") / 10000.0).as("worst_share"))
+      .orderBy(col("bin"))
+  }
+
+  private def binProvenanceSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, md5('pack' || CAST(doc_id AS VARCHAR)) AS k,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    COALESCE(SUM(tok) OVER (ORDER BY k, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM t),
+       |b AS (
+       |  SELECT c.doc_id, CAST(cb // $ctxBudget AS BIGINT) AS bin, d.source
+       |  FROM c JOIN documents d USING (doc_id)),
+       |bs AS (SELECT bin, source, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY bin, source),
+       |pb AS (
+       |  SELECT bin, n_docs, n_sources, source AS top_source,
+       |    (20000 * c + n_docs) // (2 * n_docs) AS ts4
+       |  FROM (
+       |    SELECT bin, c, source,
+       |      sum(c) OVER (PARTITION BY bin) AS n_docs,
+       |      count(*) OVER (PARTITION BY bin) AS n_sources,
+       |      row_number() OVER (PARTITION BY bin ORDER BY c DESC, source DESC) AS rn
+       |    FROM bs) x
+       |  WHERE rn = 1),
+       |w AS (SELECT max(ts4) AS wt4 FROM pb)
+       |SELECT bin, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_sources AS BIGINT) AS n_sources, top_source,
+       |  CAST(ts4 AS BIGINT) / 10000.0 AS top_share,
+       |  CAST(wt4 AS BIGINT) / 10000.0 AS worst_share
+       |FROM pb, w ORDER BY bin""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_pack_chunks" -> QueryDef(
       packChunks,
@@ -471,5 +551,9 @@ object Packing {
       zorder,
       Some(zorderSql),
       "X92 Z-order layout: bit-interleaved (user, time) file assignment + min/max skipping stats"),
+    "q_bin_provenance" -> QueryDef(
+      binProvenance,
+      Some(binProvenanceSql),
+      "X98 training-window provenance: per-bin source mix + dominant-source verdict over X30"),
   )
 }

@@ -241,6 +241,36 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bin_provenance: sequential rollup off the declared packing; dominance verdict exact") {
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val bins = SparkEntry.queries("q_pack_chunks")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val src = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = bins.groupBy(_._2).map { case (bin, ds) =>
+        val bySrc = ds.keys.toSeq.map(src).groupBy(identity).map { case (s0, xs) => s0 -> xs.size.toLong }
+        val n = bySrc.values.sum
+        val (topSrc, topC) = bySrc.maxBy { case (s0, c) => (c, s0) }
+        bin -> (n, bySrc.size.toLong, topSrc, ((20000L * topC + n) / (2 * n)).toDouble / 10000.0)
+      }
+      val worst = expected.values.map(_._4).max
+      val got = SparkEntry.queries("q_bin_provenance")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4), r.getDouble(5)))
+      assert(got.map(g => g._1 -> ((g._2._1, g._2._2, g._2._3, g._2._4))).toMap === expected,
+        s"bin provenance diverges from the sequential rollup at $dir")
+      assert(got.forall(_._2._5 == worst), s"worst-dominance verdict wrong at $dir")
+      assert(got.map(_._2._1).sum === bins.size.toLong, s"doc leak at $dir")
+      // the audit is non-degenerate: bins genuinely mix sources, and
+      // dominance varies across bins (a constant column would mean
+      // the shuffle or the rollup is broken)
+      assert(got.forall(_._2._2 > 1), s"single-source bin at $dir — shuffle broken?")
+      assert(got.map(_._2._4).distinct.length > 1, s"dominance constant across bins at $dir")
+    }
+  }
+
   test("the z-order layout, written for real, serves a point predicate from stats-pruned files") {
     // X92's claim made physical (the X7/X34 partition-pin precedent):
     // materialize the 16 planned files as a file_id-partitioned
