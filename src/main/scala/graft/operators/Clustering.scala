@@ -1139,6 +1139,112 @@ object Clustering {
        |FROM p JOIN m ma ON ma.doc_id = p.id_a JOIN m mb ON mb.doc_id = p.id_b
        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  /** X99 — simplified silhouette (`q_silhouette`): the cluster-quality
+    * verdict an X32/X33 deployment reads before trusting its cells —
+    * SemDeDup pruning, X57 diversity caps and X34 IVF probes all
+    * assume the k-means partition MEANS something, and the silhouette
+    * is the standard number that says whether it does (points much
+    * closer to their own centroid than the runner-up → near 1;
+    * arbitrary assignment → near 0). The simplified (centroid-based)
+    * form of Rousseeuw 1987: per point, a = distance to its own
+    * centroid, b = distance to the second-nearest, s = (b−a)/max(a,b)
+    * = 1 − √(d2_own/d2_next) since a ≤ b by construction — the
+    * full-pairwise silhouette is Θ(N²) and exactly what a 100 TB run
+    * cannot do; the centroid form is the published scale substitute
+    * (Hruschka et al.). Output per cell: population and mean s, with
+    * the corpus-wide mean riding every row as the one-number verdict
+    * (the X96/X98 pattern). On this isotropic corpus the verdict is
+    * honestly low (~0.02 — no real cluster structure to find), which
+    * is itself the point of the operator: it DETECTS that, where SSE
+    * alone cannot (SSE always decreases with K).
+    *
+    * Numerics: d2 is the X32 round-4 argmin surface, so own/next
+    * selection is engine-portable; s = 1 − sqrt(own/next) is one
+    * fixed IEEE op sequence (sqrt and / are correctly-rounded in both
+    * engines — same input doubles, same bits out), snapped to integer
+    * millionths per ROW, summed as integers (order-free), and the two
+    * means round-4 by integer HALF_UP (the X51 discipline). The
+    * d2_next = 0 degenerate (point equal to two centroids) defines
+    * s = 0, the standard convention.
+    *
+    * Scale shape: the candidate array is K literal structs sorted
+    * per row (`array_sort` over a plan-constant array — narrow,
+    * codegen'd, no join); the rollup is ONE ≤K-group aggregate with
+    * map-side partials, and the corpus mean is a single-partition
+    * window over those ≤K rows (the token-budget discipline:
+    * empty-partitionSpec windows only ever sit over dictionary-sized
+    * aggregates). ONE scan, one exchange; nothing after it exceeds
+    * K rows.
+    */
+  private def silhouette(s: SparkSession, dir: String): DataFrame = {
+    val cands = centroids(s, dir).map { case (cid, v) =>
+      struct(
+        round(VectorOps.l2Sq(col("embedding"), typedlit(v.map(_.toDouble).toSeq)), 4).as("d2"),
+        lit(cid).as("cid"))
+    }
+    val sorted = array_sort(array(cands: _*))
+    val own = element_at(sorted, 1)
+    val nxt = element_at(sorted, 2)
+    val sil = when(nxt.getField("d2") === 0.0, lit(0.0))
+      .otherwise(lit(1.0) - sqrt(own.getField("d2") / nxt.getField("d2")))
+    val perRow = graft.Tables(s, dir, "embeddings")
+      .select(
+        own.getField("cid").cast("long").as("cid"),
+        round(sil * lit(1000000.0)).cast("long").as("s6"))
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val g = perRow.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("s6")).as("num"))
+    def mean4(num: String, den: String): org.apache.spark.sql.Column =
+      expr(s"""CAST((CAST($num AS DECIMAL(38,0)) * 20000
+              |       + CAST($den AS DECIMAL(38,0)) * 1000000)
+              |  DIV (CAST($den AS DECIMAL(38,0)) * 2000000) AS BIGINT)"""
+        .stripMargin) / lit(10000.0)
+    // corpus totals via a window OVER THE ≤K-ROW AGGREGATE (the
+    // token-budget discipline: single-partition windows only over
+    // dictionary-sized inputs) — one scan, no second derivation of g
+    g.withColumn("tn", sum(col("n")).over(wAll))
+      .withColumn("tnum", sum(col("num")).over(wAll))
+      .select(
+        col("cid").cast("long").as("cid"),
+        col("n").cast("long").as("n"),
+        mean4("num", "n").as("mean_sil"),
+        mean4("tnum", "tn").as("overall_sil"))
+      .orderBy("cid")
+  }
+
+  private def silhouetteSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND $centroidK),
+       |d AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(list_sum(list_transform(list_zip(e.embedding, c.ce),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 4) AS d2
+       |  FROM embeddings e, c),
+       |r AS (
+       |  SELECT vec_id, cid, d2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM d),
+       |sil AS (
+       |  SELECT o.vec_id, o.cid,
+       |    CASE WHEN n.d2 = 0 THEN 0.0
+       |         ELSE 1.0 - sqrt(o.d2 / n.d2) END AS s
+       |  FROM (SELECT * FROM r WHERE rn = 1) o
+       |  JOIN (SELECT * FROM r WHERE rn = 2) n USING (vec_id)),
+       |s6 AS (SELECT cid, CAST(round(s * 1000000) AS BIGINT) AS s6 FROM sil),
+       |g AS (SELECT cid, count(*) AS n, sum(s6) AS num FROM s6 GROUP BY cid),
+       |gt AS (SELECT cid, n, num,
+       |         sum(n) OVER () AS tn, sum(num) OVER () AS tnum FROM g)
+       |SELECT CAST(cid AS BIGINT) AS cid, CAST(n AS BIGINT) AS n,
+       |  CAST((CAST(num AS HUGEINT) * 20000 + CAST(n AS HUGEINT) * 1000000)
+       |    // (CAST(n AS HUGEINT) * 2000000) AS DOUBLE) / 10000 AS mean_sil,
+       |  CAST((CAST(tnum AS HUGEINT) * 20000 + CAST(tn AS HUGEINT) * 1000000)
+       |    // (CAST(tn AS HUGEINT) * 2000000) AS DOUBLE) / 10000 AS overall_sil
+       |FROM gt ORDER BY cid""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_dedup_cluster" -> QueryDef(
       dedupCluster,
@@ -1196,5 +1302,9 @@ object Clustering {
       dupFlow,
       Some(dupFlowSql),
       "X87 cross-source duplication-pressure matrix over the X68 exact-copy pairs"),
+    "q_silhouette" -> QueryDef(
+      silhouette,
+      Some(silhouetteSql),
+      "X99 simplified silhouette: per-cell and corpus cluster-quality verdict, integer-space means"),
   )
 }

@@ -540,4 +540,47 @@ class ClusteringSpec extends AnyFunSuite {
     assert(flags == Set(0L, 1L),
       s"rep_is_min branches degenerate (saw $flags) — the keep-longest rule is vacuous vs X26")
   }
+
+  test("q_silhouette: sequential recount at two SFs; verdict low on the isotropic corpus") {
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val vecs = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val cents = Clustering.centroids(spark, dir)
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def d2(a: Array[Float], b: Array[Float]) = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+        s
+      }
+      // per row: sort the K (round-4 d2, cid) candidates, s = 1 - sqrt(own/next)
+      // snapped to millionths — the one fixed IEEE op sequence the query uses
+      val perRow = vecs.map { case (_, v) =>
+        val sorted = cents.map { case (cid, c) => (r4(d2(v, c)), cid) }.sorted
+        val (dOwn, cid) = sorted.head
+        val dNxt = sorted(1)._1
+        val s = if (dNxt == 0.0) 0.0 else 1.0 - math.sqrt(dOwn / dNxt)
+        (cid, BigDecimal(s * 1000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }
+      def mean4(num: BigInt, den: BigInt): Double =
+        ((num * 20000 + den * 1000000) / (den * 2000000)).toDouble / 10000.0
+      val byCell = perRow.groupBy(_._1)
+      val tNum = BigInt(perRow.map(_._2).sum); val tDen = BigInt(perRow.length)
+      val expected = byCell.toSeq.map { case (cid, rows) =>
+        (cid, rows.length.toLong,
+          mean4(BigInt(rows.map(_._2).sum), BigInt(rows.length)), mean4(tNum, tDen))
+      }.sortBy(_._1)
+      val got = SparkEntry.queries("q_silhouette")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      assert(got.toSeq === expected, s"silhouette recount diverges at $dir")
+      // the verdict DETECTS the isotropic corpus's lack of structure:
+      // low but strictly positive (own centroid is still nearest)
+      val overall = got.head._4
+      assert(overall > 0.0 && overall < 0.2,
+        s"overall silhouette $overall outside the isotropic band — fixture or math drifted")
+      assert(got.map(_._1).toSeq == (1L to Clustering.centroidK).toSeq,
+        "every cell must report (K rows always)")
+    }
+  }
 }

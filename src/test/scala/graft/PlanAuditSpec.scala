@@ -902,6 +902,29 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
+  test("q_silhouette is narrow argsort work: one scan, one ≤K collapse, dictionary-window verdict") {
+    // X99's scale claim: the K candidate distances are literal structs
+    // sorted per row (no join, no K× explode), the rollup is one
+    // cid-keyed aggregate with map-side partials, and the corpus mean
+    // is a window over those ≤K rows — never a second corpus pass.
+    val qe = SparkEntry.queries("q_silhouette")(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(joinOps(plan) == 0, s"silhouette plans a join:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"silhouette reads the corpus more than once:\n$plan")
+    assert(hashExchanges(plan).count(_.contains("cid")) == 1,
+      s"expected exactly one cid collapse exchange:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"the cell aggregate lost its map-side partial:\n$plan")
+    // the one window sits over the aggregate (dictionary-sized input)
+    import org.apache.spark.sql.catalyst.plans.logical
+    qe.optimizedPlan.collect { case w: logical.Window => w }
+      .filter(_.partitionSpec.isEmpty).foreach { w =>
+        assert(w.child.collectFirst { case a: logical.Aggregate => a }.nonEmpty,
+          s"silhouette plans a corpus-wide single-partition window:\n$w")
+      }
+  }
+
   test("q_vocab_saturation is two aggregates — vocab collapse then |sources| rollup, no join") {
     // X80's exact path: the (source, tok) collapse with map-side
     // partials, then the frequency-of-frequencies rollup. Anything
