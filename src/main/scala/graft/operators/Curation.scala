@@ -1544,6 +1544,99 @@ object Curation {
       |  CAST(CASE WHEN 10 * src_rank <= 3 * n_src THEN 1 ELSE 0 END AS BIGINT) AS is_kept
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** X100 — semantic decontamination (`q_decontam_semantic`): flag
+    * training vectors whose embedding-cosine against ANY held-out
+    * eval vector clears a high threshold — the published complement
+    * to X15/X50's n-gram decontamination (paraphrased or reformatted
+    * benchmark leakage carries no shared 8-gram but lands at cosine
+    * ≈ 1; embedding-similarity sweeps are how modern releases audit
+    * for it). Eval slice = every 50th vector (the X15 slicing
+    * convention on the embeddings table); synthetic contamination =
+    * perturbed copies (element 4 ×1.25, ids +200000) of every SECOND
+    * eval vector, so flagged-and-clean eval items both exist and the
+    * result is never vacuous. Output per contaminated train vector:
+    * match count, best eval id, best score — the quarantine list plus
+    * the evidence a release audit publishes.
+    *
+    * Scale shape (100 TB): the eval side is an EVAL SUITE — size
+    * fixed by humans — so it broadcasts, and the scoring join is a
+    * keyless broadcast nested loop: Θ(N·E) narrow codegen'd work
+    * with E a constant, NO corpus shuffle (the X15 argument, minus
+    * the equi-key the gram join had; a threshold-cosine join has no
+    * exact key — LSH prefilters trade recall and are X6's job).
+    * Only flagged rows (≈ the true contamination volume) reach the
+    * per-id argmax aggregate.
+    *
+    * Numerics: cosine is the fixed IEEE sequence both engines share
+    * (index-ordered product sums — Spark's sequential HOF aggregate,
+    * DuckDB's scan-order sum over unnest), rounded to 4 dp BEFORE
+    * the threshold compare and the argmax (the X32 compare-on-rounded
+    * rule), eval-id tie-break; the decision is engine-portable.
+    */
+  private def decontamSemantic(s: SparkSession, dir: String): DataFrame = {
+    val semThreshold = 0.95
+    val base = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val eval_ = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+    val train = base.filter(col("vec_id") % 50 =!= 0)
+      .unionByName(
+        base.filter(col("vec_id") % 100 === 0).select(
+          (col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 3, x.cast("double") * 1.25).otherwise(x.cast("double")))
+            .as("embedding")))
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("tv"))
+    train.crossJoin(broadcast(eval_))
+      .select(col("vec_id"), col("eval_id"),
+        round(VectorOps.cosine(col("tv"), col("ev")), 4).as("score"))
+      .filter(col("score") >= semThreshold)
+      .groupBy(col("vec_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_matched"),
+        max(struct(col("score").as("s"), (-col("eval_id")).as("ne"))).as("best"))
+      .select(col("vec_id"), col("n_matched"),
+        (-col("best.ne")).cast("long").as("best_eval_id"),
+        col("best.s").as("best_score"))
+      .orderBy("vec_id")
+  }
+
+  private def decontamSemanticSql: String =
+    """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+      |ev AS (SELECT vec_id AS eval_id, embedding FROM base WHERE vec_id % 50 = 0),
+      |tr AS (
+      |  SELECT vec_id, vec_id AS src, FALSE AS pert FROM base WHERE vec_id % 50 <> 0
+      |  UNION ALL
+      |  SELECT vec_id + 200000, vec_id, TRUE FROM base WHERE vec_id % 100 = 0),
+      |te AS (
+      |  SELECT t.vec_id, i,
+      |    CASE WHEN t.pert AND i = 4 THEN x * 1.25 ELSE x END AS x
+      |  FROM (
+      |    SELECT a.vec_id, a.pert,
+      |      unnest(generate_series(1, len(b.embedding))) AS i,
+      |      unnest(list_transform(b.embedding, v -> CAST(v AS DOUBLE))) AS x
+      |    FROM tr a JOIN base b ON b.vec_id = a.src) t),
+      |ee AS (
+      |  SELECT eval_id, unnest(generate_series(1, len(embedding))) AS i,
+      |    unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+      |  FROM ev),
+      |scored AS (
+      |  SELECT t.vec_id, e.eval_id,
+      |    round(sum(t.x * e.x)
+      |      / (sqrt(sum(t.x * t.x)) * sqrt(sum(e.x * e.x))), 4) AS score
+      |  FROM te t JOIN ee e ON e.i = t.i
+      |  GROUP BY t.vec_id, e.eval_id),
+      |hits AS (SELECT * FROM scored WHERE score >= 0.95),
+      |r AS (
+      |  SELECT vec_id, eval_id, score,
+      |    count(*) OVER (PARTITION BY vec_id) AS n_matched,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY score DESC, eval_id) AS rn
+      |  FROM hits)
+      |SELECT vec_id, CAST(n_matched AS BIGINT) AS n_matched,
+      |  CAST(eval_id AS BIGINT) AS best_eval_id, score AS best_score
+      |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_decontaminate" -> QueryDef(
       decontaminate,
@@ -1786,6 +1879,10 @@ object Curation {
       trainOrder,
       Some(trainOrderSql),
       "X81 training-order emission: X74 epochs materialized with per-epoch shuffle positions"),
+    "q_decontam_semantic" -> QueryDef(
+      decontamSemantic,
+      Some(decontamSemanticSql),
+      "X100 semantic decontamination: cosine sweep vs the broadcast eval set, argmax evidence"),
     "q_quality_cut" -> QueryDef(
       qualityCut,
       Some(qualityCutSql),

@@ -712,4 +712,45 @@ class CurationSpec extends AnyFunSuite {
       assert(h == u2h && h != u1h, s"doc $dbl at $dir carries ${h} — latest-wins broken")
     }
   }
+
+  test("q_decontam_semantic: sequential cosine recount; flagged and clean eval items both live") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val vecs = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def cos(a: Array[Double], b: Array[Double]) = {
+        var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        dp / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val evalSet = vecs.filter(_._1 % 50 == 0)
+      val train = vecs.filter(_._1 % 50 != 0) ++
+        vecs.filter(_._1 % 100 == 0).map { case (id, v) =>
+          (id + 200000) -> v.zipWithIndex.map { case (x, i) => if (i == 3) x * 1.25 else x }
+        }
+      val expected = train.flatMap { case (tid, tv) =>
+        val hits = evalSet.map { case (eid, ev) => (eid, r4(cos(tv, ev))) }
+          .filter(_._2 >= 0.95)
+        if (hits.isEmpty) None
+        else {
+          val best = hits.maxBy { case (eid, sc) => (sc, -eid) }
+          Some((tid, hits.length.toLong, best._1, best._2))
+        }
+      }.sortBy(_._1)
+      val got = SparkEntry.queries("q_decontam_semantic")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq === expected.toSeq, s"semantic-decontam recount diverges at $dir")
+      // the operator's two branches: every planted copy flagged against
+      // its source eval item, and the unplanted eval items stay clean
+      val planted = vecs.collect { case (id, _) if id % 100 == 0 => id }
+      assert(got.map(_._1).toSet == planted.map(_ + 200000).toSet,
+        s"flagged set is not exactly the planted copies at $dir")
+      assert(got.forall { case (tid, _, eid, _) => tid - 200000 == eid },
+        s"a planted copy matched the wrong eval item at $dir")
+      val cleanEval = vecs.collect { case (id, _) if id % 50 == 0 && id % 100 != 0 => id }
+      assert(cleanEval.nonEmpty && cleanEval.forall(e => !got.exists(_._3 == e)),
+        s"no clean eval items left at $dir — the planted/clean split is vacuous")
+    }
+  }
 }

@@ -925,6 +925,24 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
+  test("q_decontam_semantic broadcasts the eval suite; the corpus never shuffles before the flag filter") {
+    // X100's scale claim: a threshold-cosine sweep has no equi-key, so
+    // the ONLY sound distributed shape is corpus-stream × broadcast
+    // eval suite (Θ(N·E), E fixed). The plan must be one broadcast
+    // nested-loop join — never a SortMergeJoin or a CartesianProduct —
+    // and the only hash exchange is the ≤|flagged|-row argmax collapse.
+    val plan = SparkEntry.queries("q_decontam_semantic")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"eval sweep lost its broadcast NLJ shape:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"semantic decontam shuffles or cartesians the corpus:\n$plan")
+    assert(joinOps(plan) == 1, s"expected exactly one join (the eval sweep):\n$plan")
+    assert(hashExchanges(plan).count(_.contains("vec_id")) == 1,
+      s"expected exactly one vec_id argmax collapse exchange:\n$plan")
+    assert(!plan.contains("Window"), s"semantic decontam plans a window:\n$plan")
+  }
+
   test("q_vocab_saturation is two aggregates — vocab collapse then |sources| rollup, no join") {
     // X80's exact path: the (source, tok) collapse with map-side
     // partials, then the frequency-of-frequencies rollup. Anything
