@@ -1386,6 +1386,92 @@ object TextAnalysis {
        |FROM a, b""".stripMargin
   }
 
+  /** X101 — term burstiness / dispersion (`q_burstiness`): Gries'
+    * deviation of proportions DP = ½ Σₛ |c_ws/c_w − Tₛ/T| per token —
+    * the corpus-linguistics number that separates a term USED
+    * EVERYWHERE (DP ≈ 0: its occurrences track each source's share
+    * of the corpus) from a BURSTY one concentrated in few sources
+    * (DP → 1−Tₛ/T). Frequency alone can't make the distinction — a
+    * token with c_w = 10 000 may be corpus glue or one crawl's
+    * boilerplate — and the distinction is exactly what X25's mixing
+    * weights and X38's caps want to know about the vocabulary:
+    * high-DP high-frequency terms are the source-marker candidates
+    * X101's output surfaces (`n_src` rides as evidence; a term
+    * missing from a source contributes that source's full share, so
+    * the sum runs over the COMPLETE V×S grid, zeros included —
+    * dropping absent cells is the standard implementation mistake
+    * and the spec pins a token that is absent somewhere).
+    *
+    * Numerics: fully integer — each grid term cross-multiplies to
+    * |c_ws·T − Tₛ·c_w| (exact DECIMAL(38,0); T² at 10¹⁴ tokens is
+    * 10²⁸, inside 38 digits with the ×20000 headroom), and DP =
+    * num/(2·c_w·T) rounds 4dp by integer HALF_UP. Hash-identical by
+    * construction.
+    *
+    * Scale shape: ONE corpus tokenize collapsed to the (source, tok)
+    * matrix, materialized once (`localCheckpoint` — the q_pipeline
+    * discipline; without it the three downstream consumers are three
+    * separate corpus tokenizes, because the left-join branch's
+    * pushed-down null filters break canonical exchange equality —
+    * measured in this plan before the fix). Everything after reads
+    * the V×S table: source totals are a ≤|S|-row broadcast (T via a
+    * window over those ≤|S| rows — the dictionary-window
+    * discipline); the grid is V×S rows — S is a plan-small
+    * dictionary, so the grid is linear in vocabulary, and the final
+    * aggregate shrinks it back to V. The corpus is read exactly
+    * once; no corpus-sized join or window anywhere (PlanAuditSpec
+    * pins the declared plan parquet-scan-free).
+    */
+  private def burstiness(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val st = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val ts = st.groupBy(col("source")).agg(sum(col("c")).as("t_s"))
+      .withColumn("t_all", sum(col("t_s")).over(wAll))
+    val cw = st.groupBy(col("tok"))
+      .agg(sum(col("c")).as("c_w"), count(lit(1)).as("n_src"))
+    cw.crossJoin(broadcast(ts))
+      .join(st, Seq("tok", "source"), "left")
+      .select(col("tok"), col("c_w"), col("n_src"), col("t_all"),
+        expr("""abs(CAST(coalesce(c, 0) AS DECIMAL(38,0)) * t_all
+               |    - CAST(t_s AS DECIMAL(38,0)) * c_w) AS term"""
+          .stripMargin.replace("\n", " ")))
+      .groupBy(col("tok"), col("c_w"), col("n_src"), col("t_all"))
+      .agg(sum(col("term")).as("num"))
+      .select(col("tok"), col("c_w").cast("long").as("c_w"),
+        col("n_src").cast("long").as("n_src"),
+        (expr("""CAST((CAST(num AS DECIMAL(38,0)) * 20000
+                |       + 2 * CAST(c_w AS DECIMAL(38,0)) * t_all)
+                |  DIV (4 * CAST(c_w AS DECIMAL(38,0)) * t_all) AS BIGINT)"""
+          .stripMargin) / lit(10000.0)).as("dp"))
+      .orderBy("tok")
+  }
+
+  private def burstinessSql: String =
+    """WITH st AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT source, tok, count(*) AS c FROM st GROUP BY 1, 2),
+      |ts AS (SELECT source, sum(c) AS t_s FROM c GROUP BY 1),
+      |tt AS (SELECT sum(t_s) AS t_all FROM ts),
+      |cw AS (SELECT tok, sum(c) AS c_w, count(*) AS n_src FROM c GROUP BY 1),
+      |grid AS (
+      |  SELECT cw.tok, cw.c_w, cw.n_src, tt.t_all,
+      |    abs(CAST(COALESCE(x.c, 0) AS HUGEINT) * tt.t_all
+      |        - CAST(ts.t_s AS HUGEINT) * cw.c_w) AS term
+      |  FROM cw CROSS JOIN ts CROSS JOIN tt
+      |  LEFT JOIN c x ON x.tok = cw.tok AND x.source = ts.source),
+      |agg AS (
+      |  SELECT tok, c_w, n_src, t_all, sum(term) AS num
+      |  FROM grid GROUP BY 1, 2, 3, 4)
+      |SELECT tok, CAST(c_w AS BIGINT) AS c_w, CAST(n_src AS BIGINT) AS n_src,
+      |  CAST((num * 20000 + 2 * CAST(c_w AS HUGEINT) * t_all)
+      |    // (4 * CAST(c_w AS HUGEINT) * t_all) AS DOUBLE) / 10000 AS dp
+      |FROM agg ORDER BY tok""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_token_count" -> QueryDef(
       tokenCount,
@@ -1682,5 +1768,9 @@ object TextAnalysis {
       corpusCard,
       Some(corpusCardSql),
       "X86 one-row corpus datasheet: volume, diversity, vocab + hapax share, rule-clean pct"),
+    "q_burstiness" -> QueryDef(
+      burstiness,
+      Some(burstinessSql),
+      "X101 term burstiness: Gries' DP dispersion over the full V×S grid, integer-exact"),
   )
 }

@@ -943,6 +943,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"semantic decontam plans a window:\n$plan")
   }
 
+  test("q_burstiness reads the corpus zero times in the declared plan — the V×S matrix is the input") {
+    // X101 materializes the (source, tok) collapse once
+    // (localCheckpoint): the declared plan must read ONLY that
+    // checkpoint (no parquet scan — without the materialization the
+    // three consumers were three separate corpus tokenizes, measured
+    // r14), join small sides broadcast-only, and window only the
+    // ≤|sources| dictionary.
+    val qe = SparkEntry.queries("q_burstiness")(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"burstiness re-reads the corpus — the checkpoint fell off:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed V×S matrix as the only input:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a grid join fell off broadcast:\n$plan")
+    import org.apache.spark.sql.catalyst.plans.logical
+    qe.optimizedPlan.collect { case w: logical.Window => w }
+      .filter(_.partitionSpec.isEmpty).foreach { w =>
+        assert(w.child.collectFirst { case a: logical.Aggregate => a }.nonEmpty,
+          s"burstiness plans a corpus-wide single-partition window:\n$w")
+      }
+  }
+
   test("q_vocab_saturation is two aggregates — vocab collapse then |sources| rollup, no join") {
     // X80's exact path: the (source, tok) collapse with map-side
     // partials, then the frequency-of-frequencies rollup. Anything

@@ -390,4 +390,42 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(beta > 0.5 && beta < 1.3, s"Heaps beta $beta out of the sane band at $dir")
     }
   }
+
+  test("q_burstiness: BigInt grid recount at two SFs; absent-cell contribution live") {
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val byDoc = Tables(spark, dir, "documents")
+        .select(col("source"), col("text")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      // exact integer recount over the COMPLETE V×S grid, zeros included
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      byDoc.foreach { case (src, text) =>
+        text.split(" ", -1).foreach(t => counts((src, t)) = counts.getOrElse((src, t), 0L) + 1)
+      }
+      val sources = counts.keys.map(_._1).toSeq.distinct
+      val vocab = counts.keys.map(_._2).toSeq.distinct
+      val tS = sources.map(s => s -> counts.collect { case ((`s`, _), c) => c }.sum).toMap
+      val tAll = BigInt(tS.values.sum)
+      val expected = vocab.map { w =>
+        val cW = BigInt(sources.map(s => counts.getOrElse((s, w), 0L)).sum)
+        val nSrc = sources.count(s => counts.contains((s, w)))
+        val num = sources.map { s =>
+          (BigInt(counts.getOrElse((s, w), 0L)) * tAll - BigInt(tS(s)) * cW).abs
+        }.sum
+        val den = 2 * cW * tAll
+        val dp = ((num * 20000 + den) / (2 * den)).toDouble / 10000.0
+        (w, cW.toLong, nSrc.toLong, dp)
+      }.sortBy(_._1)
+      val got = SparkEntry.queries("q_burstiness")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq === expected, s"burstiness recount diverges at $dir")
+      // the standard implementation mistake is dropping absent (tok,
+      // source) cells; a token missing from ≥1 source must exist so
+      // the zero-cell term |0·T − T_s·c_w| is actually exercised
+      assert(got.exists(_._3 < sources.length),
+        s"every token present in every source at $dir — the absent-cell branch is vacuous")
+      // dispersion sanity: some spread exists (not all tokens equal)
+      assert(got.map(_._4).distinct.length > 1, s"degenerate DP at $dir")
+    }
+  }
 }
