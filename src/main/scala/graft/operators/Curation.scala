@@ -1637,6 +1637,98 @@ object Curation {
       |  CAST(eval_id AS BIGINT) AS best_eval_id, score AS best_score
       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** Embargo width for X102 (12 h in µs): wide enough that the gap is
+    * a real guard band, narrow enough that the embargo bucket is
+    * populated at every verification SF (~33 events/day at sf0.001).
+    */
+  private[graft] val embargoMicros = 43200000000L
+
+  /** X102 — temporal split with embargo (`q_split_time`): the
+    * leakage-free split for TIME-DEPENDENT data, complementing
+    * X31/X97's content-keyed splits — when the modeling task is
+    * forecasting-shaped (events, user behavior, telemetry), a random
+    * split leaks the future into training, and adjacent-in-time
+    * records leak through autocorrelation even when the cut is
+    * clean; the published remedy (standard in financial ML as
+    * "purged/embargoed" splits, de Prado 2018) is a time-ordered cut
+    * at a target fraction PLUS an embargo band below the boundary
+    * that is dropped entirely, so train and test are separated by a
+    * guaranteed gap. Cut at the exact 80th-percentile event (rank
+    * ⌈0.8n⌉ over (ts, event_id) — an order statistic, not a
+    * timestamp guess, so the achieved fraction is exact); embargo =
+    * the [[embargoMicros]] band at-or-below the boundary. Output per
+    * (split, event_type): count + exact µs time range, with the
+    * realized train→test gap riding every row as the verdict —
+    * `gap_ok` is true BY CONSTRUCTION (train ≤ boundary − embargo <
+    * boundary < test), and materializing it is the point: it is the
+    * number an auditor checks without re-deriving the split.
+    *
+    * Scale shape: the boundary is ONE order statistic — the
+    * [[Extensions.rankedByRange]] machine under a constant group (no
+    * single-task corpus sort; the oracle states the window form, so
+    * every verify run pins range-machine ≡ window), filtered to one
+    * row and broadcast. Split assignment is then a pure per-row
+    * compare — no shuffle — and the rollup grain is 3×|event types|.
+    * The count and rank branches are column-pruned second scans (the
+    * quality-cut trade: cheap at 100 TB, keeps the range machine's
+    * exchange canonical). All integer µs end to end.
+    */
+  private def splitTime(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events")
+      .select(unix_micros(col("ts")).as("tsu"), col("event_id"), col("event_type"))
+    val keys = ev.select(lit(0L).as("g"), col("tsu"), col("event_id"))
+    val rk = Extensions.rankedByRange(keys, "g", Seq("tsu", "event_id"), "rk")
+    val n = ev.groupBy().agg(count(lit(1)).as("n"))
+    val boundary = rk.crossJoin(broadcast(n))
+      .filter(col("rk") === expr("(8 * n + 9) div 10"))
+      .select(col("tsu").as("b"))
+    val tagged = ev.crossJoin(broadcast(boundary))
+      .withColumn("split",
+        when(col("tsu") > col("b"), lit("test"))
+          .when(col("tsu") > col("b") - embargoMicros, lit("embargo"))
+          .otherwise(lit("train")))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tagged.groupBy(col("split"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        min(col("tsu")).as("min_tsu"), max(col("tsu")).as("max_tsu"))
+      // gap verdict over the ≤3×|types| aggregate (dictionary window)
+      .withColumn("gap_micros",
+        (min(when(col("split") === "test", col("min_tsu"))).over(wAll)
+          - max(when(col("split") === "train", col("max_tsu"))).over(wAll))
+          .cast("long"))
+      .withColumn("gap_ok",
+        when(col("gap_micros") > embargoMicros, 1L).otherwise(0L).cast("long"))
+      .orderBy("split", "event_type")
+  }
+
+  private def splitTimeSql: String =
+    s"""WITH ev AS (
+       |  SELECT epoch_us(ts) AS tsu, event_id, event_type FROM events),
+       |n AS (SELECT count(*) AS n FROM ev),
+       |r AS (SELECT tsu, row_number() OVER (ORDER BY tsu, event_id) AS rk FROM ev),
+       |b AS (SELECT tsu AS b FROM r, n WHERE rk = (8 * n + 9) // 10),
+       |tagged AS (
+       |  SELECT ev.tsu, ev.event_type,
+       |    CASE WHEN ev.tsu > b.b THEN 'test'
+       |         WHEN ev.tsu > b.b - $embargoMicros THEN 'embargo'
+       |         ELSE 'train' END AS split
+       |  FROM ev, b),
+       |g AS (
+       |  SELECT split, event_type, count(*) AS n_events,
+       |    min(tsu) AS min_tsu, max(tsu) AS max_tsu
+       |  FROM tagged GROUP BY 1, 2),
+       |v AS (
+       |  SELECT max(CASE WHEN split = 'train' THEN max_tsu END) AS mt,
+       |    min(CASE WHEN split = 'test' THEN min_tsu END) AS nt
+       |  FROM g)
+       |SELECT split, event_type, CAST(n_events AS BIGINT) AS n_events,
+       |  min_tsu, max_tsu,
+       |  CAST(v.nt - v.mt AS BIGINT) AS gap_micros,
+       |  CAST(CASE WHEN v.nt - v.mt > $embargoMicros THEN 1 ELSE 0 END AS BIGINT) AS gap_ok
+       |FROM g, v ORDER BY split, event_type""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_decontaminate" -> QueryDef(
       decontaminate,
@@ -1879,6 +1971,10 @@ object Curation {
       trainOrder,
       Some(trainOrderSql),
       "X81 training-order emission: X74 epochs materialized with per-epoch shuffle positions"),
+    "q_split_time" -> QueryDef(
+      splitTime,
+      Some(splitTimeSql),
+      "X102 embargoed temporal split: exact p80 order-statistic cut + 12h purge band, gap verdict"),
     "q_decontam_semantic" -> QueryDef(
       decontamSemantic,
       Some(decontamSemanticSql),

@@ -753,4 +753,39 @@ class CurationSpec extends AnyFunSuite {
         s"no clean eval items left at $dir — the planted/clean split is vacuous")
     }
   }
+
+  test("q_split_time: sequential recount; exact p80 cut, populated embargo, guaranteed gap") {
+    val embargo = 43200000000L
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ev = Tables(spark, dir, "events")
+        .select(unix_micros(col("ts")).as("tsu"), col("event_id"), col("event_type"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val n = ev.length
+      val k = (8 * n + 9) / 10 // = ceil(0.8n)
+      val b = ev.map(e => (e._1, e._2)).sorted.apply(k - 1)._1
+      def splitOf(tsu: Long) =
+        if (tsu > b) "test" else if (tsu > b - embargo) "embargo" else "train"
+      val groups = ev.groupBy(e => (splitOf(e._1), e._3))
+      val mt = ev.map(_._1).filter(_ <= b - embargo).max
+      val nt = ev.map(_._1).filter(_ > b).min
+      val expected = groups.toSeq.map { case ((sp, et), rows) =>
+        (sp, et, rows.length.toLong, rows.map(_._1).min, rows.map(_._1).max,
+          nt - mt, if (nt - mt > embargo) 1L else 0L)
+      }.sortBy(r => (r._1, r._2))
+      val got = SparkEntry.queries("q_split_time")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      assert(got.toSeq === expected, s"split_time recount diverges at $dir")
+      // the cut is an ORDER STATISTIC: exactly ceil(0.8n) events at or
+      // below the boundary, so test size is exact by construction
+      assert(got.filter(_._1 == "test").map(_._3).sum == n - k,
+        s"test split is not exactly n - ceil(0.8n) at $dir")
+      // all three buckets populated (the embargo band is not vacuous)
+      assert(got.map(_._1).toSet == Set("train", "embargo", "test"),
+        s"a split bucket is empty at $dir")
+      // the de Prado guarantee: train and test separated by > embargo
+      assert(got.forall(r => r._6 > embargo && r._7 == 1L),
+        s"train->test gap does not clear the embargo at $dir")
+    }
+  }
 }

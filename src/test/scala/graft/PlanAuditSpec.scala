@@ -469,7 +469,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // fails here instead of producing wrong prefix sums at 100 TB.
     Seq("q_pack_chunks", "q_split_hash", "q_quality_cut", "q_pack_efficiency",
         "q_weighted_sample", "q_cluster_sample", "q_source_cap",
-        "q_source_quantiles", "q_compact_plan", "q_zorder").foreach { q =>
+        "q_source_quantiles", "q_compact_plan", "q_zorder",
+        "q_split_time").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect() // AQE finalizes stage reuse at runtime
       // the rendered AQE plan appends an "== Initial Plan ==" section;
