@@ -506,6 +506,101 @@ object Packing {
        |  CAST(wt4 AS BIGINT) / 10000.0 AS worst_share
        |FROM pb, w ORDER BY bin""".stripMargin
 
+  /** Batch size (docs per batch) for X103. */
+  private[graft] val batchB = 16L
+
+  /** X103 — length-bucketed batching plan (`q_batch_plan`): the
+    * PADDED-batching counterpart to X30's packed layout — fine-tuning,
+    * evaluation, and inference loaders batch WHOLE sequences and pad
+    * to the batch max, so batch composition decides how much compute
+    * is spent on pad tokens; the standard remedy is length-bucketed
+    * (dynamic) batching: group docs into coarse length buckets, sort
+    * within the bucket, cut into fixed-size batches of near-equal
+    * lengths. Buckets are power-of-two token bands ([0,32), [32,64),
+    * [64,128), [128,∞) — config, like ctxBudget); within a bucket,
+    * batches of [[batchB]] docs cut along the (tok, doc_id) order.
+    * Output per batch: size, max/sum tokens, padding = n·max − sum;
+    * riding every row, the corpus verdict: total bucketed padding vs
+    * the padding of the SAME batch size over naive doc_id-order
+    * batching — the measured saving that justifies the operator
+    * (PackingSpec pins bucketed ≤ naive).
+    *
+    * Scale shape: TWO [[Extensions.rankedByRange]] machines (the
+    * q_train_order precedent) — bucketed positions under the bucket
+    * group (tok is a range KEY, so it rides the machine legally) and
+    * naive positions under a constant group with tok joined back by
+    * doc_id (the payload rule); each machine executes ONE sampled
+    * range exchange read by both branches. Batch rollups shrink to
+    * N/B rows; the two verdict totals are 1-row broadcasts (bins
+    * scale with the corpus, so the verdict must NOT be a window over
+    * them — the X98 broadcast rule, not the dictionary-window rule).
+    * All integer end to end.
+    */
+  private def batchPlan(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .withColumn("bucket",
+        when(col("tok") < 32, 0L).when(col("tok") < 64, 1L)
+          .when(col("tok") < 128, 2L).otherwise(3L))
+    val bk = Extensions.rankedByRange(
+      d.select(col("bucket"), col("tok"), col("doc_id")),
+      "bucket", Seq("tok", "doc_id"), "pos")
+    val perBatch = bk
+      .withColumn("batch_id", expr(s"CAST((pos - 1) DIV $batchB AS BIGINT)"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        max(col("tok")).cast("long").as("max_tok"),
+        sum(col("tok")).cast("long").as("sum_tok"))
+      .withColumn("padding", col("n_docs") * col("max_tok") - col("sum_tok"))
+    val bucketedTotal = perBatch.groupBy()
+      .agg(sum(col("padding")).cast("long").as("pad_bucketed_total"))
+    val nk = Extensions.rankedByRange(
+      d.select(lit(0L).as("g"), col("doc_id")), "g", Seq("doc_id"), "pos")
+    val naiveTotal = nk
+      .join(d.select(col("doc_id"), col("tok")), "doc_id")
+      .withColumn("batch_id", expr(s"CAST((pos - 1) DIV $batchB AS BIGINT)"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n"), max(col("tok")).as("mx"), sum(col("tok")).as("sm"))
+      .groupBy()
+      .agg(sum(col("n") * col("mx") - col("sm")).cast("long").as("pad_naive_total"))
+    perBatch
+      .crossJoin(broadcast(bucketedTotal))
+      .crossJoin(broadcast(naiveTotal))
+      .orderBy("bucket", "batch_id")
+  }
+
+  private def batchPlanSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+       |    CASE WHEN len(string_split(text, ' ')) < 32 THEN 0
+       |         WHEN len(string_split(text, ' ')) < 64 THEN 1
+       |         WHEN len(string_split(text, ' ')) < 128 THEN 2
+       |         ELSE 3 END AS bucket
+       |  FROM documents),
+       |bk AS (
+       |  SELECT bucket, tok, doc_id,
+       |    row_number() OVER (PARTITION BY bucket ORDER BY tok, doc_id) AS pos
+       |  FROM d),
+       |pb AS (
+       |  SELECT bucket, (pos - 1) // $batchB AS batch_id,
+       |    count(*) AS n_docs, max(tok) AS max_tok, sum(tok) AS sum_tok
+       |  FROM bk GROUP BY 1, 2),
+       |bt AS (SELECT sum(n_docs * max_tok - sum_tok) AS pad_bucketed_total FROM pb),
+       |nk AS (SELECT doc_id, tok, row_number() OVER (ORDER BY doc_id) AS pos FROM d),
+       |nb AS (
+       |  SELECT (pos - 1) // $batchB AS batch_id,
+       |    count(*) AS n, max(tok) AS mx, sum(tok) AS sm
+       |  FROM nk GROUP BY 1),
+       |nt AS (SELECT sum(n * mx - sm) AS pad_naive_total FROM nb)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(batch_id AS BIGINT) AS batch_id,
+       |  CAST(n_docs AS BIGINT) AS n_docs, CAST(max_tok AS BIGINT) AS max_tok,
+       |  CAST(sum_tok AS BIGINT) AS sum_tok,
+       |  CAST(n_docs * max_tok - sum_tok AS BIGINT) AS padding,
+       |  CAST(bt.pad_bucketed_total AS BIGINT) AS pad_bucketed_total,
+       |  CAST(nt.pad_naive_total AS BIGINT) AS pad_naive_total
+       |FROM pb, bt, nt ORDER BY bucket, batch_id""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_pack_chunks" -> QueryDef(
       packChunks,
@@ -555,5 +650,9 @@ object Packing {
       binProvenance,
       Some(binProvenanceSql),
       "X98 training-window provenance: per-bin source mix + dominant-source verdict over X30"),
+    "q_batch_plan" -> QueryDef(
+      batchPlan,
+      Some(batchPlanSql),
+      "X103 length-bucketed batching plan: per-batch padding + bucketed-vs-naive verdict"),
   )
 }

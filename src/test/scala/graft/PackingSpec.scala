@@ -334,4 +334,73 @@ class PackingSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
   }
+
+  test("q_batch_plan: sequential replay at two SFs; bucketing beats naive batching") {
+    import org.apache.spark.sql.functions._
+    val B = 16
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val toks = Tables(SparkFixture.spark, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      def bucketOf(t: Long) = if (t < 32) 0L else if (t < 64) 1L else if (t < 128) 2L else 3L
+      def batches(rows: Seq[Long]): Seq[(Long, Long, Long)] =
+        rows.grouped(B).map(g => (g.length.toLong, g.max, g.sum)).toSeq
+      val perBatch = toks.groupBy(t => bucketOf(t._2)).toSeq.flatMap { case (b, rows) =>
+        batches(rows.sortBy(r => (r._2, r._1)).map(_._2)).zipWithIndex.map {
+          case ((n, mx, sm), i) => (b, i.toLong, n, mx, sm, n * mx - sm)
+        }
+      }.sortBy(r => (r._1, r._2))
+      val padBucketed = perBatch.map(_._6).sum
+      val padNaive = batches(toks.sortBy(_._1).map(_._2)).map { case (n, mx, sm) => n * mx - sm }.sum
+      val expected = perBatch.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, padBucketed, padNaive))
+      val got = SparkEntry.queries("q_batch_plan")(SparkFixture.spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      assert(got.toSeq === expected, s"batch-plan replay diverges at $dir")
+      // conservation: every doc is in exactly one batch
+      assert(got.map(_._3).sum == toks.length.toLong, s"doc count not conserved at $dir")
+      // every batch except possibly each bucket's last is full
+      got.groupBy(_._1).foreach { case (b, rows) =>
+        val maxBatch = rows.map(_._2).max
+        rows.filter(_._2 < maxBatch).foreach(r =>
+          assert(r._3 == B.toLong, s"non-final batch ($b, ${r._2}) underfull at $dir"))
+      }
+      // the operator's reason to exist, measured: bucketed padding
+      // strictly beats naive arrival-order batching on this corpus
+      assert(padBucketed < padNaive,
+        s"bucketing does not beat naive batching at $dir ($padBucketed vs $padNaive)")
+    }
+  }
+
+  test("q_batch_plan runs two reused range machines; verdicts broadcast, never windowed over bins") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q_batch_plan")(SparkFixture.spark, "/root/testdata/sf0.01")
+    df.collect() // AQE finalizes stage reuse
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val live = plan.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") && l.contains("REPARTITION_BY_NUM")
+        && !l.contains("ReusedExchange"))
+    assert(live === 2,
+      s"batch-plan executes $live sampled range exchanges, expected 2 (one per machine):\n$plan")
+    val reused = plan.linesIterator.filter(l =>
+      l.contains("ReusedExchange") && l.contains("rangepartitioning")).toSeq
+    assert(reused.size >= 2,
+      s"a range machine lost branch reuse (${reused.size} reused):\n$plan")
+    // the verdict totals must be broadcast joins, not single-partition
+    // windows over the corpus-proportional batch table (the range
+    // machines' own __pid-partitioned windows are the legal ones)
+    import org.apache.spark.sql.catalyst.plans.logical
+    val qe = SparkEntry.queries("q_batch_plan")(SparkFixture.spark, "/root/testdata/sf0.01")
+      .queryExecution
+    val empty = qe.optimizedPlan.collect { case w: logical.Window => w }
+      .filter(_.partitionSpec.isEmpty)
+    // rankedByRange's offsets prefix window partitions by the group;
+    // the constant-group naive machine makes that partitionSpec a
+    // literal, which Catalyst folds to empty — but its input is the
+    // ≤|partitions|-row offsets aggregate, which is the allowed shape
+    empty.foreach { w =>
+      assert(w.child.collectFirst { case a: logical.Aggregate => a }.nonEmpty,
+        s"batch-plan windows the corpus-proportional bin table:\n$w")
+    }
+  }
 }
