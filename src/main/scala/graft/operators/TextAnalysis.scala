@@ -1472,6 +1472,116 @@ object TextAnalysis {
       |    // (4 * CAST(c_w AS HUGEINT) * t_all) AS DOUBLE) / 10000 AS dp
       |FROM agg ORDER BY tok""".stripMargin
 
+  /** Dirichlet prior mass for X104 (pseudo-token total α₀): spread
+    * over the vocabulary proportionally to corpus frequency — the
+    * "informative prior" of Monroe et al. that keeps rare-word
+    * log-odds from exploding.
+    */
+  private val logOddsPrior = 500L
+
+  /** X104 — per-source distinctive terms (`q_distinctive`): Monroe,
+    * Colaresi & Quinn's weighted log-odds with an informative
+    * Dirichlet prior, z-scored — the statistically-honest version of
+    * "what words characterize source s vs the rest of the corpus".
+    * Raw frequency ratios overweight rare words and tf-idf has no
+    * variance model; the published fix is the log-odds-ratio
+    * δ = ln[(y_sw+α_w)/(n_s+α₀−y_sw−α_w)] −
+    *     ln[(y_w−y_sw+α_w)/(n−n_s+α₀−(y_w−y_sw)−α_w)]
+    * with σ² ≈ 1/(y_sw+α_w) + 1/(y_w−y_sw+α_w), z = δ/σ — the number
+    * X40's similarity matrix and X51's KL can't give you: WHICH terms
+    * drive a source apart, with sampling noise normalized out. A
+    * curator greps this table when a source's KL spikes (X101's
+    * burstiness says a term is concentrated; X104 says it is
+    * concentrated HERE, significantly). Output per PRESENT (source,
+    * token) cell: count, log-odds, z — consumers threshold z (the
+    * absent-cell completion is X101's job; emitting V×S zeros as
+    * rows would bloat output without adding ranking information).
+    *
+    * Numerics: with α_w = α₀·y_w/n, every ln argument is an exact
+    * integer rational over the common denominator n (num₁ = y_sw·n +
+    * α₀·y_w etc. in DECIMAL(38,0) — 10¹⁴ tokens squares to 10²⁸),
+    * so both engines evaluate ln on IDENTICAL doubles (one division,
+    * one libm log — the X48/X51 precedent) and snap to integer
+    * millionths; δ is then exact integer arithmetic, log-odds rounds
+    * 4dp by signed integer HALF_UP (the q_source_kl sign branch),
+    * and z = (δ₆/10⁶)/√σ² is one fixed IEEE sequence rounded 4dp
+    * (irrational — tie-free).
+    *
+    * Scale shape: the X101 discipline — ONE corpus tokenize collapsed
+    * to the checkpointed (source, tok) matrix; token totals (vocab
+    * join, map-side partials), ≤|S|-row broadcast source totals with
+    * the dictionary-window n, all downstream work linear in the V×S
+    * present cells. No corpus re-read, no corpus window
+    * (PlanAuditSpec pins the declared plan parquet-scan-free).
+    */
+  private def distinctive(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val st = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val ts = st.groupBy(col("source")).agg(sum(col("c")).as("t_s"))
+      .withColumn("t_all", sum(col("t_s")).over(wAll))
+    val cw = st.groupBy(col("tok")).agg(sum(col("c")).as("c_w"))
+    val a0 = logOddsPrior
+    val ln6 = (num: String, den: String) =>
+      round(log(col(num).cast("double") / col(den).cast("double")) * 1000000.0)
+        .cast("long")
+    st.join(cw, "tok").join(broadcast(ts), "source")
+      .withColumn("num1", expr(
+        s"CAST(c AS DECIMAL(38,0)) * t_all + $a0 * CAST(c_w AS DECIMAL(38,0))"))
+      .withColumn("den1", expr(
+        s"(CAST(t_s AS DECIMAL(38,0)) + $a0) * t_all") - col("num1"))
+      .withColumn("num2", expr(
+        s"(CAST(c_w AS DECIMAL(38,0)) - c) * t_all + $a0 * CAST(c_w AS DECIMAL(38,0))"))
+      .withColumn("den2", expr(
+        s"(CAST(t_all AS DECIMAL(38,0)) - t_s + $a0) * t_all") - col("num2"))
+      .withColumn("d6", ln6("num1", "den1") - ln6("num2", "den2"))
+      .withColumn("v",
+        col("t_all").cast("double") / col("num1").cast("double")
+          + col("t_all").cast("double") / col("num2").cast("double"))
+      .select(col("source"), col("tok"), col("c").cast("long").as("c"),
+        ((floor((abs(col("d6")) + 50) / 100)
+          * when(col("d6") < 0, -1).otherwise(1)).cast("long") / lit(10000.0))
+          .as("logodds"),
+        (round((col("d6") / lit(1000000.0)) / sqrt(col("v")), 4) + lit(0.0))
+          .as("z"))
+      .orderBy("source", "tok")
+  }
+
+  private def distinctiveSql: String = {
+    val a0 = logOddsPrior
+    """WITH st AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT source, tok, count(*) AS c FROM st GROUP BY 1, 2),
+      |ts AS (SELECT source, sum(c) AS t_s FROM c GROUP BY 1),
+      |tt AS (SELECT sum(t_s) AS t_all FROM ts),
+      |cw AS (SELECT tok, sum(c) AS c_w FROM c GROUP BY 1),
+      |j AS (
+      |  SELECT x.source, x.tok, x.c, cw.c_w, ts.t_s, tt.t_all,
+      |    CAST(x.c AS HUGEINT) * tt.t_all + A0 * CAST(cw.c_w AS HUGEINT) AS num1,
+      |    (CAST(ts.t_s AS HUGEINT) + A0) * tt.t_all
+      |      - (CAST(x.c AS HUGEINT) * tt.t_all + A0 * CAST(cw.c_w AS HUGEINT)) AS den1,
+      |    (CAST(cw.c_w AS HUGEINT) - x.c) * tt.t_all + A0 * CAST(cw.c_w AS HUGEINT) AS num2,
+      |    (CAST(tt.t_all AS HUGEINT) - ts.t_s + A0) * tt.t_all
+      |      - ((CAST(cw.c_w AS HUGEINT) - x.c) * tt.t_all + A0 * CAST(cw.c_w AS HUGEINT)) AS den2
+      |  FROM c x JOIN cw USING (tok) JOIN ts USING (source) CROSS JOIN tt),
+      |k AS (
+      |  SELECT source, tok, c,
+      |    CAST(round(ln(CAST(num1 AS DOUBLE) / CAST(den1 AS DOUBLE)) * 1000000) AS BIGINT)
+      |      - CAST(round(ln(CAST(num2 AS DOUBLE) / CAST(den2 AS DOUBLE)) * 1000000) AS BIGINT) AS d6,
+      |    CAST(t_all AS DOUBLE) / CAST(num1 AS DOUBLE)
+      |      + CAST(t_all AS DOUBLE) / CAST(num2 AS DOUBLE) AS v
+      |  FROM j)
+      |SELECT source, tok, CAST(c AS BIGINT) AS c,
+      |  CAST((abs(d6) + 50) // 100 * (CASE WHEN d6 < 0 THEN -1 ELSE 1 END) AS BIGINT)
+      |    / 10000.0 AS logodds,
+      |  round((d6 / 1000000.0) / sqrt(v), 4) + 0 AS z
+      |FROM k ORDER BY source, tok""".stripMargin.replace("A0", a0.toString)
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_token_count" -> QueryDef(
       tokenCount,
@@ -1772,5 +1882,9 @@ object TextAnalysis {
       burstiness,
       Some(burstinessSql),
       "X101 term burstiness: Gries' DP dispersion over the full V×S grid, integer-exact"),
+    "q_distinctive" -> QueryDef(
+      distinctive,
+      Some(distinctiveSql),
+      "X104 per-source distinctive terms: Monroe et al. prior-smoothed log-odds, z-scored"),
   )
 }

@@ -967,6 +967,21 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
+  test("q_distinctive reads the corpus zero times in the declared plan (the X101 checkpoint discipline)") {
+    val qe = SparkEntry.queries("q_distinctive")(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"distinctive-terms re-reads the corpus — the checkpoint fell off:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed (source, tok) matrix as the only input:\n$plan")
+    import org.apache.spark.sql.catalyst.plans.logical
+    qe.optimizedPlan.collect { case w: logical.Window => w }
+      .filter(_.partitionSpec.isEmpty).foreach { w =>
+        assert(w.child.collectFirst { case a: logical.Aggregate => a }.nonEmpty,
+          s"distinctive-terms plans a corpus-wide single-partition window:\n$w")
+      }
+  }
+
   test("q_vocab_saturation is two aggregates — vocab collapse then |sources| rollup, no join") {
     // X80's exact path: the (source, tok) collapse with map-side
     // partials, then the frequency-of-frequencies rollup. Anything

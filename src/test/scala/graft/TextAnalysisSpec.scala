@@ -428,4 +428,46 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(got.map(_._4).distinct.length > 1, s"degenerate DP at $dir")
     }
   }
+
+  test("q_distinctive: sequential log-odds recount at two SFs; both signs live, z sane") {
+    import org.apache.spark.sql.functions._
+    val a0 = 500L
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val byDoc = Tables(spark, dir, "documents")
+        .select(col("source"), col("text")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      byDoc.foreach { case (src, text) =>
+        text.split(" ", -1).foreach(t => counts((src, t)) = counts.getOrElse((src, t), 0L) + 1)
+      }
+      val tS = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val cW = counts.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+      val n = BigInt(tS.values.sum)
+      def snap6(x: Double) =
+        BigDecimal(x * 1000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expected = counts.toSeq.map { case ((src, tok), c) =>
+        val num1 = BigInt(c) * n + BigInt(a0) * cW(tok)
+        val den1 = (BigInt(tS(src)) + a0) * n - num1
+        val num2 = BigInt(cW(tok) - c) * n + BigInt(a0) * cW(tok)
+        val den2 = (n - tS(src) + a0) * n - num2
+        val d6 = snap6(math.log(num1.toDouble / den1.toDouble)) -
+          snap6(math.log(num2.toDouble / den2.toDouble))
+        val lo = ((math.abs(d6) + 50) / 100) * (if (d6 < 0) -1L else 1L)
+        val v = n.toDouble / num1.toDouble + n.toDouble / num2.toDouble
+        val z = r4((d6 / 1000000.0) / math.sqrt(v)) + 0.0
+        (src, tok, c, lo / 10000.0, z)
+      }.sortBy(r => (r._1, r._2))
+      val got = SparkEntry.queries("q_distinctive")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
+      assert(got.toSeq === expected, s"distinctive-terms recount diverges at $dir")
+      // the statistic does its job: significantly over- AND
+      // under-represented cells exist, and z stays in a sane band
+      // (prior-smoothed log-odds on this corpus: no |z| blowups)
+      assert(got.exists(_._5 > 2.0) && got.exists(_._5 < -2.0),
+        s"no significant cells in either direction at $dir — the prior drowned the signal")
+      assert(got.forall(r => math.abs(r._5) < 10.0), s"z blew up at $dir")
+    }
+  }
 }
