@@ -1573,13 +1573,27 @@ object Curation {
     * the threshold compare and the argmax (the X32 compare-on-rounded
     * rule), eval-id tie-break; the decision is engine-portable.
     */
-  private def decontamSemantic(s: SparkSession, dir: String): DataFrame = {
-    val semThreshold = 0.95
+  /** X100's similarity threshold — config, like the dedup cuts. */
+  private[graft] val semThreshold = 0.95
+
+  /** The eval-suite embeddings (every 50th vector) — the bounded
+    * offline artifact both the batch sweep and the streaming
+    * admission filter ([[graft.streaming.Gateway.decontamFeed]])
+    * join against.
+    */
+  private[graft] def evalVecs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("eval_id"),
+        transform(col("embedding"), _.cast("double")).as("ev"))
+
+  /** X100's train side: the non-eval corpus plus the planted
+    * perturbed copies of every second eval vector.
+    */
+  private[graft] def trainVecs(s: SparkSession, dir: String): DataFrame = {
     val base = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val eval_ = base.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
-    val train = base.filter(col("vec_id") % 50 =!= 0)
+    base.filter(col("vec_id") % 50 =!= 0)
       .unionByName(
         base.filter(col("vec_id") % 100 === 0).select(
           (col("vec_id") + 200000).as("vec_id"),
@@ -1587,10 +1601,19 @@ object Curation {
             when(i === 3, x.cast("double") * 1.25).otherwise(x.cast("double")))
             .as("embedding")))
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("tv"))
-    train.crossJoin(broadcast(eval_))
+  }
+
+  /** The pre-argmax hit pairs — factored so the streaming twin's
+    * parity test compares against EXACTLY the batch scoring chain.
+    */
+  private[graft] def semanticHits(s: SparkSession, dir: String): DataFrame =
+    trainVecs(s, dir).crossJoin(broadcast(evalVecs(s, dir)))
       .select(col("vec_id"), col("eval_id"),
         round(VectorOps.cosine(col("tv"), col("ev")), 4).as("score"))
       .filter(col("score") >= semThreshold)
+
+  private def decontamSemantic(s: SparkSession, dir: String): DataFrame = {
+    semanticHits(s, dir)
       .groupBy(col("vec_id"))
       .agg(
         count(lit(1)).cast("long").as("n_matched"),

@@ -665,6 +665,53 @@ object Gateway {
       .dropDuplicatesWithinWatermark("doc_id")
   }
 
+  /** Streaming X100 — semantic-decontam admission on the ingest path:
+    * each incoming embedding row ("ts vec_id v1,v2,…") is scored
+    * against the STATIC eval-suite embeddings (the bounded offline
+    * artifact — [[graft.operators.Curation.evalVecs]], the same
+    * hot-set/dictionary pattern as [[admitFeed]]) and every pair
+    * clearing the cosine threshold emits a quarantine row
+    * `(ts, vec_id, eval_id, score)` — contaminated vectors are
+    * flagged AT INGEST, before they ever reach a training snapshot,
+    * instead of by the nightly batch sweep.
+    *
+    * The scoring join is stream-static with a THRESHOLD condition
+    * (no equi-key exists for cosine — the X100 argument), which the
+    * engine executes per micro-batch as the same broadcast
+    * nested-loop the batch plan uses: stateless, Θ(batch·E) with E
+    * human-fixed. No streaming aggregate; one watermark-bounded
+    * `dropDuplicatesWithinWatermark` on the (vec, eval) pair absorbs
+    * at-least-once replay (the [[dedupFeed]] shape). The round-4
+    * compare-on-rounded threshold is identical to the batch chain,
+    * so GatewaySpec pins streamed pairs ≡ batch
+    * [[graft.operators.Curation.semanticHits]] row-for-row.
+    */
+  def decontamFeed(
+      lines: DataFrame,
+      evalVecs: DataFrame,
+      threshold: Double = graft.operators.Curation.semThreshold,
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val parsed = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 && col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).cast("long").as("vec_id"),
+        transform(split(col("p").getItem(2), ","), x => x.cast("double")).as("tv"))
+      // malformed vector guard: any non-numeric component poisons the
+      // whole row (the P2 discard discipline, element-wise)
+      .filter(!exists(col("tv"), _.isNull))
+      .withWatermark("ts", watermarkDelay)
+    parsed
+      .join(broadcast(evalVecs),
+        round(graft.operators.VectorOps.cosine(col("tv"), col("ev")), 4)
+          >= threshold)
+      .select(col("ts"), col("vec_id"), col("eval_id"),
+        round(graft.operators.VectorOps.cosine(col("tv"), col("ev")), 4).as("score"))
+      .dropDuplicatesWithinWatermark("vec_id", "eval_id")
+  }
+
   /** Streaming X72+X73 — incremental snapshot delta on the ingest
     * path: classify each incoming document against the STATIC
     * previous-version manifest (doc_id → content hash — the bounded

@@ -1006,6 +1006,43 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic decontam flags exactly the batch X100 pair set, scores equal") {
+    // the ingest-time form of q_decontam_semantic: the batch train
+    // side (including the planted perturbed copies) replayed as an
+    // embedding feed, stream-static threshold-joined against the SAME
+    // eval-suite artifact — streamed (vec, eval, score) rows must
+    // equal the batch pre-argmax hit chain exactly (same cosine op
+    // sequence, same round-4 compare-on-rounded cut)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val feed = graft.operators.Curation.trainVecs(spark, dir)
+      .collect().map { r =>
+        val csv = r.getSeq[Double](1).map(_.toString).mkString(",")
+        s"1000 ${r.getLong(0)} $csv"
+      }
+    val ms = MemoryStream[String]
+    val sink = s"decontam_feed_${System.nanoTime()}"
+    val q = Gateway.decontamFeed(ms.toDF(), graft.operators.Curation.evalVecs(spark, dir))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      ms.addData(feed.toSeq: _*)
+      q.processAllAvailable()
+      // at-least-once replay must not re-flag a (vec, eval) pair
+      ms.addData(feed.take(3).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table(sink)
+        .select("vec_id", "eval_id", "score")
+        .as[(Long, Long, Double)].collect().toList
+      val batch = graft.operators.Curation.semanticHits(spark, dir)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(batch.nonEmpty, "vacuous pin: no contaminated pairs at this SF")
+      assert(streamed.toSet === batch,
+        s"streamed pairs ${streamed.toSet} != batch hits $batch")
+      assert(streamed.size === streamed.toSet.size, "replayed rows were re-flagged")
+    } finally q.stop()
+  }
+
   test("streaming admission: strip → gates → DSIR weights ≡ the batch composition row-for-row") {
     // the r14 ingest path: the X52 hot set and X58 dictionary are the
     // bounded offline artifacts, the stream strips/gates/scores
