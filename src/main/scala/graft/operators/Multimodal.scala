@@ -272,6 +272,70 @@ object Multimodal {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** X105 frame geometry: 16-byte payloads split into 4-byte frames,
+    * every 2nd frame sampled — the stub scale of a real video
+    * pipeline's "decode container → split frames → keep every k-th"
+    * (uniform temporal sampling, the standard pre-captioning step).
+    */
+  private[graft] val frameBytes = 4
+  private[graft] val frameStride = 2
+
+  /** X105 — frame-sampling plan (`q_frame_sample`): the declared form
+    * of the brief's "frame-sample" multimodal obligation —
+    * [[MediaCodec.sampleFrames]] existed as plumbing; this runs it as
+    * an operator: video containers only (partition-prunable
+    * predicate), GFTM TLV decode per partition (the mapInPandas
+    * batch shape in JVM form), payload split into [[frameBytes]]
+    * frames, every [[frameStride]]-th frame kept, and per sampled
+    * frame the two features a downstream embedder's dataloader
+    * needs: the frame byte sum (the decode checksum, X12's
+    * discipline at frame grain) and the leading byte (the "luma
+    * probe" stand-in). The oracle derives every value from md5 hex
+    * arithmetic WITHOUT parsing — so the hash compare certifies the
+    * parser + splitter + stride end to end, the container-decode
+    * pattern extended one level down.
+    *
+    * Scale shape: a narrow per-partition iterator pass (codec state
+    * amortized), ×2 fan-out in-row, no shuffle but the final sort;
+    * the video-only filter prunes at the scan. Real frame decode
+    * (the image/audio libs absent in this container) swaps into the
+    * same mapPartitions body without touching the plan.
+    */
+  private def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    containers(s, dir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("container")).as[Array[Byte]]
+      .mapPartitions { it =>
+        it.flatMap { bytes =>
+          val d = MediaCodec.decode(bytes)
+          assert(d.mediaType == "video", s"non-video container reached the frame sampler")
+          MediaCodec.sampleFrames(d.payload, frameBytes).zipWithIndex
+            .filter(_._2 % frameStride == 0)
+            .map { case (f, i) =>
+              (d.docId, i.toLong,
+                f.foldLeft(0L)((acc, b) => acc + (b & 0xFF)),
+                (f.head & 0xFF).toLong)
+            }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_sum", "first_byte")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private def frameSampleSql: String = {
+    val frameSum = (0 until frameBytes)
+      .map(i => s"('0x' || substr(h, 8 * frame_idx + ${2 * i + 1}, 2))::BIGINT")
+      .mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 2),
+       |f AS (SELECT doc_id, unnest([0, 2]) AS frame_idx, h FROM v)
+       |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  CAST($frameSum AS BIGINT) AS frame_sum,
+       |  ('0x' || substr(h, 8 * frame_idx + 1, 2))::BIGINT AS first_byte
+       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_multimodal_meta" -> QueryDef(
       multimodalMeta,
@@ -297,5 +361,9 @@ object Multimodal {
              |  CAST(max(height) AS BIGINT) AS max_height
              |FROM a GROUP BY media_type ORDER BY media_type""".stripMargin),
       "X43 per-modality payload statistics: counts/bytes/exact-dup cardinality/extents"),
+    "q_frame_sample" -> QueryDef(
+      frameSample,
+      Some(frameSampleSql),
+      "X105 frame-sampling plan: video containers decoded, every 2nd frame kept, per-frame features"),
   )
 }

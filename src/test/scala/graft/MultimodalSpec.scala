@@ -89,4 +89,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.length === 4 && frames.forall(_.length === 4))
     assert(frames.flatten.toSeq === a.payload.toSeq)
   }
+
+  test("q_frame_sample: independent digest recount at two SFs; videos only, stride respected") {
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val texts = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      // independent truth: java MessageDigest, not the Spark md5/hex
+      // chain the query and oracle share
+      val expected = texts.filter(_._1 % 3 == 2).flatMap { case (id, text) =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes("UTF-8"))
+        digest.grouped(4).toSeq.zipWithIndex.filter(_._2 % 2 == 0).map {
+          case (f, i) =>
+            (id, i.toLong, f.map(b => (b & 0xFF).toLong).sum, (f.head & 0xFF).toLong)
+        }
+      }.sortBy(r => (r._1, r._2))
+      val got = SparkEntry.queries("q_frame_sample")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq === expected.toSeq, s"frame-sample recount diverges at $dir")
+      // exactly the video slice, exactly 2 of 4 frames per asset
+      assert(got.forall(_._1 % 3 == 2), s"a non-video doc leaked into the sampler at $dir")
+      assert(got.map(_._2).toSet == Set(0L, 2L), s"stride broken at $dir")
+      assert(got.length == texts.count(_._1 % 3 == 2) * 2, s"frame count wrong at $dir")
+    }
+  }
 }
