@@ -341,6 +341,84 @@ object Extensions {
       |WHERE r.rk = (c.n_docs + 1) // 2 OR r.rk = (9 * c.n_docs + 9) // 10
       |GROUP BY r.source, c.n_docs ORDER BY r.source""".stripMargin
 
+  /** X106 — windowed rate-anomaly detection (`q_rate_anomaly`): the
+    * volume alarm an event pipeline runs next to X63's SHAPE alarm —
+    * X63/X56 ask "did the value distribution drift?"; this asks "did
+    * the RATE spike or crater?", the first thing an on-call checks
+    * when a crawler loops or a source dies. Per (event_type, day):
+    * the day's count z-scored against that type's trailing baseline
+    * (the previous 7 OBSERVED days — a ROWS frame, the standard
+    * dense-grain monitoring convention; ≥3 prior days required
+    * before the baseline is trusted).
+    *
+    * Numerics: with S = Σc, Q = Σc², n over the trailing frame,
+    * z = (nc − S)/√(nQ − S²) — every input to the one fixed IEEE
+    * sequence (sqrt, ÷) is an exact integer, so both engines round
+    * identical doubles (4dp, +0 for the sign rule); σ = 0 defines
+    * z = 0. The FLAG is pure integer — (nc − S)² ≥ 4(nQ − S²), i.e.
+    * |z| ≥ 2, cross-multiplied in DECIMAL(38,0) (a 10⁹/day source
+    * squares past BIGINT) with the σ = 0 degenerate flagged iff the
+    * count moved at all — so the alarm decision is engine-portable
+    * even where the z column is irrational.
+    *
+    * Scale shape: one corpus collapse to the (type, day) matrix
+    * (map-side partials), then windows over that matrix only —
+    * grain |types|×|days|, time-bounded, never corpus-bounded (the
+    * q_retention class). No join anywhere.
+    */
+  private def rateAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables(s, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    g.withColumn("s", sum(col("c")).over(w))
+      .withColumn("q", sum(col("c") * col("c")).over(w))
+      .withColumn("n_prior", count(col("c")).over(w))
+      .filter(col("n_prior") >= 3)
+      .withColumn("num", col("n_prior") * col("c") - col("s"))
+      .withColumn("varn", col("n_prior") * col("q") - col("s") * col("s"))
+      .select(col("event_type"), col("day"), col("c").cast("long").as("n_events"),
+        col("n_prior").cast("long").as("n_prior"),
+        (when(col("varn") === 0, lit(0.0))
+          .otherwise(round(col("num").cast("double")
+            / sqrt(col("varn").cast("double")), 4)) + lit(0.0)).as("z"),
+        when(col("varn") === 0, when(col("num") =!= 0, 1L).otherwise(0L))
+          .otherwise(when(
+            expr("CAST(num AS DECIMAL(38,0)) * num >= 4 * CAST(varn AS DECIMAL(38,0))"),
+            1L).otherwise(0L))
+          .cast("long").as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  private def rateAnomalySql: String =
+    """WITH g AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day, c,
+      |    sum(c) OVER tw AS s, sum(c * c) OVER tw AS q,
+      |    count(c) OVER tw AS n_prior
+      |  FROM g
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |k AS (
+      |  SELECT event_type, day, c, n_prior,
+      |    n_prior * c - s AS num, n_prior * q - s * s AS varn
+      |  FROM w WHERE n_prior >= 3)
+      |SELECT event_type, CAST(day AS BIGINT) AS day,
+      |  CAST(c AS BIGINT) AS n_events, CAST(n_prior AS BIGINT) AS n_prior,
+      |  CASE WHEN varn = 0 THEN 0.0
+      |       ELSE round(CAST(num AS DOUBLE) / sqrt(CAST(varn AS DOUBLE)), 4) END
+      |    + 0 AS z,
+      |  CAST(CASE WHEN varn = 0 THEN (CASE WHEN num <> 0 THEN 1 ELSE 0 END)
+      |       WHEN CAST(num AS HUGEINT) * num >= 4 * CAST(varn AS HUGEINT)
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      |FROM k ORDER BY event_type, day""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_json_extract" -> QueryDef(
       jsonExtract,
@@ -430,6 +508,10 @@ object Extensions {
              |       // (2 * CAST(n0 AS HUGEINT) * n1) AS BIGINT) / 10000.0 AS ks
              |FROM k WHERE n0 > 0 AND n1 > 0 ORDER BY event_type""".stripMargin),
       "X63 temporal drift: exact two-sample KS, early vs late half per event type"),
+    "q_rate_anomaly" -> QueryDef(
+      rateAnomaly,
+      Some(rateAnomalySql),
+      "X106 windowed rate anomaly: per-(type, day) z vs trailing-7 baseline, integer alarm"),
     "q_source_quantiles" -> QueryDef(
       sourceQuantiles,
       Some(sourceQuantilesSql),

@@ -97,4 +97,62 @@ class ExtensionsSpec extends AnyFunSuite {
         s"median == p90 everywhere at $dir — near-vacuous pin")
     }
   }
+
+  test("q_rate_anomaly: sequential trailing-baseline recount; both alarm branches live") {
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val days = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").as("day"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expected = days.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+        .groupBy(_._1._1).toSeq.flatMap { case (et, cells) =>
+          val series = cells.map { case ((_, d), c) => (d, c) }.sortBy(_._1)
+          series.zipWithIndex.flatMap { case ((d, c), i) =>
+            val prior = series.slice(math.max(0, i - 7), i).map(_._2)
+            val n = prior.length.toLong
+            if (n < 3) None
+            else {
+              val sSum = prior.sum; val q = prior.map(x => x * x).sum
+              val num = n * c - sSum; val varn = n * q - sSum * sSum
+              val z = if (varn == 0) 0.0
+                else r4(num.toDouble / math.sqrt(varn.toDouble)) + 0.0
+              val alarm =
+                if (varn == 0) { if (num != 0) 1L else 0L }
+                else if (BigInt(num) * num >= BigInt(4) * varn) 1L else 0L
+              Some((et, d, c, n, z, alarm))
+            }
+          }
+        }.sortBy(r => (r._1, r._2))
+      val got = SparkEntry.queries("q_rate_anomaly")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getLong(5)))
+      assert(got.toSeq === expected, s"rate-anomaly recount diverges at $dir")
+      // the alarm must fire somewhere and stay quiet somewhere (a
+      // threshold that always or never fires is a dead monitor)
+      assert(got.exists(_._6 == 1L) && got.exists(_._6 == 0L),
+        s"alarm branches degenerate at $dir")
+      // the integer alarm is exactly the |z| >= 2 decision where z is finite
+      got.filter(r => r._5 != 0.0 || r._6 == 0L).foreach { r =>
+        assert((math.abs(r._5) >= 2.0) == (r._6 == 1L),
+          s"integer alarm disagrees with z at $dir: $r")
+      }
+    }
+  }
+
+  test("q_rate_anomaly windows only the (type, day) matrix — no join, one collapse exchange") {
+    val qe = SparkEntry.queries("q_rate_anomaly")(spark, "/root/testdata/sf0.01")
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Join"), s"rate-anomaly plans a join:\n$plan")
+    import org.apache.spark.sql.catalyst.plans.logical
+    val windows = qe.optimizedPlan.collect { case w: logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"rate-anomaly has a corpus-wide single-partition window:\n$plan")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: logical.Aggregate => a }.nonEmpty,
+        s"the trailing window does not sit over the (type, day) collapse:\n$w")
+    }
+  }
 }
