@@ -1245,6 +1245,80 @@ object Clustering {
        |    // (CAST(tn AS HUGEINT) * 2000000) AS DOUBLE) / 10000 AS overall_sil
        |FROM gt ORDER BY cid""".stripMargin
 
+  /** X107 — dedup-discounted effective dataset size (`q_eff_size`):
+    * the acquisition number data-constrained scaling actually wants —
+    * raw token counts overstate a duplicated corpus (repeated tokens
+    * buy less loss reduction; Muennighoff et al.'s decay), so the
+    * standard discount weights every document 1/m where m is its
+    * X21 duplicate-cluster size: a doc copied 5× contributes each
+    * copy at 1/5, total cluster mass 1× — the SOFT version of
+    * keep-one dedup (X26 keeps one and drops the rest; 1/m keeps
+    * them all at fractional weight, which is what mixture samplers
+    * that upsample by source actually consume). Per source: member
+    * count, duplicated-member count, raw token mass, effective token
+    * mass and the effective ratio — the per-source "how much UNIQUE
+    * data is this crawl really" table next to X42's casualty counts.
+    *
+    * Numerics: per-doc effective tokens in ppm by integer HALF_UP
+    * ((tok·2·10⁶ + m) DIV 2m), summed as DECIMAL(38,0) (10¹⁴ corpus
+    * tokens × 10⁶ ppm passes BIGINT), both rollup measures round-4
+    * in integer space. Hash-identical by construction.
+    *
+    * Scale shape: memoized CC labels (bounded by dup volume)
+    * LEFT-joined by the corpus id stream (the X26/X97 AQE-broadcast
+    * shape), one id-keyed metadata join, one ≤|sources| aggregate
+    * with map-side partials. No window, nothing corpus-pairwise.
+    */
+  private def effSize(s: SparkSession, dir: String): DataFrame = {
+    val c = Dedup.corpus(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+    val lab = clusterLabels(s, dir).select(col("doc_id"), col("cluster_size"))
+    val meta = graft.Tables(s, dir, "documents")
+      .select(col("doc_id").as("src_id"), col("source"))
+    c.join(lab, Seq("doc_id"), "left")
+      .withColumn("m", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("src_id",
+        when(col("doc_id") >= 200000, col("doc_id") - 200000).otherwise(col("doc_id")))
+      .join(meta, "src_id")
+      .withColumn("ppm", expr("(tok * 2000000 + m) DIV (2 * m)"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("long").as("n_members"),
+        sum(when(col("m") > 1, 1L).otherwise(0L)).cast("long").as("n_dup_members"),
+        sum(col("tok")).cast("long").as("n_tokens"),
+        sum(col("ppm").cast("decimal(38,0)")).as("eff_ppm"))
+      .select(col("source"), col("n_members"), col("n_dup_members"), col("n_tokens"),
+        (expr("""CAST((eff_ppm * 20000 + 1000000) DIV 2000000 AS BIGINT)""")
+          / lit(10000.0)).as("eff_tokens"),
+        (expr("""CAST((eff_ppm * 20000 + CAST(n_tokens AS DECIMAL(38,0)) * 1000000)
+                |  DIV (2 * CAST(n_tokens AS DECIMAL(38,0)) * 1000000) AS BIGINT)"""
+          .stripMargin) / lit(10000.0)).as("eff_ratio"))
+      .orderBy("source")
+  }
+
+  private def effSizeSql: String =
+    s"""$clusterChainSql,
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1),
+       |lm AS (SELECT l.doc_id, sz.cluster_size FROM labels l JOIN sz USING (cluster_id)),
+       |t AS (
+       |  SELECT c.doc_id, CAST(len(string_split(c.text, ' ')) AS BIGINT) AS tok,
+       |    COALESCE(lm.cluster_size, 1) AS m,
+       |    CASE WHEN c.doc_id >= 200000 THEN c.doc_id - 200000 ELSE c.doc_id END AS src_id
+       |  FROM corpus c LEFT JOIN lm ON lm.doc_id = c.doc_id),
+       |g AS (
+       |  SELECT d.source, count(*) AS n_members,
+       |    sum(CASE WHEN t.m > 1 THEN 1 ELSE 0 END) AS n_dup_members,
+       |    sum(t.tok) AS n_tokens,
+       |    sum(CAST((t.tok * 2000000 + t.m) // (2 * t.m) AS HUGEINT)) AS eff_ppm
+       |  FROM t JOIN documents d ON d.doc_id = t.src_id GROUP BY 1)
+       |SELECT source, CAST(n_members AS BIGINT) AS n_members,
+       |  CAST(n_dup_members AS BIGINT) AS n_dup_members,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST((eff_ppm * 20000 + 1000000) // 2000000 AS BIGINT) / 10000.0 AS eff_tokens,
+       |  CAST((eff_ppm * 20000 + CAST(n_tokens AS HUGEINT) * 1000000)
+       |    // (2 * CAST(n_tokens AS HUGEINT) * 1000000) AS BIGINT) / 10000.0 AS eff_ratio
+       |FROM g ORDER BY source""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_dedup_cluster" -> QueryDef(
       dedupCluster,
@@ -1306,5 +1380,9 @@ object Clustering {
       silhouette,
       Some(silhouetteSql),
       "X99 simplified silhouette: per-cell and corpus cluster-quality verdict, integer-space means"),
+    "q_eff_size" -> QueryDef(
+      effSize,
+      Some(effSizeSql),
+      "X107 effective dataset size: 1/cluster-size token discounting per source, integer ppm"),
   )
 }

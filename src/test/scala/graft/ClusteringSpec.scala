@@ -583,4 +583,39 @@ class ClusteringSpec extends AnyFunSuite {
         "every cell must report (K rows always)")
     }
   }
+
+  test("q_eff_size: sequential 1/m recount off the oracle-green labels; discount strictly binds") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val sizes = SparkEntry.queries("q_dedup_cluster")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val toks = graft.operators.Dedup.corpus(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val srcOf = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def round4of(num: BigInt, den: BigInt): Double =
+      ((num * 20000 + den) / (2 * den)).toDouble / 10000.0
+    val expected = toks.groupBy { case (id, _) =>
+      srcOf(if (id >= 200000) id - 200000 else id)
+    }.toSeq.map { case (src, rows) =>
+      val ms = rows.map { case (id, tok) => (tok, sizes.getOrElse(id, 1L)) }
+      val ppm = ms.map { case (tok, m) => (BigInt(tok) * 2000000 + m) / (2 * m) }.sum
+      (src, rows.length.toLong, ms.count(_._2 > 1).toLong, ms.map(_._1).sum,
+        round4of(ppm, BigInt(1000000)),
+        round4of(ppm, BigInt(ms.map(_._1).sum) * 1000000))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_eff_size")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq === expected, "effective-size recount diverges from the labels")
+    // the discount binds wherever duplication exists, and never inflates
+    got.foreach { r =>
+      assert(r._5 <= r._4.toDouble, s"effective tokens exceed raw for ${r._1}")
+      if (r._3 > 0) assert(r._5 < r._4.toDouble, s"dup source ${r._1} not discounted")
+      assert(r._6 > 0.0 && r._6 <= 1.0, s"ratio out of range for ${r._1}")
+    }
+    assert(got.exists(_._3 > 0), "vacuous pin: no duplicated members anywhere")
+  }
 }
