@@ -806,26 +806,37 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  private def qualityClfSql: String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |f AS (
-       |  SELECT doc_id, unnest(w) AS f FROM t
+  /** The X67 classifier as a DuckDB CTE chain over `$from(doc_id,
+    * text)`, ending in `cl(doc_id, n_feats, score6, logit6)` — the
+    * oracle-side twin of [[withClfColumns]], factored (the
+    * [[ruleFailedCteSql]] pattern) so composed oracles (X108) can
+    * state the same arithmetic without restating the hashing trick.
+    */
+  private[graft] def clfCteSql(from: String): String =
+    s"""clt AS (SELECT doc_id, string_split(text, ' ') AS w FROM $from),
+       |clf AS (
+       |  SELECT doc_id, unnest(w) AS f FROM clt
        |  UNION ALL
        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS f
-       |  FROM t, LATERAL unnest(generate_series(1, len(w) - 1)) AS s(i)
+       |  FROM clt, LATERAL unnest(generate_series(1, len(w) - 1)) AS s(i)
        |  WHERE len(w) >= 2),
-       |sc AS (
+       |cl0 AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
        |    CAST(sum(
        |      ('0x' || substr(md5('qw' || CAST(
        |        ('0x' || substr(md5(f), 1, 8))::BIGINT % $clfBuckets
        |      AS VARCHAR)), 1, 8))::BIGINT % 200001 - 100000) AS BIGINT) AS score6
-       |  FROM f GROUP BY doc_id)
-       |SELECT doc_id, n_feats,
-       |  CAST(CASE WHEN score6 < 0 THEN -(abs(score6) // n_feats)
-       |            ELSE score6 // n_feats END AS BIGINT) AS logit6,
-       |  score6 >= 0 AS keep
-       |FROM sc ORDER BY doc_id""".stripMargin
+       |  FROM clf GROUP BY doc_id),
+       |cl AS (
+       |  SELECT doc_id, n_feats, score6,
+       |    CAST(CASE WHEN score6 < 0 THEN -(abs(score6) // n_feats)
+       |              ELSE score6 // n_feats END AS BIGINT) AS logit6
+       |  FROM cl0)""".stripMargin
+
+  private def qualityClfSql: String =
+    s"""WITH ${clfCteSql("documents")}
+       |SELECT doc_id, n_feats, logit6, score6 >= 0 AS keep
+       |FROM cl ORDER BY doc_id""".stripMargin
 
   /** X62 — cross-split near-dup leakage: every val/test document that
     * has a VERIFIED near-duplicate (the X5b MinHash pipeline's ≥0.6
@@ -1752,6 +1763,116 @@ object Curation {
        |  CAST(CASE WHEN v.nt - v.mt > $embargoMicros THEN 1 ELSE 0 END AS BIGINT) AS gap_ok
        |FROM g, v ORDER BY split, event_type""".stripMargin
 
+  /** X108 — classifier/rule-cascade agreement (`q_clf_agreement`):
+    * the QA table for the quality-gate ensemble — a pipeline running
+    * BOTH X67's learned classifier and X73's rule cascade needs to
+    * know where they agree (redundant filters waste compute) and
+    * where they diverge (the disagreement slice is exactly what gets
+    * human review / retraining). Stratified by classifier confidence:
+    * per logit bin, the keep rates of both gates and their agreement
+    * rate — a reliability-diagram-shaped read where a well-behaved
+    * classifier agrees with the rules most at extreme logits and
+    * least near the boundary (visible in the data: agreement is
+    * lowest in the middle bins). Riding every row, the corpus
+    * verdict: Cohen's κ between the two keep verdicts — the
+    * chance-corrected agreement number (κ = 1 identical, 0 chance,
+    * < 0 systematic disagreement) that decides whether one gate is
+    * redundant. κ is an EXACT integer rational ((n·(a+d) − pe_num) /
+    * (n² − pe_num) with pe_num = (a+b)(a+c)+(c+d)(b+d) from the 2×2
+    * confusion counts), rounded 4dp by signed integer HALF_UP in
+    * DECIMAL(38,0) (n² at 10¹⁴ docs is 10²⁸); the degenerate pe = 1
+    * (a constant gate) defines κ = 0. Binning is on the SHIFTED
+    * nonnegative logit ((logit6 + 10⁵) DIV 2·10⁴ → bins 0..10) —
+    * negative integer division floors in DuckDB and truncates in
+    * Spark, so the shift is what makes the bin edges engine-portable.
+    *
+    * Scale shape: both gates are narrow in-row column work
+    * ([[withClfColumns]]/[[withRuleFlags]]); ONE corpus aggregate to
+    * ≤11 bins with map-side partials; the κ verdict is a dictionary
+    * window over those bins. One scan, one exchange, no join.
+    */
+  private def clfAgreement(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val flagged = withRuleFlags(withClfColumns(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
+      .select(
+        expr("(clf_logit6 + 100000) DIV 20000").cast("long").as("bin"),
+        col("clf_keep").cast("long").as("ck"),
+        col("keep").cast("long").as("rk"))
+    def rate4(num: String, den: String): org.apache.spark.sql.Column =
+      expr(s"CAST((20000 * $num + $den) DIV (2 * $den) AS BIGINT)") / lit(10000.0)
+    val bins = flagged.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ck")).as("nck"), sum(col("rk")).as("nrk"),
+        sum(when(col("ck") === col("rk"), 1L).otherwise(0L)).as("nag"),
+        sum(col("ck") * col("rk")).as("a"),
+        sum(col("ck") * (lit(1L) - col("rk"))).as("b"),
+        sum((lit(1L) - col("ck")) * col("rk")).as("c"),
+        sum((lit(1L) - col("ck")) * (lit(1L) - col("rk"))).as("d"))
+    bins
+      .withColumn("ta", sum(col("a")).over(wAll))
+      .withColumn("tb", sum(col("b")).over(wAll))
+      .withColumn("tc", sum(col("c")).over(wAll))
+      .withColumn("td", sum(col("d")).over(wAll))
+      .withColumn("tn", col("ta") + col("tb") + col("tc") + col("td"))
+      .withColumn("pe_num", expr(
+        """(CAST(ta AS DECIMAL(38,0)) + tb) * (CAST(ta AS DECIMAL(38,0)) + tc)
+          |+ (CAST(tc AS DECIMAL(38,0)) + td) * (CAST(tb AS DECIMAL(38,0)) + td)"""
+          .stripMargin))
+      .withColumn("knum", expr(
+        "CAST(tn AS DECIMAL(38,0)) * (ta + td) - pe_num"))
+      .withColumn("kden", expr(
+        "CAST(tn AS DECIMAL(38,0)) * tn - pe_num"))
+      .select(col("bin").cast("long").as("bin"), col("n").cast("long").as("n"),
+        rate4("nck", "n").as("clf_keep_rate"),
+        rate4("nrk", "n").as("rule_keep_rate"),
+        rate4("nag", "n").as("agree_rate"),
+        when(col("kden") === 0, lit(0.0)).otherwise(
+          expr("""CAST((abs(knum) * 20000 + kden) DIV (2 * kden) AS BIGINT)
+                 |  * (CASE WHEN knum < 0 THEN -1 ELSE 1 END)""".stripMargin)
+            / lit(10000.0)).as("kappa"))
+      .orderBy("bin")
+  }
+
+  private def clfAgreementSql: String =
+    s"""WITH ${clfCteSql("documents")},
+       |${ruleFailedCteSql("documents")},
+       |fl AS (
+       |  SELECT (cl.logit6 + 100000) // 20000 AS bin,
+       |    CASE WHEN cl.score6 >= 0 THEN 1 ELSE 0 END AS ck,
+       |    CASE WHEN rf.rule_failed = 0 THEN 1 ELSE 0 END AS rk
+       |  FROM cl JOIN rf USING (doc_id)),
+       |bins AS (
+       |  SELECT bin, count(*) AS n, sum(ck) AS nck, sum(rk) AS nrk,
+       |    sum(CASE WHEN ck = rk THEN 1 ELSE 0 END) AS nag,
+       |    sum(ck * rk) AS a, sum(ck * (1 - rk)) AS b,
+       |    sum((1 - ck) * rk) AS c, sum((1 - ck) * (1 - rk)) AS d
+       |  FROM fl GROUP BY 1),
+       |t AS (
+       |  SELECT bin, n, nck, nrk, nag,
+       |    sum(a) OVER () AS ta, sum(b) OVER () AS tb,
+       |    sum(c) OVER () AS tc, sum(d) OVER () AS td
+       |  FROM bins),
+       |k AS (
+       |  SELECT bin, n, nck, nrk, nag, ta + tb + tc + td AS tn,
+       |    (CAST(ta AS HUGEINT) + tb) * (CAST(ta AS HUGEINT) + tc)
+       |      + (CAST(tc AS HUGEINT) + td) * (CAST(tb AS HUGEINT) + td) AS pe_num,
+       |    ta, td
+       |  FROM t)
+       |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+       |  CAST((20000 * nck + n) // (2 * n) AS BIGINT) / 10000.0 AS clf_keep_rate,
+       |  CAST((20000 * nrk + n) // (2 * n) AS BIGINT) / 10000.0 AS rule_keep_rate,
+       |  CAST((20000 * nag + n) // (2 * n) AS BIGINT) / 10000.0 AS agree_rate,
+       |  CASE WHEN CAST(tn AS HUGEINT) * tn - pe_num = 0 THEN 0.0
+       |       ELSE CAST((abs(CAST(tn AS HUGEINT) * (ta + td) - pe_num) * 20000
+       |                  + (CAST(tn AS HUGEINT) * tn - pe_num))
+       |             // (2 * (CAST(tn AS HUGEINT) * tn - pe_num)) AS BIGINT)
+       |            * (CASE WHEN CAST(tn AS HUGEINT) * (ta + td) - pe_num < 0
+       |               THEN -1 ELSE 1 END) / 10000.0 END AS kappa
+       |FROM k ORDER BY bin""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_decontaminate" -> QueryDef(
       decontaminate,
@@ -2006,5 +2127,9 @@ object Curation {
       qualityCut,
       Some(qualityCutSql),
       "X76 relative quality cut: keep the top 30% per source by integer TTR rank"),
+    "q_clf_agreement" -> QueryDef(
+      clfAgreement,
+      Some(clfAgreementSql),
+      "X108 gate agreement: per-logit-bin keep rates of X67 vs X73 + corpus Cohen's kappa"),
   )
 }

@@ -788,4 +788,48 @@ class CurationSpec extends AnyFunSuite {
         s"train->test gap does not clear the embargo at $dir")
     }
   }
+
+  test("q_clf_agreement: bins, rates and corpus kappa match a recount over the two declared gates") {
+    // the agreement table must be EXACTLY what you'd get by joining
+    // the two oracle-green gate queries yourself — recount it from
+    // q_quality_clf and q_rule_filter driver-side with BigInt kappa
+    val clf = SparkEntry.queries("q_quality_clf")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    val rule = SparkEntry.queries("q_rule_filter")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+    assert(clf.keySet == rule.keySet, "gate queries cover different docs")
+    val rows = clf.toSeq.map { case (id, (logit6, ck)) =>
+      ((logit6 + 100000L) / 20000L, if (ck) 1L else 0L, if (rule(id)) 1L else 0L)
+    }
+    def rate4(num: Long, den: Long): Double = ((20000L * num + den) / (2L * den)) / 10000.0
+    val byBin = rows.groupBy(_._1)
+    val (ta, tb, tc, td) = rows.foldLeft((0L, 0L, 0L, 0L)) { case ((a, b, c, d), (_, ck, rk)) =>
+      (a + ck * rk, b + ck * (1 - rk), c + (1 - ck) * rk, d + (1 - ck) * (1 - rk))
+    }
+    val tn = BigInt(ta) + tb + tc + td
+    val peNum = (BigInt(ta) + tb) * (BigInt(ta) + tc) + (BigInt(tc) + td) * (BigInt(tb) + td)
+    val knum = tn * (BigInt(ta) + td) - peNum
+    val kden = tn * tn - peNum
+    val kappa =
+      if (kden == 0) 0.0
+      else ((knum.abs * 20000 + kden) / (kden * 2)).toLong * (if (knum < 0) -1 else 1) / 10000.0
+    val expected = byBin.toSeq.map { case (bin, rs) =>
+      val n = rs.length.toLong
+      (bin, n, rate4(rs.map(_._2).sum, n), rate4(rs.map(_._3).sum, n),
+        rate4(rs.count(r => r._2 == r._3).toLong, n), kappa)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_clf_agreement")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === expected, "agreement table diverges from the two-gate recount")
+    // kappa is a chance-corrected correlation: bounded, and identical
+    // on every row (it is the corpus verdict riding the bin table)
+    assert(kappa >= -1.0 && kappa <= 1.0, s"kappa $kappa out of range")
+    assert(got.map(_._6).distinct.size == 1, "kappa differs across bins")
+    // the binning is keyed on the classifier's own sign boundary, so
+    // the clf keep rate must saturate: exactly 0 below bin 5, 1 at or
+    // above it — a structural invariant, not a data accident
+    assert(got.forall { r => r._3 == (if (r._1 >= 5) 1.0 else 0.0) },
+      s"clf keep rate does not saturate at the sign-boundary bin: $got")
+  }
 }

@@ -1046,4 +1046,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
       s"a selection window lost its doc_id key:\n${windows.mkString("\n")}")
   }
+
+  test("q_clf_agreement runs both gates in one corpus pass: one scan, no join, one ≤11-bin collapse") {
+    // X108's scale shape: the classifier and the rule cascade are
+    // both narrow in-row column work on the SAME projection, so the
+    // corpus is read once and joined never; the only hash exchange
+    // is the ≤11-row bin aggregate, and the kappa window runs over
+    // that dictionary, not the corpus
+    val plan = SparkEntry.queries("q_clf_agreement")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"both gates must share one documents scan:\n$plan")
+    assert(joinOps(plan) == 0, s"gate agreement plans a join:\n$plan")
+    val ex = hashExchanges(plan)
+    assert(ex.size == 1 && ex.head.contains("bin"),
+      s"the only hash exchange should be the bin collapse:\n$plan")
+  }
 }
