@@ -920,6 +920,197 @@ object Similarity {
       |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
       |GROUP BY a.i, b.i ORDER BY dim_i, dim_j""".stripMargin
 
+  /** Fixed iteration count for X109's power method — a plan constant,
+    * same on both engines. 8 steps converge geometrically when the
+    * spectrum is spiked (ratio (λ₂/λ₁)⁸); on a near-isotropic corpus
+    * (this synthetic one: λ₁/λ₂ ≈ 1.017) no small K converges, and no
+    * engine disagreement hides behind that — the contract is the
+    * exact fixed-K iterate, not the limit (SimilaritySpec proves
+    * convergence on a planted-spike fixture through the SAME declared
+    * query, and monotone Rayleigh ascent here).
+    */
+  private[graft] val pcaIters = 8
+
+  /** X109 — PCA top component by portable integer power iteration
+    * (`q_pca_power`): completes the pipeline X93 starts. The
+    * corpus-sized half is the one-pass [[graft.functions.GramSketch]]
+    * aggregate (X93's plan, reused verbatim); this operator adds the
+    * d×d half — K=[[pcaIters]] power-method steps — and emits the
+    * dominant direction plus its variance share, the number that
+    * decides whether a learned projection (PCA whitening) beats X88's
+    * oblivious JL signs for a given corpus.
+    *
+    * The eigensolve is DRIVER-side on the collected triangle
+    * (d(d+1)/2 = 2080 longs — a plan constant, the k-means-centroid
+    * collect class), but engine-PORTABLE by construction: every step
+    * is integer arithmetic — y = G·v in exact BigInt, then a rescale
+    * to ~10⁶ scale by sign-explicit integer division (|y| div s with
+    * s = max|y| div 10⁶ floored at 1; Spark `div` truncates and
+    * DuckDB `//` floors, so the abs/sign-restore dance from X67
+    * applies) — and the oracle replays the IDENTICAL iteration as
+    * [[pcaIters]] unrolled HUGEINT CTEs (every intermediate bounded:
+    * y ≤ d·G·v ≈ 10²⁴, vᵀGv ≈ 10³², 20000·num ≈ 10³⁶ < 10³⁸).
+    * The variance share λ/tr(G) = (vᵀGv)/(vᵀv·tr(G)) is an exact
+    * nonnegative integer rational (G is PSD), rounded 4dp in integer
+    * space.
+    *
+    * Scale shape: identical to X93 — ZERO joins, ZERO corpus-sized
+    * shuffles, one triangle buffer per partition; the added work is
+    * 8·d² multiplies on the driver and a d-row literal output.
+    */
+  /** The driver half shared by X109/X110: collect the X93 triangle,
+    * run the fixed-K integer power iteration, and return the iterate
+    * with its exact Rayleigh-share numerator/denominator pieces.
+    */
+  private def pcaSolve(s: SparkSession, dir: String): (Array[BigInt], BigInt, BigInt, BigInt) = {
+    val tri = embedGram(s, dir).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> BigInt(r.getLong(2)))
+      .toMap
+    val d = tri.keys.map(_._2).max
+    def gf(i: Int, j: Int): BigInt = tri(if (i <= j) (i, j) else (j, i))
+    var v = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to pcaIters) {
+      val y = Array.tabulate(d)(i => (1 to d).map(j => gf(i + 1, j) * v(j - 1)).sum)
+      val sden = (y.map(_.abs).max / 1000000).max(BigInt(1))
+      v = y.map(x => (x.abs / sden) * (if (x < 0) -1 else 1))
+    }
+    val num = (for { i <- 1 to d; j <- 1 to d } yield v(i - 1) * gf(i, j) * v(j - 1)).sum
+    val den = v.map(x => x * x).sum
+    val tr = (1 to d).map(i => gf(i, i)).sum
+    (v, num, den, tr)
+  }
+
+  private def pcaPower(s: SparkSession, dir: String): DataFrame = {
+    val (v, num, den, tr) = pcaSolve(s, dir)
+    val share = ((BigInt(20000) * num + den * tr) / (den * tr * 2)).toLong / 10000.0
+    import s.implicits._
+    v.indices.map(i => ((i + 1).toLong, v(i).toLong, share))
+      .toDF("dim", "v_fixed", "lambda_share")
+      .orderBy("dim")
+  }
+
+  /** The oracle replay of [[pcaSolve]] as a WITH-prefix: snap, gram,
+    * and [[pcaIters]] unrolled power steps. Every multiply-referenced
+    * CTE is MATERIALIZED — without the hint DuckDB inlines, and the
+    * doubly-self-referencing step chain recomputes the gram join
+    * 2^K times (measured: 11 min → 0.13 s at sf0.01).
+    */
+  private def pcaCtePrefix: String = {
+    val iters = (1 to pcaIters).map { k =>
+      val pv = s"v${k - 1}"
+      s"""y$k AS MATERIALIZED (
+         |  SELECT g.i AS dim, sum(g.g * $pv.v) AS y
+         |  FROM g JOIN $pv ON g.j = $pv.dim GROUP BY 1),
+         |s$k AS (SELECT greatest(max(abs(y)) // 1000000, 1) AS s FROM y$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT dim, CASE WHEN y < 0 THEN -(abs(y) // s) ELSE abs(y) // s END AS v
+         |  FROM y$k, s$k)"""
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, s.i AS i,
+       |    CAST(round(CAST(emb[s.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xf
+       |  FROM (SELECT vec_id, embedding AS emb FROM embeddings) t,
+       |  LATERAL unnest(generate_series(1, len(emb))) AS s(i)),
+       |g AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j, sum(CAST(a.xf AS HUGEINT) * b.xf) AS g
+       |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |v0 AS (SELECT DISTINCT i AS dim, CAST(1000000 AS HUGEINT) AS v FROM e),
+       |$iters""".stripMargin
+  }
+
+  /** X110 — PCA projection pass (`q_pca_project`): the corpus-sized
+    * half that makes X109's eigenvector a usable transform. X109
+    * returns the direction; this operator runs the narrow per-row
+    * pass a 100 TB PCA actually executes: for every vector, its exact
+    * integer dot with the iterate (`dot`, the PC1 coordinate at
+    * 10⁶·10⁶ fixed scale) and the fraction of the vector's energy PC1
+    * captures — `pc1_share` = cos²(x, v) = (x·v)²/(‖x‖²‖v‖²), an
+    * exact nonnegative rational rounded 4dp in integer space (zero
+    * vectors defined 0). Riding every row, the corpus verdict
+    * `corpus_share` = Σ(x·v)²/(‖v‖²·Σ‖x‖²) — algebraically THE SAME
+    * rational as X109's λ/tr(G) (Σ(x·v)² = vᵀGv, Σ‖x‖² = tr G), so
+    * SimilaritySpec pins `corpus_share == lambda_share` bit-for-bit:
+    * the distributed per-row pass and the collected-triangle
+    * eigensolve certify each other through two independent routes.
+    *
+    * Scale shape: the X88 JL plan — posexplode + element_at on a
+    * d-long literal, ONE map-side-combined groupBy(vec_id) (no join;
+    * the eigenvector rides the plan as a literal, the k-means-
+    * centroid discipline), one 1-row broadcast totals join for the
+    * verdict. Bounds: dot ≤ d·10⁶·2·10⁶ ≈ 1.3·10¹⁴ (long-safe);
+    * dot², x2·v2 ≈ 10²⁸ in DECIMAL(38,0); the corpus-total numerator
+    * 2·10⁴·Σdot² stays inside 38 digits through ~10⁹ rows — past
+    * that, rescale the iterate to 10³ (documented, not needed at any
+    * tested SF).
+    */
+  private def pcaProject(s: SparkSession, dir: String): DataFrame = {
+    val (v, _, den, _) = pcaSolve(s, dir)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val vlit = array(v.map(x => lit(x.toLong)): _*)
+    val v2 = den.toLong // Σ v_i² ≤ 64·(2·10⁶)² ≈ 2.6·10¹⁴ — long-safe
+    val e = graft.Tables(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        round(col("col").cast("double") * 1000000.0, 0).cast("long").as("xf"))
+    // ONE corpus scan: the (vec_id, dot, x2) reduction is materialized
+    // (X101's localCheckpoint discipline) because the verdict totals
+    // are a second consumer — without it Spark re-scans the parquet
+    // for the 1-row aggregate (was 2 scans, SimilaritySpec pins 0
+    // parquet scans in the declared plan)
+    val perVec = e.groupBy(col("vec_id"))
+      .agg(sum(element_at(vlit, col("dim")) * col("xf")).as("dot"),
+        sum(col("xf") * col("xf")).as("x2"))
+      .localCheckpoint()
+    val totals = perVec.agg(
+      sum(dec(col("dot")) * dec(col("dot"))).as("sdot2"),
+      sum(dec(col("x2"))).as("sx2"))
+    perVec.crossJoin(broadcast(totals))
+      .withColumn("num", dec(col("dot")) * dec(col("dot")))
+      .withColumn("den", dec(col("x2")) * lit(v2))
+      .withColumn("cnum", col("sdot2"))
+      .withColumn("cden", (col("sx2") * lit(v2)).cast("decimal(38,0)"))
+      .select(col("vec_id"), col("dot"),
+        when(col("x2") === 0, lit(0.0)).otherwise(
+          expr("CAST((20000 * num + den) DIV (2 * den) AS BIGINT)") / lit(10000.0))
+          .as("pc1_share"),
+        (expr("CAST((20000 * cnum + cden) DIV (2 * cden) AS BIGINT)") / lit(10000.0))
+          .as("corpus_share"))
+      .orderBy("vec_id")
+  }
+
+  private def pcaProjectSql: String = {
+    val vk = s"v$pcaIters"
+    s"""$pcaCtePrefix,
+       |p AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |    sum(CAST(e.xf AS HUGEINT) * v.v) AS dot,
+       |    sum(CAST(e.xf AS HUGEINT) * e.xf) AS x2
+       |  FROM e JOIN $vk v ON e.i = v.dim GROUP BY 1),
+       |vn AS (SELECT sum(v * v) AS v2 FROM $vk),
+       |tot AS (SELECT sum(dot * dot) AS sdot2, sum(x2) AS sx2 FROM p)
+       |SELECT vec_id, CAST(dot AS BIGINT) AS dot,
+       |  CASE WHEN x2 = 0 THEN 0.0 ELSE
+       |    CAST((20000 * dot * dot + x2 * v2) // (2 * x2 * v2) AS BIGINT) / 10000.0
+       |  END AS pc1_share,
+       |  CAST((20000 * sdot2 + sx2 * v2) // (2 * sx2 * v2) AS BIGINT) / 10000.0
+       |    AS corpus_share
+       |FROM p, vn, tot ORDER BY vec_id""".stripMargin
+  }
+
+  private def pcaPowerSql: String = {
+    val vk = s"v$pcaIters"
+    s"""$pcaCtePrefix,
+       |nm AS (
+       |  SELECT sum(a.v * g.g * b.v) AS num
+       |  FROM g JOIN $vk a ON g.i = a.dim JOIN $vk b ON g.j = b.dim),
+       |dn AS (SELECT sum(v * v) AS den FROM $vk),
+       |tr AS (SELECT sum(g) AS tr FROM g WHERE i = j)
+       |SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_fixed,
+       |  CAST((20000 * num + den * tr) // (2 * den * tr) AS BIGINT) / 10000.0
+       |    AS lambda_share
+       |FROM $vk, nm, dn, tr ORDER BY dim""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_sim_bucketed" -> QueryDef(
       simBucketed,
@@ -974,6 +1165,14 @@ object Similarity {
       ivfStats,
       Some(ivfStatsSql),
       "X96 IVF index health: per-cell population/share + the n_max*K/N imbalance verdict"),
+    "q_pca_power" -> QueryDef(
+      pcaPower,
+      Some(pcaPowerSql),
+      "X109 PCA top component: X93 gram pass + K=8 portable integer power steps, variance share"),
+    "q_pca_project" -> QueryDef(
+      pcaProject,
+      Some(pcaProjectSql),
+      "X110 PCA projection pass: per-vector exact PC1 dot + energy share, corpus share ≡ X109's λ/tr(G)"),
   )
 
   private def ivfPqSql: String =

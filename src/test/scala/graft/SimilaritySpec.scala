@@ -803,4 +803,119 @@ class SimilaritySpec extends AnyFunSuite {
       assert(imb >= 1.0, s"imbalance $imb below 1 — arithmetic broken")
     }
   }
+
+  test("q_pca_power: planted-spike convergence, monotone Rayleigh ascent, integer recount") {
+    import spark.implicits._
+    // 1. Planted spike: x = ±u + N(0, 0.05²) per dim, so G ≈ N·uuᵀ +
+    //    N·σ²·I — λ₁/λ₂ ≈ 400, K=8 steps overconverge. The DECLARED
+    //    query (not a test twin) must recover u and a dominant share.
+    val d = 64
+    val rnd = new scala.util.Random(20260814L)
+    val u = {
+      val v = Array.fill(d)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val dir = "/tmp/graft_spike_fixture"
+    if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      (0 until 400).map { i =>
+        val s = if (i % 2 == 0) 1.0 else -1.0
+        (i.toLong, u.map(x => (s * x + 0.05 * rnd.nextGaussian()).toFloat), 0)
+      }.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    val spike = SparkEntry.queries("q_pca_power")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sv = spike.sortBy(_._1).map(_._2.toDouble)
+    val cos = math.abs(sv.zip(u).map { case (a, b) => a * b }.sum) /
+      math.sqrt(sv.map(x => x * x).sum)
+    assert(cos > 0.99, f"fixed-K iterate off the planted spike: |cos|=$cos%.4f")
+    assert(spike.head._3 > 0.5,
+      s"spike variance share ${spike.head._3} not dominant — power method broken")
+    // 2. On the real (near-isotropic) corpus: replay the EXACT integer
+    //    iteration driver-side from the oracle-green gram, assert the
+    //    Rayleigh quotient ascends monotonically (the power-method
+    //    invariant the scaladoc contracts; integer rescale truncation
+    //    gets 1e-9 relative slack) and the declared output equals the
+    //    recount bit-for-bit — iterate AND 4dp share.
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val tri = SparkEntry.queries("q_embed_gram")(spark, sfDir).collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> BigInt(r.getLong(2))).toMap
+      def gf(i: Int, j: Int): BigInt = tri(if (i <= j) (i, j) else (j, i))
+      def rayleigh(v: Array[BigInt]): BigDecimal = {
+        val num = (for { i <- 1 to d; j <- 1 to d } yield v(i - 1) * gf(i, j) * v(j - 1)).sum
+        BigDecimal(num) / BigDecimal(v.map(x => x * x).sum)
+      }
+      var v = Array.fill(d)(BigInt(1000000))
+      var rho = rayleigh(v)
+      for (k <- 1 to Similarity.pcaIters) {
+        val y = Array.tabulate(d)(i => (1 to d).map(j => gf(i + 1, j) * v(j - 1)).sum)
+        val sden = (y.map(_.abs).max / 1000000).max(BigInt(1))
+        v = y.map(x => (x.abs / sden) * (if (x < 0) -1 else 1))
+        val next = rayleigh(v)
+        assert(next >= rho * BigDecimal(1 - 1e-9),
+          s"Rayleigh quotient fell at step $k on $sfDir: $rho -> $next")
+        rho = next
+      }
+      val num = (for { i <- 1 to d; j <- 1 to d } yield v(i - 1) * gf(i, j) * v(j - 1)).sum
+      val den = v.map(x => x * x).sum
+      val trace = (1 to d).map(i => gf(i, i)).sum
+      val share = ((BigInt(20000) * num + den * trace) / (den * trace * 2)).toLong / 10000.0
+      val got = SparkEntry.queries("q_pca_power")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.sortBy(_._1).map(_._2).toSeq === v.map(_.toLong).toSeq,
+        s"declared iterate diverges from the sequential recount at $sfDir")
+      assert(got.forall(_._3 == share), s"lambda_share recount diverges at $sfDir")
+    }
+    // 3. Scale-shape pin: the corpus pass is X93's (join-free GramSketch,
+    //    pinned in the q_embed_gram test); what q_pca_power RETURNS is a
+    //    d-row literal — no residual corpus scan in its plan.
+    val plan = SparkEntry.queries("q_pca_power")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("Scan parquet"),
+      s"q_pca_power's returned plan re-scans the corpus:\n$plan")
+  }
+
+  test("q_pca_project: corpus_share ≡ X109's lambda_share, exact recount, one-scan plan") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val power = SparkEntry.queries("q_pca_power")(spark, dir).collect()
+      val v = power.sortBy(_.getLong(0)).map(r => BigInt(r.getLong(1)))
+      val lambdaShare = power.head.getDouble(2)
+      val got = SparkEntry.queries("q_pca_project")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      // the two routes to λ/tr(G) — collected-triangle Rayleigh vs
+      // distributed per-row Σ(x·v)²/(v²·Σ‖x‖²) — are the same exact
+      // rational; the rounded verdicts must agree bit-for-bit
+      assert(got.forall(_._4 == lambdaShare),
+        s"corpus_share diverges from X109's lambda_share at $dir")
+      // sequential recount off the raw floats: exact integer dot,
+      // per-vector share by the same HALF_UP formula
+      val v2 = v.map(x => x * x).sum
+      val emb = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Float](1).map(x => BigInt(math.round(x.toDouble * 1e6))).toArray)
+        .toMap
+      assert(got.length === emb.size, s"row count off at $dir")
+      got.foreach { case (id, dot, share, _) =>
+        val x = emb(id)
+        val d = x.indices.map(i => x(i) * v(i)).sum
+        assert(d == BigInt(dot), s"dot recount diverges for vec $id at $dir")
+        val x2 = x.map(a => a * a).sum
+        val expect =
+          if (x2 == 0) 0.0
+          else ((BigInt(20000) * d * d + x2 * v2) / (x2 * v2 * 2)).toLong / 10000.0
+        assert(share == expect, s"pc1_share recount diverges for vec $id at $dir")
+      }
+    }
+    // scale-shape: the declared plan reads the checkpointed reduction,
+    // never the parquet (the corpus scan ran ONCE into the checkpoint;
+    // without it the verdict totals re-scan — caught by this pin), and
+    // the totals ride a 1-row broadcast, not a shuffle join
+    val plan = SparkEntry.queries("q_pca_project")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"q_pca_project's declared plan re-scans the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_pca_project plans a corpus shuffle join:\n$plan")
+  }
 }
