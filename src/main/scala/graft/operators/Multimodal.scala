@@ -336,6 +336,92 @@ object Multimodal {
        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  /** Pairs below this shared-phash count are evidence, not verdicts. */
+  private[graft] val mediaDupMinShared = 2
+
+  /** X111 — media frame-level dedup (`q_media_dedup`): the dedup
+    * family extended to multimodal grain. Text near-dup (X5) shingles
+    * characters; video near-dup fingerprints SAMPLED FRAMES and calls
+    * two videos duplicates when enough frames collide — the
+    * production shape for catching re-encodes, crops and re-uploads
+    * that exact payload hashing (X43's distinct-payload count)
+    * misses. Here the per-frame fingerprint is the frame byte sum mod
+    * 256 — the luma-histogram stand-in, deterministic and derivable
+    * by BOTH engines (a real deploy swaps in pHash/dHash inside the
+    * same mapPartitions body; nothing else changes, exactly the X12
+    * decode contract). Per video: the DISTINCT fingerprint set; then
+    * a bucketed self-join ON the fingerprint (the SimHash band-join
+    * shape — collision-bounded, NO all-pairs) counts shared prints
+    * per pair. Output per colliding pair: shared count, containment
+    * = shared/min(ǀAǀ,ǀBǀ) (4dp integer HALF_UP), and the integer
+    * verdict shared ≥ [[mediaDupMinShared]] — both branches live at
+    * sf0.01 (MultimodalSpec pins dup and non-dup pairs nonempty and
+    * recounts the whole table sequentially).
+    *
+    * The oracle derives every fingerprint from md5 hex arithmetic
+    * WITHOUT parsing — the hash compare certifies parser + frame
+    * split + fingerprint + pair algebra end to end.
+    *
+    * Scale shape: video-only prunable predicate, per-partition
+    * decode, one distinct over (doc, phash) (≤4/video), the
+    * phash-keyed equi-join (256 buckets here; a pHash swap widens the
+    * key space and SHRINKS buckets), per-doc counts joined back onto
+    * the collision-bounded pair table (the X5a shape). No corpus
+    * all-pairs anywhere.
+    */
+  private def mediaDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ph = containers(s, dir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("container")).as[Array[Byte]]
+      .mapPartitions { it =>
+        it.flatMap { bytes =>
+          val d = MediaCodec.decode(bytes)
+          MediaCodec.sampleFrames(d.payload, frameBytes)
+            .map(f => (d.docId, f.foldLeft(0L)((acc, b) => acc + (b & 0xFF)) % 256))
+        }
+      }
+      .toDF("doc_id", "phash").distinct().localCheckpoint()
+    val sizes = ph.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = ph.as("a").join(ph.as("b"),
+        col("a.phash") === col("b.phash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("mn", least(col("na"), col("nb")))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (expr("CAST((20000 * shared + mn) DIV (2 * mn) AS BIGINT)") / lit(10000.0))
+          .as("containment"),
+        (col("shared") >= mediaDupMinShared).cast("long").as("is_dup"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def mediaDedupSql: String = {
+    val frameSum = (k: String) => (0 until frameBytes)
+      .map(i => s"('0x' || substr(h, 8 * $k + ${2 * i + 1}, 2))::BIGINT")
+      .mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 2),
+       |fr AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS fi, h FROM v),
+       |ph AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, (${frameSum("fi")}) % 256 AS phash FROM fr),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ph GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM ph a JOIN ph b ON a.phash = b.phash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, CAST(p.shared AS BIGINT) AS shared,
+       |  CAST((20000 * p.shared + least(sa.n, sb.n))
+       |    // (2 * least(sa.n, sb.n)) AS BIGINT) / 10000.0 AS containment,
+       |  CAST(p.shared >= $mediaDupMinShared AS BIGINT) AS is_dup
+       |FROM pairs p
+       |JOIN sizes sa ON p.doc_a = sa.doc_id
+       |JOIN sizes sb ON p.doc_b = sb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_multimodal_meta" -> QueryDef(
       multimodalMeta,
@@ -365,5 +451,9 @@ object Multimodal {
       frameSample,
       Some(frameSampleSql),
       "X105 frame-sampling plan: video containers decoded, every 2nd frame kept, per-frame features"),
+    "q_media_dedup" -> QueryDef(
+      mediaDedup,
+      Some(mediaDedupSql),
+      "X111 media frame-level dedup: per-frame fingerprints, bucketed pair join, containment + verdict"),
   )
 }

@@ -115,4 +115,47 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got.length == texts.count(_._1 % 3 == 2) * 2, s"frame count wrong at $dir")
     }
   }
+
+  test("q_media_dedup: sequential pair recount off MessageDigest; both verdict branches; banded join plan") {
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // independent truth: java MessageDigest frames -> distinct
+      // byte-sum%256 fingerprints per video -> all-pairs recount
+      // (affordable sequentially; the ENGINE must never do this)
+      val ph = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+        .filter(_._1 % 3 == 2)
+        .map { case (id, text) =>
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(text.getBytes("UTF-8"))
+          id -> digest.grouped(4).map(_.map(b => (b & 0xFF).toLong).sum % 256).toSet
+        }.sortBy(_._1)
+      val expected = (for {
+        ((a, pa), ia) <- ph.zipWithIndex
+        (b, pb) <- ph.drop(ia + 1)
+        shared = (pa & pb).size.toLong
+        if shared > 0
+      } yield {
+        val mn = math.min(pa.size, pb.size).toLong
+        (a, b, shared, (20000L * shared + mn) / (2L * mn) / 10000.0,
+          if (shared >= Multimodal.mediaDupMinShared) 1L else 0L)
+      }).sortBy(r => (r._1, r._2))
+      val got = SparkEntry.queries("q_media_dedup")(spark, dir)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      assert(got.toSeq === expected.toSeq, s"pair recount diverges at $dir")
+      // the verdict must discriminate, not rubber-stamp
+      assert(got.exists(_._5 == 1L), s"no dup pair at $dir — threshold vacuous")
+      assert(got.exists(_._5 == 0L), s"every pair a dup at $dir — threshold vacuous")
+    }
+    // scale shape: the pair source is a phash-keyed equi-join on the
+    // checkpointed fingerprint table — never a cartesian/BNLJ all-pairs
+    val plan = SparkEntry.queries("q_media_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"q_media_dedup fell back to all-pairs:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"q_media_dedup re-scans parquet past the checkpointed fingerprints:\n$plan")
+  }
 }
