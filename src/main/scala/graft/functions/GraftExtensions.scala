@@ -104,6 +104,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashSketch].getName, "graft_simhash_sketch"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHashSketch(children(0))))
+    // exact bounded top-K per group: graft_topk(score4, id, payload, k)
+    // (k a foldable INT literal — the graft_mg_topk validation rule)
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKSketch].getName, "graft_topk"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 4)
+          throw new IllegalArgumentException(
+            s"graft_topk(score4, id, payload, k) takes exactly 4 arguments, got ${children.length}")
+        val kk = children(3) match {
+          case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case e => throw new IllegalArgumentException(
+            s"graft_topk k must be a foldable INT literal, got ${e.sql}")
+        }
+        TopKSketch(children(0), children(1), children(2), kk)
+      }))
     // HOF dot/normSq/l2Sq patterns rewrite to the native expressions
     ext.injectOptimizerRule(_ => graft.plans.RewriteVectorHofs)
     // vector top-K pushdown: early-abandon scoring below the running

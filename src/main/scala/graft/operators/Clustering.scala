@@ -538,8 +538,13 @@ object Clustering {
        |  LATERAL unnest(generate_series(1, len(e.embedding))) AS s(i)
        |GROUP BY a.cid, s.i ORDER BY cid, dim""".stripMargin
 
-  private def kmeansSql: String =
-    s"""WITH c AS (
+  /** The literal-centroid argmin as a CTE fragment (`cells` =
+    * (vec_id, cid, d2), one row per vector) — factored so X112's
+    * hard-negative oracle assigns cells with EXACTLY the chain the
+    * standalone assignment oracle states.
+    */
+  private[graft] def cellCtes: String =
+    s"""c AS (
        |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
        |  WHERE vec_id BETWEEN 1 AND $centroidK),
        |d AS (
@@ -551,8 +556,12 @@ object Clustering {
        |r AS (
        |  SELECT vec_id, cid, d2,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-       |  FROM d)
-       |SELECT vec_id, CAST(cid AS BIGINT) AS cid, d2 FROM r WHERE rn = 1
+       |  FROM d),
+       |cells AS (SELECT vec_id, cid, d2 FROM r WHERE rn = 1)""".stripMargin
+
+  private def kmeansSql: String =
+    s"""WITH $cellCtes
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cid, d2 FROM cells
        |ORDER BY vec_id""".stripMargin
 
   /** Oracle chain shared by both finals: the MinHash pair chain, then

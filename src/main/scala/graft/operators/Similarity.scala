@@ -1018,6 +1018,104 @@ object Similarity {
        |$iters""".stripMargin
   }
 
+  /** Negatives kept per anchor (X112) — config, like the top-10 of
+    * the sim queries.
+    */
+  private[graft] val hardNegK = 5
+
+  /** X112 — contrastive hard-negative mining (`q_hard_negatives`):
+    * the training-PAIR generation step for embedding models
+    * (contrastive/triplet fine-tuning wants, per anchor, the most
+    * similar corpus items that are NOT semantically the same thing —
+    * "hard" negatives carry the gradient signal random negatives
+    * don't). Anchors = every 50th vector (the X100 slicing
+    * convention — in production the anchor set is a training batch,
+    * fixed-size and broadcast); positives-proxy = the X32 k-means
+    * cell (same cell ⇒ candidate positive, excluded); negatives =
+    * top-[[hardNegK]] remaining candidates by cosine under the total
+    * order (score4 DESC, neg_id ASC).
+    *
+    * Numerics: cosine is the shared index-ordered IEEE sequence
+    * (X100's argument), quantized ONCE to integer ten-thousandths —
+    * s4 = round(cos·10⁴) — so ranking, tie-break and the emitted
+    * score (s4/10⁴) are all engine-portable; the cell decision is
+    * X32's compare-on-rounded argmin, stated by the SAME factored
+    * CTE chain ([[Clustering.cellCtes]]) in the oracle.
+    *
+    * Scale shape: the anchor side broadcasts (keyless
+    * BroadcastNestedLoopJoin — a similarity-threshold/top-K join has
+    * no equi-key; the X100 shape), cells are the narrow literal
+    * argmin on BOTH sides (no join), and the per-anchor top-K runs
+    * through the one-pass [[graft.functions.TopKSketch]] bounded
+    * aggregate — map-side partials keep K rows per buffer and the
+    * shuffle carries A·K·3 longs, where a `row_number()` window
+    * would sort N-row anchor partitions in single tasks. Θ(N·A)
+    * narrow codegen'd work total, A fixed in production.
+    */
+  /** The scored candidate pairs before the top-K — factored so the
+    * spec's window twin ranks EXACTLY the rows the sketch consumes.
+    */
+  private[graft] def hardNegScored(s: SparkSession, dir: String): DataFrame = {
+    val cid = Clustering.bestCentroid(s, dir).getField("cid").cast("long")
+    val cand = graft.Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("neg_id"),
+        transform(col("embedding"), _.cast("double")).as("nv"),
+        cid.as("neg_cid"))
+    val anchors = graft.Tables(s, dir, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("anchor_id"),
+        transform(col("embedding"), _.cast("double")).as("av"),
+        cid.as("anchor_cid"))
+    cand.crossJoin(broadcast(anchors))
+      .filter(col("neg_cid") =!= col("anchor_cid"))
+      .select(col("anchor_id"), col("anchor_cid"), col("neg_id"), col("neg_cid"),
+        round(VectorOps.cosine(col("nv"), col("av")) * 10000.0, 0)
+          .cast("long").as("s4"))
+  }
+
+  private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    hardNegScored(s, dir)
+      .groupBy(col("anchor_id"), col("anchor_cid"))
+      .agg(expr(s"graft_topk(s4, neg_id, neg_cid, $hardNegK)").as("tops"))
+      .select(col("anchor_id"), col("anchor_cid"), explode(col("tops")).as("t"))
+      .select(col("anchor_id"), col("anchor_cid"),
+        col("t.rank").as("rank"), col("t.id").as("neg_id"),
+        col("t.payload").as("neg_cid"),
+        (col("t.score4") / lit(10000.0)).as("score"))
+      .orderBy("anchor_id", "rank")
+  }
+
+  private def hardNegativesSql: String =
+    s"""WITH ${Clustering.cellCtes},
+       |ax AS (
+       |  SELECT vec_id AS anchor_id, cid AS anchor_cid FROM cells
+       |  WHERE vec_id % 50 = 0),
+       |ee AS MATERIALIZED (
+       |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+       |    unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+       |  FROM embeddings),
+       |ae AS (SELECT ee.vec_id AS anchor_id, i, x FROM ee
+       |  JOIN ax ON ax.anchor_id = ee.vec_id),
+       |sc AS (
+       |  SELECT ee.vec_id AS neg_id, ae.anchor_id,
+       |    CAST(round(sum(ee.x * ae.x)
+       |      / (sqrt(sum(ee.x * ee.x)) * sqrt(sum(ae.x * ae.x))) * 10000) AS BIGINT) AS s4
+       |  FROM ee JOIN ae ON ae.i = ee.i
+       |  GROUP BY 1, 2),
+       |flt AS (
+       |  SELECT s.anchor_id, ax.anchor_cid, s.neg_id, c.cid AS neg_cid, s.s4
+       |  FROM sc s JOIN ax ON ax.anchor_id = s.anchor_id
+       |  JOIN cells c ON c.vec_id = s.neg_id
+       |  WHERE c.cid <> ax.anchor_cid),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |    ORDER BY s4 DESC, neg_id) AS rank
+       |  FROM flt)
+       |SELECT anchor_id, CAST(anchor_cid AS BIGINT) AS anchor_cid,
+       |  CAST(rank AS BIGINT) AS rank, neg_id,
+       |  CAST(neg_cid AS BIGINT) AS neg_cid, s4 / 10000.0 AS score
+       |FROM rk WHERE rank <= $hardNegK ORDER BY anchor_id, rank""".stripMargin
+
   /** X110 — PCA projection pass (`q_pca_project`): the corpus-sized
     * half that makes X109's eigenvector a usable transform. X109
     * returns the direction; this operator runs the narrow per-row
@@ -1173,6 +1271,10 @@ object Similarity {
       pcaProject,
       Some(pcaProjectSql),
       "X110 PCA projection pass: per-vector exact PC1 dot + energy share, corpus share ≡ X109's λ/tr(G)"),
+    "q_hard_negatives" -> QueryDef(
+      hardNegatives,
+      Some(hardNegativesSql),
+      "X112 contrastive hard negatives: per-anchor top-K cosine outside the anchor's k-means cell"),
   )
 
   private def ivfPqSql: String =

@@ -918,4 +918,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"q_pca_project plans a corpus shuffle join:\n$plan")
   }
+
+  test("q_hard_negatives: sketch ≡ window twin, cell exclusion, sequential recount, one-pass plan") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val got = SparkEntry.queries("q_hard_negatives")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+      // 1. the bounded sketch must equal the textbook window form
+      //    EXACTLY (total order ⇒ no tie ambiguity to hide behind)
+      import org.apache.spark.sql.expressions.Window
+      val twin = Similarity.hardNegScored(spark, dir)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("anchor_id").orderBy(col("s4").desc, col("neg_id"))))
+        .filter(col("rank") <= Similarity.hardNegK)
+        .select(col("anchor_id"), col("anchor_cid"), col("rank").cast("long"),
+          col("neg_id"), col("neg_cid"), (col("s4") / 10000.0).as("score"))
+        .orderBy("anchor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+      assert(got.toSeq === twin.toSeq, s"TopKSketch diverges from the window twin at $dir")
+      // 2. sequential recount of the selection off the collected pairs
+      val scored = Similarity.hardNegScored(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val expected = scored.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._5, t._3)).take(Similarity.hardNegK).zipWithIndex
+          .map { case ((a, ac, n, nc, s4), i) =>
+            (a, ac, (i + 1).toLong, n, nc, s4 / 10000.0) }
+      }.sortBy(t => (t._1, t._3))
+      assert(got.toSeq === expected.toSeq, s"top-K recount diverges at $dir")
+      // 3. the mining contract: no negative from the anchor's own cell,
+      //    every anchor served, ranks contiguous from 1
+      val cells = SparkEntry.queries("q_kmeans_assign")(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got.foreach { case (a, ac, _, n, nc, _) =>
+        assert(cells(a) == ac && cells(n) == nc, s"cell mislabeled for ($a,$n) at $dir")
+        assert(nc != ac, s"negative $n shares anchor $a's cell at $dir")
+      }
+      val anchors = scored.map(_._1).distinct
+      assert(got.map(_._1).distinct.length == anchors.length, s"anchor dropped at $dir")
+      got.groupBy(_._1).values.foreach { rows =>
+        assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+          s"ranks not contiguous at $dir")
+      }
+    }
+    // 4. scale-shape: keyless broadcast NLJ (anchors are the bounded
+    //    side), the top-K through the one-pass sketch aggregate — no
+    //    shuffle join, no window over the N·A pair table
+    val plan = SparkEntry.queries("q_hard_negatives")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q_hard_negatives lost the broadcast sweep shape:\n$plan")
+    assert(plan.contains("graft_topk") && plan.contains("ObjectHashAggregate"),
+      s"q_hard_negatives no longer runs through TopKSketch:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"q_hard_negatives plans a shuffle join or pair-table window:\n$plan")
+  }
 }
