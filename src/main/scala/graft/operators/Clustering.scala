@@ -679,6 +679,64 @@ object Clustering {
        |SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(cs_rank AS BIGINT) AS cs_rank
        |FROM r WHERE cs_rank <= $clusterSampleM ORDER BY vec_id""".stripMargin
 
+  /** X113 — prototype/outlier pruning (`q_embed_prune`): the D4
+    * recipe's per-cell screen (SemDeDup + SSL-prototypes: after
+    * clustering, the vectors CLOSEST to their centroid are redundant
+    * prototypes — near-duplicates of the cell's concept — and the
+    * FARTHEST are OOD noise; pruning both, keeping the diverse
+    * middle, beats random pruning at equal budget). Per k-means
+    * cell: verdict 1 (prototype) for the lowest-d2 decile by EXACT
+    * order statistic — rank ≤ ⌈n/10⌉ under the total order
+    * (d2, vec_id) — verdict 2 (outlier) for the top decile, 0 keep
+    * otherwise; rank and cell size ride every row so the cuts are
+    * auditable. Tiny cells where the deciles overlap resolve
+    * proto-first — the CASE order, identical in both engines.
+    *
+    * Numerics: d2 is X32's compare-on-rounded argmin distance (4 dp
+    * BEFORE ranking, vec_id tie-break), the cuts are pure integer
+    * (⌈n/10⌉ = (n+9) div 10) — the whole verdict is engine-portable.
+    *
+    * Scale shape: assignment is the narrow literal-centroid argmin
+    * (no join); the per-cell ranking goes through
+    * [[graft.operators.Extensions.rankedByRange]] — a popular cell
+    * is the X38 Zipf hazard, so no task ever sorts a whole cell —
+    * and cell counts are a ≤K-row broadcast. Two narrow corpus
+    * passes total (rank keys + counts), the X85 shape.
+    */
+  private def embedPrune(s: SparkSession, dir: String): DataFrame = {
+    val best = bestCentroid(s, dir)
+    val assigned = graft.Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        best.getField("cid").cast("long").as("cid"),
+        best.getField("d2").as("d2"))
+    val rk = Extensions.rankedByRange(
+      assigned.select(col("cid"), col("d2"), col("vec_id")),
+      "cid", Seq("d2", "vec_id"), "rk")
+    val cnt = assigned.groupBy(col("cid")).agg(count(lit(1)).cast("long").as("n"))
+    rk.join(broadcast(cnt), "cid")
+      .withColumn("cut", expr("(n + 9) div 10"))
+      .select(col("vec_id"), col("cid"), col("d2"), col("n"),
+        col("rk").cast("long").as("rk"),
+        when(col("rk") <= col("cut"), lit(1L))
+          .when(col("rk") >= col("n") - col("cut") + 1, lit(2L))
+          .otherwise(lit(0L)).as("verdict"))
+      .orderBy("vec_id")
+  }
+
+  private def embedPruneSql: String =
+    s"""WITH $cellCtes,
+       |rk AS (
+       |  SELECT vec_id, cid, d2,
+       |    row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rk
+       |  FROM cells),
+       |cn AS (SELECT cid, count(*) AS n FROM cells GROUP BY 1)
+       |SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cid, r.d2,
+       |  CAST(c.n AS BIGINT) AS n, CAST(r.rk AS BIGINT) AS rk,
+       |  CAST(CASE WHEN r.rk <= (c.n + 9) // 10 THEN 1
+       |    WHEN r.rk >= c.n - (c.n + 9) // 10 + 1 THEN 2
+       |    ELSE 0 END AS BIGINT) AS verdict
+       |FROM rk r JOIN cn c USING (cid) ORDER BY vec_id""".stripMargin
+
   /** Power-iteration count for X65. Three rounds is the monitoring
     * depth, not a convergence fixpoint — power iteration contracts
     * geometrically, and the DuckDB oracle unrolls the same three.
@@ -1345,6 +1403,10 @@ object Clustering {
       dupStats,
       Some(dupStatsSql),
       "X42 per-source duplication diagnostics: docs/dropped/dup-rate by crawl source"),
+    "q_embed_prune" -> QueryDef(
+      embedPrune,
+      Some(embedPruneSql),
+      "X113 prototype/outlier pruning: per-cell exact decile cuts on centroid distance, D4-style"),
     "q_kmeans_assign" -> QueryDef(
       kmeansAssign,
       Some(kmeansSql),

@@ -618,4 +618,38 @@ class ClusteringSpec extends AnyFunSuite {
     }
     assert(got.exists(_._3 > 0), "vacuous pin: no duplicated members anywhere")
   }
+
+  test("q_embed_prune: sequential decile recount off the assignment, all three verdicts live") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // ground truth off the oracle-green X32 assignment: exact rank
+      // under (d2, vec_id) per cell, ceil-decile cuts, proto-first CASE
+      val assigned = SparkEntry.queries("q_kmeans_assign")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val expected = assigned.groupBy(_._2).toSeq.flatMap { case (cid, rows) =>
+        val n = rows.length.toLong
+        val cut = (n + 9) / 10
+        rows.sortBy(t => (t._3, t._1)).zipWithIndex.map { case ((v, _, d2), i) =>
+          val rk = (i + 1).toLong
+          val verdict = if (rk <= cut) 1L else if (rk >= n - cut + 1) 2L else 0L
+          (v, cid, d2, n, rk, verdict)
+        }
+      }.sortBy(_._1)
+      val got = SparkEntry.queries("q_embed_prune")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      assert(got.toSeq === expected.toSeq, s"prune recount diverges at $dir")
+      // the screen must discriminate: prototypes, outliers AND keeps
+      assert(Set(0L, 1L, 2L).subsetOf(got.map(_._6).toSet),
+        s"a verdict branch is vacuous at $dir")
+      // exactly ceil(n/10) per side per cell (no decile overlap at
+      // these cell sizes — overlap resolves proto-first by CASE order)
+      got.groupBy(_._2).foreach { case (cid, rows) =>
+        val n = rows.head._4
+        val cut = (n + 9) / 10
+        assert(rows.count(_._6 == 1L) == cut, s"cell $cid proto count off at $dir")
+        assert(rows.count(_._6 == 2L) == cut, s"cell $cid outlier count off at $dir")
+      }
+    }
+  }
 }
