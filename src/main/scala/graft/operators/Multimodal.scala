@@ -369,9 +369,14 @@ object Multimodal {
     * the collision-bounded pair table (the X5a shape). No corpus
     * all-pairs anywhere.
     */
-  private def mediaDedup(s: SparkSession, dir: String): DataFrame = {
+  /** The distinct per-video frame fingerprints — X111's inner table,
+    * factored so the streaming admission filter
+    * ([[graft.streaming.Gateway.mediaFeed]]) indexes EXACTLY the
+    * prints the batch pair join consumes.
+    */
+  private[graft] def framePrints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ph = containers(s, dir)
+    containers(s, dir)
       .filter(col("doc_id") % 3 === 2)
       .select(col("container")).as[Array[Byte]]
       .mapPartitions { it =>
@@ -381,7 +386,30 @@ object Multimodal {
             .map(f => (d.docId, f.foldLeft(0L)((acc, b) => acc + (b & 0xFF)) % 256))
         }
       }
-      .toDF("doc_id", "phash").distinct().localCheckpoint()
+      .toDF("doc_id", "phash").distinct()
+  }
+
+  /** The prints grouped per indexed video (sorted array) — the
+    * bounded offline artifact the streaming filter broadcasts, like
+    * X100's eval suite.
+    */
+  private[graft] def framePrintSets(s: SparkSession, dir: String): DataFrame =
+    framePrints(s, dir)
+      .groupBy(col("doc_id").as("idx_doc"))
+      .agg(sort_array(collect_set(col("phash"))).as("idx_prints"))
+
+  /** The per-frame fingerprint of one decoded container — shared by
+    * the batch path above and the streaming decode.
+    */
+  private[graft] def printsOf(bytes: Array[Byte]): (Long, Seq[Long]) = {
+    val d = MediaCodec.decode(bytes)
+    d.docId -> MediaCodec.sampleFrames(d.payload, frameBytes)
+      .map(f => f.foldLeft(0L)((acc, b) => acc + (b & 0xFF)) % 256)
+      .distinct.sorted
+  }
+
+  private def mediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val ph = framePrints(s, dir).localCheckpoint()
     val sizes = ph.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = ph.as("a").join(ph.as("b"),
         col("a.phash") === col("b.phash") && col("a.doc_id") < col("b.doc_id"))

@@ -665,6 +665,58 @@ object Gateway {
       .dropDuplicatesWithinWatermark("doc_id")
   }
 
+  /** Streaming X111 — media frame-dedup admission on the ingest path:
+    * each incoming container line ("ts hexbytes") is TLV-decoded with
+    * the SAME [[graft.operators.Multimodal.MediaCodec]] parser the
+    * batch path uses, fingerprinted per sampled frame, and its
+    * in-row print SET is swept against the STATIC per-video print
+    * index ([[graft.operators.Multimodal.framePrintSets]] — the
+    * bounded offline artifact, broadcast like X100's eval suite); any
+    * indexed video sharing ≥ `minShared` prints emits a quarantine
+    * row `(ts, doc_id, idx_doc, shared)` — re-uploaded/re-encoded
+    * video is flagged AT INGEST, before it reaches a training
+    * snapshot.
+    *
+    * Stateless by construction: a container's full print set arrives
+    * in ONE row, so the pair verdict is a per-row array intersect
+    * against the broadcast index (no streaming aggregate, no
+    * explode-then-count state) — the engine runs the same keyless
+    * broadcast nested-loop per micro-batch as the batch pair join's
+    * semantics at Θ(batch·ǀindexǀ). One watermark-bounded
+    * `dropDuplicatesWithinWatermark` on the (doc, idx) pair absorbs
+    * at-least-once replay (the [[dedupFeed]] shape). GatewaySpec
+    * pins the streamed quarantine set ≡ the batch `q_media_dedup`
+    * is_dup pairs exactly.
+    */
+  def mediaFeed(
+      lines: DataFrame,
+      printSets: DataFrame,
+      minShared: Int = graft.operators.Multimodal.mediaDupMinShared,
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val parsed = lines
+      .select(split(col("value"), " ", 2).as("p"))
+      .filter(size(col("p")) === 2 && col("p").getItem(0).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        unhex(col("p").getItem(1)).as("container"))
+      .as[(java.sql.Timestamp, Array[Byte])]
+      .map { case (ts, bytes) =>
+        val (docId, prints) = graft.operators.Multimodal.printsOf(bytes)
+        (ts, docId, prints)
+      }
+      .toDF("ts", "doc_id", "prints")
+      .withWatermark("ts", watermarkDelay)
+    parsed
+      .join(broadcast(printSets),
+        col("doc_id") =!= col("idx_doc") &&
+          size(array_intersect(col("prints"), col("idx_prints"))) >= minShared)
+      .select(col("ts"), col("doc_id"), col("idx_doc"),
+        size(array_intersect(col("prints"), col("idx_prints"))).cast("long").as("shared"))
+      .dropDuplicatesWithinWatermark("doc_id", "idx_doc")
+  }
+
   /** Streaming X100 — semantic-decontam admission on the ingest path:
     * each incoming embedding row ("ts vec_id v1,v2,…") is scored
     * against the STATIC eval-suite embeddings (the bounded offline

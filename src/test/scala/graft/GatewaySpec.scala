@@ -1006,6 +1006,49 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming media dedup flags exactly the batch X111 dup pairs, parser shared") {
+    // the ingest-time form of q_media_dedup: every batch video
+    // container replayed as a hex feed, decoded by the SAME TLV
+    // parser, print-set-swept against the SAME static print index —
+    // the streamed quarantine pairs (normalized unordered) must equal
+    // the batch is_dup=1 pairs exactly, shared counts included
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val feed = graft.operators.Multimodal.containers(spark, dir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("container")).as[Array[Byte]].collect()
+      .map(b => s"1000 ${b.map("%02X".format(_)).mkString}")
+    val ms = MemoryStream[String]
+    val sink = s"media_feed_${System.nanoTime()}"
+    val q = Gateway.mediaFeed(ms.toDF(),
+        graft.operators.Multimodal.framePrintSets(spark, dir))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      ms.addData(feed.toSeq: _*)
+      q.processAllAvailable()
+      // at-least-once replay must not re-flag a (doc, idx) pair
+      ms.addData(feed.take(3).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table(sink)
+        .select("doc_id", "idx_doc", "shared")
+        .as[(Long, Long, Long)].collect().toList
+      val batch = SparkEntry.queries("q_media_dedup")(spark, dir)
+        .filter(col("is_dup") === 1L)
+        .select("doc_a", "doc_b", "shared")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(batch.nonEmpty, "vacuous pin: no dup pair at this SF")
+      // full sweep sees each unordered pair from both sides
+      val normalized = streamed
+        .map { case (a, b, s) => (math.min(a, b), math.max(a, b), s) }.toSet
+      assert(normalized === batch,
+        s"streamed quarantine $normalized != batch dup pairs $batch")
+      assert(streamed.size === streamed.toSet.size, "replayed rows were re-flagged")
+      assert(streamed.size === 2 * batch.size,
+        "each unordered pair should be flagged from both directions exactly once")
+    } finally q.stop()
+  }
+
   test("streaming semantic decontam flags exactly the batch X100 pair set, scores equal") {
     // the ingest-time form of q_decontam_semantic: the batch train
     // side (including the planted perturbed copies) replayed as an
