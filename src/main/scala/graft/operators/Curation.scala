@@ -1365,6 +1365,95 @@ object Curation {
       |    + n_tokens) // (2 * n_tokens) AS DOUBLE) / 10000.0 AS epochs
       |FROM r ORDER BY source""".stripMargin
 
+  /** X114 — quality-annealed phase plan (`q_anneal_plan`): the
+    * two-phase mix schedule published pretraining runs converge on
+    * (MiniCPM's WSD decay phase, OLMo-2 midtraining, Llama-3
+    * annealing): the STABLE phase trains on the standard proportional
+    * mix, and the short ANNEAL phase (the final tenth of the budget
+    * here) reweights toward high-quality data — the cheapest
+    * known lever on final-model quality per token. Quality gate =
+    * X73's rule cascade (the same [[withRuleFlags]] pass the
+    * admission filter runs); anneal allocations are proportional to
+    * each source's RULE-CLEAN tokens, so a source's anneal share vs
+    * its stable share — the `upweight` column — is exactly how much
+    * the anneal phase turns it up or down (0.44×–1.69× at sf0.01;
+    * CurationSpec pins both directions live).
+    *
+    * Integer-exact: B = X74's 3T/2 convention, anneal = B div 10,
+    * stable = B − anneal; per-source allocations are floor-divided
+    * proportional shares ((Bp·T_s) div T), leaving a < ǀsourcesǀ
+    * global shortfall the spec bounds (a real run tops up by the
+    * X74 hash order); upweight = (Tq_s·T)/(Tq·T_s) rounded 4dp in
+    * integer space (DECIMAL(38,0) cross-products).
+    *
+    * Scale shape: ONE corpus pass (the X73 narrow in-row flags +
+    * token counts) collapsed map-side to the ≤ǀsourcesǀ dictionary;
+    * everything downstream runs on that dictionary with 1-row
+    * broadcast totals. The plan is the artifact a run's data loader
+    * consumes next to X74's epoch table.
+    */
+  private def annealPlan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    withRuleFlags(Tables(s, dir, "documents").select(col("source"), col("text")))
+      .select(col("source"), col("n_words").cast("long").as("tok"), col("keep"))
+      .groupBy(col("source"))
+      .agg(sum(col("tok")).as("n_tokens"),
+        sum(when(col("keep"), col("tok")).otherwise(lit(0L))).as("clean_tokens"))
+      .withColumn("t_all", sum(col("n_tokens")).over(wAll))
+      .withColumn("tq_all", sum(col("clean_tokens")).over(wAll))
+      .withColumn("b", expr("(3 * t_all) div 2"))
+      .withColumn("ba", expr("b div 10"))
+      .withColumn("bp", expr("b - ba"))
+      .withColumn("pre_alloc", expr("(bp * n_tokens) div t_all"))
+      .withColumn("anneal_alloc", expr("(ba * clean_tokens) div tq_all"))
+      .withColumn("un", dec(col("clean_tokens")) * dec(col("t_all")))
+      .withColumn("ud", dec(col("tq_all")) * dec(col("n_tokens")))
+      .select(col("source"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("clean_tokens").cast("long").as("clean_tokens"),
+        col("pre_alloc").cast("long").as("pre_alloc"),
+        col("anneal_alloc").cast("long").as("anneal_alloc"),
+        (expr("CAST((20000 * un + ud) DIV (2 * ud) AS BIGINT)") / lit(10000.0))
+          .as("upweight"))
+      .orderBy("source")
+  }
+
+  private def annealPlanSql: String = {
+    val stopList = ruleStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+       |f AS (
+       |  SELECT source, CAST(len(w) AS BIGINT) AS n,
+       |    CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS slen,
+       |    CAST(len(list_intersect(list_distinct(w), $stopList)) AS BIGINT) AS nstop,
+       |    CAST(list_max(list_transform(list_distinct(w),
+       |      t2 -> len(list_filter(w, x -> x = t2)))) AS BIGINT) AS maxc
+       |  FROM t),
+       |r AS (
+       |  SELECT source, n,
+       |    ((n >= 20 AND n <= 80) AND (3 * n <= slen AND 2 * slen <= 9 * n)
+       |      AND nstop >= 2 AND 5 * maxc <= n) AS keep
+       |  FROM f),
+       |d AS (
+       |  SELECT source, sum(n) AS n_tokens,
+       |    sum(CASE WHEN keep THEN n ELSE 0 END) AS clean_tokens
+       |  FROM r GROUP BY 1),
+       |tot AS (SELECT sum(n_tokens) AS t_all, sum(clean_tokens) AS tq_all FROM d),
+       |bb AS (SELECT t_all, tq_all, (3 * t_all) // 2 AS b,
+       |  ((3 * t_all) // 2) // 10 AS ba,
+       |  (3 * t_all) // 2 - ((3 * t_all) // 2) // 10 AS bp FROM tot)
+       |SELECT d.source, d.n_tokens, d.clean_tokens,
+       |  (bb.bp * d.n_tokens) // bb.t_all AS pre_alloc,
+       |  (bb.ba * d.clean_tokens) // bb.tq_all AS anneal_alloc,
+       |  CAST((20000 * CAST(d.clean_tokens AS HUGEINT) * bb.t_all
+       |      + CAST(bb.tq_all AS HUGEINT) * d.n_tokens)
+       |    // (2 * CAST(bb.tq_all AS HUGEINT) * d.n_tokens) AS BIGINT) / 10000.0
+       |    AS upweight
+       |FROM d, bb ORDER BY source""".stripMargin
+  }
+
   /** X81 — training-order emission (`q_train_order`): X74's epoch
     * allocation materialized into the artifact a dataloader actually
     * consumes — one row per (document, epoch) with a deterministic
@@ -2115,6 +2204,10 @@ object Curation {
       trainOrder,
       Some(trainOrderSql),
       "X81 training-order emission: X74 epochs materialized with per-epoch shuffle positions"),
+    "q_anneal_plan" -> QueryDef(
+      annealPlan,
+      Some(annealPlanSql),
+      "X114 quality-annealed phase plan: stable/anneal token split with rule-clean upweights per source"),
     "q_split_time" -> QueryDef(
       splitTime,
       Some(splitTimeSql),

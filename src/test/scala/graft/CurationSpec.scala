@@ -832,4 +832,43 @@ class CurationSpec extends AnyFunSuite {
     assert(got.forall { r => r._3 == (if (r._1 >= 5) 1.0 else 0.0) },
       s"clf keep rate does not saturate at the sign-boundary bin: $got")
   }
+
+  test("q_anneal_plan: recount off the rule gate, floor-shortfall bounds, both upweight directions") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // ground truth off the oracle-green X73 verdicts + raw documents
+      val keep = SparkEntry.queries("q_rule_filter")(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(7))).toMap
+      val bySource = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source")).collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+        .groupBy(_._2).map { case (s, docs) =>
+          val toks = docs.map(d => keep(d._1))
+          s -> (toks.map(_._1).sum, toks.filter(_._2).map(_._1).sum)
+        }
+      val t = bySource.values.map(_._1).sum
+      val tq = bySource.values.map(_._2).sum
+      val b = 3 * t / 2
+      val ba = b / 10
+      val bp = b - ba
+      val expected = bySource.toSeq.sortBy(_._1).map { case (s, (ts, tqs)) =>
+        val up = (BigInt(20000) * tqs * t + BigInt(tq) * ts) / (BigInt(tq) * ts * 2)
+        (s, ts, tqs, bp * ts / t, ba * tqs / tq, up.toLong / 10000.0)
+      }
+      val got = SparkEntry.queries("q_anneal_plan")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+      assert(got.toSeq === expected, s"anneal-plan recount diverges at $dir")
+      // floor-division shortfall is bounded by the dictionary size —
+      // the allocations never overshoot and never leave a full
+      // source's worth unfunded
+      val preShort = bp - got.map(_._4).sum
+      val annShort = ba - got.map(_._5).sum
+      assert(preShort >= 0 && preShort < got.length, s"stable shortfall $preShort at $dir")
+      assert(annShort >= 0 && annShort < got.length, s"anneal shortfall $annShort at $dir")
+      // the anneal genuinely REWEIGHTS: some source turned up, some down
+      assert(got.exists(_._6 > 1.0) && got.exists(_._6 < 1.0),
+        s"upweight vacuous at $dir: ${got.map(_._6).toSeq}")
+    }
+  }
 }
