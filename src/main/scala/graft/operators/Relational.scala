@@ -549,6 +549,66 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** R30 — distribution windows (`q_win_dist`): the analytic trio the
+    * surface was missing next to R8's rank — percent_rank, cume_dist
+    * and NTILE quartiles per nation over account balance. Both
+    * relative ranks are emitted by the INTEGER-space 4dp formula
+    * ((20000·num + den) div (2·den)) off exact integer rank/count
+    * numerators — rank−1 over n−1 for percent_rank (single-row
+    * groups defined 0), the RANGE-frame peer-inclusive count over n
+    * for cume_dist — so the doubles are engine-portable by
+    * construction, not by shared-IEEE luck; NTILE runs under the
+    * total order (acctbal, custkey), where the SQL-standard bucket
+    * formula is deterministic on both engines.
+    *
+    * Scale shape: one shuffle on the partition key, windows over
+    * nation-sized partitions (bounded by the dimension's
+    * cardinality, not the corpus — the R8 class).
+    */
+  private def winDist(s: SparkSession, dir: String): DataFrame = {
+    val byBal = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").asc)
+    val peers = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.partitionBy(col("c_nationkey"))
+    val byBalKey = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .withColumn("rnk", rank().over(byBal))
+      .withColumn("cd_num", count(lit(1)).over(peers))
+      .withColumn("n", count(lit(1)).over(total))
+      .withColumn("quartile", ntile(4).over(byBalKey).cast("long"))
+      .select(
+        col("c_nationkey"), col("c_custkey"),
+        round(col("c_acctbal"), 4).as("c_acctbal"),
+        when(col("n") === 1, lit(0.0)).otherwise(
+          expr("CAST((20000 * (rnk - 1) + (n - 1)) DIV (2 * (n - 1)) AS BIGINT)")
+            / lit(10000.0)).as("pct_rank"),
+        (expr("CAST((20000 * cd_num + n) DIV (2 * n) AS BIGINT)") / lit(10000.0))
+          .as("cume"),
+        col("quartile"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
+  private def winDistSql: String =
+    """WITH w AS (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS rnk,
+      |    count(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd_num,
+      |    count(*) OVER (PARTITION BY c_nationkey) AS n,
+      |    ntile(4) OVER (PARTITION BY c_nationkey
+      |      ORDER BY c_acctbal, c_custkey) AS quartile
+      |  FROM customer)
+      |SELECT c_nationkey, c_custkey, round(c_acctbal, 4) AS c_acctbal,
+      |  CASE WHEN n = 1 THEN 0.0 ELSE
+      |    CAST((20000 * (rnk - 1) + (n - 1)) // (2 * (n - 1)) AS BIGINT) / 10000.0
+      |  END AS pct_rank,
+      |  CAST((20000 * cd_num + n) // (2 * n) AS BIGINT) / 10000.0 AS cume,
+      |  CAST(quartile AS BIGINT) AS quartile
+      |FROM w ORDER BY c_nationkey, c_custkey""".stripMargin
+
   /** R10 — top-K: TakeOrderedAndProject, no global sort materialized. */
   private def topK(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -886,6 +946,10 @@ object Relational {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
              |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
       "R9 running-frame window"),
+    "q_win_dist" -> QueryDef(
+      winDist,
+      Some(winDistSql),
+      "R30 distribution windows: percent_rank/cume_dist in integer space + NTILE quartiles"),
     "q_topk" -> QueryDef(
       topK,
       Some("""SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice FROM orders

@@ -155,4 +155,49 @@ class ExtensionsSpec extends AnyFunSuite {
         s"the trailing window does not sit over the (type, day) collapse:\n$w")
     }
   }
+
+  test("q_win_dist: sequential distribution recount; the three windows share one shuffle") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Tables(spark, dir, "customer")
+        .select(col("c_nationkey").cast("long"), col("c_custkey").cast("long"),
+          col("c_acctbal").cast("double")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (nat, cs) =>
+        val n = cs.length.toLong
+        val byBalKey = cs.sortBy(t => (t._3, t._2))
+        // SQL-standard NTILE under the total order: first (n mod 4)
+        // buckets take ceil(n/4) rows
+        val base = n / 4
+        val extra = n % 4
+        val quart = byBalKey.zipWithIndex.map { case (c, i) =>
+          val cut = (b: Long) => b * base + math.min(b, extra)
+          c._2 -> (1L to 4L).find(b => i < cut(b)).get
+        }.toMap
+        cs.map { case (_, ck, bal) =>
+          val rnk = cs.count(_._3 < bal).toLong + 1
+          val cdNum = cs.count(_._3 <= bal).toLong
+          val pr = if (n == 1) 0.0
+            else ((20000 * (rnk - 1) + (n - 1)) / (2 * (n - 1))).toDouble / 10000.0
+          val cd = ((20000 * cdNum + n) / (2 * n)).toDouble / 10000.0
+          (nat, ck, BigDecimal(bal).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            pr, cd, quart(ck))
+        }
+      }.sortBy(t => (t._1, t._2))
+      val got = SparkEntry.queries("q_win_dist")(spark, dir)
+        .select(col("c_nationkey").cast("long"), col("c_custkey").cast("long"),
+          col("c_acctbal"), col("pct_rank"), col("cume"), col("quartile"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getLong(5)))
+      assert(got.toSeq === expected.toSeq, s"distribution recount diverges at $dir")
+    }
+    // all three window specs share the c_nationkey partitioning: the
+    // plan must carry exactly ONE hash exchange (the final ORDER BY
+    // adds a range exchange, not a hash one)
+    val plan = SparkEntry.queries("q_win_dist")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"q_win_dist shuffles $hashEx times, expected 1:\n$plan")
+  }
 }
