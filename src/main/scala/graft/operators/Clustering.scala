@@ -737,6 +737,70 @@ object Clustering {
        |    ELSE 0 END AS BIGINT) AS verdict
        |FROM rk r JOIN cn c USING (cid) ORDER BY vec_id""".stripMargin
 
+  /** X115 — per-slice semantic diversity (`q_sem_diversity`): how
+    * semantically NARROW is each labeled slice of the corpus? Per
+    * label: Shannon entropy of its X32 cell distribution (the
+    * meaning-keyed strata) plus the dominant-cell share — the audit
+    * a mixture designer reads next to X25's weights: a slice whose
+    * mass collapses into one semantic cell (low H, high top share)
+    * contributes far less diversity than its token count suggests,
+    * exactly the signal behind cell-balanced sampling (X57) and D4
+    * pruning (X113). Cells touched rides as `n_cells` (zero-entropy
+    * single-cell slices stay visible).
+    *
+    * Numerics (the X51 discipline): p = c/n is an exact rational;
+    * each term 10⁶·p·ln p is computed on IDENTICAL doubles in both
+    * engines and snapped to millionths BEFORE summing, so the sum is
+    * an exact integer of 1e-6 units; H = −Σ rounds 4dp by the
+    * integer (ǀtǀ+50) div 100 HALF_UP (terms ≤ 0 always, H ≥ 0);
+    * top share by pure-integer (20000·maxc + n) div 2n.
+    *
+    * Scale shape: assignment is the narrow literal argmin (no join);
+    * ONE exchange collapses the corpus to the ≤ǀlabelsǀ·K matrix
+    * with map-side partials; everything downstream (ln snaps, the
+    * rollup) runs on that dictionary.
+    */
+  private def semDiversity(s: SparkSession, dir: String): DataFrame = {
+    val cellsDf = graft.Tables(s, dir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        bestCentroid(s, dir).getField("cid").cast("long").as("cid"))
+      .groupBy(col("label"), col("cid")).agg(count(lit(1)).as("c"))
+    val byLabel = cellsDf.groupBy(col("label"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_cells"), max(col("c")).as("maxc"))
+    cellsDf.join(broadcast(byLabel), "label")
+      .select(col("label"), col("n"), col("n_cells"), col("maxc"),
+        round(lit(1000000.0) * (col("c").cast("double") / col("n"))
+          * log(col("c").cast("double") / col("n")), 0).cast("long").as("t6"))
+      .groupBy(col("label"), col("n"), col("n_cells"), col("maxc"))
+      .agg(sum(col("t6")).as("h6"))
+      .select(col("label"), col("n").cast("long").as("n_vecs"),
+        col("n_cells").cast("long").as("n_cells"),
+        (floor((abs(col("h6")) + 50) / 100).cast("long") / lit(10000.0)).as("entropy"),
+        (expr("CAST((20000 * maxc + n) DIV (2 * n) AS BIGINT)") / lit(10000.0))
+          .as("top_share"))
+      .orderBy("label")
+  }
+
+  private def semDiversitySql: String =
+    s"""WITH $cellCtes,
+       |lc AS (
+       |  SELECT e.label, c.cid, CAST(count(*) AS BIGINT) AS c
+       |  FROM cells c JOIN embeddings e ON e.vec_id = c.vec_id
+       |  GROUP BY 1, 2),
+       |bl AS (
+       |  SELECT label, sum(c) AS n, count(*) AS n_cells, max(c) AS maxc
+       |  FROM lc GROUP BY 1),
+       |terms AS (
+       |  SELECT l.label, b.n, b.n_cells, b.maxc,
+       |    CAST(round(1000000.0 * (CAST(l.c AS DOUBLE) / b.n)
+       |      * ln(CAST(l.c AS DOUBLE) / b.n), 0) AS BIGINT) AS t6
+       |  FROM lc l JOIN bl b ON b.label = l.label)
+       |SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n_vecs,
+       |  CAST(n_cells AS BIGINT) AS n_cells,
+       |  CAST(floor((abs(sum(t6)) + 50) / 100) AS BIGINT) / 10000.0 AS entropy,
+       |  CAST((20000 * maxc + n) // (2 * n) AS BIGINT) / 10000.0 AS top_share
+       |FROM terms GROUP BY label, n, n_cells, maxc ORDER BY label""".stripMargin
+
   /** Power-iteration count for X65. Three rounds is the monitoring
     * depth, not a convergence fixpoint — power iteration contracts
     * geometrically, and the DuckDB oracle unrolls the same three.
@@ -1407,6 +1471,10 @@ object Clustering {
       embedPrune,
       Some(embedPruneSql),
       "X113 prototype/outlier pruning: per-cell exact decile cuts on centroid distance, D4-style"),
+    "q_sem_diversity" -> QueryDef(
+      semDiversity,
+      Some(semDiversitySql),
+      "X115 per-slice semantic diversity: cell-distribution entropy + dominant-cell share per label"),
     "q_kmeans_assign" -> QueryDef(
       kmeansAssign,
       Some(kmeansSql),

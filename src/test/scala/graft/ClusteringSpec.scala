@@ -652,4 +652,39 @@ class ClusteringSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_sem_diversity: sequential entropy recount off the assignment; entropy discriminates") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val cells = SparkEntry.queries("q_kmeans_assign")(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val labels = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      val expected = labels.groupBy(_._2).toSeq.map { case (lab, vs) =>
+        val byCell = vs.map(v => cells(v._1)).groupBy(identity).map(_._2.length.toLong)
+        val n = vs.length.toLong
+        val h6 = byCell.map { c =>
+          val p = c.toDouble / n
+          math.round(1e6 * p * math.log(p))
+        }.sum
+        val ent = math.floorDiv(math.abs(h6) + 50, 100) / 10000.0
+        val top = (20000 * byCell.max + n) / (2 * n) / 10000.0
+        (lab, n, byCell.size.toLong, ent, top)
+      }.sortBy(_._1)
+      val got = SparkEntry.queries("q_sem_diversity")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      assert(got.toSeq === expected, s"diversity recount diverges at $dir")
+      // the measure must discriminate across slices, and every H must
+      // sit inside [0, ln K]
+      assert(got.map(_._4).distinct.length > 1, s"entropy constant across labels at $dir")
+      val lnK = math.log(Clustering.centroidK.toDouble)
+      got.foreach { case (lab, _, nc, h, top) =>
+        assert(h >= 0.0 && h <= lnK + 1e-4, s"label $lab entropy $h outside [0, ln K] at $dir")
+        assert(top >= 1.0 / Clustering.centroidK - 1e-4 && top <= 1.0,
+          s"label $lab top share $top out of range at $dir")
+        assert(nc >= 1 && nc <= Clustering.centroidK, s"label $lab cell count $nc at $dir")
+      }
+    }
+  }
 }
