@@ -801,6 +801,111 @@ object Clustering {
        |  CAST((20000 * maxc + n) // (2 * n) AS BIGINT) / 10000.0 AS top_share
        |FROM terms GROUP BY label, n, n_cells, maxc ORDER BY label""".stripMargin
 
+  /** X116 — cluster–label agreement (`q_cluster_nmi`): the EXTERNAL
+    * cluster-validity check completing the evaluation pair with X99's
+    * internal silhouette — silhouette asks "are the cells compact?",
+    * this asks "do the cells MEAN anything?" by scoring them against
+    * the independent label column. Per cell: size, majority label
+    * (count-then-min-label argmax — deterministic), purity = maxc/n_c;
+    * riding every row, the corpus verdict: normalized mutual
+    * information NMI = I(cell;label)/√(H(cell)·H(label)) from the
+    * K×L contingency matrix — the standard external score (0 =
+    * independent, 1 = identical partitions). On THIS corpus the
+    * labels are synthetic round-robin, so NMI honestly ≈ 0 — exactly
+    * the property that makes the score informative (ClusteringSpec
+    * pins the near-zero band plus purity ≈ 1/L, and a permutation
+    * argument: relabeling by cell id drives NMI to 1 through the
+    * same code path).
+    *
+    * Numerics: every MI/entropy term 10⁶·p·ln(·) is computed on
+    * IDENTICAL doubles (exact integer rationals in) and snapped to
+    * millionths BEFORE summing (X51/X115 discipline) → MI6, Hc6,
+    * Hl6 are exact integers; the final NMI = round4 of
+    * MI6/√(Hc6·Hl6) is ONE fixed IEEE sequence on identical
+    * integers (the X106 argument); degenerate H = 0 defines NMI 0.
+    *
+    * Scale shape: ONE exchange collapses the corpus to the K×L
+    * contingency dictionary with map-side partials; marginals,
+    * snaps and the rollup all run on that dictionary.
+    */
+  private def clusterNmi(s: SparkSession, dir: String): DataFrame = {
+    val cont = graft.Tables(s, dir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        bestCentroid(s, dir).getField("cid").cast("long").as("cid"))
+      .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val nRow = cont.agg(sum(col("c")).as("n"))
+    val ma = cont.groupBy(col("cid")).agg(sum(col("c")).as("a"))
+    val mb = cont.groupBy(col("label")).agg(sum(col("c")).as("b"))
+    val mi6 = cont.join(broadcast(ma), "cid").join(broadcast(mb), "label")
+      .crossJoin(broadcast(nRow))
+      .select(
+        round(lit(1000000.0) * (col("c").cast("double") / col("n"))
+          * log((col("n").cast("double") * col("c"))
+            / (col("a").cast("double") * col("b"))), 0).cast("long").as("t6"))
+      .agg(sum(col("t6")).as("mi6"))
+    def ent6(marg: DataFrame, m: String, out: String): DataFrame = marg
+      .crossJoin(broadcast(nRow))
+      .select(round(lit(-1000000.0) * (col(m).cast("double") / col("n"))
+        * log(col(m).cast("double") / col("n")), 0).cast("long").as("e6"))
+      .agg(sum(col("e6")).as(out))
+    val verdict = mi6
+      .crossJoin(ent6(ma, "a", "h_cid"))
+      .crossJoin(ent6(mb, "b", "h_label"))
+      .select(
+        when(col("h_cid") <= 0 || col("h_label") <= 0, lit(0.0)).otherwise(
+          round(col("mi6").cast("double")
+            / sqrt(col("h_cid").cast("double") * col("h_label")), 4)).as("nmi"))
+    cont
+      .groupBy(col("cid"))
+      .agg(sum(col("c")).as("n_c"),
+        max(struct(col("c").as("c"), (-col("label")).as("nl"))).as("top"))
+      .crossJoin(broadcast(verdict))
+      .select(col("cid"), col("n_c").cast("long").as("n_c"),
+        (-col("top.nl")).cast("long").as("top_label"),
+        (expr("CAST((20000 * top.c + n_c) DIV (2 * n_c) AS BIGINT)") / lit(10000.0))
+          .as("purity"),
+        col("nmi"))
+      .orderBy("cid")
+  }
+
+  private def clusterNmiSql: String =
+    s"""WITH $cellCtes,
+       |ct AS (
+       |  SELECT c.cid, e.label, CAST(count(*) AS BIGINT) AS c
+       |  FROM cells c JOIN embeddings e ON e.vec_id = c.vec_id
+       |  GROUP BY 1, 2),
+       |ma AS (SELECT cid, sum(c) AS a FROM ct GROUP BY 1),
+       |mb AS (SELECT label, sum(c) AS b FROM ct GROUP BY 1),
+       |nn AS (SELECT sum(c) AS n FROM ct),
+       |mi AS (
+       |  SELECT sum(CAST(round(1000000.0 * (CAST(ct.c AS DOUBLE) / nn.n)
+       |    * ln((CAST(nn.n AS DOUBLE) * ct.c) / (CAST(ma.a AS DOUBLE) * mb.b)), 0)
+       |    AS BIGINT)) AS mi6
+       |  FROM ct JOIN ma ON ma.cid = ct.cid JOIN mb ON mb.label = ct.label
+       |  CROSS JOIN nn),
+       |hc AS (
+       |  SELECT sum(CAST(round(-1000000.0 * (CAST(a AS DOUBLE) / nn.n)
+       |    * ln(CAST(a AS DOUBLE) / nn.n), 0) AS BIGINT)) AS h_cid
+       |  FROM ma, nn),
+       |hl AS (
+       |  SELECT sum(CAST(round(-1000000.0 * (CAST(b AS DOUBLE) / nn.n)
+       |    * ln(CAST(b AS DOUBLE) / nn.n), 0) AS BIGINT)) AS h_label
+       |  FROM mb, nn),
+       |v AS (
+       |  SELECT CASE WHEN h_cid <= 0 OR h_label <= 0 THEN 0.0 ELSE
+       |    round(CAST(mi6 AS DOUBLE) / sqrt(CAST(h_cid AS DOUBLE) * h_label), 4)
+       |  END AS nmi FROM mi, hc, hl),
+       |pc AS (
+       |  SELECT cid, sum(c) AS n_c, max(c) AS maxc,
+       |    first(label ORDER BY c DESC, label ASC) AS top_label
+       |  FROM ct GROUP BY 1)
+       |SELECT CAST(cid AS BIGINT) AS cid, CAST(n_c AS BIGINT) AS n_c,
+       |  CAST(top_label AS BIGINT) AS top_label,
+       |  CAST((20000 * maxc + n_c) // (2 * n_c) AS BIGINT) / 10000.0 AS purity,
+       |  v.nmi
+       |FROM pc, v ORDER BY cid""".stripMargin
+
   /** Power-iteration count for X65. Three rounds is the monitoring
     * depth, not a convergence fixpoint — power iteration contracts
     * geometrically, and the DuckDB oracle unrolls the same three.
@@ -1475,6 +1580,10 @@ object Clustering {
       semDiversity,
       Some(semDiversitySql),
       "X115 per-slice semantic diversity: cell-distribution entropy + dominant-cell share per label"),
+    "q_cluster_nmi" -> QueryDef(
+      clusterNmi,
+      Some(clusterNmiSql),
+      "X116 cluster-label agreement: per-cell purity + corpus NMI off the K×L contingency matrix"),
     "q_kmeans_assign" -> QueryDef(
       kmeansAssign,
       Some(kmeansSql),

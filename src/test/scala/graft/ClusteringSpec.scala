@@ -687,4 +687,56 @@ class ClusteringSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_cluster_nmi: sequential recount; independent labels ≈ 0; cell-relabeled fixture = 1") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val cells = SparkEntry.queries("q_kmeans_assign")(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val labels = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long")).collect()
+        .map(r => cells(r.getLong(0)) -> r.getLong(1))
+      val cont = labels.groupBy(identity).map { case ((cid, lab), xs) =>
+        (cid, lab, xs.length.toLong) }.toSeq
+      val n = labels.length.toLong
+      val ma = cont.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+      val mb = cont.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+      val mi6 = cont.map { case (i, j, c) =>
+        math.round(1e6 * (c.toDouble / n) * math.log(n.toDouble * c / (ma(i).toDouble * mb(j))))
+      }.sum
+      def h6(m: Iterable[Long]): Long =
+        m.map(a => math.round(-1e6 * (a.toDouble / n) * math.log(a.toDouble / n))).sum
+      val nmi = BigDecimal(mi6.toDouble / math.sqrt(h6(ma.values).toDouble * h6(mb.values)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expected = cont.groupBy(_._1).toSeq.map { case (cid, rows) =>
+        val nc = rows.map(_._3).sum
+        val (topLab, maxc) = rows.map(r => (r._2, r._3)).sortBy(t => (-t._2, t._1)).head
+        (cid, nc, topLab, (20000 * maxc + nc) / (2 * nc) / 10000.0, nmi)
+      }.sortBy(_._1)
+      val got = SparkEntry.queries("q_cluster_nmi")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      assert(got.toSeq === expected, s"NMI recount diverges at $dir")
+      // the synthetic labels are round-robin, independent of geometry:
+      // the verdict must sit in the near-zero band — the score's whole
+      // point is that it CAN say "these clusters mean nothing"
+      assert(got.head._5 < 0.1, s"NMI ${got.head._5} not near-zero for independent labels at $dir")
+    }
+    // perfect agreement through the SAME declared code path: relabel
+    // every vector by its own cell id -> diagonal contingency -> NMI 1,
+    // purity 1 everywhere
+    import spark.implicits._
+    val dir0 = "/root/testdata/sf0.001"
+    val cells0 = SparkEntry.queries("q_kmeans_assign")(spark, dir0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixDir = "/tmp/graft_nmi_fixture"
+    Tables(spark, dir0, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), cells0(r.getLong(0)).toInt))
+      .toSeq.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/embeddings.parquet")
+    val perfect = SparkEntry.queries("q_cluster_nmi")(spark, fixDir).collect()
+      .map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(perfect.forall(_._1 == 1.0), "purity below 1 on the cell-relabeled fixture")
+    assert(perfect.forall(_._2 == 1.0), "NMI below 1 on the cell-relabeled fixture")
+  }
 }
