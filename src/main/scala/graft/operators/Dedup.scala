@@ -350,6 +350,97 @@ object Dedup {
   private def dedupNear(s: SparkSession, dir: String): DataFrame =
     nearPairs(shingleIndex(s, dir), nearMaxDf)
 
+  /** The X5a chain through `verified` (corpus → capped collisions →
+    * high-df correction) — factored so X117's sweep oracle states
+    * the exact pair table the standalone near-dup oracle states.
+    */
+  private def nearChainSql: String =
+    s"""$corpusSql,
+       |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+       |capped AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq USING (shingle) WHERE df <= $nearMaxDf),
+       |shared_kept AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_kept
+       |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sh_high AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq USING (shingle) WHERE df > $nearMaxDf),
+       |corr AS (
+       |  SELECT k.id_a, k.id_b, count(*) AS extra
+       |  FROM shared_kept k JOIN sh_high sa ON sa.doc_id = k.id_a
+       |  JOIN sh_high sb ON sb.doc_id = k.id_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |verified AS (
+       |  SELECT k.id_a, k.id_b, k.shared_kept + COALESCE(c.extra, 0) AS shared
+       |  FROM shared_kept k LEFT JOIN corr c ON c.id_a = k.id_a AND c.id_b = k.id_b)""".stripMargin
+
+  /** Thresholds swept by X117 — all at or above the 0.6 floor where
+    * the size-compatibility prefilter keeps the pair table COMPLETE
+    * (below 0.6 the AllPairs prune has already dropped pairs by
+    * design, so a lower sweep point would lie).
+    */
+  private[graft] val sweepCuts = Seq(60L, 65L, 70L, 75L, 80L, 90L)
+
+  /** X117 — Jaccard-cut sensitivity sweep (`q_dedup_sweep`): the
+    * tuning table a curator reads before moving X5a's 0.6 threshold:
+    * for each candidate cut ≥ the floor, how many verified pairs and
+    * how many distinct documents remain, plus `pair_retention` vs the
+    * 0.6 baseline — whether a stricter cut trims noise or guts dup
+    * coverage. Swept only ABOVE the [[nearPairs]] size-compat floor,
+    * where the exactness-corrected pair table is provably complete
+    * (see [[sweepCuts]]); the sweep is a pure re-cut of the SAME
+    * verified pairs, so every row is exact, not an LSH recall curve.
+    *
+    * Integer end-to-end: the cut compare is 100·shared ≥ t·n_union,
+    * pair counts are count div 2 over exploded endpoints, retention
+    * rounds 4dp by HALF_UP integer division. Scale: the pair table is
+    * dup-volume-bounded and memoized ([[shingleIndex]]); the sweep
+    * fans it out ×ǀcutsǀ and collapses to ǀcutsǀ rows map-side.
+    */
+  private def dedupSweep(s: SparkSession, dir: String): DataFrame = {
+    val kept = nearPairs(shingleIndex(s, dir), nearMaxDf)
+      .select(col("id_a"), col("id_b"), col("shared"), col("n_union"),
+        explode(array(sweepCuts.map(lit): _*)).as("t_pct"))
+      .filter(col("shared") * 100 >= col("t_pct") * col("n_union"))
+      .select(col("t_pct"), explode(array(col("id_a"), col("id_b"))).as("d"))
+    // ǀcutsǀ rows, TWO consumers (baseline + final) — checkpoint or
+    // the whole pair build runs twice (the q_pca_project lesson)
+    val agg = kept.groupBy(col("t_pct"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("d")).as("n_docs"))
+      .localCheckpoint()
+    val base = agg.filter(col("t_pct") === sweepCuts.head)
+      .select(col("n_pairs").as("np_base"))
+    agg.crossJoin(broadcast(base))
+      .select(col("t_pct"), col("n_pairs"), col("n_docs").cast("long").as("n_docs"),
+        (expr("CAST((20000 * n_pairs + np_base) DIV (2 * np_base) AS BIGINT)")
+          / lit(10000.0)).as("pair_retention"))
+      .orderBy("t_pct")
+  }
+
+  private def sweepSql: String = {
+    val cuts = sweepCuts.mkString("[", ", ", "]")
+    s"""WITH $nearChainSql,
+       |vu AS (
+       |  SELECT v.id_a, v.id_b, v.shared,
+       |    ca.n + cb.n - v.shared AS n_union
+       |  FROM verified v
+       |  JOIN card ca ON ca.doc_id = v.id_a
+       |  JOIN card cb ON cb.doc_id = v.id_b
+       |  WHERE 10 * v.shared >= 6 * (ca.n + cb.n - v.shared)),
+       |sweep AS (SELECT unnest($cuts) AS t_pct),
+       |keptp AS (
+       |  SELECT s.t_pct, unnest([vu.id_a, vu.id_b]) AS d
+       |  FROM vu JOIN sweep s ON 100 * vu.shared >= s.t_pct * vu.n_union),
+       |agg AS (
+       |  SELECT t_pct, count(*) // 2 AS n_pairs, count(DISTINCT d) AS n_docs
+       |  FROM keptp GROUP BY 1),
+       |base AS (SELECT n_pairs AS np_base FROM agg WHERE t_pct = ${sweepCuts.head})
+       |SELECT CAST(t_pct AS BIGINT) AS t_pct, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST((20000 * n_pairs + np_base) // (2 * np_base) AS BIGINT) / 10000.0
+       |    AS pair_retention
+       |FROM agg, base ORDER BY t_pct""".stripMargin
+  }
+
   /** Excerpt length for the X54 containment plant: long enough to
     * carry unambiguous shingle evidence, short enough that excerpt
     * Jaccard vs its source (≈ 28 / n_source) sits far below the 0.6
@@ -1787,24 +1878,13 @@ object Dedup {
       // Same one-pass shape as the Spark side: shared counted directly
       // off the capped collision join, high-df shingles added back by
       // the (empty-on-this-corpus) correction join.
-      Some(s"""WITH $corpusSql,
-              |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-              |capped AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq USING (shingle) WHERE df <= $nearMaxDf),
-              |shared_kept AS (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_kept
-              |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              |  GROUP BY 1, 2),
-              |sh_high AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq USING (shingle) WHERE df > $nearMaxDf),
-              |corr AS (
-              |  SELECT k.id_a, k.id_b, count(*) AS extra
-              |  FROM shared_kept k JOIN sh_high sa ON sa.doc_id = k.id_a
-              |  JOIN sh_high sb ON sb.doc_id = k.id_b AND sb.shingle = sa.shingle
-              |  GROUP BY 1, 2),
-              |verified AS (
-              |  SELECT k.id_a, k.id_b, k.shared_kept + COALESCE(c.extra, 0) AS shared
-              |  FROM shared_kept k LEFT JOIN corr c ON c.id_a = k.id_a AND c.id_b = k.id_b)
+      Some(s"""WITH $nearChainSql
               |$verifySqlTail""".stripMargin),
       "X5a n-gram Jaccard near-dup via df-capped inverted shingle index"),
+    "q_dedup_sweep" -> QueryDef(
+      dedupSweep,
+      Some(sweepSql),
+      "X117 Jaccard-cut sensitivity sweep: pairs/docs surviving each threshold ≥ the 0.6 floor"),
     "q_dedup_minhash" -> QueryDef(
       dedupMinhash,
       Some(minhashSql),

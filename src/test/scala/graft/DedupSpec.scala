@@ -686,4 +686,32 @@ class DedupSpec extends AnyFunSuite {
       ()
     }
   }
+
+  test("q_dedup_sweep: recount off the verified pairs, monotone retention, strict top cut") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // ground truth off the oracle-green X5a pair table
+      val pairs = SparkEntry.queries("q_dedup_near")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val cuts = graft.operators.Dedup.sweepCuts
+      val npBase = pairs.count(p => 100 * p._3 >= cuts.head * p._4).toLong
+      val expected = cuts.map { t =>
+        val kept = pairs.filter(p => 100 * p._3 >= t * p._4)
+        val docs = kept.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong
+        (t, kept.length.toLong, docs,
+          (20000 * kept.length + npBase) / (2 * npBase) / 10000.0)
+      }
+      val got = SparkEntry.queries("q_dedup_sweep")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq === expected, s"sweep recount diverges at $dir")
+      // structural contract: baseline retention 1.0, counts monotone
+      // non-increasing in the cut, and the strictest cut genuinely
+      // binds on this corpus (the sweep is not a constant table)
+      assert(got.head._4 == 1.0, s"baseline retention != 1 at $dir")
+      assert(got.sliding(2).forall(w => w(1)._2 <= w(0)._2),
+        s"pair counts not monotone at $dir")
+      assert(got.last._2 < got.head._2,
+        s"strictest cut binds nothing at $dir — sweep vacuous")
+    }
+  }
 }
