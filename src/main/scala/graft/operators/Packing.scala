@@ -155,6 +155,130 @@ object Packing {
   private def splitHash(s: SparkSession, dir: String): DataFrame =
     splitHashFrom(Tables(s, dir, "documents")).orderBy("doc_id")
 
+  /** X118 — split-balance audit (`q_split_balance`): is the X31 hash
+    * split REPRESENTATIVE? A content-hash split is unbiased in
+    * expectation, but any given salt realizes ONE draw — and a split
+    * whose val slice skews long-doc or single-source silently skews
+    * every eval number downstream. Per split: the exact KS statistic
+    * of its length distribution against the full corpus (the X56
+    * collapse-first machinery keyed by split instead of source) and
+    * the worst per-source composition deviation
+    * max_k ǀc_sk/n_s − c_k/nǀ — the two "does this slice look like
+    * the corpus" numbers an eval harness checks before trusting a
+    * split.
+    *
+    * Integer end-to-end (X56 discipline): both statistics are
+    * cross-multiplied integer rationals rounded 4dp by DECIMAL(38,0)
+    * HALF_UP division — no float before the final /10⁴. Split
+    * membership is the [[splitOf]] pure function (no split-table
+    * join — the map-not-shuffle rule).
+    *
+    * Scale shape: two narrow corpus passes collapse map-side to the
+    * ǀsplitsǀ×ǀlensǀ and ǀsplitsǀ×ǀsourcesǀ matrices; windows and
+    * maxes run over those dictionaries only; the two verdicts join
+    * on the 3-row split key.
+    */
+  private def splitBalance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val base = Tables(s, dir, "documents")
+      .select(splitOf(col("doc_id")).as("split"), col("n_chars"), col("source"))
+    // KS half: (split, n_chars) matrix vs the corpus-marginal ECDF
+    val m = base.groupBy(col("split"), col("n_chars")).agg(count(lit(1)).as("c"))
+    val cv = m.groupBy(col("n_chars")).agg(sum(col("c")).as("cv"))
+      .withColumn("cum_all",
+        sum(col("cv")).over(Window.partitionBy().orderBy(col("n_chars"))))
+      .withColumn("n_total", sum(col("cv")).over(wAll))
+    val ms = m
+      .withColumn("cum_s",
+        sum(col("c")).over(Window.partitionBy(col("split")).orderBy(col("n_chars"))))
+      .withColumn("n_s",
+        sum(col("c")).over(Window.partitionBy(col("split"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val atV = abs(col("cum_s") * col("n_total") - col("cum_all") * col("n_s"))
+    val atVMinus = abs((col("cum_s") - col("c")) * col("n_total")
+      - (col("cum_all") - col("cv")) * col("n_s"))
+    val ks = ms.join(cv, "n_chars")
+      .groupBy(col("split"), col("n_s"))
+      .agg(max(greatest(atV, atVMinus)).as("ks_num"),
+        max(col("n_total")).as("n_total"))
+      .withColumn("ks4", expr(
+        """CAST((CAST(ks_num AS DECIMAL(38,0)) * 20000
+          |       + CAST(n_s AS DECIMAL(38,0)) * n_total)
+          |  DIV (2 * CAST(n_s AS DECIMAL(38,0)) * n_total) AS BIGINT)"""
+          .stripMargin))
+      .select(col("split"), col("n_s").cast("long").as("n_docs"),
+        (col("ks4") / lit(10000.0)).as("ks"))
+    // composition half: worst per-source share deviation over the
+    // COMPLETE split×source grid — a source absent from a slice
+    // deviates by its full corpus share, the exact cell the standard
+    // present-cells-only implementation drops (the X101 mistake; the
+    // spec's recount caught it here: test-slice dev read 0.0333 with
+    // the true max 0.05 sitting on an absent source)
+    val sm = base.groupBy(col("split"), col("source")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val ck = sm.groupBy(col("source")).agg(sum(col("c")).as("ck"))
+      .withColumn("n", sum(col("ck")).over(wAll))
+    val ns = sm.groupBy(col("split")).agg(sum(col("c")).as("ns"))
+    val dev = broadcast(ck).crossJoin(broadcast(ns))
+      .join(sm, Seq("split", "source"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("num", abs(col("c") * col("n") - col("ck") * col("ns")))
+      .groupBy(col("split"))
+      .agg(max(expr(
+        """CAST((CAST(num AS DECIMAL(38,0)) * 20000
+          |       + CAST(ns AS DECIMAL(38,0)) * n)
+          |  DIV (2 * CAST(ns AS DECIMAL(38,0)) * n) AS BIGINT)""".stripMargin))
+        .as("dev4"))
+      .select(col("split"), (col("dev4") / lit(10000.0)).as("max_src_dev"))
+    ks.join(dev, "split").orderBy("split")
+  }
+
+  private def splitBalanceSql: String = {
+    val sc = splitCaseSql("doc_id")
+    s"""WITH base AS (
+       |  SELECT $sc AS split, n_chars, source FROM documents),
+       |m AS (SELECT split, n_chars, count(*) AS c FROM base GROUP BY 1, 2),
+       |cv AS (
+       |  SELECT n_chars, sum(c) AS cv,
+       |    sum(sum(c)) OVER (ORDER BY n_chars) AS cum_all,
+       |    sum(sum(c)) OVER () AS n_total
+       |  FROM m GROUP BY n_chars),
+       |ms AS (
+       |  SELECT split, n_chars, c,
+       |    sum(c) OVER (PARTITION BY split ORDER BY n_chars) AS cum_s,
+       |    sum(c) OVER (PARTITION BY split) AS n_s
+       |  FROM m),
+       |ks AS (
+       |  SELECT s.split, s.n_s,
+       |    max(greatest(
+       |      abs(s.cum_s * v.n_total - v.cum_all * s.n_s),
+       |      abs((s.cum_s - s.c) * v.n_total - (v.cum_all - v.cv) * s.n_s)))
+       |      AS ks_num,
+       |    max(v.n_total) AS n_total
+       |  FROM ms s JOIN cv v USING (n_chars) GROUP BY 1, 2),
+       |sm AS (SELECT split, source, count(*) AS c FROM base GROUP BY 1, 2),
+       |ck AS (SELECT source, sum(c) AS ck, sum(sum(c)) OVER () AS n FROM sm GROUP BY 1),
+       |ns AS (SELECT split, sum(c) AS ns FROM sm GROUP BY 1),
+       |grid AS (
+       |  SELECT t.split, k.source, k.ck, k.n, t.ns, COALESCE(s.c, 0) AS c
+       |  FROM ck k CROSS JOIN ns t
+       |  LEFT JOIN sm s ON s.split = t.split AND s.source = k.source),
+       |dev AS (
+       |  SELECT split,
+       |    max((CAST(abs(c * n - ck * ns) AS HUGEINT) * 20000
+       |         + CAST(ns AS HUGEINT) * n)
+       |      // (2 * CAST(ns AS HUGEINT) * n)) AS dev4
+       |  FROM grid GROUP BY 1)
+       |SELECT k.split, CAST(k.n_s AS BIGINT) AS n_docs,
+       |  CAST((CAST(k.ks_num AS HUGEINT) * 20000
+       |        + CAST(k.n_s AS HUGEINT) * k.n_total)
+       |    // (2 * CAST(k.n_s AS HUGEINT) * k.n_total) AS BIGINT) / 10000.0 AS ks,
+       |  CAST(d.dev4 AS BIGINT) / 10000.0 AS max_src_dev
+       |FROM ks k JOIN dev d USING (split) ORDER BY split""".stripMargin
+  }
+
   /** Split membership as a PURE FUNCTION of the doc id (the X31
     * hash-percentile rule factored out): anything that needs to know a
     * doc's split — X31 itself, the X62 cross-split leakage scan — can
@@ -619,6 +743,10 @@ object Packing {
               |       THEN 1 ELSE 0 END AS BIGINT) AS crosses
               |FROM c ORDER BY doc_id""".stripMargin),
       "X30 sequence packing: concat-and-chunk context-window assignment, exact prefix sums"),
+    "q_split_balance" -> QueryDef(
+      splitBalance,
+      Some(splitBalanceSql),
+      "X118 split-balance audit: per-split exact KS vs corpus + worst source-share deviation"),
     "q_split_hash" -> QueryDef(
       splitHash,
       Some("""WITH d AS (

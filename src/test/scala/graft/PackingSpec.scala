@@ -403,4 +403,50 @@ class PackingSpec extends AnyFunSuite {
         s"batch-plan windows the corpus-proportional bin table:\n$w")
     }
   }
+
+  test("q_split_balance: sequential KS + deviation recount; train hugs the corpus") {
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.Packing.splitOf(col("doc_id")).as("split"),
+          col("n_chars").cast("long"), col("source")).collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getString(3)))
+      val n = docs.length.toLong
+      val expected = docs.groupBy(_._1).toSeq.map { case (split, ds) =>
+        val ns = ds.length.toLong
+        // KS: sup over observed lengths of |ECDF_s - ECDF_all|, both
+        // sides of each step (the left-limit argument)
+        val lens = docs.map(_._2).distinct.sorted
+        val ksNum = lens.map { v =>
+          val cs = ds.count(_._2 <= v).toLong
+          val csm = ds.count(_._2 < v).toLong
+          val ca = docs.count(_._2 <= v).toLong
+          val cam = docs.count(_._2 < v).toLong
+          math.max(math.abs(cs * n - ca * ns), math.abs(csm * n - cam * ns))
+        }.max
+        val ks = (BigInt(ksNum) * 20000 + BigInt(ns) * n) / (BigInt(ns) * n * 2)
+        val dev = docs.map(_._3).distinct.map { src =>
+          val csk = ds.count(_._3 == src).toLong
+          val ck = docs.count(_._3 == src).toLong
+          (BigInt(math.abs(csk * n - ck * ns)) * 20000 + BigInt(ns) * n) /
+            (BigInt(ns) * n * 2)
+        }.max
+        (split, ns, ks.toLong / 10000.0, dev.toLong / 10000.0)
+      }.sortBy(_._1)
+      val got = SparkEntry.queries("q_split_balance")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      assert(got.toSeq === expected, s"balance recount diverges at $dir")
+      assert(got.map(_._2).sum == n, s"split sizes don't cover the corpus at $dir")
+      // the 90% slice is nearly the corpus — its KS must undercut both
+      // small slices (a failure here means the salt realized a freak
+      // draw, which is exactly what the audit exists to surface)
+      val byName = got.map(g => g._1 -> g._3).toMap
+      assert(byName("train") < byName("val") && byName("train") < byName("test"),
+        s"train KS not the smallest at $dir: $byName")
+      got.foreach { case (sp, _, ks, dev) =>
+        assert(ks >= 0 && ks <= 1 && dev >= 0 && dev <= 1, s"stat out of [0,1] for $sp at $dir")
+      }
+    }
+  }
 }
