@@ -1209,20 +1209,101 @@ object Similarity {
        |FROM $vk, nm, dn, tr ORDER BY dim""".stripMargin
   }
 
+  /** The q_sim_bucketed oracle as a named statement — X119's recall
+    * oracle nests it verbatim, so the monitored index and the
+    * standalone query cannot drift.
+    */
+  private def bucketedSql: String =
+    s"""WITH $candSql,
+       |scored AS (
+       |  SELECT e.vec_id, e.label,
+       |    list_sum(list_transform(list_zip(e.embedding, q.qe),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score
+       |  FROM cands e, q)
+       |SELECT vec_id, label, round(score, 4) + 0 AS score FROM scored
+       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** X119 — ANN recall monitor (`q_ann_recall`): the index-quality
+    * audit a production vector deployment runs CONTINUOUSLY — for
+    * each approximate method (sign-LSH buckets, IVF probe, composed
+    * IVFADC), the recall@10 of its declared top-10 against the exact
+    * brute-force baseline. The README sweep measures this offline at
+    * build time; declaring it makes index drift (a re-clustered IVF,
+    * a new plane set, a corpus whose geometry moved) visible to the
+    * same verify/bench loop as every other operator, with the oracle
+    * nesting the EXACT per-method statements so the monitor and the
+    * monitored queries cannot diverge.
+    *
+    * Numerics: overlap counts are exact integers; recall = n/10 is
+    * an exact decimal both engines render identically. Each method's
+    * top-10 is a 10-row bounded collect (the k-means-centroid
+    * class); the literal result table is 3 rows.
+    *
+    * Scale shape: cost = the three probes + one brute scan — each
+    * already individually scale-audited; the monitor adds one
+    * bounded driver intersection. On a 100 TB deployment the brute
+    * baseline runs over a fixed eval sample rather than the corpus
+    * (the X100 bounded-artifact pattern), which this dir-sized
+    * corpus stands in for.
+    */
+  private def annRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brute = graft.Tables(s, dir, "embeddings")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        VectorOps.cosine(col("embedding"), qLit(s, dir)).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10).select("vec_id").collect().map(_.getLong(0)).toSet
+    def ids(df: DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    Seq(
+      ("ivf", ids(simIvf(s, dir))),
+      ("ivfpq", ids(simIvfPq(s, dir))),
+      ("lsh", ids(simBucketed(s, dir))))
+      .map { case (m, got) =>
+        val overlap = (got & brute).size.toLong
+        (m, overlap, overlap / 10.0)
+      }
+      .toDF("method", "n_overlap", "recall")
+      .orderBy("method")
+  }
+
+  private def annRecallSql: String =
+    s"""WITH brute AS (
+       |  WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |  scored AS (
+       |    SELECT e.vec_id,
+       |      list_sum(list_transform(list_zip(e.embedding, q.qe),
+       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+       |      (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |       sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score
+       |    FROM embeddings e, q WHERE e.vec_id <> 0)
+       |  SELECT vec_id FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10),
+       |m_ivf AS ($ivfSql),
+       |m_ivfpq AS ($ivfPqSql),
+       |m_lsh AS ($bucketedSql),
+       |counts AS (
+       |  SELECT 'ivf' AS method, count(*) AS n_overlap
+       |  FROM m_ivf WHERE vec_id IN (SELECT vec_id FROM brute)
+       |  UNION ALL
+       |  SELECT 'ivfpq', count(*) FROM m_ivfpq WHERE vec_id IN (SELECT vec_id FROM brute)
+       |  UNION ALL
+       |  SELECT 'lsh', count(*) FROM m_lsh WHERE vec_id IN (SELECT vec_id FROM brute))
+       |SELECT method, CAST(n_overlap AS BIGINT) AS n_overlap,
+       |  n_overlap / 10.0 AS recall
+       |FROM counts ORDER BY method""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_sim_bucketed" -> QueryDef(
       simBucketed,
-      Some(s"""WITH $candSql,
-              |scored AS (
-              |  SELECT e.vec_id, e.label,
-              |    list_sum(list_transform(list_zip(e.embedding, q.qe),
-              |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
-              |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-              |     sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score
-              |  FROM cands e, q)
-              |SELECT vec_id, label, round(score, 4) + 0 AS score FROM scored
-              |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin),
+      Some(bucketedSql),
       "X4-scale OR-amplified sign-LSH multi-probe bucketed cosine top-10"),
+    "q_ann_recall" -> QueryDef(
+      annRecall,
+      Some(annRecallSql),
+      "X119 ANN recall monitor: recall@10 of LSH/IVF/IVFADC top-10 vs the exact brute baseline"),
     "q_sim_l2" -> QueryDef(
       simL2,
       Some(s"""WITH $candSql,

@@ -973,4 +973,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
       s"q_hard_negatives plans a shuffle join or pair-table window:\n$plan")
   }
+
+  test("q_ann_recall: the monitor equals overlaps recomputed from the declared queries") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val brute = SparkEntry.queries("q_sim_cosine")(spark, dir)
+        .select("vec_id").collect().map(_.getLong(0)).take(10).toSet
+      def ids(q: String): Set[Long] = SparkEntry.queries(q)(spark, dir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val expected = Seq(
+        ("ivf", ids("q_sim_ivf")), ("ivfpq", ids("q_sim_ivfpq")),
+        ("lsh", ids("q_sim_bucketed")))
+        .map { case (m, got) =>
+          val o = (got & brute).size.toLong
+          (m, o, o / 10.0)
+        }
+      val got = SparkEntry.queries("q_ann_recall")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq === expected, s"recall monitor diverges from the declared queries at $dir")
+      got.foreach { case (m, o, rec) =>
+        assert(o >= 0 && o <= 10 && rec == o / 10.0, s"degenerate recall row $m at $dir")
+      }
+    }
+  }
 }
