@@ -76,6 +76,15 @@ private[streaming] final case class BufState(tsUs: Array[Long], values: Array[Do
   * snapshot (joined upstream — the state function never reads the
   * base table).
   */
+final case class UserEvent(userId: Long, eventType: String, us: Long)
+
+/** A funnel-stage transition: user reached `stage` (1 = view,
+  * 2 = click, 3 = purchase) at event-time `us`.
+  */
+final case class FunnelStage(userId: Long, stage: Long, us: Long)
+
+private[streaming] final case class FunnelState(t1: Long, t2: Long, t3: Long)
+
 final case class CdcOp(docId: Long, seq: Long, op: String, p: String, inBase: Boolean)
 
 /** The continuously-maintained merge verdict for one touched key:
@@ -908,6 +917,59 @@ object Gateway {
     * the streamed keep set ≡ the batch `q_debounce` rows over the
     * same events, split across micro-batches.
     */
+  /** Streaming R28 — the conversion funnel as a LIVE stage-transition
+    * stream: per user, the view→click→purchase chain under the batch
+    * q_funnel's exact window-and-order constraints, emitted as a
+    * `FunnelStage` row the moment each stage is reached — the event
+    * stream a product-analytics dashboard actually consumes (batch
+    * q_funnel is the nightly table; this is its real-time form).
+    *
+    * State per user is THREE timestamps (the same bound the batch
+    * scaladoc promises a streaming funnel would hold) updated by the
+    * identical fold: earliest view anchors; a click counts only
+    * strictly after the view and within the window; purchase likewise
+    * relative to the click. Events are processed in event-time order
+    * within each micro-batch (sorted; the tie rule is us then stage
+    * rank, so a same-instant click never precedes its view), and the
+    * per-user in-order delivery ACROSS batches is the gateway's
+    * receipt-time contract ([[debounceFeed]]'s). A replayed event
+    * finds its stage already set and emits nothing — at-least-once
+    * replay is absorbed by the state itself, no dedup operator.
+    * Depth-0 users never emit (nothing happened); the batch twin
+    * carries them as −1 rows.
+    */
+  def funnelFeed(
+      events: Dataset[UserEvent],
+      windowUs: Long = graft.operators.Relational.funnelWindowUs): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    val rank = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[UserEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = Seq.newBuilder[FunnelStage]
+          it.toArray
+            .filter(e => rank.contains(e.eventType))
+            .sortBy(e => (e.us, rank(e.eventType)))
+            .foreach { e =>
+              e.eventType match {
+                case "view" if st.t1 < 0 =>
+                  st = st.copy(t1 = e.us); out += FunnelStage(user, 1L, e.us)
+                case "click" if st.t1 >= 0 && st.t2 < 0 &&
+                    e.us > st.t1 && e.us <= st.t1 + windowUs =>
+                  st = st.copy(t2 = e.us); out += FunnelStage(user, 2L, e.us)
+                case "purchase" if st.t2 >= 0 && st.t3 < 0 &&
+                    e.us > st.t2 && e.us <= st.t2 + windowUs =>
+                  st = st.copy(t3 = e.us); out += FunnelStage(user, 3L, e.us)
+                case _ => ()
+              }
+            }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def debounceFeed(events: Dataset[TypedEvent], tolUs: Long): Dataset[DebouncedEvent] = {
     import events.sparkSession.implicits._
     events

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{CdcOp, Gateway, TypedEvent}
+import graft.streaming.{CdcOp, Gateway, TypedEvent, UserEvent}
 import graft.streaming.Gateway.{BufferConf, GatewayConf, ListenerConf}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1497,6 +1497,63 @@ class GatewaySpec extends AnyFunSuite {
       assert(streamed === batch,
         s"streamed debounce diverges from batch q_debounce " +
           s"(stream ${streamed.size} rows, batch ${batch.size})")
+    } finally q.stop()
+  }
+
+  test("funnelFeed: stage stream rebuilds exactly the batch q_funnel rows; replay emits nothing") {
+    // The R28 twin: the real events fed in event-time order across
+    // three micro-batches; the emitted stage transitions, folded per
+    // user, must equal the batch funnel's (t_view, t_click,
+    // t_purchase, depth) for every user — depth-0 users emit nothing
+    // and carry -1s in the batch table.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val evs = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => UserEvent(r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(e => (e.us, e.userId)) // the gateway's in-order arrival contract
+    val parts = evs.grouped(math.max(1, evs.length / 3)).toSeq
+    assert(parts.size >= 3, "need >= 3 micro-batches to exercise the funnel state")
+    val ms = MemoryStream[UserEvent]
+    val sink = s"funnel_feed_${System.nanoTime()}"
+    val q = Gateway.funnelFeed(ms.toDS())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      parts.foreach { p => ms.addData(p: _*); q.processAllAvailable() }
+      val before = spark.table(sink).count()
+      // at-least-once replay: re-deliver the first chunk — every event
+      // finds its stage already set, so NOTHING new is emitted
+      ms.addData(parts.head: _*)
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === before, "replayed events re-emitted stages")
+      val streamed = spark.table(sink)
+        .select(col("userId"), col("stage"), col("us"))
+        .as[(Long, Long, Long)].collect()
+      assert(streamed.length === streamed.distinct.length, "duplicate stage rows")
+      val folded = streamed.groupBy(_._1).map { case (u, rows) =>
+        val byStage = rows.map(r => r._2 -> r._3).toMap
+        assert(byStage.keySet.forall(Set(1L, 2L, 3L)), s"bad stage for user $u")
+        // a reached stage implies every earlier stage was reached
+        assert((1L to byStage.keys.max).forall(byStage.contains),
+          s"non-contiguous funnel for user $u: ${byStage.keySet}")
+        u -> (byStage.getOrElse(1L, -1L), byStage.getOrElse(2L, -1L),
+          byStage.getOrElse(3L, -1L), byStage.size.toLong)
+      }
+      val batch = SparkEntry.queries("q_funnel")(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(batch.nonEmpty, "vacuous: empty batch funnel")
+      // streamed users == batch users with depth >= 1, values equal
+      val batchReached = batch.filter(_._2._4 >= 1)
+      assert(folded.keySet === batchReached.keySet,
+        s"funnel user sets diverge (stream ${folded.size}, batch ${batchReached.size})")
+      folded.foreach { case (u, f) =>
+        assert(f === batchReached(u), s"funnel row diverges for user $u: $f vs ${batchReached(u)}")
+      }
+      // every depth the batch realizes is realized by the stream too
+      assert(batch.values.map(_._4).toSet.filter(_ >= 1) ===
+        folded.values.map(_._4).toSet, "depth distribution diverges")
     } finally q.stop()
   }
 
