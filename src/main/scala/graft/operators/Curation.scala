@@ -351,24 +351,94 @@ object Curation {
     * the declared-query presentation contract, not the operator). At
     * 100 TB the rate table is still five rows.
     */
-  private def mixSample(s: SparkSession, dir: String): DataFrame = {
+  /** X45's per-language ppm accept thresholds with their counts —
+    * factored so X120's convergence audit scores EXACTLY the
+    * thresholds the sampler applies.
+    */
+  private def mixThr(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val thr = Tables(s, dir, "documents")
+    Tables(s, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
       .withColumn("n_min", min(col("n_l")).over(w))
-      .select(col("lang"),
+      .select(col("lang"), col("n_l"),
         floor(lit(1000000.0) * sqrt(col("n_min").cast("double") / col("n_l")))
           .cast("long").as("thr"))
+  }
+
+  private def mixSample(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         (h32(concat(lit("mix"), col("doc_id").cast("string"))) % 1000000).as("u"))
-      .join(broadcast(thr), Seq("lang"))
+      .join(broadcast(mixThr(s, dir).select(col("lang"), col("thr"))), Seq("lang"))
       .filter(col("u") < col("thr"))
       .select(col("doc_id"), col("lang"), col("u").cast("long").as("u"))
       .orderBy("doc_id")
   }
+
+  /** X120 — mixture-convergence audit (`q_mix_convergence`): the
+    * sampler-drift canary a pipeline runs beside X45 — the
+    * materialized mix is a DETERMINISTIC binomial draw per language
+    * (each doc's salted hash-uniform against the X25 threshold), so
+    * each language's achieved keep count must sit within binomial
+    * noise of n_l·thr; a row outside the 3σ band means the hash, the
+    * weights table, or the corpus composition drifted since the
+    * weights were computed — the exact failure a mix audit exists to
+    * catch. Per language: corpus count, the ppm threshold, kept
+    * count, achieved keep rate (ppm, integer HALF_UP), and the
+    * integer 3σ verdict (kept·10⁶ − n_l·thr)² ≤ 9·n_l·thr·(10⁶−thr)
+    * — exact integers end-to-end (the rarest language has thr = 10⁶
+    * and variance 0, so its verdict demands kept == n_l exactly —
+    * the deterministic boundary, exercised on every run). The
+    * all-pass state is the HEALTHY state (the X102 "true by
+    * construction, materialized because an auditor checks it"
+    * precedent); CurationSpec additionally drives a FAIL through the
+    * same formula on a perturbed threshold.
+    *
+    * Scale shape: ONE corpus pass collapses map-side to the
+    * ≤ǀlangsǀ dictionary (count + conditional count); thresholds
+    * ride the same dictionary. Bound headroom: (kept·10⁶)² caps the
+    * audit at ~10¹⁶ docs per language in DECIMAL(38,0) — beyond any
+    * real slice.
+    */
+  private def mixConvergence(s: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val perLang = Tables(s, dir, "documents")
+      .select(col("lang"),
+        (h32(concat(lit("mix"), col("doc_id").cast("string"))) % 1000000).as("u"))
+      .join(broadcast(mixThr(s, dir)), Seq("lang"))
+      .groupBy(col("lang"), col("n_l"), col("thr"))
+      .agg(sum(when(col("u") < col("thr"), 1L).otherwise(0L)).as("kept"))
+    perLang
+      .withColumn("d", dec(col("kept")) * lit(1000000L) - dec(col("n_l")) * col("thr"))
+      .select(col("lang"), col("n_l").cast("long").as("n_l"),
+        col("thr").cast("long").as("thr_ppm"), col("kept").cast("long").as("kept"),
+        expr("CAST((2 * 1000000 * kept + n_l) DIV (2 * n_l) AS BIGINT)").as("achieved_ppm"),
+        (dec(col("d")) * col("d") <=
+          dec(lit(9L)) * col("n_l") * col("thr") * (lit(1000000L) - col("thr")))
+          .cast("long").as("ok3sig"))
+      .orderBy("lang")
+  }
+
+  private def mixConvergenceSql: String =
+    """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+      |          FROM documents GROUP BY lang),
+      |r AS (SELECT lang, n_l, min(n_l) OVER () AS n_min FROM c),
+      |t AS (SELECT lang, n_l,
+      |        CAST(floor(1000000.0 * sqrt(CAST(n_min AS DOUBLE) / n_l)) AS BIGINT) AS thr
+      |      FROM r),
+      |k AS (
+      |  SELECT d.lang,
+      |    sum(CASE WHEN ('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 < t.thr THEN 1 ELSE 0 END) AS kept
+      |  FROM documents d JOIN t USING (lang) GROUP BY 1)
+      |SELECT t.lang, t.n_l, t.thr AS thr_ppm, CAST(k.kept AS BIGINT) AS kept,
+      |  (2 * 1000000 * k.kept + t.n_l) // (2 * t.n_l) AS achieved_ppm,
+      |  CAST((CAST(k.kept AS HUGEINT) * 1000000 - CAST(t.n_l AS HUGEINT) * t.thr)
+      |     * (CAST(k.kept AS HUGEINT) * 1000000 - CAST(t.n_l AS HUGEINT) * t.thr)
+      |    <= 9 * CAST(t.n_l AS HUGEINT) * t.thr * (1000000 - t.thr) AS BIGINT) AS ok3sig
+      |FROM t JOIN k USING (lang) ORDER BY lang""".stripMargin
 
   /** X35 — the composed curation verdict: per document, the three
     * narrow quality gates (X9 stopword language-ID, X10
@@ -2087,6 +2157,10 @@ object Curation {
              |FROM d JOIN t USING (lang) WHERE d.u < t.thr
              |ORDER BY doc_id""".stripMargin),
       "X45 mixture materialization: per-language hash accept/reject at sqrt-temperature rates"),
+    "q_mix_convergence" -> QueryDef(
+      mixConvergence,
+      Some(mixConvergenceSql),
+      "X120 mixture-convergence audit: achieved keep rate vs threshold with the integer 3σ verdict"),
     "q_novelty" -> QueryDef(
       novelty,
       Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -871,4 +871,48 @@ class CurationSpec extends AnyFunSuite {
         s"upweight vacuous at $dir: ${got.map(_._6).toSeq}")
     }
   }
+
+  test("q_mix_convergence: recount off the declared sample; boundary lang exact; formula can fail") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val byLang = Tables(spark, dir, "documents")
+        .groupBy(col("lang")).agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nMin = byLang.values.min
+      val keptByLang = SparkEntry.queries("q_mix_sample")(spark, dir)
+        .groupBy(col("lang")).agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("k")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      def ok3(n: Long, thr: Long, kept: Long): Long = {
+        val d = BigInt(kept) * 1000000 - BigInt(n) * thr
+        if (d * d <= BigInt(9) * n * thr * (1000000L - thr)) 1L else 0L
+      }
+      val expected = byLang.toSeq.sortBy(_._1).map { case (lang, n) =>
+        val thr = math.floor(1e6 * math.sqrt(nMin.toDouble / n)).toLong
+        val kept = keptByLang.getOrElse(lang, 0L)
+        (lang, n, thr, kept, (2000000L * kept + n) / (2 * n), ok3(n, thr, kept))
+      }
+      val got = SparkEntry.queries("q_mix_convergence")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      assert(got.toSeq === expected, s"convergence recount diverges at $dir")
+      // the deterministic boundary: the rarest language has thr = 1e6
+      // and ZERO binomial variance — its verdict demands kept == n_l
+      // exactly, and holds
+      val boundary = got.find(_._3 == 1000000L)
+      assert(boundary.isDefined, s"no thr=1e6 boundary language at $dir")
+      assert(boundary.get._4 == boundary.get._2 && boundary.get._6 == 1L,
+        s"boundary language not exact at $dir: ${boundary.get}")
+      // healthy corpus: every language inside 3 sigma (the all-pass
+      // state IS the audit's pass state)
+      assert(got.forall(_._6 == 1L), s"a healthy language failed 3σ at $dir: $got")
+      // ...and the verdict formula genuinely discriminates: the same
+      // kept counts scored against a perturbed (halved) threshold must
+      // fail for the largest language
+      val big = got.maxBy(_._2)
+      assert(ok3(big._2, big._3 / 2, big._4) == 0L,
+        s"perturbed threshold not rejected at $dir — the 3σ formula is vacuous")
+    }
+  }
 }
