@@ -1195,6 +1195,117 @@ object Similarity {
        |FROM p, vn, tot ORDER BY vec_id""".stripMargin
   }
 
+  /** X121 — second principal component by integer Hotelling deflation
+    * (`q_pca_deflate`): completes the PCA family to a SPECTRUM read —
+    * X109 gives the top direction, this gives the second plus the two
+    * numbers that characterize the spectrum's head: `lambda2_share`
+    * (= λ₂/tr G) and `gap_ratio` (= λ₂/λ₁, the power method's own
+    * convergence rate and the "is there structure or is it isotropic"
+    * verdict — ≈1 here, ≈0.5 on the two-spike fixture).
+    *
+    * Exact integer deflation: the X109 iterate v₁ is rescaled to 10³
+    * (den_s = v₁ₛᵀv₁ₛ and num_s = v₁ₛᵀGv₁ₛ stay small enough that
+    * every HUGEINT intermediate below fits), and the deflated matrix
+    * is D = den_s²·G − num_s·v₁ₛv₁ₛᵀ — EXACTLY den_s²·(G − λ̂₁v̂v̂ᵀ)
+    * with λ̂₁ the iterate's Rayleigh quotient, no division anywhere.
+    * K = [[pcaIters]] power steps on D reuse the X109 recurrence
+    * verbatim (1e6-scale iterates, sign-explicit // rescale); the
+    * oracle unrolls the identical steps as MATERIALIZED CTEs over
+    * the d² deflated matrix. The X109 contract applies twice over:
+    * the result is the exact fixed-K iterate of the declared
+    * recurrence — on this near-isotropic corpus v₁ is itself
+    * unconverged, so the deflated direction is a spectral-head mix
+    * and gap_ratio ≈ 1 says exactly that (both shares are Rayleigh
+    * ESTIMATES, not eigenvalues, so λ̂₂ may edge past λ̂₁ and the
+    * gap past 1 — 1.0358 at sf0.001, 0.9178 at sf0.01; an invariant
+    * λ₂ ≤ λ₁ holds only for the true spectrum, which is the
+    * measured-not-assumed honesty of the fixed-K contract); on a
+    * two-spike fixture the SAME declared query recovers the second
+    * planted direction (SimilaritySpec, ǀcosǀ > 0.95, first spike
+    * suppressed below 0.15, gap ≈ the planted 0.49).
+    *
+    * Ratio numerics: both Rayleigh pairs are taken at 10³ scale
+    * (num·den cross-products ≈ 10²⁸·2·10⁴ — inside HUGEINT; the
+    * 10⁶-scale cross-product overflows at 10⁴⁰, measured on paper
+    * first), 4dp integer HALF_UP. Scale shape: identical to X109 —
+    * the corpus pass is X93's GramSketch; everything after is d²
+    * driver/dictionary work and a d-row literal output.
+    */
+  private def pcaDeflate(s: SparkSession, dir: String): DataFrame = {
+    val (v1, _, _, tr) = pcaSolve(s, dir)
+    def scale3(v: Array[BigInt]): Array[BigInt] =
+      v.map(x => (x.abs / 1000) * (if (x < 0) -1 else 1))
+    val tri = embedGram(s, dir).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> BigInt(r.getLong(2)))
+      .toMap
+    val d = v1.length
+    def gf(i: Int, j: Int): BigInt = tri(if (i <= j) (i, j) else (j, i))
+    val v1s = scale3(v1)
+    val denS = v1s.map(x => x * x).sum
+    val numS = (for { i <- 1 to d; j <- 1 to d } yield v1s(i - 1) * gf(i, j) * v1s(j - 1)).sum
+    def df(i: Int, j: Int): BigInt = denS * denS * gf(i, j) - numS * v1s(i - 1) * v1s(j - 1)
+    var w = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to pcaIters) {
+      val y = Array.tabulate(d)(i => (1 to d).map(j => df(i + 1, j) * w(j - 1)).sum)
+      val sden = (y.map(_.abs).max / 1000000).max(BigInt(1))
+      w = y.map(x => (x.abs / sden) * (if (x < 0) -1 else 1))
+    }
+    val w3 = scale3(w)
+    val den2 = w3.map(x => x * x).sum
+    val num2 = (for { i <- 1 to d; j <- 1 to d } yield w3(i - 1) * gf(i, j) * w3(j - 1)).sum
+    val share2 = ((BigInt(20000) * num2 + den2 * tr) / (den2 * tr * 2)).toLong / 10000.0
+    val gap = ((BigInt(20000) * num2 * denS + numS * den2)
+      / (numS * den2 * 2)).toLong / 10000.0
+    import s.implicits._
+    w.indices.map(i => ((i + 1).toLong, w(i).toLong, share2, gap))
+      .toDF("dim", "v2_fixed", "lambda2_share", "gap_ratio")
+      .orderBy("dim")
+  }
+
+  private def pcaDeflateSql: String = {
+    val vk = s"v$pcaIters"
+    val steps = (1 to pcaIters).map { k =>
+      val pw = s"w${k - 1}"
+      s"""z$k AS MATERIALIZED (
+         |  SELECT dd.i AS dim, sum(dd.g * $pw.v) AS y
+         |  FROM dd JOIN $pw ON dd.j = $pw.dim GROUP BY 1),
+         |t$k AS (SELECT greatest(max(abs(y)) // 1000000, 1) AS s FROM z$k),
+         |w$k AS MATERIALIZED (
+         |  SELECT dim, CASE WHEN y < 0 THEN -(abs(y) // s) ELSE abs(y) // s END AS v
+         |  FROM z$k, t$k)"""
+    }.mkString(",\n")
+    val wk = s"w$pcaIters"
+    s"""$pcaCtePrefix,
+       |v1s AS MATERIALIZED (
+       |  SELECT dim, CASE WHEN v < 0 THEN -(abs(v) // 1000) ELSE abs(v) // 1000 END AS v
+       |  FROM $vk),
+       |dsn AS (SELECT sum(v * v) AS den FROM v1s),
+       |nsn AS (
+       |  SELECT sum(a.v * g.g * b.v) AS num
+       |  FROM g JOIN v1s a ON g.i = a.dim JOIN v1s b ON g.j = b.dim),
+       |dd AS MATERIALIZED (
+       |  SELECT g.i, g.j,
+       |    (SELECT den FROM dsn) * (SELECT den FROM dsn) * g.g
+       |      - (SELECT num FROM nsn) * a.v * b.v AS g
+       |  FROM g JOIN v1s a ON g.i = a.dim JOIN v1s b ON g.j = b.dim),
+       |w0 AS (SELECT dim, CAST(1000000 AS HUGEINT) AS v FROM v1s),
+       |$steps,
+       |wr3 AS MATERIALIZED (
+       |  SELECT dim, CASE WHEN v < 0 THEN -(abs(v) // 1000) ELSE abs(v) // 1000 END AS v
+       |  FROM $wk),
+       |d2n AS (SELECT sum(v * v) AS den FROM wr3),
+       |n2n AS (
+       |  SELECT sum(a.v * g.g * b.v) AS num
+       |  FROM g JOIN wr3 a ON g.i = a.dim JOIN wr3 b ON g.j = b.dim),
+       |trn AS (SELECT sum(g) AS tr FROM g WHERE i = j)
+       |SELECT CAST($wk.dim AS BIGINT) AS dim, CAST($wk.v AS BIGINT) AS v2_fixed,
+       |  CAST((20000 * n2n.num + d2n.den * trn.tr)
+       |    // (2 * d2n.den * trn.tr) AS BIGINT) / 10000.0 AS lambda2_share,
+       |  CAST((20000 * n2n.num * dsn.den + nsn.num * d2n.den)
+       |    // (2 * nsn.num * d2n.den) AS BIGINT) / 10000.0 AS gap_ratio
+       |FROM $wk, d2n, n2n, trn, dsn, nsn ORDER BY dim""".stripMargin
+  }
+
   private def pcaPowerSql: String = {
     val vk = s"v$pcaIters"
     s"""$pcaCtePrefix,
@@ -1352,6 +1463,10 @@ object Similarity {
       pcaProject,
       Some(pcaProjectSql),
       "X110 PCA projection pass: per-vector exact PC1 dot + energy share, corpus share ≡ X109's λ/tr(G)"),
+    "q_pca_deflate" -> QueryDef(
+      pcaDeflate,
+      Some(pcaDeflateSql),
+      "X121 second PC by integer Hotelling deflation: λ2 share + spectral gap ratio"),
     "q_hard_negatives" -> QueryDef(
       hardNegatives,
       Some(hardNegativesSql),
