@@ -906,6 +906,86 @@ object Clustering {
        |  v.nmi
        |FROM pc, v ORDER BY cid""".stripMargin
 
+  /** Minimum in-cell count before a token can label the cell (X122) —
+    * hapax lift is noise, not meaning.
+    */
+  private[graft] val cellLabelMinCount = 3L
+
+  /** X122 — cluster labeling (`q_cell_labels`): the human-readable
+    * step every semantic-curation pipeline runs after clustering —
+    * "what IS cell 3?" Per k-means cell, the top-3 member-document
+    * tokens ranked by LIFT (in-cell share over corpus share,
+    * (c_ct·n)/(n_c·c_t) — plain frequency would label every cell
+    * 'the'), counts ≥ [[cellLabelMinCount]] only. The embeddings and
+    * documents tables share the id space, so the cell assignment
+    * joins onto the text by id — the one corpus-keyed equi-join here
+    * (AQE broadcasts the small side at test SFs; at 100 TB it is an
+    * honest co-partitioned join, stated in the plan).
+    *
+    * Numerics: lift is an exact integer rational rounded 4dp HALF_UP
+    * (20000·c_ct·n + n_c·c_t) div (2·n_c·c_t); ranking under the
+    * total order (lift4 DESC, c_ct DESC, token ASC) — deterministic
+    * on both engines. Scale: ONE exchange collapses token
+    * occurrences to the (cell, token) dictionary with map-side
+    * partials; marginals broadcast; the top-3 window runs over that
+    * dictionary only (the "window over aggregate, never the corpus"
+    * rule). ClusteringSpec recounts sequentially off the oracle-green
+    * assignment + raw text at two SFs.
+    */
+  private def cellLabels(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cells = graft.Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"),
+        bestCentroid(s, dir).getField("cid").cast("long").as("cid"))
+    val toks = graft.Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(cells, "doc_id")
+      .groupBy(col("cid"), col("tok")).agg(count(lit(1)).as("c_ct"))
+    val perCell = toks.groupBy(col("cid")).agg(sum(col("c_ct")).as("n_c"))
+    val perTok = toks.groupBy(col("tok")).agg(sum(col("c_ct")).as("c_t"))
+      .withColumn("n", sum(col("c_t")).over(wAll))
+    val ranked = toks
+      .filter(col("c_ct") >= cellLabelMinCount)
+      .join(broadcast(perCell), "cid")
+      .join(perTok, "tok")
+      .withColumn("lift4", expr(
+        """CAST((20000 * CAST(c_ct AS DECIMAL(38,0)) * n
+          |       + CAST(n_c AS DECIMAL(38,0)) * c_t)
+          |  DIV (2 * CAST(n_c AS DECIMAL(38,0)) * c_t) AS BIGINT)""".stripMargin))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("cid"))
+        .orderBy(col("lift4").desc, col("c_ct").desc, col("tok").asc)))
+      .filter(col("rank") <= 3)
+    ranked.select(col("cid"), col("rank").cast("long").as("rank"), col("tok"),
+        col("c_ct").cast("long").as("c_in_cell"),
+        (col("lift4") / lit(10000.0)).as("lift"))
+      .orderBy("cid", "rank")
+  }
+
+  private def cellLabelsSql: String =
+    s"""WITH $cellCtes,
+       |tk AS (
+       |  SELECT c.cid, unnest(string_split(d.text, ' ')) AS tok
+       |  FROM documents d JOIN cells c ON c.vec_id = d.doc_id),
+       |ct AS (SELECT cid, tok, CAST(count(*) AS BIGINT) AS c_ct FROM tk GROUP BY 1, 2),
+       |pc AS (SELECT cid, sum(c_ct) AS n_c FROM ct GROUP BY 1),
+       |pt AS (SELECT tok, sum(c_ct) AS c_t, sum(sum(c_ct)) OVER () AS n FROM ct GROUP BY 1),
+       |rk AS (
+       |  SELECT ct.cid, ct.tok, ct.c_ct,
+       |    CAST((20000 * CAST(ct.c_ct AS HUGEINT) * pt.n
+       |          + CAST(pc.n_c AS HUGEINT) * pt.c_t)
+       |      // (2 * CAST(pc.n_c AS HUGEINT) * pt.c_t) AS BIGINT) AS lift4
+       |  FROM ct JOIN pc USING (cid) JOIN pt USING (tok)
+       |  WHERE ct.c_ct >= $cellLabelMinCount),
+       |w AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cid
+       |    ORDER BY lift4 DESC, c_ct DESC, tok ASC) AS rank
+       |  FROM rk)
+       |SELECT CAST(cid AS BIGINT) AS cid, CAST(rank AS BIGINT) AS rank, tok,
+       |  c_ct AS c_in_cell, lift4 / 10000.0 AS lift
+       |FROM w WHERE rank <= 3 ORDER BY cid, rank""".stripMargin
+
   /** Power-iteration count for X65. Three rounds is the monitoring
     * depth, not a convergence fixpoint — power iteration contracts
     * geometrically, and the DuckDB oracle unrolls the same three.
@@ -1584,6 +1664,10 @@ object Clustering {
       clusterNmi,
       Some(clusterNmiSql),
       "X116 cluster-label agreement: per-cell purity + corpus NMI off the K×L contingency matrix"),
+    "q_cell_labels" -> QueryDef(
+      cellLabels,
+      Some(cellLabelsSql),
+      "X122 cluster labeling: top-3 lift-ranked member tokens per k-means cell"),
     "q_kmeans_assign" -> QueryDef(
       kmeansAssign,
       Some(kmeansSql),

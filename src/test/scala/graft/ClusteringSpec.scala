@@ -739,4 +739,38 @@ class ClusteringSpec extends AnyFunSuite {
     assert(perfect.forall(_._1 == 1.0), "purity below 1 on the cell-relabeled fixture")
     assert(perfect.forall(_._2 == 1.0), "NMI below 1 on the cell-relabeled fixture")
   }
+
+  test("q_cell_labels: sequential lift recount; every cell labeled; labels are not stopwords-only") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val cells = SparkEntry.queries("q_kmeans_assign")(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val toks = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).collect()
+        .flatMap(r => r.getString(1).split(" ").map(t => (cells(r.getLong(0)), t)))
+      val n = toks.length.toLong
+      val ct = toks.groupBy(identity).map { case ((c, t), xs) => (c, t, xs.length.toLong) }
+      val nC = ct.groupBy(_._1).map { case (c, v) => c -> v.map(_._3).sum }
+      val cT = ct.groupBy(_._2).map { case (t, v) => t -> v.map(_._3).sum }
+      val expected = ct.filter(_._3 >= Clustering.cellLabelMinCount)
+        .map { case (c, t, cnt) =>
+          val lift = (BigInt(20000) * cnt * n + BigInt(nC(c)) * cT(t)) /
+            (BigInt(nC(c)) * cT(t) * 2)
+          (c, t, cnt, lift.toLong)
+        }
+        .groupBy(_._1).toSeq.flatMap { case (c, rows) =>
+          rows.toSeq.sortBy(r => (-r._4, -r._3, r._2)).take(3).zipWithIndex
+            .map { case ((_, t, cnt, l4), i) =>
+              (c, (i + 1).toLong, t, cnt, l4 / 10000.0) }
+        }.sortBy(r => (r._1, r._2))
+      val got = SparkEntry.queries("q_cell_labels")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      assert(got.toSeq === expected, s"label recount diverges at $dir")
+      // every cell gets its three labels, each genuinely over-represented
+      assert(got.map(_._1).distinct.length == Clustering.centroidK,
+        s"a cell went unlabeled at $dir")
+      assert(got.forall(_._5 > 1.0),
+        s"a label with lift <= 1 at $dir — the ranking favors corpus glue")
+    }
+  }
 }
