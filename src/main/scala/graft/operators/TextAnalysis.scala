@@ -57,6 +57,92 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** X123 — language-ID evaluation (`q_lang_confusion`): the
+    * classifier-eval table the eval-harness family was missing — X9
+    * PREDICTS, this SCORES it against the stored ground truth: the
+    * complete 2×2 confusion grid (truth collapsed to en/other —
+    * X9's label space; zero cells present, the X101 rule) with the
+    * four derived metrics riding every row: accuracy, en-precision,
+    * en-recall, en-F1. F1 = 2tp/(2tp+fp+fn) is an EXACT integer
+    * rational — the whole metric block is 4dp integer HALF_UP, no
+    * float anywhere; a real harness swaps any classifier into the
+    * same grid (X108 scores gate AGREEMENT, this scores against
+    * TRUTH — the missing third leg).
+    *
+    * Scale shape: one narrow corpus pass (the X9 expressions in-row)
+    * collapsed map-side to ≤4 cells; the literal grid left-join
+    * completes zeros; metrics are a 1-row broadcast.
+    */
+  private def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = split(col("text"), " ")
+    val nStop = size(filter(w, t => t.isin(stopwords.map(lit(_)): _*)))
+    val scored = docs(s, dir)
+      .select(
+        when(col("lang") === "en", lit("en")).otherwise(lit("other")).as("truth"),
+        when(nStop * 10 >= size(w), lit("en")).otherwise(lit("other")).as("pred"))
+      .groupBy(col("truth"), col("pred")).agg(count(lit(1)).as("c"))
+    val grid = Seq(("en", "en"), ("en", "other"), ("other", "en"), ("other", "other"))
+      .toDF("truth", "pred")
+      .join(scored, Seq("truth", "pred"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .localCheckpoint()
+    val m = grid.agg(
+      sum(when(col("truth") === "en" && col("pred") === "en", col("c"))
+        .otherwise(lit(0L))).as("tp"),
+      sum(when(col("truth") === "other" && col("pred") === "en", col("c"))
+        .otherwise(lit(0L))).as("fp"),
+      sum(when(col("truth") === "en" && col("pred") === "other", col("c"))
+        .otherwise(lit(0L))).as("fn"),
+      sum(when(col("truth") === "other" && col("pred") === "other", col("c"))
+        .otherwise(lit(0L))).as("tn"))
+    def r4(num: String, den: String): org.apache.spark.sql.Column =
+      when(expr(den) === 0, lit(0.0)).otherwise(
+        expr(s"CAST((20000 * ($num) + ($den)) DIV (2 * ($den)) AS BIGINT)") / lit(10000.0))
+    grid.crossJoin(broadcast(m))
+      .select(col("truth"), col("pred"), col("c").cast("long").as("n"),
+        r4("tp + tn", "tp + fp + fn + tn").as("accuracy"),
+        r4("tp", "tp + fp").as("precision_en"),
+        r4("tp", "tp + fn").as("recall_en"),
+        r4("2 * tp", "2 * tp + fp + fn").as("f1_en"))
+      .orderBy("truth", "pred")
+  }
+
+  private def langConfusionSql: String =
+    """WITH s AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS truth,
+      |    CASE WHEN 10 * len(list_filter(string_split(text, ' '),
+      |         x -> x IN ('the', 'a', 'of', 'to', 'and', 'is', 'in')))
+      |         >= len(string_split(text, ' ')) THEN 'en' ELSE 'other' END AS pred
+      |  FROM documents),
+      |ct AS (SELECT truth, pred, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g.truth, g.pred, COALESCE(ct.c, 0) AS c
+      |  FROM (SELECT unnest(['en', 'en', 'other', 'other']) AS truth,
+      |               unnest(['en', 'other', 'en', 'other']) AS pred) g
+      |  LEFT JOIN ct ON ct.truth = g.truth AND ct.pred = g.pred),
+      |m AS (
+      |  SELECT
+      |    sum(CASE WHEN truth = 'en' AND pred = 'en' THEN c ELSE 0 END) AS tp,
+      |    sum(CASE WHEN truth = 'other' AND pred = 'en' THEN c ELSE 0 END) AS fp,
+      |    sum(CASE WHEN truth = 'en' AND pred = 'other' THEN c ELSE 0 END) AS fn,
+      |    sum(CASE WHEN truth = 'other' AND pred = 'other' THEN c ELSE 0 END) AS tn
+      |  FROM grid)
+      |SELECT g.truth, g.pred, g.c AS n,
+      |  CASE WHEN m.tp + m.fp + m.fn + m.tn = 0 THEN 0.0 ELSE
+      |    CAST((20000 * (m.tp + m.tn) + (m.tp + m.fp + m.fn + m.tn))
+      |      // (2 * (m.tp + m.fp + m.fn + m.tn)) AS BIGINT) / 10000.0 END AS accuracy,
+      |  CASE WHEN m.tp + m.fp = 0 THEN 0.0 ELSE
+      |    CAST((20000 * m.tp + (m.tp + m.fp)) // (2 * (m.tp + m.fp)) AS BIGINT) / 10000.0
+      |  END AS precision_en,
+      |  CASE WHEN m.tp + m.fn = 0 THEN 0.0 ELSE
+      |    CAST((20000 * m.tp + (m.tp + m.fn)) // (2 * (m.tp + m.fn)) AS BIGINT) / 10000.0
+      |  END AS recall_en,
+      |  CASE WHEN 2 * m.tp + m.fp + m.fn = 0 THEN 0.0 ELSE
+      |    CAST((20000 * 2 * m.tp + (2 * m.tp + m.fp + m.fn))
+      |      // (2 * (2 * m.tp + m.fp + m.fn)) AS BIGINT) / 10000.0 END AS f1_en
+      |FROM grid g, m ORDER BY truth, pred""".stripMargin
+
   /** Quality scoring: length, mean token length, type-token ratio,
     * and the integer-arithmetic keep/drop flag a filtering pipeline
     * would apply (≥20 tokens and TTR ≥ 30%).
@@ -1591,6 +1677,10 @@ object TextAnalysis {
              |  n_chars
              |FROM documents ORDER BY doc_id""".stripMargin),
       "token counting: whitespace + BPE-ish greedy chunks"),
+    "q_lang_confusion" -> QueryDef(
+      langConfusion,
+      Some(langConfusionSql),
+      "X123 language-ID evaluation: complete confusion grid + exact-rational accuracy/P/R/F1"),
     "q_lang_id" -> QueryDef(
       langId,
       Some("""SELECT doc_id, lang,

@@ -470,4 +470,38 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(got.forall(r => math.abs(r._5) < 10.0), s"z blew up at $dir")
     }
   }
+
+  test("q_lang_confusion: recount off the declared predictions; grid complete; eval discriminates") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // ground truth off the oracle-green X9 rows: per doc, the stored
+      // lang (collapsed en/other) and the declared prediction
+      val rows = SparkEntry.queries("q_lang_id")(spark, dir)
+        .select(col("lang"), col("pred")).collect()
+        .map(r => (if (r.getString(0) == "en") "en" else "other", r.getString(1)))
+      val cells = Seq(("en", "en"), ("en", "other"), ("other", "en"), ("other", "other"))
+        .map(k => k -> rows.count(_ == k).toLong).toMap
+      val (tp, fp, fn, tn) = (cells(("en", "en")), cells(("other", "en")),
+        cells(("en", "other")), cells(("other", "other")))
+      def r4(num: Long, den: Long): Double =
+        if (den == 0) 0.0 else ((20000L * num + den) / (2L * den)) / 10000.0
+      val expected = cells.toSeq.sortBy(_._1).map { case ((t, p), c) =>
+        (t, p, c, r4(tp + tn, tp + fp + fn + tn), r4(tp, tp + fp),
+          r4(tp, tp + fn), r4(2 * tp, 2 * tp + fp + fn))
+      }
+      val got = SparkEntry.queries("q_lang_confusion")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      assert(got.toSeq === expected, s"confusion recount diverges at $dir")
+      // the complete 2x2 grid is always present (zeros included), the
+      // counts cover the corpus, and the eval genuinely discriminates:
+      // the heuristic is honestly imperfect, so the off-diagonal is
+      // non-empty and F1 sits strictly inside (0, 1)
+      assert(got.length == 4, s"grid incomplete at $dir")
+      assert(got.map(_._3).sum == rows.length, s"grid does not cover the corpus at $dir")
+      assert(fp + fn > 0, s"no misclassification at $dir — the eval is vacuous here")
+      val f1 = got.head._7
+      assert(f1 > 0.0 && f1 < 1.0, s"F1 $f1 not strictly inside (0,1) at $dir")
+    }
+  }
 }
