@@ -394,6 +394,93 @@ object Extensions {
       .orderBy("event_type", "day")
   }
 
+  /** X124 — forecasting feature matrix (`q_ts_features`): the
+    * feature-engineering table a demand/volume model trains on — per
+    * (event_type, calendar day): the day's count, CALENDAR lags
+    * (count on day−1 and day−7 — zero when the day was silent, which
+    * is only correct over a DENSE grid; "previous observed row"
+    * lags, the sparse-window mistake, would alias a quiet week into
+    * yesterday), the trailing-7-day mean, and day-of-week. The dense
+    * (type × [min..max] day) grid is built explicitly with zero
+    * fills (the X101 complete-grid rule applied to time), and the
+    * first 7 days are trimmed so every emitted row has fully-defined
+    * history (the standard warm-up cut — no NULL-masquerading-as-0
+    * features).
+    *
+    * Numerics: everything integer except the trailing mean — an
+    * exact rational S/7 rounded 4dp in integer space ((20000·S + 7)
+    * div 14). dow = day mod 7 on positive epoch-days, identical in
+    * both engines.
+    *
+    * Scale shape: ONE corpus collapse to the ǀtypesǀ×ǀdaysǀ matrix
+    * with map-side partials; the dense grid, lags and windows all
+    * live on that time-bounded dictionary (the q_rate_anomaly
+    * class), never the corpus.
+    */
+  private def tsFeatures(s: SparkSession, dir: String): DataFrame =
+    tsFeaturesOf(Tables(s, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint())
+
+  /** The feature machinery over an arbitrary (event_type, day, c)
+    * matrix — factored so the spec can drive the zero-fill and
+    * calendar-lag semantics on a SPARSE synthetic grid (the real
+    * events stream is dense at every test SF, so the silent-day
+    * branch would otherwise go unexercised).
+    */
+  private[graft] def tsFeaturesOf(g: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = g.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val days = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = g.select(col("event_type")).distinct()
+      .crossJoin(broadcast(days))
+      .join(g, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    grid
+      .withColumn("lag1", lag(col("cnt"), 1).over(w))
+      .withColumn("lag7", lag(col("cnt"), 7).over(w))
+      .withColumn("s7", sum(col("cnt")).over(w.rowsBetween(-7, -1)))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") >= col("d0") + 7)
+      .select(col("event_type"), col("day"),
+        (col("day") % 7).cast("long").as("dow"),
+        col("cnt").cast("long").as("cnt"),
+        col("lag1").cast("long").as("lag1"),
+        col("lag7").cast("long").as("lag7"),
+        (expr("CAST((20000 * s7 + 7) DIV 14 AS BIGINT)") / lit(10000.0)).as("trail7_mean"))
+      .orderBy("event_type", "day")
+  }
+
+  private def tsFeaturesSql: String =
+    """WITH g AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM g),
+      |days AS (SELECT unnest(generate_series(b.d0, b.d1)) AS day FROM b),
+      |grid AS (
+      |  SELECT t.event_type, d.day, COALESCE(g.c, 0) AS cnt
+      |  FROM (SELECT DISTINCT event_type FROM g) t
+      |  CROSS JOIN days d
+      |  LEFT JOIN g ON g.event_type = t.event_type AND g.day = d.day),
+      |f AS (
+      |  SELECT event_type, day, cnt,
+      |    lag(cnt, 1) OVER tw AS lag1,
+      |    lag(cnt, 7) OVER tw AS lag7,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s7
+      |  FROM grid
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY day))
+      |SELECT f.event_type, CAST(f.day AS BIGINT) AS day,
+      |  CAST(f.day % 7 AS BIGINT) AS dow, CAST(f.cnt AS BIGINT) AS cnt,
+      |  CAST(f.lag1 AS BIGINT) AS lag1, CAST(f.lag7 AS BIGINT) AS lag7,
+      |  CAST((20000 * f.s7 + 7) // 14 AS BIGINT) / 10000.0 AS trail7_mean
+      |FROM f, b WHERE f.day >= b.d0 + 7
+      |ORDER BY event_type, day""".stripMargin
+
   private def rateAnomalySql: String =
     """WITH g AS (
       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS c
@@ -512,6 +599,10 @@ object Extensions {
       rateAnomaly,
       Some(rateAnomalySql),
       "X106 windowed rate anomaly: per-(type, day) z vs trailing-7 baseline, integer alarm"),
+    "q_ts_features" -> QueryDef(
+      tsFeatures,
+      Some(tsFeaturesSql),
+      "X124 forecasting feature matrix: dense per-(type, day) calendar lags + trailing mean + dow"),
     "q_source_quantiles" -> QueryDef(
       sourceQuantiles,
       Some(sourceQuantilesSql),

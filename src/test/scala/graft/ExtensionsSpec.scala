@@ -200,4 +200,49 @@ class ExtensionsSpec extends AnyFunSuite {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(hashEx == 1, s"q_win_dist shuffles $hashEx times, expected 1:\n$plan")
   }
+
+  test("q_ts_features: sequential recount; sparse fixture exercises zero-fill calendar lags") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 1. real corpus, both SFs: recount the dense grid + lags +
+    //    trailing mean off the raw (type, day) counts
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val counts = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          org.apache.spark.sql.functions.expr(
+            "CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").as("day"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val d0 = counts.keys.map(_._2).min
+      val d1 = counts.keys.map(_._2).max
+      val types = counts.keys.map(_._1).toSeq.distinct.sorted
+      def c(t: String, d: Long): Long = counts.getOrElse((t, d), 0L)
+      val expected = for {
+        t <- types; d <- (d0 + 7) to d1
+      } yield {
+        val s7 = ((d - 7) to (d - 1)).map(c(t, _)).sum
+        (t, d, d % 7, c(t, d), c(t, d - 1), c(t, d - 7),
+          ((20000 * s7 + 7) / 14) / 10000.0)
+      }
+      val got = SparkEntry.queries("q_ts_features")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6)))
+      assert(got.toSeq === expected, s"feature recount diverges at $dir")
+    }
+    // 2. the silent-day branch, unreachable on the dense corpus:
+    //    a sparse synthetic matrix through the SAME machinery —
+    //    calendar lags must read ZERO for silent days, never the
+    //    previous observed row (the sparse-window mistake)
+    val sparse = Seq(("a", 100L, 5L), ("a", 103L, 7L), ("a", 110L, 2L))
+      .toDF("event_type", "day", "c")
+    val f = graft.operators.Extensions.tsFeaturesOf(sparse).collect()
+      .map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    assert(f.keySet == (107L to 110L).toSet, s"warm-up trim wrong: ${f.keySet}")
+    assert(f(110L)._1 == 2L, "count wrong on an active day")
+    assert(f(110L)._2 == 0L, "lag1 of a silent yesterday must be 0, not the last observed row")
+    assert(f(110L)._3 == 7L, "lag7 must read the calendar day exactly")
+    assert(f(107L) == ((0L, 0L, 5L, ((20000L * 12 + 7) / 14) / 10000.0)),
+      s"silent-day feature row wrong: ${f(107L)}")
+  }
 }
