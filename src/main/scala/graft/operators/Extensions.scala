@@ -481,6 +481,78 @@ object Extensions {
       |FROM f, b WHERE f.day >= b.d0 + 7
       |ORDER BY event_type, day""".stripMargin
 
+  /** X125 — release manifest (`q_manifest`): the reproducibility
+    * artifact a data release ships — per table: row count, distinct
+    * primary ids, and an ORDER-FREE content checksum (bit_xor of a
+    * 60-bit md5 prefix over each row's canonical string), so two
+    * engines, two runs, or two sites can assert "same data" without
+    * moving it. Canonical row forms pin every lossy spot: embedding
+    * floats snap to millionth integers before serialization, event
+    * values to round-6 integers, timestamps to exact µs — the same
+    * canon both engines derive from identical inputs. XOR is
+    * commutative/associative ⇒ partition- and order-independent by
+    * construction (the CC-signature trick as a declared operator);
+    * 60-bit prefixes keep the signed-BIGINT domain positive.
+    *
+    * Scale shape: one narrow pass per table (hash in-row, map-side
+    * XOR partials), three 1-row aggregates unioned. The checksum a
+    * 100 TB release computes anyway, stated portably.
+    */
+  private def manifest(s: SparkSession, dir: String): DataFrame = {
+    def h(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        h(concat_ws("|", col("doc_id"), col("lang"), col("source"), col("text"))).as("h"))
+    val embs = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        h(concat_ws("|", col("vec_id"),
+          concat_ws(",", transform(col("embedding"),
+            x => round(x.cast("double") * 1000000.0, 0).cast("long"))),
+          col("label"))).as("h"))
+    val evs = Tables(s, dir, "events")
+      .select(col("event_id").as("id"),
+        h(concat_ws("|", col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")),
+          round(col("value") * 1000000.0, 0).cast("long"))).as("h"))
+    def row(name: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("id")).as("n_ids"),
+        expr("bit_xor(h)").as("checksum"))
+        .select(lit(name).as("table_name"), col("n_rows").cast("long"),
+          col("n_ids").cast("long"), col("checksum").cast("long"))
+    row("documents", docs)
+      .unionByName(row("embeddings", embs))
+      .unionByName(row("events", evs))
+      .orderBy("table_name")
+  }
+
+  private def manifestSql: String =
+    """WITH d AS (
+      |  SELECT 'documents' AS table_name, count(*) AS n_rows,
+      |    count(DISTINCT doc_id) AS n_ids,
+      |    bit_xor(('0x' || substr(md5(
+      |      CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|' || text),
+      |      1, 15))::BIGINT) AS checksum
+      |  FROM documents),
+      |e AS (
+      |  SELECT 'embeddings', count(*), count(DISTINCT vec_id),
+      |    bit_xor(('0x' || substr(md5(
+      |      CAST(vec_id AS VARCHAR) || '|' ||
+      |      array_to_string(list_transform(embedding,
+      |        x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)), ',') || '|' ||
+      |      CAST(label AS VARCHAR)), 1, 15))::BIGINT)
+      |  FROM embeddings),
+      |v AS (
+      |  SELECT 'events', count(*), count(DISTINCT event_id),
+      |    bit_xor(('0x' || substr(md5(
+      |      CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR) || '|' ||
+      |      event_type || '|' || CAST(epoch_us(ts) AS VARCHAR) || '|' ||
+      |      CAST(CAST(round(value * 1000000.0) AS BIGINT) AS VARCHAR)), 1, 15))::BIGINT)
+      |  FROM events)
+      |SELECT * FROM d UNION ALL SELECT * FROM e UNION ALL SELECT * FROM v
+      |ORDER BY table_name""".stripMargin
+
   private def rateAnomalySql: String =
     """WITH g AS (
       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS c
@@ -603,6 +675,10 @@ object Extensions {
       tsFeatures,
       Some(tsFeaturesSql),
       "X124 forecasting feature matrix: dense per-(type, day) calendar lags + trailing mean + dow"),
+    "q_manifest" -> QueryDef(
+      manifest,
+      Some(manifestSql),
+      "X125 release manifest: per-table rows/ids/order-free XOR content checksum over canonical rows"),
     "q_source_quantiles" -> QueryDef(
       sourceQuantiles,
       Some(sourceQuantilesSql),

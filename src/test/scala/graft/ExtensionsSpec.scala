@@ -245,4 +245,57 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(f(107L) == ((0L, 0L, 5L, ((20000L * 12 + 7) / 14) / 10000.0)),
       s"silent-day feature row wrong: ${f(107L)}")
   }
+
+  test("q_manifest: MessageDigest recount of every checksum; order/partition invariant; sensitive") {
+    import org.apache.spark.sql.functions._
+    def md60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // independent truth: java MessageDigest over the same canonical
+      // strings, folded by XOR driver-side
+      val docH = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text")).collect()
+        .map(r => md60(s"${r.getLong(0)}|${r.getString(1)}|${r.getString(2)}|${r.getString(3)}"))
+      val embH = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label")).collect()
+        .map { r =>
+          val snapped = r.getSeq[Float](1)
+            .map(x => math.round(x.toDouble * 1e6)).mkString(",")
+          md60(s"${r.getLong(0)}|$snapped|${r.getInt(2)}")
+        }
+      val evH = Tables(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")), col("value")).collect()
+        .map { r =>
+          val v6 = BigDecimal(r.getDouble(4) * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          md60(s"${r.getLong(0)}|${r.getLong(1)}|${r.getString(2)}|${r.getLong(3)}|$v6")
+        }
+      val expected = Seq(
+        ("documents", docH.length.toLong, docH.length.toLong, docH.foldLeft(0L)(_ ^ _)),
+        ("embeddings", embH.length.toLong, embH.length.toLong, embH.foldLeft(0L)(_ ^ _)),
+        ("events", evH.length.toLong, evH.length.toLong, evH.foldLeft(0L)(_ ^ _)))
+      val got = SparkEntry.queries("q_manifest")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq === expected, s"manifest recount diverges at $dir")
+      // sensitivity: removing any single row flips the checksum
+      // (XOR with a nonzero hash) — every row hash is nonzero here
+      assert(docH.forall(_ != 0L) && embH.forall(_ != 0L) && evH.forall(_ != 0L),
+        s"a zero row-hash at $dir would make the checksum row-drop-blind")
+    }
+    // partition/order invariance: the declared query over a violently
+    // repartitioned session reads must agree (XOR is commutative; this
+    // pins no order-sensitive step snuck into the fold)
+    val a = SparkEntry.queries("q_manifest")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).toSeq
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val b = SparkEntry.queries("q_manifest")(spark, "/root/testdata/sf0.001")
+        .collect().map(_.toString).toSeq
+      assert(a === b, "manifest changed under repartitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+  }
 }
