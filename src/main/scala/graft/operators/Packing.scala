@@ -135,6 +135,77 @@ object Packing {
           .as("crosses"))
   }
 
+  /** X126 — packed-layout split audit (`q_pack_split_audit`): the
+    * loader-misconfiguration detector — a production run packs each
+    * split SEPARATELY; if the corpus-wide X30 layout is fed to a
+    * split-aware loader, context windows straddle train/val/test and
+    * eval tokens leak into training windows. Per bin: docs, distinct
+    * splits touched, the straddle flag; riding every row, the corpus
+    * verdict (bins, straddling bins, straddle share 4dp HALF_UP).
+    * On THIS corpus-wide pack the audit fires by construction
+    * (29 of 53 bins straddle at sf0.01, share 0.5472 — with ~10
+    * docs per 512-token window and a 90/5/5 split, most windows
+    * catch a val/test doc) — it reports exactly the violation it
+    * exists to catch; a per-split pack reads all-zero
+    * (PackingSpec pins both: the live corpus-wide count and a
+    * zero-straddle recount over a single-split slice through the
+    * same factored machinery).
+    *
+    * Scale shape: the X30 prefix-sum machine (one range exchange)
+    * plus the pure-function [[splitOf]] per row, ONE exchange to the
+    * bin grain (corpus÷512-sized), the per-bin table checkpointed
+    * (two consumers: rows + totals — the q_dedup_sweep lesson),
+    * totals a 1-row broadcast.
+    */
+  private[graft] def packSplitAuditFrom(docs: DataFrame): DataFrame = {
+    val bins = packChunksFrom(docs)
+      .select(col("doc_id"), col("bin"))
+      .withColumn("split", splitOf(col("doc_id")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("split")).as("n_splits"))
+      .withColumn("straddle", (col("n_splits") > 1).cast("long"))
+      .localCheckpoint()
+    val tot = bins.agg(count(lit(1)).as("n_bins"), sum(col("straddle")).as("n_straddle"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_docs").cast("long").as("n_docs"),
+        col("n_splits").cast("long").as("n_splits"), col("straddle"),
+        col("n_bins").cast("long").as("n_bins"),
+        (expr("CAST((20000 * n_straddle + n_bins) DIV (2 * n_bins) AS BIGINT)")
+          / lit(10000.0)).as("straddle_share"))
+      .orderBy("bin")
+  }
+
+  private def packSplitAudit(s: SparkSession, dir: String): DataFrame =
+    packSplitAuditFrom(Tables(s, dir, "documents"))
+
+  private def packSplitAuditSql: String = {
+    val sc = splitCaseSql("doc_id")
+    s"""WITH t AS (
+       |  SELECT doc_id, md5('pack' || CAST(doc_id AS VARCHAR)) AS k,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, tok,
+       |    COALESCE(SUM(tok) OVER (ORDER BY k, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM t),
+       |a AS (
+       |  SELECT CAST(cb // $ctxBudget AS BIGINT) AS bin, doc_id,
+       |    $sc AS split
+       |  FROM c),
+       |b AS (
+       |  SELECT bin, count(*) AS n_docs, count(DISTINCT split) AS n_splits,
+       |    CAST(count(DISTINCT split) > 1 AS BIGINT) AS straddle
+       |  FROM a GROUP BY 1),
+       |tt AS (SELECT count(*) AS n_bins, sum(straddle) AS n_straddle FROM b)
+       |SELECT b.bin, CAST(b.n_docs AS BIGINT) AS n_docs,
+       |  CAST(b.n_splits AS BIGINT) AS n_splits, b.straddle,
+       |  CAST(tt.n_bins AS BIGINT) AS n_bins,
+       |  CAST((20000 * tt.n_straddle + tt.n_bins) // (2 * tt.n_bins) AS BIGINT)
+       |    / 10000.0 AS straddle_share
+       |FROM b, tt ORDER BY bin""".stripMargin
+  }
+
   /** X31 — deterministic train/val/test split with a reproducible
     * within-split shuffle position: split by salted-hash percentile
     * (90/5/5 — the X16 mechanism pointed at set assignment instead
@@ -743,6 +814,10 @@ object Packing {
               |       THEN 1 ELSE 0 END AS BIGINT) AS crosses
               |FROM c ORDER BY doc_id""".stripMargin),
       "X30 sequence packing: concat-and-chunk context-window assignment, exact prefix sums"),
+    "q_pack_split_audit" -> QueryDef(
+      packSplitAudit,
+      Some(packSplitAuditSql),
+      "X126 packed-layout split audit: bins straddling train/val/test + the straddle-share verdict"),
     "q_split_balance" -> QueryDef(
       splitBalance,
       Some(splitBalanceSql),

@@ -449,4 +449,39 @@ class PackingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_pack_split_audit: recount off the declared pack; corpus-wide fires, per-split pack clean") {
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // ground truth off the oracle-green X30 layout + the pure split fn
+      val assigned = SparkEntry.queries("q_pack_chunks")(spark, dir)
+        .select(col("doc_id"), col("bin"),
+          graft.operators.Packing.splitOf(col("doc_id")).as("split"))
+        .collect().map(r => (r.getLong(1), r.getString(2)))
+      val byBin = assigned.groupBy(_._1)
+      val nBins = byBin.size.toLong
+      val nStraddle = byBin.values.count(_.map(_._2).distinct.length > 1).toLong
+      val share = ((20000 * nStraddle + nBins) / (2 * nBins)) / 10000.0
+      val expected = byBin.toSeq.sortBy(_._1).map { case (b, rows) =>
+        val ns = rows.map(_._2).distinct.length.toLong
+        (b, rows.length.toLong, ns, if (ns > 1) 1L else 0L, nBins, share)
+      }
+      val got = SparkEntry.queries("q_pack_split_audit")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+      assert(got.toSeq === expected, s"audit recount diverges at $dir")
+      // the corpus-wide pack MUST fire (that is the misconfiguration
+      // it detects) — and not everywhere (single-split bins exist)
+      assert(got.exists(_._4 == 1L), s"no straddling bin at $dir — audit vacuous")
+      assert(got.exists(_._4 == 0L), s"every bin straddles at $dir")
+    }
+    // the clean state: packing ONE split through the same machinery
+    // yields zero straddle everywhere — the per-split pack the audit
+    // certifies a production loader against
+    val trainOnly = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(graft.operators.Packing.splitOf(col("doc_id")) === "train")
+    val clean = graft.operators.Packing.packSplitAuditFrom(trainOnly).collect()
+    assert(clean.nonEmpty && clean.forall(_.getLong(3) == 0L),
+      "a single-split pack reported straddling bins")
+  }
 }
