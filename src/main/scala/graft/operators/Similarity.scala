@@ -1116,6 +1116,57 @@ object Similarity {
        |  CAST(neg_cid AS BIGINT) AS neg_cid, s4 / 10000.0 AS score
        |FROM rk WHERE rank <= $hardNegK ORDER BY anchor_id, rank""".stripMargin
 
+  /** X127 — embedding-norm hygiene (`q_embed_norms`): the first
+    * check run on a new embedding shipment — encoders are supposed to
+    * emit ~unit-norm vectors, and a broken preprocessing step
+    * (skipped normalization, fp16 truncation, zero rows) shows up as
+    * a norm distribution that left the unit band. Per 0.05-wide
+    * norm² bucket: vector count; riding every row, the corpus
+    * verdict: vectors with ǀ‖x‖²−1ǀ > 0.1 (out-of-band) and their
+    * 4dp share — the number a loading gate checks before an index
+    * build (X34/X59 quantizers assume the unit scale).
+    *
+    * Numerics: ‖x‖² is the shared index-ordered IEEE sum, snapped
+    * ONCE to ppm (round(n2·10⁶)); the bucket (n2_ppm div 5·10⁴) and
+    * the band test (ǀn2_ppm − 10⁶ǀ > 10⁵) are pure integer — the
+    * decision is engine-portable even where ‖x‖² is irrational.
+    *
+    * Scale shape: one narrow pass (native ArrayNormSq after the HOF
+    * rewrite), map-side collapse to the ≤ǀbucketsǀ histogram, 1-row
+    * broadcast verdict.
+    */
+  private def embedNorms(s: SparkSession, dir: String): DataFrame = {
+    val n2ppm = round(VectorOps.normSq(col("embedding")) * 1000000.0, 0).cast("long")
+    val h = graft.Tables(s, dir, "embeddings")
+      .select((n2ppm / 50000).cast("long").as("bucket"),
+        (abs(n2ppm - 1000000L) > 100000L).cast("long").as("oob"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("oob")).as("n_oob_b"))
+      .localCheckpoint()
+    val tot = h.agg(sum(col("n_vecs")).as("n"), sum(col("n_oob_b")).as("n_oob"))
+    h.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_vecs").cast("long").as("n_vecs"),
+        col("n_oob").cast("long").as("n_oob"),
+        (expr("CAST((20000 * n_oob + n) DIV (2 * n) AS BIGINT)") / lit(10000.0))
+          .as("oob_share"))
+      .orderBy("bucket")
+  }
+
+  private def embedNormsSql: String =
+    """WITH v AS (
+      |  SELECT CAST(round(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1000000.0) AS BIGINT) AS n2
+      |  FROM embeddings),
+      |h AS (
+      |  SELECT n2 // 50000 AS bucket, count(*) AS n_vecs,
+      |    sum(CASE WHEN abs(n2 - 1000000) > 100000 THEN 1 ELSE 0 END) AS n_oob_b
+      |  FROM v GROUP BY 1),
+      |t AS (SELECT sum(n_vecs) AS n, sum(n_oob_b) AS n_oob FROM h)
+      |SELECT CAST(h.bucket AS BIGINT) AS bucket, CAST(h.n_vecs AS BIGINT) AS n_vecs,
+      |  CAST(t.n_oob AS BIGINT) AS n_oob,
+      |  CAST((20000 * t.n_oob + t.n) // (2 * t.n) AS BIGINT) / 10000.0 AS oob_share
+      |FROM h, t ORDER BY bucket""".stripMargin
+
   /** X110 — PCA projection pass (`q_pca_project`): the corpus-sized
     * half that makes X109's eigenvector a usable transform. X109
     * returns the direction; this operator runs the narrow per-row
@@ -1463,6 +1514,10 @@ object Similarity {
       pcaProject,
       Some(pcaProjectSql),
       "X110 PCA projection pass: per-vector exact PC1 dot + energy share, corpus share ≡ X109's λ/tr(G)"),
+    "q_embed_norms" -> QueryDef(
+      embedNorms,
+      Some(embedNormsSql),
+      "X127 embedding-norm hygiene: bucketed norm² histogram + integer out-of-band verdict"),
     "q_pca_deflate" -> QueryDef(
       pcaDeflate,
       Some(pcaDeflateSql),

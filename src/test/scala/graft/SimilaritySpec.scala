@@ -974,12 +974,14 @@ class SimilaritySpec extends AnyFunSuite {
       s"q_hard_negatives plans a shuffle join or pair-table window:\n$plan")
   }
 
-  test("q_pca_deflate: two-spike fixture recovers the second direction; real-corpus spectrum sane") {
+  /** Build (once) the two-direction spike fixture shared by the
+    * deflation and norm-hygiene tests: even vectors ±u1 (unit), odd
+    * vectors ±0.7·u2 with u2 ⊥ u1 — λ1/λ2 ≈ 1/0.49, both far above
+    * the noise floor; the 0.7-scaled half also sits far outside the
+    * unit-norm band, which is X127's out-of-band branch.
+    */
+  private def twoSpikeFixture(): (String, Array[Double], Array[Double]) = {
     import spark.implicits._
-    // planted two-direction fixture: even vectors ±u1 (unit), odd
-    // vectors ±0.7·u2 with u2 ⊥ u1 — λ1/λ2 ≈ 1/0.49, both far above
-    // the noise floor. X109 converges hard onto u1 (ratio^8 ≈ 300),
-    // so the deflated dominant must be u2.
     val d = 64
     val rnd = new scala.util.Random(20260815L)
     def unit(v: Array[Double]): Array[Double] = {
@@ -998,6 +1000,13 @@ class SimilaritySpec extends AnyFunSuite {
       }.toDF("vec_id", "embedding", "label")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
+    (dir, u1, u2)
+  }
+
+  test("q_pca_deflate: two-spike fixture recovers the second direction; real-corpus spectrum sane") {
+    // X109 converges hard onto u1 (ratio^8 ≈ 300), so the deflated
+    // dominant must be u2.
+    val (dir, u1, u2) = twoSpikeFixture()
     val out = SparkEntry.queries("q_pca_deflate")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
     val w = out.sortBy(_._1).map(_._2.toDouble)
@@ -1028,6 +1037,41 @@ class SimilaritySpec extends AnyFunSuite {
         s"gap ratio $gp outside the isotropic near-1 band at $sfDir " +
           "— the corpus grew structure or the deflation broke")
     }
+  }
+
+  test("q_embed_norms: recount at two SFs; the spike fixture drives multi-bucket and out-of-band") {
+    import org.apache.spark.sql.functions.col
+    def recount(dir: String): Seq[(Long, Long, Long, Double)] = {
+      val n2s = Tables(spark, dir, "embeddings")
+        .select(col("embedding")).collect()
+        .map { r =>
+          val n2 = r.getSeq[Float](0).foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+          BigDecimal(n2 * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }
+      val n = n2s.length.toLong
+      val nOob = n2s.count(p => math.abs(p - 1000000L) > 100000L).toLong
+      val share = ((20000 * nOob + n) / (2 * n)) / 10000.0
+      n2s.groupBy(_ / 50000).toSeq.sortBy(_._1)
+        .map { case (b, v) => (b, v.length.toLong, nOob, share) }
+    }
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val got = SparkEntry.queries("q_embed_norms")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq === recount(dir), s"norm recount diverges at $dir")
+      // the shipped corpus is healthy: all unit-band, zero out-of-band
+      assert(got.forall(_._3 == 0L), s"healthy corpus flagged out-of-band at $dir")
+    }
+    // the broken-shipment state, unreachable on the healthy corpus:
+    // the two-spike fixture's 0.7-scaled half (norm² ≈ 0.49+noise)
+    // must populate distant buckets and fire the out-of-band verdict
+    // through the SAME declared query
+    val (dir, _, _) = twoSpikeFixture()
+    val got = SparkEntry.queries("q_embed_norms")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === recount(dir), "fixture recount diverges")
+    assert(got.length >= 2, s"spike fixture collapsed to one bucket: $got")
+    assert(got.head._3 > 0 && got.head._4 > 0.0,
+      s"fixture's denormalized half not flagged: $got")
   }
 
   test("q_ann_recall: the monitor equals overlaps recomputed from the declared queries") {
