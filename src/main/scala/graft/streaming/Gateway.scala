@@ -674,6 +674,28 @@ object Gateway {
       .dropDuplicatesWithinWatermark("doc_id")
   }
 
+  /** Streaming X125 — the release manifest maintained CONTINUOUSLY:
+    * the same canonical-row 60-bit hash the batch manifest XORs, kept
+    * as a running (count, checksum) aggregate over the ingest stream
+    * — after any prefix of the feed, the emitted row IS the manifest
+    * of everything ingested so far, and when the stream has delivered
+    * a table's worth of rows it must equal the batch `q_manifest` row
+    * bit-for-bit (GatewaySpec pins it). XOR's self-inverse algebra is
+    * what makes this a streaming-native integrity check: the state is
+    * 16 bytes regardless of volume, and any dropped or duplicated row
+    * flips the checksum off the batch value — the at-least-once
+    * DETECTOR, where the dedup feeds are the at-least-once absorbers.
+    *
+    * Input: document rows ("doc_id|lang|source|text" tab-free lines,
+    * '|'-joined exactly like the batch canon). One global streaming
+    * aggregate in Complete mode — a single 2-column row per trigger.
+    */
+  def manifestFeed(lines: DataFrame): DataFrame =
+    lines
+      .select(
+        conv(substring(md5(col("value")), 1, 15), 16, 10).cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+
   /** Streaming X111 — media frame-dedup admission on the ingest path:
     * each incoming container line ("ts hexbytes") is TLV-decoded with
     * the SAME [[graft.operators.Multimodal.MediaCodec]] parser the

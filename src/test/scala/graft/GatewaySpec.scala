@@ -1500,6 +1500,42 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("manifestFeed: the running checksum converges to the batch q_manifest documents row") {
+    // the X125 twin: every document's canonical string fed across
+    // three micro-batches; the Complete-mode aggregate's final row
+    // must equal the batch manifest's documents row bit-for-bit, and
+    // a deliberately duplicated row must flip the checksum OFF it
+    // (XOR as the at-least-once detector)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val canon = Tables(spark, dir, "documents")
+      .select(concat_ws("|", col("doc_id"), col("lang"), col("source"), col("text")))
+      .as[String].collect()
+    val parts = canon.grouped(math.max(1, canon.length / 3)).toSeq
+    val ms = MemoryStream[String]
+    val sink = s"manifest_feed_${System.nanoTime()}"
+    val q = Gateway.manifestFeed(ms.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+    try {
+      parts.foreach { p => ms.addData(p: _*); q.processAllAvailable() }
+      val streamed = spark.table(sink)
+        .as[(Long, Long)].collect().head
+      val batch = SparkEntry.queries("q_manifest")(spark, dir)
+        .filter(col("table_name") === "documents")
+        .select(col("n_rows"), col("checksum"))
+        .as[(Long, Long)].collect().head
+      assert(streamed === batch,
+        s"running manifest $streamed != batch documents row $batch")
+      // a duplicated row is DETECTED: the checksum leaves the batch value
+      ms.addData(canon.head)
+      q.processAllAvailable()
+      val dup = spark.table(sink).as[(Long, Long)].collect().head
+      assert(dup._1 === batch._1 + 1 && dup._2 != batch._2,
+        s"duplicate delivery not detected: $dup vs $batch")
+    } finally q.stop()
+  }
+
   test("funnelFeed: stage stream rebuilds exactly the batch q_funnel rows; replay emits nothing") {
     // The R28 twin: the real events fed in event-time order across
     // three micro-batches; the emitted stage transitions, folded per
