@@ -26,7 +26,8 @@ object SparkEntry {
       operators.Curation.defs ++
       operators.Packing.defs ++
       operators.Multimodal.defs ++
-      operators.Pipeline.defs
+      operators.Pipeline.defs ++
+      operators.Shuffle.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q_window_tumble — the truest batch analog of the reference's whole
