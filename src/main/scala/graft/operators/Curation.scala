@@ -2032,6 +2032,127 @@ object Curation {
        |               THEN -1 ELSE 1 END) / 10000.0 END AS kappa
        |FROM k ORDER BY bin""".stripMargin
 
+  /** X129 core — exact tie-corrected ROC/AUC off a `(s, y)` scored
+    * table (integer score, 0/1 label). Factored so CurationSpec can
+    * drive the closed-form branches (perfect separation ⇒ 1.0,
+    * reversed ⇒ 0.0, all-ties ⇒ 0.5) through the SAME machinery the
+    * declared query uses.
+    *
+    * AUC is the Mann–Whitney statistic with the standard tie
+    * correction: collapsing to the score dictionary (np, nn per
+    * distinct score), AUC = Σ_s np(s)·(nn_below(s) + nn(s)/2) / (P·N).
+    * Everything stays integer by carrying 2× the numerator:
+    * num2 = Σ np·(2·nn_below + nn), den2 = 2·P·N, then 4dp HALF_UP in
+    * DECIMAL(38,0) ((20000·num2 + den2) DIV (2·den2) — P·N at 10¹⁴
+    * docs is 10²⁸, ×4·10⁴ still inside 10³⁸). Degenerate single-class
+    * corpora define AUC = 0.5 (no discrimination measurable) — the
+    * same convention both engines state in a CASE.
+    *
+    * The dictionary is localCheckpointed: it has two consumers (the
+    * AUC cumulative window and the ROC bin rollup) — the
+    * q_dedup_sweep lesson. Both windows run UNPARTITIONED but over
+    * the dictionary only: ≤ 200001 rows by construction (logit6 is an
+    * integer in [−10⁵, 10⁵]) — a plan constant, the X56 class, never
+    * the corpus.
+    */
+  private[graft] def rocAucOf(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dict = scored.groupBy(col("s"))
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+      .localCheckpoint(true)
+    val wBelow = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = dict
+      .withColumn("nnb", coalesce(sum(col("nn")).over(wBelow), lit(0L)))
+      .agg(
+        sum(col("np")).as("p"), sum(col("nn")).as("nneg"),
+        sum(expr("CAST(np AS DECIMAL(38,0)) * (2 * nnb + nn)")).as("num2"))
+    val wTop = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dict
+      .groupBy(expr("(s + 100000) DIV 20000").cast("long").as("bin"))
+      .agg(sum(col("np")).as("bnp"), sum(col("nn")).as("bnn"),
+        sum(col("np") + col("nn")).as("n"))
+      .withColumn("tp", sum(col("bnp")).over(wTop))
+      .withColumn("fp", sum(col("bnn")).over(wTop))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("bin"), col("n").cast("long").as("n"),
+        when(col("p") === 0, lit(0.0)).otherwise(
+          expr("CAST((20000 * tp + p) DIV (2 * p) AS BIGINT)") / lit(10000.0))
+          .as("tpr"),
+        when(col("nneg") === 0, lit(0.0)).otherwise(
+          expr("CAST((20000 * fp + nneg) DIV (2 * nneg) AS BIGINT)") / lit(10000.0))
+          .as("fpr"),
+        when(col("p") === 0 || col("nneg") === 0, lit(0.5)).otherwise(
+          expr("""CAST((num2 * 20000 + 2 * CAST(p AS DECIMAL(38,0)) * nneg)
+                 |  DIV (4 * CAST(p AS DECIMAL(38,0)) * nneg) AS BIGINT)"""
+            .stripMargin) / lit(10000.0)).as("auc"))
+      .orderBy("bin")
+  }
+
+  /** X129 — classifier ROC / exact AUC (`q_clf_auc`): the evaluation
+    * that decides whether the X67 quality classifier is worth its
+    * serving cost — X108 answers "do the gates agree", this answers
+    * "how well does the learned score RANK the rule-clean label".
+    * Per X108 logit bin: docs, TPR/FPR at the bin's ≥-threshold (the
+    * exact ROC curve at 11 operating points); riding every row, the
+    * corpus AUC — the exact tie-corrected Mann–Whitney statistic
+    * (honestly ≈ 0.5 here: the hash-seeded classifier is untrained
+    * noise, and the eval table is exactly what exposes that).
+    *
+    * Scale: both gates are in-row column work on ONE shared scan (the
+    * X108 shape); one exchange collapses the corpus to the ≤ 2·10⁵+1
+    * score dictionary; everything after — both windows, the bin
+    * rollup, the 1-row broadcast totals — is dictionary-bounded.
+    */
+  private def clfAuc(s: SparkSession, dir: String): DataFrame =
+    rocAucOf(
+      withRuleFlags(withClfColumns(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .select(col("clf_logit6").as("s"), col("keep").cast("long").as("y")))
+
+  private def clfAucSql: String =
+    s"""WITH ${clfCteSql("documents")},
+       |${ruleFailedCteSql("documents")},
+       |sy AS (
+       |  SELECT cl.logit6 AS s,
+       |    CASE WHEN rf.rule_failed = 0 THEN 1 ELSE 0 END AS y
+       |  FROM cl JOIN rf USING (doc_id)),
+       |dict AS MATERIALIZED (
+       |  SELECT s, CAST(sum(y) AS BIGINT) AS np,
+       |    CAST(sum(1 - y) AS BIGINT) AS nn
+       |  FROM sy GROUP BY s),
+       |tot AS (
+       |  SELECT sum(np) AS p, sum(nn) AS nneg,
+       |    sum(CAST(np AS HUGEINT) * (2 * nnb + nn)) AS num2
+       |  FROM (SELECT np, nn,
+       |          COALESCE(sum(nn) OVER (ORDER BY s
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nnb
+       |        FROM dict) c),
+       |roc AS (
+       |  SELECT bin, n,
+       |    sum(bnp) OVER (ORDER BY bin DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+       |    sum(bnn) OVER (ORDER BY bin DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+       |  FROM (SELECT (s + 100000) // 20000 AS bin, sum(np) AS bnp,
+       |          sum(nn) AS bnn, sum(np + nn) AS n
+       |        FROM dict GROUP BY 1) b)
+       |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+       |  CASE WHEN t.p = 0 THEN 0.0
+       |       ELSE CAST((20000 * tp + t.p) // (2 * t.p) AS BIGINT) / 10000.0
+       |  END AS tpr,
+       |  CASE WHEN t.nneg = 0 THEN 0.0
+       |       ELSE CAST((20000 * fp + t.nneg) // (2 * t.nneg) AS BIGINT) / 10000.0
+       |  END AS fpr,
+       |  CASE WHEN t.p = 0 OR t.nneg = 0 THEN 0.5
+       |       ELSE CAST((CAST(t.num2 AS HUGEINT) * 20000
+       |                  + 2 * CAST(t.p AS HUGEINT) * t.nneg)
+       |             // (4 * CAST(t.p AS HUGEINT) * t.nneg) AS BIGINT) / 10000.0
+       |  END AS auc
+       |FROM roc, tot t ORDER BY bin""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_decontaminate" -> QueryDef(
       decontaminate,
@@ -2298,5 +2419,9 @@ object Curation {
       clfAgreement,
       Some(clfAgreementSql),
       "X108 gate agreement: per-logit-bin keep rates of X67 vs X73 + corpus Cohen's kappa"),
+    "q_clf_auc" -> QueryDef(
+      clfAuc,
+      Some(clfAucSql),
+      "X129 classifier ROC/AUC: per-bin exact TPR/FPR + tie-corrected Mann-Whitney AUC vs the rule label"),
   )
 }

@@ -833,6 +833,89 @@ class CurationSpec extends AnyFunSuite {
       s"clf keep rate does not saturate at the sign-boundary bin: $got")
   }
 
+  /** X129 sequential recount engine: dict → tie-corrected AUC +
+    * cumulative-from-top ROC bins, all BigInt — independent of the
+    * distributed window/aggregate chain.
+    */
+  private def aucRecount(pairs: Seq[(Long, Long)])
+      : Seq[(Long, Long, Double, Double, Double)] = {
+    def rate4(num: BigInt, den: BigInt): Double =
+      ((num * 20000 + den) / (den * 2)).toLong / 10000.0
+    val dict = pairs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, ps) =>
+        (s, ps.count(_._2 == 1L).toLong, ps.count(_._2 == 0L).toLong)
+      }
+    val p = BigInt(dict.map(_._2).sum)
+    val n = BigInt(dict.map(_._3).sum)
+    val num2 = dict.foldLeft((BigInt(0), BigInt(0))) {
+      case ((acc, nnb), (_, np, nn)) => (acc + np * (2 * nnb + nn), nnb + nn)
+    }._1
+    val auc =
+      if (p == 0 || n == 0) 0.5
+      else ((num2 * 20000 + 2 * p * n) / (4 * p * n)).toLong / 10000.0
+    val bins = dict.groupBy(d => (d._1 + 100000L) / 20000L).toSeq
+      .sortBy(-_._1)
+    bins.foldLeft((Seq.empty[(Long, Long, Double, Double, Double)], BigInt(0), BigInt(0))) {
+      case ((out, tp0, fp0), (bin, ds)) =>
+        val tp = tp0 + ds.map(_._2).sum
+        val fp = fp0 + ds.map(_._3).sum
+        val row = (bin, ds.map(d => d._2 + d._3).sum,
+          if (p == 0) 0.0 else rate4(tp, p),
+          if (n == 0) 0.0 else rate4(fp, n), auc)
+        (row +: out, tp, fp)
+    }._1
+  }
+
+  test("q_clf_auc: ROC points and AUC match a sequential recount off the two declared gates") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val clf = SparkEntry.queries("q_quality_clf")(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val rule = SparkEntry.queries("q_rule_filter")(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+      val pairs = clf.toSeq.map { case (id, s) => (s, if (rule(id)) 1L else 0L) }
+      val got = SparkEntry.queries("q_clf_auc")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4))).toSeq
+      assert(got === aucRecount(pairs), s"ROC/AUC recount diverges at $dir")
+      // the AUC verdict rides identically on every row, and the ROC is
+      // monotone in the threshold: lower bins admit MORE of both classes
+      assert(got.map(_._5).distinct.size == 1, "auc differs across bins")
+      assert(got.sortBy(_._1).sliding(2).forall {
+        case Seq(a, b) => a._3 >= b._3 && a._4 >= b._4
+        case _ => true
+      }, s"ROC not monotone: $got")
+    }
+  }
+
+  test("rocAucOf closed forms: separation 1.0 / reversed 0.0 / all-ties 0.5 / single-class 0.5") {
+    import spark.implicits._
+    def auc(pairs: Seq[(Long, Long)]): Double =
+      graft.operators.Curation.rocAucOf(pairs.toDF("s", "y"))
+        .collect().head.getDouble(4)
+    val pos = Seq(10L, 20L, 30L); val neg = Seq(1L, 2L, 3L)
+    assert(auc(pos.map((_, 1L)) ++ neg.map((_, 0L))) === 1.0, "perfect separation")
+    assert(auc(pos.map((_, 0L)) ++ neg.map((_, 1L))) === 0.0, "reversed labels")
+    assert(auc(Seq((7L, 1L), (7L, 1L), (7L, 0L))) === 0.5, "all-ties tie-correction")
+    assert(auc(Seq((1L, 1L), (5L, 1L))) === 0.5, "single-class convention")
+    // half-overlap fixture: pos {1,3}, neg {2}: pairs won = 1 of 2 -> 0.5;
+    // shift one pos above: pos {2,3}, neg {2}: one tie + one win -> 0.75
+    assert(auc(Seq((1L, 1L), (3L, 1L), (2L, 0L))) === 0.5, "interleaved")
+    assert(auc(Seq((2L, 1L), (3L, 1L), (2L, 0L))) === 0.75, "tie contributes half")
+  }
+
+  test("rocAucOf is repartition-invariant and its declared plan reads no parquet") {
+    import spark.implicits._
+    val pairs = (1 to 200).map(i => ((i * 37 % 23).toLong, (i % 2).toLong))
+    val a = graft.operators.Curation.rocAucOf(pairs.toDF("s", "y")).collect().toSeq
+    val b = graft.operators.Curation.rocAucOf(
+      pairs.reverse.toDF("s", "y").repartition(13)).collect().toSeq
+    assert(a === b, "rocAucOf must be order- and partitioning-free")
+    val plan = SparkEntry.queries("q_clf_auc")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"post-checkpoint plan must be dictionary-only:\n$plan")
+  }
+
   test("q_anneal_plan: recount off the rule gate, floor-shortfall bounds, both upweight directions") {
     import org.apache.spark.sql.functions.{col, size, split}
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
