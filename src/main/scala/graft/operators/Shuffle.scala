@@ -17,6 +17,10 @@ import scala.collection.immutable.ListMap
   *    (the keys this engine's own operators shuffle on), the exact
   *    key-cardinality profile, the max/avg skew ratio, and the salt
   *    factor a mitigation would need.
+  *  - X130 `q_join_plan` — the join-strategy pre-flight: per declared
+  *    join pair, both sides' modeled payload bytes, the build side,
+  *    the broadcast verdict vs Spark's 10 MiB threshold, and the
+  *    bytes a shuffle would move if not.
   *
   * Reference: the reference daemon (SURVEY §1) is single-threaded and
   * never shuffles; this family exists purely for the Spark-scale
@@ -145,10 +149,167 @@ object Shuffle {
        |FROM (SELECT sum(c) n, count(*) nk, max(c) mx
        |      FROM (SELECT count(*) c FROM $table GROUP BY $key) cc) t""".stripMargin
 
+  /** X130's static column catalog — (column, kind) per table, kind ∈
+    * fixed | str | farr — the source of truth BOTH engines' byte
+    * models are generated from, so the Spark expression and the
+    * DuckDB SQL cannot drift from each other. ShuffleSpec guards the
+    * remaining drift axis (catalog vs the actual parquet schema): a
+    * testdata regeneration that adds or retypes a column fails loudly.
+    */
+  private[graft] val tableCatalog: ListMap[String, Seq[(String, String)]] = ListMap(
+    "region" -> Seq("r_regionkey" -> "fixed", "r_name" -> "str"),
+    "nation" -> Seq("n_nationkey" -> "fixed", "n_name" -> "str",
+      "n_regionkey" -> "fixed"),
+    "customer" -> Seq("c_custkey" -> "fixed", "c_name" -> "str",
+      "c_nationkey" -> "fixed", "c_acctbal" -> "fixed", "c_mktsegment" -> "str"),
+    "part" -> Seq("p_partkey" -> "fixed", "p_name" -> "str", "p_brand" -> "str",
+      "p_type" -> "str", "p_size" -> "fixed", "p_retailprice" -> "fixed"),
+    "orders" -> Seq("o_orderkey" -> "fixed", "o_custkey" -> "fixed",
+      "o_orderstatus" -> "str", "o_totalprice" -> "fixed",
+      "o_orderdate" -> "fixed", "o_orderpriority" -> "str"),
+    "lineitem" -> Seq("l_orderkey" -> "fixed", "l_partkey" -> "fixed",
+      "l_suppkey" -> "fixed", "l_linenumber" -> "fixed", "l_quantity" -> "fixed",
+      "l_extendedprice" -> "fixed", "l_discount" -> "fixed", "l_tax" -> "fixed",
+      "l_returnflag" -> "str", "l_linestatus" -> "str", "l_shipdate" -> "fixed"),
+    "documents" -> Seq("doc_id" -> "fixed", "text" -> "str", "lang" -> "str",
+      "source" -> "str", "n_chars" -> "fixed"),
+    "embeddings" -> Seq("vec_id" -> "fixed", "embedding" -> "farr",
+      "label" -> "fixed"))
+
+  /** The joins this engine's own operators run — X130 audits exactly
+    * these, making it the planner's join-strategy pre-flight rather
+    * than a generic size profiler.
+    */
+  private[graft] val joinPairs: Seq[(String, String, String)] = Seq(
+    ("customer_x_nation", "customer", "nation"),
+    ("documents_x_embeddings", "documents", "embeddings"),
+    ("lineitem_x_orders", "lineitem", "orders"),
+    ("lineitem_x_part", "lineitem", "part"),
+    ("nation_x_region", "nation", "region"),
+    ("orders_x_customer", "orders", "customer"))
+
+  /** Spark's default `spark.sql.autoBroadcastJoinThreshold`: the line
+    * X130 audits each join's smaller side against.
+    */
+  private[graft] val broadcastThreshold: Long = 10L * 1024 * 1024
+
+  /** The declared per-row byte MODEL (documented, not measured): the
+    * Tungsten UnsafeRow estimate — 8 bytes per fixed-width slot
+    * (long/int/double/timestamp all occupy one 8-byte word), 8 + len
+    * per string (offset/length word + payload, characters standing in
+    * for bytes — exact for this ASCII corpus, an underestimate under
+    * multi-byte UTF-8), 8 + 4·n per float array, + 8 per row for the
+    * null bitset word.
+    */
+  private[graft] def rowBytes(cols: Seq[(String, String)]): Column =
+    cols.map {
+      case (_, "fixed") => lit(8L)
+      case (c, "str") => lit(8L) + coalesce(length(col(c)).cast("long"), lit(0L))
+      case (c, _) => lit(8L) + lit(4L) * coalesce(size(col(c)).cast("long"), lit(0L))
+    }.reduce(_ + _) + lit(8L)
+
+  /** The ≤|tables| (table, rows, bytes) stats dictionary: ONE narrow
+    * pass per table collapsed to a 1-row aggregate, unioned and
+    * localCheckpointed — each table is scanned exactly once even when
+    * it appears in several join pairs (lineitem is in two; without
+    * the checkpoint each pair branch re-runs the scan — the
+    * q_dedup_sweep lesson).
+    */
+  private[graft] def tableStats(s: SparkSession, dir: String): DataFrame =
+    tableCatalog.map { case (t, cols) =>
+      Tables(s, dir, t).agg(
+        count(lit(1)).as("n"), sum(rowBytes(cols)).cast("long").as("b"))
+        .select(lit(t).as("t"), col("n"), col("b"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+
+  /** X130 core — the join-strategy table off a (t, n, b) stats
+    * dictionary. Factored with the threshold as a parameter so
+    * ShuffleSpec can drive the sort-merge branch and both build-side
+    * directions on fixtures (at the verification SFs every declared
+    * pair's smaller side fits under 10 MiB — all-broadcast is the
+    * honest pass state; at sf1 lineitem_x_orders flips to sort_merge).
+    * Build side = the smaller-bytes side, ties to the right (the side
+    * Spark prefers building); shuffle_bytes = both sides' payload when
+    * the join must shuffle, 0 under broadcast.
+    */
+  private[graft] def joinPlanOf(
+      stats: DataFrame, pairs: Seq[(String, String, String)], thr: Long): DataFrame = {
+    val s = stats.sparkSession
+    import s.implicits._
+    val sl = stats.select(col("t").as("lt"), col("n").as("left_rows"),
+      col("b").as("left_bytes"))
+    val sr = stats.select(col("t").as("rt"), col("n").as("right_rows"),
+      col("b").as("right_bytes"))
+    pairs.toDF("join_name", "lt", "rt")
+      .join(broadcast(sl), "lt").join(broadcast(sr), "rt")
+      .withColumn("min_b", least(col("left_bytes"), col("right_bytes")))
+      .select(
+        col("join_name"),
+        col("left_rows").cast("long").as("left_rows"),
+        col("right_rows").cast("long").as("right_rows"),
+        col("left_bytes"), col("right_bytes"),
+        when(col("right_bytes") <= col("left_bytes"), lit("right"))
+          .otherwise(lit("left")).as("build_side"),
+        when(col("min_b") <= thr, lit(1L)).otherwise(lit(0L)).as("bcast"),
+        when(col("min_b") <= thr, lit("broadcast_hash"))
+          .otherwise(lit("sort_merge")).as("strategy"),
+        when(col("min_b") <= thr, lit(0L))
+          .otherwise(col("left_bytes") + col("right_bytes")).as("shuffle_bytes"))
+      .orderBy("join_name")
+  }
+
+  /** X130 — join-strategy pre-flight (`q_join_plan`): for each join
+    * this engine's operators run, the exact modeled payload bytes of
+    * both sides, the build side a hash join would pick, whether the
+    * smaller side clears Spark's 10 MiB autoBroadcast threshold, the
+    * resulting strategy, and the bytes a shuffle would move if not.
+    * X128 answers "will this shuffle straggle"; X130 answers "does
+    * this join need to shuffle at all" — together the pre-flight a
+    * planner runs before committing a 100 TB join.
+    *
+    * Scale: one narrow pass per table to a 1-row aggregate (map-side
+    * partials), the ≤8-row checkpointed stats dictionary, then pure
+    * dictionary joins — nothing corpus-sized survives the first agg.
+    */
+  private def joinPlan(s: SparkSession, dir: String): DataFrame =
+    joinPlanOf(tableStats(s, dir), joinPairs, broadcastThreshold)
+
+  private def joinPlanSql: String = {
+    def bytesSql(cols: Seq[(String, String)]): String =
+      cols.map {
+        case (_, "fixed") => "8"
+        case (c, "str") => s"8 + COALESCE(length($c), 0)"
+        case (c, _) => s"8 + 4 * COALESCE(len($c), 0)"
+      }.mkString(" + ") + " + 8"
+    val st = tableCatalog.map { case (t, cols) =>
+      s"""SELECT '$t' AS t, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(${bytesSql(cols)}) AS BIGINT) AS b FROM $t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val pr = joinPairs.map { case (j, l, r) => s"('$j', '$l', '$r')" }
+      .mkString(", ")
+    s"""WITH st AS MATERIALIZED ($st),
+       |pr(join_name, lt, rt) AS (VALUES $pr)
+       |SELECT pr.join_name, sl.n AS left_rows, sr.n AS right_rows,
+       |  sl.b AS left_bytes, sr.b AS right_bytes,
+       |  CASE WHEN sr.b <= sl.b THEN 'right' ELSE 'left' END AS build_side,
+       |  CAST(CASE WHEN least(sl.b, sr.b) <= $broadcastThreshold
+       |       THEN 1 ELSE 0 END AS BIGINT) AS bcast,
+       |  CASE WHEN least(sl.b, sr.b) <= $broadcastThreshold
+       |       THEN 'broadcast_hash' ELSE 'sort_merge' END AS strategy,
+       |  CAST(CASE WHEN least(sl.b, sr.b) <= $broadcastThreshold
+       |       THEN 0 ELSE sl.b + sr.b END AS BIGINT) AS shuffle_bytes
+       |FROM pr JOIN st sl ON sl.t = pr.lt JOIN st sr ON sr.t = pr.rt
+       |ORDER BY join_name""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_key_skew" -> QueryDef(
       keySkew,
       Some(skewFamilies.map { case (t, k) => skewSql(t, k) }
         .mkString("", "\nUNION ALL\n", "\nORDER BY key_name")),
-      "X128 shuffle-key skew audit: per hot-key family, exact skew ratio + salt recommendation"))
+      "X128 shuffle-key skew audit: per hot-key family, exact skew ratio + salt recommendation"),
+    "q_join_plan" -> QueryDef(
+      joinPlan,
+      Some(joinPlanSql),
+      "X130 join-strategy pre-flight: modeled payload bytes per side, build side, broadcast verdict"))
 }

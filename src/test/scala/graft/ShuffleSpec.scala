@@ -73,6 +73,72 @@ class ShuffleSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("q_join_plan: the static column catalog matches every table's live parquet schema") {
+    import org.apache.spark.sql.types._
+    for ((t, cols) <- Shuffle.tableCatalog) {
+      val schema = Tables(spark, "/root/testdata/sf0.001", t).schema
+      val derived = schema.fields.map { f =>
+        f.name -> (f.dataType match {
+          case StringType => "str"
+          case ArrayType(_, _) => "farr"
+          case _ => "fixed"
+        })
+      }.toSeq
+      assert(derived === cols,
+        s"catalog drift for $t: schema says $derived, catalog says $cols")
+    }
+  }
+
+  test("q_join_plan: every pair's bytes/rows/verdicts recount sequentially at two SFs") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // per-table recount off the raw rows with the declared byte model
+      val stats = Shuffle.tableCatalog.map { case (t, cols) =>
+        val df = Tables(spark, sf, t).select(cols.map(c => col(c._1)): _*)
+        val kinds = cols.map(_._2)
+        val rows = df.collect()
+        val bytes = rows.map { r =>
+          kinds.zipWithIndex.map {
+            case ("fixed", _) => 8L
+            case ("str", i) => 8L + (if (r.isNullAt(i)) 0L else r.getString(i).length.toLong)
+            case (_, i) => 8L + 4L * (if (r.isNullAt(i)) 0L else r.getSeq[Any](i).size.toLong)
+          }.sum + 8L
+        }.sum
+        t -> (rows.length.toLong, bytes)
+      }
+      val want = Shuffle.joinPairs.map { case (j, l, r) =>
+        val (ln, lb) = stats(l); val (rn, rb) = stats(r)
+        val bcast = math.min(lb, rb) <= Shuffle.broadcastThreshold
+        (j, ln, rn, lb, rb, if (rb <= lb) "right" else "left",
+          if (bcast) 1L else 0L,
+          if (bcast) "broadcast_hash" else "sort_merge",
+          if (bcast) 0L else lb + rb)
+      }.sortBy(_._1)
+      val got = SparkEntry.queries("q_join_plan")(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getString(5), r.getLong(6), r.getString(7), r.getLong(8)))
+      assert(got.toSeq === want, s"join plan recount diverges at $sf")
+      // at the verification SFs every declared pair broadcasts — the
+      // honest pass state; the fired branch is fixture-driven below
+      assert(got.forall(_._7 == 1L), "expected all-broadcast at small SF")
+    }
+  }
+
+  test("joinPlanOf fires sort_merge and picks both build sides under a tight threshold") {
+    import spark.implicits._
+    val stats = Seq(("big", 100L, 5000L), ("small", 10L, 40L), ("mid", 20L, 200L))
+      .toDF("t", "n", "b")
+    val pairs = Seq(("a_big_small", "big", "small"), ("b_small_big", "small", "big"),
+      ("c_big_mid", "big", "mid"))
+    val rows = Shuffle.joinPlanOf(stats, pairs, thr = 50L).collect()
+      .map(r => (r.getString(0), r.getString(5), r.getString(7), r.getLong(8)))
+    assert(rows(0) === (("a_big_small", "right", "broadcast_hash", 0L)),
+      "small right side must broadcast")
+    assert(rows(1) === (("b_small_big", "left", "broadcast_hash", 0L)),
+      "small LEFT side must broadcast with build_side=left")
+    assert(rows(2) === (("c_big_mid", "right", "sort_merge", 5200L)),
+      "neither side under threshold must shuffle both payloads")
+  }
+
   test("dictionary pass prunes the scan to the audited key column") {
     val plan = Shuffle.keyCounts(
       Tables(spark, "/root/testdata/sf0.001", "events"), "user_id")
