@@ -1668,6 +1668,116 @@ object TextAnalysis {
       |FROM k ORDER BY source, tok""".stripMargin.replace("A0", a0.toString)
   }
 
+  /** X131's topic lexicons — small curated word lists over the corpus
+    * vocabulary, the stand-in for the domain lexicons (medical, legal,
+    * code, …) a production mixing pipeline ships. A doc belongs to a
+    * topic when it contains ≥ [[topicMinHits]] DISTINCT lexicon words
+    * (one stray word does not make a topic); membership is
+    * multi-label by design — domain composition overlaps.
+    */
+  private[graft] val topicLexicons: ListMap[String, Seq[String]] = ListMap(
+    "relational" -> Seq("join", "group", "agg", "sort", "filter"),
+    "storage" -> Seq("table", "row", "column", "part"),
+    "streaming" -> Seq("stream", "batch", "window"),
+    "vector_search" -> Seq("vector", "hash", "key"))
+
+  private[graft] val topicMinHits = 2
+
+  /** X131 core — the (source × topic) composition grid off a
+    * (source, text) frame. Factored so TextAnalysisSpec can drive the
+    * membership threshold's both branches (1 lexicon word → no hit,
+    * 2 → hit) and the absent-topic lift-0 convention on fixtures.
+    *
+    * ONE corpus pass computes every topic flag in-row (distinct-word
+    * array intersect against the broadcast-literal lexicon) and
+    * collapses to the ≤|sources| wide table — localCheckpointed
+    * because each topic's unpivot branch re-reads it (|T| consumers,
+    * the q_dedup_sweep lesson). The grid is COMPLETE by construction
+    * (every source row emits every topic, zero hits included — the
+    * X101 absent-cell rule); corpus marginals ride as windows
+    * PARTITIONed by topic over the grid, a plan constant. share =
+    * hits/n_s and lift = (hits·N_c)/(n_s·hits_c) are exact rationals
+    * rounded 4dp HALF_UP in integer space (HUGEINT/DECIMAL(38,0)
+    * cross-multiplies — 10¹⁴ docs × 10¹⁴ stays in range); a topic
+    * absent from the whole corpus defines lift = 0.
+    */
+  private[graft] def topicMixOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topics = topicLexicons.keys.toSeq
+    val flagged = docs
+      .withColumn("__tw", array_distinct(split(col("text"), " ")))
+    val withHits = topicLexicons.foldLeft(flagged) { case (df, (t, words)) =>
+      df.withColumn(s"__h_$t",
+        (size(array_intersect(col("__tw"), array(words.map(lit): _*)))
+          >= topicMinHits).cast("long"))
+    }
+    val wide = withHits.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s"),
+        topics.map(t => sum(col(s"__h_$t")).as(s"h_$t")): _*)
+      .localCheckpoint(true)
+    val grid = topics.map { t =>
+      wide.select(col("source"), col("n_s"), lit(t).as("topic"),
+        col(s"h_$t").as("hits"))
+    }.reduce(_ unionByName _)
+    val byTopic = Window.partitionBy(col("topic"))
+    grid
+      .withColumn("hc", sum(col("hits")).over(byTopic))
+      .withColumn("nc", sum(col("n_s")).over(byTopic))
+      .select(
+        col("source"), col("topic"), col("hits").cast("long").as("n_docs"),
+        expr("CAST((20000 * hits + n_s) DIV (2 * n_s) AS BIGINT)")
+          ./(lit(10000.0)).as("share"),
+        when(col("hc") === 0, lit(0.0)).otherwise(
+          expr("""CAST((20000 * CAST(hits AS DECIMAL(38,0)) * nc
+                 |      + CAST(n_s AS DECIMAL(38,0)) * hc)
+                 |  DIV (2 * CAST(n_s AS DECIMAL(38,0)) * hc) AS BIGINT)"""
+            .stripMargin) / lit(10000.0)).as("lift"))
+      .orderBy("source", "topic")
+  }
+
+  /** X131 — topic / domain composition (`q_topic_mix`): the table a
+    * mixing pipeline reads before setting domain weights — per
+    * (source, topic): docs matching the topic lexicon, the share of
+    * the source they make, and the lift over the corpus rate (which
+    * sources skew toward which domain). The complete grid, zero
+    * cells included.
+    */
+  private def topicMix(s: SparkSession, dir: String): DataFrame =
+    topicMixOf(Tables(s, dir, "documents").select(col("source"), col("text")))
+
+  private def topicMixSql: String = {
+    def lexList(ws: Seq[String]): String =
+      ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    val hitCols = topicLexicons.map { case (t, ws) =>
+      s"""    sum(CASE WHEN len(list_intersect(w, ${lexList(ws)}))
+         |        >= $topicMinHits THEN 1 ELSE 0 END) AS h_$t""".stripMargin
+    }.mkString(",\n")
+    val unpivot = topicLexicons.keys.map { t =>
+      s"SELECT source, n_s, '$t' AS topic, h_$t AS hits FROM h"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wd AS (
+       |  SELECT source, list_distinct(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |h AS MATERIALIZED (
+       |  SELECT source, count(*) AS n_s,
+       |$hitCols
+       |  FROM wd GROUP BY source),
+       |g AS ($unpivot),
+       |t AS (
+       |  SELECT source, topic, hits, n_s,
+       |    sum(hits) OVER (PARTITION BY topic) AS hc,
+       |    sum(n_s) OVER (PARTITION BY topic) AS nc
+       |  FROM g)
+       |SELECT source, topic, CAST(hits AS BIGINT) AS n_docs,
+       |  CAST((20000 * hits + n_s) // (2 * n_s) AS BIGINT) / 10000.0 AS share,
+       |  CASE WHEN hc = 0 THEN 0.0
+       |       ELSE CAST((20000 * CAST(hits AS HUGEINT) * nc
+       |                  + CAST(n_s AS HUGEINT) * hc)
+       |             // (2 * CAST(n_s AS HUGEINT) * hc) AS BIGINT) / 10000.0
+       |  END AS lift
+       |FROM t ORDER BY source, topic""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_token_count" -> QueryDef(
       tokenCount,
@@ -1976,5 +2086,9 @@ object TextAnalysis {
       distinctive,
       Some(distinctiveSql),
       "X104 per-source distinctive terms: Monroe et al. prior-smoothed log-odds, z-scored"),
+    "q_topic_mix" -> QueryDef(
+      topicMix,
+      Some(topicMixSql),
+      "X131 topic/domain composition: per (source, topic) lexicon share + corpus lift, complete grid"),
   )
 }

@@ -504,4 +504,59 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(f1 > 0.0 && f1 < 1.0, s"F1 $f1 not strictly inside (0,1) at $dir")
     }
   }
+
+  test("q_topic_mix: complete grid, every share/lift recounts sequentially at two SFs") {
+    import org.apache.spark.sql.functions.col
+    val lex = graft.operators.TextAnalysis.topicLexicons
+    val minHits = graft.operators.TextAnalysis.topicMinHits
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("source"), col("text")).collect()
+        .map(r => (r.getString(0), r.getString(1).split(" ").distinct.toSet))
+      val sources = docs.map(_._1).distinct.sorted
+      val nS = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val nC = docs.length.toLong
+      def q4(num: BigInt, den: BigInt): Double =
+        ((num * 20000 + den) / (den * 2)).toLong / 10000.0
+      val want = (for (s <- sources; (t, ws) <- lex.toSeq) yield {
+        val hits = docs.count { case (src, w) =>
+          src == s && ws.count(w.contains) >= minHits
+        }.toLong
+        val hc = docs.count { case (_, w) => ws.count(w.contains) >= minHits }.toLong
+        val lift = if (hc == 0) 0.0
+          else q4(BigInt(hits) * nC, BigInt(nS(s)) * hc)
+        (s, t, hits, q4(BigInt(hits), BigInt(nS(s))), lift)
+      }).sortBy(r => (r._1, r._2))
+      val got = SparkEntry.queries("q_topic_mix")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSeq
+      assert(got === want, s"topic mix recount diverges at $dir")
+      // the grid is COMPLETE: |sources| x |topics| rows, no absent cells
+      assert(got.size === sources.size * lex.size, "grid not complete")
+    }
+  }
+
+  test("topicMixOf: membership threshold both branches + absent-topic lift-0 convention") {
+    import spark.implicits._
+    // one lexicon word is not membership; two distinct are; repeats of
+    // one word never count (distinct-word intersect)
+    val docs = Seq(
+      ("sA", "join join join join"),          // 1 distinct relational word
+      ("sA", "join group other"),             // 2 -> member
+      ("sB", "filter sort agg"),              // 3 -> member
+      ("sB", "nothing here")                  // 0
+    ).toDF("source", "text")
+    val got = graft.operators.TextAnalysis.topicMixOf(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got(("sA", "relational"))._1 === 1L, "repeat-word doc must not count")
+    assert(got(("sB", "relational"))._1 === 1L)
+    assert(got(("sA", "relational"))._2 === 0.5)
+    // no doc mentions two streaming words: topic absent corpus-wide,
+    // lift defined 0 on every cell, zero cells still present
+    assert(got(("sA", "streaming")) === ((0L, 0.0, 0.0)))
+    assert(got(("sB", "streaming")) === ((0L, 0.0, 0.0)))
+    // relational corpus rate = 2/4; sB rate = 1/2 -> lift exactly 1
+    assert(got(("sB", "relational"))._3 === 1.0)
+  }
 }
