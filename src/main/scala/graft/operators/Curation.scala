@@ -2153,6 +2153,78 @@ object Curation {
        |  END AS auc
        |FROM roc, tot t ORDER BY bin""".stripMargin
 
+  /** X132's declared k ladder — the anonymity levels a release policy
+    * quotes (pair-risk, small-group, and the two common publication
+    * thresholds).
+    */
+  private[graft] val kanonLadder: Seq[Int] = Seq(2, 5, 10, 25)
+
+  /** X132 core — the k-anonymity report off any frame and
+    * quasi-identifier column set. Factored so CurationSpec can drive
+    * a hand-built class layout (sizes 1/2/5) through the SAME
+    * machinery and pin the STRICT `< k` risk semantics (a class of
+    * size exactly k is NOT at risk at level k).
+    *
+    * Shape: one exchange collapses the corpus to the QI
+    * equivalence-class dictionary (bounded by the QI value-combination
+    * count — the reason quasi-identifiers are auditable at all); the
+    * ladder rides in as a broadcast cross join and a second
+    * dictionary-grain aggregate emits one row per k. risk_share =
+    * rows_at_risk / n is an exact rational rounded 4dp HALF_UP in
+    * integer space.
+    */
+  private[graft] def kanonOf(
+      df: DataFrame, qi: Seq[String], ladder: Seq[Int]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val cls = df.groupBy(qi.map(col): _*).agg(count(lit(1)).as("c"))
+    cls.crossJoin(broadcast(ladder.map(_.toLong).toDF("k")))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        min(col("c")).as("k_anon"),
+        sum(when(col("c") < col("k"), 1L).otherwise(0L)).as("n_classes_below"),
+        sum(when(col("c") < col("k"), col("c")).otherwise(0L)).as("rows_at_risk"),
+        sum(col("c")).as("n"))
+      .select(
+        col("k").cast("long").as("k"),
+        col("n_classes").cast("long").as("n_classes"),
+        col("k_anon").cast("long").as("k_anon"),
+        col("n_classes_below").cast("long").as("n_classes_below"),
+        col("rows_at_risk").cast("long").as("rows_at_risk"),
+        expr("CAST((20000 * rows_at_risk + n) DIV (2 * n) AS BIGINT)")
+          ./(lit(10000.0)).as("risk_share"))
+      .orderBy("k")
+  }
+
+  /** X132 — k-anonymity release audit (`q_kanon`): the privacy gate a
+    * data release runs next to X19's PII redaction — redaction strips
+    * direct identifiers; k-anonymity measures whether the QUASI
+    * identifiers that remain (here customer's (nation, market
+    * segment)) still single people out by combination. Per declared
+    * anonymity level k: equivalence classes smaller than k, the rows
+    * they expose, and the at-risk share; riding every row, the
+    * corpus's actual k-anonymity (the smallest class — the k the
+    * release can truthfully claim) and the class count.
+    */
+  private def kanon(s: SparkSession, dir: String): DataFrame =
+    kanonOf(Tables(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+      kanonLadder)
+
+  private def kanonSql: String =
+    s"""WITH cls AS (
+       |  SELECT c_nationkey, c_mktsegment, count(*) AS c
+       |  FROM customer GROUP BY 1, 2),
+       |l(k) AS (VALUES ${kanonLadder.map(k => s"($k)").mkString(", ")})
+       |SELECT CAST(k AS BIGINT) AS k,
+       |  CAST(count(*) AS BIGINT) AS n_classes,
+       |  CAST(min(c) AS BIGINT) AS k_anon,
+       |  CAST(sum(CASE WHEN c < k THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_below,
+       |  CAST(sum(CASE WHEN c < k THEN c ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       |  CAST((20000 * sum(CASE WHEN c < k THEN c ELSE 0 END) + sum(c))
+       |       // (2 * sum(c)) AS BIGINT) / 10000.0 AS risk_share
+       |FROM cls, l GROUP BY k ORDER BY k""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_decontaminate" -> QueryDef(
       decontaminate,
@@ -2423,5 +2495,9 @@ object Curation {
       clfAuc,
       Some(clfAucSql),
       "X129 classifier ROC/AUC: per-bin exact TPR/FPR + tie-corrected Mann-Whitney AUC vs the rule label"),
+    "q_kanon" -> QueryDef(
+      kanon,
+      Some(kanonSql),
+      "X132 k-anonymity release audit: per level, classes below k + at-risk rows/share, true k riding"),
   )
 }

@@ -916,6 +916,39 @@ class CurationSpec extends AnyFunSuite {
       s"post-checkpoint plan must be dictionary-only:\n$plan")
   }
 
+  test("q_kanon: ladder recounts sequentially at two SFs; k_anon is the real min class") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val classes = Tables(spark, dir, "customer")
+        .select(col("c_nationkey").cast("long"), col("c_mktsegment")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(identity).map(_._2.length.toLong).toSeq
+      val n = classes.sum
+      val want = graft.operators.Curation.kanonLadder.map { k =>
+        val below = classes.filter(_ < k)
+        (k.toLong, classes.size.toLong, classes.min, below.size.toLong, below.sum,
+          ((20000L * below.sum + n) / (2L * n)) / 10000.0)
+      }
+      val got = SparkEntry.queries("q_kanon")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSeq
+      assert(got === want, s"k-anonymity recount diverges at $dir")
+    }
+  }
+
+  test("kanonOf: strict <k semantics — a class of size exactly k is not at risk") {
+    import spark.implicits._
+    // classes: x->1 row, y->2 rows, z->5 rows
+    val df = (Seq.fill(1)("x") ++ Seq.fill(2)("y") ++ Seq.fill(5)("z")).toDF("q")
+    val got = graft.operators.Curation.kanonOf(df, Seq("q"), Seq(2, 3, 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === Seq(
+      (2L, 3L, 1L, 1L, 1L, 0.125),   // size-2 class NOT at risk at k=2
+      (3L, 3L, 1L, 2L, 3L, 0.375),
+      (6L, 3L, 1L, 3L, 8L, 1.0)))
+  }
+
   test("q_anneal_plan: recount off the rule gate, floor-shortfall bounds, both upweight directions") {
     import org.apache.spark.sql.functions.{col, size, split}
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
