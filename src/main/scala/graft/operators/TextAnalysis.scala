@@ -1778,6 +1778,85 @@ object TextAnalysis {
        |FROM t ORDER BY source, topic""".stripMargin
   }
 
+  /** X133 core — per-source code-switching table off a (source, text)
+    * frame. Factored so TextAnalysisSpec can drive engineered halves
+    * (stopword-dense front + bare back → mixed), the odd-length split
+    * convention (n=5 → first 2 words, last 3), and the n<2
+    * ineligibility branch through the SAME machinery.
+    *
+    * Each doc splits into word-halves (first n DIV 2 words, rest);
+    * each half gets the X9 language verdict (10·stop ≥ n_half ⇔ the
+    * integer form of stopword-ratio ≥ 10% — no float can flip a
+    * label); a doc is MIXED when its halves disagree. Docs under 2
+    * words have no second half and are excluded. All in-row; one
+    * exchange to the |sources| dictionary; share is an exact rational
+    * rounded 4dp HALF_UP in integer space.
+    */
+  private[graft] def langMixOf(docsDf: DataFrame): DataFrame = {
+    val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    docsDf
+      .withColumn("__w", split(col("text"), " "))
+      .withColumn("__n", size(col("__w")).cast("long"))
+      .filter(col("__n") >= 2)
+      .withColumn("__h1", expr("slice(__w, 1, CAST(__n DIV 2 AS INT))"))
+      .withColumn("__h2", expr(
+        "slice(__w, CAST(__n DIV 2 AS INT) + 1, CAST(__n - __n DIV 2 AS INT))"))
+      .withColumn("__e1", expr(
+        s"10 * size(filter(__h1, x -> array_contains($stopArr, x))) >= size(__h1)"))
+      .withColumn("__e2", expr(
+        s"10 * size(filter(__h2, x -> array_contains($stopArr, x))) >= size(__h2)"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__e1") =!= col("__e2"), 1L).otherwise(0L)).as("n_mixed"),
+        sum(when(col("__e1") && !col("__e2"), 1L).otherwise(0L)).as("n_en_front"),
+        sum(when(!col("__e1") && col("__e2"), 1L).otherwise(0L)).as("n_en_back"))
+      .select(
+        col("source"), col("n_docs").cast("long").as("n_docs"),
+        col("n_mixed").cast("long").as("n_mixed"),
+        col("n_en_front").cast("long").as("n_en_front"),
+        col("n_en_back").cast("long").as("n_en_back"),
+        expr("CAST((20000 * n_mixed + n_docs) DIV (2 * n_docs) AS BIGINT)")
+          ./(lit(10000.0)).as("mixed_share"))
+      .orderBy("source")
+  }
+
+  /** X133 — code-switching / mixed-language detection (`q_lang_mix`):
+    * the curation signal X9 cannot see — X9 labels the WHOLE doc, so
+    * a document that changes language mid-stream (a scraped page with
+    * an English header and non-English body, concatenated boilerplate,
+    * bad segmentation) gets one confident wrong label and pollutes
+    * whichever language bucket it lands in. Per source: eligible
+    * docs, docs whose two halves the X9 verdict labels differently,
+    * the direction split (en-front/other-back vs the reverse — which
+    * end the English is on says header-vs-footer contamination), and
+    * the mixed share.
+    */
+  private def langMix(s: SparkSession, dir: String): DataFrame =
+    langMixOf(Tables(s, dir, "documents").select(col("source"), col("text")))
+
+  private def langMixSql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    def eHalf(h: String): String =
+      s"10 * len(list_filter($h, x -> list_contains($stopList, x))) >= len($h)"
+    s"""WITH d AS (
+       |  SELECT source, string_split(text, ' ') AS w,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |h AS (
+       |  SELECT source,
+       |    ${eHalf("list_slice(w, 1, n // 2)")} AS e1,
+       |    ${eHalf("list_slice(w, n // 2 + 1, n)")} AS e2
+       |  FROM d WHERE n >= 2)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN e1 <> e2 THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+       |  CAST(sum(CASE WHEN e1 AND NOT e2 THEN 1 ELSE 0 END) AS BIGINT) AS n_en_front,
+       |  CAST(sum(CASE WHEN e2 AND NOT e1 THEN 1 ELSE 0 END) AS BIGINT) AS n_en_back,
+       |  CAST((20000 * sum(CASE WHEN e1 <> e2 THEN 1 ELSE 0 END) + count(*))
+       |       // (2 * count(*)) AS BIGINT) / 10000.0 AS mixed_share
+       |FROM h GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_token_count" -> QueryDef(
       tokenCount,
@@ -2090,5 +2169,9 @@ object TextAnalysis {
       topicMix,
       Some(topicMixSql),
       "X131 topic/domain composition: per (source, topic) lexicon share + corpus lift, complete grid"),
+    "q_lang_mix" -> QueryDef(
+      langMix,
+      Some(langMixSql),
+      "X133 code-switching detection: per source, half-vs-half X9 disagreement + direction split"),
   )
 }

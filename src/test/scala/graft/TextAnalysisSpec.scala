@@ -536,6 +536,59 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("q_lang_mix: per-source table recounts sequentially at two SFs; both directions live") {
+    import org.apache.spark.sql.functions.col
+    val stop = Set("the", "a", "of", "to", "and", "is", "in")
+    def en(h: Seq[String]): Boolean = 10 * h.count(stop.contains) >= h.size
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("source"), col("text")).collect()
+        .map(r => (r.getString(0), r.getString(1).split(" ").toSeq))
+        .filter(_._2.size >= 2)
+      val want = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, ds) =>
+        val halves = ds.map { case (_, w) =>
+          (en(w.take(w.size / 2)), en(w.drop(w.size / 2)))
+        }
+        val mixed = halves.count(h => h._1 != h._2).toLong
+        val n = ds.size.toLong
+        (s, n, mixed, halves.count(h => h._1 && !h._2).toLong,
+          halves.count(h => !h._1 && h._2).toLong,
+          ((20000L * mixed + n) / (2L * n)) / 10000.0)
+      }
+      val got = SparkEntry.queries("q_lang_mix")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSeq
+      assert(got === want, s"lang-mix recount diverges at $dir")
+      if (dir.endsWith("0.01")) {
+        assert(got.map(_._4).sum > 0 && got.map(_._5).sum > 0,
+          "both code-switch directions should be live on the corpus")
+      }
+    }
+  }
+
+  test("langMixOf: engineered halves, odd-split convention, n<2 ineligibility") {
+    import spark.implicits._
+    val docs = Seq(
+      // 6 words: front half all stopwords -> en; back half none -> mixed, en-front
+      ("sX", "the a of xx yy zz"),
+      // reverse direction
+      ("sX", "xx yy zz the a of"),
+      // uniform: both halves en -> not mixed
+      ("sX", "the xx the yy the zz"),
+      // 5 words: halves are first 2 / last 3 — 'the' as word 3 belongs
+      // to the BACK half, so front={xx,yy} other, back en -> mixed
+      ("sY", "xx yy the the zz"),
+      // single word: ineligible, must not appear in sZ at all
+      ("sZ", "the")
+    ).toDF("source", "text")
+    val got = graft.operators.TextAnalysis.langMixOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === Seq(
+      ("sX", 3L, 2L, 1L, 1L, 0.6667),
+      ("sY", 1L, 1L, 0L, 1L, 1.0)))
+  }
+
   test("topicMixOf: membership threshold both branches + absent-topic lift-0 convention") {
     import spark.implicits._
     // one lexicon word is not membership; two distinct are; repeats of
