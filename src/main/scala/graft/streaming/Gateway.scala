@@ -486,6 +486,74 @@ object Gateway {
         col("mg.toks").as("candidates"))
   }
 
+  /** Streaming X128 — windowed hot-key monitor (`skewFeed`): the
+    * shuffle-skew audit [[graft.operators.Shuffle]] runs offline,
+    * maintained continuously on the ingest path — per event-time
+    * window, the key-cardinality profile of the stream's own grouping
+    * key (rows, keys, hottest key, the exact max/avg ratio, the >4×
+    * verdict and the salt factor a mitigation would need). A key that
+    * goes hot LIVE (a runaway device, a crawler loop, a bot user) is
+    * exactly what turns the NEXT batch job's shuffle into a
+    * one-straggler stage; this feed is the early warning.
+    *
+    * Execution shape is the Spark-4 chained-windowed-aggregation
+    * pattern (two stateful aggregates in append mode): the first
+    * collapses the stream to per-(window, key) counts — state bounded
+    * by key churn per watermark horizon; the second re-windows via
+    * `window_time` and collapses the count dictionary to the 1-row
+    * audit. Hot-key tie-break is MIN key among max-count ties, carried
+    * as `min(struct(-count, key))` — order-free, so micro-batch
+    * boundaries cannot move it; ratio/verdict/salt are the identical
+    * DECIMAL(38,0) integer forms of the batch `keySkewOf`
+    * (GatewaySpec pins stream ≡ batch ≡ sequential recount, with the
+    * fired branch driven by a hot-key window in the same feed).
+    */
+  def skewFeed(
+      lines: DataFrame,
+      skewThreshold: Long = 4L,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val parsed = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 && col("p").getItem(0).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).as("k"))
+      .withWatermark("ts", watermarkDelay)
+    val perKey = parsed
+      .groupBy(window(col("ts"), windowDuration), col("k"))
+      .agg(count(lit(1)).as("c"))
+    perKey
+      .groupBy(window(window_time(col("window")), windowDuration))
+      .agg(
+        sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_cnt"),
+        min(struct((-col("c")).as("negc"), col("k").as("hk"))).as("hot"))
+      .select(
+        col("window.start").as("window_start"),
+        col("n_rows").cast("long").as("n_rows"),
+        col("n_keys").cast("long").as("n_keys"),
+        col("max_cnt").cast("long").as("max_cnt"),
+        col("hot").getField("hk").as("hot_key"),
+        (expr(
+          """CAST((CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 20000
+            |       + CAST(n_rows AS DECIMAL(38,0)))
+            |  DIV (2 * CAST(n_rows AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
+          / lit(10000.0)).as("skew_ratio"),
+        expr(
+          s"""CAST(CASE WHEN CAST(max_cnt AS DECIMAL(38,0)) * n_keys
+             |         > $skewThreshold * CAST(n_rows AS DECIMAL(38,0))
+             |    THEN 1 ELSE 0 END AS BIGINT)""".stripMargin).as("is_skewed"),
+        expr(
+          s"""CAST(CASE WHEN CAST(max_cnt AS DECIMAL(38,0)) * n_keys
+             |         > $skewThreshold * CAST(n_rows AS DECIMAL(38,0))
+             |    THEN (CAST(max_cnt AS DECIMAL(38,0)) * n_keys
+             |          + CAST(n_rows AS DECIMAL(38,0)) - 1)
+             |         DIV CAST(n_rows AS DECIMAL(38,0))
+             |    ELSE 1 END AS BIGINT)""".stripMargin).as("salt_n"))
+  }
+
   /** Streaming X37/X80 — windowed novel-vocabulary monitor
     * (`novelFeed`): per event-time window, the fraction of incoming
     * tokens OUTSIDE a static reference vocabulary — the live

@@ -1362,6 +1362,72 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming skew monitor: chained windowed aggs, stream == batch == recount, fired branch live") {
+    // Streaming X128: two event-time days — day A healthy (near-uniform
+    // keys), day B with one runaway key — so BOTH verdict branches
+    // close out of the same feed. The audit must agree under the
+    // streaming engine (two chained stateful aggregates), as a batch
+    // frame, and in a BigInt driver recount of the keySkewOf math.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1700000000L
+    val dayA = (0 until 60).map(i => (base + i, s"dev${i % 10}"))
+    val dayB = (0 until 90).map(i =>
+      (base + 86400 + i, if (i < 80) "hot" else s"cold${i % 10}"))
+    val feed = dayA ++ dayB
+    val lines = feed.map { case (s, k) => s"$s $k 0.0" }
+    val ms = MemoryStream[String]
+    val sink = s"skew_feed_${System.nanoTime()}"
+    val q = Gateway.skewFeed(ms.toDF(), 4L, "1 day", "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // scrambled delivery across micro-batches, but day-coherent: mixing
+      // day-B timestamps into the first batch would advance the watermark
+      // past day A and make its stragglers legitimately late — the test
+      // exercises batch-boundary order-freedom, not late-data drops
+      val aLines = dayA.map { case (s, k) => s"$s $k 0.0" }
+      val bLines = dayB.map { case (s, k) => s"$s $k 0.0" }
+      val (a1, a2) = scala.util.Random.shuffle(aLines).splitAt(aLines.size / 2)
+      ms.addData(a1: _*)
+      q.processAllAvailable()
+      ms.addData((a2 ++ scala.util.Random.shuffle(bLines)): _*)
+      q.processAllAvailable()
+      ms.addData("9999999999 sentinel 0.0")
+      q.processAllAvailable()
+      ms.addData("9999999999 sentinel 0.0")
+      q.processAllAvailable()
+      val cols = Seq(unix_seconds(col("window_start")).as("ws"),
+        col("n_rows"), col("n_keys"), col("max_cnt"), col("hot_key"),
+        col("skew_ratio"), col("is_skewed"), col("salt_n"))
+      val streamed = spark.table(sink).select(cols: _*)
+        .as[(Long, Long, Long, Long, String, Double, Long, Long)].collect().toSet
+      val batch = Gateway.skewFeed(lines.toDF("value"), 4L, "1 day", "1 hour")
+        .select(cols: _*)
+        .as[(Long, Long, Long, Long, String, Double, Long, Long)].collect().toSet
+      assert(batch.nonEmpty, "vacuous pin: no window closed")
+      assert(streamed === batch, "streaming skew audit diverges from batch")
+      val expected = feed.groupBy { case (s, _) => (s / 86400) * 86400 }
+        .map { case (ws, rows) =>
+          val cnt = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+          val n = rows.length.toLong; val nk = cnt.size.toLong
+          val mx = cnt.values.max
+          val hot = cnt.filter(_._2 == mx).keys.min
+          val q4 = ((BigInt(mx) * nk * 20000 + n) / (BigInt(n) * 2)).toLong
+          val fired = BigInt(mx) * nk > BigInt(n) * 4
+          (ws, n, nk, mx, hot, q4 / 10000.0,
+            if (fired) 1L else 0L,
+            if (fired) ((BigInt(mx) * nk + n - 1) / BigInt(n)).toLong else 1L)
+        }.toSet
+      assert(batch === expected, "skew audit diverges from the sequential recount")
+      // both branches genuinely closed: day A healthy, day B fired with
+      // the right hot key and a salt factor that would actually split it
+      assert(streamed.exists(r => r._7 == 0L && r._8 == 1L), "healthy window missing")
+      val fired = streamed.find(_._7 == 1L)
+      assert(fired.exists(r => r._5 == "hot" && r._8 > 1L),
+        s"hot-key window missing or mis-audited: $streamed")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: within-watermark duplicates dropped, expired keys re-admitted") {
     // The two halves of dropDuplicatesWithinWatermark's contract:
     // (1) a frame re-sent while its key state lives is suppressed —
