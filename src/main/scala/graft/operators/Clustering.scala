@@ -1635,6 +1635,135 @@ object Clustering {
        |    // (2 * CAST(n_tokens AS HUGEINT) * 1000000) AS BIGINT) / 10000.0 AS eff_ratio
        |FROM g ORDER BY source""".stripMargin
 
+  /** X134's per-cell budget — the M each cell may contribute to the
+    * curated index. Sized against the shipped corpus (kept middles run
+    * 34–63 per cell across the verification SFs) so the cap BINDS in
+    * most cells and does NOT in the smallest at BOTH SFs — both keep
+    * branches live everywhere the driver verifies, the X57 sizing
+    * lesson; EmbedPipelineSpec pins both per SF.
+    */
+  private[graft] val embedPipeM = 44L
+
+  /** X134 core — the embedding-curation fate table off an explicit
+    * (vec_id, embedding) frame and centroid set. Factored so
+    * ClusteringSpec can drive the broken-norm gate (the live corpus is
+    * norm-healthy — X127) and a tiny-cell cap-no-bind layout through
+    * the SAME machinery.
+    *
+    * Stage chain, each the DECLARED operator's factored body pointed
+    * at the previous stage's survivors:
+    *  1. norm gate (X127): ppm-snapped ‖x‖², in-band = ǀn2−10⁶ǀ ≤ 10⁵;
+    *  2. cell assignment (X32): literal-centroid compare-on-rounded
+    *     argmin — computed IN THE SAME narrow pass as the norm (the
+    *     one-scan discipline), dropped for norm-failed rows;
+    *  3. per-cell decile prune (X113): exact order statistic under
+    *     (d2, vec_id) via [[Extensions.rankedByRange]] — verdict
+    *     1 prototype / 2 outlier / 0 keep;
+    *  4. per-cell cap (X57's budget shape): the kept middle ranked by
+    *     vec_id (reproducible, hash-free), admitted while rank ≤ M.
+    * `kept` = in-band ∧ verdict 0 ∧ under cap; every stage's evidence
+    * rides the row, NULL past the stage that dropped it — the vector
+    * side's fate table, as [[Pipeline]] is the text side's.
+    *
+    * Scale shape: embeddings read ONCE (norm + argmin share the scan,
+    * localCheckpoint materializes — the q_pipeline discipline,
+    * spec-pinned); both rankings are range exchanges (no task sorts a
+    * whole cell), cell counts a ≤K broadcast, verdicts joined back by
+    * the unique vec_id (AQE-broadcastable, bounded by survivors).
+    */
+  private[graft] def embedPipelineOf(
+      emb: DataFrame, cents: Seq[(Long, Array[Double])], m: Long): DataFrame = {
+    val best = bestCentroidOf(cents)
+    val n2ppm = round(VectorOps.normSq(col("embedding")) * 1000000.0, 0)
+      .cast("long")
+    val scanned = emb.select(
+      col("vec_id"), n2ppm.as("n2"),
+      best.getField("cid").cast("long").as("cid"),
+      best.getField("d2").as("d2"))
+      .withColumn("norm_ok",
+        (abs(col("n2") - 1000000L) <= 100000L).cast("long"))
+      .localCheckpoint(true)
+    val surv = scanned.filter(col("norm_ok") === 1)
+      .select(col("vec_id"), col("cid"), col("d2"))
+    val rk = Extensions.rankedByRange(
+      surv.select(col("cid"), col("d2"), col("vec_id")),
+      "cid", Seq("d2", "vec_id"), "rk")
+    val cnt = surv.groupBy(col("cid")).agg(count(lit(1)).cast("long").as("n"))
+    val vd = rk.join(broadcast(cnt), "cid")
+      .withColumn("cut", expr("(n + 9) div 10"))
+      .select(col("vec_id"), col("cid"), col("d2"), col("n"),
+        col("rk").cast("long").as("rk"),
+        when(col("rk") <= col("cut"), lit(1L))
+          .when(col("rk") >= col("n") - col("cut") + 1, lit(2L))
+          .otherwise(lit(0L)).as("verdict"))
+      .localCheckpoint(true)
+    val cap = Extensions.rankedByRange(
+      vd.filter(col("verdict") === 0L).select(col("cid"), col("vec_id")),
+      "cid", Seq("vec_id"), "cap_rank")
+      .select(col("vec_id"), col("cap_rank").cast("long").as("cap_rank"))
+    scanned.select(col("vec_id"), col("norm_ok"))
+      .join(vd.drop("cut"), Seq("vec_id"), "left")
+      .join(cap, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("norm_ok"),
+        col("cid"), col("d2"), col("n"), col("rk"), col("verdict"),
+        col("cap_rank"),
+        when(col("norm_ok") === 1 && col("verdict") === 0L
+          && col("cap_rank") <= m, 1L).otherwise(0L).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** X134 — composed embedding-curation pipeline (`q_embed_pipeline`):
+    * the vector corpus's production curation DAG as ONE plan — the
+    * [[Pipeline]] mandate applied to the embedding side: what a real
+    * index build runs between "a new embedding shipment landed" and
+    * "these vectors enter the ANN index / training mix", with every
+    * stage's verdict on the row (the fate table a curator reads).
+    */
+  private def embedPipeline(s: SparkSession, dir: String): DataFrame =
+    embedPipelineOf(
+      graft.Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      centroids(s, dir).map { case (cid, v) => cid -> v.map(_.toDouble) },
+      embedPipeM)
+
+  private def embedPipelineSql: String =
+    s"""WITH $cellCtes,
+       |nv AS (
+       |  SELECT vec_id, CAST(round(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1000000.0) AS BIGINT) AS n2
+       |  FROM embeddings),
+       |ok AS (
+       |  SELECT vec_id,
+       |    CASE WHEN abs(n2 - 1000000) <= 100000 THEN 1 ELSE 0 END AS norm_ok
+       |  FROM nv),
+       |surv AS MATERIALIZED (
+       |  SELECT c.vec_id, c.cid, c.d2
+       |  FROM cells c JOIN ok USING (vec_id) WHERE ok.norm_ok = 1),
+       |rk AS (
+       |  SELECT vec_id, cid, d2,
+       |    row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rk
+       |  FROM surv),
+       |cn AS (SELECT cid, count(*) AS n FROM surv GROUP BY 1),
+       |vd AS MATERIALIZED (
+       |  SELECT r.vec_id, r.cid, r.d2, c.n, r.rk,
+       |    CASE WHEN r.rk <= (c.n + 9) // 10 THEN 1
+       |         WHEN r.rk >= c.n - (c.n + 9) // 10 + 1 THEN 2
+       |         ELSE 0 END AS verdict
+       |  FROM rk r JOIN cn c USING (cid)),
+       |cap AS (
+       |  SELECT vec_id, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS cap_rank
+       |  FROM vd WHERE verdict = 0)
+       |SELECT ok.vec_id, CAST(ok.norm_ok AS BIGINT) AS norm_ok,
+       |  CAST(vd.cid AS BIGINT) AS cid, vd.d2, CAST(vd.n AS BIGINT) AS n,
+       |  CAST(vd.rk AS BIGINT) AS rk, CAST(vd.verdict AS BIGINT) AS verdict,
+       |  CAST(cap.cap_rank AS BIGINT) AS cap_rank,
+       |  CAST(CASE WHEN ok.norm_ok = 1 AND vd.verdict = 0
+       |            AND cap.cap_rank <= $embedPipeM
+       |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM ok
+       |LEFT JOIN vd USING (vec_id)
+       |LEFT JOIN cap USING (vec_id)
+       |ORDER BY ok.vec_id""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_dedup_cluster" -> QueryDef(
       dedupCluster,
@@ -1716,5 +1845,9 @@ object Clustering {
       effSize,
       Some(effSizeSql),
       "X107 effective dataset size: 1/cluster-size token discounting per source, integer ppm"),
+    "q_embed_pipeline" -> QueryDef(
+      embedPipeline,
+      Some(embedPipelineSql),
+      "X134 composed embedding pipeline: norm gate -> cell assign -> decile prune -> per-cell cap, one scan"),
   )
 }
