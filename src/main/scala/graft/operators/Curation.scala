@@ -2197,6 +2197,78 @@ object Curation {
       .orderBy("k")
   }
 
+  /** X135's declared ℓ ladder — the diversity levels a release policy
+    * quotes (a class is attackable when every member shares the same
+    * sensitive value even if the class is large — the homogeneity
+    * attack k-anonymity misses).
+    */
+  private[graft] val ldivLadder: Seq[Int] = Seq(2, 3, 5, 8)
+
+  /** X135 core — the ℓ-diversity report off a frame, QI column set
+    * and sensitive column. Same shape as [[kanonOf]] (one exchange to
+    * the QI class dictionary, ladder broadcast, dictionary-grain
+    * report) with the class statistic being DISTINCT sensitive values
+    * instead of size. Strict `< ℓ` risk semantics, fixture-pinned
+    * (a class with exactly ℓ distinct values is safe at level ℓ).
+    */
+  private[graft] def ldivOf(
+      df: DataFrame, qi: Seq[String], sens: String, ladder: Seq[Int]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val cls = df.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("c"), countDistinct(col(sens)).as("l"))
+    cls.crossJoin(broadcast(ladder.map(_.toLong).toDF("lvl")))
+      .groupBy(col("lvl"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        min(col("l")).as("l_div"),
+        sum(when(col("l") < col("lvl"), 1L).otherwise(0L)).as("n_classes_below"),
+        sum(when(col("l") < col("lvl"), col("c")).otherwise(0L)).as("rows_at_risk"),
+        sum(col("c")).as("n"))
+      .select(
+        col("lvl").cast("long").as("lvl"),
+        col("n_classes").cast("long").as("n_classes"),
+        col("l_div").cast("long").as("l_div"),
+        col("n_classes_below").cast("long").as("n_classes_below"),
+        col("rows_at_risk").cast("long").as("rows_at_risk"),
+        expr("CAST((20000 * rows_at_risk + n) DIV (2 * n) AS BIGINT)")
+          ./(lit(10000.0)).as("risk_share"))
+      .orderBy("lvl")
+  }
+
+  /** X135 — ℓ-diversity release audit (`q_ldiversity`): the
+    * homogeneity-attack gate k-anonymity misses — a QI class can be
+    * comfortably large and still leak if every member shares the same
+    * sensitive value (Machanavajjhala et al.'s canonical follow-up).
+    * QI = customer's (nation, market segment) — X132's classes — and
+    * the sensitive attribute is the account-balance band
+    * (floor(acctbal/1000): the financial-standing disclosure). Per
+    * declared level ℓ: classes with fewer than ℓ distinct bands, the
+    * rows they expose, the at-risk share; riding every row, the TRUE
+    * corpus ℓ-diversity (the min distinct count — the ℓ the release
+    * can claim) and the class count.
+    */
+  private def ldiversity(s: SparkSession, dir: String): DataFrame =
+    ldivOf(
+      Tables(s, dir, "customer")
+        .withColumn("bal_band", floor(col("c_acctbal") / 1000).cast("long")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_band", ldivLadder)
+
+  private def ldiversitySql: String =
+    s"""WITH cls AS (
+       |  SELECT c_nationkey, c_mktsegment, count(*) AS c,
+       |    count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l
+       |  FROM customer GROUP BY 1, 2),
+       |lv(lvl) AS (VALUES ${ldivLadder.map(k => s"($k)").mkString(", ")})
+       |SELECT CAST(lvl AS BIGINT) AS lvl,
+       |  CAST(count(*) AS BIGINT) AS n_classes,
+       |  CAST(min(l) AS BIGINT) AS l_div,
+       |  CAST(sum(CASE WHEN l < lvl THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_below,
+       |  CAST(sum(CASE WHEN l < lvl THEN c ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       |  CAST((20000 * sum(CASE WHEN l < lvl THEN c ELSE 0 END) + sum(c))
+       |       // (2 * sum(c)) AS BIGINT) / 10000.0 AS risk_share
+       |FROM cls, lv GROUP BY lvl ORDER BY lvl""".stripMargin
+
   /** X132 — k-anonymity release audit (`q_kanon`): the privacy gate a
     * data release runs next to X19's PII redaction — redaction strips
     * direct identifiers; k-anonymity measures whether the QUASI
@@ -2499,5 +2571,9 @@ object Curation {
       kanon,
       Some(kanonSql),
       "X132 k-anonymity release audit: per level, classes below k + at-risk rows/share, true k riding"),
+    "q_ldiversity" -> QueryDef(
+      ldiversity,
+      Some(ldiversitySql),
+      "X135 l-diversity release audit: per level, homogeneous classes + at-risk rows/share, true l riding"),
   )
 }

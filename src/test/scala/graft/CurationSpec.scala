@@ -936,6 +936,46 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ldiversity: ladder recounts sequentially at two SFs; l_div is the real min distinct") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val classes = Tables(spark, dir, "customer")
+        .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+          col("c_acctbal")).collect()
+        .map(r => ((r.getLong(0), r.getString(1)),
+          math.floor(r.getDouble(2) / 1000).toLong))
+        .groupBy(_._1).toSeq.map { case (_, vs) =>
+          (vs.length.toLong, vs.map(_._2).distinct.length.toLong)
+        }
+      val n = classes.map(_._1).sum
+      val want = graft.operators.Curation.ldivLadder.map { lvl =>
+        val below = classes.filter(_._2 < lvl)
+        (lvl.toLong, classes.size.toLong, classes.map(_._2).min,
+          below.size.toLong, below.map(_._1).sum,
+          ((20000L * below.map(_._1).sum + n) / (2L * n)) / 10000.0)
+      }
+      val got = SparkEntry.queries("q_ldiversity")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSeq
+      assert(got === want, s"l-diversity recount diverges at $dir")
+    }
+  }
+
+  test("ldivOf: strict <l semantics and the homogeneity case k-anonymity misses") {
+    import spark.implicits._
+    // class x: LARGE (5 rows) but homogeneous (1 value) — the attack;
+    // class y: 3 rows, 3 distinct values; class z: 2 rows, 2 values
+    val df = (Seq.fill(5)(("x", 7L)) ++
+      Seq(("y", 1L), ("y", 2L), ("y", 3L), ("z", 1L), ("z", 2L)))
+      .toDF("q", "s")
+    val got = graft.operators.Curation.ldivOf(df, Seq("q"), "s", Seq(2, 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === Seq(
+      (2L, 3L, 1L, 1L, 5L, 0.5),   // only x below l=2 (z has exactly 2 -> safe)
+      (3L, 3L, 1L, 2L, 7L, 0.7)))  // x and z below l=3; y exactly 3 -> safe
+  }
+
   test("kanonOf: strict <k semantics — a class of size exactly k is not at risk") {
     import spark.implicits._
     // classes: x->1 row, y->2 rows, z->5 rows
