@@ -1712,6 +1712,128 @@ object Clustering {
       .orderBy("vec_id")
   }
 
+  /** X136's coreset size — matches K so the selection is comparable
+    * against the k-means strata the other embedding operators use.
+    */
+  private[graft] val coresetK = 8
+
+  /** X136 core — greedy k-center (Gonzalez) selection off an explicit
+    * (vec_id, embedding) frame. Factored so ClusteringSpec can drive
+    * the planted-blobs coverage-collapse property through the SAME
+    * machinery.
+    *
+    * The classic farthest-point traversal: seed = the max-‖x‖² vector
+    * (min vec_id among ties — a declared deterministic start), then
+    * K−1 times pick the vector FARTHEST from its nearest chosen
+    * center (max d_min, min vec_id tie). Every distance is the
+    * compare-on-rounded 4dp d² (the X32 discipline) so the pick
+    * sequence is engine-portable; `least` over the chosen set equals
+    * the oracle's incrementally-maintained running minimum because
+    * min is associative over the same rounded per-center distances.
+    *
+    * Scale shape: the embeddings projection is localCheckpointed ONCE
+    * (parquet read exactly once — spec-pinned); each of the K
+    * selection passes and the final coverage pass is ONE narrow
+    * argmax/max aggregate over the checkpoint with map-side partials
+    * (the driver holds K ids and K d-dim vectors — the k-means
+    * centroid-literal discipline, K·d doubles, never corpus data).
+    * Distances to all chosen centers are recomputed per pass
+    * (K²N/2 codegen'd d² evaluations total) rather than materializing
+    * a running d_min column — stateless passes beat K intermediate
+    * writes at this K; a K≫10² run flips that trade and persists the
+    * running minimum like a Lloyd iteration would.
+    */
+  private[graft] def coresetOf(emb: DataFrame, k: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val chk = emb.select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    def fetch(id: Long): Array[Double] =
+      chk.filter(col("vec_id") === id).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+    val n2ppm = round(VectorOps.normSq(col("embedding")) * 1000000.0, 0).cast("long")
+    val seedRow = chk.agg(max(struct(n2ppm.as("n2"), (-col("vec_id")).as("nid")))
+      .as("m")).select(col("m.nid")).head
+    val seed = -seedRow.getLong(0)
+    var chosen = Vector(seed -> fetch(seed))
+    var picks = Vector[(Long, Long, Option[Double])]((1L, seed, None))
+    def dmin(cs: Seq[(Long, Array[Double])]) = {
+      val ds = cs.map { case (_, v) =>
+        round(VectorOps.l2Sq(col("embedding"), typedlit(v.toSeq)), 4)
+      }
+      if (ds.size == 1) ds.head else least(ds: _*)
+    }
+    for (r <- 2 to k) {
+      val row = chk.agg(
+        max(struct(dmin(chosen).as("d"), (-col("vec_id")).as("nid"))).as("m"))
+        .select(col("m.d"), col("m.nid")).head
+      val (rad, id) = (row.getDouble(0), -row.getLong(1))
+      chosen = chosen :+ (id -> fetch(id))
+      picks = picks :+ ((r.toLong, id, Some(rad)))
+    }
+    val finalRadius = chk.agg(max(dmin(chosen))).head.getDouble(0)
+    picks.map { case (r, id, rad) => (r, id, rad, finalRadius) }
+      .toDF("sel_rank", "vec_id", "radius", "final_radius")
+      .orderBy("sel_rank")
+  }
+
+  /** X136 — greedy k-center coreset (`q_coreset`): the geometric
+    * data-selection pass (facility location / active-learning
+    * acquisition): K vectors such that every corpus vector is within
+    * `final_radius` of a chosen one — Gonzalez's farthest-point
+    * traversal, whose radius is a 2-approximation of the best
+    * possible K-cover. The selection table carries the coverage
+    * evidence: `radius` at each pick is the corpus's worst uncovered
+    * distance BEFORE that center joined (non-increasing by
+    * construction — the spec pins the monotone chain), and
+    * `final_radius` ≤ the last pick's radius rides every row as the
+    * cover guarantee a downstream consumer (diverse finetuning set,
+    * landmark index, annotation budget) reads.
+    */
+  private def coreset(s: SparkSession, dir: String): DataFrame =
+    coresetOf(
+      graft.Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      coresetK)
+
+  private def coresetSql: String = {
+    def l2(a: String, b: String): String =
+      s"""round(list_sum(list_transform(list_zip($a, $b),
+         |    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+         |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 4)""".stripMargin
+    val seed =
+      s"""p1 AS MATERIALIZED (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, CAST(round(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1000000.0) AS BIGINT) AS n2
+         |    FROM e) t
+         |  ORDER BY n2 DESC, vec_id LIMIT 1),
+         |d1 AS MATERIALIZED (
+         |  SELECT e.vec_id, ${l2("e.embedding", "c.embedding")} AS dmin
+         |  FROM e, (SELECT e2.embedding FROM e e2, p1 WHERE e2.vec_id = p1.vec_id) c)"""
+        .stripMargin
+    val steps = (2 to coresetK).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT vec_id, dmin FROM d${i - 1} ORDER BY dmin DESC, vec_id LIMIT 1),
+         |d$i AS MATERIALIZED (
+         |  SELECT d.vec_id, least(d.dmin, ${l2("e.embedding", "c.embedding")}) AS dmin
+         |  FROM d${i - 1} d JOIN e ON e.vec_id = d.vec_id,
+         |       (SELECT e2.embedding FROM e e2, p$i WHERE e2.vec_id = p$i.vec_id) c)"""
+        .stripMargin
+    }.mkString(",\n")
+    val rows = (2 to coresetK).map { i =>
+      s"SELECT $i AS sel_rank, p$i.vec_id, p$i.dmin AS radius, fr.final_radius FROM p$i, fr"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |$seed,
+       |$steps,
+       |fr AS (SELECT max(dmin) AS final_radius FROM d$coresetK)
+       |SELECT 1 AS sel_rank, p1.vec_id, CAST(NULL AS DOUBLE) AS radius,
+       |  fr.final_radius
+       |FROM p1, fr
+       |UNION ALL
+       |$rows
+       |ORDER BY sel_rank""".stripMargin
+  }
+
   /** X134 — composed embedding-curation pipeline (`q_embed_pipeline`):
     * the vector corpus's production curation DAG as ONE plan — the
     * [[Pipeline]] mandate applied to the embedding side: what a real
@@ -1849,5 +1971,9 @@ object Clustering {
       embedPipeline,
       Some(embedPipelineSql),
       "X134 composed embedding pipeline: norm gate -> cell assign -> decile prune -> per-cell cap, one scan"),
+    "q_coreset" -> QueryDef(
+      coreset,
+      Some(coresetSql),
+      "X136 greedy k-center coreset: farthest-point selection with per-pick radius + cover guarantee"),
   )
 }

@@ -125,6 +125,63 @@ class EmbedPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q_coreset: sequential greedy recount at two SFs; radii monotone; cover guarantee holds") {
+    def r4(d: Double): Double =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      def d2(a: Array[Double], b: Array[Double]): Double =
+        r4(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      // seed: max ppm-snapped norm2, min vec_id tie
+      val seed = vecs.maxBy { case (id, v) =>
+        (math.round(v.map(x => x * x).sum * 1000000.0), -id)
+      }._1
+      var chosen = Vector(seed)
+      var want = Vector[(Long, Long, Option[Double])]((1L, seed, None))
+      val byId = vecs.toMap
+      for (r <- 2 to graft.operators.Clustering.coresetK) {
+        val (id, rad) = vecs.map { case (vid, v) =>
+          (vid, chosen.map(c => d2(byId(c), v)).min)
+        }.maxBy { case (vid, d) => (d, -vid) }
+        chosen = chosen :+ id
+        want = want :+ ((r.toLong, id, Some(rad)))
+      }
+      val finalRadius =
+        vecs.map { case (_, v) => chosen.map(c => d2(byId(c), v)).min }.max
+      val got = SparkEntry.queries("q_coreset")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getDouble(3)))
+      assert(got.toSeq === want.map { case (r, id, rad) => (r, id, rad, finalRadius) },
+        s"greedy recount diverges at $dir")
+      // Gonzalez invariants on the declared output: radii non-increasing,
+      // and the final cover radius never exceeds the last pick's radius
+      val radii = got.flatMap(_._3)
+      assert(radii.sliding(2).forall { case Array(a, b) => a >= b; case _ => true },
+        s"selection radii not monotone at $dir: ${radii.toSeq}")
+      assert(got.head._4 <= radii.last, s"cover guarantee violated at $dir")
+    }
+  }
+
+  test("coresetOf: planted blobs — one pick per blob, radius collapses to intra-blob scale") {
+    import spark.implicits._
+    // three tight blobs at distance ~200 apart, intra-blob d2 <= 0.02
+    val blobs = Seq(
+      (Array(0.0f, 0.0f), 100L), (Array(10.0f, 0.0f), 200L), (Array(0.0f, 10.0f), 300L))
+    val vecs = (for (((c, base), i) <- blobs.zipWithIndex; j <- 0 until 4) yield {
+      val eps = 0.01f * j
+      (base + j, Seq(c(0) + eps, c(1) - eps))
+    }).toDF("vec_id", "embedding")
+    val got = graft.operators.Clustering.coresetOf(vecs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val blobOf = got.map(_._2 / 100)
+    assert(blobOf.distinct.length === 3,
+      s"k-center must pick one vector per separated blob, got $got")
+    assert(got.head._3 <= 0.02,
+      s"cover radius should collapse to intra-blob scale, got ${got.head._3}")
+  }
+
   test("embedPipelineOf: broken-norm vectors gate out with NULL stages; tiny cells keep their middle") {
     import spark.implicits._
     val cents = Seq(1L -> Array(1.0, 0.0), 2L -> Array(0.0, 1.0))
