@@ -2269,6 +2269,155 @@ object Curation {
        |       // (2 * sum(c)) AS BIGINT) / 10000.0 AS risk_share
        |FROM cls, lv GROUP BY lvl ORDER BY lvl""".stripMargin
 
+  /** X137's declared t ladder, in hundredths (t = lvl/100) — the
+    * closeness levels a release policy quotes.
+    */
+  private[graft] val tcloseLadder: Seq[Int] = Seq(10, 20, 35)
+
+  /** X137 core — the t-closeness report off a frame, QI column set
+    * and ORDERED sensitive column. The third privacy gate (Li et
+    * al.): ℓ-diversity counts distinct values but misses SKEW — a
+    * class whose balance bands are all "high" is ℓ-diverse yet
+    * discloses plenty; t-closeness bounds the Earth-Mover's Distance
+    * between each class's sensitive DISTRIBUTION and the corpus's.
+    *
+    * For an ordered attribute with m values, EMD = Σᵢǀcum_p(i) −
+    * cum_q(i)ǀ / (m−1) — exact rationals end-to-end by
+    * cross-multiplying: per class, emd_num = Σᵢǀcum_cᵢ·N − cum_gᵢ·nǀ
+    * over the COMPLETE band grid (absent bands carry cumulative mass
+    * — the X101 rule; present-bands-only silently understates EMD),
+    * den = n·N·(m−1); violation at level t = lvl/100 ⇔ 100·emd_num >
+    * lvl·den, pure integer (DECIMAL(38,0): n·N at 10¹⁴ rows is 10²⁸,
+    * ×100 in range). The riding t_max is the max class EMD rounded
+    * 4dp HALF_UP in integer space.
+    *
+    * Scale: one exchange collapses the corpus to the (class, band)
+    * dictionary; the complete grid, both cumulative windows, the
+    * per-class EMD and the ladder report are all dictionary work
+    * (classes × bands is a plan constant — the reason QIs are
+    * auditable). The grid frame feeds both the per-class EMD and its
+    * two marginal dictionaries — localCheckpointed (two-consumers
+    * lesson).
+    */
+  private[graft] def tcloseOf(
+      df: DataFrame, qi: Seq[String], sens: String, ladder: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = df.sparkSession
+    import s.implicits._
+    val qiKey = concat_ws("|", qi.map(c => col(c).cast("string")): _*)
+    val cb = df.select(qiKey.as("cls"), col(sens).cast("long").as("band"))
+      .groupBy(col("cls"), col("band")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val classes = cb.groupBy(col("cls")).agg(sum(col("c")).as("n"))
+    val wB = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bandsCum = cb.groupBy(col("band")).agg(sum(col("c")).as("g"))
+      .withColumn("cum_g", sum(col("g")).over(wB))
+      .withColumn("nn", sum(col("g")).over(wAll))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .select(col("band"), col("cum_g"), col("nn"), col("m"))
+    val wCls = Window.partitionBy(col("cls")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val emd = classes.crossJoin(broadcast(bandsCum))
+      .join(cb, Seq("cls", "band"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cum_c", sum(col("c")).over(wCls))
+      .withColumn("term", expr(
+        "abs(CAST(cum_c AS DECIMAL(38,0)) * nn - CAST(cum_g AS DECIMAL(38,0)) * n)"))
+      .groupBy(col("cls"), col("n"), col("nn"), col("m"))
+      .agg(sum(col("term")).as("emd_num"))
+      .withColumn("den", expr("CAST(n AS DECIMAL(38,0)) * nn * (m - 1)"))
+      .withColumn("emd4", expr(
+        """CASE WHEN m <= 1 THEN CAST(0 AS BIGINT)
+          |ELSE CAST((20000 * emd_num + den) DIV (2 * den) AS BIGINT) END"""
+          .stripMargin))
+      .localCheckpoint(true)
+    emd.crossJoin(broadcast(ladder.map(_.toLong).toDF("lvl")))
+      .withColumn("viol", expr(
+        "CASE WHEN m > 1 AND 100 * emd_num > lvl * den THEN 1 ELSE 0 END"))
+      .groupBy(col("lvl"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        max(col("emd4")).as("tmax4"),
+        sum(col("viol")).as("n_violating"),
+        sum(col("viol") * col("n")).as("rows_at_risk"),
+        sum(col("n")).as("ntot"))
+      .select(
+        col("lvl").cast("long").as("lvl"),
+        col("n_classes").cast("long").as("n_classes"),
+        (col("tmax4") / lit(10000.0)).as("t_max"),
+        col("n_violating").cast("long").as("n_violating"),
+        col("rows_at_risk").cast("long").as("rows_at_risk"),
+        expr("CAST((20000 * rows_at_risk + ntot) DIV (2 * ntot) AS BIGINT)")
+          ./(lit(10000.0)).as("risk_share"))
+      .orderBy("lvl")
+  }
+
+  /** X137 — t-closeness release audit (`q_tcloseness`): the third
+    * privacy gate, closing the family (X132 k-anonymity → X135
+    * ℓ-diversity → this): ℓ-diversity counts distinct sensitive
+    * values but misses SKEW — a class whose members' balance bands
+    * are all in the top range is ℓ-diverse yet discloses financial
+    * standing to anyone who can place a person in it. Per declared
+    * closeness level t = lvl/100: classes whose band distribution
+    * sits farther than t (ordered-attribute EMD) from the corpus's,
+    * the rows they expose, the at-risk share; riding every row, the
+    * TRUE corpus t (the max class EMD — the t the release can claim)
+    * and the class count.
+    */
+  private def tcloseness(s: SparkSession, dir: String): DataFrame =
+    tcloseOf(
+      Tables(s, dir, "customer")
+        .withColumn("bal_band", floor(col("c_acctbal") / 1000).cast("long")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_band", tcloseLadder)
+
+  private def tclosenessSql: String =
+    s"""WITH cb AS MATERIALIZED (
+       |  SELECT CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS cls,
+       |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band, count(*) AS c
+       |  FROM customer GROUP BY 1, 2),
+       |cl AS (SELECT cls, sum(c) AS n FROM cb GROUP BY 1),
+       |bd AS (
+       |  SELECT band, sum(g) OVER (ORDER BY band
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g,
+       |    sum(g) OVER () AS nn, count(*) OVER () AS m
+       |  FROM (SELECT band, sum(c) AS g FROM cb GROUP BY 1) g0),
+       |grid AS (
+       |  SELECT cl.cls, cl.n, bd.band, bd.cum_g, bd.nn, bd.m,
+       |    COALESCE(cb.c, 0) AS c
+       |  FROM cl CROSS JOIN bd
+       |  LEFT JOIN cb ON cb.cls = cl.cls AND cb.band = bd.band),
+       |emd AS MATERIALIZED (
+       |  SELECT cls, n, nn, m, sum(term) AS emd_num,
+       |    CAST(max(n) AS HUGEINT) * max(nn) * (max(m) - 1) AS den
+       |  FROM (
+       |    SELECT cls, n, nn, m,
+       |      abs(CAST(sum(c) OVER (PARTITION BY cls ORDER BY band
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) * nn
+       |          - CAST(cum_g AS HUGEINT) * n) AS term
+       |    FROM grid) t
+       |  GROUP BY cls, n, nn, m),
+       |e4 AS (
+       |  SELECT cls, n, nn, m, emd_num, den,
+       |    CASE WHEN m <= 1 THEN 0
+       |         ELSE CAST((20000 * emd_num + den) // (2 * den) AS BIGINT)
+       |    END AS emd4
+       |  FROM emd),
+       |lv(lvl) AS (VALUES ${tcloseLadder.map(k => s"($k)").mkString(", ")})
+       |SELECT CAST(lvl AS BIGINT) AS lvl,
+       |  CAST(count(*) AS BIGINT) AS n_classes,
+       |  max(emd4) / 10000.0 AS t_max,
+       |  CAST(sum(CASE WHEN m > 1 AND 100 * emd_num > lvl * den
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       |  CAST(sum(CASE WHEN m > 1 AND 100 * emd_num > lvl * den
+       |       THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       |  CAST((20000 * sum(CASE WHEN m > 1 AND 100 * emd_num > lvl * den
+       |        THEN n ELSE 0 END) + sum(n))
+       |       // (2 * sum(n)) AS BIGINT) / 10000.0 AS risk_share
+       |FROM e4, lv GROUP BY lvl ORDER BY lvl""".stripMargin
+
   /** X132 — k-anonymity release audit (`q_kanon`): the privacy gate a
     * data release runs next to X19's PII redaction — redaction strips
     * direct identifiers; k-anonymity measures whether the QUASI
@@ -2575,5 +2724,9 @@ object Curation {
       ldiversity,
       Some(ldiversitySql),
       "X135 l-diversity release audit: per level, homogeneous classes + at-risk rows/share, true l riding"),
+    "q_tcloseness" -> QueryDef(
+      tcloseness,
+      Some(tclosenessSql),
+      "X137 t-closeness release audit: per level, EMD-skewed classes + at-risk rows/share, true t riding"),
   )
 }

@@ -976,6 +976,63 @@ class CurationSpec extends AnyFunSuite {
       (3L, 3L, 1L, 2L, 7L, 0.7)))  // x and z below l=3; y exactly 3 -> safe
   }
 
+  test("q_tcloseness: ladder recounts sequentially at two SFs; t_max is the real max EMD") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Tables(spark, dir, "customer")
+        .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+          col("c_acctbal")).collect()
+        .map(r => ((r.getLong(0), r.getString(1)),
+          math.floor(r.getDouble(2) / 1000).toLong))
+      val bands = rows.map(_._2).distinct.sorted
+      val m = bands.length
+      val nn = rows.length.toLong
+      val gCum = bands.map(b => b -> rows.count(_._2 <= b).toLong).toMap
+      val classes = rows.groupBy(_._1).toSeq.map { case (_, vs) =>
+        val n = vs.length.toLong
+        val num = bands.map { b =>
+          (BigInt(vs.count(_._2 <= b)) * nn - BigInt(gCum(b)) * n).abs
+        }.sum
+        (n, num, BigInt(n) * nn * (m - 1))
+      }
+      val e4 = classes.map { case (_, num, den) =>
+        if (m <= 1) 0L else ((num * 20000 + den) / (den * 2)).toLong
+      }
+      val want = graft.operators.Curation.tcloseLadder.map { lvl =>
+        val viol = classes.filter { case (_, num, den) => m > 1 && num * 100 > den * lvl }
+        val risk = viol.map(_._1).sum
+        (lvl.toLong, classes.size.toLong, e4.max / 10000.0, viol.size.toLong, risk,
+          ((20000L * risk + nn) / (2L * nn)) / 10000.0)
+      }
+      val got = SparkEntry.queries("q_tcloseness")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSeq
+      assert(got === want, s"t-closeness recount diverges at $dir")
+    }
+  }
+
+  test("tcloseOf: the diverse-but-skewed class l-diversity misses is exactly what fires") {
+    import spark.implicits._
+    // corpus bands are uniform over {0,1,2,3}; class x mirrors the
+    // corpus (EMD 0 — safe at every t); class y is l-DIVERSE (3
+    // distinct values) but all in the TOP bands — the skew attack
+    val x = Seq(0L, 1L, 2L, 3L).flatMap(b => Seq(("x", b), ("x", b)))
+    val y = Seq(("y", 2L), ("y", 3L), ("y", 3L), ("y", 1L))
+    // pad the corpus marginal toward uniform with 4 singleton classes
+    val pad = Seq(("p0", 0L), ("p1", 0L), ("p2", 0L), ("p3", 1L))
+    val df = (x ++ y ++ pad).toDF("q", "s")
+    val got = graft.operators.Curation.tcloseOf(df, Seq("q"), "s", Seq(10, 45))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    // hand recount: 16 rows, cum corpus = [5, 9, 12, 16].
+    // y (n=4, cum [0,1,2,4]): terms 20+20+16+0 = 56, den 192 -> EMD 0.2917
+    //   -> fires at 0.10, safe at 0.45;
+    // x (n=8, cum [2,4,6,8]): terms 8+8+0+0 = 16, den 384 -> EMD 0.0417
+    //   -> safe even at 0.10 (it mirrors the corpus);
+    // pads p0-p2 (EMD 0.4583) fire at both; p3 (0.3333) only at 0.10.
+    assert(got === Seq((10L, 5L, 8L), (45L, 3L, 3L)),
+      s"skew fixture report diverges: $got")
+  }
+
   test("kanonOf: strict <k semantics — a class of size exactly k is not at risk") {
     import spark.implicits._
     // classes: x->1 row, y->2 rows, z->5 rows
