@@ -282,6 +282,142 @@ object Search {
        |FROM lex FULL JOIN den ON lex.doc_id = den.doc_id
        |ORDER BY rrf DESC, doc_id ASC""".stripMargin
 
+  /** X138's cut-offs — the K ladder an IR eval quotes. */
+  private[graft] val rankEvalKs = Seq(5, 10, 20)
+
+  /** X138 — ranking-quality evaluation (`q_rank_eval`): the IR eval
+    * harness for the retrieval family — X18 RANKS, this SCORES the
+    * ranking (the X123/X129 pattern: every classifier/ranker in the
+    * engine gets an eval that can call it weak). Ground truth is
+    * declared and engine-portable: graded relevance rel ∈ 0..3 by
+    * total query-term OCCURRENCES (≥12 → 3, ≥9 → 2, ≥5 → 1 — pure
+    * integer counting both engines state identically; thresholds
+    * sized to the corpus occurrence tail so the grades differentiate
+    * INSIDE the top-20, where a distinct-terms grade saturates). BM25
+    * length-normalizes while the grade counts raw occurrences, so the
+    * eval is honestly imperfect (nDCG@10 ≈ 0.76, MRR 0.5 at sf0.01)
+    * — exactly the daylight a ranking eval exists to measure. Per
+    * cut-off K ∈ {5, 10, 20}: precision@K (share of the top-K with
+    * rel ≥ 2, exact rational), nDCG@K, and the riding MRR (1/rank of
+    * the first rel-3 document, exact rational; 0 if none).
+    *
+    * nDCG numerics (the X51 ln discipline applied to log₂): each DCG
+    * term gain/log₂(rank+1) — gain = 2^rel − 1 — is computed on
+    * identical doubles in both engines and snapped to MILLIONTHS
+    * before summing, so DCG@K and IDCG@K are exact integers of 1e-6
+    * units and their ratio rounds 4dp by integer HALF_UP. The ideal
+    * ordering comes from the corpus relevance HISTOGRAM (≤4 rows —
+    * rank r's ideal grade is the largest rel whose ≥-cumulative count
+    * covers r), never from sorting the corpus.
+    *
+    * Scale shape: ONE corpus pass computes rel in-row and collapses
+    * to the ≤4-row histogram; the X18 chain is its own audited shape;
+    * the eval itself joins the ≤20-row ranking (broadcast) against
+    * the rel column, and every remaining step (ideal grid, ladders,
+    * MRR) is work on ≤20×3 rows.
+    */
+  private def rankEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val termArr = bm25Terms.map(t => s"'$t'").mkString("array(", ", ", ")")
+    val relCol = expr(
+      s"""CASE WHEN size(filter(split(text, ' '), x -> array_contains($termArr, x))) >= 12 THEN 3
+         |     WHEN size(filter(split(text, ' '), x -> array_contains($termArr, x))) >= 9 THEN 2
+         |     WHEN size(filter(split(text, ' '), x -> array_contains($termArr, x))) >= 5 THEN 1
+         |     ELSE 0 END""".stripMargin).cast("long")
+    val relDf = docs(s, dir).select(col("doc_id"), relCol.as("rel"))
+      .localCheckpoint(true) // two consumers: histogram + ranked join
+    val hist = relDf.groupBy(col("rel")).agg(count(lit(1)).as("cnt"))
+    val ranked = bm25(s, dir)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("rk"))
+    val term6 = round(lit(1000000.0) *
+      expr("CAST(shiftleft(1, CAST(rel AS INT)) - 1 AS DOUBLE)") /
+      log2(col("rk") + lit(1L)), 0).cast("long")
+    val rankedRel = relDf.join(broadcast(ranked), "doc_id")
+      .select(col("rk"), col("rel"), term6.as("t6"))
+    val wRelDesc = Window.orderBy(col("rel").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val idealRel = (1 to rankEvalKs.max).map(_.toLong).toDF("rk")
+      .crossJoin(broadcast(
+        hist.withColumn("cum_ge", sum(col("cnt")).over(wRelDesc))))
+      .filter(col("rk") <= col("cum_ge"))
+      .groupBy(col("rk")).agg(max(col("rel")).as("rel"))
+      .select(col("rk"), term6.as("t6"))
+    val mrr = rankedRel.agg(min(when(col("rel") === 3, col("rk"))).as("r1"))
+      .select(
+        coalesce(
+          expr("CAST((20000 + r1) DIV (2 * r1) AS BIGINT)"), lit(0L)).as("mrr4"))
+    val ks = rankEvalKs.map(_.toLong).toDF("k")
+    val dcg = ks.crossJoin(broadcast(rankedRel))
+      .groupBy(col("k"))
+      .agg(
+        sum(when(col("rk") <= col("k"), col("t6")).otherwise(0L)).as("dcg6"),
+        sum(when(col("rk") <= col("k") && col("rel") >= 2, 1L).otherwise(0L))
+          .as("hits"))
+    val idcg = ks.crossJoin(broadcast(idealRel))
+      .groupBy(col("k"))
+      .agg(sum(when(col("rk") <= col("k"), col("t6")).otherwise(0L)).as("idcg6"))
+    dcg.join(idcg, "k").crossJoin(broadcast(mrr))
+      .select(
+        col("k").cast("long").as("k"),
+        expr("CAST((20000 * hits + k) DIV (2 * k) AS BIGINT)")
+          ./(lit(10000.0)).as("p_at_k"),
+        when(col("idcg6") === 0, lit(0.0)).otherwise(
+          expr("CAST((20000 * dcg6 + idcg6) DIV (2 * idcg6) AS BIGINT)")
+            / lit(10000.0)).as("ndcg"),
+        (col("mrr4") / lit(10000.0)).as("mrr"))
+      .orderBy("k")
+  }
+
+  private def rankEvalSql: String =
+    s"""WITH lex0 AS ($bm25Sql),
+       |ranked AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+       |  FROM lex0),
+       |rel AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN occ >= 12 THEN 3 WHEN occ >= 9 THEN 2
+       |              WHEN occ >= 5 THEN 1 ELSE 0 END AS BIGINT) AS rel
+       |  FROM (SELECT doc_id,
+       |          len(list_filter(string_split(text, ' '),
+       |            x -> list_contains([$termList], x))) AS occ
+       |        FROM documents) o),
+       |hist AS (
+       |  SELECT rel, count(*) AS cnt FROM rel GROUP BY 1),
+       |rr AS MATERIALIZED (
+       |  SELECT r.rk, rel.rel,
+       |    CAST(round(1000000.0 * ((1 << rel.rel) - 1) / log2(r.rk + 1)) AS BIGINT) AS t6
+       |  FROM ranked r JOIN rel USING (doc_id)),
+       |ideal AS MATERIALIZED (
+       |  SELECT g.rk,
+       |    CAST(round(1000000.0 * ((1 << max(h.rel)) - 1) / log2(g.rk + 1)) AS BIGINT) AS t6
+       |  FROM (SELECT unnest(generate_series(1, ${rankEvalKs.max})) AS rk) g
+       |  JOIN (SELECT rel, sum(cnt) OVER (ORDER BY rel DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ge
+       |        FROM hist) h
+       |    ON g.rk <= h.cum_ge
+       |  GROUP BY g.rk),
+       |mrr AS (
+       |  SELECT COALESCE(
+       |    CAST((20000 + min(CASE WHEN rel = 3 THEN rk END))
+       |      // (2 * min(CASE WHEN rel = 3 THEN rk END)) AS BIGINT), 0) AS mrr4
+       |  FROM rr),
+       |ks(k) AS (VALUES ${rankEvalKs.map(k => s"($k)").mkString(", ")})
+       |SELECT CAST(k AS BIGINT) AS k,
+       |  CAST((20000 * (SELECT count(*) FROM rr WHERE rr.rk <= ks.k AND rr.rel >= 2)
+       |        + k) // (2 * k) AS BIGINT) / 10000.0 AS p_at_k,
+       |  CASE WHEN (SELECT COALESCE(sum(t6), 0) FROM ideal WHERE ideal.rk <= ks.k) = 0
+       |       THEN 0.0
+       |       ELSE CAST((20000 * (SELECT COALESCE(sum(t6), 0) FROM rr WHERE rr.rk <= ks.k)
+       |                  + (SELECT sum(t6) FROM ideal WHERE ideal.rk <= ks.k))
+       |             // (2 * (SELECT sum(t6) FROM ideal WHERE ideal.rk <= ks.k))
+       |             AS BIGINT) / 10000.0
+       |  END AS ndcg,
+       |  mrr.mrr4 / 10000.0 AS mrr
+       |FROM ks, mrr ORDER BY k""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_tfidf" -> QueryDef(
       tfidf,
@@ -329,5 +465,9 @@ object Search {
       rrfFusion,
       Some(rrfFusionSql),
       "X61 hybrid retrieval: BM25 + cosine top-20 legs fused by reciprocal-rank fusion"),
+    "q_rank_eval" -> QueryDef(
+      rankEval,
+      Some(rankEvalSql),
+      "X138 ranking eval: precision@K, snapped-integer nDCG@K and exact MRR of the BM25 ranking"),
   )
 }

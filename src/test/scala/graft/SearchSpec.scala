@@ -126,4 +126,54 @@ class SearchSpec extends AnyFunSuite {
     val scores = got.map(_._4).toSeq
     assert(scores === scores.sorted.reverse, "output not in descending rrf order")
   }
+
+  test("q_rank_eval: metrics recount sequentially from the declared ranking and grades at two SFs") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val terms = graft.operators.Search.bm25Terms.toSet
+      // graded truth, recomputed independently from raw text
+      val rel = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).collect()
+        .map { r =>
+          val occ = r.getString(1).split(" ").count(terms.contains)
+          r.getLong(0) -> (if (occ >= 12) 3L else if (occ >= 9) 2L else if (occ >= 5) 1L else 0L)
+        }.toMap
+      // the declared ranking, re-ranked exactly as the eval does
+      val ranked = SparkEntry.queries("q_bm25")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getDouble(2)))
+        .sortBy { case (id, sc) => (-sc, id) }
+        .zipWithIndex.map { case ((id, _), i) => (i + 1L, rel(id)) }
+      def t6(rk: Long, g: Long): Long =
+        math.round(1000000.0 * ((1L << g) - 1) / (math.log(rk + 1.0) / math.log(2.0)))
+      val histDesc = rel.values.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(-_._1)
+      val idealRel = (1 to 20).map { rk =>
+        histDesc.foldLeft((0L, -1L)) { case ((cum, found), (g, c)) =>
+          if (found >= 0) (cum, found)
+          else if (rk <= cum + c) (cum, g) else (cum + c, -1L)
+        }._2
+      }
+      val firstRel3 = ranked.find(_._2 == 3L).map(_._1)
+      val mrr = firstRel3.map(r => ((20000L + r) / (2L * r)) / 10000.0).getOrElse(0.0)
+      val want = graft.operators.Search.rankEvalKs.map { k =>
+        val dcg6 = ranked.filter(_._1 <= k).map { case (rk, g) => t6(rk, g) }.sum
+        val idcg6 = idealRel.take(k).zipWithIndex
+          .map { case (g, i) => t6(i + 1L, g) }.sum
+        val hits = ranked.count { case (rk, g) => rk <= k && g >= 2 }.toLong
+        val ndcg = if (idcg6 == 0) 0.0
+          else ((BigInt(dcg6) * 20000 + idcg6) / (BigInt(idcg6) * 2)).toLong / 10000.0
+        (k.toLong, ((20000L * hits + k) / (2L * k)) / 10000.0, ndcg, mrr)
+      }
+      val got = SparkEntry.queries("q_rank_eval")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+      assert(got === want, s"rank-eval recount diverges at $dir")
+      // the eval must be able to say "imperfect": BM25 length-normalizes,
+      // the grade counts occurrences, so strict daylight exists at sf0.01
+      if (dir.endsWith("0.01")) {
+        assert(got.exists(r => r._3 > 0.0 && r._3 < 1.0),
+          s"nDCG degenerate at $dir: $got")
+        assert(got.head._4 > 0.0, "MRR vacuous: no rel-3 doc ranked at all")
+      }
+    }
+  }
 }
