@@ -302,6 +302,74 @@ object Shuffle {
        |ORDER BY join_name""".stripMargin
   }
 
+  /** X139's declared sizing targets: Spark's default
+    * `spark.sql.files.maxPartitionBytes` (128 MiB) for scan tasks and
+    * a 64 MiB post-shuffle partition target (the AQE
+    * `advisoryPartitionSizeInBytes` default).
+    */
+  private[graft] val scanTargetBytes: Long = 128L * 1024 * 1024
+  private[graft] val shuffleTargetBytes: Long = 64L * 1024 * 1024
+
+  /** X139 core — the partition-sizing table off a (t, n, b) stats
+    * dictionary. Factored with the byte targets as parameters so
+    * ShuffleSpec can drive the multi-task branch on a fixture (at the
+    * verification SFs every table fits one task — the degenerate
+    * pass state, like X130's all-broadcast).
+    */
+  private[graft] def partPlanOf(
+      stats: DataFrame, scanTarget: Long, shuffleTarget: Long): DataFrame =
+    stats.select(
+      col("t").as("table_name"),
+      col("n").cast("long").as("n_rows"),
+      col("b").cast("long").as("bytes"),
+      expr(s"CAST((b + ${scanTarget - 1}) DIV $scanTarget AS BIGINT)")
+        .as("scan_tasks"),
+      expr(s"CAST((b + ${shuffleTarget - 1}) DIV $shuffleTarget AS BIGINT)")
+        .as("shuffle_parts"),
+      expr(s"""CAST((n + (b + ${scanTarget - 1}) DIV $scanTarget - 1)
+              |  DIV ((b + ${scanTarget - 1}) DIV $scanTarget) AS BIGINT)"""
+        .stripMargin).as("rows_per_task"))
+      .orderBy("table_name")
+
+  /** X139 — partition-sizing pre-flight (`q_part_plan`): the third
+    * member of the execution-hygiene trio — X128 asks "will this
+    * shuffle straggle", X130 "must this join shuffle at all", X139
+    * "how many pieces should the scan and the shuffle cut into".
+    * Per table, under the declared byte model: modeled payload bytes,
+    * scan tasks at the 128 MiB `maxPartitionBytes` default, the
+    * post-shuffle partition count a 64 MiB advisory target implies
+    * (what AQE coalesces toward — the number to compare against a
+    * static `spark.sql.shuffle.partitions` before committing a
+    * corpus-wide exchange), and rows per scan task. All ceiling
+    * divisions, pure integer.
+    *
+    * Scale: reuses [[tableStats]] — one narrow pass per table to a
+    * 1-row aggregate; the plan itself is arithmetic on the ≤8-row
+    * checkpointed dictionary.
+    */
+  private def partPlan(s: SparkSession, dir: String): DataFrame =
+    partPlanOf(tableStats(s, dir), scanTargetBytes, shuffleTargetBytes)
+
+  private def partPlanSql: String = {
+    def bytesSql(cols: Seq[(String, String)]): String =
+      cols.map {
+        case (_, "fixed") => "8"
+        case (c, "str") => s"8 + COALESCE(length($c), 0)"
+        case (c, _) => s"8 + 4 * COALESCE(len($c), 0)"
+      }.mkString(" + ") + " + 8"
+    val st = tableCatalog.map { case (t, cols) =>
+      s"""SELECT '$t' AS t, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(${bytesSql(cols)}) AS BIGINT) AS b FROM $t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH st AS ($st)
+       |SELECT t AS table_name, n AS n_rows, b AS bytes,
+       |  CAST((b + ${scanTargetBytes - 1}) // $scanTargetBytes AS BIGINT) AS scan_tasks,
+       |  CAST((b + ${shuffleTargetBytes - 1}) // $shuffleTargetBytes AS BIGINT) AS shuffle_parts,
+       |  CAST((n + (b + ${scanTargetBytes - 1}) // $scanTargetBytes - 1)
+       |       // ((b + ${scanTargetBytes - 1}) // $scanTargetBytes) AS BIGINT) AS rows_per_task
+       |FROM st ORDER BY table_name""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_key_skew" -> QueryDef(
       keySkew,
@@ -311,5 +379,9 @@ object Shuffle {
     "q_join_plan" -> QueryDef(
       joinPlan,
       Some(joinPlanSql),
-      "X130 join-strategy pre-flight: modeled payload bytes per side, build side, broadcast verdict"))
+      "X130 join-strategy pre-flight: modeled payload bytes per side, build side, broadcast verdict"),
+    "q_part_plan" -> QueryDef(
+      partPlan,
+      Some(partPlanSql),
+      "X139 partition-sizing pre-flight: scan tasks, advisory shuffle partitions, rows per task"))
 }
