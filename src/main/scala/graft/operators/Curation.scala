@@ -1003,6 +1003,123 @@ object Curation {
     * handles skewless id space — and a 4-row classification
     * aggregate with map-side partials.
     */
+  /** X140 — per-column profile drift (`q_profile_drift`): the
+    * data-quality REGRESSION gate between corpus versions — X13
+    * profiles one snapshot, X72 diffs row membership; this compares
+    * the COLUMN-LEVEL statistics two versions ship and flags the
+    * drifts a schema-identical, row-count-plausible regression hides
+    * (an extractor that started NULLing a field, a length bug
+    * inflating a numeric, a collapsed category). The canonical
+    * "pipeline silently broke upstream" detector a nightly run
+    * executes before promoting a snapshot.
+    *
+    * The old version is derived deterministically from the shipped
+    * corpus (the X72 synthesis discipline, identical in the oracle):
+    * docs ≡ 5 (mod 13) absent (the X72 'added' set), lang NULLed for
+    * ≡ 0 (mod 19) (a broken extractor), n_chars inflated by exactly
+    * +⌊n/10⌋ for ≡ 0 (mod 7) (an integer length bug).
+    *
+    * Metrics per version, all exact-integer-derived: row count, lang
+    * null-share (4dp), lang/source distinct counts, n_chars mean
+    * (4dp), text-length mean (4dp). Means and shares round 4dp
+    * HALF_UP in integer space ((20000·sum + cnt) DIV (2·cnt),
+    * DECIMAL(38,0)). `drift` = |v2 − v1| on the 4dp grid; `flagged`
+    * = the >5% relative rule evaluated on the 4dp INTEGERS
+    * (20·|v2i − v1i| > max(v1i, v2i) — no float compare can flip it);
+    * both-zero metrics never flag.
+    *
+    * Scale: TWO narrow single-pass aggregates (one per version — the
+    * v1 branch reads the same scan with the synthesis expressions
+    * in-row), one 1×1 join, and a ≤|metrics|-row unpivot. Nothing
+    * survives the first aggregates.
+    */
+  private def profileDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val v1 = d.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 19 === 0, lit(null)).otherwise(col("lang")).as("lang"),
+        col("source"),
+        when(col("doc_id") % 7 === 0, col("n_chars") + expr("n_chars div 10"))
+          .otherwise(col("n_chars")).as("n_chars"))
+    def wide(df: DataFrame, p: String): DataFrame =
+      df.agg(
+        count(lit(1)).as(s"${p}_n"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as(s"${p}_lang_nulls"),
+        countDistinct(col("lang")).as(s"${p}_lang_d"),
+        countDistinct(col("source")).as(s"${p}_src_d"),
+        sum(col("n_chars")).as(s"${p}_nc_sum"),
+        sum(length(col("text")).cast("long")).as(s"${p}_len_sum"))
+    def q4(num: String, den: String): String =
+      s"CAST((20000 * CAST($num AS DECIMAL(38,0)) + $den) DIV (2 * CAST($den AS DECIMAL(38,0))) AS BIGINT)"
+    val both = wide(v1, "a").crossJoin(broadcast(wide(d, "b")))
+    val metricRows = Seq(
+      ("doc_id", "n_rows", "a_n * 10000", "b_n * 10000"),
+      ("lang", "null_share", q4("a_lang_nulls", "a_n"), q4("b_lang_nulls", "b_n")),
+      ("lang", "n_distinct", "a_lang_d * 10000", "b_lang_d * 10000"),
+      ("source", "n_distinct", "a_src_d * 10000", "b_src_d * 10000"),
+      ("n_chars", "mean", q4("a_nc_sum", "a_n"), q4("b_nc_sum", "b_n")),
+      ("text", "len_mean", q4("a_len_sum", "a_n"), q4("b_len_sum", "b_n")))
+    metricRows.map { case (c, m, e1, e2) =>
+      both.select(
+        lit(c).as("col_name"), lit(m).as("metric"),
+        expr(e1).as("v1i"), expr(e2).as("v2i"))
+    }.reduce(_ unionByName _)
+      .select(
+        col("col_name"), col("metric"),
+        (col("v1i") / lit(10000.0)).as("v1"),
+        (col("v2i") / lit(10000.0)).as("v2"),
+        (abs(col("v2i") - col("v1i")) / lit(10000.0)).as("drift"),
+        when(lit(20L) * abs(col("v2i") - col("v1i"))
+          > greatest(col("v1i"), col("v2i")), 1L).otherwise(0L).as("flagged"))
+      .orderBy("col_name", "metric")
+  }
+
+  private def profileDriftSql: String = {
+    def q4(num: String, den: String): String =
+      s"CAST((20000 * CAST($num AS HUGEINT) + $den) // (2 * CAST($den AS HUGEINT)) AS BIGINT)"
+    val rows = Seq(
+      ("doc_id", "n_rows", "a_n * 10000", "b_n * 10000"),
+      ("lang", "null_share", q4("a_lang_nulls", "a_n"), q4("b_lang_nulls", "b_n")),
+      ("lang", "n_distinct", "a_lang_d * 10000", "b_lang_d * 10000"),
+      ("source", "n_distinct", "a_src_d * 10000", "b_src_d * 10000"),
+      ("n_chars", "mean", q4("a_nc_sum", "a_n"), q4("b_nc_sum", "b_n")),
+      ("text", "len_mean", q4("a_len_sum", "a_n"), q4("b_len_sum", "b_n")))
+      .map { case (c, m, e1, e2) =>
+        s"SELECT '$c' AS col_name, '$m' AS metric, $e1 AS v1i, $e2 AS v2i FROM ab"
+      }.mkString("\nUNION ALL\n")
+    s"""WITH v1 AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN doc_id % 19 = 0 THEN NULL ELSE lang END AS lang,
+       |    source,
+       |    CASE WHEN doc_id % 7 = 0 THEN n_chars + n_chars // 10
+       |         ELSE n_chars END AS n_chars
+       |  FROM documents WHERE doc_id % 13 <> 5),
+       |wa AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS a_n,
+       |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS a_lang_nulls,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS a_lang_d,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS a_src_d,
+       |    CAST(sum(n_chars) AS BIGINT) AS a_nc_sum,
+       |    CAST(sum(length(text)) AS BIGINT) AS a_len_sum
+       |  FROM v1),
+       |wb AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS b_n,
+       |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS b_lang_nulls,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS b_lang_d,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS b_src_d,
+       |    CAST(sum(n_chars) AS BIGINT) AS b_nc_sum,
+       |    CAST(sum(length(text)) AS BIGINT) AS b_len_sum
+       |  FROM documents),
+       |ab AS MATERIALIZED (SELECT * FROM wa, wb)
+       |SELECT col_name, metric, v1i / 10000.0 AS v1, v2i / 10000.0 AS v2,
+       |  abs(v2i - v1i) / 10000.0 AS drift,
+       |  CAST(CASE WHEN 20 * abs(v2i - v1i) > greatest(v1i, v2i)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
+       |FROM ($rows) m
+       |ORDER BY col_name, metric""".stripMargin
+  }
+
   private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     val oldSnap = d.filter(col("doc_id") % 13 =!= 5)
@@ -2728,5 +2845,9 @@ object Curation {
       tcloseness,
       Some(tclosenessSql),
       "X137 t-closeness release audit: per level, EMD-skewed classes + at-risk rows/share, true t riding"),
+    "q_profile_drift" -> QueryDef(
+      profileDrift,
+      Some(profileDriftSql),
+      "X140 per-column profile drift: version-vs-version stats with integer >5% regression flags"),
   )
 }

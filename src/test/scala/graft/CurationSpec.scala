@@ -1033,6 +1033,48 @@ class CurationSpec extends AnyFunSuite {
       s"skew fixture report diverges: $got")
   }
 
+  test("q_profile_drift: every metric recounts sequentially at two SFs; only real drifts flag") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+          r.getLong(4)))
+      val v1 = docs.filter(_._1 % 13 != 5).map { case (id, t, l, s, nc) =>
+        (id, t, if (id % 19 == 0) null else l, s,
+          if (id % 7 == 0) nc + nc / 10 else nc)
+      }
+      def q4(num: BigInt, den: BigInt): Long = ((num * 20000 + den) / (den * 2)).toLong
+      def stats(v: Seq[(Long, String, String, String, Long)]) = {
+        val n = v.size.toLong
+        Map(
+          ("doc_id", "n_rows") -> n * 10000,
+          ("lang", "null_share") -> q4(v.count(_._3 == null), n),
+          ("lang", "n_distinct") -> v.map(_._3).filter(_ != null).distinct.size.toLong * 10000,
+          ("source", "n_distinct") -> v.map(_._4).distinct.size.toLong * 10000,
+          ("n_chars", "mean") -> q4(v.map(x => BigInt(x._5)).sum, n),
+          ("text", "len_mean") -> q4(BigInt(v.map(_._2.length.toLong).sum), n))
+      }
+      val (s1, s2) = (stats(v1.toSeq), stats(docs.toSeq))
+      val want = s1.keys.toSeq.sorted.map { k =>
+        val (a, b) = (s1(k), s2(k))
+        (k._1, k._2, a / 10000.0, b / 10000.0, math.abs(b - a) / 10000.0,
+          if (20L * math.abs(b - a) > math.max(a, b)) 1L else 0L)
+      }
+      val got = SparkEntry.queries("q_profile_drift")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getLong(5))).toSeq
+      assert(got === want, s"profile drift recount diverges at $dir")
+      // the planted regressions — and ONLY those — must flag: the row
+      // drop (added docs) and the NULLed lang extractor both exceed 5%;
+      // the 1-in-7 +10% length bug dilutes to ~1.4% and must NOT
+      val flagged = got.filter(_._6 == 1L).map(r => (r._1, r._2)).toSet
+      assert(flagged === Set(("doc_id", "n_rows"), ("lang", "null_share")),
+        s"wrong flag set at $dir: $flagged")
+    }
+  }
+
   test("kanonOf: strict <k semantics — a class of size exactly k is not at risk") {
     import spark.implicits._
     // classes: x->1 row, y->2 rows, z->5 rows
