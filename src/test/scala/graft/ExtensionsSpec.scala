@@ -298,4 +298,61 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(a === b, "manifest changed under repartitioning")
     } finally spark.conf.set("spark.sql.shuffle.partitions", "32")
   }
+
+  test("q_ab_test: 2x2 recounts sequentially at two SFs; the verdict fires on the live split") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val perUser = Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_type")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._1).toSeq.map { case (u, es) =>
+          (u % 2, if (es.count(_._2 == "purchase") >= 14) 1L else 0L)
+        }
+      val Seq(a, b, c, d) = Seq(
+        perUser.count(x => x._1 == 0 && x._2 == 1).toLong,
+        perUser.count(x => x._1 == 0 && x._2 == 0).toLong,
+        perUser.count(x => x._1 == 1 && x._2 == 1).toLong,
+        perUser.count(x => x._1 == 1 && x._2 == 0).toLong)
+      val n = a + b + c + d
+      val num = BigInt(n) * (BigInt(a) * d - BigInt(b) * c) * (BigInt(a) * d - BigInt(b) * c)
+      val den = (BigInt(a) + b) * (BigInt(c) + d) * (BigInt(a) + c) * (BigInt(b) + d)
+      val chi = if (den == 0) 0.0 else ((num * 20000 + den) / (den * 2)).toLong / 10000.0
+      val sig = if (den != 0 && num * 10000 > den * 38415) 1L else 0L
+      def r4(conv: Long, users: Long): Long = (20000L * conv + users) / (2L * users)
+      val diff = math.abs(r4(a, a + b) - r4(c, c + d)) / 10000.0
+      val want = Seq(
+        (0L, a + b, a, r4(a, a + b) / 10000.0, diff, chi, sig),
+        (1L, c + d, c, r4(c, c + d) / 10000.0, diff, chi, sig))
+      val got = SparkEntry.queries("q_ab_test")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getLong(6))).toSeq
+      assert(got === want, s"A/B recount diverges at $dir")
+    }
+    // the shipped corpus has a genuinely significant parity split at
+    // sf0.01 (chi2 ~ 7.76) — the verdict must be live, not vacuous
+    val sf01 = SparkEntry.queries("q_ab_test")(spark, "/root/testdata/sf0.01")
+      .collect().head
+    assert(sf01.getLong(6) == 1L && sf01.getDouble(5) > 3.8415)
+  }
+
+  test("abTestOf closed forms: identical rates 0 / extreme split significant / hand 2x2 exact") {
+    import spark.implicits._
+    def run(cells: Seq[(Long, Long)]): (Double, Long) = {
+      val r = graft.operators.Extensions.abTestOf(cells.toDF("variant", "converted"))
+        .collect().head
+      (r.getDouble(5), r.getLong(6))
+    }
+    // identical rates: chi2 exactly 0, not significant
+    val same = Seq.fill(10)((0L, 1L)) ++ Seq.fill(10)((0L, 0L)) ++
+      Seq.fill(10)((1L, 1L)) ++ Seq.fill(10)((1L, 0L))
+    assert(run(same) === ((0.0, 0L)))
+    // extreme split: all of A converts, none of B
+    val extreme = Seq.fill(20)((0L, 1L)) ++ Seq.fill(20)((1L, 0L))
+    val (chiE, sigE) = run(extreme)
+    assert(sigE == 1L && chiE === 40.0, s"extreme 2x2 should give chi2 = n = 40, got $chiE")
+    // hand-computed: a=8,b=2,c=3,d=7 -> chi2 = 20*(56-6)^2/(10*10*11*9) = 5.0505
+    val hand = Seq.fill(8)((0L, 1L)) ++ Seq.fill(2)((0L, 0L)) ++
+      Seq.fill(3)((1L, 1L)) ++ Seq.fill(7)((1L, 0L))
+    assert(run(hand) === ((5.0505, 1L)))
+  }
 }
