@@ -554,6 +554,56 @@ object Gateway {
              |    ELSE 1 END AS BIGINT)""".stripMargin).as("salt_n"))
   }
 
+  /** Streaming X131 — windowed topic-composition monitor
+    * (`topicFeed`): "what domains are we ingesting RIGHT NOW" — the
+    * offline X131 table as a live dial. Per event-time window and
+    * topic lexicon: docs, lexicon members (≥ the X131 two-distinct-
+    * word threshold, the identical in-row test), and the 4dp integer
+    * share. The lexicons ride as plan literals (the [[novelFeed]]
+    * bounded-artifact pattern), the flags are stateless in-row HOF
+    * work, and the ONLY state is one watermark-bounded windowed
+    * aggregate whose per-topic sums unpivot AFTER the aggregate —
+    * integer counts end-to-end, so micro-batch boundaries cannot move
+    * a digit (GatewaySpec pins stream ≡ batch ≡ sequential recount).
+    */
+  def topicFeed(
+      lines: DataFrame,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val lex = graft.operators.TextAnalysis.topicLexicons
+    val minHits = graft.operators.TextAnalysis.topicMinHits
+    val parsed = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 && col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(2).as("text"))
+      .withWatermark("ts", watermarkDelay)
+    val flagged = lex.foldLeft(
+      parsed.withColumn("__tw", array_distinct(split(col("text"), " ")))) {
+      case (df, (t, words)) =>
+        df.withColumn(s"__h_$t",
+          (size(array_intersect(col("__tw"), array(words.map(lit(_)): _*)))
+            >= minHits).cast("long"))
+    }
+    val agg = flagged
+      .groupBy(window(col("ts"), windowDuration))
+      .agg(count(lit(1)).as("n_docs"),
+        lex.keys.toSeq.map(t => sum(col(s"__h_$t")).as(s"h_$t")): _*)
+    val stacked = lex.keys.map(t =>
+      s"'$t', h_$t").mkString(s"stack(${lex.size}, ", ", ", ")")
+    agg
+      .select(col("window.start").as("window_start"), col("n_docs"),
+        expr(s"$stacked AS (topic, hits)"))
+      .select(
+        col("window_start"), col("topic"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("hits").cast("long").as("hits"),
+        (expr("CAST((20000 * hits + n_docs) DIV (2 * n_docs) AS BIGINT)")
+          / lit(10000.0)).as("share"))
+  }
+
   /** Streaming X37/X80 — windowed novel-vocabulary monitor
     * (`novelFeed`): per event-time window, the fraction of incoming
     * tokens OUTSIDE a static reference vocabulary — the live

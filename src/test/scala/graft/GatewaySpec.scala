@@ -1428,6 +1428,54 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming topic monitor: windowed lexicon composition, stream == batch == recount") {
+    // Streaming X131: real docs over three event-time days; the
+    // per-(window, topic) membership counts and 4dp shares must agree
+    // under the streaming engine, as a batch frame, and in a
+    // sequential recount with the same lexicons.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val base = 1700000000L
+    val feed = docs.map { case (id, t) => (base + (id % 3) * 86400, id, t) }
+    val lines = feed.map { case (s, id, t) => s"$s $id $t" }.toSeq
+    val ms = MemoryStream[String]
+    val sink = s"topic_feed_${System.nanoTime()}"
+    val q = Gateway.topicFeed(ms.toDF(), "1 day", "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      ms.addData(lines: _*)
+      q.processAllAvailable()
+      ms.addData("9999999999 0 sentinel")
+      q.processAllAvailable()
+      ms.addData("9999999999 0 sentinel")
+      q.processAllAvailable()
+      val cols = Seq(unix_seconds(col("window_start")).as("ws"),
+        col("topic"), col("n_docs"), col("hits"), col("share"))
+      val streamed = spark.table(sink).select(cols: _*)
+        .as[(Long, String, Long, Long, Double)].collect().toSet
+      val batch = Gateway.topicFeed(lines.toDF("value"), "1 day", "1 hour")
+        .select(cols: _*).as[(Long, String, Long, Long, Double)].collect().toSet
+      assert(batch.nonEmpty, "vacuous pin: no window closed")
+      assert(streamed === batch, "streaming topic mix diverges from batch")
+      val lex = graft.operators.TextAnalysis.topicLexicons
+      val minHits = graft.operators.TextAnalysis.topicMinHits
+      val expected = (for {
+        (ws, rows) <- feed.groupBy { case (s, _, _) => (s / 86400) * 86400 }.toSeq
+        (t, words) <- lex.toSeq
+      } yield {
+        val n = rows.length.toLong
+        val hits = rows.count { case (_, _, txt) =>
+          words.count(txt.split(" ").distinct.toSet.contains) >= minHits
+        }.toLong
+        (ws, t, n, hits, ((20000L * hits + n) / (2L * n)) / 10000.0)
+      }).toSet
+      assert(batch === expected, "topic mix diverges from the sequential recount")
+      assert(streamed.size >= 3 * lex.size, "expected every (day, topic) cell")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: within-watermark duplicates dropped, expired keys re-admitted") {
     // The two halves of dropDuplicatesWithinWatermark's contract:
     // (1) a frame re-sent while its key state lives is suppressed —
