@@ -642,6 +642,146 @@ object Extensions {
       .orderBy("variant")
   }
 
+  /** X142 core — CUPED off a (variant, x, y) per-user frame (x = the
+    * pre-period covariate, y = the outcome). Factored so
+    * ExtensionsSpec can drive the closed forms: y ≡ x ⇒ θ = 1,
+    * adjusted means COLLAPSE to the grand pre-period mean and the
+    * variance reduction is exactly 1; constant x ⇒ θ = 0 and the
+    * adjustment is a no-op.
+    *
+    * All statistics are exact rationals of integer sums: with n-scaled
+    * moments cov_n = n·Σxy − Σx·Σy, var_n = n·Σx² − (Σx)², vary_n =
+    * n·Σy² − (Σy)²: θ = cov_n/var_n; the variant's adjusted mean
+    * ȳ_v − θ(x̄_v − x̄) = (Sy_v·var_n·n − cov_n·(Sx_v·n − Sx·n_v)) /
+    * (n_v·var_n·n); the variance-reduction share is ρ² =
+    * cov_n²/(var_n·vary_n). Signed 4dp HALF_UP in integer space
+    * (sign·((|num|·20000 + den) DIV (2·den)), den > 0); var_n = 0 or
+    * vary_n = 0 degenerates to θ = 0 / reduction 0 / adjusted = raw
+    * in a CASE both engines state. Range: the triple products stay in
+    * DECIMAL(38,0) to ~10⁷ users with double-digit counts — an
+    * experiment-sized bound, documented like X141's.
+    */
+  private[graft] def cupedOf(perUser: DataFrame): DataFrame = {
+    val tot = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+      sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .withColumn("cov_n", expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("var_n", expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("vary_n", expr("CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+    val per = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_v"), sum(col("x")).as("sx_v"), sum(col("y")).as("sy_v"))
+    def sq4(num: String, den: String): String =
+      s"""CAST(CASE WHEN $den = 0 THEN 0
+         |ELSE (CASE WHEN $num < 0 THEN -1 ELSE 1 END)
+         |     * ((abs($num) * 20000 + $den) DIV (2 * ($den))) END AS BIGINT)"""
+        .stripMargin
+    per.crossJoin(broadcast(tot))
+      .withColumn("adj_num", expr(
+        """CAST(sy_v AS DECIMAL(38,0)) * var_n * n
+          |- cov_n * (CAST(sx_v AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * n_v)"""
+          .stripMargin))
+      .withColumn("adj_den", expr("CAST(n_v AS DECIMAL(38,0)) * var_n * n"))
+      .select(
+        col("variant").cast("long").as("variant"),
+        col("n_v").cast("long").as("n_users"),
+        (expr("CAST((20000 * sy_v + n_v) DIV (2 * n_v) AS BIGINT)")
+          / lit(10000.0)).as("mean_y"),
+        (when(col("var_n") === 0,
+          expr("CAST((20000 * sy_v + n_v) DIV (2 * n_v) AS BIGINT)"))
+          .otherwise(expr(sq4("adj_num", "adj_den"))) / lit(10000.0)).as("mean_y_adj"),
+        (expr(sq4("cov_n", "var_n")) / lit(10000.0)).as("theta"),
+        (when(col("var_n") === 0 || col("vary_n") === 0, lit(0L))
+          .otherwise(expr(
+            """CAST((20000 * cov_n * cov_n + var_n * vary_n)
+              |  DIV (2 * var_n * vary_n) AS BIGINT)""".stripMargin))
+          / lit(10000.0)).as("var_reduction"))
+      .orderBy("variant")
+  }
+
+  /** X142 — CUPED variance-reduced readout (`q_cuped`): the
+    * production upgrade to X141 — experiments on heavy-tailed
+    * engagement metrics are underpowered at raw variance, and CUPED
+    * (Deng et al.) reclaims power by regressing out each user's
+    * PRE-period behavior: y' = y − θ(x − x̄) with θ = cov(x,y)/var(x).
+    * Covariate x = the user's purchase count in the first event-time
+    * half (the split point is the exact µs midpoint, a 1-row
+    * aggregate); outcome y = the second-half purchase count. Per
+    * variant: users, raw mean, adjusted mean; riding every row: θ
+    * (signed 4dp) and the variance-reduction share ρ² =
+    * cov²/(var_x·var_y) — how much narrower the confidence interval
+    * gets for free.
+    *
+    * Scale: one narrow events pass (the µs bounds as a broadcast
+    * 1-row stats join), ONE user-keyed aggregate with map-side
+    * partials, one exchange to the 2-row variant dictionary, and the
+    * moment algebra is 1-row work.
+    */
+  private def cuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val st = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .withColumn("mid", expr("(mn + mx) DIV 2"))
+    cupedOf(
+      ev.crossJoin(broadcast(st))
+        .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase" && col("us") <= col("mid"),
+            1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase" && col("us") > col("mid"),
+            1L).otherwise(0L)).as("y"))
+        .select(col("variant"), col("x"), col("y")))
+  }
+
+  private def cupedSql: String = {
+    def sq4(num: String, den: String): String =
+      s"""CAST(CASE WHEN $den = 0 THEN 0
+         |ELSE (CASE WHEN $num < 0 THEN -1 ELSE 1 END)
+         |     * ((abs($num) * 20000 + $den) // (2 * ($den))) END AS BIGINT)"""
+        .stripMargin
+    s"""WITH st AS (
+       |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+       |pu AS (
+       |  SELECT user_id % 2 AS variant,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' AND epoch_us(ts) <= st.mid
+       |         THEN 1 ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' AND epoch_us(ts) > st.mid
+       |         THEN 1 ELSE 0 END) AS BIGINT) AS y
+       |  FROM events, st GROUP BY user_id % 2, user_id),
+       |tot AS (
+       |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM pu),
+       |mo AS (
+       |  SELECT n, sx, sy,
+       |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov_n,
+       |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS var_n,
+       |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vary_n
+       |  FROM tot),
+       |per AS (
+       |  SELECT variant, count(*) AS n_v, sum(x) AS sx_v, sum(y) AS sy_v
+       |  FROM pu GROUP BY 1)
+       |SELECT CAST(variant AS BIGINT) AS variant,
+       |  CAST(n_v AS BIGINT) AS n_users,
+       |  CAST((20000 * sy_v + n_v) // (2 * n_v) AS BIGINT) / 10000.0 AS mean_y,
+       |  CASE WHEN mo.var_n = 0
+       |       THEN CAST((20000 * sy_v + n_v) // (2 * n_v) AS BIGINT) / 10000.0
+       |       ELSE ${sq4(
+      "CAST(sy_v AS HUGEINT) * mo.var_n * mo.n - mo.cov_n * (CAST(sx_v AS HUGEINT) * mo.n - CAST(mo.sx AS HUGEINT) * n_v)",
+      "CAST(n_v AS HUGEINT) * mo.var_n * mo.n")} / 10000.0
+       |  END AS mean_y_adj,
+       |  ${sq4("mo.cov_n", "mo.var_n")} / 10000.0 AS theta,
+       |  CASE WHEN mo.var_n = 0 OR mo.vary_n = 0 THEN 0.0
+       |       ELSE CAST((20000 * mo.cov_n * mo.cov_n + mo.var_n * mo.vary_n)
+       |             // (2 * mo.var_n * mo.vary_n) AS BIGINT) / 10000.0
+       |  END AS var_reduction
+       |FROM per, mo ORDER BY variant""".stripMargin
+  }
+
   /** X141 — A/B experiment readout (`q_ab_test`): the experimentation
     * primitive every event pipeline ends at — split users into
     * variants (here the deterministic user_id parity, standing in for
@@ -767,6 +907,10 @@ object Extensions {
       abTest,
       Some(abTestSql),
       "X141 A/B experiment readout: per-variant conversion + exact 2x2 chi-squared significance"),
+    "q_cuped" -> QueryDef(
+      cuped,
+      Some(cupedSql),
+      "X142 CUPED variance-reduced readout: pre-period-adjusted means, exact theta + rho^2 reduction"),
     "q_time_drift" -> QueryDef(
       timeDrift,
       Some("""WITH e AS (

@@ -355,4 +355,65 @@ class ExtensionsSpec extends AnyFunSuite {
       Seq.fill(3)((1L, 1L)) ++ Seq.fill(7)((1L, 0L))
     assert(run(hand) === ((5.0505, 1L)))
   }
+
+  test("q_cuped: moment recount at two SFs; theta and reduction exact") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ev = Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          org.apache.spark.sql.functions.unix_micros(col("ts")).as("us")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val mid = (ev.map(_._3).min + ev.map(_._3).max) / 2
+      val pu = ev.groupBy(_._1).toSeq.map { case (u, es) =>
+        (u % 2,
+          es.count(e => e._2 == "purchase" && e._3 <= mid).toLong,
+          es.count(e => e._2 == "purchase" && e._3 > mid).toLong)
+      }
+      val n = BigInt(pu.size)
+      val (sx, sy) = (BigInt(pu.map(_._2).sum), BigInt(pu.map(_._3).sum))
+      val sxx = pu.map(r => BigInt(r._2) * r._2).sum
+      val sxy = pu.map(r => BigInt(r._2) * r._3).sum
+      val syy = pu.map(r => BigInt(r._3) * r._3).sum
+      val covN = n * sxy - sx * sy
+      val varN = n * sxx - sx * sx
+      val varyN = n * syy - sy * sy
+      def sq4(num: BigInt, den: BigInt): Double =
+        (if (den == 0) 0L
+         else num.signum * ((num.abs * 20000 + den) / (den * 2)).toLong) / 10000.0
+      val want = Seq(0L, 1L).map { v =>
+        val vs = pu.filter(_._1 == v)
+        val nv = BigInt(vs.size)
+        val (sxv, syv) = (BigInt(vs.map(_._2).sum), BigInt(vs.map(_._3).sum))
+        val meanY = ((syv * 20000 + nv) / (nv * 2)).toLong / 10000.0
+        val adj = if (varN == 0) meanY
+          else sq4(syv * varN * n - covN * (sxv * n - sx * nv), nv * varN * n)
+        val red = if (varN == 0 || varyN == 0) 0.0
+          else ((covN * covN * 20000 + varN * varyN) / (varN * varyN * 2)).toLong / 10000.0
+        (v, vs.size.toLong, meanY, adj, sq4(covN, varN), red)
+      }
+      val got = SparkEntry.queries("q_cuped")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toSeq
+      assert(got === want, s"CUPED recount diverges at $dir")
+    }
+  }
+
+  test("cupedOf closed forms: y==x collapses to the grand mean; constant x is a no-op") {
+    import spark.implicits._
+    // y identical to x: theta = 1, every adjusted mean = grand mean of x,
+    // variance reduction exactly 1
+    val mirror = Seq((0L, 2L, 2L), (0L, 6L, 6L), (1L, 3L, 3L), (1L, 9L, 9L))
+      .toDF("variant", "x", "y")
+    val g1 = graft.operators.Extensions.cupedOf(mirror).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(g1.toSeq === Seq((0L, 5.0, 1.0, 1.0), (1L, 5.0, 1.0, 1.0)),
+      s"mirror fixture must collapse both variants to the grand mean 5: ${g1.toSeq}")
+    // constant covariate: var_n = 0 -> theta 0, adjustment a no-op
+    val flat = Seq((0L, 4L, 2L), (0L, 4L, 6L), (1L, 4L, 3L), (1L, 4L, 9L))
+      .toDF("variant", "x", "y")
+    val g2 = graft.operators.Extensions.cupedOf(flat).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(g2.toSeq === Seq((0L, 4.0, 4.0, 0.0, 0.0), (1L, 6.0, 6.0, 0.0, 0.0)),
+      s"constant covariate must be a no-op: ${g2.toSeq}")
+  }
 }
