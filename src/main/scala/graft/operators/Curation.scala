@@ -2535,6 +2535,96 @@ object Curation {
        |       // (2 * sum(n)) AS BIGINT) / 10000.0 AS risk_share
        |FROM e4, lv GROUP BY lvl ORDER BY lvl""".stripMargin
 
+  /** X143's privacy-budget ladder: (tag, ε, 1/ε as an exact literal
+    * both engines multiply by). Tags go into the hash so the noise
+    * stream is keyed by STRING, never by a float's formatting.
+    */
+  private[graft] val dpLadder: Seq[(String, Double, Double)] =
+    Seq(("e01", 0.1, 10.0), ("e1", 1.0, 1.0), ("e10", 10.0, 0.1))
+
+  /** X143 — differentially-private count release (`q_dp_release`):
+    * the privacy family's RELEASE mechanism — X132/X135/X137 audit
+    * what a raw release leaks; this emits what a protected release
+    * actually publishes: per-source document counts under ε-DP
+    * Laplace noise, at each budget on the declared ladder. The table
+    * is the CALIBRATION AUDIT a release pipeline runs (true count,
+    * noisy count, realized |noise|, per-ε mean |noise| riding —
+    * E|Lap(1/ε)| = 1/ε, so the ε = 0.1 column is visibly 100×
+    * noisier than ε = 10); a production release drops the true
+    * column and ships the rest.
+    *
+    * Noise is hash-DETERMINISTIC (the X49/X94 discipline — no RNG in
+    * a declared query): u6 = h32('dp'‖source‖tag) mod 10⁶ maps to
+    * u = (u6 + 0.5 − 5·10⁵)/10⁶ ∈ (−0.5, 0.5) — the +0.5 keeps the
+    * inverse CDF's ln argument strictly positive — and the Laplace
+    * draw is −(1/ε)·sign(u)·ln(1 − 2ǀuǀ), computed on IDENTICAL
+    * doubles in both engines and snapped ONCE to millionths (the X51
+    * ln rule); everything after is integer (µ-units → 4dp by signed
+    * (ǀmǀ+50) DIV 100).
+    *
+    * Scale: one corpus collapse to the ǀsourcesǀ dictionary, a 3-row
+    * broadcast ladder cross join, in-row noise, one ε-partitioned
+    * window over the dictionary. Nothing corpus-sized past the first
+    * aggregate.
+    */
+  private def dpRelease(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val src = Tables(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_true"))
+    val ladder = dpLadder.map { case (tag, e, inv) => (tag, e, inv) }
+      .toDF("tag", "eps", "inv_eps")
+    val u = (Hashing.h32(concat(lit("dp"), col("source"), col("tag"))) % 1000000L
+      + lit(0.5) - lit(500000.0)) / lit(1000000.0)
+    val lap = -col("inv_eps") *
+      when(u < 0, lit(-1.0)).otherwise(lit(1.0)) *
+      log(lit(1.0) - lit(2.0) * abs(u))
+    val byEps = Window.partitionBy(col("eps"))
+    src.crossJoin(broadcast(ladder))
+      .withColumn("noise6", round(lap * lit(1000000.0), 0).cast("long"))
+      .withColumn("m", col("n_true") * lit(1000000L) + col("noise6"))
+      .withColumn("an4", expr("(abs(noise6) + 50) DIV 100"))
+      .withColumn("man4", expr(
+        "CAST((20000 * sum(an4) OVER (PARTITION BY eps) + 10000 * count(1) OVER (PARTITION BY eps)) DIV (2 * 10000 * count(1) OVER (PARTITION BY eps)) AS BIGINT)"))
+      .select(
+        col("source"), col("eps"),
+        col("n_true").cast("long").as("n_true"),
+        (expr("(CASE WHEN m < 0 THEN -1 ELSE 1 END) * ((abs(m) + 50) DIV 100)")
+          / lit(10000.0)).as("noisy_n"),
+        (col("an4") / lit(10000.0)).as("abs_noise"),
+        (col("man4") / lit(10000.0)).as("mean_abs_noise"))
+      .orderBy("source", "eps")
+  }
+
+  private def dpReleaseSql: String = {
+    val ladder = dpLadder.map { case (tag, e, inv) => s"('$tag', $e, $inv)" }
+      .mkString(", ")
+    s"""WITH src AS MATERIALIZED (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_true
+       |  FROM documents GROUP BY 1),
+       |lv(tag, eps, inv_eps) AS (VALUES $ladder),
+       |nz AS (
+       |  SELECT source, CAST(eps AS DOUBLE) AS eps, n_true,
+       |    CAST(round(1000000.0 * (
+       |      -CAST(inv_eps AS DOUBLE)
+       |      * (CASE WHEN (('0x' || substr(md5('dp' || source || tag), 1, 8))::BIGINT
+       |               % 1000000 + 0.5 - 500000.0) / 1000000.0 < 0
+       |         THEN -1.0 ELSE 1.0 END)
+       |      * ln(1.0 - 2.0 * abs((('0x' || substr(md5('dp' || source || tag), 1, 8))::BIGINT
+       |               % 1000000 + 0.5 - 500000.0) / 1000000.0))
+       |    )) AS BIGINT) AS noise6
+       |  FROM src, lv)
+       |SELECT source, eps, n_true,
+       |  (CASE WHEN n_true * 1000000 + noise6 < 0 THEN -1 ELSE 1 END)
+       |    * ((abs(n_true * 1000000 + noise6) + 50) // 100) / 10000.0 AS noisy_n,
+       |  ((abs(noise6) + 50) // 100) / 10000.0 AS abs_noise,
+       |  CAST((20000 * sum((abs(noise6) + 50) // 100) OVER (PARTITION BY eps)
+       |        + 10000 * count(*) OVER (PARTITION BY eps))
+       |    // (2 * 10000 * count(*) OVER (PARTITION BY eps)) AS BIGINT) / 10000.0
+       |    AS mean_abs_noise
+       |FROM nz ORDER BY source, eps""".stripMargin
+  }
+
   /** X132 — k-anonymity release audit (`q_kanon`): the privacy gate a
     * data release runs next to X19's PII redaction — redaction strips
     * direct identifiers; k-anonymity measures whether the QUASI
@@ -2849,5 +2939,9 @@ object Curation {
       profileDrift,
       Some(profileDriftSql),
       "X140 per-column profile drift: version-vs-version stats with integer >5% regression flags"),
+    "q_dp_release" -> QueryDef(
+      dpRelease,
+      Some(dpReleaseSql),
+      "X143 DP count release: hash-deterministic Laplace noise per (source, epsilon) + calibration audit"),
   )
 }

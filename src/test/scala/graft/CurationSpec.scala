@@ -1075,6 +1075,49 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dp_release: noise recounts from MessageDigest hashes; calibration tracks 1/eps") {
+    import org.apache.spark.sql.functions.col
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val counts = Tables(spark, dir, "documents")
+        .select(col("source")).collect().map(_.getString(0))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ladder = graft.operators.Curation.dpLadder
+      val rows = for {
+        (src, n) <- counts.toSeq.sortBy(_._1)
+        (tag, eps, inv) <- ladder
+      } yield {
+        val u = (h32(s"dp$src$tag") % 1000000L + 0.5 - 500000.0) / 1000000.0
+        val lap = -inv * (if (u < 0) -1.0 else 1.0) * math.log(1.0 - 2.0 * math.abs(u))
+        val noise6 = math.round(lap * 1000000.0)
+        val m = n * 1000000L + noise6
+        (src, eps, n, (if (m < 0) -1 else 1) * ((math.abs(m) + 50) / 100) / 10000.0,
+          ((math.abs(noise6) + 50) / 100) / 10000.0)
+      }
+      val an4ByEps = rows.groupBy(_._2).view
+        .mapValues { rs =>
+          val s4 = rs.map(r => math.round(r._5 * 10000)).sum
+          ((2 * s4 + rs.size) / (2L * rs.size)) / 10000.0
+        }.toMap
+      val want = rows.map(r => (r._1, r._2, r._3, r._4, r._5, an4ByEps(r._2)))
+        .sortBy(r => (r._1, r._2))
+      val got = SparkEntry.queries("q_dp_release")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toSeq
+      assert(got === want, s"DP release recount diverges at $dir")
+      // calibration: E|Lap(1/eps)| = 1/eps — mean |noise| must sit within
+      // a loose factor-of-2 band of it, and ranks must invert with eps
+      val m = an4ByEps
+      assert(m(0.1) > m(1.0) && m(1.0) > m(10.0), "noise must shrink with eps")
+      assert(m(0.1) > 5.0 && m(0.1) < 20.0, s"eps=0.1 calibration off: ${m(0.1)}")
+      assert(m(10.0) > 0.05 && m(10.0) < 0.2, s"eps=10 calibration off: ${m(10.0)}")
+    }
+  }
+
   test("kanonOf: strict <k semantics — a class of size exactly k is not at risk") {
     import spark.implicits._
     // classes: x->1 row, y->2 rows, z->5 rows
