@@ -782,6 +782,85 @@ object Extensions {
        |FROM per, mo ORDER BY variant""".stripMargin
   }
 
+  /** X144 core — per-variant exact quartiles off a (variant, uid, y)
+    * frame. Type-1 order statistics (the value at rank ⌈q·n⌉ under
+    * the total order (y, uid)) — pure integers, no interpolation, so
+    * both engines and the spec recount agree bit-for-bit. Factored
+    * for fixtures (a hand-ranked 1..8 layout).
+    *
+    * The ranking goes through [[rankedByRange]] — the X85 rule: a
+    * variant is half the experiment, and a window partitioned by
+    * variant would sort half the corpus on one task; the range
+    * machine never does.
+    */
+  private[graft] def qteOf(perUser: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rk = rankedByRange(
+      perUser.select(col("variant"), col("y"), col("uid")),
+      "variant", Seq("y", "uid"), "rk")
+    val cnt = perUser.groupBy(col("variant")).agg(count(lit(1)).as("n"))
+    val qs = rk.join(broadcast(cnt), "variant")
+      .withColumn("p25", expr("CAST((n + 3) DIV 4 AS BIGINT)"))
+      .withColumn("p50", expr("CAST((n + 1) DIV 2 AS BIGINT)"))
+      .withColumn("p75", expr("CAST((3 * n + 3) DIV 4 AS BIGINT)"))
+      .groupBy(col("variant"), col("n"))
+      .agg(
+        min(when(col("rk") === col("p25"), col("y"))).as("q25"),
+        min(when(col("rk") === col("p50"), col("y"))).as("q50"),
+        min(when(col("rk") === col("p75"), col("y"))).as("q75"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    qs.select(
+      col("variant").cast("long").as("variant"),
+      col("n").cast("long").as("n_users"),
+      col("q25").cast("long").as("p25"),
+      col("q50").cast("long").as("p50"),
+      col("q75").cast("long").as("p75"),
+      (max(col("q50")).over(wAll) - min(col("q50")).over(wAll))
+        .cast("long").as("median_gap"))
+      .orderBy("variant")
+  }
+
+  /** X144 — quantile treatment effect (`q_qte`): the DISTRIBUTIONAL
+    * experiment readout X141/X142 can't give — means hide whether a
+    * treatment lifted the whole distribution or just stretched the
+    * tail (the classic heavy-tail trap: one whale user moves the mean,
+    * nobody else changed). Per variant: exact p25/p50/p75 of the
+    * per-user purchase count (type-1 order statistics — integers, no
+    * interpolation); riding, the median gap between variants — the
+    * robust effect size a heavy-tailed metric deserves.
+    *
+    * Scale: ONE user-keyed aggregate, then the range-machine ranking
+    * (no per-variant sort task) + a ≤2-row broadcast count join and a
+    * 2-row rollup.
+    */
+  private def qte(s: SparkSession, dir: String): DataFrame =
+    qteOf(
+      Tables(s, dir, "events")
+        .groupBy((col("user_id") % 2).as("variant"), col("user_id").as("uid"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        .select(col("variant"), col("uid"), col("y")))
+
+  private def qteSql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id % 2 AS variant, user_id AS uid,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+       |  FROM events GROUP BY user_id % 2, user_id),
+       |rk AS (
+       |  SELECT variant, y,
+       |    row_number() OVER (PARTITION BY variant ORDER BY y, uid) AS rk,
+       |    count(*) OVER (PARTITION BY variant) AS n
+       |  FROM pu),
+       |qs AS (
+       |  SELECT variant, CAST(n AS BIGINT) AS n_users,
+       |    CAST(min(CASE WHEN rk = (n + 3) // 4 THEN y END) AS BIGINT) AS p25,
+       |    CAST(min(CASE WHEN rk = (n + 1) // 2 THEN y END) AS BIGINT) AS p50,
+       |    CAST(min(CASE WHEN rk = (3 * n + 3) // 4 THEN y END) AS BIGINT) AS p75
+       |  FROM rk GROUP BY variant, n)
+       |SELECT CAST(variant AS BIGINT) AS variant, n_users, p25, p50, p75,
+       |  CAST(max(p50) OVER () - min(p50) OVER () AS BIGINT) AS median_gap
+       |FROM qs ORDER BY variant""".stripMargin
+
   /** X141 — A/B experiment readout (`q_ab_test`): the experimentation
     * primitive every event pipeline ends at — split users into
     * variants (here the deterministic user_id parity, standing in for
@@ -911,6 +990,10 @@ object Extensions {
       cuped,
       Some(cupedSql),
       "X142 CUPED variance-reduced readout: pre-period-adjusted means, exact theta + rho^2 reduction"),
+    "q_qte" -> QueryDef(
+      qte,
+      Some(qteSql),
+      "X144 quantile treatment effect: per-variant exact quartiles + the robust median gap"),
     "q_time_drift" -> QueryDef(
       timeDrift,
       Some("""WITH e AS (

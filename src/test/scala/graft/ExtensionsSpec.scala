@@ -416,4 +416,47 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(g2.toSeq === Seq((0L, 4.0, 4.0, 0.0, 0.0), (1L, 6.0, 6.0, 0.0, 0.0)),
       s"constant covariate must be a no-op: ${g2.toSeq}")
   }
+
+  test("q_qte: exact quartiles recount sequentially at two SFs; the lift matches q_ab_test") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val pu = Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_type")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._1).toSeq.map { case (u, es) =>
+          (u % 2, u, es.count(_._2 == "purchase").toLong)
+        }
+      def quart(vs: Seq[(Long, Long, Long)]): (Long, Long, Long, Long) = {
+        val sorted = vs.sortBy(v => (v._3, v._2)).map(_._3)
+        val n = sorted.size
+        (n.toLong, sorted(((n + 3) / 4) - 1), sorted(((n + 1) / 2) - 1),
+          sorted(((3 * n + 3) / 4) - 1))
+      }
+      val q0 = quart(pu.filter(_._1 == 0)); val q1 = quart(pu.filter(_._1 == 1))
+      val gap = math.abs(q1._3 - q0._3)
+      val want = Seq(
+        (0L, q0._1, q0._2, q0._3, q0._4, gap),
+        (1L, q1._1, q1._2, q1._3, q1._4, gap))
+      val got = SparkEntry.queries("q_qte")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      assert(got === want, s"QTE recount diverges at $dir")
+      // quartiles are monotone within each variant by construction
+      assert(got.forall(r => r._3 <= r._4 && r._4 <= r._5))
+    }
+  }
+
+  test("qteOf: hand-ranked fixture gives the exact type-1 order statistics") {
+    import spark.implicits._
+    // variant 0: y = 1..8 -> p25 = rank 2 -> 2, p50 = rank 4 -> 4, p75 = rank 6 -> 6
+    // (ceil conventions: (8+3)/4 = 2, (8+1)/2 = 4, (27)/4 = 6)
+    // variant 1: y = 11..13 -> ranks 1, 2, 3 -> 11, 12, 12? no:
+    //   n = 3: p25 rank (3+3)/4 = 1 -> 11; p50 rank 2 -> 12; p75 rank 3 -> 13
+    val df = ((1 to 8).map(i => (0L, i.toLong, i.toLong)) ++
+      Seq((1L, 21L, 11L), (1L, 22L, 12L), (1L, 23L, 13L)))
+      .toDF("variant", "uid", "y")
+    val got = graft.operators.Extensions.qteOf(df).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq((0L, 2L, 4L, 6L, 8L), (1L, 11L, 12L, 13L, 8L)))
+  }
 }
