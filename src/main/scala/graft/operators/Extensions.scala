@@ -821,6 +821,79 @@ object Extensions {
       .orderBy("variant")
   }
 
+  /** X145 core — the SRM goodness-of-fit off a (variant, n_users)
+    * dictionary against an equal-split design. χ² = Σ(o−e)²/e with
+    * e = n/k collapses, for k = 2, to k·(n0−n1)²/(2·n)… in general
+    * form: χ² = (k·Σo² − n²)/n — an exact rational (k·Σo² ≤ 10²⁹ at
+    * 10¹⁴ users, DECIMAL-safe), rounded 4dp HALF_UP; the verdict uses
+    * the χ²₍₀.₀₀₁,k−1₎ cut the SRM literature insists on (10.828 for
+    * df=1 — SRM alarms demand extreme confidence because a true SRM
+    * invalidates the whole experiment), decided by integer
+    * cross-multiply 10000·(k·Σo² − n²) > 108280·n·? … stated as
+    * 10⁴·num > 108280·den with num = k·Σo² − n², den = n.
+    */
+  private[graft] def srmOf(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("n", sum(col("n_users")).over(wAll))
+      .withColumn("so2", sum(expr("CAST(n_users AS DECIMAL(38,0)) * n_users")).over(wAll))
+      .withColumn("num", expr("CAST(k AS DECIMAL(38,0)) * so2 - CAST(n AS DECIMAL(38,0)) * n"))
+      .select(
+        col("variant").cast("long").as("variant"),
+        col("n_users").cast("long").as("n_users"),
+        expr("CAST((20000 * n_users + n) DIV (2 * n) AS BIGINT)")
+          ./(lit(10000.0)).as("obs_share"),
+        (lit(10000L) / col("k") / lit(10000.0)).as("exp_share"),
+        when(col("n") === 0, lit(0.0)).otherwise(
+          expr("CAST((20000 * num + CAST(n AS DECIMAL(38,0))) DIV (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)")
+            / lit(10000.0)).as("chi2"),
+        when(col("n") =!= 0 &&
+          expr("10000 * num > 108280 * CAST(n AS DECIMAL(38,0))"), 1L)
+          .otherwise(0L).as("srm_alarm"))
+      .orderBy("variant")
+  }
+
+  /** X145 — sample-ratio mismatch guard (`q_srm`): the FIRST check an
+    * experiment readout runs — before any effect estimate, verify the
+    * assignment itself: if the variant split deviates from the
+    * designed equal ratio, something upstream (a crashing client, a
+    * bot filter biased by arm, a logging bug) is corrupting the
+    * randomization and X141/X142/X144's numbers are meaningless. The
+    * alarm uses the 0.001-level χ² cut (10.828 at df=1) the SRM
+    * literature insists on. This corpus's parity split is EXACTLY
+    * 75/75 at sf0.01 — χ² = 0, the honest designed-split pass state;
+    * the alarm branch is fixture-driven through the same srmOf.
+    */
+  private def srm(s: SparkSession, dir: String): DataFrame =
+    srmOf(
+      Tables(s, dir, "events")
+        .select((col("user_id") % 2).as("variant"), col("user_id"))
+        .distinct()
+        .groupBy(col("variant")).agg(count(lit(1)).as("n_users")))
+
+  private def srmSql: String =
+    s"""WITH cells AS (
+       |  SELECT variant, CAST(count(*) AS BIGINT) AS n_users
+       |  FROM (SELECT DISTINCT user_id % 2 AS variant, user_id FROM events) u
+       |  GROUP BY 1),
+       |t AS (
+       |  SELECT count(*) AS k, sum(n_users) AS n,
+       |    sum(CAST(n_users AS HUGEINT) * n_users) AS so2
+       |  FROM cells),
+       |m AS (SELECT k, n, CAST(k AS HUGEINT) * so2 - CAST(n AS HUGEINT) * n AS num FROM t)
+       |SELECT CAST(variant AS BIGINT) AS variant, n_users,
+       |  CAST((20000 * n_users + m.n) // (2 * m.n) AS BIGINT) / 10000.0 AS obs_share,
+       |  (10000 // m.k) / 10000.0 AS exp_share,
+       |  CASE WHEN m.n = 0 THEN 0.0
+       |       ELSE CAST((20000 * m.num + m.n) // (2 * m.n) AS BIGINT) / 10000.0
+       |  END AS chi2,
+       |  CAST(CASE WHEN m.n <> 0 AND 10000 * m.num > 108280 * CAST(m.n AS HUGEINT)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS srm_alarm
+       |FROM cells, m ORDER BY variant""".stripMargin
+
   /** X144 — quantile treatment effect (`q_qte`): the DISTRIBUTIONAL
     * experiment readout X141/X142 can't give — means hide whether a
     * treatment lifted the whole distribution or just stretched the
@@ -994,6 +1067,10 @@ object Extensions {
       qte,
       Some(qteSql),
       "X144 quantile treatment effect: per-variant exact quartiles + the robust median gap"),
+    "q_srm" -> QueryDef(
+      srm,
+      Some(srmSql),
+      "X145 sample-ratio mismatch guard: exact equal-split chi-squared with the 0.001-level alarm"),
     "q_time_drift" -> QueryDef(
       timeDrift,
       Some("""WITH e AS (

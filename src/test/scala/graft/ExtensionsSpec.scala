@@ -459,4 +459,42 @@ class ExtensionsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(got.toSeq === Seq((0L, 2L, 4L, 6L, 8L), (1L, 11L, 12L, 13L, 8L)))
   }
+
+  test("q_srm: recounts at two SFs; the designed parity split passes clean") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val users = Tables(spark, dir, "events")
+        .select(col("user_id")).distinct().collect().map(_.getLong(0))
+      val cells = users.groupBy(_ % 2).toSeq.map { case (v, us) => (v, us.length.toLong) }
+        .sortBy(_._1)
+      val k = BigInt(cells.size); val n = BigInt(cells.map(_._2).sum)
+      val num = k * cells.map(c => BigInt(c._2) * c._2).sum - n * n
+      val chi = ((num * 20000 + n) / (n * 2)).toLong / 10000.0
+      val alarm = if (num * 10000 > n * 108280) 1L else 0L
+      val want = cells.map { case (v, nu) =>
+        (v, nu, ((20000L * nu + n.toLong) / (2L * n.toLong)) / 10000.0, 0.5, chi, alarm)
+      }
+      val got = SparkEntry.queries("q_srm")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getLong(5))).toSeq
+      assert(got === want, s"SRM recount diverges at $dir")
+      // the shipped assignment IS the design: the alarm must be silent
+      assert(got.forall(_._6 == 0L), "designed split must not alarm")
+    }
+  }
+
+  test("srmOf: a corrupted assignment fires the 0.001-level alarm; a near-miss does not") {
+    import spark.implicits._
+    def run(cells: Seq[(Long, Long)]): (Double, Long) = {
+      val r = graft.operators.Extensions.srmOf(cells.toDF("variant", "n_users"))
+        .collect().head
+      (r.getDouble(4), r.getLong(5))
+    }
+    // 600 vs 400: chi2 = (2*(360000+160000) - 1000000)/1000 = 40 -> alarm
+    val (c1, a1) = run(Seq((0L, 600L), (1L, 400L)))
+    assert(c1 === 40.0 && a1 === 1L, s"gross SRM must alarm: $c1")
+    // 520 vs 480: chi2 = (2*(270400+230400) - 1000000)/1000 = 1.6 -> silent
+    val (c2, a2) = run(Seq((0L, 520L), (1L, 480L)))
+    assert(c2 === 1.6 && a2 === 0L, s"1.6-sigma-ish split must stay silent: $c2")
+  }
 }
