@@ -1857,6 +1857,89 @@ object TextAnalysis {
        |FROM h GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** X146's template grain and admission floor: the first
+    * [[templatePrefixLen]] words are the fingerprint, and a prefix
+    * shared by ≥ [[templateMinDocs]] docs is a template.
+    */
+  private[graft] val templatePrefixLen = 3
+  private[graft] val templateMinDocs = 3L
+
+  /** X146 core — prefix-template clusters off a (doc_id, source,
+    * text) frame. Factored so TextAnalysisSpec can drive a
+    * hand-planted two-template layout (below/at/above the floor, one
+    * template cross-source, one source-local) through the SAME
+    * machinery.
+    */
+  private[graft] def templateDetectOf(docsDf: DataFrame): DataFrame = {
+    val prefix = concat_ws(" ",
+      expr(s"slice(split(text, ' '), 1, $templatePrefixLen)"))
+    val tpl = docsDf
+      .select(prefix.as("prefix"), col("doc_id"), col("source"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("exemplar"))
+      .filter(col("n_docs") >= templateMinDocs)
+      .localCheckpoint(true)
+    val tot = tpl.agg(sum(col("n_docs")).as("in_tpl"))
+      .crossJoin(broadcast(docsDf.agg(count(lit(1)).as("n_all"))))
+    tpl.crossJoin(broadcast(tot))
+      .select(
+        col("prefix"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_sources").cast("long").as("n_sources"),
+        col("exemplar").cast("long").as("exemplar"),
+        expr("CAST((20000 * COALESCE(in_tpl, 0) + n_all) DIV (2 * n_all) AS BIGINT)")
+          ./(lit(10000.0)).as("templated_share"))
+      .orderBy("prefix")
+  }
+
+  /** X146 — template detection (`q_template_detect`): the
+    * form-letter/scraped-template screen — X52 strips corpus-frequent
+    * WINDOWS anywhere in a doc; this catches the complementary shape,
+    * documents STAMPED from one template (identical opening): shared
+    * exact word-prefix clusters. Per template: the prefix, member
+    * docs, distinct sources touched (a cross-source template is
+    * scraped boilerplate; a one-source template is that source's form
+    * letter), an exemplar doc; riding, the share of the corpus that
+    * is templated. Runs over the X24 planted corpus (every 15th doc
+    * stamped with the declared phrase — the planted-truth pattern) so
+    * the operator has a genuine template to find at every SF.
+    *
+    * Scale: one narrow pass to the prefix dictionary (one exchange,
+    * map-side partials; distinct prefixes ≤ N and Zipf-concentrated),
+    * floor filter, checkpointed template dict (two consumers), 1-row
+    * broadcast totals.
+    */
+  private def templateDetect(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 15 === 0,
+          concat(lit(Search.phraseTerms.mkString("", " ", " ")), col("text")))
+          .otherwise(col("text")).as("text"))
+    templateDetectOf(planted)
+  }
+
+  private def templateDetectSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 15 = 0
+       |         THEN '${Search.phraseTerms.mkString(" ")} ' || text
+       |         ELSE text END AS text
+       |  FROM documents),
+       |tpl AS MATERIALIZED (
+       |  SELECT array_to_string(list_slice(string_split(text, ' '), 1, $templatePrefixLen), ' ') AS prefix,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |    CAST(min(doc_id) AS BIGINT) AS exemplar
+       |  FROM d GROUP BY 1 HAVING count(*) >= $templateMinDocs),
+       |t AS (SELECT sum(n_docs) AS in_tpl FROM tpl),
+       |na AS (SELECT count(*) AS n_all FROM documents)
+       |SELECT prefix, n_docs, n_sources, exemplar,
+       |  CAST((20000 * COALESCE(t.in_tpl, 0) + na.n_all)
+       |       // (2 * na.n_all) AS BIGINT) / 10000.0 AS templated_share
+       |FROM tpl, t, na ORDER BY prefix""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_token_count" -> QueryDef(
       tokenCount,
@@ -2173,5 +2256,9 @@ object TextAnalysis {
       langMix,
       Some(langMixSql),
       "X133 code-switching detection: per source, half-vs-half X9 disagreement + direction split"),
+    "q_template_detect" -> QueryDef(
+      templateDetect,
+      Some(templateDetectSql),
+      "X146 template detection: shared word-prefix clusters with source spread + templated share"),
   )
 }

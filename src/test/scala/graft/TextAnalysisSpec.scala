@@ -589,6 +589,55 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("sY", 1L, 1L, 0L, 1L, 1.0)))
   }
 
+  test("q_template_detect: recounts sequentially at two SFs and finds the planted template") {
+    import org.apache.spark.sql.functions.col
+    val plen = graft.operators.TextAnalysis.templatePrefixLen
+    val floor = graft.operators.TextAnalysis.templateMinDocs
+    val stamp = graft.operators.Search.phraseTerms.mkString("", " ", " ")
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text")).collect()
+        .map { r =>
+          val t = if (r.getLong(0) % 15 == 0) stamp + r.getString(2) else r.getString(2)
+          (r.getLong(0), r.getString(1), t.split(" ").take(plen).mkString(" "))
+        }
+      val nAll = docs.length.toLong
+      val tpl = docs.groupBy(_._3).toSeq
+        .map { case (p, ds) =>
+          (p, ds.length.toLong, ds.map(_._2).distinct.length.toLong, ds.map(_._1).min)
+        }
+        .filter(_._2 >= floor).sortBy(_._1)
+      val inTpl = tpl.map(_._2).sum
+      val share = ((20000L * inTpl + nAll) / (2L * nAll)) / 10000.0
+      val want = tpl.map(t => (t._1, t._2, t._3, t._4, share))
+      val got = SparkEntry.queries("q_template_detect")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSeq
+      assert(got === want, s"template recount diverges at $dir")
+      assert(got.exists(_._1 == graft.operators.Search.phraseTerms.mkString(" ")),
+        s"the planted template must be found at $dir")
+    }
+  }
+
+  test("templateDetectOf: floor semantics and cross-source vs source-local spread") {
+    import spark.implicits._
+    val docs = Seq(
+      // template A: 3 docs (at the floor), two sources
+      (1L, "s1", "dear customer your invoice xx"),
+      (2L, "s2", "dear customer your account yy"),
+      (3L, "s1", "dear customer your order zz"),
+      // template B: 2 docs (below floor) -> must NOT appear
+      (4L, "s1", "terms and conditions aa"),
+      (5L, "s2", "terms and conditions bb"),
+      // singleton
+      (6L, "s3", "something entirely different")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.operators.TextAnalysis.templateDetectOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(("dear customer your", 3L, 2L, 1L, 0.5)),
+      s"floor/spread semantics wrong: ${got.toSeq}")
+  }
+
   test("topicMixOf: membership threshold both branches + absent-topic lift-0 convention") {
     import spark.implicits._
     // one lexicon word is not membership; two distinct are; repeats of
