@@ -821,6 +821,83 @@ object Extensions {
       .orderBy("variant")
   }
 
+  /** X147 core — the time-coverage audit off a (k, day) frame.
+    * Factored so ExtensionsSpec can drive a gap-riddled synthetic
+    * stream (holes, single-day keys) through the SAME machinery —
+    * the shipped events are dense (coverage 1.0, gap 0: the honest
+    * pass state).
+    */
+  private[graft] def coverageOf(keyedDays: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = keyedDays.groupBy(col("k"), col("day"))
+      .agg(count(lit(1)).as("n_rows"))
+    val wk = Window.partitionBy(col("k")).orderBy(col("day"))
+    days
+      .withColumn("gap", col("day") - lag(col("day"), 1).over(wk) - lit(1L))
+      .groupBy(col("k"))
+      .agg(
+        min(col("day")).as("first_day"),
+        max(col("day")).as("last_day"),
+        count(lit(1)).as("active_days"),
+        sum(col("n_rows")).as("n_rows"),
+        coalesce(max(col("gap")), lit(0L)).as("max_gap_days"))
+      .withColumn("span", col("last_day") - col("first_day") + 1)
+      .select(
+        col("k").as("key_name"),
+        col("first_day").cast("long").as("first_day"),
+        col("last_day").cast("long").as("last_day"),
+        col("active_days").cast("long").as("active_days"),
+        col("n_rows").cast("long").as("n_rows"),
+        expr("CAST((20000 * active_days + span) DIV (2 * span) AS BIGINT)")
+          ./(lit(10000.0)).as("coverage"),
+        greatest(col("max_gap_days"), lit(0L)).cast("long").as("max_gap_days"))
+      .orderBy("key_name")
+  }
+
+  /** X147 — ingestion time-coverage audit (`q_coverage`): the
+    * freshness/continuity monitor an event pipeline runs per stream
+    * key — a source that silently stopped emitting for a week shows
+    * up as a coverage hole long before anyone reads a dashboard. Per
+    * event type: first/last active day (UTC epoch days — pure µs DIV
+    * 86400·10⁶, integer both engines), active days, rows, the
+    * active/span coverage share (4dp), and the LONGEST silent
+    * stretch in days. The shipped stream is dense at every SF
+    * (coverage 1.0, max gap 0 — the audit's pass state); the
+    * hole-detection branches are fixture-driven.
+    *
+    * Scale: one exchange to the (type, day) dictionary (map-side
+    * partials); the gap window runs per type over ≤ span rows — a
+    * plan constant, never the corpus.
+    */
+  private def coverage(s: SparkSession, dir: String): DataFrame =
+    coverageOf(
+      Tables(s, dir, "events")
+        .select(col("event_type").as("k"),
+          expr("unix_micros(ts) DIV 86400000000").as("day")))
+
+  private def coverageSql: String =
+    s"""WITH d AS (
+       |  SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+       |    count(*) AS n_rows
+       |  FROM events GROUP BY 1, 2),
+       |g AS (
+       |  SELECT k, day, n_rows,
+       |    day - lag(day) OVER (PARTITION BY k ORDER BY day) - 1 AS gap
+       |  FROM d),
+       |a AS (
+       |  SELECT k, min(day) AS first_day, max(day) AS last_day,
+       |    count(*) AS active_days, sum(n_rows) AS n_rows,
+       |    COALESCE(max(gap), 0) AS max_gap_days
+       |  FROM g GROUP BY 1)
+       |SELECT k AS key_name, CAST(first_day AS BIGINT) AS first_day,
+       |  CAST(last_day AS BIGINT) AS last_day,
+       |  CAST(active_days AS BIGINT) AS active_days,
+       |  CAST(n_rows AS BIGINT) AS n_rows,
+       |  CAST((20000 * active_days + (last_day - first_day + 1))
+       |       // (2 * (last_day - first_day + 1)) AS BIGINT) / 10000.0 AS coverage,
+       |  CAST(greatest(max_gap_days, 0) AS BIGINT) AS max_gap_days
+       |FROM a ORDER BY key_name""".stripMargin
+
   /** X145 core — the SRM goodness-of-fit off a (variant, n_users)
     * dictionary against an equal-split design. χ² = Σ(o−e)²/e with
     * e = n/k collapses, for k = 2, to k·(n0−n1)²/(2·n)… in general
@@ -1071,6 +1148,10 @@ object Extensions {
       srm,
       Some(srmSql),
       "X145 sample-ratio mismatch guard: exact equal-split chi-squared with the 0.001-level alarm"),
+    "q_coverage" -> QueryDef(
+      coverage,
+      Some(coverageSql),
+      "X147 time-coverage audit: per type, active days, coverage share and longest silent gap"),
     "q_time_drift" -> QueryDef(
       timeDrift,
       Some("""WITH e AS (

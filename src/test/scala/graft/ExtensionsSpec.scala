@@ -497,4 +497,42 @@ class ExtensionsSpec extends AnyFunSuite {
     val (c2, a2) = run(Seq((0L, 520L), (1L, 480L)))
     assert(c2 === 1.6 && a2 === 0L, s"1.6-sigma-ish split must stay silent: $c2")
   }
+
+  test("q_coverage: recounts sequentially at two SFs; the dense stream passes clean") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val evs = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          org.apache.spark.sql.functions.expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val want = evs.groupBy(_._1).toSeq.sortBy(_._1).map { case (k, rs) =>
+        val days = rs.map(_._2).distinct.sorted
+        val span = days.last - days.head + 1
+        val gap = if (days.size < 2) 0L
+          else days.toSeq.sliding(2).map { case Seq(a, b) => b - a - 1 }.max
+        (k, days.head, days.last, days.size.toLong, rs.size.toLong,
+          ((20000L * days.size + span) / (2L * span)) / 10000.0, math.max(gap, 0L))
+      }
+      val got = SparkEntry.queries("q_coverage")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getLong(6))).toSeq
+      assert(got === want, s"coverage recount diverges at $dir")
+      assert(got.forall(r => r._6 == 1.0 && r._7 == 0L),
+        "shipped stream should be dense — coverage 1.0, no gaps")
+    }
+  }
+
+  test("coverageOf: holes and single-day keys through the same machinery") {
+    import spark.implicits._
+    // key a: days 10,11,14,20 -> span 11, active 4, coverage 0.3636, max gap 5
+    // key b: single day -> span 1, coverage 1.0, gap 0
+    val df = (Seq(10L, 11L, 14L, 20L).map(d => ("a", d)) :+ ("b", 7L))
+      .toDF("k", "day")
+    val got = graft.operators.Extensions.coverageOf(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(5), r.getLong(6)))
+    assert(got.toSeq === Seq(
+      ("a", 10L, 20L, 4L, 0.3636, 5L),
+      ("b", 7L, 7L, 1L, 1.0, 0L)), s"hole semantics wrong: ${got.toSeq}")
+  }
 }
