@@ -1872,6 +1872,70 @@ object Dedup {
        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
   }
 
+  /** X148 — LSH band-table health (`q_lsh_stats`): the index audit
+    * for the dedup family's own execution plan — X5b's candidate
+    * build is an equi-join on (band, k1, k2), so ONE hot bucket is
+    * simultaneously a straggler reducer (the X128 hazard, keyed by
+    * the index's own keys) and a quadratic candidate-pair bomb (a
+    * bucket of c docs emits c(c−1)/2 pairs). Per band: buckets,
+    * banded docs, the largest bucket, the EXACT candidate-pair volume
+    * Σc(c−1)/2 (the join's true cost driver — what X96 reports for
+    * IVF cells, this reports for LSH buckets), and the max/avg bucket
+    * skew ratio (keySkewOf numerics, 4dp integer HALF_UP); riding,
+    * the total pair volume across bands. Runs over the SAME planted
+    * corpus the declared dedup queries band, so the numbers are the
+    * audit of the index those queries actually join.
+    *
+    * Scale: the X5b signature build (sketch aggregate, map-side
+    * partials), one exchange to the (band, key) bucket dictionary,
+    * a ≤ǀbandsǀ rollup; the riding total is a window over ≤ǀbandsǀ
+    * rows.
+    */
+  private def lshStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    minhashBands(shingles(s, dir))
+      .groupBy(col("band"), col("k1"), col("k2")).agg(count(lit(1)).as("c"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("c")).as("n_docs"),
+        max(col("c")).as("max_bucket"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1) DIV 2")).as("pairs"))
+      .select(
+        col("band").cast("long").as("band"),
+        col("n_buckets").cast("long").as("n_buckets"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("max_bucket").cast("long").as("max_bucket"),
+        col("pairs").cast("long").as("pairs"),
+        (expr(
+          """CAST((CAST(max_bucket AS DECIMAL(38,0)) * n_buckets * 20000
+            |       + CAST(n_docs AS DECIMAL(38,0)))
+            |  DIV (2 * CAST(n_docs AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
+          / lit(10000.0)).as("skew_ratio"),
+        sum(col("pairs")).over(wAll).cast("long").as("total_pairs"))
+      .orderBy("band")
+  }
+
+  private def lshStatsSql: String =
+    s"""WITH ${sigBandsSqlOver(corpusSql)},
+       |bk AS (SELECT band, k1, k2, count(*) AS c FROM bands GROUP BY 1, 2, 3),
+       |st AS (
+       |  SELECT band, count(*) AS n_buckets, sum(c) AS n_docs,
+       |    max(c) AS max_bucket,
+       |    sum(CAST(c AS HUGEINT) * (c - 1) // 2) AS pairs
+       |  FROM bk GROUP BY 1)
+       |SELECT CAST(band AS BIGINT) AS band,
+       |  CAST(n_buckets AS BIGINT) AS n_buckets,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(max_bucket AS BIGINT) AS max_bucket,
+       |  CAST(pairs AS BIGINT) AS pairs,
+       |  CAST((CAST(max_bucket AS HUGEINT) * n_buckets * 20000 + n_docs)
+       |       // (2 * CAST(n_docs AS HUGEINT)) AS BIGINT) / 10000.0 AS skew_ratio,
+       |  CAST(sum(pairs) OVER () AS BIGINT) AS total_pairs
+       |FROM st ORDER BY band""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_dedup_near" -> QueryDef(
       dedupNear,
@@ -1885,6 +1949,10 @@ object Dedup {
       dedupSweep,
       Some(sweepSql),
       "X117 Jaccard-cut sensitivity sweep: pairs/docs surviving each threshold ≥ the 0.6 floor"),
+    "q_lsh_stats" -> QueryDef(
+      lshStats,
+      Some(lshStatsSql),
+      "X148 LSH band-table health: per band, buckets, hottest bucket, exact candidate-pair volume + skew"),
     "q_dedup_minhash" -> QueryDef(
       dedupMinhash,
       Some(minhashSql),

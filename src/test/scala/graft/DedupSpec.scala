@@ -714,4 +714,38 @@ class DedupSpec extends AnyFunSuite {
         s"strictest cut binds nothing at $dir — sweep vacuous")
     }
   }
+
+  test("q_lsh_stats: per-band stats recount from the band table; pair volume bounds the candidate set") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val bands = graft.operators.Dedup.minhashBands(
+        graft.operators.Dedup.shingles(spark, dir))
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(0)))
+      val byBand = bands.groupBy(_._1).toSeq.sortBy(_._1)
+      val stats = byBand.map { case (b, rows) =>
+        val buckets = rows.groupBy(r => (r._2, r._3)).values.map(_.size.toLong).toSeq
+        (b.toLong, buckets.size.toLong, buckets.sum, buckets.max,
+          buckets.map(c => c * (c - 1) / 2).sum)
+      }
+      val totalPairs = stats.map(_._5).sum
+      val want = stats.map { case (b, nb, nd, mx, pr) =>
+        val q4 = ((BigInt(mx) * nb * 20000 + nd) / (BigInt(nd) * 2)).toLong
+        (b, nb, nd, mx, pr, q4 / 10000.0, totalPairs)
+      }
+      val got = SparkEntry.queries("q_lsh_stats")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getLong(6))).toSeq
+      assert(got === want, s"LSH stats recount diverges at $dir")
+      // the audit's headline number bounds the real join: total pair
+      // volume >= the DISTINCT candidate pairs the X5b build emits
+      // (multi-band collisions dedupe in the candidate set)
+      val candidates = bands.groupBy(r => (r._1, r._2, r._3)).values
+        .flatMap { rs =>
+          val ids = rs.map(_._4).sorted
+          for (i <- ids.indices; j <- (i + 1) until ids.size) yield (ids(i), ids(j))
+        }.toSet.size.toLong
+      assert(totalPairs >= candidates && candidates > 0,
+        s"pair volume $totalPairs must bound the $candidates distinct candidates at $dir")
+    }
+  }
 }
