@@ -43,7 +43,14 @@ object SparkEntry {
     registry.map { case (k, d) => k -> d.fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * Every oracle passes through [[OracleSql.materializeShared]] so a
+    * multiply-referenced CTE can never be silently inlined into an
+    * exponential recompute (the failure that blew the r14 check
+    * budget) — see that object's doc for the mechanism.
+    */
   def oracleSql: Map[String, String] =
-    registry.collect { case (k, QueryDef(_, Some(sql), _)) => k -> sql }
+    registry.collect { case (k, QueryDef(_, Some(sql), _)) =>
+      k -> OracleSql.materializeShared(sql)
+    }
 }

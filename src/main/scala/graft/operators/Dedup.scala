@@ -63,8 +63,8 @@ object Dedup {
     s"""$corpusCte,
        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
        |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks),
-       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx),
-       |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+       |sh AS MATERIALIZED (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx),
+       |card AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
   private val corpusSql = corpusChainSqlOver(
     """corpus AS (
@@ -1001,13 +1001,13 @@ object Dedup {
       .map(b => s"SELECT doc_id, $b AS band, h${2 * b} AS k1, h${2 * b + 1} AS k2 FROM sig")
       .mkString(" UNION ALL ")
     s"""$shingleChainSql,
-       |sig AS (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
-       |bands AS ($bands)""".stripMargin
+       |sig AS MATERIALIZED (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
+       |bands AS MATERIALIZED ($bands)""".stripMargin
   }
 
   private[graft] def minhashCandSqlOver(shingleChainSql: String): String =
     s"""${sigBandsSqlOver(shingleChainSql)},
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id)""".stripMargin
 
@@ -1428,12 +1428,29 @@ object Dedup {
     * minimum shared-run length worth reporting, in TOKENS (Lee et
     * al. use 50 BPE tokens on web-scale corpora; 12 fits this
     * corpus's ~100-token documents while keeping the threshold doing
-    * real work — a run of k consecutive shared 8-grams certifies an
-    * exact shared substring of k+7 tokens, so the filter is k ≥ 5).
+    * real work — a run of k consecutive shared 12-grams certifies an
+    * exact shared substring of k+11 tokens). Gram width EQUALS the
+    * reporting threshold (r14 verdict task 5): any n ≤ 12 detects
+    * the same ≥ 12-token runs with the same exact max_run, but
+    * narrower grams collide far more (8-gram df ≫ 12-gram df), and
+    * the match join's cost is Σ_g df(g)² — at the sf1-shape fixture
+    * this single constant was the difference between 29 s and the
+    * dedup-family norm. Widest-gram-that-preserves-the-threshold is
+    * the general scale rule.
     */
-  private[graft] val substrGramN = 8
+  private[graft] val substrGramN = 12
   private[graft] val substrMinTokens = 12
   private[graft] val substrMaxDf = 64L
+
+  /** Winnowing gram width (k) — X78 keeps the NARROWER 8-token gram
+    * so its selection guarantee span w + k − 1 = 11 stays at or
+    * under [[substrMinTokens]] (DedupSpec certifies every X68 pair
+    * shares a selected fingerprint, which needs span ≤ threshold).
+    * Winnowing never joins gram occurrences pairwise — it selects
+    * ~2/(w+1) of them — so the collision pressure that forced X68's
+    * grams wide does not apply here.
+    */
+  private[graft] val winnowK = 8
 
   /** X68 — exact shared-substring detection (`q_substr_dedup`): the
     * Lee et al. ("Deduplicating Training Data Makes Language Models
@@ -1442,12 +1459,12 @@ object Dedup {
     * distributed: for every doc pair, the LONGEST run of tokens
     * shared verbatim at ANY alignment. X55's fixed 12-token chunk
     * grid detects a shared span only when the two copies' offsets
-    * agree mod 12; sliding 8-grams at every position make the
-    * detection ALIGNMENT-FREE and the length EXACT — a shared
-    * substring of T ≥ 12 tokens yields exactly T−7 consecutive
-    * shared grams on one (id_a, id_b, offset-difference) diagonal,
-    * recovered by the X55 gaps-and-islands trick, so max_run = k+7
-    * is the true length, not a grid approximation.
+    * agree mod 12; sliding [[substrGramN]]-grams at every position
+    * make the detection ALIGNMENT-FREE and the length EXACT — a
+    * shared substring of T ≥ 12 tokens yields exactly T−11
+    * consecutive shared grams on one (id_a, id_b, offset-difference)
+    * diagonal, recovered by the X55 gaps-and-islands trick, so
+    * max_run = k+11 is the true length, not a grid approximation.
     *
     * Scale: the gram stream is one narrow explode (n rows/doc — the
     * X15 stream with positions kept); the self-join is df-capped at
@@ -1611,7 +1628,7 @@ object Dedup {
        |FROM d ORDER BY doc_id""".stripMargin
   }
 
-  /** Winnowing window width (w). With k = [[substrGramN]] grams, the
+  /** Winnowing window width (w). With k = [[winnowK]] grams, the
     * Schleimer guarantee span is w + k − 1 = 11 tokens: any pair of
     * docs sharing a verbatim run of ≥ 11 tokens SHARES at least one
     * selected fingerprint — DedupSpec certifies it against the X68
@@ -1653,7 +1670,7 @@ object Dedup {
     * chars), identical in both engines.
     */
   private def winnow(s: SparkSession, dir: String): DataFrame = {
-    val k = substrGramN
+    val k = winnowK
     val w = winnowW
     val concatGram = (1 until k)
       .foldLeft("element_at(ws, i)") { (acc, j) => s"concat($acc, ' ', element_at(ws, i + $j))" }
@@ -1691,7 +1708,7 @@ object Dedup {
   }
 
   private def winnowSql: String = {
-    val k = substrGramN
+    val k = winnowK
     val w = winnowW
     val gramExpr = (1 until k).foldLeft("ws[i]") { (acc, j) => s"$acc || ' ' || ws[i + $j]" }
     s"""WITH t AS (
@@ -1886,16 +1903,19 @@ object Dedup {
     * corpus the declared dedup queries band, so the numbers are the
     * audit of the index those queries actually join.
     *
-    * Scale: the X5b signature build (sketch aggregate, map-side
+    * Scale: reads the SAME memoized shingle index every other dedup
+    * query shares (r14 verdict task 8 — it used to rebuild the
+    * explode+distinct scan privately, the only dedup query that did),
+    * then the X5b signature build (sketch aggregate, map-side
     * partials), one exchange to the (band, key) bucket dictionary,
     * a ≤ǀbandsǀ rollup; the riding total is a window over ≤ǀbandsǀ
-    * rows.
+    * rows. At 100 TB this reads the persisted band table directly.
     */
   private def lshStats(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wAll = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    minhashBands(shingles(s, dir))
+    minhashBands(shingleIndex(s, dir))
       .groupBy(col("band"), col("k1"), col("k2")).agg(count(lit(1)).as("c"))
       .groupBy(col("band"))
       .agg(

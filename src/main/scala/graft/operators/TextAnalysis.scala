@@ -715,6 +715,11 @@ object TextAnalysis {
     * X44 encode oracle: word freqs, the char-spaced seed, and the
     * unrolled (pairs → argmax → apply) chain producing b1..bN (the
     * merge chosen at each step) and s1..sN (the vocab after it).
+    * Every s_k is referenced TWICE (by p_{k+1} and s_{k+1}) and, in
+    * the encode chain, every b_k twice (s_k and e_k) — without
+    * `AS MATERIALIZED` DuckDB inlines each reference and the chain
+    * recomputes its prefix 2^N times (the q_pca_power 11-min trap;
+    * measured 72 s on q_bpe_encode at sf0.01 before r15 fixed it).
     */
   private def bpeStepCtes: String = {
     val steps = (1 to bpeMergeSteps).map { k =>
@@ -724,15 +729,15 @@ object TextAnalysis {
          |       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
          |  WHERE len(syms) >= 2
          |  GROUP BY 1, 2),
-         |b$k AS (SELECT $k AS step, l, r, c FROM p$k WHERE l <> r ORDER BY c DESC, l, r LIMIT 1),
-         |s$k AS (
+         |b$k AS MATERIALIZED (SELECT $k AS step, l, r, c FROM p$k WHERE l <> r ORDER BY c DESC, l, r LIMIT 1),
+         |s$k AS MATERIALIZED (
          |  SELECT freq, replace(replace(str, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
          |                       ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS str
          |  FROM s${k - 1}, b$k b)""".stripMargin
     }.mkString(",\n")
     s"""w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
        |wf AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
-       |s0 AS (
+       |s0 AS MATERIALIZED (
        |  SELECT freq, ' ' || array_to_string(
        |    list_transform(generate_series(1, len(word)), i -> word[i]), ' ') || ' ' AS str
        |  FROM wf),

@@ -626,7 +626,7 @@ class DedupSpec extends AnyFunSuite {
     //     fingerprint SETS must intersect;
     // (3) selection is actually sparse: expected density 2/(w+1) = 0.4,
     //     so selected occurrences stay under 60% of the gram stream.
-    val k = graft.operators.Dedup.substrGramN
+    val k = graft.operators.Dedup.winnowK
     val w = graft.operators.Dedup.winnowW
     assert(graft.operators.Dedup.substrMinTokens >= w + k - 1,
       "X68 threshold below the winnowing guarantee span — certificate (2) would be vacuous")

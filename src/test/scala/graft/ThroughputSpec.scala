@@ -20,6 +20,29 @@ import org.scalatest.funsuite.AnyFunSuite
 class ThroughputSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
 
+  /** Best-of-passes measurement, the `Bench.scala` contention defense
+    * (r14 verdict task 2): a single timed sample taken while the
+    * driver's full-surface bench runs concurrently measures the
+    * contention, not the code. Re-run the timed action up to
+    * `maxPasses` times, keep the best rate, and stop early the moment
+    * the floor is cleared — idle runs pay one pass; only a genuinely
+    * slow path (or a fully contended window, which min-of-passes
+    * makes vanishingly unlikely) pays all five and fails.
+    */
+  private def bestRate(n: Long, floor: Double, maxPasses: Int = 5)(timed: () => Long): (Double, Long) = {
+    var best = 0.0
+    var lastResult = 0L
+    var pass = 0
+    while (pass < maxPasses && best < 1.05 * floor) {
+      pass += 1
+      val t0 = System.nanoTime()
+      lastResult = timed()
+      val secs = (System.nanoTime() - t0) / 1e9
+      best = math.max(best, n / secs)
+    }
+    (best, lastResult)
+  }
+
   test("curation admission gates sustain >= 10k docs/s on 200k synthetic documents") {
     // the LLM-pipeline analog of the frames/s gate: the composed X35
     // verdict (language-ID + quality + repetition + keep) is the
@@ -48,11 +71,8 @@ class ThroughputSpec extends AnyFunSuite {
       docs.count() // materialize the corpus outside the timed region
       val gated = graft.operators.Curation.verdictGates(docs)
       gated.count() // warm codegen
-      val t0 = System.nanoTime()
-      val kept = gated.filter(col("is_kept") === 1).count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      val dps = n / secs
-      info(f"$n docs in $secs%.2f s = $dps%.0f docs/s ($kept kept)")
+      val (dps, kept) = bestRate(n, 10000.0)(() => gated.filter(col("is_kept") === 1).count())
+      info(f"$n docs: best $dps%.0f docs/s ($kept kept)")
       assert(kept > 0, "every synthetic doc failed admission — the measurement is degenerate")
       assert(dps >= 10000.0, f"admission throughput $dps%.0f docs/s below floor")
     } finally docs.unpersist()
@@ -78,11 +98,9 @@ class ThroughputSpec extends AnyFunSuite {
       lines.count() // materialize outside the timed region
       val fed = Gateway.curatedFeed(lines)
       fed.count() // warm codegen
-      val t0 = System.nanoTime()
-      val windows = fed.agg(sum(col("n_admitted"))).collect()(0).getLong(0)
-      val secs = (System.nanoTime() - t0) / 1e9
-      val dps = n / secs
-      info(f"$n doc lines in $secs%.2f s = $dps%.0f docs/s ($windows admitted)")
+      val (dps, windows) = bestRate(n, 10000.0)(() =>
+        fed.agg(sum(col("n_admitted"))).collect()(0).getLong(0))
+      info(f"$n doc lines: best $dps%.0f docs/s ($windows admitted)")
       assert(windows > 0, "every synthetic doc failed admission — the measurement is degenerate")
       assert(dps >= 10000.0, f"composed-feed throughput $dps%.0f docs/s below floor")
     } finally lines.unpersist()
@@ -102,11 +120,8 @@ class ThroughputSpec extends AnyFunSuite {
     val pipeline = Gateway.aggregate(Gateway.decode(frames, listener), conf)
 
     pipeline.count() // warm codegen
-    val t0 = System.nanoTime()
-    val groups = pipeline.count()
-    val secs = (System.nanoTime() - t0) / 1e9
-    val fps = n / secs
-    info(f"1M frames in $secs%.2f s = $fps%.0f frames/s ($groups aggregate groups)")
+    val (fps, groups) = bestRate(n, 25000.0)(() => pipeline.count())
+    info(f"1M frames: best $fps%.0f frames/s ($groups aggregate groups)")
     assert(groups > 0)
     assert(fps >= 25000.0, f"throughput $fps%.0f frames/s below floor")
   }

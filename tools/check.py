@@ -4,14 +4,22 @@ OUT_DIR, run its oracle SQL in DuckDB over the same sf tables, sort
 columns by name, and compare cell-by-cell (exact; floats must match
 after the query's own round(_, 4)).
 
-Usage: check.py [sf_dir] [out_dir] [only_query ...]
+Usage: check.py [--times] [sf_dir] [out_dir] [only_query ...]
+
+--times prints per-query oracle wall time, a sorted cost table at the end,
+and FAILS the gate if any single oracle exceeds SLOW_ORACLE_SEC (10 s) —
+the class of regression that silently blew the r14 driver budget.
 """
-import json, struct, sys, math
+import json, struct, sys, math, time
 import duckdb
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
-ONLY = set(sys.argv[3:])
+argv = [a for a in sys.argv[1:] if a != "--times"]
+TIMES = "--times" in sys.argv[1:]
+SLOW_ORACLE_SEC = 10.0
+
+SF = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+OUT = argv[1] if len(argv) > 1 else "/tmp/graft_verify"
+ONLY = set(argv[2:])
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -35,10 +43,11 @@ def canon(v):
         return struct.pack(">d", v)
     return v
 
-fails, passes = [], 0
+fails, passes, costs = [], 0, []
 for name, sql in sorted(oracle.items()):
     if ONLY and name not in ONLY:
         continue
+    t0 = time.monotonic()
     try:
         spark_rel = con.sql(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')")
         spark_cols = sorted(spark_rel.columns)
@@ -51,6 +60,7 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         fails.append((name, f"ERROR {e}"))
         continue
+    costs.append((time.monotonic() - t0, name))
     if spark_cols != duck_cols:
         fails.append((name, f"schema: spark={spark_cols} duck={duck_cols}"))
         continue
@@ -67,9 +77,19 @@ for name, sql in sorted(oracle.items()):
         fails.append((name, bad))
     else:
         passes += 1
-        print(f"PASS {name} ({len(spark_rows)} rows)")
+        t = f" [{costs[-1][0]:6.2f}s]" if TIMES else ""
+        print(f"PASS {name} ({len(spark_rows)} rows){t}")
 
 for name, msg in fails:
     print(f"FAIL {name}: {msg}")
+
+slow = [(t, n) for t, n in costs if t > SLOW_ORACLE_SEC]
+if TIMES:
+    print(f"\n-- oracle cost (total {sum(t for t, _ in costs):.1f}s) --")
+    for t, n in sorted(costs, reverse=True)[:20]:
+        print(f"{t:7.2f}s  {n}")
+    for t, n in slow:
+        print(f"SLOW ORACLE (> {SLOW_ORACLE_SEC:.0f}s): {n} took {t:.2f}s")
+
 print(f"\n{passes} pass, {len(fails)} fail")
-sys.exit(1 if fails else 0)
+sys.exit(1 if fails or (TIMES and slow) else 0)
