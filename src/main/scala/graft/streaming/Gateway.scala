@@ -554,6 +554,335 @@ object Gateway {
              |    ELSE 1 END AS BIGINT)""".stripMargin).as("salt_n"))
   }
 
+  /** Streaming X145 — windowed sample-ratio-mismatch guard
+    * (`srmFeed`): the experiment-health dial that must run LIVE — an
+    * SRM (a crashing client arm, a bot filter biased by variant, an
+    * assignment-logging bug) invalidates the whole experiment, and
+    * every hour it runs undetected is an hour of corrupted data, so
+    * the offline X145 gate becomes a per-window alarm on the ingest
+    * path. Lines are `epoch_sec variant user_id [y]` — the
+    * assignment-log shape the experimentation quartet shares (the
+    * trailing metric token is ignored here).
+    *
+    * Execution is the [[skewFeed]] chained-windowed-aggregation
+    * pattern one level deeper — THREE stateful aggregates in append
+    * mode, each re-windowing on `window_time`: (1) collapse to
+    * per-(window, variant, user) rows — the distinct-users step,
+    * state bounded by active users per watermark horizon; (2) the
+    * per-(window, variant) user counts — the X145 cell dictionary;
+    * (3) the ≤k-row dictionary folds to the 1-row-per-window audit:
+    * k, n, χ² = (k·Σo² − n²)/n exact in DECIMAL(38,0) with the house
+    * 4dp HALF_UP rounding, and the 0.001-level alarm (10.828 df=1
+    * cross-multiply) — digit-identical to [[graft.operators
+    * .Extensions.srmOf]], so micro-batch boundaries cannot move the
+    * verdict (GatewaySpec pins stream ≡ batch ≡ srmOf ≡ recount).
+    */
+  def srmFeed(
+      lines: DataFrame,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val parsed = lines
+      .select(split(col("value"), " ", 4).as("p"))
+      .filter(size(col("p")) >= 3 &&
+        col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull &&
+        col("p").getItem(2).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).cast("long").as("variant"),
+        col("p").getItem(2).cast("long").as("user_id"))
+      .withWatermark("ts", watermarkDelay)
+    val perUser = parsed
+      .groupBy(window(col("ts"), windowDuration), col("variant"), col("user_id"))
+      .agg(count(lit(1)).as("events"))
+    val perVariant = perUser
+      .groupBy(window(window_time(col("window")), windowDuration), col("variant"))
+      .agg(count(lit(1)).as("n_users"))
+    perVariant
+      .groupBy(window(window_time(col("window")), windowDuration))
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("n_users")).as("n"),
+        sum(expr("CAST(n_users AS DECIMAL(38,0)) * n_users")).as("so2"))
+      .withColumn("num", expr("CAST(k AS DECIMAL(38,0)) * so2 - CAST(n AS DECIMAL(38,0)) * n"))
+      .select(
+        col("window.start").as("window_start"),
+        col("k").cast("long").as("n_variants"),
+        col("n").cast("long").as("n_users"),
+        when(col("n") === 0, lit(0.0)).otherwise(
+          expr("CAST((20000 * num + CAST(n AS DECIMAL(38,0))) DIV (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)")
+            / lit(10000.0)).as("chi2"),
+        when(col("n") =!= 0 &&
+          expr("10000 * num > 108280 * CAST(n AS DECIMAL(38,0))"), 1L)
+          .otherwise(0L).as("srm_alarm"))
+  }
+
+  /** Streaming X141 — windowed A/B readout (`abFeed`): the live
+    * experiment dashboard — per event-time window, the 2×2
+    * two-proportion test as one audit row: per-variant users and
+    * conversions, the 4dp rates and |rate gap|, the exact-rational
+    * χ² = n·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) and the 0.05-level
+    * verdict by the same 38415 integer cross-multiply as the offline
+    * [[graft.operators.Extensions.abTestOf]] — so the live dial and
+    * the offline readout can never disagree on a digit. Lines are
+    * the quartet's `epoch_sec variant user_id y` shape (y = 0/1
+    * conversion event); a user converts in a window if ANY of their
+    * events converted (`max(y)` — delivery-order-free).
+    *
+    * Same three-stage chained-windowed-aggregation shape as
+    * [[srmFeed]]: distinct-user collapse (state bounded by active
+    * users per horizon), the per-variant cell dictionary, then the
+    * ≤2-row fold to the audit row. Degenerate margins (den = 0, e.g.
+    * a window where nobody or everybody converted) define χ² = 0 /
+    * not-significant in the same CASE the batch states; a window
+    * missing a variant reads rate 0 for it rather than dividing by
+    * zero (GatewaySpec pins stream ≡ batch ≡ abTestOf ≡ recount).
+    */
+  def abFeed(
+      lines: DataFrame,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val parsed = lines
+      .select(split(col("value"), " ", 5).as("p"))
+      .filter(size(col("p")) >= 4 &&
+        col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull &&
+        col("p").getItem(2).cast("long").isNotNull &&
+        col("p").getItem(3).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).cast("long").as("variant"),
+        col("p").getItem(2).cast("long").as("user_id"),
+        col("p").getItem(3).cast("long").as("y"))
+      .withWatermark("ts", watermarkDelay)
+    val perUser = parsed
+      .groupBy(window(col("ts"), windowDuration), col("variant"), col("user_id"))
+      .agg(max(col("y")).as("converted"))
+    val cells = perUser
+      .groupBy(window(window_time(col("window")), windowDuration), col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+    cells
+      .groupBy(window(window_time(col("window")), windowDuration))
+      .agg(
+        sum(when(col("variant") === 0, col("n_conv")).otherwise(0L)).as("a"),
+        sum(when(col("variant") === 0, col("n_users") - col("n_conv")).otherwise(0L)).as("b"),
+        sum(when(col("variant") === 1, col("n_conv")).otherwise(0L)).as("c"),
+        sum(when(col("variant") === 1, col("n_users") - col("n_conv")).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .withColumn("num", expr(
+        """CAST(n AS DECIMAL(38,0)) *
+          |(CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c) *
+          |(CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)""".stripMargin))
+      .withColumn("den", expr(
+        """(CAST(a AS DECIMAL(38,0)) + b) * (CAST(c AS DECIMAL(38,0)) + d)
+          |* (CAST(a AS DECIMAL(38,0)) + c) * (CAST(b AS DECIMAL(38,0)) + d)"""
+          .stripMargin))
+      .withColumn("r0", when(col("a") + col("b") === 0, lit(0L)).otherwise(
+        expr("CAST((20000 * a + (a + b)) DIV (2 * (a + b)) AS BIGINT)")))
+      .withColumn("r1", when(col("c") + col("d") === 0, lit(0L)).otherwise(
+        expr("CAST((20000 * c + (c + d)) DIV (2 * (c + d)) AS BIGINT)")))
+      .select(
+        col("window.start").as("window_start"),
+        (col("a") + col("b")).cast("long").as("users_0"),
+        col("a").cast("long").as("conv_0"),
+        (col("c") + col("d")).cast("long").as("users_1"),
+        col("c").cast("long").as("conv_1"),
+        (col("r0") / lit(10000.0)).as("rate_0"),
+        (col("r1") / lit(10000.0)).as("rate_1"),
+        (abs(col("r0") - col("r1")) / lit(10000.0)).as("rate_diff"),
+        when(col("den") === 0, lit(0.0)).otherwise(
+          expr("CAST((20000 * num + den) DIV (2 * den) AS BIGINT)") / lit(10000.0)).as("chi2"),
+        when(col("den") === 0, lit(0L)).otherwise(
+          expr("CAST(CASE WHEN 10000 * num > 38415 * den THEN 1 ELSE 0 END AS BIGINT)"))
+          .as("significant"))
+  }
+
+  /** Streaming X142 — windowed CUPED readout (`cupedFeed`): the
+    * variance-reduced live dashboard — per event-time window, the
+    * Deng et al. adjustment y′ = y − θ(x − x̄) as one audit row:
+    * per-variant users, raw and ADJUSTED outcome means, θ and the
+    * variance-reduction share ρ², every statistic the identical
+    * exact-rational DECIMAL(38,0) form of the offline
+    * [[graft.operators.Extensions.cupedOf]] (signed 4dp HALF_UP;
+    * var = 0 degenerates to the raw mean / θ = 0 in the same CASE).
+    * Lines are `epoch_sec variant user_id x y` — x the user's
+    * static pre-period covariate (the assignment log ships it with
+    * every event, the production shape), y the per-event outcome
+    * increment; per window a user's covariate is `max(x)`
+    * (delivery-order-free on a static value) and their outcome
+    * `sum(y)`.
+    *
+    * Same three-stage chained-windowed-aggregation shape as
+    * [[srmFeed]]/[[abFeed]] — the second stage also folds the
+    * per-user moment products (x², x·y, y²) so the third is pure
+    * ≤2-row dictionary algebra (GatewaySpec pins stream ≡ batch ≡
+    * cupedOf, with the θ-active and var_n = 0 branches both closing
+    * live).
+    */
+  def cupedFeed(
+      lines: DataFrame,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val parsed = lines
+      .select(split(col("value"), " ", 6).as("p"))
+      .filter(size(col("p")) >= 5 &&
+        col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull &&
+        col("p").getItem(2).cast("long").isNotNull &&
+        col("p").getItem(3).cast("long").isNotNull &&
+        col("p").getItem(4).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).cast("long").as("variant"),
+        col("p").getItem(2).cast("long").as("user_id"),
+        col("p").getItem(3).cast("long").as("x"),
+        col("p").getItem(4).cast("long").as("y"))
+      .withWatermark("ts", watermarkDelay)
+    val perUser = parsed
+      .groupBy(window(col("ts"), windowDuration), col("variant"), col("user_id"))
+      .agg(max(col("x")).as("x"), sum(col("y")).as("y"))
+    val cells = perUser
+      .groupBy(window(window_time(col("window")), windowDuration), col("variant"))
+      .agg(
+        count(lit(1)).as("n_v"),
+        sum(col("x")).as("sx_v"), sum(col("y")).as("sy_v"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx_v"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy_v"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy_v"))
+    def sq4(num: String, den: String): String =
+      s"""CAST(CASE WHEN $den = 0 THEN 0
+         |ELSE (CASE WHEN $num < 0 THEN -1 ELSE 1 END)
+         |     * ((abs($num) * 20000 + $den) DIV (2 * ($den))) END AS BIGINT)"""
+        .stripMargin
+    // raw/adjusted mean for one variant, the cupedOf forms verbatim:
+    // adj = (sy_v·var_n·n − cov_n·(sx_v·n − sx·n_v)) / (n_v·var_n·n),
+    // degenerating to the raw mean when var_n = 0 and to 0 when the
+    // variant is absent from the window (n_v = 0).
+    def meanRaw(v: Int): String =
+      s"CASE WHEN n_$v = 0 THEN 0 ELSE CAST((20000 * sy_$v + n_$v) DIV (2 * n_$v) AS BIGINT) END"
+    def meanAdj(v: Int): String =
+      s"""CASE WHEN n_$v = 0 THEN 0
+         |WHEN var_n = 0 THEN CAST((20000 * sy_$v + n_$v) DIV (2 * n_$v) AS BIGINT)
+         |ELSE ${sq4(
+          s"(CAST(sy_$v AS DECIMAL(38,0)) * var_n * n" +
+            s" - cov_n * (CAST(sx_$v AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * n_$v))",
+          s"(CAST(n_$v AS DECIMAL(38,0)) * var_n * n)")} END""".stripMargin
+    cells
+      .groupBy(window(window_time(col("window")), windowDuration))
+      .agg(
+        sum(col("n_v")).as("n"),
+        sum(col("sx_v")).as("sx"), sum(col("sy_v")).as("sy"),
+        sum(col("sxx_v")).as("sxx"), sum(col("sxy_v")).as("sxy"),
+        sum(col("syy_v")).as("syy"),
+        sum(when(col("variant") === 0, col("n_v")).otherwise(0L)).as("n_0"),
+        sum(when(col("variant") === 0, col("sx_v")).otherwise(0L)).as("sx_0"),
+        sum(when(col("variant") === 0, col("sy_v")).otherwise(0L)).as("sy_0"),
+        sum(when(col("variant") === 1, col("n_v")).otherwise(0L)).as("n_1"),
+        sum(when(col("variant") === 1, col("sx_v")).otherwise(0L)).as("sx_1"),
+        sum(when(col("variant") === 1, col("sy_v")).otherwise(0L)).as("sy_1"))
+      .withColumn("cov_n", expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("var_n", expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("vary_n", expr("CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .select(
+        col("window.start").as("window_start"),
+        col("n_0").cast("long").as("users_0"),
+        col("n_1").cast("long").as("users_1"),
+        (expr(meanRaw(0)) / lit(10000.0)).as("mean_0"),
+        (expr(meanRaw(1)) / lit(10000.0)).as("mean_1"),
+        (expr(meanAdj(0)) / lit(10000.0)).as("mean_adj_0"),
+        (expr(meanAdj(1)) / lit(10000.0)).as("mean_adj_1"),
+        (expr(sq4("cov_n", "var_n")) / lit(10000.0)).as("theta"),
+        (when(col("var_n") === 0 || col("vary_n") === 0, lit(0L))
+          .otherwise(expr(
+            """CAST((20000 * cov_n * cov_n + var_n * vary_n)
+              |  DIV (2 * var_n * vary_n) AS BIGINT)""".stripMargin))
+          / lit(10000.0)).as("var_reduction"))
+  }
+
+  /** Streaming X144 — windowed quantile-treatment-effect readout
+    * (`qteFeed`): the distributional live dial that completes the
+    * experimentation quartet (SRM → A/B → CUPED → QTE) — per
+    * event-time window, each arm's EXACT type-1 p25/p50/p75 of the
+    * per-user outcome and the median gap, the same order statistics
+    * as the offline [[graft.operators.Extensions.qteOf]] (positions
+    * (n+3)÷4, (n+1)÷2, (3n+3)÷4 — integers, no interpolation, so no
+    * float can move a digit). Lines are the quartet's
+    * `epoch_sec variant user_id y` shape.
+    *
+    * Execution: the [[srmFeed]] three-stage chain with a HISTOGRAM
+    * second stage — (1) per-(window, variant, user) outcome sums;
+    * (2) per-(window, variant, y) user counts: state bounded by
+    * DISTINCT outcome values per arm (a count metric's support),
+    * never by users — the streaming substitute for the batch
+    * range-machine rank; (3) one row per window collecting the
+    * ≤ǀsupportǀ·2 histogram, quantiles recovered by a post-agg HOF
+    * fold over the sorted histogram (the [[driftFeed]] discipline:
+    * the only state is aggregates; the fold is stateless plan work) —
+    * cum-count threshold scan, exactly "smallest y whose cumulative
+    * count reaches the position" (GatewaySpec pins stream ≡ batch ≡
+    * qteOf ≡ recount).
+    */
+  def qteFeed(
+      lines: DataFrame,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val parsed = lines
+      .select(split(col("value"), " ", 5).as("p"))
+      .filter(size(col("p")) >= 4 &&
+        col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull &&
+        col("p").getItem(2).cast("long").isNotNull &&
+        col("p").getItem(3).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).cast("long").as("variant"),
+        col("p").getItem(2).cast("long").as("user_id"),
+        col("p").getItem(3).cast("long").as("y"))
+      .withWatermark("ts", watermarkDelay)
+    val perUser = parsed
+      .groupBy(window(col("ts"), windowDuration), col("variant"), col("user_id"))
+      .agg(sum(col("y")).as("y"))
+    val hist = perUser
+      .groupBy(window(window_time(col("window")), windowDuration), col("variant"), col("y"))
+      .agg(count(lit(1)).as("c"))
+    // exact type-1 order statistic off a sorted (y, c) histogram:
+    // the smallest y whose cumulative user count reaches `pos`
+    def ostat(arr: String, pos: String): String =
+      s"""aggregate($arr, named_struct('cum', CAST(0 AS BIGINT), 'q', CAST(NULL AS BIGINT)),
+         |  (a, e) -> named_struct('cum', a.cum + e.c,
+         |    'q', CASE WHEN a.q IS NULL AND a.cum + e.c >= $pos THEN e.y ELSE a.q END)).q"""
+        .stripMargin
+    def quantiles(v: Int): Seq[(String, String)] = {
+      val pos = Map(
+        "p25" -> s"CAST((n_$v + 3) DIV 4 AS BIGINT)",
+        "p50" -> s"CAST((n_$v + 1) DIV 2 AS BIGINT)",
+        "p75" -> s"CAST((3 * n_$v + 3) DIV 4 AS BIGINT)")
+      Seq("p25", "p50", "p75").map(p =>
+        s"${p}_$v" -> s"coalesce(${ostat(s"h_$v", pos(p))}, CAST(0 AS BIGINT))")
+    }
+    hist
+      .groupBy(window(window_time(col("window")), windowDuration))
+      .agg(collect_list(struct(col("variant"), col("y"), col("c"))).as("hist"))
+      .withColumn("h_0", expr("sort_array(filter(hist, e -> e.variant = 0))"))
+      .withColumn("h_1", expr("sort_array(filter(hist, e -> e.variant = 1))"))
+      .withColumn("n_0", expr("aggregate(h_0, CAST(0 AS BIGINT), (a, e) -> a + e.c)"))
+      .withColumn("n_1", expr("aggregate(h_1, CAST(0 AS BIGINT), (a, e) -> a + e.c)"))
+      .select(
+        Seq(
+          col("window.start").as("window_start"),
+          col("n_0").cast("long").as("users_0"),
+          col("n_1").cast("long").as("users_1")) ++
+          (quantiles(0) ++ quantiles(1)).map { case (n, e) =>
+            expr(e).cast("long").as(n)
+          } :+
+          // qteOf's median_gap is max−min over PRESENT arms: with one
+          // arm absent there is nothing to compare — gap 0, same as a
+          // single qteOf row
+          when(col("n_0") === 0 || col("n_1") === 0, lit(0L))
+            .otherwise(abs(expr(quantiles(0)(1)._2) - expr(quantiles(1)(1)._2)))
+            .cast("long").as("median_gap"): _*)
+  }
+
   /** Streaming X131 — windowed topic-composition monitor
     * (`topicFeed`): "what domains are we ingesting RIGHT NOW" — the
     * offline X131 table as a live dial. Per event-time window and

@@ -1428,6 +1428,337 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SRM guard: three chained windowed aggs, stream == batch == srmOf == recount, alarm fires live") {
+    // Streaming X145: two event-time days — day A a clean 30/30 split
+    // (χ² = 0, no alarm), day B a 50/10 corruption (χ² = 26.67 > the
+    // 10.828 df=1 cut → alarm) — so BOTH verdict branches close from
+    // the same feed. Users emit MULTIPLE events (the distinct-user
+    // first aggregate must actually dedup), delivery is scrambled but
+    // day-coherent (batch-boundary order-freedom, not late-data
+    // drops). The audit must agree under the streaming engine (three
+    // chained stateful aggregates), as a batch frame, with the
+    // DECLARED srmOf math on the same per-window cells, and in a
+    // BigInt recount.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1700000000L
+    // (epoch, variant, user): day A 30/30 users x2 events, day B 50/10 x3
+    val dayA = (0 until 60).flatMap(u =>
+      (0 until 2).map(e => (base + u * 10 + e, u % 2, 1000L + u)))
+    val dayB = (0 until 60).flatMap { u =>
+      val v = if (u < 50) 0 else 1
+      (0 until 3).map(e => (base + 86400 + u * 10 + e, v, 2000L + u))
+    }
+    val feed = dayA ++ dayB
+    def fmt(r: (Long, Int, Long)) = s"${r._1} ${r._2} ${r._3}"
+    val ms = MemoryStream[String]
+    val sink = s"srm_feed_${System.nanoTime()}"
+    val q = Gateway.srmFeed(ms.toDF(), "1 day", "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val (a1, a2) = scala.util.Random.shuffle(dayA.map(fmt)).splitAt(dayA.size / 2)
+      ms.addData(a1: _*)
+      q.processAllAvailable()
+      ms.addData((a2 ++ scala.util.Random.shuffle(dayB.map(fmt))): _*)
+      q.processAllAvailable()
+      ms.addData("9999999999 0 0")
+      q.processAllAvailable()
+      ms.addData("9999999999 0 0")
+      q.processAllAvailable()
+      val cols = Seq(unix_seconds(col("window_start")).as("ws"),
+        col("n_variants"), col("n_users"), col("chi2"), col("srm_alarm"))
+      val streamed = spark.table(sink).select(cols: _*)
+        .as[(Long, Long, Long, Double, Long)].collect().toSet
+      val batch = Gateway.srmFeed(feed.map(fmt).toDF("value"), "1 day", "1 hour")
+        .select(cols: _*).as[(Long, Long, Long, Double, Long)].collect().toSet
+      assert(batch.nonEmpty, "vacuous pin: no window closed")
+      assert(streamed === batch, "streaming SRM audit diverges from batch")
+      // recount + the DECLARED srmOf math on the same per-window cells
+      val expected = feed.groupBy { case (s, _, _) => (s / 86400) * 86400 }
+        .map { case (ws, rows) =>
+          val cells = rows.map(r => (r._2, r._3)).distinct
+            .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+          val k = cells.size.toLong
+          val n = cells.values.sum
+          val so2 = cells.values.map(o => BigInt(o) * o).sum
+          val num = BigInt(k) * so2 - BigInt(n) * n
+          val chi2 = ((20000 * num + n) / (2 * BigInt(n))).toLong / 10000.0
+          val alarm = if (10000 * num > 108280 * BigInt(n)) 1L else 0L
+          (ws, k, n, chi2, alarm)
+        }.toSet
+      assert(batch === expected, "SRM audit diverges from the sequential recount")
+      for ((ws, _, _, chi2, alarm) <- expected) {
+        val slice = feed.filter { case (s, _, _) => (s / 86400) * 86400 == ws }
+        val cells = slice.map(r => (r._2, r._3)).distinct
+          .groupBy(_._1).toSeq.map { case (v, us) => (v.toLong, us.size.toLong) }
+        val viaSrmOf = graft.operators.Extensions.srmOf(
+          cells.toDF("variant", "n_users"))
+          .select(col("chi2"), col("srm_alarm"))
+          .as[(Double, Long)].collect().toSet
+        assert(viaSrmOf === Set((chi2, alarm)),
+          s"feed window $ws disagrees with the declared srmOf math")
+      }
+      assert(streamed.exists(_._5 == 0L) && streamed.exists(_._5 == 1L),
+        s"both alarm branches must close live: $streamed")
+    } finally q.stop()
+  }
+
+  test("streaming A/B readout: stream == batch == abTestOf == recount, significance flips live") {
+    // Streaming X141: day A has identical 1/3 conversion in both arms
+    // (χ² = 0, not significant); day B converts 36/40 vs 4/40
+    // (χ² ≈ 51.3 ≫ 3.8415 → significant) — both verdict branches
+    // close from one feed. Users emit multiple events and converters
+    // also emit y=0 events (the max(y) collapse must be order-free).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1700000000L
+    // (epoch, variant, user, y)
+    val dayA = (0 until 60).flatMap { u =>
+      val conv = if (u % 3 == 0) 1 else 0
+      Seq((base + u * 10, u % 2, 1000L + u, 0),
+        (base + u * 10 + 5, u % 2, 1000L + u, conv))
+    }
+    val dayB = (0 until 80).flatMap { u =>
+      val v = u % 2
+      val conv = if (v == 0) (if (u < 72) 1 else 0) else (if (u < 8) 1 else 0)
+      Seq((base + 86400 + u * 10, v, 2000L + u, conv),
+        (base + 86400 + u * 10 + 5, v, 2000L + u, 0))
+    }
+    val feed = dayA ++ dayB
+    def fmt(r: (Long, Int, Long, Int)) = s"${r._1} ${r._2} ${r._3} ${r._4}"
+    val ms = MemoryStream[String]
+    val sink = s"ab_feed_${System.nanoTime()}"
+    val q = Gateway.abFeed(ms.toDF(), "1 day", "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val (a1, a2) = scala.util.Random.shuffle(dayA.map(fmt)).splitAt(dayA.size / 2)
+      ms.addData(a1: _*)
+      q.processAllAvailable()
+      ms.addData((a2 ++ scala.util.Random.shuffle(dayB.map(fmt))): _*)
+      q.processAllAvailable()
+      ms.addData("9999999999 0 0 0")
+      q.processAllAvailable()
+      ms.addData("9999999999 0 0 0")
+      q.processAllAvailable()
+      val cols = Seq(unix_seconds(col("window_start")).as("ws"),
+        col("users_0"), col("conv_0"), col("users_1"), col("conv_1"),
+        col("rate_0"), col("rate_1"), col("rate_diff"), col("chi2"), col("significant"))
+      val streamed = spark.table(sink).select(cols: _*)
+        .as[(Long, Long, Long, Long, Long, Double, Double, Double, Double, Long)]
+        .collect().toSet
+      val batch = Gateway.abFeed(feed.map(fmt).toDF("value"), "1 day", "1 hour")
+        .select(cols: _*)
+        .as[(Long, Long, Long, Long, Long, Double, Double, Double, Double, Long)]
+        .collect().toSet
+      assert(batch.nonEmpty, "vacuous pin: no window closed")
+      assert(streamed === batch, "streaming A/B readout diverges from batch")
+      // recount + the DECLARED abTestOf math per window
+      val expected = feed.groupBy { case (s, _, _, _) => (s / 86400) * 86400 }
+        .map { case (ws, rows) =>
+          val perUser = rows.groupBy(r => (r._2, r._3)).toSeq.map { case ((v, _), es) =>
+            (v, es.map(_._4).max)
+          }
+          val byV = perUser.groupBy(_._1)
+          def users(v: Int) = byV.getOrElse(v, Nil).size.toLong
+          def conv(v: Int) = byV.getOrElse(v, Nil).map(_._2.toLong).sum
+          val (a, b, c, d) =
+            (conv(0), users(0) - conv(0), conv(1), users(1) - conv(1))
+          val n = a + b + c + d
+          val num = BigInt(n) * (BigInt(a) * d - BigInt(b) * c) * (BigInt(a) * d - BigInt(b) * c)
+          val den = BigInt(a + b) * (c + d) * (a + c) * (b + d)
+          def r4(cv: Long, us: Long) = if (us == 0) 0L else (20000 * cv + us) / (2 * us)
+          val chi2 = if (den == 0) 0.0 else ((20000 * num + den) / (2 * den)).toLong / 10000.0
+          val sig = if (den != 0 && 10000 * num > 38415 * den) 1L else 0L
+          (ws, users(0), a, users(1), c,
+            r4(a, users(0)) / 10000.0, r4(c, users(1)) / 10000.0,
+            math.abs(r4(a, users(0)) - r4(c, users(1))) / 10000.0, chi2, sig)
+        }.toSet
+      assert(batch === expected, "A/B readout diverges from the sequential recount")
+      for ((ws, u0, c0, u1, c1, _, _, rd, chi2, sig) <- expected) {
+        val perUser =
+          (0 until u0.toInt).map(i => (0L, if (i < c0) 1L else 0L)) ++
+            (0 until u1.toInt).map(i => (1L, if (i < c1) 1L else 0L))
+        val viaAb = graft.operators.Extensions.abTestOf(
+          perUser.toDF("variant", "converted"))
+          .select(col("rate_diff"), col("chi2"), col("significant"))
+          .as[(Double, Double, Long)].collect().toSet
+        assert(viaAb === Set((rd, chi2, sig)),
+          s"feed window $ws disagrees with the declared abTestOf math")
+      }
+      assert(streamed.exists(_._10 == 0L) && streamed.exists(_._10 == 1L),
+        s"both significance branches must close live: $streamed")
+    } finally q.stop()
+  }
+
+  test("streaming CUPED readout: stream == batch == cupedOf, theta-active and degenerate branches live") {
+    // Streaming X142: day A has a real covariate spread (x varies,
+    // y = x + arm effect + noise → θ near 1, adjustment active);
+    // day B ships a CONSTANT covariate (var_n = 0 → θ = 0 and the
+    // adjusted means must degenerate to the raw means in the same
+    // CASE the batch states). Users emit two events each: x rides
+    // both (max is order-free on a static value), y is split across
+    // them (sum must reassemble it).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1700000000L
+    // (epoch, variant, user, x, yIncrement)
+    val dayA = (0 until 40).flatMap { u =>
+      val v = u % 2
+      val x = (u / 2) % 7
+      val y = x + 2 * v + (u % 3)
+      Seq((base + u * 10, v, 1000L + u, x, y / 2),
+        (base + u * 10 + 5, v, 1000L + u, x, y - y / 2))
+    }
+    val dayB = (0 until 30).flatMap { u =>
+      val v = u % 2
+      val y = 3 + v + (u % 4)
+      Seq((base + 86400 + u * 10, v, 2000L + u, 5, y / 2),
+        (base + 86400 + u * 10 + 5, v, 2000L + u, 5, y - y / 2))
+    }
+    val feed = dayA ++ dayB
+    def fmt(r: (Long, Int, Long, Int, Int)) = s"${r._1} ${r._2} ${r._3} ${r._4} ${r._5}"
+    val ms = MemoryStream[String]
+    val sink = s"cuped_feed_${System.nanoTime()}"
+    val q = Gateway.cupedFeed(ms.toDF(), "1 day", "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val (a1, a2) = scala.util.Random.shuffle(dayA.map(fmt)).splitAt(dayA.size / 2)
+      ms.addData(a1: _*)
+      q.processAllAvailable()
+      ms.addData((a2 ++ scala.util.Random.shuffle(dayB.map(fmt))): _*)
+      q.processAllAvailable()
+      ms.addData("9999999999 0 0 0 0")
+      q.processAllAvailable()
+      ms.addData("9999999999 0 0 0 0")
+      q.processAllAvailable()
+      val cols = Seq(unix_seconds(col("window_start")).as("ws"),
+        col("users_0"), col("users_1"), col("mean_0"), col("mean_1"),
+        col("mean_adj_0"), col("mean_adj_1"), col("theta"), col("var_reduction"))
+      val streamed = spark.table(sink).select(cols: _*)
+        .as[(Long, Long, Long, Double, Double, Double, Double, Double, Double)]
+        .collect().toSet
+      val batch = Gateway.cupedFeed(feed.map(fmt).toDF("value"), "1 day", "1 hour")
+        .select(cols: _*)
+        .as[(Long, Long, Long, Double, Double, Double, Double, Double, Double)]
+        .collect().toSet
+      assert(batch.nonEmpty, "vacuous pin: no window closed")
+      assert(streamed === batch, "streaming CUPED readout diverges from batch")
+      // per window, the one-row audit must equal the DECLARED cupedOf
+      // on the same per-user frame, reshaped
+      val byWindow = feed.groupBy { case (s, _, _, _, _) => (s / 86400) * 86400 }
+      for ((ws, rows) <- byWindow) {
+        val perUser = rows.groupBy(r => (r._2, r._3)).toSeq.map { case ((v, _), es) =>
+          (v.toLong, es.map(_._4).max.toLong, es.map(_._5).sum.toLong)
+        }
+        val viaCuped = graft.operators.Extensions.cupedOf(
+          perUser.toDF("variant", "x", "y"))
+          .select(col("variant"), col("n_users"), col("mean_y"),
+            col("mean_y_adj"), col("theta"), col("var_reduction"))
+          .as[(Long, Long, Double, Double, Double, Double)].collect()
+        val m = viaCuped.map(r => r._1 -> r).toMap
+        val expected = (ws,
+          m(0L)._2, m(1L)._2, m(0L)._3, m(1L)._3, m(0L)._4, m(1L)._4,
+          m(0L)._5, m(0L)._6)
+        val got = batch.find(_._1 == ws).get
+        assert(got === expected,
+          s"feed window $ws disagrees with the declared cupedOf math")
+      }
+      // both branches genuinely closed: day A's θ is active, day B's
+      // constant covariate degenerates (θ = 0, adjusted == raw)
+      val (wA, wB) = (base / 86400 * 86400, (base + 86400) / 86400 * 86400)
+      val rA = streamed.find(_._1 == wA).get
+      val rB = streamed.find(_._1 == wB).get
+      assert(rA._8 != 0.0 && rA._9 > 0.0, s"day A theta/reduction inactive: $rA")
+      assert(rB._8 == 0.0 && rB._6 == rB._4 && rB._7 == rB._5,
+        s"day B must degenerate to raw means: $rB")
+    } finally q.stop()
+  }
+
+  test("streaming QTE readout: histogram quantiles, stream == batch == qteOf == recount") {
+    // Streaming X144: day A's arms share a distribution (gap 0); day
+    // B's treatment shifts the whole distribution by +5 (every
+    // quantile moves — the distributional signal X141's means-only
+    // readout can't localize). Users emit two events each (the
+    // outcome sum must reassemble across micro-batches), heavy-tail
+    // duplicates make the histogram's cum-count scan do real work.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1700000000L
+    val dayA = (0 until 40).flatMap { u =>
+      val y = u % 5 // same support both arms
+      Seq((base + u * 10, u % 2, 1000L + u, y / 2),
+        (base + u * 10 + 5, u % 2, 1000L + u, y - y / 2))
+    }
+    val dayB = (0 until 40).flatMap { u =>
+      val v = u % 2
+      val y = (u % 7) + 5 * v
+      Seq((base + 86400 + u * 10, v, 2000L + u, y / 2),
+        (base + 86400 + u * 10 + 5, v, 2000L + u, y - y / 2))
+    }
+    val feed = dayA ++ dayB
+    def fmt(r: (Long, Int, Long, Int)) = s"${r._1} ${r._2} ${r._3} ${r._4}"
+    val ms = MemoryStream[String]
+    val sink = s"qte_feed_${System.nanoTime()}"
+    val q = Gateway.qteFeed(ms.toDF(), "1 day", "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val (a1, a2) = scala.util.Random.shuffle(dayA.map(fmt)).splitAt(dayA.size / 2)
+      ms.addData(a1: _*)
+      q.processAllAvailable()
+      ms.addData((a2 ++ scala.util.Random.shuffle(dayB.map(fmt))): _*)
+      q.processAllAvailable()
+      ms.addData("9999999999 0 0 0")
+      q.processAllAvailable()
+      ms.addData("9999999999 0 0 0")
+      q.processAllAvailable()
+      val cols = Seq(unix_seconds(col("window_start")).as("ws"),
+        col("users_0"), col("users_1"),
+        col("p25_0"), col("p50_0"), col("p75_0"),
+        col("p25_1"), col("p50_1"), col("p75_1"), col("median_gap"))
+      val streamed = spark.table(sink).select(cols: _*)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      val batch = Gateway.qteFeed(feed.map(fmt).toDF("value"), "1 day", "1 hour")
+        .select(cols: _*)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      assert(batch.nonEmpty, "vacuous pin: no window closed")
+      assert(streamed === batch, "streaming QTE readout diverges from batch")
+      // per window: the DECLARED qteOf on the same per-user frame,
+      // plus an independent sorted-order-statistic recount
+      for ((ws, rows) <- feed.groupBy { case (s, _, _, _) => (s / 86400) * 86400 }) {
+        val perUser = rows.groupBy(r => (r._2, r._3)).toSeq.map { case ((v, u), es) =>
+          (v.toLong, es.map(_._4).sum.toLong, u)
+        }
+        val viaQte = graft.operators.Extensions.qteOf(
+          perUser.toDF("variant", "y", "uid"))
+          .select(col("variant"), col("n_users"), col("p25"), col("p50"),
+            col("p75"), col("median_gap"))
+          .as[(Long, Long, Long, Long, Long, Long)].collect()
+        val m = viaQte.map(r => r._1 -> r).toMap
+        val expected = (ws, m(0L)._2, m(1L)._2,
+          m(0L)._3, m(0L)._4, m(0L)._5, m(1L)._3, m(1L)._4, m(1L)._5,
+          m(0L)._6)
+        val got = batch.find(_._1 == ws).get
+        assert(got === expected, s"feed window $ws disagrees with the declared qteOf math")
+        // independent recount: sorted per-arm outcomes, type-1 positions
+        for (v <- Seq(0L, 1L)) {
+          val ys = perUser.filter(_._1 == v).map(_._2).sorted
+          val n = ys.size
+          def t1(pos: Int) = ys(pos - 1)
+          val rec = (t1((n + 3) / 4), t1((n + 1) / 2), t1((3 * n + 3) / 4))
+          val dec = if (v == 0L) (got._4, got._5, got._6) else (got._7, got._8, got._9)
+          assert(dec === rec, s"window $ws arm $v order-statistic recount diverges")
+        }
+      }
+      // the distributional signal closed live: day B's gap is the
+      // planted +5 shift, day A's is 0
+      val (wA, wB) = (base / 86400 * 86400, (base + 86400) / 86400 * 86400)
+      assert(streamed.find(_._1 == wA).get._10 === 0L, "day A gap must be 0")
+      assert(streamed.find(_._1 == wB).get._10 === 5L, "day B gap must be the planted +5")
+    } finally q.stop()
+  }
+
   test("streaming topic monitor: windowed lexicon composition, stream == batch == recount") {
     // Streaming X131: real docs over three event-time days; the
     // per-(window, topic) membership counts and 4dp shares must agree
