@@ -2270,6 +2270,89 @@ object Curation {
        |  END AS auc
        |FROM roc, tot t ORDER BY bin""".stripMargin
 
+  /** X149 — classifier calibration audit (`q_clf_calibration`): the
+    * reliability table + ECE that decides whether X67's score can be
+    * READ AS a probability — X129 answers "does the score rank
+    * documents correctly" (threshold-free discrimination), this
+    * answers the orthogonal question "does score 0.8 mean 80%": a
+    * pipeline that mixes by score (X39's blend, X76's relative cut,
+    * X114's annealing phases) silently assumes yes, and an
+    * uncalibrated classifier makes every one of those knobs lie.
+    * Predicted probability is the EXACT rational min-max squash
+    * p6 = 5·(logit6 + 10⁵) ∈ [0, 10⁶] (logit6 is bounded ±10⁵ by
+    * construction) — deliberately NOT a sigmoid: X67 was never
+    * Platt-fitted, a transcendental would import cross-engine float
+    * risk for a monotone rescaling, and the audit's whole point is
+    * to measure how far the RAW score is from a probability. Per
+    * 0.1-wide predicted-probability bin: docs, mean predicted (4dp,
+    * exact off Σp6), observed keep rate vs the X73 rule label (the
+    * X129 reference-label convention), and the signed gap; riding
+    * every row, ECE = Σ n_b·ǀgapǀ/N (the expected calibration error
+    * of Naeini et al. / Guo et al.) and MCE = max ǀgapǀ — the two
+    * numbers a score-consuming stage checks before trusting the
+    * scale. All integer: p6 is exact, bin means round 4dp HALF_UP in
+    * integer space, ECE folds the ROUNDED bin gaps (the published
+    * reliability table IS the rounded table).
+    *
+    * Scale shape: both gates are narrow in-row column work; ONE
+    * corpus aggregate to ≤10 bins with map-side partials; ECE/MCE
+    * are windows over those bins. One scan, one exchange, no join.
+    */
+  private def clfCalibration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    withRuleFlags(withClfColumns(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
+      .select(
+        ((col("clf_logit6") + 100000L) * 5L).as("p6"),
+        col("keep").cast("long").as("y"))
+      .groupBy(expr("least(p6 DIV 100000, 9)").cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("p6")).as("sp6"),
+        sum(col("y")).as("sy"))
+      .withColumn("mp4", expr("CAST((2 * sp6 + 100 * n) DIV (200 * n) AS BIGINT)"))
+      .withColumn("ob4", expr("CAST((20000 * sy + n) DIV (2 * n) AS BIGINT)"))
+      .withColumn("gap4", col("mp4") - col("ob4"))
+      .withColumn("tn", sum(col("n")).over(wAll))
+      .withColumn("sgap", sum(col("n") * abs(col("gap4"))).over(wAll))
+      .select(
+        col("bin"),
+        col("n").cast("long").as("n_docs"),
+        (col("mp4") / lit(10000.0)).as("mean_pred"),
+        (col("ob4") / lit(10000.0)).as("obs_rate"),
+        (col("gap4") / lit(10000.0)).as("gap"),
+        (expr("CAST((2 * sgap + tn) DIV (2 * tn) AS BIGINT)") / lit(10000.0)).as("ece"),
+        (max(abs(col("gap4"))).over(wAll) / lit(10000.0)).as("mce"))
+      .orderBy("bin")
+  }
+
+  private def clfCalibrationSql: String =
+    s"""WITH ${clfCteSql("documents")},
+       |${ruleFailedCteSql("documents")},
+       |py AS (
+       |  SELECT 5 * (cl.logit6 + 100000) AS p6,
+       |    CASE WHEN rf.rule_failed = 0 THEN 1 ELSE 0 END AS y
+       |  FROM cl JOIN rf USING (doc_id)),
+       |b AS (
+       |  SELECT least(p6 // 100000, 9) AS bin, count(*) AS n,
+       |    sum(CAST(p6 AS HUGEINT)) AS sp6, sum(y) AS sy
+       |  FROM py GROUP BY 1),
+       |g AS (
+       |  SELECT bin, n,
+       |    CAST((2 * sp6 + 100 * n) // (200 * n) AS BIGINT) AS mp4,
+       |    CAST((20000 * CAST(sy AS HUGEINT) + n) // (2 * n) AS BIGINT) AS ob4
+       |  FROM b)
+       |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n_docs,
+       |  mp4 / 10000.0 AS mean_pred, ob4 / 10000.0 AS obs_rate,
+       |  (mp4 - ob4) / 10000.0 AS gap,
+       |  CAST((2 * sum(CAST(n AS HUGEINT) * abs(mp4 - ob4)) OVER ()
+       |        + sum(CAST(n AS HUGEINT)) OVER ())
+       |    // (2 * sum(CAST(n AS HUGEINT)) OVER ()) AS BIGINT) / 10000.0 AS ece,
+       |  CAST(max(abs(mp4 - ob4)) OVER () AS BIGINT) / 10000.0 AS mce
+       |FROM g ORDER BY bin""".stripMargin
+
   /** X132's declared k ladder — the anonymity levels a release policy
     * quotes (pair-risk, small-group, and the two common publication
     * thresholds).
@@ -2943,5 +3026,9 @@ object Curation {
       dpRelease,
       Some(dpReleaseSql),
       "X143 DP count release: hash-deterministic Laplace noise per (source, epsilon) + calibration audit"),
+    "q_clf_calibration" -> QueryDef(
+      clfCalibration,
+      Some(clfCalibrationSql),
+      "X149 classifier calibration: per-bin predicted-vs-observed reliability table + exact ECE/MCE"),
   )
 }

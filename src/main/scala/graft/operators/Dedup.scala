@@ -1956,6 +1956,129 @@ object Dedup {
        |  CAST(sum(pairs) OVER () AS BIGINT) AS total_pairs
        |FROM st ORDER BY band""".stripMargin
 
+  /** X150 — LSH recall audit (`q_lsh_recall`): X148 audits the band
+    * table's execution risk; this audits its DETECTION risk — the
+    * recall of X5b's banded candidate generation against the exact
+    * ≥ 0.6-Jaccard truth X5a computes on the same corpus, bucketed
+    * by true Jaccard, next to the THEORY column: under the standard
+    * MinHash banding model (Broder; 4 bands × 2 rows) a pair of true
+    * similarity J collides with probability 1 − (1 − J²)⁴, an exact
+    * rational this operator evaluates per pair in integer millionths
+    * (union ≤ ~200 distinct shingles ⇒ union⁸ < 10¹⁹, inside
+    * DECIMAL(38,0)) — so `recall` vs `expected_recall` reads
+    * measured-vs-model directly, no simulation. The curator's
+    * question it answers: "is the 0.6–0.7 band where my index is
+    * blind (model says ~66 %) actually recovering what the model
+    * promises, and how much does the miss rate matter per bucket?"
+    * Riding: the overall recall across buckets.
+    *
+    * Exactness caveats stated: the truth table is X5a's (complete
+    * except all-boilerplate-shared pairs, df > [[nearMaxDf]]); a
+    * pair the bands catch that X5a's truth misses is excluded from
+    * BOTH numerator and denominator (recall OF the truth set).
+    *
+    * Scale: both pair tables are the memoized-index machinery
+    * (dup-volume-bounded); the join is pair-keyed; the rollup is a
+    * ≤4-bucket dictionary + windows over it.
+    */
+  private def lshRecall(s: SparkSession, dir: String): DataFrame =
+    lshRecallFrom(shingleIndex(s, dir))
+
+  /** X150 core over any shingle index — factored so DedupSpec can
+    * drive a planted mid-J corpus through the 0.6–0.7 blind zone
+    * (the shipped corpus's planted dups are all high-J, so the
+    * interesting bucket is exercised by fixture, certified by the
+    * same machinery).
+    */
+  private[graft] def lshRecallFrom(shIdx: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val truth = nearPairs(shIdx, nearMaxDf)
+    val caught = verifyJaccard(shIdx, minhashCands(shIdx))
+      .select(col("id_a"), col("id_b")).withColumn("hit", lit(1L))
+    val u8 = "CAST(u2 AS DECIMAL(38,0)) * u2 * u2 * u2"
+    val d4 = "CAST(dd AS DECIMAL(38,0)) * dd * dd * dd"
+    truth
+      .join(caught, Seq("id_a", "id_b"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+      .withColumn("u2", col("n_union") * col("n_union"))
+      .withColumn("dd", col("u2") - col("shared") * col("shared"))
+      .withColumn("p6", expr(
+        s"CAST((2000000 * ($u8 - $d4) + $u8) DIV (2 * ($u8)) AS BIGINT)"))
+      .groupBy(expr("least((10 * shared) DIV n_union, 9)").cast("long").as("j_bucket"))
+      .agg(
+        count(lit(1)).as("n_true"),
+        sum(col("hit")).as("n_caught"),
+        sum(col("p6")).as("sp6"))
+      .withColumn("tt", sum(col("n_true")).over(wAll))
+      .withColumn("tc", sum(col("n_caught")).over(wAll))
+      .select(
+        col("j_bucket"),
+        col("n_true").cast("long").as("n_true"),
+        col("n_caught").cast("long").as("n_caught"),
+        (expr("CAST((20000 * n_caught + n_true) DIV (2 * n_true) AS BIGINT)")
+          / lit(10000.0)).as("recall"),
+        (expr("CAST((2 * sp6 + 100 * n_true) DIV (200 * n_true) AS BIGINT)")
+          / lit(10000.0)).as("expected_recall"),
+        (expr("CAST((20000 * tc + tt) DIV (2 * tt) AS BIGINT)")
+          / lit(10000.0)).as("overall_recall"))
+      .orderBy("j_bucket")
+  }
+
+  /** The X150 oracle: the X5a truth chain (nearChainSql + the 0.6
+    * cut), then the X5b signature/band/candidate chain stated OVER
+    * that prefix (the shared `sh`/`card` CTEs bind once), the exact
+    * per-pair verify, the left join, and the same integer
+    * millionths collision model.
+    */
+  private def lshRecallSql: String = {
+    val truthChain =
+      s"""$nearChainSql,
+         |vu AS MATERIALIZED (
+         |  SELECT v.id_a, v.id_b, v.shared, ca.n + cb.n - v.shared AS n_union
+         |  FROM verified v
+         |  JOIN card ca ON ca.doc_id = v.id_a
+         |  JOIN card cb ON cb.doc_id = v.id_b
+         |  WHERE 10 * v.shared >= 6 * (ca.n + cb.n - v.shared))""".stripMargin
+    s"""WITH ${minhashCandSqlOver(truthChain)},
+       |mv AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS shared
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |mh AS (
+       |  SELECT v.id_a, v.id_b FROM mv v
+       |  JOIN card ca ON ca.doc_id = v.id_a
+       |  JOIN card cb ON cb.doc_id = v.id_b
+       |  WHERE 10 * v.shared >= 6 * (ca.n + cb.n - v.shared)),
+       |jp AS (
+       |  SELECT vu.shared, vu.n_union,
+       |    CASE WHEN mh.id_a IS NULL THEN 0 ELSE 1 END AS hit,
+       |    vu.n_union * vu.n_union AS u2,
+       |    vu.n_union * vu.n_union - vu.shared * vu.shared AS dd
+       |  FROM vu LEFT JOIN mh ON mh.id_a = vu.id_a AND mh.id_b = vu.id_b),
+       |pp AS (
+       |  SELECT least((10 * shared) // n_union, 9) AS j_bucket, hit,
+       |    CAST((2000000 * (CAST(u2 AS HUGEINT) * u2 * u2 * u2
+       |                     - CAST(dd AS HUGEINT) * dd * dd * dd)
+       |          + CAST(u2 AS HUGEINT) * u2 * u2 * u2)
+       |      // (2 * CAST(u2 AS HUGEINT) * u2 * u2 * u2) AS BIGINT) AS p6
+       |  FROM jp),
+       |agg AS (
+       |  SELECT j_bucket, count(*) AS n_true, sum(hit) AS n_caught,
+       |    sum(CAST(p6 AS HUGEINT)) AS sp6
+       |  FROM pp GROUP BY 1)
+       |SELECT CAST(j_bucket AS BIGINT) AS j_bucket,
+       |  CAST(n_true AS BIGINT) AS n_true,
+       |  CAST(n_caught AS BIGINT) AS n_caught,
+       |  CAST((20000 * n_caught + n_true) // (2 * n_true) AS BIGINT) / 10000.0 AS recall,
+       |  CAST((2 * sp6 + 100 * n_true) // (200 * n_true) AS BIGINT) / 10000.0 AS expected_recall,
+       |  CAST((20000 * sum(n_caught) OVER () + sum(n_true) OVER ())
+       |    // (2 * sum(n_true) OVER ()) AS BIGINT) / 10000.0 AS overall_recall
+       |FROM agg ORDER BY j_bucket""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_dedup_near" -> QueryDef(
       dedupNear,
@@ -1973,6 +2096,10 @@ object Dedup {
       lshStats,
       Some(lshStatsSql),
       "X148 LSH band-table health: per band, buckets, hottest bucket, exact candidate-pair volume + skew"),
+    "q_lsh_recall" -> QueryDef(
+      lshRecall,
+      Some(lshRecallSql),
+      "X150 LSH recall audit: per-Jaccard-bucket banding recall vs the exact 1-(1-J^2)^4 model"),
     "q_dedup_minhash" -> QueryDef(
       dedupMinhash,
       Some(minhashSql),

@@ -887,6 +887,47 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_clf_calibration: reliability table and ECE/MCE match a BigInt recount off the two gates") {
+    // X149's exactness: p6 = 5·(logit6+1e5) is an exact integer, so
+    // the whole table (bin means, observed rates, gaps, ECE, MCE) has
+    // ONE correct value — recounted here sequentially in BigInt off
+    // the same two declared gate queries X129's recount trusts.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val clf = SparkEntry.queries("q_quality_clf")(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val rule = SparkEntry.queries("q_rule_filter")(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+      val rows = clf.toSeq.map { case (id, s) =>
+        val p6 = 5L * (s + 100000L)
+        (math.min(p6 / 100000L, 9L), p6, if (rule(id)) 1L else 0L)
+      }
+      val byBin = rows.groupBy(_._1).toSeq.map { case (bin, rs) =>
+        val n = BigInt(rs.size)
+        val sp6 = rs.map(r => BigInt(r._2)).sum
+        val sy = BigInt(rs.map(_._3).sum)
+        val mp4 = ((2 * sp6 + 100 * n) / (200 * n)).toLong
+        val ob4 = ((20000 * sy + n) / (2 * n)).toLong
+        (bin, n.toLong, mp4, ob4, mp4 - ob4)
+      }.sortBy(_._1)
+      val tn = BigInt(byBin.map(_._2).sum)
+      val sgap = byBin.map(b => BigInt(b._2) * math.abs(b._5)).sum
+      val ece = ((2 * sgap + tn) / (2 * tn)).toLong / 10000.0
+      val mce = byBin.map(b => math.abs(b._5)).max / 10000.0
+      val expected = byBin.map { case (bin, n, mp4, ob4, gap4) =>
+        (bin, n, mp4 / 10000.0, ob4 / 10000.0, gap4 / 10000.0, ece, mce)
+      }
+      val got = SparkEntry.queries("q_clf_calibration")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+      assert(got === expected, s"calibration recount diverges at $dir")
+      // non-vacuous: multiple bins populated and a real miscalibration
+      // signal (X67 is unfitted — a flat-zero gap would mean the audit
+      // cannot see what it exists to see)
+      assert(got.size >= 2, s"degenerate single-bin table at $dir")
+      assert(got.exists(r => math.abs(r._5) > 0), s"vacuous gap column at $dir")
+    }
+  }
+
   test("rocAucOf closed forms: separation 1.0 / reversed 0.0 / all-ties 0.5 / single-class 0.5") {
     import spark.implicits._
     def auc(pairs: Seq[(Long, Long)]): Double =

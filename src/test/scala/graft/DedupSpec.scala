@@ -715,6 +715,83 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q_lsh_recall: declared audit == sequential recount; the 0.6-0.7 blind zone misses pairs as the model predicts") {
+    // X150 certified on a planted mid-J corpus: 30 pairs at J = 45/71
+    // (bucket 6 — the banding model promises only ~87% recall there,
+    // 1-(1-J^2)^4 = 0.8719, so real misses are expected)
+    // and 10 pairs at J = 50/66 (bucket 7), each pair on its own
+    // vocabulary so the only candidate collisions are within-pair.
+    // truth/caught/buckets/model all recounted sequentially: truth
+    // from exact shingle-set Jaccard, caught from the COLLECTED band
+    // table (independent grouping), expected recall from the BigInt
+    // 1-(1-J^2)^4 millionths model.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def doc(p: Int, shared: Int, side: Int): String = {
+      // side 0: tokens c0..c59; side 1: first `shared`+2 tokens shared
+      // (=> `shared` shared trigrams), rest unique to the side
+      val n = 60
+      (0 until n).map { i =>
+        if (side == 0 || i < shared + 2) s"p${p}c$i" else s"p${p}u$i"
+      }.mkString(" ")
+    }
+    val docs = (0 until 30).flatMap(p =>
+      Seq((2L * p, doc(p, 45, 0)), (2L * p + 1, doc(p, 45, 1)))) ++
+      (30 until 40).flatMap(p =>
+        Seq((2L * p, doc(p, 50, 0)), (2L * p + 1, doc(p, 50, 1))))
+    val df = docs.toDF("doc_id", "text")
+    val shIdx = graft.operators.Dedup.shinglesOf(df)
+    // sequential truth + model
+    val sets = docs.map { case (id, t) =>
+      id -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    val ids = docs.map(_._1).sorted
+    val truth = (for {
+      ai <- ids.indices; bi <- (ai + 1) until ids.size
+      a = ids(ai); b = ids(bi)
+      sh = sets(a).intersect(sets(b)).size
+      un = sets(a).union(sets(b)).size
+      if 10 * sh >= 6 * un
+    } yield (a, b, sh.toLong, un.toLong)).toSeq
+    // caught: independent band-collision grouping off the collected table
+    val bands = graft.operators.Dedup.minhashBands(shIdx)
+      .collect().map(r => ((r.getInt(1), r.getLong(2), r.getLong(3)), r.getLong(0)))
+    val collided = bands.groupBy(_._1).values.flatMap { rows =>
+      val ds = rows.map(_._2).distinct.sorted
+      for (i <- ds.indices; j <- (i + 1) until ds.size) yield (ds(i), ds(j))
+    }.toSet
+    val byBucket = truth.groupBy { case (_, _, sh, un) => math.min(10 * sh / un, 9L) }
+    val expected = byBucket.toSeq.map { case (bucket, prs) =>
+      val nt = BigInt(prs.size)
+      val nc = BigInt(prs.count(p => collided((p._1, p._2))))
+      val sp6 = prs.map { case (_, _, sh, un) =>
+        val u2 = BigInt(un) * un; val dd = u2 - BigInt(sh) * sh
+        val u8 = u2.pow(4); val d4 = dd.pow(4)
+        (2000000 * (u8 - d4) + u8) / (2 * u8)
+      }.sum
+      (bucket, nt, nc, sp6)
+    }.sortBy(_._1)
+    val tt = expected.map(_._2).sum; val tc = expected.map(_._3).sum
+    val want = expected.map { case (b, nt, nc, sp6) =>
+      (b, nt.toLong, nc.toLong,
+        ((20000 * nc + nt) / (2 * nt)).toLong / 10000.0,
+        ((2 * sp6 + 100 * nt) / (200 * nt)).toLong / 10000.0,
+        ((20000 * tc + tt) / (2 * tt)).toLong / 10000.0)
+    }
+    val got = graft.operators.Dedup.lshRecallFrom(shIdx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === want, "LSH recall audit diverges from the sequential recount")
+    // the blind zone is populated AND actually blind: bucket 6 exists,
+    // misses some pairs, and the model's promise sits in the right
+    // band (~0.63 for J = 45/71)
+    val b6 = got.find(_._1 == 6L).get
+    assert(b6._2 === 30L, s"bucket-6 plant wrong: $b6")
+    assert(b6._3 < b6._2, s"bucket 6 caught everything — fixture not in the blind zone: $b6")
+    assert(b6._5 === 0.8719, s"model column off (1-(1-(45/71)^2)^4 rounds to 0.8719): $b6")
+    info(s"bucket 6: measured recall ${b6._4} vs model ${b6._5}; overall ${b6._6}")
+  }
+
   test("q_lsh_stats: per-band stats recount from the band table; pair volume bounds the candidate set") {
     import org.apache.spark.sql.functions.col
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
