@@ -265,6 +265,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("FileScan".r.findAllIn(plan).size === 1, s"strip phase re-scans:\n$plan")
   }
 
+  test("q_clf_calibration is one scan, join-free, one aggregate exchange") {
+    // X149's scale contract: both gates are in-row column work, so
+    // the whole reliability table is scan -> projections -> ONE
+    // hash-aggregate exchange to <=10 bins -> dictionary windows ->
+    // final sort. A Join or a second FileScan means a gate started
+    // reading the corpus twice.
+    val plan = SparkEntry.queries("q_clf_calibration")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"calibration grew a join:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size === 1, s"calibration re-scans:\n$plan")
+  }
+
+  test("q_lsh_recall keeps equi-joins only and reuses the cached shingle index") {
+    // X150 composes the X5a truth build and the X5b candidate build —
+    // both hot-key-capped equi-join machines — plus a pair-keyed left
+    // join. Nothing in it may degenerate to a nested loop, and both
+    // pair tables must read the SAME memoized index (InMemoryRelation
+    // present, no fresh corpus scan beside it).
+    val plan = SparkEntry.queries("q_lsh_recall")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q_lsh_recall degenerated to a nested loop:\n$plan")
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"q_lsh_recall bypasses the cached shingle index:\n$plan")
+  }
+
   test("q_containment and q_dedup_incr keep equi-joins only") {
     // X54 drops the AllPairs length filter — the one predicate in the
     // X5a join that is NOT an equi-key — so it must still plan hash/
