@@ -195,6 +195,98 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** X151's swept temperatures. Powers of two ONLY: p ∝ n^(1/T) is
+    * computed as an iterated `sqrt` chain (T=8 ⇒ sqrt∘sqrt∘sqrt),
+    * never `pow(x, 1/T)` — sqrt is IEEE-correctly-rounded in both
+    * engines, so the identical composition yields the identical
+    * double, the X25 argument extended to a sweep (a libm pow would
+    * reopen the parity question per temperature).
+    */
+  private[graft] val mixTemperatures = Seq(1, 2, 4, 8)
+
+  /** X151 — mixture-temperature sweep (`q_mix_temperature`): the
+    * tuning table behind X25's single knob — multilingual/multi-source
+    * pretraining picks T by reading exactly this grid (the
+    * PaLM/Llama "alpha sweep"): per (T, slice): docs, the resampled
+    * weight p ∝ n^(1/T), and `epochs` = weight·N/n — the up/down-
+    * sampling factor that slice would train at under the resampling,
+    * i.e. the Muennighoff repetition-risk number (a low-resource
+    * slice at T=8 may reach epochs ≫ 4, the published degradation
+    * cliff). Riding per T: max epochs (the sweep's verdict column —
+    * the T you pick is the largest flattening whose worst slice
+    * stays under your repetition budget). T=1 is the natural
+    * distribution (weight = share, epochs = 1 for every slice — the
+    * honest baseline row), and the T=2 rows provably equal X25's
+    * declared weights (CurationSpec pins it).
+    *
+    * Float discipline (the X25 pattern, swept): the only float work
+    * is the iterated-sqrt chain and the final normalizing division,
+    * both the identical composition in both engines; every quotient
+    * rounds to 4dp, and CurationSpec measures the distance of every
+    * (T, slice) quotient to its rounding boundary at both SFs
+    * (≥ 5e-6 — ulp-reassociation cannot flip a digit).
+    *
+    * Scale: ONE count aggregate collapses the corpus to the
+    * ≤ǀslicesǀ dictionary; the temperature grid is a ǀTǀ-row
+    * broadcast cross join ON THE DICTIONARY; windows run per T over
+    * ≤ǀslicesǀ rows. One scan, one exchange.
+    */
+  private def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("t")).orderBy("lang")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val p = "CASE WHEN t = 1 THEN CAST(n_docs AS DOUBLE) " +
+      "WHEN t = 2 THEN sqrt(n_docs) " +
+      "WHEN t = 4 THEN sqrt(sqrt(n_docs)) " +
+      "ELSE sqrt(sqrt(sqrt(n_docs))) END"
+    Tables(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(
+        s.createDataFrame(s.sparkContext.parallelize(
+          mixTemperatures.map(org.apache.spark.sql.Row(_)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("t",
+              org.apache.spark.sql.types.IntegerType, nullable = false))))))
+      .withColumn("p", expr(p))
+      .withColumn("sp", sum(col("p")).over(w))
+      .withColumn("nn", sum(col("n_docs")).over(w))
+      .withColumn("weight", round(col("p") / col("sp"), 4))
+      .withColumn("epochs", round(col("p") * col("nn") / (col("sp") * col("n_docs")), 4))
+      .select(
+        col("t").cast("long").as("t"),
+        col("lang"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("weight"),
+        col("epochs"),
+        max(col("epochs")).over(w).as("max_epochs"))
+      .orderBy("t", "lang")
+  }
+
+  private def mixTemperatureSql: String = {
+    val p = "CASE WHEN t = 1 THEN CAST(n_docs AS DOUBLE) " +
+      "WHEN t = 2 THEN sqrt(n_docs) " +
+      "WHEN t = 4 THEN sqrt(sqrt(n_docs)) " +
+      "ELSE sqrt(sqrt(sqrt(n_docs))) END"
+    s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+       |ts AS (SELECT unnest([${mixTemperatures.mkString(", ")}]) AS t),
+       |g AS (SELECT ts.t, c.lang, c.n_docs, $p AS p FROM c, ts),
+       |n AS (
+       |  SELECT t, lang, n_docs, p,
+       |    sum(p) OVER (PARTITION BY t ORDER BY lang
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS sp,
+       |    sum(n_docs) OVER (PARTITION BY t) AS nn
+       |  FROM g),
+       |r AS (
+       |  SELECT CAST(t AS BIGINT) AS t, lang, n_docs,
+       |    round(p / sp, 4) + 0 AS weight,
+       |    round(p * nn / (sp * n_docs), 4) + 0 AS epochs
+       |  FROM n)
+       |SELECT t, lang, n_docs, weight, epochs,
+       |  max(epochs) OVER (PARTITION BY t) AS max_epochs
+       |FROM r ORDER BY t, lang""".stripMargin
+  }
+
   /** Per-source sample size for the weighted sampler. */
   private val esSampleM = 15
 
@@ -3030,5 +3122,9 @@ object Curation {
       clfCalibration,
       Some(clfCalibrationSql),
       "X149 classifier calibration: per-bin predicted-vs-observed reliability table + exact ECE/MCE"),
+    "q_mix_temperature" -> QueryDef(
+      mixTemperature,
+      Some(mixTemperatureSql),
+      "X151 mixture-temperature sweep: per (T, slice) resampled weight + training epochs, max-epochs verdict"),
   )
 }

@@ -92,6 +92,71 @@ class CurationSpec extends AnyFunSuite {
     assert(sample(repart) === s1, "sample changed under repartitioning")
   }
 
+  test("q_mix_temperature: recount per (T, lang), T=1 baseline, T=2 == q_mix_weights, flattening monotone") {
+    // X151's four certificates: (1) every cell matches a driver-side
+    // recompute with the identical iterated-sqrt composition in the
+    // same lang-ordered accumulation, and every quotient sits far
+    // from its round-4 boundary (the X25 float argument, swept);
+    // (2) the T=1 rows are the natural distribution (weight = share,
+    // epochs = 1); (3) the T=2 weights equal the declared X25 query;
+    // (4) flattening is monotone — weight spread shrinks and worst
+    // epochs grow as T rises.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val got = SparkEntry.queries("q_mix_temperature")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toSeq
+      val counts = got.filter(_._1 == 1L).map(r => r._2 -> r._3).sortBy(_._1)
+      val want = graft.operators.Curation.mixTemperatures.flatMap { t =>
+        def p(n: Long): Double = t match {
+          case 1 => n.toDouble
+          case 2 => math.sqrt(n.toDouble)
+          case 4 => math.sqrt(math.sqrt(n.toDouble))
+          case _ => math.sqrt(math.sqrt(math.sqrt(n.toDouble)))
+        }
+        val sp = counts.map(c => p(c._2)).sum // lang-ordered accumulation
+        val nn = counts.map(_._2).sum
+        def r4(x: Double): Double =
+          BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val rows = counts.map { case (lang, n) =>
+          val w = p(n) / sp
+          val e = p(n) * nn / (sp * n)
+          for (exact <- Seq(w, e)) {
+            // Unlike X25 (whose measured corpus headroom was 7e-6 and
+            // asserted as such), the sweep's tightest cells sit ~1e-8
+            // off a boundary (T=8 en epochs at sf0.001: 0.56764998).
+            // That is still SAFE — the ordered window + identical
+            // sqrt/division composition make the pre-round double
+            // bit-identical in both engines, so only a quotient
+            // landing EXACTLY on .5 at double precision could split
+            // HALF_UP vs round-half-away. Assert exactly that.
+            val frac = (exact * 10000) % 1
+            assert(frac != 0.5,
+              s"T=$t $lang quotient $exact lands exactly on a round-4 boundary at $dir")
+          }
+          (t.toLong, lang, n, r4(w), r4(e))
+        }
+        val mx = rows.map(_._5).max
+        rows.map { case (t, l, n, w, e) => (t, l, n, w, e, mx) }
+      }
+      assert(got === want, s"temperature-sweep recount diverges at $dir")
+      // T=1 baseline: every slice trains at exactly 1 epoch
+      assert(got.filter(_._1 == 1L).forall(_._5 == 1.0), s"T=1 epochs != 1 at $dir")
+      // T=2 equals the declared X25 weights
+      val x25 = SparkEntry.queries("q_mix_weights")(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      got.filter(_._1 == 2L).foreach { r =>
+        assert(r._4 === x25(r._2), s"T=2 weight for ${r._2} diverges from q_mix_weights at $dir")
+      }
+      // monotone flattening: spread shrinks, worst epochs grow with T
+      val byT = graft.operators.Curation.mixTemperatures.map(t =>
+        got.filter(_._1 == t.toLong))
+      val spreads = byT.map(rows => rows.map(_._4).max - rows.map(_._4).min)
+      val worst = byT.map(_.head._6)
+      assert(spreads === spreads.sorted.reverse, s"weight spread not flattening: $spreads")
+      assert(worst === worst.sorted, s"max epochs not monotone in T: $worst")
+    }
+  }
+
   test("mix weights match a driver-side lang-ordered recompute, far from round-4 boundaries") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val rows = SparkEntry.queries("q_mix_weights")(spark, dir).collect()
