@@ -195,6 +195,110 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** X152 — per-benchmark contamination report (`q_decontam_report`):
+    * X15 flags TRAINING docs (the side you filter); the side an
+    * eval-integrity owner must read is this one — per benchmark item:
+    * how many training docs touch it, how much of it the WORST
+    * offender reproduces, and whether the item is BURNED (the worst
+    * offender carries > half its grams — held-out loss on a burned
+    * item measures memorization, so it must be dropped from the suite
+    * or the offenders from the corpus; that asymmetric choice is why
+    * the report is per-ITEM, not per-training-doc). Riding: the
+    * burned share of the suite — the one number that decides whether
+    * the benchmark is still a benchmark. On the shipped corpus the
+    * X15 plant (a drop-first-word copy of every bench doc) burns
+    * every item by construction — the honest worst-case read;
+    * CurationSpec drives the unburned and untouched branches through
+    * the same factored core.
+    *
+    * Scale shape: both gram streams are distinct-per-doc in-row; the
+    * eval suite is human-sized, so its gram table broadcasts into
+    * the pair join (the X15 argument, keeping doc ids this time);
+    * pair volume is contamination-proportional; the per-item rollup
+    * and the riding share are dictionary work (≤ǀsuiteǀ rows).
+    */
+  private[graft] def decontamReportOf(bench: DataFrame, train: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bg = gramsDistinctPerDoc(bench).withColumnRenamed("doc_id", "bench_id")
+    val tg = gramsDistinctPerDoc(train)
+    val pairs = tg.join(broadcast(bg), "gram")
+      .groupBy(col("bench_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+    val items = bg.groupBy(col("bench_id")).agg(count(lit(1)).as("n_grams"))
+    items
+      .join(
+        pairs.groupBy(col("bench_id"))
+          .agg(count(lit(1)).as("n_contaminated"), max(col("shared")).as("max_shared")),
+        Seq("bench_id"), "left")
+      .select(
+        col("bench_id"),
+        col("n_grams").cast("long").as("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).cast("long").as("n_contaminated"),
+        coalesce(col("max_shared"), lit(0L)).cast("long").as("max_shared"))
+      .withColumn("burned",
+        when(col("max_shared") * 2 > col("n_grams"), 1L).otherwise(0L))
+      .withColumn("nb", sum(col("burned")).over(wAll))
+      .withColumn("ni", count(lit(1)).over(wAll))
+      .select(
+        col("bench_id"), col("n_grams"), col("n_contaminated"),
+        col("max_shared"), col("burned"),
+        (expr("CAST((20000 * nb + ni) DIV (2 * ni) AS BIGINT)")
+          / lit(10000.0)).as("suite_burned_share"))
+      .orderBy("bench_id")
+  }
+
+  private def decontamReport(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bench = d.filter(col("doc_id") % 50 === 0)
+    val train = d.filter(col("doc_id") % 50 =!= 0)
+      .unionByName(bench.select(
+        (col("doc_id") + 300000).as("doc_id"),
+        regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
+    decontamReportOf(bench, train)
+  }
+
+  private def decontamReportSql: String =
+    s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+       |train AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 300000 AS doc_id, regexp_replace(text, '^[^ ]+ ', '') AS text
+       |  FROM bench),
+       |tg AS (
+       |  SELECT DISTINCT doc_id, $gramSqlExpr AS gram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train) t,
+       |       LATERAL unnest(generate_series(1, len(w) - ${gramN - 1})) AS s(i)
+       |  WHERE len(w) >= $gramN),
+       |bg AS (
+       |  SELECT DISTINCT doc_id AS bench_id, $gramSqlExpr AS gram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM bench) t,
+       |       LATERAL unnest(generate_series(1, len(w) - ${gramN - 1})) AS s(i)
+       |  WHERE len(w) >= $gramN),
+       |pairs AS (
+       |  SELECT bg.bench_id, tg.doc_id, count(*) AS shared
+       |  FROM tg JOIN bg ON bg.gram = tg.gram
+       |  GROUP BY 1, 2),
+       |items AS (SELECT bench_id, count(*) AS n_grams FROM bg GROUP BY 1),
+       |agg AS (
+       |  SELECT i.bench_id, i.n_grams,
+       |    COALESCE(p.n_contaminated, 0) AS n_contaminated,
+       |    COALESCE(p.max_shared, 0) AS max_shared
+       |  FROM items i LEFT JOIN (
+       |    SELECT bench_id, count(*) AS n_contaminated, max(shared) AS max_shared
+       |    FROM pairs GROUP BY 1) p USING (bench_id)),
+       |b AS (
+       |  SELECT *, CASE WHEN max_shared * 2 > n_grams THEN 1 ELSE 0 END AS burned
+       |  FROM agg)
+       |SELECT bench_id, CAST(n_grams AS BIGINT) AS n_grams,
+       |  CAST(n_contaminated AS BIGINT) AS n_contaminated,
+       |  CAST(max_shared AS BIGINT) AS max_shared,
+       |  CAST(burned AS BIGINT) AS burned,
+       |  CAST((20000 * sum(burned) OVER () + count(*) OVER ())
+       |    // (2 * count(*) OVER ()) AS BIGINT) / 10000.0 AS suite_burned_share
+       |FROM b ORDER BY bench_id""".stripMargin
+
   /** X151's swept temperatures. Powers of two ONLY: p ∝ n^(1/T) is
     * computed as an iterated `sqrt` chain (T=8 ⇒ sqrt∘sqrt∘sqrt),
     * never `pow(x, 1/T)` — sqrt is IEEE-correctly-rounded in both
@@ -3126,5 +3230,9 @@ object Curation {
       mixTemperature,
       Some(mixTemperatureSql),
       "X151 mixture-temperature sweep: per (T, slice) resampled weight + training epochs, max-epochs verdict"),
+    "q_decontam_report" -> QueryDef(
+      decontamReport,
+      Some(decontamReportSql),
+      "X152 per-benchmark contamination report: touching train docs, worst-offender overlap, burned verdict + suite share"),
   )
 }

@@ -92,6 +92,59 @@ class CurationSpec extends AnyFunSuite {
     assert(sample(repart) === s1, "sample changed under repartitioning")
   }
 
+  test("q_decontam_report: recount at two SFs; burned/unburned/untouched branches on a fixture") {
+    // Corpus pass: every declared cell recounted sequentially from
+    // raw text (distinct 8-gram sets per doc, X15's planted train
+    // corpus), and the shipped plant burns the whole suite — the
+    // expected worst-case read (suite_burned_share 1.0).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val d = Tables(spark, dir, "documents")
+        .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+      def gset(t: String): Set[String] =
+        t.split(" ", -1).sliding(8).filter(_.size == 8).map(_.mkString(" ")).toSet
+      val bench = d.filter(_._1 % 50 == 0)
+      val train = d.filter(_._1 % 50 != 0) ++
+        bench.map { case (id, t) => (id + 300000, t.split(" ", -1).drop(1).mkString(" ")) }
+      val tsets = train.map { case (id, t) => id -> gset(t) }.filter(_._2.nonEmpty)
+      val expected = bench.map { case (bid, bt) =>
+        val bg = gset(bt)
+        val shared = tsets.map { case (_, tg) => (tg intersect bg).size }.filter(_ > 0)
+        val burned = if (shared.nonEmpty && 2 * shared.max > bg.size) 1L else 0L
+        (bid, bg.size.toLong, shared.size.toLong,
+          (if (shared.isEmpty) 0 else shared.max).toLong, burned)
+      }.sortBy(_._1)
+      val nb = expected.map(_._5).sum; val ni = expected.size
+      val share = ((20000L * nb + ni) / (2L * ni)) / 10000.0
+      val got = SparkEntry.queries("q_decontam_report")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSeq
+      assert(got === expected.map(e => (e._1, e._2, e._3, e._4, e._5, share)),
+        s"decontam report recount diverges at $dir")
+      assert(share === 1.0, s"the X15 plant must burn the whole suite at $dir")
+    }
+    // Fixture: the branches the plant can't show — an item whose worst
+    // offender is under half (not burned), and an untouched item.
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val b1 = words("a", 20) // will be half-copied (11 tokens -> 4 of 13 grams)
+    val b2 = words("b", 20) // untouched
+    val b3 = words("c", 20) // fully copied -> burned
+    val benchDf = Seq((1L, b1), (2L, b2), (3L, b3)).toDF("doc_id", "text")
+    val trainDf = Seq(
+      (10L, words("a", 11) + " " + words("x", 30)), // shares grams a0..a3-led = 4 of b1's 13
+      (11L, b3),                                    // verbatim copy of b3
+      (12L, words("z", 40))).toDF("doc_id", "text")
+    val got = graft.operators.Curation.decontamReportOf(benchDf, trainDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    val want = Seq(
+      (1L, 13L, 1L, 4L, 0L, 0.3333), // touched, under half -> NOT burned
+      (2L, 13L, 0L, 0L, 0L, 0.3333), // untouched
+      (3L, 13L, 1L, 13L, 1L, 0.3333)) // verbatim -> burned
+    assert(got === want, s"fixture branches wrong: ${got.mkString(", ")}")
+  }
+
   test("q_mix_temperature: recount per (T, lang), T=1 baseline, T=2 == q_mix_weights, flattening monotone") {
     // X151's four certificates: (1) every cell matches a driver-side
     // recompute with the identical iterated-sqrt composition in the
