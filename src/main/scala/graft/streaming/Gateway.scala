@@ -883,6 +883,68 @@ object Gateway {
             .cast("long").as("median_gap"): _*)
   }
 
+  /** Streaming X149 — windowed calibration-drift monitor
+    * (`calibrationFeed`): the admission classifier's live health
+    * dial — X149 reads calibration once, offline; what production
+    * needs is the TREND, because concept drift shows up as ECE
+    * creep (the score stays discriminative long after it stops
+    * meaning its magnitude). Per event-time window, one audit row:
+    * docs, populated bins, ECE and MCE — every number the identical
+    * integer form of the offline [[graft.operators.Curation
+    * .clfCalibration]] math on that window's slice (exact-rational
+    * p6 squash, per-bin 4dp HALF_UP means, ECE folded from ROUNDED
+    * bin gaps), so the dial and the audit can never disagree.
+    * Lines are the [[admitFeed]] document shape
+    * (`epoch_sec doc_id text`).
+    *
+    * Execution: both gates are stateless in-row column work (the
+    * [[admitFeed]] precedent); the only state is the skewFeed
+    * two-stage chain — per-(window, bin) integer sums, the bin
+    * gap computed STATELESSLY between the stages, then the ≤10-row
+    * dictionary folds to the audit row (GatewaySpec pins stream ≡
+    * batch ≡ a BigInt recount of the X149 forms).
+    */
+  def calibrationFeed(
+      lines: DataFrame,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val parsed = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 && col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).cast("long").as("doc_id"),
+        col("p").getItem(2).as("text"))
+      .withWatermark("ts", watermarkDelay)
+    val scored = graft.operators.Curation.withRuleFlags(
+      graft.operators.Curation.withClfColumns(parsed))
+      .select(
+        col("ts"),
+        ((col("clf_logit6") + 100000L) * 5L).as("p6"),
+        col("keep").cast("long").as("y"))
+    scored
+      .groupBy(window(col("ts"), windowDuration),
+        expr("least(p6 DIV 100000, 9)").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("p6")).as("sp6"), sum(col("y")).as("sy"))
+      .withColumn("mp4", expr("CAST((2 * sp6 + 100 * n) DIV (200 * n) AS BIGINT)"))
+      .withColumn("ob4", expr("CAST((20000 * sy + n) DIV (2 * n) AS BIGINT)"))
+      .withColumn("agap", abs(col("mp4") - col("ob4")))
+      .groupBy(window(window_time(col("window")), windowDuration))
+      .agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        sum(col("n") * col("agap")).as("sgap"),
+        max(col("agap")).as("mce4"))
+      .select(
+        col("window.start").as("window_start"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_bins").cast("long").as("n_bins"),
+        (expr("CAST((2 * sgap + n_docs) DIV (2 * n_docs) AS BIGINT)")
+          / lit(10000.0)).as("ece"),
+        (col("mce4") / lit(10000.0)).as("mce"))
+  }
+
   /** Streaming X131 — windowed topic-composition monitor
     * (`topicFeed`): "what domains are we ingesting RIGHT NOW" — the
     * offline X131 table as a live dial. Per event-time window and

@@ -1759,6 +1759,77 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming calibration monitor: per-window ECE/MCE, stream == batch == X149 recount") {
+    // Streaming X149: real docs over three event-time days; each
+    // window's ECE/MCE must equal the offline calibration math on
+    // that window's slice — recounted in BigInt off the two declared
+    // gate queries (the X149 spec's own convention), so the live
+    // dial is pinned to the audited number, not to itself.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val base = 1700000000L
+    val feed = docs.map { case (id, t) => (base + (id % 3) * 86400, id, t) }
+    val lines = feed.map { case (s, id, t) => s"$s $id $t" }.toSeq
+    val ms = MemoryStream[String]
+    val sink = s"calib_feed_${System.nanoTime()}"
+    val q = Gateway.calibrationFeed(ms.toDF(), "1 day", "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // day-coherent scrambled delivery (the skewFeed discipline):
+      // mixing day-2 timestamps into the first batch advances the
+      // watermark past days 0/1 and their batch-2 stragglers would be
+      // legitimately late — the test exercises batch-boundary
+      // order-freedom, not late-data drops
+      val byDay = feed.groupBy { case (s, _, _) => (s / 86400) * 86400 }.toSeq.sortBy(_._1)
+      for ((_, rows) <- byDay) {
+        val ls = scala.util.Random.shuffle(rows.map { case (s, id, t) => s"$s $id $t" }.toSeq)
+        val (h1, h2) = ls.splitAt(ls.size / 2)
+        ms.addData(h1: _*)
+        q.processAllAvailable()
+        ms.addData(h2: _*)
+        q.processAllAvailable()
+      }
+      ms.addData("9999999999 0 sentinel")
+      q.processAllAvailable()
+      ms.addData("9999999999 0 sentinel")
+      q.processAllAvailable()
+      val cols = Seq(unix_seconds(col("window_start")).as("ws"),
+        col("n_docs"), col("n_bins"), col("ece"), col("mce"))
+      val streamed = spark.table(sink).select(cols: _*)
+        .as[(Long, Long, Long, Double, Double)].collect().toSet
+      val batch = Gateway.calibrationFeed(lines.toDF("value"), "1 day", "1 hour")
+        .select(cols: _*).as[(Long, Long, Long, Double, Double)].collect().toSet
+      assert(batch.nonEmpty, "vacuous pin: no window closed")
+      assert(streamed === batch, "streaming calibration audit diverges from batch")
+      // recount: the X149 integer forms per window off the declared gates
+      val logit = SparkEntry.queries("q_quality_clf")(spark, "/root/testdata/sf0.001")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val keep = SparkEntry.queries("q_rule_filter")(spark, "/root/testdata/sf0.001")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+      val expected = feed.groupBy { case (s, _, _) => (s / 86400) * 86400 }
+        .map { case (ws, rows) =>
+          val cells = rows.map { case (_, id, _) =>
+            val p6 = 5L * (logit(id) + 100000L)
+            (math.min(p6 / 100000L, 9L), p6, if (keep(id)) 1L else 0L)
+          }.groupBy(_._1).toSeq.map { case (_, rs) =>
+            val n = BigInt(rs.size); val sp6 = rs.map(r => BigInt(r._2)).sum
+            val sy = BigInt(rs.map(_._3).sum)
+            val mp4 = ((2 * sp6 + 100 * n) / (200 * n)).toLong
+            val ob4 = ((20000 * sy + n) / (2 * n)).toLong
+            (n, (mp4 - ob4).abs)
+          }
+          val nd = cells.map(_._1).sum
+          val ece = ((2 * cells.map(c => c._1 * c._2).sum + nd) / (2 * nd)).toLong / 10000.0
+          (ws, nd.toLong, cells.size.toLong, ece, cells.map(_._2).max / 10000.0)
+        }.toSet
+      assert(batch === expected, "calibration feed diverges from the X149 recount")
+      assert(streamed.size >= 3, s"expected >= 3 closed daily windows, got ${streamed.size}")
+      assert(streamed.forall(_._4 > 0), "vacuous: zero ECE everywhere")
+    } finally q.stop()
+  }
+
   test("streaming topic monitor: windowed lexicon composition, stream == batch == recount") {
     // Streaming X131: real docs over three event-time days; the
     // per-(window, topic) membership counts and 4dp shares must agree
