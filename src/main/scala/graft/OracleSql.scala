@@ -48,6 +48,20 @@ object OracleSql {
     new String(out)
   }
 
+  /** Opt-out marker: an oracle whose first line carries this comment
+    * is passed through untouched. Materialization is semantically
+    * free but NOT always cheap — it denies DuckDB whole-tree
+    * optimization, and for q_dedup_simhash that is a 6× sf1-shape
+    * regression (all-inline 14.6 s vs any-marked 70–287 s: the 8
+    * signature-UNION legs recompute the chain inlined, but the
+    * materialized plan loses statistics into a far worse probe-join
+    * order). A generator that has MEASURED inlining to be faster
+    * opts out explicitly; the default stays materialize-shared,
+    * because the opposite failure mode (2^N chain recompute) is
+    * unbounded while re-inlining is at worst a constant factor.
+    */
+  val inlineMarker = "-- graft:inline-ctes"
+
   private val cteDef = """([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+\(""".r
 
   /** Mark every multiply-referenced, non-recursive CTE in `sql` as
@@ -59,6 +73,7 @@ object OracleSql {
     * + two references).
     */
   def materializeShared(sql: String): String = {
+    if (sql.contains(inlineMarker)) return sql
     val m = mask(sql)
     // Insertion points (index of the body-opening paren) for CTEs
     // that qualify, collected on the masked text, applied to the

@@ -59,12 +59,20 @@ object Dedup {
     * documents) with the exact same chain the standalone dedup
     * oracles state.
     */
+  /** NOTE (r15): do NOT hand-mark these shared CTEs `AS MATERIALIZED`.
+    * [[graft.OracleSql.materializeShared]] marks them per ORACLE, only
+    * where actually multiply-referenced — a source-level mark applies
+    * to every user, and DuckDB computes an unused/single-use
+    * materialized CTE eagerly (measured: blanket marks made the
+    * simhash oracle 7x slower at sf1-shape, 14.6 s -> 102 s, because
+    * `card` is unused and `sh` single-use there).
+    */
   private[graft] def corpusChainSqlOver(corpusCte: String): String =
     s"""$corpusCte,
        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
        |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks),
-       |sh AS MATERIALIZED (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx),
-       |card AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx),
+       |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
   private val corpusSql = corpusChainSqlOver(
     """corpus AS (
@@ -1001,13 +1009,13 @@ object Dedup {
       .map(b => s"SELECT doc_id, $b AS band, h${2 * b} AS k1, h${2 * b + 1} AS k2 FROM sig")
       .mkString(" UNION ALL ")
     s"""$shingleChainSql,
-       |sig AS MATERIALIZED (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
-       |bands AS MATERIALIZED ($bands)""".stripMargin
+       |sig AS (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
+       |bands AS ($bands)""".stripMargin
   }
 
   private[graft] def minhashCandSqlOver(shingleChainSql: String): String =
     s"""${sigBandsSqlOver(shingleChainSql)},
-       |cand AS MATERIALIZED (
+       |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id)""".stripMargin
 
@@ -1049,8 +1057,13 @@ object Dedup {
     // earlier band-keyed theta-join (bit_count(xor) inside the ON)
     // was O(N²) per band — fine at sf0.1, a verify-timeout risk at
     // sf1; this form is the linear probe-explode shape in both
-    // engines.
-    s"""WITH $corpusSql,
+    // engines. Opted OUT of the shared-CTE materializer: measured at
+    // sf1-shape, the fully-inlined tree is 14.6 s while ANY
+    // materialization combination lands 70–287 s (DuckDB loses the
+    // statistics that pick the probe-join order) — see
+    // [[graft.OracleSql.inlineMarker]].
+    s"""${graft.OracleSql.inlineMarker}
+       |WITH $corpusSql,
        |hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
        |simh AS (SELECT doc_id, $bits AS sim FROM hs GROUP BY doc_id),
        |bands AS ($bands),

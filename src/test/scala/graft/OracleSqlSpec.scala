@@ -55,6 +55,14 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(once.contains("a AS MATERIALIZED (SELECT 1"))
   }
 
+  test("the inline-ctes marker opts an oracle out entirely") {
+    val sql = s"""${OracleSql.inlineMarker}
+                 |WITH a AS (SELECT 1 AS x), b AS (SELECT x FROM a), c AS (SELECT x FROM a)
+                 |SELECT * FROM b JOIN c USING (x)""".stripMargin
+    assert(OracleSql.materializeShared(sql) === sql,
+      "marked oracle must pass through untouched")
+  }
+
   test("the assembled declared surface is a fixed point (no shared CTE left unmarked)") {
     // SparkEntry.oracleSql already applies the transform; re-applying
     // must change nothing. This sweeps every real oracle: if a future
