@@ -1886,7 +1886,91 @@ object Clustering {
        |LEFT JOIN cap USING (vec_id)
        |ORDER BY ok.vec_id""".stripMargin
 
+  /** X153 — duplicate-cluster size distribution (`q_cluster_sizes`):
+    * the release-notes histogram of HOW the corpus duplicates — X21
+    * labels the clusters, X42 counts each source's casualties, X107
+    * discounts the mass; what a release card states is the SHAPE:
+    * how many clusters of 2, of 3–4, of 5–8…, how much of the corpus
+    * sits in them, and how big the worst one is (a 10 000-copy
+    * cluster and ten thousand pairs both read "50% duplicated" in
+    * aggregate but demand opposite remediations — keep-one dedup vs
+    * template/boilerplate investigation upstream). Per size bucket
+    * (exact 1–4, then power-of-two ranges, 33+ absorbing the tail —
+    * the riding `top_cluster` carries the extreme exactly): clusters,
+    * docs, the 4dp corpus share; riding every row: the largest
+    * cluster and the duplicated-doc share (docs in clusters ≥ 2).
+    * Singletons are the corpus anti-joined against the labels — CC
+    * emits only paired docs, so size-1 "clusters" exist only by
+    * subtraction, and the histogram must state them or the shares
+    * lie (the X101 absent-cell lesson).
+    *
+    * Scale: the cluster dictionary is dup-volume-bounded; the
+    * anti-join is the X26 corpus-stream shape (AQE-broadcast
+    * labels); the histogram is a ≤9-bucket aggregate + windows over
+    * it. One corpus scan, no pairwise work.
+    */
+  private def clusterSizes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bucket = "CASE WHEN sz <= 4 THEN sz WHEN sz <= 8 THEN 5 " +
+      "WHEN sz <= 16 THEN 9 WHEN sz <= 32 THEN 17 ELSE 33 END"
+    val dict = clusterLabels(s, dir)
+      .select(col("cluster_id"), col("cluster_size")).distinct()
+      .select(col("cluster_size").as("sz"))
+    val singles = Dedup.corpus(s, dir).select(col("doc_id"))
+      .join(clusterLabels(s, dir).select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(lit(1L).as("sz"))
+    dict.unionByName(singles)
+      .groupBy(expr(bucket).cast("long").as("bucket_lo"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        max(col("sz")).as("mx"))
+      .withColumn("tot", sum(col("n_docs")).over(wAll))
+      .withColumn("dup", sum(when(col("bucket_lo") === 1, 0L)
+        .otherwise(col("n_docs"))).over(wAll))
+      .select(
+        col("bucket_lo"),
+        col("n_clusters").cast("long").as("n_clusters"),
+        col("n_docs").cast("long").as("n_docs"),
+        (expr("CAST((20000 * n_docs + tot) DIV (2 * tot) AS BIGINT)")
+          / lit(10000.0)).as("doc_share"),
+        max(col("mx")).over(wAll).cast("long").as("top_cluster"),
+        (expr("CAST((20000 * dup + tot) DIV (2 * tot) AS BIGINT)")
+          / lit(10000.0)).as("dup_doc_share"))
+      .orderBy("bucket_lo")
+  }
+
+  private def clusterSizesSql: String =
+    s"""$clusterChainSql,
+       |sizes AS (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY 1),
+       |allc AS (
+       |  SELECT sz FROM sizes
+       |  UNION ALL
+       |  SELECT 1 AS sz FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id
+       |  WHERE l.doc_id IS NULL),
+       |h AS (
+       |  SELECT CASE WHEN sz <= 4 THEN sz WHEN sz <= 8 THEN 5
+       |         WHEN sz <= 16 THEN 9 WHEN sz <= 32 THEN 17 ELSE 33 END AS bucket_lo,
+       |    count(*) AS n_clusters, sum(sz) AS n_docs, max(sz) AS mx
+       |  FROM allc GROUP BY 1)
+       |SELECT CAST(bucket_lo AS BIGINT) AS bucket_lo,
+       |  CAST(n_clusters AS BIGINT) AS n_clusters,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST((20000 * n_docs + sum(n_docs) OVER ())
+       |    // (2 * sum(n_docs) OVER ()) AS BIGINT) / 10000.0 AS doc_share,
+       |  CAST(max(mx) OVER () AS BIGINT) AS top_cluster,
+       |  CAST((20000 * sum(CASE WHEN bucket_lo = 1 THEN 0 ELSE n_docs END) OVER ()
+       |        + sum(n_docs) OVER ())
+       |    // (2 * sum(n_docs) OVER ()) AS BIGINT) / 10000.0 AS dup_doc_share
+       |FROM h ORDER BY bucket_lo""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
+    "q_cluster_sizes" -> QueryDef(
+      clusterSizes,
+      Some(clusterSizesSql),
+      "X153 dup-cluster size distribution: per size bucket, clusters/docs/share + top cluster and dup share"),
     "q_dedup_cluster" -> QueryDef(
       dedupCluster,
       Some(clusterSql),

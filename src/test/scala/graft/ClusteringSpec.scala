@@ -108,6 +108,47 @@ class ClusteringSpec extends AnyFunSuite {
       s"AQE did not broadcast the labels side of q_dedup_keep:\n$finalPlan")
   }
 
+  test("q_cluster_sizes: histogram recount off q_dedup_cluster + corpus, shares close") {
+    // X153 recounted sequentially at two SFs: cluster sizes from the
+    // declared X21 labels, singletons by subtraction from the planted
+    // corpus universe (q_dedup_keep's row count IS that universe),
+    // buckets by the same ladder, shares in BigInt HALF_UP.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val labels = SparkEntry.queries("q_dedup_cluster")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val universe = SparkEntry.queries("q_dedup_keep")(spark, dir).count()
+      val sizes = labels.map(r => r._2 -> r._3).distinct.map(_._2.toLong) ++
+        Seq.fill((universe - labels.length).toInt)(1L)
+      def bucket(sz: Long): Long =
+        if (sz <= 4) sz else if (sz <= 8) 5 else if (sz <= 16) 9
+        else if (sz <= 32) 17 else 33
+      val byB = sizes.groupBy(bucket).toSeq.sortBy(_._1)
+      val tot = BigInt(sizes.sum)
+      val dup = BigInt(sizes.filter(_ >= 2).sum)
+      val top = sizes.max
+      val expected = byB.map { case (b, ss) =>
+        val nd = BigInt(ss.sum)
+        (b, ss.size.toLong, ss.sum,
+          ((20000 * nd + tot) / (2 * tot)).toLong / 10000.0,
+          top,
+          ((20000 * dup + tot) / (2 * tot)).toLong / 10000.0)
+      }
+      val got = SparkEntry.queries("q_cluster_sizes")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getDouble(5))).toSeq
+      assert(got === expected, s"cluster-size histogram recount diverges at $dir")
+      // internal consistency: every corpus doc appears exactly once
+      assert(got.map(_._3).sum === universe, s"histogram loses docs at $dir")
+      assert(got.exists(_._1 == 1L) && got.exists(_._1 > 1L),
+        s"histogram must show singletons AND dup clusters at $dir")
+    }
+    // the bucket ladder's upper rungs, exercised directly
+    val lows = Seq(1L, 4L, 5L, 8L, 9L, 16L, 17L, 32L, 33L, 1000L)
+      .map(sz => if (sz <= 4) sz else if (sz <= 8) 5L else if (sz <= 16) 9L
+      else if (sz <= 32) 17L else 33L)
+    assert(lows === Seq(1L, 4L, 5L, 5L, 9L, 9L, 17L, 17L, 33L, 33L))
+  }
+
   test("q_dedup_cluster groups every planted near-dup with its source") {
     val rows = SparkEntry.queries("q_dedup_cluster")(spark, sf).collect()
     val label = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
