@@ -1075,6 +1075,124 @@ object Gateway {
     * stateful operator is the (window, doc_id)-keyed aggregate whose
     * state is bounded by watermark × admission rate.
     */
+  /** Streaming composition flagship — the FULL ingest pipeline as ONE
+    * streaming query (`ingestFeed`): `q_pipeline` is the offline
+    * composition (one corpus scan through strip → gates → near-dup →
+    * caps → packing); this is its wire-format twin for everything a
+    * stream CAN decide per document — strip against the offline hot
+    * set (X52), the admission gates (X35) and the in-row classifier
+    * (X67), then incremental near-dup against the prebuilt band/
+    * shingle index (X53, the dedupFeed machinery inlined so the dup
+    * verdict lands on the SAME row as the gate verdicts), a static
+    * (doc → source) dimension join, and the per-(window, source)
+    * admission summary with a live per-window source cap (X38's
+    * batch cap is corpus-total and ordered; the streaming form a
+    * throttler actually enforces is per-window — the flag says
+    * "this source exceeded its budget THIS window"). Packing/split
+    * stay batch-only by nature (they need global prefix sums).
+    *
+    * Fates are disjoint, quarantine-first (the X53 story: the
+    * per-batch near-dup quarantine runs AT ingest, before curation
+    * compute is spent): dup (matches the index at ≥ 0.6 Jaccard) →
+    * gate_fail → clf_reject (gate-passers the classifier rejects) →
+    * admitted. `n_stripped` rides independently (docs that lost
+    * ≥ 1 window).
+    *
+    * Execution: every stage is stateless in-row work or a
+    * stream-static join (hot set and merges as plan literals, band/
+    * set/meta as static frames — broadcast or AQE's choice); the
+    * only STATE is the two chained windowed aggregates (per-doc
+    * flag collapse across the band explode, then the per-source
+    * dictionary rollup). GatewaySpec pins stream ≡ batch ≡ a
+    * recount off the same building-block functions plus an exact
+    * Jaccard recount of every dup flag.
+    */
+  def ingestFeed(
+      lines: DataFrame,
+      hotChunks: Seq[String],
+      indexBands: DataFrame,
+      indexSets: DataFrame,
+      meta: DataFrame,
+      capPerWindow: Long = 1000L,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    import graft.functions.MinHashSketch.{mixA, mixB, mod => mhMod}
+    val parsed = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 && col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).cast("long").as("doc_id"),
+        col("p").getItem(2).as("text"))
+      .withWatermark("ts", watermarkDelay)
+      .join(meta, Seq("doc_id"), "left")
+      .withColumn("source", coalesce(col("source"), lit("unknown")))
+    val gated = graft.operators.Curation.withClfColumns(
+      graft.operators.Curation.withGateVerdicts(
+        graft.operators.Dedup.stripWithHot(parsed, hotChunks)))
+      .withColumn("gate", (col("is_kept") === 1).cast("long"))
+      .withColumn("clf", when(col("clf_keep"), 1L).otherwise(0L))
+      .withColumn("strp", when(col("bp_dropped") > 0, 1L).otherwise(0L))
+    // the dedupFeed signature machinery inlined, TOTAL-guarded for
+    // short docs (the winnow lesson: generator-adjacent lambdas must
+    // be total or InferFiltersFromGenerate evaluates them on the rows
+    // the guard exists to drop)
+    val shingled = gated
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        "CASE WHEN size(w) >= 3 THEN array_distinct(transform(sequence(1, size(w) - 2), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END"))
+      .withColumn("n_a", size(col("shingles")))
+    def sigSlot(i: Int) =
+      array_min(transform(col("shingles"), sh =>
+        ((conv(substring(md5(sh), 1, 8), 16, 10).cast("long") % 2147483648L)
+          * mixA(i) + mixB(i)) % mhMod))
+    shingled
+      .select(col("ts"), col("doc_id"), col("source"), col("strp"), col("gate"),
+        col("clf"), col("shingles"), col("n_a"),
+        explode(array((0 until graft.operators.Dedup.nBands).map(b =>
+          struct(
+            lit(b).as("band"),
+            sigSlot(2 * b).as("k1"),
+            sigSlot(2 * b + 1).as("k2"))): _*)).as("bk"))
+      .select(col("ts"), col("doc_id"), col("source"), col("strp"), col("gate"),
+        col("clf"), col("shingles"), col("n_a"),
+        col("bk.band").as("band"), col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+      .join(indexBands, Seq("band", "k1", "k2"), "left")
+      .join(indexSets, Seq("idx_id"), "left")
+      .withColumn("hit", when(
+        size(array_intersect(col("shingles"), col("idx_shingles"))) * 10 >=
+          (col("n_a") + col("n_b")
+            - size(array_intersect(col("shingles"), col("idx_shingles")))) * 6, 1L)
+        .otherwise(0L))
+      .groupBy(window(col("ts"), windowDuration), col("source"), col("doc_id"))
+      .agg(
+        max(col("strp")).as("strp"), max(col("gate")).as("gate"),
+        max(col("clf")).as("clf"), max(col("hit")).as("dup"))
+      .groupBy(window(window_time(col("window")), windowDuration), col("source"))
+      .agg(
+        count(lit(1)).as("n_seen"),
+        sum(col("strp")).as("n_stripped"),
+        sum(col("dup")).as("n_dup"),
+        sum((lit(1L) - col("dup")) * (lit(1L) - col("gate"))).as("n_gate_fail"),
+        sum((lit(1L) - col("dup")) * col("gate") * (lit(1L) - col("clf"))).as("n_clf_reject"),
+        sum((lit(1L) - col("dup")) * col("gate") * col("clf")).as("n_admitted"))
+      .select(
+        col("window.start").as("window_start"),
+        col("source"),
+        col("n_seen").cast("long").as("n_seen"),
+        col("n_stripped").cast("long").as("n_stripped"),
+        col("n_gate_fail").cast("long").as("n_gate_fail"),
+        col("n_clf_reject").cast("long").as("n_clf_reject"),
+        col("n_dup").cast("long").as("n_dup"),
+        col("n_admitted").cast("long").as("n_admitted"),
+        (expr("CAST((20000 * n_admitted + n_seen) DIV (2 * n_seen) AS BIGINT)")
+          / lit(10000.0)).as("admit_rate"),
+        when(col("n_admitted") > capPerWindow, 1L).otherwise(0L).as("cap_fired"))
+  }
+
   def admitFeed(
       lines: DataFrame,
       hotChunks: Seq[String],

@@ -1086,6 +1086,128 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest pipeline: strip → gates → clf → incremental dedup → per-source summary, stream == batch == recount") {
+    // The composition flagship live: real sf0.001 docs (with the X52
+    // boilerplate plant so the strip stage strips) spread over three
+    // event-time days, banded against the SAME prebuilt X53 index the
+    // batch query uses. Pins: stream ≡ batch; every fate column
+    // reconstructed from the building-block functions (strip/gates/
+    // clf batch-collected) with the dup flags from the ALREADY-pinned
+    // dedupFeed on the same stripped lines — so the one new thing
+    // this query adds (the wiring) is what the recount isolates; and
+    // the per-window source cap fires on the small cap.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // RAW text (no normText, unlike the admitFeed fixture): the X53
+    // index is built on the raw corpus, and normalizing the feed
+    // would change every shingle and void the dup stage
+    val bp = "this content is mirrored from the upstream boilerplate navigation footer menu text"
+    val planted = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 7 === 0, concat(lit(bp + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+    val hot = graft.operators.Dedup.boilerplateHotSet(planted)
+    assert(hot.nonEmpty, "vacuous: no hot set")
+    val (bands, sets) = graft.operators.Dedup.incrementalIndex(spark, dir)
+    val meta = Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val base = 1700000000L
+    val docs = planted.filter(col("doc_id") % 4 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (base + (r.getLong(0) % 3) * 86400, r.getLong(0), r.getString(1)))
+    val lines = docs.map { case (s, id, t) => s"$s $id $t" }.toSeq
+    // raw-case text fails most gates (the gates expect the normalized
+    // corpus), so admissions are scarce here — cap 0 makes ANY
+    // admission exceed the per-window budget, exercising the flag
+    val cap = 0L
+    val ms = MemoryStream[String]
+    val sink = s"ingest_feed_${System.nanoTime()}"
+    val q = Gateway.ingestFeed(ms.toDF(), hot, bands, sets, meta, cap, "1 day", "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val byDay = docs.groupBy { case (s, _, _) => (s / 86400) * 86400 }.toSeq.sortBy(_._1)
+      for ((_, rows) <- byDay) {
+        val ls = scala.util.Random.shuffle(rows.map { case (s, id, t) => s"$s $id $t" }.toSeq)
+        val (h1, h2) = ls.splitAt(ls.size / 2)
+        ms.addData(h1: _*); q.processAllAvailable()
+        ms.addData(h2: _*); q.processAllAvailable()
+      }
+      ms.addData("9999999999 0 sentinel")
+      q.processAllAvailable()
+      ms.addData("9999999999 0 sentinel")
+      q.processAllAvailable()
+      val cols = Seq(unix_seconds(col("window_start")).as("ws"), col("source"),
+        col("n_seen"), col("n_stripped"), col("n_gate_fail"), col("n_clf_reject"),
+        col("n_dup"), col("n_admitted"), col("admit_rate"), col("cap_fired"))
+      val streamed = spark.table(sink).select(cols: _*)
+        .as[(Long, String, Long, Long, Long, Long, Long, Long, Double, Long)]
+        .collect().toSet
+      val batch = Gateway.ingestFeed(lines.toDF("value"), hot, bands, sets, meta,
+        cap, "1 day", "1 hour")
+        .select(cols: _*)
+        .as[(Long, String, Long, Long, Long, Long, Long, Long, Double, Long)]
+        .collect().toSet
+      assert(batch.nonEmpty, "vacuous pin: no window closed")
+      assert(streamed === batch, "streaming ingest summary diverges from batch")
+      // per-doc flags off the building blocks, dup off the pinned dedupFeed
+      val parsed = docs.toSeq.toDF("s", "doc_id", "text")
+        .select(col("doc_id"), col("text"))
+      val stripped = graft.operators.Dedup.stripWithHot(parsed, hot)
+      val flags = graft.operators.Curation.withClfColumns(
+        graft.operators.Curation.withGateVerdicts(stripped))
+        .select(col("doc_id"), col("bp_dropped"),
+          (col("is_kept") === 1).cast("long").as("gate"),
+          when(col("clf_keep"), 1L).otherwise(0L).as("clf"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val strippedLines = stripped.select(col("doc_id"), col("text")).collect()
+        .map { r =>
+          val id = r.getLong(0)
+          val day = docs.find(_._2 == id).get._1
+          s"$day $id ${r.getString(1)}"
+        }
+      // dedupFeed is streaming-only (dropDuplicatesWithinWatermark),
+      // so its leg of the recount runs under the streaming engine too
+      val ms2 = MemoryStream[String]
+      val sink2 = s"ingest_dup_recount_${System.nanoTime()}"
+      val q2 = Gateway.dedupFeed(ms2.toDF(), bands, sets)
+        .writeStream.format("memory").queryName(sink2).outputMode("append").start()
+      val dupIds =
+        try {
+          ms2.addData(strippedLines.toSeq: _*)
+          q2.processAllAvailable()
+          spark.table(sink2).select("doc_id").as[Long].collect().toSet
+        } finally q2.stop()
+      val srcOf = meta.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = docs.groupBy { case (s, id, _) =>
+        ((s / 86400) * 86400, srcOf(id))
+      }.map { case ((ws, src), rows) =>
+        val f = rows.map { case (_, id, _) =>
+          val (b, g, c) = flags(id)
+          val d = if (dupIds(id)) 1L else 0L
+          (b, g, c, d)
+        }
+        val seen = f.size.toLong
+        val adm = f.count { case (_, g, c, d) => d == 0 && g == 1 && c == 1 }.toLong
+        (ws, src, seen,
+          f.count(_._1 > 0).toLong,
+          f.count { case (_, g, _, d) => d == 0 && g == 0 }.toLong,
+          f.count { case (_, g, c, d) => d == 0 && g == 1 && c == 0 }.toLong,
+          f.count(_._4 == 1).toLong,
+          adm,
+          ((20000 * adm + seen) / (2 * seen)) / 10000.0,
+          if (adm > cap) 1L else 0L)
+      }.toSet
+      assert(batch === expected, "ingest summary diverges from the building-block recount")
+      // the pipeline is non-vacuous at every stage, and the cap fires
+      assert(streamed.exists(_._4 > 0), "strip stage never stripped")
+      assert(streamed.exists(_._5 > 0), "gate stage never failed anything")
+      assert(streamed.exists(_._7 > 0), "dedup stage never flagged a dup")
+      assert(streamed.exists(_._8 > 0), "nothing admitted")
+      assert(streamed.exists(_._10 == 1L) && streamed.exists(_._10 == 0L),
+        s"cap must fire somewhere and not everywhere: $streamed")
+    } finally q.stop()
+  }
+
   test("streaming admission: strip → gates → DSIR weights ≡ the batch composition row-for-row") {
     // the r14 ingest path: the X52 hot set and X58 dictionary are the
     // bounded offline artifacts, the stream strips/gates/scores
