@@ -1820,13 +1820,13 @@ object Clustering {
         .stripMargin
     }.mkString(",\n")
     val rows = (2 to coresetK).map { i =>
-      s"SELECT $i AS sel_rank, p$i.vec_id, p$i.dmin AS radius, fr.final_radius FROM p$i, fr"
+      s"SELECT CAST($i AS BIGINT) AS sel_rank, p$i.vec_id, p$i.dmin AS radius, fr.final_radius FROM p$i, fr"
     }.mkString("\nUNION ALL\n")
     s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
        |$seed,
        |$steps,
        |fr AS (SELECT max(dmin) AS final_radius FROM d$coresetK)
-       |SELECT 1 AS sel_rank, p1.vec_id, CAST(NULL AS DOUBLE) AS radius,
+       |SELECT CAST(1 AS BIGINT) AS sel_rank, p1.vec_id, CAST(NULL AS DOUBLE) AS radius,
        |  fr.final_radius
        |FROM p1, fr
        |UNION ALL

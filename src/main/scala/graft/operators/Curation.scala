@@ -630,7 +630,7 @@ object Curation {
       |      % 1000000 < t.thr THEN 1 ELSE 0 END) AS kept
       |  FROM documents d JOIN t USING (lang) GROUP BY 1)
       |SELECT t.lang, t.n_l, t.thr AS thr_ppm, CAST(k.kept AS BIGINT) AS kept,
-      |  (2 * 1000000 * k.kept + t.n_l) // (2 * t.n_l) AS achieved_ppm,
+      |  CAST((2 * 1000000 * k.kept + t.n_l) // (2 * t.n_l) AS BIGINT) AS achieved_ppm,
       |  CAST((CAST(k.kept AS HUGEINT) * 1000000 - CAST(t.n_l AS HUGEINT) * t.thr)
       |     * (CAST(k.kept AS HUGEINT) * 1000000 - CAST(t.n_l AS HUGEINT) * t.thr)
       |    <= 9 * CAST(t.n_l AS HUGEINT) * t.thr * (1000000 - t.thr) AS BIGINT) AS ok3sig
@@ -1827,9 +1827,10 @@ object Curation {
        |bb AS (SELECT t_all, tq_all, (3 * t_all) // 2 AS b,
        |  ((3 * t_all) // 2) // 10 AS ba,
        |  (3 * t_all) // 2 - ((3 * t_all) // 2) // 10 AS bp FROM tot)
-       |SELECT d.source, d.n_tokens, d.clean_tokens,
-       |  (bb.bp * d.n_tokens) // bb.t_all AS pre_alloc,
-       |  (bb.ba * d.clean_tokens) // bb.tq_all AS anneal_alloc,
+       |SELECT d.source, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(d.clean_tokens AS BIGINT) AS clean_tokens,
+       |  CAST((bb.bp * d.n_tokens) // bb.t_all AS BIGINT) AS pre_alloc,
+       |  CAST((bb.ba * d.clean_tokens) // bb.tq_all AS BIGINT) AS anneal_alloc,
        |  CAST((20000 * CAST(d.clean_tokens AS HUGEINT) * bb.t_all
        |      + CAST(bb.tq_all AS HUGEINT) * d.n_tokens)
        |    // (2 * CAST(bb.tq_all AS HUGEINT) * d.n_tokens) AS BIGINT) / 10000.0

@@ -31,6 +31,43 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
+# Driver-hash type parity (r15 lesson): the driver's hash is TYPE-sensitive
+# by WIDTH CLASS. DuckDB silently widens sum(BIGINT) -> HUGEIN T (int128),
+# which hash-fails against Spark's BIGINT even when every cell value matches
+# — check.py's value compare alone cannot see it. Evidence for the class
+# boundary: q_coreset shipped INTEGER (oracle) vs BIGINT (spark) and passed
+# the driver, so all int64-representable int widths canonicalize alike;
+# only int128 (HUGEINT / DECIMAL) does not. Gate: (a) no oracle column may
+# be int128-class, and (b) each oracle column's width class must equal the
+# Spark column's.
+
+def type_class(t):
+    s = str(t).upper()
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "INT64"
+    if s == "HUGEINT" or s == "UBIGINT" or s.startswith("DECIMAL"):
+        return "INT128"
+    if s.startswith("TIMESTAMP"):  # TZ flavor differs by writer, hash doesn't
+        return "TIMESTAMP"
+    return s  # DOUBLE, FLOAT, VARCHAR, BOOLEAN, DATE, LIST(...), ... exact
+
+def type_parity(name, spark_rel, duck_rel):
+    """Return an error string if any oracle column's type would trip the
+    driver's type-sensitive hash, else None."""
+    spark_t = {c: type_class(t) for c, t in zip(spark_rel.columns, spark_rel.types)}
+    duck_t = {c: type_class(t) for c, t in zip(duck_rel.columns, duck_rel.types)}
+    errs = []
+    for c in sorted(duck_t):
+        dt = duck_t[c]
+        st = spark_t.get(c)
+        if dt == "INT128":
+            errs.append(f"{c}: oracle type is int128-class (HUGEINT/DECIMAL) — "
+                        f"driver hash-fails even on equal values; CAST to BIGINT")
+        elif st is not None and dt != st:
+            errs.append(f"{c}: oracle class {dt} != spark class {st}")
+    return "; ".join(errs) if errs else None
+
 def canon(v):
     if v is None:
         return None
@@ -47,12 +84,14 @@ fails, passes, costs = [], 0, []
 for name, sql in sorted(oracle.items()):
     if ONLY and name not in ONLY:
         continue
-    t0 = time.monotonic()
     try:
         spark_rel = con.sql(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')")
         spark_cols = sorted(spark_rel.columns)
         spark_rows = con.sql(
             f"SELECT {', '.join(spark_cols)} FROM spark_rel").fetchall()
+        # Time only the DuckDB oracle: the SLOW ORACLE gate must not be
+        # tripped (or padded) by fetching a large Spark result set.
+        t0 = time.monotonic()
         duck_rel = con.sql(sql)
         duck_cols = sorted(duck_rel.columns)
         duck_rows = con.sql(
@@ -63,6 +102,10 @@ for name, sql in sorted(oracle.items()):
     costs.append((time.monotonic() - t0, name))
     if spark_cols != duck_cols:
         fails.append((name, f"schema: spark={spark_cols} duck={duck_cols}"))
+        continue
+    tp = type_parity(name, spark_rel, duck_rel)
+    if tp:
+        fails.append((name, f"type-parity: {tp}"))
         continue
     if len(spark_rows) != len(duck_rows):
         fails.append((name, f"rows: spark={len(spark_rows)} duck={len(duck_rows)}"))
