@@ -27,22 +27,34 @@ package graft
   */
 object OracleSql {
 
-  /** Replace the contents of single-quoted SQL string literals with
-    * 'x' (same length, so indexes stay aligned with the original):
-    * paren balancing and identifier counting must not see literal
-    * content — a regex character class inside a redaction pattern
-    * would otherwise unbalance the CTE body scan. Standard ''
-    * escaping degrades gracefully (the escaped quote toggles state
-    * twice, masking everything between the outer quotes).
+  /** Replace the contents of single-quoted SQL string literals and
+    * `--` line comments with 'x' (same length, so indexes stay
+    * aligned with the original): paren balancing and identifier
+    * counting must not see literal or comment content — a regex
+    * character class inside a redaction pattern would otherwise
+    * unbalance the CTE body scan, and an apostrophe inside a comment
+    * would desync the string state, after which a literal containing
+    * text like `x AS (` could be treated as code (r15 ADVICE).
+    * Standard '' escaping degrades gracefully (the escaped quote
+    * toggles state twice, masking everything between the outer
+    * quotes).
     */
   private def mask(sql: String): String = {
     val out = sql.toCharArray
     var i = 0
     var inStr = false
+    var inCmt = false
     while (i < out.length) {
       if (inStr) {
         if (out(i) == '\'') inStr = false else out(i) = 'x'
-      } else if (out(i) == '\'') inStr = true
+      } else if (inCmt) {
+        if (out(i) == '\n') inCmt = false else out(i) = 'x'
+      } else if (out(i) == '\'') {
+        inStr = true
+      } else if (out(i) == '-' && i + 1 < out.length && out(i + 1) == '-') {
+        inCmt = true
+        out(i) = 'x' // mask both dashes so `name AS (` in a comment can't match
+      }
       i += 1
     }
     new String(out)

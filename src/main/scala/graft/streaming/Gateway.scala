@@ -74,7 +74,8 @@ private[streaming] final case class BufState(tsUs: Array[Long], values: Array[Do
   * insert-on-missing) with payload `p`, or "D" (delete, `p` null);
   * `inBase` is the stream-static membership flag against the base
   * snapshot (joined upstream — the state function never reads the
-  * base table).
+  * base table); `us` is the commit time (event-time µs) that drives
+  * the feed's watermark and state TTL.
   */
 final case class UserEvent(userId: Long, eventType: String, us: Long)
 
@@ -85,7 +86,22 @@ final case class FunnelStage(userId: Long, stage: Long, us: Long)
 
 private[streaming] final case class FunnelState(t1: Long, t2: Long, t3: Long)
 
-final case class CdcOp(docId: Long, seq: Long, op: String, p: String, inBase: Boolean)
+/** [[UserEvent]] plus the event-time column the watermark (and the
+  * funnel state TTL) rides on — the checker requires the watermarked
+  * attribute to survive into the stateful operator's input, so it
+  * travels inside the record.
+  */
+private[streaming] final case class StampedUserEvent(
+    userId: Long, eventType: String, us: Long, evTs: java.sql.Timestamp)
+
+/** [[CdcOp]] plus the watermarked commit-time column (see
+  * [[StampedUserEvent]]).
+  */
+private[streaming] final case class StampedCdcOp(
+    docId: Long, seq: Long, op: String, p: String, inBase: Boolean, us: Long,
+    evTs: java.sql.Timestamp)
+
+final case class CdcOp(docId: Long, seq: Long, op: String, p: String, inBase: Boolean, us: Long)
 
 /** The continuously-maintained merge verdict for one touched key:
   * `live` 0 means the key is currently deleted (a tombstone the
@@ -637,6 +653,16 @@ object Gateway {
     * not-significant in the same CASE the batch states; a window
     * missing a variant reads rate 0 for it rather than dividing by
     * zero (GatewaySpec pins stream ≡ batch ≡ abTestOf ≡ recount).
+    *
+    * DECIMAL(38,0) operating bound (r15 ADVICE — state it, don't
+    * assume it): with n = users/window across both arms, the largest
+    * intermediate is 20000·num = 2·10⁴·n·(ad−bc)² ≤ 2·10⁴·n⁵/16
+    * (|ad−bc| ≤ n²/4), which fits 38 digits for n ≤ ~9×10⁶ users per
+    * window — an experiment cell count three orders above anything a
+    * 10 s dashboard window sees. Past it Spark's non-ANSI decimal
+    * returns NULL, which the final CASEs read as chi2 = 0.0 /
+    * significant NULL, so a dashboard would show "no signal" — keep
+    * windows under the bound rather than trusting that failure mode.
     */
   def abFeed(
       lines: DataFrame,
@@ -718,6 +744,19 @@ object Gateway {
     * ≤2-row dictionary algebra (GatewaySpec pins stream ≡ batch ≡
     * cupedOf, with the θ-active and var_n = 0 branches both closing
     * live).
+    *
+    * DECIMAL(38,0) operating bounds (r15 ADVICE): with n =
+    * users/window, X = max|x|, Y = max|y| per user, the widest
+    * intermediates are 20000·cov_n² ≤ 8·10⁴·n⁴X²Y² (var_reduction)
+    * and 20000·|sy_v·var_n·n − cov_n·(sx_v·n − sx·n_v)| ≤
+    * 1.2·10⁵·n⁴X²Y (mean_adj). Both fit 38 digits when
+    * n ≤ 10⁶ AND n·X ≤ 10⁸ AND n·Y ≤ 10⁸ (e.g. a million users per
+    * window with |x|, |y| ≤ 100 integer units), with ≥10× headroom.
+    * Larger raw units must be pre-scaled at the parse stage (the
+    * [[graft.operators.Dedup]] lshRecall union⁸ < 10¹⁹ discipline);
+    * past the bound Spark's non-ANSI decimal silently NULLs θ /
+    * var_reduction / mean_adj — "no signal", not an error — so the
+    * bound is part of the feed's contract, not advice.
     */
   def cupedFeed(
       lines: DataFrame,
@@ -1586,36 +1625,81 @@ object Gateway {
     * replay is absorbed by the state itself, no dedup operator.
     * Depth-0 users never emit (nothing happened); the batch twin
     * carries them as −1 rows.
+    *
+    * State TTL (the 100 TB answer — user_id is unbounded, so
+    * `NoTimeout` is a slow leak): `EventTimeTimeout` expires a user
+    * once the watermark passes their last admissible stage instant —
+    * anchor (= latest stage timestamp) + `windowUs` — because any
+    * event that could still advance the funnel must carry
+    * `us ≤ anchor + windowUs < watermark`, and input older than the
+    * watermark is dropped at the operator (the watermarked column
+    * feeds the stateful op), so the dropped state is unreachable:
+    * a post-expiry replay — even of a view that a fresh state would
+    * admit — is late by construction and filtered before the state
+    * function (GatewaySpec pins exactly this). One deliberate
+    * semantic consequence: a user who re-views after expiry with a
+    * FRESH timestamp starts a NEW funnel (stage 1 emits again) — the
+    * production semantics for a conversion window, and exactly where
+    * the TTL'd stream diverges from the batch twin's single-earliest-
+    * anchor over unbounded history. Stream ≡ batch parity therefore
+    * holds on horizon-bounded feeds (span < `windowUs`), which is
+    * what GatewaySpec pins, plus the expiry + re-admission pin.
     */
   def funnelFeed(
       events: Dataset[UserEvent],
-      windowUs: Long = graft.operators.Relational.funnelWindowUs): Dataset[FunnelStage] = {
-    import events.sparkSession.implicits._
+      windowUs: Long = graft.operators.Relational.funnelWindowUs,
+      watermarkDelay: String = "0 seconds"): Dataset[FunnelStage] = {
+    val s = events.sparkSession
+    import s.implicits._
     val rank = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
     events
+      .filter(e => rank.contains(e.eventType)) // junk types never create state
+      .toDF()
+      .withColumn("evTs", timestamp_micros(col("us")))
+      .withWatermark("evTs", watermarkDelay)
+      .as[StampedUserEvent] // the watermarked column must reach the stateful op
       .groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[UserEvent], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-          val out = Seq.newBuilder[FunnelStage]
-          it.toArray
-            .filter(e => rank.contains(e.eventType))
-            .sortBy(e => (e.us, rank(e.eventType)))
-            .foreach { e =>
-              e.eventType match {
-                case "view" if st.t1 < 0 =>
-                  st = st.copy(t1 = e.us); out += FunnelStage(user, 1L, e.us)
-                case "click" if st.t1 >= 0 && st.t2 < 0 &&
-                    e.us > st.t1 && e.us <= st.t1 + windowUs =>
-                  st = st.copy(t2 = e.us); out += FunnelStage(user, 2L, e.us)
-                case "purchase" if st.t2 >= 0 && st.t3 < 0 &&
-                    e.us > st.t2 && e.us <= st.t2 + windowUs =>
-                  st = st.copy(t3 = e.us); out += FunnelStage(user, 3L, e.us)
-                case _ => ()
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[StampedUserEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed anchor + window: nothing on-time can
+            // advance this funnel any more — free the state.
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            val out = Seq.newBuilder[FunnelStage]
+            it.toArray
+              .filter(e => rank.contains(e.eventType))
+              .sortBy(e => (e.us, rank(e.eventType)))
+              .foreach { e =>
+                e.eventType match {
+                  case "view" if st.t1 < 0 =>
+                    st = st.copy(t1 = e.us); out += FunnelStage(user, 1L, e.us)
+                  case "click" if st.t1 >= 0 && st.t2 < 0 &&
+                      e.us > st.t1 && e.us <= st.t1 + windowUs =>
+                    st = st.copy(t2 = e.us); out += FunnelStage(user, 2L, e.us)
+                  case "purchase" if st.t2 >= 0 && st.t3 < 0 &&
+                      e.us > st.t2 && e.us <= st.t2 + windowUs =>
+                    st = st.copy(t3 = e.us); out += FunnelStage(user, 3L, e.us)
+                  case _ => ()
+                }
               }
+            if (st.t1 < 0) {
+              // nothing admitted ever (shouldn't happen post-filter):
+              // hold no state for this user
+              if (state.exists) state.remove()
+            } else {
+              state.update(st)
+              // anchor = the latest stage reached; complete funnels keep
+              // absorbing replays until the same horizon passes
+              val anchor = if (st.t3 >= 0) st.t3 else if (st.t2 >= 0) st.t2 else st.t1
+              val expiryMs = anchor / 1000L + windowUs / 1000L + 1L
+              // setTimeoutTimestamp must be strictly above the watermark
+              state.setTimeoutTimestamp(math.max(expiryMs, state.getCurrentWatermarkMs() + 1L))
             }
-          state.update(st)
-          out.result().iterator
+            out.result().iterator
+          }
       }
   }
 
@@ -1662,30 +1746,64 @@ object Gateway {
     * each op from an upstream stream-static id join against the base
     * snapshot (the admitFeed dictionary pattern); the state function
     * itself never touches the base table.
+    *
+    * State TTL (the 100 TB answer — the touched-key set still grows
+    * without bound over the feed's lifetime): `EventTimeTimeout`
+    * expires a key once the watermark passes its last commit time +
+    * `retainUs`. After expiry the key's verdict lives only in the
+    * downstream materialized view; a fresh on-time op re-creates
+    * state from scratch (nOps restarts — the op COUNT is a
+    * retention-window statistic, not all-history). Ops older than
+    * the watermark are dropped at the operator (the watermarked
+    * commit-time column feeds the stateful op), so `watermarkDelay`
+    * must cover the source's maximum commit-time reordering — size
+    * it like any watermark; out-of-order delivery inside the delay
+    * is still resolved by SEQUENCE, not arrival (GatewaySpec
+    * delivers the ops scrambled and pins batch parity, plus expiry +
+    * re-admission).
     */
-  def upsertFeed(ops: Dataset[CdcOp]): Dataset[UpsertVerdict] = {
-    import ops.sparkSession.implicits._
+  def upsertFeed(
+      ops: Dataset[CdcOp],
+      retainUs: Long = 7L * 86400000000L,
+      watermarkDelay: String = "0 seconds"): Dataset[UpsertVerdict] = {
+    val s = ops.sparkSession
+    import s.implicits._
     ops
+      .toDF()
+      .withColumn("evTs", timestamp_micros(col("us")))
+      .withWatermark("evTs", watermarkDelay)
+      .as[StampedCdcOp] // the watermarked column must reach the stateful op
       .groupByKey(_.docId)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (id: Long, it: Iterator[CdcOp], state: GroupState[UpsertState]) =>
-          val incoming = it.toArray.sortBy(_.seq)
-          var st = state.getOption.getOrElse(UpsertState(Long.MinValue, null, null, 0L))
-          var inBase = false
-          incoming.foreach { o =>
-            inBase = o.inBase
-            st =
-              if (o.seq > st.seq) UpsertState(o.seq, o.op, o.p, st.nOps + 1)
-              else st.copy(nOps = st.nOps + 1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (id: Long, it: Iterator[StampedCdcOp], state: GroupState[UpsertState]) =>
+          if (state.hasTimedOut) {
+            // Key idle past the retention horizon: the downstream view
+            // holds its verdict; drop the merge state.
+            state.remove()
+            Iterator.empty
+          } else {
+            val incoming = it.toArray.sortBy(_.seq)
+            var st = state.getOption.getOrElse(UpsertState(Long.MinValue, null, null, 0L))
+            var inBase = false
+            var lastUs = Long.MinValue
+            incoming.foreach { o =>
+              inBase = o.inBase
+              lastUs = math.max(lastUs, o.us)
+              st =
+                if (o.seq > st.seq) UpsertState(o.seq, o.op, o.p, st.nOps + 1)
+                else st.copy(nOps = st.nOps + 1)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(lastUs / 1000L + retainUs / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+            val live = st.op != "D"
+            Iterator.single(UpsertVerdict(
+              id,
+              if (live) st.p else null,
+              if (inBase) "updated" else "inserted",
+              st.nOps,
+              if (live) 1L else 0L))
           }
-          state.update(st)
-          val live = st.op != "D"
-          Iterator.single(UpsertVerdict(
-            id,
-            if (live) st.p else null,
-            if (inBase) "updated" else "inserted",
-            st.nOps,
-            if (live) 1L else 0L))
       }
   }
 

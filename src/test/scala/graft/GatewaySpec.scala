@@ -2175,19 +2175,48 @@ class GatewaySpec extends AnyFunSuite {
   }
 
   test("funnelFeed: stage stream rebuilds exactly the batch q_funnel rows; replay emits nothing") {
-    // The R28 twin: the real events fed in event-time order across
-    // three micro-batches; the emitted stage transitions, folded per
-    // user, must equal the batch funnel's (t_view, t_click,
-    // t_purchase, depth) for every user — depth-0 users emit nothing
-    // and carry -1s in the batch table.
+    // The R28 twin: a horizon-bounded corpus (span < the 24 h
+    // conversion window — the regime where the TTL'd stream and the
+    // batch funnel agree exactly, per the funnelFeed scaladoc) fed in
+    // event-time order across three micro-batches; the emitted stage
+    // transitions, folded per user, must equal the batch funnel's
+    // (t_view, t_click, t_purchase, depth) for every user — depth-0
+    // users emit nothing and carry -1s in the batch table. The
+    // fixture is synthetic so every admission rule is exercised:
+    // strictly-after ties, click-without-view, purchase-without-click,
+    // duplicate views/clicks, junk event types. (Out-of-window
+    // rejection and state expiry live in the TTL test below — they
+    // need a span wider than the window.)
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val dir = "/root/testdata/sf0.001"
-    val evs = Tables(spark, dir, "events")
-      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      .collect().map(r => UserEvent(r.getLong(0), r.getString(1), r.getLong(2)))
-      .sortBy(e => (e.us, e.userId)) // the gateway's in-order arrival contract
-    val parts = evs.grouped(math.max(1, evs.length / 3)).toSeq
+    val t0us = 1700000000000000L
+    val minUs = 60L * 1000000L
+    val evs = (1 to 210).flatMap { u =>
+      val base = t0us + (u * 37 % 1000) * minUs
+      val pat: Seq[(String, Long)] = u % 7 match {
+        case 0 => Seq(("view", base))
+        case 1 => Seq(("view", base), ("click", base + 5 * minUs),
+          ("purchase", base + 10 * minUs))
+        case 2 => // second click ignored by both engines (earliest wins)
+          Seq(("view", base), ("click", base + 5 * minUs), ("click", base + 8 * minUs))
+        case 3 => Seq(("click", base + 5 * minUs)) // click without view: depth 0
+        case 4 => Seq(("purchase", base + 5 * minUs), ("other", base + 6 * minUs))
+        case 5 => // purchase without click rejected; second view ignored
+          Seq(("view", base), ("purchase", base + 5 * minUs), ("view", base + 6 * minUs))
+        case _ => // same-instant click ties the view: rejected (strictly
+          // after); the +3m click is the earliest ADMISSIBLE one
+          Seq(("view", base), ("click", base), ("click", base + 3 * minUs),
+            ("purchase", base + 4 * minUs))
+      }
+      pat.map { case (tpe, us) => UserEvent(u.toLong, tpe, us) }
+    }.toArray
+    val dir = Files.createTempDirectory("graft_funnel_fixture").toString
+    evs.toSeq.toDF()
+      .select(col("userId").as("user_id"), col("eventType").as("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+      .write.parquet(s"$dir/events.parquet")
+    val sorted = evs.sortBy(e => (e.us, e.userId)) // the gateway's in-order arrival contract
+    val parts = sorted.grouped(math.max(1, sorted.length / 3)).toSeq
     assert(parts.size >= 3, "need >= 3 micro-batches to exercise the funnel state")
     val ms = MemoryStream[UserEvent]
     val sink = s"funnel_feed_${System.nanoTime()}"
@@ -2228,6 +2257,68 @@ class GatewaySpec extends AnyFunSuite {
       // every depth the batch realizes is realized by the stream too
       assert(batch.values.map(_._4).toSet.filter(_ >= 1) ===
         folded.values.map(_._4).toSet, "depth distribution diverges")
+      // the fixture must realize every depth, or the parity is vacuous
+      assert(folded.values.map(_._4).toSet === Set(1L, 2L, 3L),
+        "fixture failed to realize depths 1, 2 and 3")
+    } finally q.stop()
+  }
+
+  test("funnelFeed: state expires past the conversion window; re-admission opens a new funnel") {
+    // The TTL pin (the dedupExactFeed two-halves pattern): states
+    // whose anchor + window fell behind the watermark are evicted, a
+    // post-expiry re-view starts a NEW funnel (stage 1 emits again),
+    // and a post-expiry replay of a LATER stage finds no state and is
+    // safely rejected. Also pins in-stream out-of-window rejection
+    // (the constraint the horizon-bounded parity test cannot reach).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0us = 1800000000000000L
+    val h = 3600L * 1000000L
+    val ms = MemoryStream[UserEvent]
+    val sink = s"funnel_ttl_${System.nanoTime()}"
+    val q = Gateway.funnelFeed(ms.toDS())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    def rows(): Set[(Long, Long, Long)] = spark.table(sink)
+      .select(col("userId"), col("stage"), col("us"))
+      .as[(Long, Long, Long)].collect().toSet
+    try {
+      // b1: u1 opens a funnel; u2 completes one; u3 opens one
+      ms.addData(
+        UserEvent(1L, "view", t0us),
+        UserEvent(2L, "view", t0us), UserEvent(2L, "click", t0us + 1 * h),
+        UserEvent(2L, "purchase", t0us + 2 * h),
+        UserEvent(3L, "view", t0us))
+      q.processAllAvailable()
+      val afterB1 = Set((1L, 1L, t0us), (2L, 1L, t0us), (2L, 2L, t0us + 1 * h),
+        (2L, 3L, t0us + 2 * h), (3L, 1L, t0us))
+      assert(rows() === afterB1)
+      // b2: u3's click lands 1 ms PAST the 24 h window — its state is
+      // still alive (watermark is only t0+2h) so this pins the window
+      // constraint itself, not expiry; u9 drags the watermark 3 days out
+      ms.addData(
+        UserEvent(3L, "click", t0us + 24 * h + 1000L),
+        UserEvent(9L, "view", t0us + 72 * h))
+      q.processAllAvailable()
+      val afterB2 = afterB1 + ((9L, 1L, t0us + 72 * h))
+      assert(rows() === afterB2, "out-of-window click must not emit stage 2")
+      // b3: tick batch — u1/u2/u3 anchors + window are now behind the
+      // t0+72h watermark: evicted silently; u9's duplicate view ignored
+      ms.addData(UserEvent(9L, "view", t0us + 73 * h))
+      q.processAllAvailable()
+      assert(rows() === afterB2, "eviction must not emit; duplicate view must not emit")
+      // b4: u1 re-views AFTER expiry -> a new funnel (stage 1 again);
+      // u2's replayed purchase and u3's replayed VIEW are both older
+      // than the watermark -> dropped as late input before the state
+      // function (the view would otherwise be ADMITTED by u3's now-
+      // fresh state — this pins that post-expiry replays cannot
+      // resurrect or restart a funnel)
+      ms.addData(
+        UserEvent(1L, "view", t0us + 80 * h),
+        UserEvent(2L, "purchase", t0us + 2 * h),
+        UserEvent(3L, "view", t0us))
+      q.processAllAvailable()
+      assert(rows() === afterB2 + ((1L, 1L, t0us + 80 * h)),
+        "post-expiry re-view must open a new funnel; post-expiry replays must not emit")
     } finally q.stop()
   }
 
@@ -2246,12 +2337,16 @@ class GatewaySpec extends AnyFunSuite {
         md5(concat(col("text"), lit(" u2"))))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
     def inBase(id: Long) = id % 13 != 5
+    // commit times ride seq at 1 s spacing — the whole feed spans 4 s,
+    // far inside the 7-day retention horizon, so no state expires and
+    // the batch-parity contract applies (expiry has its own test below)
+    val t0us = 1700000000000000L
     val ops = docs.flatMap { case (id, i1, u1, u2) =>
       Seq(
-        Option.when(id % 13 == 5)(CdcOp(id, 1L, "U", i1, inBase(id))),
-        Option.when(id % 7 == 3)(CdcOp(id, 2L, "U", u1, inBase(id))),
-        Option.when(id % 14 == 3)(CdcOp(id, 3L, "U", u2, inBase(id))),
-        Option.when(id % 11 == 4)(CdcOp(id, 4L, "D", null, inBase(id)))
+        Option.when(id % 13 == 5)(CdcOp(id, 1L, "U", i1, inBase(id), t0us + 1000000L)),
+        Option.when(id % 7 == 3)(CdcOp(id, 2L, "U", u1, inBase(id), t0us + 2000000L)),
+        Option.when(id % 14 == 3)(CdcOp(id, 3L, "U", u2, inBase(id), t0us + 3000000L)),
+        Option.when(id % 11 == 4)(CdcOp(id, 4L, "D", null, inBase(id), t0us + 4000000L))
       ).flatten
     }
     assert(ops.nonEmpty && ops.exists(_.op == "D") && ops.exists(!_.inBase))
@@ -2260,7 +2355,10 @@ class GatewaySpec extends AnyFunSuite {
     assert(parts.size >= 3)
     val ms = MemoryStream[CdcOp]
     val sink = s"upsert_feed_${System.nanoTime()}"
-    val q = Gateway.upsertFeed(ms.toDS())
+    // the scramble spans 4 s of commit time delivered out of order, so
+    // the watermark delay must cover the reordering or the low-seq ops
+    // are dropped as late — the sizing contract the scaladoc states
+    val q = Gateway.upsertFeed(ms.toDS(), watermarkDelay = "1 minute")
       .writeStream.format("memory").queryName(sink).outputMode("update").start()
     try {
       parts.foreach { p => ms.addData(p: _*); q.processAllAvailable() }
@@ -2288,6 +2386,47 @@ class GatewaySpec extends AnyFunSuite {
       // untouched base rows are the batch side's kept rows only
       assert(batch.keys.count(id => !touched.contains(id)) > 0,
         "no untouched kept rows — the batch/stream division of labour is vacuous")
+    } finally q.stop()
+  }
+
+  test("upsertFeed: key state expires past the retention horizon; a fresh op restarts the merge") {
+    // The TTL pin: a key idle for longer than retainUs against the
+    // watermark is evicted (emitting nothing — its verdict lives in
+    // the downstream view), and a later op for that key REBUILDS the
+    // merge state from scratch: nOps restarts at 1 where an unexpired
+    // key's second op reads 2. Both behaviors in one run.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0us = 1800000000000000L
+    val day = 86400L * 1000000L
+    val ms = MemoryStream[CdcOp]
+    val sink = s"upsert_ttl_${System.nanoTime()}"
+    val q = Gateway.upsertFeed(ms.toDS()) // default retainUs = 7 days
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    def rows(): Seq[(Long, String, String, Long, Long)] = spark.table(sink)
+      .select(col("docId"), col("h"), col("origin"), col("nOps"), col("live"))
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    try {
+      ms.addData(CdcOp(1L, 1L, "U", "p1", true, t0us))
+      q.processAllAvailable()
+      // k2 thirty days later drags the watermark far past k1's horizon
+      ms.addData(CdcOp(2L, 1L, "U", "q1", false, t0us + 30 * day))
+      q.processAllAvailable()
+      // tick: k1 (idle, horizon passed) is evicted silently; k2 is
+      // inside its horizon and keeps accumulating (nOps -> 2)
+      ms.addData(CdcOp(2L, 2L, "U", "q2", false, t0us + 30 * day + 1000000L))
+      q.processAllAvailable()
+      assert(rows().count(_._1 == 1L) === 1, "eviction must not emit")
+      // k1 returns after expiry: merge state restarted from scratch
+      ms.addData(CdcOp(1L, 5L, "U", "p2", true, t0us + 31 * day))
+      q.processAllAvailable()
+      val k1 = rows().filter(_._1 == 1L).map(r => (r._2, r._3, r._4, r._5))
+      assert(k1.toSet === Set(("p1", "updated", 1L, 1L), ("p2", "updated", 1L, 1L)),
+        s"post-expiry op must restart nOps at 1, got $k1")
+      assert(k1.size === 2, s"expected exactly the pre- and post-expiry emissions, got $k1")
+      val k2 = rows().filter(_._1 == 2L).map(r => (r._2, r._4)).sortBy(_._2)
+      assert(k2 === Seq(("q1", 1L), ("q2", 2L)),
+        s"unexpired key must keep accumulating nOps, got $k2")
     } finally q.stop()
   }
 }

@@ -47,6 +47,30 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(out === sql, "single-reference CTE with a hostile literal must pass through")
   }
 
+  test("an apostrophe inside a -- comment cannot desync the string mask (r15 ADVICE)") {
+    // Before the comment-aware mask, the apostrophe in the comment
+    // opened string state, so the NEXT literal's opening quote CLOSED
+    // it — the literal body (containing `z AS (` and a fake second
+    // reference to a) was then scanned as code: `a` counted 2 refs and
+    // was wrongly marked, with "MATERIALIZED " injected INSIDE the
+    // comment's text stream. The comment body must be masked instead.
+    val sql = """WITH a AS (SELECT 1 AS x) -- don't trip
+                |SELECT 'z AS ( a a' AS s FROM a""".stripMargin
+    val out = OracleSql.materializeShared(sql)
+    assert(out === sql,
+      "single-reference CTE after an apostrophe-bearing comment must pass through")
+  }
+
+  test("a multiply-referenced CTE is still marked when a comment precedes it") {
+    val sql = """WITH a AS (SELECT 1 AS x), -- shared 'twice'
+                |b AS (SELECT x FROM a), c AS (SELECT x FROM a)
+                |SELECT * FROM b JOIN c USING (x)""".stripMargin
+    val out = OracleSql.materializeShared(sql)
+    assert(out.contains("a AS MATERIALIZED (SELECT 1"),
+      s"comment must not hide the shared CTE: $out")
+    assert(!out.contains("b AS MATERIALIZED") && !out.contains("c AS MATERIALIZED"))
+  }
+
   test("already-marked CTEs pass through; transform is idempotent on synthetic input") {
     val sql = """WITH a AS MATERIALIZED (SELECT 1 AS x), b AS (SELECT x FROM a), c AS (SELECT x FROM a)
                 |SELECT * FROM b JOIN c USING (x), a""".stripMargin
