@@ -356,7 +356,18 @@ object Dedup {
     * query only to inspect its plan still pay that probe.
     */
   private def dedupNear(s: SparkSession, dir: String): DataFrame =
-    nearPairs(shingleIndex(s, dir), nearMaxDf)
+    nearPairsIndexed(s, dir)
+
+  /** Session-scoped memo of the VERIFIED ≥0.6-Jaccard pair table —
+    * the [[shingleIndex]] discipline one level up: the truth table
+    * feeds X5a itself, X117's sweep, and X150's recall denominator,
+    * and a family pass (bench, the CC chain) was rebuilding the
+    * collision join + correction once per consumer (r15 verdict: the
+    * `q_lsh_recall` 2.5 s class). Dup-volume-bounded, so the persist
+    * is tiny; released with [[releaseIndexes]] like every other memo.
+    */
+  private[graft] def nearPairsIndexed(s: SparkSession, dir: String): DataFrame =
+    cachedIndex(s, dir, "near_pairs")(nearPairs(shingleIndex(s, dir), nearMaxDf))
 
   /** The X5a chain through `verified` (corpus → capped collisions →
     * high-df correction) — factored so X117's sweep oracle states
@@ -404,7 +415,7 @@ object Dedup {
     * fans it out ×ǀcutsǀ and collapses to ǀcutsǀ rows map-side.
     */
   private def dedupSweep(s: SparkSession, dir: String): DataFrame = {
-    val kept = nearPairs(shingleIndex(s, dir), nearMaxDf)
+    val kept = nearPairsIndexed(s, dir)
       .select(col("id_a"), col("id_b"), col("shared"), col("n_union"),
         explode(array(sweepCuts.map(lit): _*)).as("t_pct"))
       .filter(col("shared") * 100 >= col("t_pct") * col("n_union"))
@@ -611,10 +622,18 @@ object Dedup {
     * are verified with exact Jaccard. The scale path for near-dedup —
     * candidate volume tracks true similarity, not N².
     */
-  private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleIndex(s, dir)
-    verifyJaccard(sh, minhashCands(sh))
-  }
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashVerified(s, dir)
+
+  /** Session-scoped memo of the MinHash-verified pair table (see
+    * [[nearPairsIndexed]]): X5b's own output, the X21/X42/X65 cluster
+    * family's edge list, and X150's recall numerator all read it.
+    */
+  private[graft] def minhashVerified(s: SparkSession, dir: String): DataFrame =
+    cachedIndex(s, dir, "minhash_pairs") {
+      val sh = shingleIndex(s, dir)
+      verifyJaccard(sh, minhashCands(sh))
+    }
 
   /** X53 — INCREMENTAL near-dedup: the production ingest shape, where
     * a new batch is deduplicated against an already-indexed corpus
@@ -982,7 +1001,7 @@ object Dedup {
     * `q_dedup_minhash`, minus the presentation columns.
     */
   private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    minhashPairsOf(shingleIndex(s, dir))
+    minhashVerified(s, dir).select(col("id_a"), col("id_b"))
 
   /** The same verified-pair build over an arbitrary shingle index —
     * for composed pipelines deduping a derived corpus (pair with
@@ -1990,12 +2009,14 @@ object Dedup {
     * pair the bands catch that X5a's truth misses is excluded from
     * BOTH numerator and denominator (recall OF the truth set).
     *
-    * Scale: both pair tables are the memoized-index machinery
-    * (dup-volume-bounded); the join is pair-keyed; the rollup is a
-    * ≤4-bucket dictionary + windows over it.
+    * Scale: both pair tables are read from the SAME session memos the
+    * rest of the family holds ([[nearPairsIndexed]] /
+    * [[minhashVerified]] — r16: a family pass used to rebuild both
+    * collision joins just for this audit); the join is pair-keyed;
+    * the rollup is a ≤4-bucket dictionary + windows over it.
     */
   private def lshRecall(s: SparkSession, dir: String): DataFrame =
-    lshRecallFrom(shingleIndex(s, dir))
+    lshRecallOver(nearPairsIndexed(s, dir), minhashVerified(s, dir))
 
   /** X150 core over any shingle index — factored so DedupSpec can
     * drive a planted mid-J corpus through the 0.6–0.7 blind zone
@@ -2003,12 +2024,15 @@ object Dedup {
     * interesting bucket is exercised by fixture, certified by the
     * same machinery).
     */
-  private[graft] def lshRecallFrom(shIdx: DataFrame): DataFrame = {
+  private[graft] def lshRecallFrom(shIdx: DataFrame): DataFrame =
+    lshRecallOver(nearPairs(shIdx, nearMaxDf), verifyJaccard(shIdx, minhashCands(shIdx)))
+
+  private def lshRecallOver(truthPairs: DataFrame, caughtPairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wAll = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val truth = nearPairs(shIdx, nearMaxDf)
-    val caught = verifyJaccard(shIdx, minhashCands(shIdx))
+    val truth = truthPairs
+    val caught = caughtPairs
       .select(col("id_a"), col("id_b")).withColumn("hit", lit(1L))
     val u8 = "CAST(u2 AS DECIMAL(38,0)) * u2 * u2 * u2"
     val d4 = "CAST(dd AS DECIMAL(38,0)) * dd * dd * dd"

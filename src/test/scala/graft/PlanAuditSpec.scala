@@ -38,14 +38,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // dedup plan may ever hint is an LSH candidate list, whose volume
     // is bounded by true similarity, not corpus size — and candidate
     // lists are exactly the pair-shaped {id_a, id_b} outputs below.
+    // Hints are read off the ANALYZED plan: the optimized plan swaps
+    // any subtree matching a persisted memo (r16: the pair tables) for
+    // an InMemoryRelation, which would hide a corpus-proportional hint
+    // inside the cached builder from this audit entirely.
     def hintedSides(q: String): Seq[Set[String]] =
-      SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.collect {
-        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
-          Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).collect {
-            case (h, side) if h.exists(_.strategy.isDefined) =>
-              side.output.map(_.name).toSet
-          }
-      }.flatten
+      SparkEntry.queries(q)(spark, sf).queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+            if h.hints.strategy.isDefined =>
+          h.child.output.map(_.name).toSet
+      }
     assert(hintedSides("q_dedup_near").isEmpty,
       s"near-dup plan carries broadcast hints: ${hintedSides("q_dedup_near")}")
     val minhashHints = hintedSides("q_dedup_minhash")
