@@ -153,6 +153,15 @@ object Dedup {
   private val indexMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** NOTE for builders whose `build` READS another memoized index:
+    * access the upstream memo OUTSIDE the thunk (hoist
+    * `val sh = shingleIndex(s, dir)` before the cachedIndex call). A
+    * memo HIT returns this df without evaluating `build`, so an
+    * upstream persist inside the thunk is never re-armed after
+    * `clearCache()` — the next DIRECT consumer of the upstream index
+    * then pays its whole materialization (r16: q_lsh_stats read
+    * 0.7 s in bench pass 1 and 7 s in passes 2+ until the hoist).
+    */
   private def cachedIndex(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
     SessionCleanup.arm(s)
     val df = indexMemo.getOrElseUpdate((s, dir, tag), build)
@@ -363,11 +372,16 @@ object Dedup {
     * feeds X5a itself, X117's sweep, and X150's recall denominator,
     * and a family pass (bench, the CC chain) was rebuilding the
     * collision join + correction once per consumer (r15 verdict: the
-    * `q_lsh_recall` 2.5 s class). Dup-volume-bounded, so the persist
-    * is tiny; released with [[releaseIndexes]] like every other memo.
+    * `q_lsh_recall` 2.5 s class; X117's sweep paid 8.3 s of it at
+    * sf1-shape). Dup-volume-bounded, so the persist is tiny; released
+    * with [[releaseIndexes]] like every other memo; this one repays a
+    * 13 s collision build across three consumers (its MinHash twin is
+    * [[minhashVerified]], which repays the iterative cluster family).
     */
-  private[graft] def nearPairsIndexed(s: SparkSession, dir: String): DataFrame =
-    cachedIndex(s, dir, "near_pairs")(nearPairs(shingleIndex(s, dir), nearMaxDf))
+  private[graft] def nearPairsIndexed(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(s, dir) // hoisted: re-arms the upstream persist on memo hits
+    cachedIndex(s, dir, "near_pairs")(nearPairs(sh, nearMaxDf))
+  }
 
   /** The X5a chain through `verified` (corpus → capped collisions →
     * high-df correction) — factored so X117's sweep oracle states
@@ -626,14 +640,21 @@ object Dedup {
     minhashVerified(s, dir)
 
   /** Session-scoped memo of the MinHash-verified pair table (see
-    * [[nearPairsIndexed]]): X5b's own output, the X21/X42/X65 cluster
-    * family's edge list, and X150's recall numerator all read it.
+    * [[nearPairsIndexed]]): X5b's own output, X150's recall
+    * numerator, and — the consumers that make this memo pay — the
+    * ITERATIVE cluster family reading it as the CC edge list: the
+    * X21 fixpoint and the X65 power iteration rescan the edges per
+    * round, and without a cache boundary each rescan recomputes the
+    * whole band-join + verify (measured at sf1-shape, r16:
+    * `q_dup_pagerank` 1.2 s with the memo vs 8.9 s without,
+    * `q_cluster_sizes` 2.7 s vs 7.1 s). The one-time cache
+    * materialization (~the raw build cost) is paid by the first
+    * consumer in a pass and amortized across the family.
     */
-  private[graft] def minhashVerified(s: SparkSession, dir: String): DataFrame =
-    cachedIndex(s, dir, "minhash_pairs") {
-      val sh = shingleIndex(s, dir)
-      verifyJaccard(sh, minhashCands(sh))
-    }
+  private[graft] def minhashVerified(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(s, dir) // hoisted: re-arms the upstream persist on memo hits
+    cachedIndex(s, dir, "minhash_pairs")(verifyJaccard(sh, minhashCands(sh)))
+  }
 
   /** X53 — INCREMENTAL near-dedup: the production ingest shape, where
     * a new batch is deduplicated against an already-indexed corpus
@@ -760,14 +781,15 @@ object Dedup {
     * elementwise-identical to the declarative 60-column
     * [[simSketchSumCols]] form by DedupSpec.
     */
-  private[graft] def simSketch(s: SparkSession, dir: String): DataFrame =
+  private[graft] def simSketch(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(s, dir) // hoisted: re-arms the upstream persist on memo hits
     cachedIndex(s, dir, "simsketch") {
       import Hashing.h60
-      shingleIndex(s, dir)
-        .select(col("doc_id"), h60(col("shingle")).as("h"))
+      sh.select(col("doc_id"), h60(col("shingle")).as("h"))
         .groupBy(col("doc_id"))
         .agg(call_function("graft_simhash_sketch", col("h")).as("sim"))
     }
+  }
 
   /** The declarative 60-column `sum(when)` formulation of the same
     * sketch — kept as the cross-check baseline for the sketch
@@ -2012,8 +2034,9 @@ object Dedup {
     * Scale: both pair tables are read from the SAME session memos the
     * rest of the family holds ([[nearPairsIndexed]] /
     * [[minhashVerified]] — r16: a family pass used to rebuild both
-    * collision joins just for this audit); the join is pair-keyed;
-    * the rollup is a ≤4-bucket dictionary + windows over it.
+    * collision joins just for this audit; 2.47 s → 0.38 s at sf0.1);
+    * the join is pair-keyed; the rollup is a ≤4-bucket dictionary +
+    * windows over it.
     */
   private def lshRecall(s: SparkSession, dir: String): DataFrame =
     lshRecallOver(nearPairsIndexed(s, dir), minhashVerified(s, dir))
