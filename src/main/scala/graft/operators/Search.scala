@@ -316,15 +316,35 @@ object Search {
     * the rel column, and every remaining step (ideal grid, ladders,
     * MRR) is work on ≤20×3 rows.
     */
-  private def rankEval(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The graded-relevance column + corpus histogram and the judged
+    * top-20 — factored private[graft] so the streaming twin's spec
+    * ([[graft.streaming.Gateway.rankEvalFeed]]) can derive its
+    * impression log and ideal-histogram artifact from the SAME
+    * grading the batch eval uses.
+    */
+  private[graft] def relGraded(s: SparkSession, dir: String): DataFrame = {
     val termArr = bm25Terms.map(t => s"'$t'").mkString("array(", ", ", ")")
     val relCol = expr(
       s"""CASE WHEN size(filter(split(text, ' '), x -> array_contains($termArr, x))) >= 12 THEN 3
          |     WHEN size(filter(split(text, ' '), x -> array_contains($termArr, x))) >= 9 THEN 2
          |     WHEN size(filter(split(text, ' '), x -> array_contains($termArr, x))) >= 5 THEN 1
          |     ELSE 0 END""".stripMargin).cast("long")
-    val relDf = docs(s, dir).select(col("doc_id"), relCol.as("rel"))
+    docs(s, dir).select(col("doc_id"), relCol.as("rel"))
+  }
+
+  /** The judged top-20: (rk, rel) for the BM25 ranking. */
+  private[graft] def judgedRanking(s: SparkSession, dir: String): DataFrame = {
+    val ranked = bm25(s, dir)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("rk"))
+    relGraded(s, dir).join(broadcast(ranked), "doc_id")
+      .select(col("rk"), col("rel"))
+  }
+
+  private def rankEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val relDf = relGraded(s, dir)
       .localCheckpoint(true) // two consumers: histogram + ranked join
     val hist = relDf.groupBy(col("rel")).agg(count(lit(1)).as("cnt"))
     val ranked = bm25(s, dir)

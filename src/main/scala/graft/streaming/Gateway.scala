@@ -984,6 +984,169 @@ object Gateway {
         (col("mce4") / lit(10000.0)).as("mce"))
   }
 
+  /** Streaming X138 — windowed ranking-quality monitor
+    * (`rankEvalFeed`): the live dial on the retrieval stack — the
+    * offline X138 eval scores a ranking once; production wants the
+    * TREND, because an index rebuild, a scorer regression, or corpus
+    * drift shows up as nDCG creep long before users complain. Input
+    * is the judged impression log (`epoch_sec rank rel` — the rank a
+    * document was served at and its editorial grade riding the log);
+    * per event-time window and cut-off K ∈ {5, 10, 20} one audit row:
+    * precision@K, nDCG@K, MRR — every number the IDENTICAL form of
+    * the offline [[graft.operators.Search]] X138 math (per-term
+    * round-to-millionths of gain/log₂(rank+1) BEFORE summing, exact
+    * rational precision/MRR, 4dp HALF_UP), so the dial and the
+    * offline eval can never disagree on a digit.
+    *
+    * The IDEAL ordering cannot be learned from served impressions
+    * (top-20 ≠ the corpus), so the corpus relevance histogram ships
+    * as a bounded offline artifact in plan literals (the
+    * [[novelFeed]] pattern) — the cumulative-coverage grid is pure
+    * integer work done at plan build, only the log₂ terms evaluate
+    * in Spark expressions (the same `round(1e6·(2^rel−1)/log2(rk+1))`
+    * composition as the batch side).
+    *
+    * Execution: the [[skewFeed]] two-stage chain — (1) per
+    * (window, rank) the max grade seen (state bounded by 20 rank
+    * slots per window; at-least-once replay of an impression is
+    * absorbed by the max), (2) the ≤20-row dictionary collapses to
+    * one sorted array per window, and the K-ladder is stateless HOF
+    * algebra over it (GatewaySpec pins stream ≡ the batch
+    * `q_rank_eval` rows on the same judged ranking).
+    */
+  def rankEvalFeed(
+      lines: DataFrame,
+      relHist: Seq[(Long, Long)],
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    require(relHist.nonEmpty, "corpus relevance histogram artifact must be non-empty")
+    val ks = graft.operators.Search.rankEvalKs
+    // ideal (rank, rel) grid from the histogram artifact: rank r's
+    // ideal grade is the largest rel whose >=-cumulative count covers
+    // r — integer logic, safe to fold at plan build
+    val cumGe = relHist.sortBy(-_._1)
+      .scanLeft((Long.MaxValue, 0L)) { case ((_, c), (r, n)) => (r, c + n) }.drop(1)
+    val idealPairs = (1 to ks.max).flatMap { rk =>
+      cumGe.filter(_._2 >= rk).map(_._1).maxOption.map(rel => (rk.toLong, rel))
+    }
+    val idealLit = idealPairs
+      .map { case (rk, rel) =>
+        s"named_struct('rk', CAST($rk AS BIGINT), 'rel', CAST($rel AS BIGINT))"
+      }
+      .mkString("array(", ", ", ")")
+    def t6(rkE: String, relE: String): String =
+      s"CAST(round(1000000.0 * CAST(shiftleft(1, CAST($relE AS INT)) - 1 AS DOUBLE)" +
+        s" / log2($rkE + 1), 0) AS BIGINT)"
+    def dcg6(arr: String): String =
+      s"aggregate(filter($arr, e -> e.rk <= k), CAST(0 AS BIGINT)," +
+        s" (a, e) -> a + ${t6("e.rk", "e.rel")})"
+    val parsed = lines
+      .select(split(col("value"), " ", 4).as("p"))
+      .filter(size(col("p")) >= 3 &&
+        col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull &&
+        col("p").getItem(2).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).cast("long").as("rk"),
+        col("p").getItem(2).cast("long").as("rel"))
+      .filter(col("rk") >= 1L && col("rk") <= ks.max.toLong &&
+        col("rel") >= 0L && col("rel") <= 3L)
+      .withWatermark("ts", watermarkDelay)
+    parsed
+      .groupBy(window(col("ts"), windowDuration), col("rk"))
+      .agg(max(col("rel")).as("rel"))
+      .groupBy(window(window_time(col("window")), windowDuration))
+      .agg(collect_list(struct(col("rk"), col("rel"))).as("a0"))
+      .select(
+        col("window.start").as("window_start"),
+        expr("sort_array(a0)").as("arr"),
+        explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
+      .withColumn("hits", expr("size(filter(arr, e -> e.rk <= k AND e.rel >= 2))").cast("long"))
+      .withColumn("dcg6", expr(dcg6("arr")))
+      .withColumn("idcg6", expr(dcg6(idealLit)))
+      .withColumn("r1",
+        expr("array_min(transform(filter(arr, e -> e.rel = 3), e -> e.rk))"))
+      .select(
+        col("window_start"),
+        col("k"),
+        (expr("CAST((20000 * hits + k) DIV (2 * k) AS BIGINT)")
+          / lit(10000.0)).as("p_at_k"),
+        when(col("idcg6") === 0, lit(0.0)).otherwise(
+          expr("CAST((20000 * dcg6 + idcg6) DIV (2 * idcg6) AS BIGINT)")
+            / lit(10000.0)).as("ndcg"),
+        (coalesce(expr("CAST((20000 + r1) DIV (2 * r1) AS BIGINT)"), lit(0L))
+          / lit(10000.0)).as("mrr"))
+  }
+
+  /** Streaming X151 — windowed mixture-temperature sweep
+    * (`temperatureFeed`): "what would the resampled mix look like on
+    * what we ingested THIS window" — the offline X151 alpha-sweep
+    * grid as a live dial, so a crawl whose language balance drifts
+    * shows its repetition-risk consequences (`epochs`, `max_epochs`)
+    * while the batch is still being written. Lines are
+    * `epoch_sec doc_id lang`; per (window, T ∈ {1,2,4,8}, slice) one
+    * row with the identical iterated-sqrt p ∝ n^(1/T), 4dp weight /
+    * epochs quotients, and the per-T max-epochs verdict column.
+    *
+    * Float parity with the batch (the X25/X151 argument, re-proved
+    * for the fold): the batch normalizer is a lang-ORDERED window sum
+    * — a left fold over doubles in lang order from 0.0 — and here the
+    * per-window dictionary is `sort_array`ed before an `aggregate`
+    * HOF folds the identical doubles in the identical order, so the
+    * same ulp story holds and GatewaySpec pins stream ≡ batch
+    * digit-for-digit.
+    *
+    * Execution: ONE stateful windowed count per (window, lang) (the
+    * [[skewFeed]] chain stage 1), the ≤ǀslicesǀ dictionary collapses
+    * to a sorted array per window, and the whole temperature grid is
+    * stateless per-row HOF algebra over that array.
+    */
+  def temperatureFeed(
+      lines: DataFrame,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val p = (nE: String) =>
+      s"CASE WHEN t = 1 THEN CAST($nE AS DOUBLE) WHEN t = 2 THEN sqrt($nE) " +
+        s"WHEN t = 4 THEN sqrt(sqrt($nE)) ELSE sqrt(sqrt(sqrt($nE))) END"
+    val parsed = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 &&
+        col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(2).as("lang"))
+      .withWatermark("ts", watermarkDelay)
+    parsed
+      .groupBy(window(col("ts"), windowDuration), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .groupBy(window(window_time(col("window")), windowDuration))
+      .agg(collect_list(struct(col("lang"), col("n_docs"))).as("d0"))
+      .select(
+        col("window.start").as("window_start"),
+        expr("sort_array(d0)").as("dict"),
+        explode(array(graft.operators.Curation.mixTemperatures.map(lit(_)): _*)).as("t"))
+      .withColumn("sp", expr(
+        s"aggregate(transform(dict, e -> ${p("e.n_docs")}), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"))
+      .withColumn("nn", expr("aggregate(dict, CAST(0 AS BIGINT), (a, e) -> a + e.n_docs)"))
+      .withColumn("max_epochs", expr(
+        s"array_max(transform(dict, e -> round(${p("e.n_docs")} * nn / (sp * e.n_docs), 4)))"))
+      .select(
+        col("window_start"),
+        col("t").cast("long").as("t"),
+        explode(col("dict")).as("e"),
+        col("sp"), col("nn"), col("max_epochs"))
+      .select(
+        col("window_start"),
+        col("t"),
+        col("e.lang").as("lang"),
+        col("e.n_docs").cast("long").as("n_docs"),
+        expr(s"round(${p("e.n_docs")} / sp, 4)").as("weight"),
+        expr(s"round(${p("e.n_docs")} * nn / (sp * e.n_docs), 4)").as("epochs"),
+        col("max_epochs"))
+  }
+
   /** Streaming X131 — windowed topic-composition monitor
     * (`topicFeed`): "what domains are we ingesting RIGHT NOW" — the
     * offline X131 table as a live dial. Per event-time window and

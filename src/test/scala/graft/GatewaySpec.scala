@@ -2174,6 +2174,85 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming temperature sweep: per-window alpha grid, stream == batch q_mix_temperature") {
+    // Streaming X151: the whole corpus in one event-time window — the
+    // feed's per-window grid must equal the declared batch sweep
+    // digit-for-digit (same iterated-sqrt chain, same lang-ordered
+    // double fold, same 4dp quotients).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents").select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val base = 1700000000L
+    val lines = docs.map { case (id, l) => s"$base $id $l" }
+    val ms = MemoryStream[String]
+    val sink = s"temp_feed_${System.nanoTime()}"
+    val q = Gateway.temperatureFeed(ms.toDF(), "1 day", "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val parts = lines.grouped(math.max(1, lines.length / 3)).toSeq
+      assert(parts.size >= 3)
+      parts.foreach { p => ms.addData(p: _*); q.processAllAvailable() }
+      // close the window (watermark must pass window end + delay)
+      ms.addData(s"${base + 10 * 86400} 0 xx"); q.processAllAvailable()
+      ms.addData(s"${base + 10 * 86400} 0 xx"); q.processAllAvailable()
+      val streamed = spark.table(sink)
+        .filter(unix_seconds(col("window_start")) === (base / 86400) * 86400)
+        .select(col("t"), col("lang"), col("n_docs"), col("weight"),
+          col("epochs"), col("max_epochs"))
+        .as[(Long, String, Long, Double, Double, Double)].collect().toSet
+      val batch = SparkEntry.queries("q_mix_temperature")(spark, dir)
+        .as[(Long, String, Long, Double, Double, Double)].collect().toSet
+      assert(batch.nonEmpty, "vacuous: empty batch temperature grid")
+      assert(streamed === batch, "temperature sweep stream diverges from the batch grid")
+    } finally q.stop()
+  }
+
+  test("streaming rank-eval monitor: per-window P@K/nDCG/MRR, stream == batch q_rank_eval") {
+    // Streaming X138: the batch eval's own judged top-20 streamed as
+    // an impression log across three micro-batches (plus an
+    // at-least-once replay of the first chunk, absorbed by the
+    // per-rank max) — the feed's one-window ladder must equal the
+    // declared q_rank_eval rows digit-for-digit, with the corpus
+    // relevance histogram shipped as the offline artifact.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val judged = graft.operators.Search.judgedRanking(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(judged.length === 20, s"expected the judged top-20, got ${judged.length}")
+    val relHist = graft.operators.Search.relGraded(spark, dir)
+      .groupBy("rel").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val base = 1700000000L
+    val lines = judged.map { case (rk, rel) => s"$base $rk $rel" }
+    val ms = MemoryStream[String]
+    val sink = s"rankeval_feed_${System.nanoTime()}"
+    val q = Gateway.rankEvalFeed(ms.toDF(), relHist, "1 day", "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val parts = lines.grouped(math.max(1, lines.length / 3)).toSeq
+      assert(parts.size >= 3)
+      parts.foreach { p => ms.addData(p: _*); q.processAllAvailable() }
+      ms.addData(parts.head: _*) // replay: absorbed by the per-rank max
+      q.processAllAvailable()
+      ms.addData(s"${base + 10 * 86400} 1 0"); q.processAllAvailable()
+      ms.addData(s"${base + 10 * 86400} 1 0"); q.processAllAvailable()
+      val streamed = spark.table(sink)
+        .filter(unix_seconds(col("window_start")) === (base / 86400) * 86400)
+        .select(col("k"), col("p_at_k"), col("ndcg"), col("mrr"))
+        .as[(Long, Double, Double, Double)].collect().toSet
+      val batch = SparkEntry.queries("q_rank_eval")(spark, dir)
+        .as[(Long, Double, Double, Double)].collect().toSet
+      assert(batch.nonEmpty, "vacuous: empty batch rank eval")
+      assert(streamed === batch, "rank-eval stream diverges from the batch eval")
+      // the eval must discriminate: some ndcg digit below 1.0
+      assert(streamed.exists(r => r._3 > 0.0 && r._3 < 1.0),
+        "vacuous: nDCG saturated — the grade no longer differentiates inside the top-20")
+    } finally q.stop()
+  }
+
   test("funnelFeed: stage stream rebuilds exactly the batch q_funnel rows; replay emits nothing") {
     // The R28 twin: a horizon-bounded corpus (span < the 24 h
     // conversion window — the regime where the TTL'd stream and the
