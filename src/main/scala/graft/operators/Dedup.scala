@@ -1528,16 +1528,37 @@ object Dedup {
     * pipeline); islands run per (pair, diagonal) — partitions
     * bounded by matched-gram volume, never corpus size.
     */
+  /** Session-scoped memo of the positioned [[substrGramN]]-gram table
+    * (doc_id, n_tokens, i, h) — the [[shingleIndex]] discipline for
+    * the exact-substring family: X68 and X69 EACH consume it twice
+    * (the df aggregate + the position join back), so a family pass
+    * paid the split + positional explode + md5 four times. Volume is
+    * ~(tokens − 11) rows/doc — linear in corpus tokens, same class as
+    * the shingle index; released with [[releaseIndexes]].
+    */
+  private[graft] def substrGrams(s: SparkSession, dir: String): DataFrame =
+    cachedIndex(s, dir, "substr_grams") {
+      val n = substrGramN
+      val concatGram = (1 until n)
+        .foldLeft("element_at(w, i)") { (acc, j) => s"concat($acc, ' ', element_at(w, i + $j))" }
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= n)
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+          posexplode(expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> md5($concatGram))")))
+        .select(col("doc_id"), col("n_tokens"), (col("pos") + 1).as("i"), col("col").as("h"))
+    }
+
+  /** X68's verified pair table is memoized too ("substr_pairs"):
+    * dup-volume-bounded output, heavy df-capped self-join build, and
+    * two whole-table consumers (the declared X68 query and X87's
+    * source-flow rollup) — the [[nearPairsIndexed]] argument.
+    */
   private[graft] def substrDedup(s: SparkSession, dir: String): DataFrame = {
     val n = substrGramN
-    val concatGram = (1 until n)
-      .foldLeft("element_at(w, i)") { (acc, j) => s"concat($acc, ' ', element_at(w, i + $j))" }
-    val grams = Tables(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> md5($concatGram))")))
-      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+    val grams = substrGrams(s, dir) // hoisted: re-arms the upstream persist on memo hits
+      .select(col("doc_id"), col("i"), col("h"))
+    cachedIndex(s, dir, "substr_pairs") {
     val dfreq = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= substrMaxDf)
@@ -1561,6 +1582,7 @@ object Dedup {
         sum(col("k")).cast("long").as("n_shared_grams"))
       .filter(col("max_run") >= substrMinTokens)
       .orderBy("id_a", "id_b")
+    }
   }
 
   private[graft] def substrSql: String = {
@@ -1620,14 +1642,7 @@ object Dedup {
     */
   private def dupFraction(s: SparkSession, dir: String): DataFrame = {
     val n = substrGramN
-    val concatGram = (1 until n)
-      .foldLeft("element_at(w, i)") { (acc, j) => s"concat($acc, ' ', element_at(w, i + $j))" }
-    val grams = Tables(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
-        posexplode(expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> md5($concatGram))")))
-      .select(col("doc_id"), col("n_tokens"), (col("pos") + 1).as("i"), col("col").as("h"))
+    val grams = substrGrams(s, dir)
     val shared = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2 && col("df") <= substrMaxDf)

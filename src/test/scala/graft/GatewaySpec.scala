@@ -776,7 +776,13 @@ class GatewaySpec extends AnyFunSuite {
       buffers = Seq(BufferConf("main", s"$out/main", periodSeconds = 0)),
       checkpointRoot = ckpt)
     spoolFrames("a.txt", Seq("1000 7 3.0"))
-    val sup = Gateway.supervise(spark, c, backoffMs = 500, maxRestarts = 30,
+    // maxRestarts must survive a contended machine: with a 4 s idle
+    // timeout, a long scheduler stall fires an idle restart every few
+    // seconds, and exhausting the budget stops supervision entirely —
+    // the post-idle frame then never lands (the one full-suite flake
+    // of r16). The production knob stays small; the TEST budget is
+    // sized to the 120 s deadline, not to a quiet machine.
+    val sup = Gateway.supervise(spark, c, backoffMs = 500, maxRestarts = 1000,
       idleTimeoutMs = 4000)
     try {
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
