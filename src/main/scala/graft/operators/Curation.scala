@@ -2550,6 +2550,206 @@ object Curation {
        |  CAST(max(abs(mp4 - ob4)) OVER () AS BIGINT) / 10000.0 AS mce
        |FROM g ORDER BY bin""".stripMargin
 
+  /** X154 — synthetic-text watermark screen (`q_watermark`): the
+    * Kirchenbauer et al. (ICML 2023) green-list detector as a corpus
+    * gate — LLM generators that watermark bias token choice toward a
+    * seeded half of the vocabulary, and a pretraining pipeline that
+    * ingests the open web now has to SCREEN for that bias or it
+    * trains on (and amplifies) synthetic text. Per document: the
+    * green-token count under the seeded vocabulary partition
+    * (h32("wm " ∥ token) even — the engine's one shared hash), the
+    * one-proportion z-score z = (2g − n)/√n against the null
+    * hypothesis "human text is green half the time", and the
+    * watermarked verdict at z ≥ 2.
+    *
+    * The verdict is INTEGER-EXACT despite the √: z ≥ 2 ⟺
+    * 2g − n ≥ 0 ∧ (2g − n)² ≥ 4n — no float in the flag, so engines
+    * cannot split on a boundary document; the reported z itself is
+    * one fixed IEEE op sequence (integer-exact numerator, one √, one
+    * ÷) rounded 4dp. On natural text the flag fires at the null's
+    * tail rate (≈2.3% one-sided — CurationSpec pins the observed
+    * rate inside a generous band plus a z-recount per doc); a
+    * watermarked generator at typical bias (γ=0.5, δ≥2) pushes docs
+    * to z ≥ 4, far past the screen.
+    *
+    * Scale: pure in-row HOF arithmetic over one corpus scan — no
+    * join, no shuffle except the final order. The screen composes
+    * with X35's gates in the admission pipeline.
+    */
+  private def watermark(s: SparkSession, dir: String): DataFrame = {
+    val green =
+      "size(filter(w, x -> CAST(conv(substring(md5(concat('wm ', x)), 1, 8), 16, 10) AS BIGINT) % 2 = 0))"
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        expr(green).cast("long").as("n_green"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_green"),
+        round((lit(2L) * col("n_green") - col("n_tokens")) / sqrt(col("n_tokens")), 4)
+          .as("z"),
+        (col("n_green") * 2 >= col("n_tokens") &&
+          (col("n_green") * 2 - col("n_tokens")) * (col("n_green") * 2 - col("n_tokens"))
+            >= col("n_tokens") * 4).cast("long").as("watermarked"))
+      .orderBy("doc_id")
+  }
+
+  private def watermarkSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(w,
+      |      x -> ('0x' || substr(md5('wm ' || x), 1, 8))::BIGINT % 2 = 0)) AS BIGINT) AS n_green
+      |  FROM t)
+      |SELECT doc_id, n_tokens, n_green,
+      |  round((2 * n_green - n_tokens) / sqrt(n_tokens), 4) + 0 AS z,
+      |  CAST(CASE WHEN 2 * n_green >= n_tokens
+      |         AND (2 * n_green - n_tokens) * (2 * n_green - n_tokens) >= 4 * n_tokens
+      |       THEN 1 ELSE 0 END AS BIGINT) AS watermarked
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /** X155 — label-noise estimation for the gate labels
+    * (`q_label_noise`): confident learning (Northcutt et al., JAIR
+    * 2021) over the engine's own classifier/label pair — X67's score
+    * is trained to mimic X73's rule verdict, and every audit in the
+    * family (X108 agreement, X129 AUC, X149 calibration) ASSUMES the
+    * rule label is truth; this operator estimates where the label
+    * itself is wrong. Per-class confidence thresholds are the mean
+    * predicted probability of the class's OWN examples (t₁ = mean p
+    * over label-1 docs, t₀ = mean (1−p) over label-0); a document is
+    * confidently class j when its probability clears tⱼ, the larger
+    * margin wins when both clear (ties to class 1, stated), and
+    * documents clearing neither are EXCLUDED (pred −1) — the CL
+    * off-diagonals C[i][j≠i] are the label-error estimate.
+    *
+    * Everything is exact: p6 is X149's rational squash, threshold
+    * compares cross-multiply (p6·n₁ ≥ s₁), margins compare as
+    * DECIMAL(38,0) cross-products ((p6·n₁−s₁)·n₀ vs ((10⁶−p6)·n₀−s₀)·n₁
+    * — ≤10²⁴ at 10⁹ docs, inside 38 digits), shares and the riding
+    * noise_rate (off-diagonal / confident mass) round 4dp HALF_UP in
+    * integer space. The output is the COMPLETE 2×3 grid (given ×
+    * {−1,0,1}) — absent cells carry zeros (the X101 rule), because a
+    * zero off-diagonal is the audit's green light and must be stated.
+    *
+    * Scale: two corpus passes by construction (CL is two-pass: the
+    * thresholds are global means), each a narrow gate scan; the
+    * grid assembly is literal×literal. At 100 TB both passes are
+    * map-side-partial aggregates over in-row column work.
+    */
+  private def labelNoise(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    def scored = withRuleFlags(withClfColumns(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
+      .select(
+        ((col("clf_logit6") + 100000L) * 5L).as("p6"),
+        col("keep").cast("long").as("y"))
+    val thr = scored.agg(
+      sum(when(col("y") === 1L, col("p6"))).as("s1"),
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("y") === 0L, lit(1000000L) - col("p6"))).as("s0"),
+      sum(when(col("y") === 0L, 1L).otherwise(0L)).as("n0"))
+    val assigned = scored.crossJoin(broadcast(thr))
+      .withColumn("m1", dec(col("p6")) * col("n1") - col("s1"))
+      .withColumn("m0", dec(lit(1000000L) - col("p6")) * col("n0") - col("s0"))
+      .withColumn("conf1", col("n1") > 0L && col("m1") >= 0L)
+      .withColumn("conf0", col("n0") > 0L && col("m0") >= 0L)
+      .withColumn("pred",
+        when(col("conf1") && col("conf0"),
+          when(col("m1") * col("n0") >= col("m0") * col("n1"), 1L).otherwise(0L))
+          .when(col("conf1"), 1L)
+          .when(col("conf0"), 0L)
+          .otherwise(-1L))
+      .groupBy(col("y").as("given_label"), col("pred").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+    val grid = Seq(0L, 1L).toDF("given_label")
+      .crossJoin(Seq(-1L, 0L, 1L).toDF("pred_label"))
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wGiven = Window.partitionBy(col("given_label"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grid.join(assigned, Seq("given_label", "pred_label"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("n_label", sum(col("n")).over(wGiven))
+      .withColumn("conf_mass",
+        sum(when(col("pred_label") =!= -1L, col("n")).otherwise(0L)).over(wAll))
+      .withColumn("noise_mass",
+        sum(when(col("pred_label") =!= -1L && col("pred_label") =!= col("given_label"),
+          col("n")).otherwise(0L)).over(wAll))
+      .select(
+        col("given_label"),
+        col("pred_label"),
+        col("n").cast("long").as("n_docs"),
+        when(col("n_label") === 0L, lit(0.0)).otherwise(
+          expr("CAST((20000 * n + n_label) DIV (2 * n_label) AS BIGINT)") / lit(10000.0))
+          .as("share"),
+        (col("pred_label") =!= -1L && col("pred_label") =!= col("given_label"))
+          .cast("long").as("is_noise"),
+        when(col("conf_mass") === 0L, lit(0.0)).otherwise(
+          expr("CAST((20000 * noise_mass + conf_mass) DIV (2 * conf_mass) AS BIGINT)")
+            / lit(10000.0)).as("noise_rate"))
+      .orderBy("given_label", "pred_label")
+  }
+
+  private def labelNoiseSql: String =
+    s"""WITH ${clfCteSql("documents")},
+       |${ruleFailedCteSql("documents")},
+       |py AS (
+       |  SELECT 5 * (cl.logit6 + 100000) AS p6,
+       |    CASE WHEN rf.rule_failed = 0 THEN 1 ELSE 0 END AS y
+       |  FROM cl JOIN rf USING (doc_id)),
+       |thr AS (
+       |  SELECT sum(CASE WHEN y = 1 THEN CAST(p6 AS HUGEINT) ELSE 0 END) AS s1,
+       |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n1,
+       |    sum(CASE WHEN y = 0 THEN CAST(1000000 - p6 AS HUGEINT) ELSE 0 END) AS s0,
+       |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n0
+       |  FROM py),
+       |a AS (
+       |  SELECT y,
+       |    CAST(p6 AS HUGEINT) * n1 - s1 AS m1,
+       |    CAST(1000000 - p6 AS HUGEINT) * n0 - s0 AS m0,
+       |    n1 > 0 AND CAST(p6 AS HUGEINT) * n1 >= s1 AS conf1,
+       |    n0 > 0 AND CAST(1000000 - p6 AS HUGEINT) * n0 >= s0 AS conf0,
+       |    n1, n0
+       |  FROM py, thr),
+       |p AS (
+       |  SELECT y AS given_label,
+       |    CASE WHEN conf1 AND conf0 THEN
+       |           CASE WHEN m1 * n0 >= m0 * n1 THEN 1 ELSE 0 END
+       |         WHEN conf1 THEN 1 WHEN conf0 THEN 0 ELSE -1 END AS pred_label
+       |  FROM a),
+       |c AS (
+       |  SELECT given_label, pred_label, count(*) AS n
+       |  FROM p GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT g.given_label, pr.pred_label, COALESCE(c.n, 0) AS n
+       |  FROM (VALUES (0), (1)) g(given_label)
+       |  CROSS JOIN (VALUES (-1), (0), (1)) pr(pred_label)
+       |  LEFT JOIN c ON c.given_label = g.given_label
+       |    AND c.pred_label = pr.pred_label),
+       |w AS (
+       |  SELECT given_label, pred_label, n,
+       |    sum(n) OVER (PARTITION BY given_label) AS n_label,
+       |    sum(CASE WHEN pred_label <> -1 THEN n ELSE 0 END) OVER () AS conf_mass,
+       |    sum(CASE WHEN pred_label <> -1 AND pred_label <> given_label
+       |         THEN n ELSE 0 END) OVER () AS noise_mass
+       |  FROM grid)
+       |SELECT CAST(given_label AS BIGINT) AS given_label,
+       |  CAST(pred_label AS BIGINT) AS pred_label,
+       |  CAST(n AS BIGINT) AS n_docs,
+       |  CASE WHEN n_label = 0 THEN 0.0
+       |       ELSE CAST((20000 * n + n_label) // (2 * n_label) AS BIGINT) / 10000.0
+       |  END AS share,
+       |  CAST(CASE WHEN pred_label <> -1 AND pred_label <> given_label
+       |       THEN 1 ELSE 0 END AS BIGINT) AS is_noise,
+       |  CASE WHEN conf_mass = 0 THEN 0.0
+       |       ELSE CAST((20000 * noise_mass + conf_mass) // (2 * conf_mass) AS BIGINT)
+       |            / 10000.0
+       |  END AS noise_rate
+       |FROM w ORDER BY given_label, pred_label""".stripMargin
+
   /** X132's declared k ladder — the anonymity levels a release policy
     * quotes (pair-risk, small-group, and the two common publication
     * thresholds).
@@ -3235,5 +3435,13 @@ object Curation {
       decontamReport,
       Some(decontamReportSql),
       "X152 per-benchmark contamination report: touching train docs, worst-offender overlap, burned verdict + suite share"),
+    "q_watermark" -> QueryDef(
+      watermark,
+      Some(watermarkSql),
+      "X154 synthetic-text watermark screen: per-doc green-list z-score, integer-exact z>=2 verdict"),
+    "q_label_noise" -> QueryDef(
+      labelNoise,
+      Some(labelNoiseSql),
+      "X155 confident-learning label-noise estimate: 2x3 given-vs-predicted grid off class-mean thresholds, riding noise rate"),
   )
 }

@@ -1372,4 +1372,95 @@ class CurationSpec extends AnyFunSuite {
         s"perturbed threshold not rejected at $dir — the 3σ formula is vacuous")
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q_watermark: green counts and z recount per doc; the z>=2 flag is integer-exact") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val texts = Tables(spark, dir, "documents").select("doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val got = SparkEntry.queries("q_watermark")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      assert(got.length === texts.size, "one row per document")
+      got.foreach { case (id, n, g, z, flag) =>
+        val w = texts(id).split(" ", -1)
+        val gr = w.count(t => java.lang.Long.parseLong(md5hex("wm " + t).take(8), 16) % 2 == 0)
+        assert((n, g) === (w.length.toLong, gr.toLong), s"doc $id green recount diverges")
+        // z: the same one-op-sequence double, rounded exactly as Spark
+        // rounds (BigDecimal HALF_UP on the double)
+        val zExp = new java.math.BigDecimal((2.0 * gr - w.length) / math.sqrt(w.length.toDouble))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+        assert(z === zExp, s"doc $id z diverges: $z vs $zExp")
+        // the verdict is the INTEGER test, provably == (z >= 2): the
+        // unrounded statistic clears 2 iff (2g-n) >= 0 and (2g-n)^2 >= 4n
+        val d = 2L * gr - w.length
+        val intFlag = if (d >= 0 && d * d >= 4L * w.length) 1L else 0L
+        assert(flag === intFlag, s"doc $id flag diverges from the integer test")
+        assert((((2.0 * gr - w.length) / math.sqrt(w.length.toDouble)) >= 2.0) ===
+          (intFlag == 1L), s"doc $id: integer flag != z>=2 on the raw double")
+      }
+      // natural text fires at the null's tail rate, not en masse — and
+      // both tails are populated (the screen discriminates)
+      val rate = got.count(_._5 == 1L).toDouble / got.length
+      assert(rate <= 0.10, s"watermark screen fired on ${rate * 100}% of natural text at $dir")
+      assert(got.exists(_._4 > 0) && got.exists(_._4 < 0),
+        s"vacuous: z does not straddle 0 at $dir")
+    }
+  }
+
+  test("q_label_noise: confident-learning grid recounts off the declared gate queries") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // the same (p6, y) pairs the operator derives, read through the
+      // DECLARED gate queries (the X149 spec convention)
+      val logit = SparkEntry.queries("q_quality_clf")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val keep = SparkEntry.queries("q_rule_filter")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+      val py = logit.keys.toSeq.sorted.map { id =>
+        (BigInt(5L * (logit(id) + 100000L)), if (keep(id)) 1L else 0L)
+      }
+      val one = py.filter(_._2 == 1L).map(_._1)
+      val zro = py.filter(_._2 == 0L).map(t => BigInt(1000000) - t._1)
+      val (s1, n1) = (one.sum, BigInt(one.size))
+      val (s0, n0) = (zro.sum, BigInt(zro.size))
+      val assigned = py.map { case (p6, y) =>
+        val m1 = p6 * n1 - s1
+        val m0 = (BigInt(1000000) - p6) * n0 - s0
+        val conf1 = n1 > 0 && m1 >= 0
+        val conf0 = n0 > 0 && m0 >= 0
+        val pred =
+          if (conf1 && conf0) { if (m1 * n0 >= m0 * n1) 1L else 0L }
+          else if (conf1) 1L else if (conf0) 0L else -1L
+        (y, pred)
+      }
+      val counts = assigned.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val confMass = assigned.count(_._2 != -1L).toLong
+      val noiseMass = assigned.count(a => a._2 != -1L && a._2 != a._1).toLong
+      val expected = (for { i <- Seq(0L, 1L); j <- Seq(-1L, 0L, 1L) } yield {
+        val n = counts.getOrElse((i, j), 0L)
+        val nLabel = Seq(-1L, 0L, 1L).map(jj => counts.getOrElse((i, jj), 0L)).sum
+        val share = if (nLabel == 0) 0.0 else ((20000L * n + nLabel) / (2 * nLabel)) / 10000.0
+        val noise = if (j != -1L && j != i) 1L else 0L
+        val rate = if (confMass == 0) 0.0
+          else ((20000L * noiseMass + confMass) / (2 * confMass)) / 10000.0
+        (i, j, n, share, noise, rate)
+      }).sortBy(r => (r._1, r._2))
+      val got = SparkEntry.queries("q_label_noise")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getDouble(5)))
+      assert(got.length === 6, "the grid must be the complete 2x3 — zeros stated")
+      assert(got.toSeq === expected, s"label-noise recount diverges at $dir")
+      // conservation + non-vacuity: every doc lands in the grid, both
+      // classes exist, and the estimator found a nonzero but sane
+      // off-diagonal (the clf imperfectly mimics the rule — X129's AUC
+      // daylight is exactly what this should surface)
+      assert(got.map(_._3).sum === py.size.toLong, "grid loses documents")
+      assert(got.filter(_._1 == 0L).map(_._3).sum > 0 &&
+        got.filter(_._1 == 1L).map(_._3).sum > 0, "a label class is absent")
+      val rate = got.head._6
+      assert(rate > 0.0 && rate < 0.5, s"noise rate $rate outside the sane band at $dir")
+    }
+  }
 }
