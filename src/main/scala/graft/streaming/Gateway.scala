@@ -984,6 +984,67 @@ object Gateway {
         (col("mce4") / lit(10000.0)).as("mce"))
   }
 
+  /** Streaming X154 — windowed synthetic-text monitor
+    * (`watermarkFeed`): the green-list screen as an ingest dial —
+    * a crawl whose watermark-flag rate jumps off the ~2.3% null tail
+    * is suddenly full of machine-generated text (or re-crawling one
+    * generator's output), and that is a THIS-WINDOW question. Lines
+    * are the admission shape (`epoch_sec doc_id text`); per
+    * event-time window one audit row: docs, flagged docs (the
+    * IDENTICAL integer-exact (2g−n)² ≥ 4n verdict as the batch
+    * X154), the 4dp flag share, and the mean z — each per-doc z
+    * snapped to millionths BEFORE summing (the X51 term discipline),
+    * so the window mean is an exact integer quotient and micro-batch
+    * boundaries cannot move a digit. Stateless in-row HOF work +
+    * ONE watermark-bounded windowed sum (the novelFeed class);
+    * GatewaySpec pins stream ≡ batch frame ≡ a per-doc recount off
+    * the declared q_watermark rows.
+    */
+  def watermarkFeed(
+      lines: DataFrame,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val parsed = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 && col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        split(col("p").getItem(2), " ").as("w"))
+      .select(
+        col("ts"),
+        size(col("w")).cast("long").as("n"),
+        expr("size(filter(w, x -> CAST(conv(substring(md5(concat('wm ', x)), 1, 8), 16, 10) AS BIGINT) % 2 = 0))")
+          .cast("long").as("g"))
+      .select(
+        col("ts"),
+        ((col("g") * 2 >= col("n")) &&
+          (col("g") * 2 - col("n")) * (col("g") * 2 - col("n")) >= col("n") * 4)
+          .cast("long").as("flagged"),
+        // per-doc z snapped to integer millionths before the window sum
+        round(lit(1000000.0) * (lit(2L) * col("g") - col("n")) / sqrt(col("n")), 0)
+          .cast("long").as("z6"))
+      .withWatermark("ts", watermarkDelay)
+    parsed
+      .groupBy(window(col("ts"), windowDuration))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("flagged")).as("n_flagged"),
+        sum(col("z6")).as("sz6"))
+      .select(
+        col("window.start").as("window_start"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_flagged").cast("long").as("n_flagged"),
+        (expr("CAST((20000 * n_flagged + n_docs) DIV (2 * n_docs) AS BIGINT)")
+          / lit(10000.0)).as("flag_share"),
+        // signed 4dp HALF_UP mean off the exact integer z6 sum
+        (expr(
+          """CAST(CASE WHEN sz6 >= 0
+            |  THEN (2 * sz6 + 100 * n_docs) DIV (200 * n_docs)
+            |  ELSE -((2 * -sz6 + 100 * n_docs) DIV (200 * n_docs)) END AS BIGINT)"""
+            .stripMargin) / lit(10000.0)).as("mean_z"))
+  }
+
   /** Streaming X138 — windowed ranking-quality monitor
     * (`rankEvalFeed`): the live dial on the retrieval stack — the
     * offline X138 eval scores a ranking once; production wants the

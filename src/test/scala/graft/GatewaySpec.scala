@@ -2180,6 +2180,81 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("streaming watermark monitor: flag rate + mean z per window, stream == batch == recount; plant fires") {
+    // Streaming X154: real docs over three event-time days plus ONE
+    // planted all-green-token document — natural windows must read
+    // ZERO flags (this corpus's vocabulary skews red; the screen's
+    // pass state), the planted window exactly one, and every number
+    // must agree across the streaming engine, the same feed as a
+    // batch frame, and a MessageDigest recount from the raw lines.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def isGreen(t: String): Boolean =
+      java.lang.Long.parseLong(md5hex("wm " + t).take(8), 16) % 2 == 0
+    val greens = docs.flatMap(_._2.split(" ")).distinct.filter(isGreen).take(30)
+    assert(greens.length >= 5, "corpus vocabulary has too few green tokens to plant")
+    // all-green plant, repeated to n >= 15 so z = sqrt(n) clears 2 with margin
+    val plant = Seq.fill((15 + greens.length - 1) / greens.length)(greens).flatten
+    val base = 1700000000L
+    val feed = docs.map { case (id, t) => (base + (id % 3) * 86400, t) } :+
+      ((base, plant.mkString(" "))) // the planted synthetic doc, day 0
+    val lines = feed.zipWithIndex.map { case ((s, t), i) => s"$s $i $t" }.toSeq
+    val ms = MemoryStream[String]
+    val sink = s"wm_feed_${System.nanoTime()}"
+    val q = Gateway.watermarkFeed(ms.toDF(), "1 day", "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val byDay = lines.groupBy(_.split(" ", 2).head.toLong / 86400 * 86400).toSeq.sortBy(_._1)
+      for ((_, rows) <- byDay) {
+        val (h1, h2) = rows.splitAt(rows.size / 2)
+        ms.addData(h1: _*); q.processAllAvailable()
+        ms.addData(h2: _*); q.processAllAvailable()
+      }
+      ms.addData("9999999999 0 sentinel"); q.processAllAvailable()
+      ms.addData("9999999999 0 sentinel"); q.processAllAvailable()
+      val cols = Seq(unix_seconds(col("window_start")).as("ws"),
+        col("n_docs"), col("n_flagged"), col("flag_share"), col("mean_z"))
+      val streamed = spark.table(sink).select(cols: _*)
+        .as[(Long, Long, Long, Double, Double)].collect().toSet
+      val batch = Gateway.watermarkFeed(lines.toDF("value"), "1 day", "1 hour")
+        .select(cols: _*).as[(Long, Long, Long, Double, Double)].collect().toSet
+      assert(batch.nonEmpty, "vacuous: no window closed")
+      assert(streamed === batch, "streaming watermark audit diverges from batch")
+      // recount from the raw lines (MessageDigest md5, the operator's hash)
+      val expected = feed.groupBy(_._1 / 86400 * 86400).map { case (ws, rows) =>
+        val per = rows.map { case (_, t) =>
+          val w = t.split(" ", -1)
+          val g = w.count(isGreen)
+          val d = 2L * g - w.length
+          val flag = if (d >= 0 && d * d >= 4L * w.length) 1L else 0L
+          val z6 = new java.math.BigDecimal(
+            1000000.0 * (2.0 * g - w.length) / math.sqrt(w.length.toDouble))
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+          (flag, z6)
+        }
+        val nd = per.size.toLong
+        val nf = per.map(_._1).sum
+        val sz = per.map(_._2).sum
+        val mz = if (sz >= 0) (2 * sz + 100 * nd) / (200 * nd)
+          else -((2 * -sz + 100 * nd) / (200 * nd))
+        (ws, nd, nf, ((20000L * nf + nd) / (2 * nd)) / 10000.0, mz / 10000.0)
+      }.toSet
+      assert(batch === expected, "watermark feed diverges from the MessageDigest recount")
+      // the screen discriminates LIVE: exactly the planted window fires
+      val flagged = streamed.filter(_._3 > 0)
+      assert(flagged.map(_._1) === Set(base / 86400 * 86400),
+        s"expected only the planted window to flag, got $flagged")
+      assert(streamed.count(_._3 == 0) >= 2, "natural windows must read zero flags")
+    } finally q.stop()
+  }
+
   test("streaming temperature sweep: per-window alpha grid, stream == batch q_mix_temperature") {
     // Streaming X151: the whole corpus in one event-time window — the
     // feed's per-window grid must equal the declared batch sweep
