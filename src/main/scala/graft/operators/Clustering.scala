@@ -1431,7 +1431,7 @@ object Clustering {
     */
   private def dupFlow(s: SparkSession, dir: String): DataFrame = {
     val m = graft.Tables(s, dir, "documents").select(col("doc_id"), col("source"))
-    Dedup.substrDedup(s, dir)
+    Dedup.substrPairs(s, dir)
       .join(m.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
       .join(m.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
       .groupBy(least(col("sa"), col("sb")).as("source_a"),

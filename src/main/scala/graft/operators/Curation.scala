@@ -2264,12 +2264,28 @@ object Curation {
     * ≤11 bins with map-side partials; the κ verdict is a dictionary
     * window over those bins. One scan, one exchange, no join.
     */
+  /** Session-scoped memo of the gate-scored corpus — the one table
+    * the whole classifier-audit family reads: (clf_logit6, clf_keep,
+    * keep) per document. X108 agreement, X129 AUC, X149 calibration,
+    * and X155's two confident-learning passes each re-ran the full
+    * clf + rule gate scan (the costliest in-row work in the engine —
+    * the bigram-feature HOF fold); now the first consumer in a pass
+    * pays it once and the family reads the 3-longs-per-doc cache
+    * (the [[Dedup.shingleIndex]] discipline; released with
+    * [[Dedup.releaseIndexes]]).
+    */
+  private[graft] def gateScored(s: SparkSession, dir: String): DataFrame =
+    Dedup.cachedIndex(s, dir, "gate_scored") {
+      withRuleFlags(withClfColumns(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .select(col("clf_logit6"), col("clf_keep"), col("keep"))
+    }
+
   private def clfAgreement(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wAll = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val flagged = withRuleFlags(withClfColumns(
-      Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
+    val flagged = gateScored(s, dir)
       .select(
         expr("(clf_logit6 + 100000) DIV 20000").cast("long").as("bin"),
         col("clf_keep").cast("long").as("ck"),
@@ -2422,8 +2438,7 @@ object Curation {
     */
   private def clfAuc(s: SparkSession, dir: String): DataFrame =
     rocAucOf(
-      withRuleFlags(withClfColumns(
-        Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
+      gateScored(s, dir)
         .select(col("clf_logit6").as("s"), col("keep").cast("long").as("y")))
 
   private def clfAucSql: String =
@@ -2499,8 +2514,7 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val wAll = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    withRuleFlags(withClfColumns(
-      Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
+    gateScored(s, dir)
       .select(
         ((col("clf_logit6") + 100000L) * 5L).as("p6"),
         col("keep").cast("long").as("y"))
@@ -2632,16 +2646,17 @@ object Curation {
     * {−1,0,1}) — absent cells carry zeros (the X101 rule), because a
     * zero off-diagonal is the audit's green light and must be stated.
     *
-    * Scale: two corpus passes by construction (CL is two-pass: the
-    * thresholds are global means), each a narrow gate scan; the
-    * grid assembly is literal×literal. At 100 TB both passes are
-    * map-side-partial aggregates over in-row column work.
+    * Scale: two passes by construction (CL is two-pass: the
+    * thresholds are global means), both reading the session-memoized
+    * [[gateScored]] table so the expensive gate scan itself runs
+    * once; the grid assembly is literal×literal. At 100 TB both
+    * passes are map-side-partial aggregates over the cached
+    * 3-longs-per-doc columns.
     */
   private def labelNoise(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-    def scored = withRuleFlags(withClfColumns(
-      Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
+    def scored = gateScored(s, dir)
       .select(
         ((col("clf_logit6") + 100000L) * 5L).as("p6"),
         col("keep").cast("long").as("y"))

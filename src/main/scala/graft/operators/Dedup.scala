@@ -162,10 +162,19 @@ object Dedup {
     * then pays its whole materialization (r16: q_lsh_stats read
     * 0.7 s in bench pass 1 and 7 s in passes 2+ until the hoist).
     */
-  private def cachedIndex(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
+  private[operators] def cachedIndex(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
     SessionCleanup.arm(s)
     val df = indexMemo.getOrElseUpdate((s, dir, tag), build)
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      // SERIALIZED storage: the memo population grew to ~6 tables in
+      // r16 and deserialized row caches are long-lived GC load that
+      // taxed UNRELATED queries in the full-surface run (measured:
+      // q_cooccur 21 s in-run vs 4 s standalone at sf1-shape before
+      // this). Serialized blocks are 3-5x smaller, GC-opaque, and the
+      // decode cost on these narrow long/string rows is noise next to
+      // the joins they feed — the same trade a real cluster makes for
+      // large cached tables.
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     df
   }
 
@@ -212,7 +221,12 @@ object Dedup {
         col("id_a"), col("id_b"),
         col("shared").cast("long").as("shared"),
         col("n_union").cast("long").as("n_union"))
-      .orderBy("id_a", "id_b")
+      // UNSORTED by design (r16): the declared queries add their own
+      // total-order ORDER BY; a sort here poisons the pair-table
+      // memos — materializing a cached plan cannot eliminate the
+      // sort, and its range-partition exchange SAMPLES the child,
+      // re-running the whole collision build once for the sampler
+      // (measured: a 5 s raw build materialized in 30 s).
 
   /** Exact-Jaccard verification of an (id_a, id_b) candidate set: the
     * candidate list is small by construction (that is LSH's whole
@@ -365,7 +379,7 @@ object Dedup {
     * query only to inspect its plan still pay that probe.
     */
   private def dedupNear(s: SparkSession, dir: String): DataFrame =
-    nearPairsIndexed(s, dir)
+    nearPairsIndexed(s, dir).orderBy("id_a", "id_b")
 
   /** Session-scoped memo of the VERIFIED ≥0.6-Jaccard pair table —
     * the [[shingleIndex]] discipline one level up: the truth table
@@ -637,7 +651,7 @@ object Dedup {
     * candidate volume tracks true similarity, not N².
     */
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
-    minhashVerified(s, dir)
+    minhashVerified(s, dir).orderBy("id_a", "id_b")
 
   /** Session-scoped memo of the MinHash-verified pair table (see
     * [[nearPairsIndexed]]): X5b's own output, X150's recall
@@ -684,7 +698,7 @@ object Dedup {
           col("a.k2") === col("b.k2"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    verifyJaccard(sh, cands)
+    verifyJaccard(sh, cands).orderBy("id_a", "id_b")
   }
 
   private def incrementalSql: String =
@@ -1552,9 +1566,10 @@ object Dedup {
   /** X68's verified pair table is memoized too ("substr_pairs"):
     * dup-volume-bounded output, heavy df-capped self-join build, and
     * two whole-table consumers (the declared X68 query and X87's
-    * source-flow rollup) — the [[nearPairsIndexed]] argument.
+    * source-flow rollup) — the [[nearPairsIndexed]] argument. Cached
+    * UNSORTED (see [[jaccardCut]]); the declared query sorts.
     */
-  private[graft] def substrDedup(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def substrPairs(s: SparkSession, dir: String): DataFrame = {
     val n = substrGramN
     val grams = substrGrams(s, dir) // hoisted: re-arms the upstream persist on memo hits
       .select(col("doc_id"), col("i"), col("h"))
@@ -1581,9 +1596,11 @@ object Dedup {
         (max(col("k")) + lit(n - 1)).cast("long").as("max_run"),
         sum(col("k")).cast("long").as("n_shared_grams"))
       .filter(col("max_run") >= substrMinTokens)
-      .orderBy("id_a", "id_b")
     }
   }
+
+  private[graft] def substrDedup(s: SparkSession, dir: String): DataFrame =
+    substrPairs(s, dir).orderBy("id_a", "id_b")
 
   private[graft] def substrSql: String = {
     val n = substrGramN
