@@ -1208,6 +1208,74 @@ object Gateway {
         col("max_epochs"))
   }
 
+  /** Streaming X155 — windowed label-noise monitor
+    * (`labelNoiseFeed`): confident learning as a drift dial — the
+    * offline X155 estimates label error once; what production wants
+    * is the TREND, because a rule-gate regression (or a crawl whose
+    * text distribution moved under the classifier) shows up as
+    * off-diagonal creep per window. Lines are the admission shape
+    * (`epoch_sec doc_id text`); both gates run in-row (the
+    * [[calibrationFeed]] precedent) and the CL assignment is
+    * STATELESS because the class thresholds ship as the offline
+    * artifact in plan literals (Σp6 and count per class — the
+    * [[novelFeed]] bounded-artifact pattern; a live threshold would
+    * make the verdict depend on micro-batch boundaries). Per window
+    * one audit row: docs, the six given×{pred 0, pred 1, excluded}
+    * cell counts as COLUMNS (complete by construction — the X101
+    * absent-cell rule without a second stateful stage), and the 4dp
+    * noise rate. Integer end-to-end, so GatewaySpec pins stream ≡
+    * batch frame ≡ the declared `q_label_noise` grid when the feed
+    * carries the batch corpus and the batch corpus's own thresholds.
+    */
+  def labelNoiseFeed(
+      lines: DataFrame,
+      s1: Long, n1: Long, s0: Long, n0: Long,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val parsed = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 && col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).cast("long").as("doc_id"),
+        col("p").getItem(2).as("text"))
+      .withWatermark("ts", watermarkDelay)
+    val assigned = graft.operators.Curation.withRuleFlags(
+      graft.operators.Curation.withClfColumns(parsed))
+      .select(
+        col("ts"),
+        ((col("clf_logit6") + 100000L) * 5L).as("p6"),
+        col("keep").cast("long").as("y"))
+      .withColumn("m1", expr(s"CAST(p6 AS DECIMAL(38,0)) * ${n1}L - ${s1}L"))
+      .withColumn("m0", expr(s"CAST(1000000 - p6 AS DECIMAL(38,0)) * ${n0}L - ${s0}L"))
+      .withColumn("pred",
+        when(lit(n1) > 0L && col("m1") >= 0L && lit(n0) > 0L && col("m0") >= 0L,
+          when(col("m1") * lit(n0) >= col("m0") * lit(n1), 1L).otherwise(0L))
+          .when(lit(n1) > 0L && col("m1") >= 0L, 1L)
+          .when(lit(n0) > 0L && col("m0") >= 0L, 0L)
+          .otherwise(-1L))
+    def cell(y: Long, p: Long): org.apache.spark.sql.Column =
+      sum(when(col("y") === y && col("pred") === p, 1L).otherwise(0L))
+    assigned
+      .groupBy(window(col("ts"), windowDuration))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        cell(0L, 0L).as("n_00"), cell(0L, 1L).as("n_01"), cell(0L, -1L).as("n_0x"),
+        cell(1L, 0L).as("n_10"), cell(1L, 1L).as("n_11"), cell(1L, -1L).as("n_1x"))
+      .withColumn("conf_mass", col("n_00") + col("n_01") + col("n_10") + col("n_11"))
+      .withColumn("noise_mass", col("n_01") + col("n_10"))
+      .select(
+        col("window.start").as("window_start"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_00").cast("long").as("n_00"), col("n_01").cast("long").as("n_01"),
+        col("n_0x").cast("long").as("n_0x"), col("n_10").cast("long").as("n_10"),
+        col("n_11").cast("long").as("n_11"), col("n_1x").cast("long").as("n_1x"),
+        when(col("conf_mass") === 0L, lit(0.0)).otherwise(
+          expr("CAST((20000 * noise_mass + conf_mass) DIV (2 * conf_mass) AS BIGINT)")
+            / lit(10000.0)).as("noise_rate"))
+  }
+
   /** Streaming X131 — windowed topic-composition monitor
     * (`topicFeed`): "what domains are we ingesting RIGHT NOW" — the
     * offline X131 table as a live dial. Per event-time window and

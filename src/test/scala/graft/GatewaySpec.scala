@@ -2255,6 +2255,61 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming label-noise monitor: per-window CL grid vs offline thresholds == batch q_label_noise") {
+    // Streaming X155: the corpus in one event-time window with the
+    // corpus's OWN class thresholds shipped as the offline artifact —
+    // in that configuration the feed's cell columns must equal the
+    // declared batch grid exactly (same p6 squash, same cross-multiply
+    // assignment, same exclusion), and the riding noise rate matches.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val logit = SparkEntry.queries("q_quality_clf")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val keep = SparkEntry.queries("q_rule_filter")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+    val p6s = logit.map { case (id, l) => id -> (5L * (l + 100000L)) }
+    val ones = p6s.filter { case (id, _) => keep(id) }
+    val zros = p6s.filter { case (id, _) => !keep(id) }
+    val (s1, n1) = (ones.values.sum, ones.size.toLong)
+    val (s0, n0) = (zros.values.map(1000000L - _).sum, zros.size.toLong)
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val base = 1700000000L
+    val lines = docs.map { case (id, t) => s"$base $id $t" }.toSeq
+    val ms = MemoryStream[String]
+    val sink = s"ln_feed_${System.nanoTime()}"
+    val q = Gateway.labelNoiseFeed(ms.toDF(), s1, n1, s0, n0, "1 day", "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val parts = lines.grouped(math.max(1, lines.size / 3)).toSeq
+      parts.foreach { p => ms.addData(p: _*); q.processAllAvailable() }
+      ms.addData(s"${base + 10 * 86400} 0 sentinel"); q.processAllAvailable()
+      ms.addData(s"${base + 10 * 86400} 0 sentinel"); q.processAllAvailable()
+      val cols = Seq(unix_seconds(col("window_start")).as("ws"), col("n_docs"),
+        col("n_00"), col("n_01"), col("n_0x"), col("n_10"), col("n_11"), col("n_1x"),
+        col("noise_rate"))
+      val streamed = spark.table(sink).select(cols: _*)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Double)].collect()
+        .filter(_._1 == base / 86400 * 86400)
+      assert(streamed.length === 1, s"expected one closed corpus window, got $streamed")
+      val st = streamed.head
+      val batchFrame = Gateway.labelNoiseFeed(lines.toDF("value"), s1, n1, s0, n0, "1 day", "1 hour")
+        .select(cols: _*).as[(Long, Long, Long, Long, Long, Long, Long, Long, Double)]
+        .collect().find(_._1 == base / 86400 * 86400).get
+      assert(st === batchFrame, "streaming label-noise audit diverges from batch frame")
+      // the declared batch grid, folded to the feed's columns
+      val grid = SparkEntry.queries("q_label_noise")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(5))).toMap
+      val expectCells = (grid((0L, 0L))._1, grid((0L, 1L))._1, grid((0L, -1L))._1,
+        grid((1L, 0L))._1, grid((1L, 1L))._1, grid((1L, -1L))._1)
+      assert((st._3, st._4, st._5, st._6, st._7, st._8) === expectCells,
+        "feed cells diverge from the declared q_label_noise grid")
+      assert(st._9 === grid((0L, 0L))._2, "noise rate diverges from the declared grid")
+      assert(st._2 === docs.length.toLong, "window lost documents")
+    } finally q.stop()
+  }
+
   test("streaming temperature sweep: per-window alpha grid, stream == batch q_mix_temperature") {
     // Streaming X151: the whole corpus in one event-time window — the
     // feed's per-window grid must equal the declared batch sweep
