@@ -21,6 +21,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian in: $offenders")
   }
 
+  test("q_watermark is one scan, join-free (X154's scale contract)") {
+    // the screen is pure in-row HOF arithmetic: scan -> projections ->
+    // final sort. A join or a second scan means the hash partition
+    // started reading something it shouldn't need.
+    val plan = SparkEntry.queries("q_watermark")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"watermark grew a join:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size === 1, s"watermark re-scans:\n$plan")
+  }
+
+  test("q_label_noise reads the shared gate-scored cache in BOTH CL passes") {
+    // both CL passes (global thresholds + assignment) must read the
+    // memoized gate table — the expensive clf/rule scan itself runs
+    // inside the cached plan only. (The plan STRING shows a FileScan
+    // per InMemoryTableScan because each prints the relation's child,
+    // so counting FileScans is not a scan count; counting the
+    // InMemoryTableScans is — a pass that regressed to reading
+    // parquet directly drops this below 2.)
+    val plan = SparkEntry.queries("q_label_noise")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"a CL pass stopped reading the gate-scored cache:\n$plan")
+  }
+
   test("q_dedup_near reuses the cached shingle index and broadcasts no pair set") {
     val plan = SparkEntry.queries("q_dedup_near")(spark, sf)
       .queryExecution.executedPlan.toString
