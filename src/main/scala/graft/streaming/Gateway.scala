@@ -140,13 +140,32 @@ object Gateway {
     * a real emoncms bulk endpoint (`postUrl`, production path — S5) or
     * a parquet directory (`outDir`, the no-network stand-in used by
     * the sandbox tests; same encoding, same batching).
+    *
+    * `executorPost` (r16 VERDICT #6) moves the POST loop from the
+    * driver (`collect` + sequential sends — the reference-faithful
+    * default: ordered, one endpoint, one connection) to the executors
+    * (`foreachPartition` — each partition's payload chunks POST from
+    * the task that holds them). At 1000-executor fanout the driver
+    * path serializes every chunk through one JVM; the executor path
+    * scales sends with the cluster. The trade, stated because it is
+    * real: cross-chunk SEND ORDER is no longer the sorted payload
+    * order (emoncms bulk rows carry their own timestamps, so ordering
+    * is cosmetic for the reference API, but a strictly-ordered
+    * endpoint should keep the default), and a retried TASK re-POSTs
+    * its partition's chunks even when another task of the same batch
+    * succeeded — at-least-once at chunk grain rather than batch
+    * grain. Any failed send still fails the micro-batch, so the
+    * checkpoint holds and the replay loop is unchanged (GatewaySpec
+    * pins payload-set equality + the failed-POST replay on both
+    * paths).
     */
   final case class BufferConf(
       name: String,
       outDir: String,
       active: Boolean = true,
       periodSeconds: Long = 10,
-      postUrl: Option[String] = None)
+      postUrl: Option[String] = None,
+      executorPost: Boolean = false)
 
   final case class GatewayConf(
       listeners: Seq[ListenerConf],
@@ -659,10 +678,19 @@ object Gateway {
     * intermediate is 20000·num = 2·10⁴·n·(ad−bc)² ≤ 2·10⁴·n⁵/16
     * (|ad−bc| ≤ n²/4), which fits 38 digits for n ≤ ~9×10⁶ users per
     * window — an experiment cell count three orders above anything a
-    * 10 s dashboard window sees. Past it Spark's non-ANSI decimal
-    * returns NULL, which the final CASEs read as chi2 = 0.0 /
-    * significant NULL, so a dashboard would show "no signal" — keep
-    * windows under the bound rather than trusting that failure mode.
+    * 10 s dashboard window sees. Past it, ANSI mode (Spark 4's
+    * default) fails the micro-batch fast with ARITHMETIC_OVERFLOW;
+    * under ansi = false the decimal returns NULL, which would
+    * otherwise read as "no signal", so the feed carries an explicit
+    * `overflow` guard column (r16 VERDICT #1): 1 exactly when a wide
+    * intermediate NULLed out — the only NULL source, since the
+    * counts a..d are non-null longs — and the stat columns of that
+    * row are NULL, never silently 0. A dashboard alerts on
+    * `overflow = 1`; "no signal" is `overflow = 0 ∧ significant = 0`
+    * (GatewaySpec pins overflow = 0 across the parity fixture; the
+    * planted-overflow pin lives on [[cupedFeed]], whose covariates
+    * can be driven to 4·10¹⁸ with a handful of rows — this guard is
+    * the same NULL-detection form).
     */
   def abFeed(
       lines: DataFrame,
@@ -720,7 +748,8 @@ object Gateway {
           expr("CAST((20000 * num + den) DIV (2 * den) AS BIGINT)") / lit(10000.0)).as("chi2"),
         when(col("den") === 0, lit(0L)).otherwise(
           expr("CAST(CASE WHEN 10000 * num > 38415 * den THEN 1 ELSE 0 END AS BIGINT)"))
-          .as("significant"))
+          .as("significant"),
+        when(col("num").isNull || col("den").isNull, 1L).otherwise(0L).as("overflow"))
   }
 
   /** Streaming X142 — windowed CUPED readout (`cupedFeed`): the
@@ -753,10 +782,19 @@ object Gateway {
     * n ≤ 10⁶ AND n·X ≤ 10⁸ AND n·Y ≤ 10⁸ (e.g. a million users per
     * window with |x|, |y| ≤ 100 integer units), with ≥10× headroom.
     * Larger raw units must be pre-scaled at the parse stage (the
-    * [[graft.operators.Dedup]] lshRecall union⁸ < 10¹⁹ discipline);
-    * past the bound Spark's non-ANSI decimal silently NULLs θ /
-    * var_reduction / mean_adj — "no signal", not an error — so the
-    * bound is part of the feed's contract, not advice.
+    * [[graft.operators.Dedup]] lshRecall union⁸ < 10¹⁹ discipline).
+    * Past the bound the failure mode depends on the session (r16
+    * VERDICT #1): under `spark.sql.ansi.enabled = true` — Spark 4's
+    * DEFAULT — the overflowing micro-batch fails fast with
+    * ARITHMETIC_OVERFLOW (loud, never wrong); under ansi = false the
+    * decimal NULLs θ / var_reduction / mean_adj and the feed's
+    * `overflow` guard column reads 1 for exactly those rows — a
+    * dashboard can tell "overflowed, rescale the units" from "no
+    * signal". Every sum is DECIMAL from the first fold (a LONG sum
+    * would WRAP silently under ansi = false — corruption no guard
+    * downstream could see). GatewaySpec plants 4·10¹⁸ covariates
+    * under ansi = false and pins overflow = 1 + NULL stats on the
+    * planted window, overflow = 0 on active and degenerate ones.
     */
   def cupedFeed(
       lines: DataFrame,
@@ -779,15 +817,21 @@ object Gateway {
       .withWatermark("ts", watermarkDelay)
     val perUser = parsed
       .groupBy(window(col("ts"), windowDuration), col("variant"), col("user_id"))
-      .agg(max(col("x")).as("x"), sum(col("y")).as("y"))
+      .agg(max(col("x")).as("x"),
+        // DECIMAL from the first sum: a LONG sum past 2⁶³ wraps
+        // silently under ansi=false — garbage stats the guard could
+        // never see. Decimal overflow NULLs there instead, which the
+        // `overflow` column catches (ANSI-on, the default, fails fast
+        // either way).
+        sum(col("y").cast("decimal(38,0)")).as("y"))
     val cells = perUser
       .groupBy(window(window_time(col("window")), windowDuration), col("variant"))
       .agg(
         count(lit(1)).as("n_v"),
-        sum(col("x")).as("sx_v"), sum(col("y")).as("sy_v"),
+        sum(col("x").cast("decimal(38,0)")).as("sx_v"), sum(col("y")).as("sy_v"),
         sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx_v"),
         sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy_v"),
-        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy_v"))
+        sum(expr("y * y")).as("syy_v"))
     def sq4(num: String, den: String): String =
       s"""CAST(CASE WHEN $den = 0 THEN 0
          |ELSE (CASE WHEN $num < 0 THEN -1 ELSE 1 END)
@@ -822,20 +866,30 @@ object Gateway {
       .withColumn("cov_n", expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
       .withColumn("var_n", expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
       .withColumn("vary_n", expr("CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      // 4dp integer intermediates named once so the overflow guard can
+      // test THEM for NULL — the only NULL source here is decimal
+      // overflow (every count/sum input is a non-null long)
+      .withColumn("adj0_i", expr(meanAdj(0)))
+      .withColumn("adj1_i", expr(meanAdj(1)))
+      .withColumn("theta_i", expr(sq4("cov_n", "var_n")))
+      .withColumn("vr_i",
+        when(col("var_n") === 0 || col("vary_n") === 0, lit(0L))
+          .otherwise(expr(
+            """CAST((20000 * cov_n * cov_n + var_n * vary_n)
+              |  DIV (2 * var_n * vary_n) AS BIGINT)""".stripMargin)))
       .select(
         col("window.start").as("window_start"),
         col("n_0").cast("long").as("users_0"),
         col("n_1").cast("long").as("users_1"),
         (expr(meanRaw(0)) / lit(10000.0)).as("mean_0"),
         (expr(meanRaw(1)) / lit(10000.0)).as("mean_1"),
-        (expr(meanAdj(0)) / lit(10000.0)).as("mean_adj_0"),
-        (expr(meanAdj(1)) / lit(10000.0)).as("mean_adj_1"),
-        (expr(sq4("cov_n", "var_n")) / lit(10000.0)).as("theta"),
-        (when(col("var_n") === 0 || col("vary_n") === 0, lit(0L))
-          .otherwise(expr(
-            """CAST((20000 * cov_n * cov_n + var_n * vary_n)
-              |  DIV (2 * var_n * vary_n) AS BIGINT)""".stripMargin))
-          / lit(10000.0)).as("var_reduction"))
+        (col("adj0_i") / lit(10000.0)).as("mean_adj_0"),
+        (col("adj1_i") / lit(10000.0)).as("mean_adj_1"),
+        (col("theta_i") / lit(10000.0)).as("theta"),
+        (col("vr_i") / lit(10000.0)).as("var_reduction"),
+        when(col("adj0_i").isNull || col("adj1_i").isNull ||
+          col("theta_i").isNull || col("vr_i").isNull, 1L)
+          .otherwise(0L).as("overflow"))
   }
 
   /** Streaming X144 — windowed quantile-treatment-effect readout
@@ -1074,6 +1128,19 @@ object Gateway {
     * one sorted array per window, and the K-ladder is stateless HOF
     * algebra over it (GatewaySpec pins stream ≡ the batch
     * `q_rank_eval` rows on the same judged ranking).
+    *
+    * Multi-impression inflation (r16 ADVICE — a documented bias, not
+    * a bug): the max(rel) reduction is what absorbs replay, but it
+    * cannot tell a REPLAYED impression from two DISTINCT documents
+    * genuinely served at the same rank inside one window — the
+    * higher grade wins, so on a feed where a rank slot serves
+    * multiple documents per window the live nDCG/P@K reads as good
+    * as the BEST document shown there, i.e. an upper bound on any
+    * single ranking actually served. The dial is exact when the log
+    * is one judged ranking per window (the batch `q_rank_eval`
+    * contract GatewaySpec pins); a log that carries a doc id should
+    * key stage 1 by (rank, doc) and reduce replay per document
+    * instead.
     */
   def rankEvalFeed(
       lines: DataFrame,
@@ -1936,11 +2003,22 @@ object Gateway {
     * anchor over unbounded history. Stream ≡ batch parity therefore
     * holds on horizon-bounded feeds (span < `windowUs`), which is
     * what GatewaySpec pins, plus the expiry + re-admission pin.
+    *
+    * `watermarkDelay` (r16 ADVICE — the 0 s default was a silent-drop
+    * trap): any event whose timestamp trails a prior micro-batch's
+    * max event time by more than the delay is dropped BEFORE the
+    * state function, so the delay must cover the source's real
+    * cross-batch reordering. The default is 10 minutes — generous
+    * for the gateway's near-in-order receipt contract; set it
+    * explicitly for tighter state horizons, and watch
+    * [[droppedLateRows]] (sums `numRowsDroppedByWatermark` from the
+    * query's progress) to make the drop path observable rather than
+    * silent.
     */
   def funnelFeed(
       events: Dataset[UserEvent],
       windowUs: Long = graft.operators.Relational.funnelWindowUs,
-      watermarkDelay: String = "0 seconds"): Dataset[FunnelStage] = {
+      watermarkDelay: String = "10 minutes"): Dataset[FunnelStage] = {
     val s = events.sparkSession
     import s.implicits._
     val rank = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
@@ -2052,12 +2130,19 @@ object Gateway {
     * it like any watermark; out-of-order delivery inside the delay
     * is still resolved by SEQUENCE, not arrival (GatewaySpec
     * delivers the ops scrambled and pins batch parity, plus expiry +
-    * re-admission).
+    * re-admission). The default is 10 minutes, not 0 s (r16 ADVICE:
+    * a 0 s default silently drops any CDC op whose commit time
+    * trails a prior micro-batch — a dropped DELETE leaves a stale
+    * live = 1 verdict with no error); a dropped-late op is counted
+    * in the query's progress — monitor it via [[droppedLateRows]]
+    * (GatewaySpec plants a late op at an explicit 0 s delay and pins
+    * both the stale verdict AND a nonzero counter, then the same
+    * delivery under the default admitting it).
     */
   def upsertFeed(
       ops: Dataset[CdcOp],
       retainUs: Long = 7L * 86400000000L,
-      watermarkDelay: String = "0 seconds"): Dataset[UpsertVerdict] = {
+      watermarkDelay: String = "10 minutes"): Dataset[UpsertVerdict] = {
     val s = ops.sparkSession
     import s.implicits._
     ops
@@ -2098,6 +2183,22 @@ object Gateway {
           }
       }
   }
+
+  /** Rows dropped as too-late input (older than the watermark) summed
+    * across every stateful operator in the query's RETAINED progress
+    * reports (Spark keeps the last ~100 micro-batches; this is a
+    * recent-window counter, not all-history — a monitor samples it
+    * per trigger). This is the observability half of the r16 ADVICE
+    * on [[funnelFeed]]/[[upsertFeed]]'s watermark sizing: a
+    * mis-sized `watermarkDelay` shows up HERE as a nonzero count
+    * instead of as silently-missing verdicts. Zero-cost — reads the
+    * `numRowsDroppedByWatermark` metric Spark already maintains.
+    */
+  def droppedLateRows(q: StreamingQuery): Long =
+    q.recentProgress.iterator
+      .flatMap(p => Option(p.stateOperators).iterator.flatten)
+      .map(_.numRowsDroppedByWatermark)
+      .sum
 
   /** B4 variant — session windows (gap-based batching): the reference
     * only has fixed periods; `session_window` closes a batch after
@@ -2183,10 +2284,22 @@ object Gateway {
         .trigger(Trigger.ProcessingTime(s"${b.periodSeconds} seconds"))
         .foreachBatch { (df: DataFrame, id: Long) =>
           if (!df.isEmpty) b.postUrl match {
+            case Some(url) if b.executorPost =>
+              // executor-side sends (see BufferConf.executorPost): each
+              // task POSTs the chunks it holds; any failure fails the
+              // task → the batch → the checkpoint holds. postBulk is an
+              // object method, so each executor JVM lazily builds its
+              // own HttpClient — nothing driver-side is serialized.
+              emoncmsPayload(df).foreachPartition {
+                (it: Iterator[org.apache.spark.sql.Row]) =>
+                  it.foreach(r => postBulk(url, r.getString(0)))
+              }
             case Some(url) =>
               // one payload row per 1000-record chunk (usually one per
               // micro-batch); collecting them is the sink edge, same as
-              // the reference's bounded POST-per-period.
+              // the reference's bounded POST-per-period — and the
+              // sequential single-client loop is the ORDERED delivery
+              // option executorPost gives up.
               emoncmsPayload(df).collect().foreach(r => postBulk(url, r.getString(0)))
             case None =>
               bulkEncode(df)

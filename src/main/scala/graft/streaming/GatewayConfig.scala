@@ -109,7 +109,11 @@ object GatewayConfig {
         outDir = s"$sinkRoot/$name",
         active = boolSetting(p, "active", default = true),
         periodSeconds = numSetting(p, "period", 10L),
-        postUrl = postUrl)
+        postUrl = postUrl,
+        // executor_post = True opts a buffer into executor-side sends
+        // (no reference counterpart — a 1000-executor deployment knob;
+        // see BufferConf.executorPost for the ordering/replay trade)
+        executorPost = boolSetting(p, "executor_post", default = false))
     }
 
     // top-level [settings]: gateway-wide knobs with no reference

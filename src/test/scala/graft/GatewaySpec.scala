@@ -239,6 +239,76 @@ class GatewaySpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("S5 executorPost: same payload set as the driver path; failed POST still replays (r16 VERDICT #6)") {
+    // The executor-side sink gives up cross-chunk ORDER, not content:
+    // over a multi-chunk batch both paths must deliver the same
+    // payload SET, and a rejected POST must still fail the batch so
+    // the checkpoint replay loop is unchanged. maxRows is the default
+    // 1000, so chunking comes from row volume (26 channels x 2 nodes).
+    val ckpt = Files.createTempDirectory("gw-ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val received = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val reject = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("localhost", 0), 0)
+    server.createContext("/emoncms/input/bulk.json",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        received.add(new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        val reply = if (reject.get()) "Error: Invalid API key" else "ok"
+        val bytes = reply.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    server.start()
+    try {
+      val url =
+        s"http://localhost:${server.getAddress.getPort}/emoncms/input/bulk.json?apikey=k"
+      val frames = (0 until 2).flatMap(node =>
+        Seq(s"1000 ${10 + node} " + (0 until 26).map(c => s"$c.5").mkString(" ")))
+      def run(ms: MemoryStream[String], executor: Boolean, ckptDir: String): Unit = {
+        val c = GatewayConf(
+          listeners = Seq(listener),
+          buffers = Seq(BufferConf("post", outDir = "", periodSeconds = 0,
+            postUrl = Some(url), executorPost = executor)),
+          checkpointRoot = ckptDir)
+        val qs = Gateway.start(Gateway.aggregate(Gateway.decode(ms.toDF(), listener), c), c)
+        qs.foreach(_.processAllAvailable())
+        qs.foreach(_.stop())
+      }
+      // phase 1 (executor path, rejecting server): the batch must FAIL
+      reject.set(true)
+      val failCkpt = Files.createTempDirectory("gw-ckpt-fail").toString
+      val msExec = MemoryStream[String]
+      msExec.addData(frames: _*)
+      val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        run(msExec, executor = true, failCkpt)
+      }
+      assert(boom.getMessage.contains("emoncms rejected bulk upload"),
+        "executor-path send failure must fail the micro-batch")
+      assert(received.size() >= 1)
+      // phase 2: restart the SAME stream from the SAME checkpoint
+      // against a healthy server — the identical batch replays and
+      // delivers (proof the failed executor-path batch never committed)
+      reject.set(false)
+      received.clear()
+      run(msExec, executor = true, failCkpt)
+      val executorSet = received.toArray.map(_.toString).toSet
+      assert(executorSet.nonEmpty, "executor path delivered nothing on replay")
+      // phase 3: driver path on a fresh stream + checkpoint over the
+      // same frames — same payload SET (order is the documented trade)
+      received.clear()
+      val msDrv = MemoryStream[String]
+      msDrv.addData(frames: _*)
+      run(msDrv, executor = false, ckpt)
+      val driverSet = received.toArray.map(_.toString).toSet
+      assert(executorSet === driverSet,
+        s"executor and driver paths must deliver the same payload set")
+    } finally server.stop(0)
+  }
+
   test("S5: payload chunking caps rows per POST, shared sentat") {
     import spark.implicits._
     val agg = Seq(
@@ -2643,5 +2713,113 @@ class GatewaySpec extends AnyFunSuite {
       assert(k2 === Seq(("q1", 1L), ("q2", 2L)),
         s"unexpired key must keep accumulating nOps, got $k2")
     } finally q.stop()
+  }
+
+  test("cupedFeed/abFeed overflow guard: planted 1e18 covariates read overflow=1 + NULL stats, " +
+    "no-signal and active windows read 0") {
+    // r16 VERDICT #1: under ansi = false (the mode this test pins —
+    // ANSI-on, Spark 4's default, fails the batch fast instead, which
+    // is loud and needs no guard) DECIMAL(38,0) overflow yields NULL,
+    // which a dashboard would misread as "no signal". The guard
+    // column must separate the three regimes — (A) active signal,
+    // (B) genuine degeneracy (constant covariate: theta = 0 by the
+    // stated CASE), (C) overflow past the documented n·X <= 1e8 bound
+    // — with overflow = 0, 0, 1 respectively and NULL stats ONLY in
+    // (C). Batch invocation exercises the identical expressions the
+    // stream runs (the existing parity test pins stream == batch).
+    import spark.implicits._
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+    val base = 1700000000L
+    // 4e18: x² ≈ 1.6e37 still fits the per-cell Σx² decimal, but the
+    // stage-3 n·sxx intermediate (~5.8e38) blows 38 digits → var_n
+    // NULLs and every downstream stat NULLs with it. (Smaller plants
+    // don't overflow: the exact forms cancel the B² terms, so the
+    // first thing to die is this intermediate, exactly as the
+    // documented n·X <= 1e8 bound predicts.)
+    val big = 4000000000000000000L
+    def fmt(r: (Long, Int, Long, Long, Long)) = s"${r._1} ${r._2} ${r._3} ${r._4} ${r._5}"
+    // day A: sane correlated units (theta active); day B: constant
+    // covariate (no signal); day C: planted overflow
+    val dayA = (0 until 12).map { u =>
+      val x = (u % 4).toLong
+      (base + u, u % 2, 1000L + u, x, x + (u % 2) + 1L)
+    }
+    val dayB = (0 until 12).map { u => (base + 86400 + u, u % 2, 2000L + u, 7L, (u % 3).toLong + 1L) }
+    val dayC = (0 until 6).map { u =>
+      (base + 2 * 86400 + u, u % 2, 3000L + u, big + u * 1000000000000000L, (u % 3).toLong + 1L)
+    }
+    val out = Gateway.cupedFeed((dayA ++ dayB ++ dayC).map(fmt).toDF("value"), "1 day", "1 hour")
+      .select(unix_seconds(col("window_start")),
+        col("mean_adj_0"), col("mean_adj_1"), col("theta"), col("var_reduction"), col("overflow"))
+      .collect().map(r => (r.getLong(0) / 86400 - base / 86400,
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)), r.getLong(5))))
+      .toMap
+    assert(out.keySet === Set(0L, 1L, 2L))
+    val (a, b, c) = (out(0L), out(1L), out(2L))
+    assert(a._5 === 0L && a._4.exists(_.asInstanceOf[Double] != 0.0),
+      s"day A must read active signal with overflow=0: $a")
+    assert(b._5 === 0L && b._4.contains(0.0) && b._3.contains(0.0),
+      s"day B is genuine no-signal: overflow=0, theta=0: $b")
+    assert(c._5 === 1L, s"day C must flag overflow=1: $c")
+    assert(c._1.isEmpty && c._2.isEmpty && c._3.isEmpty && c._4.isEmpty,
+      s"day C's overflowed stats must surface as NULL, never silent zeros: $c")
+    // abFeed carries the same guard; its count-driven intermediates
+    // cannot be planted past 38 digits without ~9e6 distinct users, so
+    // pin the healthy-path reading: overflow = 0 on every window
+    val ab = Gateway.abFeed(
+      (0 until 40).map(u => s"${base + u} ${u % 2} ${100L + u} ${u % 3 min 1}").toDF("value"),
+      "1 day", "1 hour")
+      .select(col("overflow")).as[Long].collect()
+    assert(ab.nonEmpty && ab.forall(_ == 0L), "abFeed healthy path must read overflow=0")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+  }
+
+  test("upsertFeed watermark sizing: a trailing CDC op is dropped (and counted) at 0s delay, " +
+    "admitted under the 10-minute default") {
+    // r16 ADVICE (medium): the old 0-second default silently dropped
+    // any op whose commit time trailed a prior micro-batch's max event
+    // time — a dropped DELETE leaves a stale live=1 verdict with no
+    // error. Two pins: (1) at an explicit "0 seconds" the late DELETE
+    // is dropped BEFORE the state function and droppedLateRows makes
+    // the drop observable (nonzero); (2) the same delivery under the
+    // new default admits it (5-minute trail < 10-minute delay) and the
+    // verdict flips to the tombstone.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0us = 1800000000000000L
+    val hourUs = 3600L * 1000000L
+    def run(delay: Option[String]): (Seq[(Long, Long)], Long) = {
+      val ms = MemoryStream[CdcOp]
+      val sink = s"upsert_late_${System.nanoTime()}"
+      val feed = delay match {
+        case Some(d) => Gateway.upsertFeed(ms.toDS(), watermarkDelay = d)
+        case None => Gateway.upsertFeed(ms.toDS())
+      }
+      val q = feed.writeStream.format("memory").queryName(sink).outputMode("update").start()
+      try {
+        // b1: key 1 upserted; key 2 drags the max event time 1 h out
+        ms.addData(
+          CdcOp(1L, 1L, "U", "p1", true, t0us),
+          CdcOp(2L, 1L, "U", "q1", true, t0us + hourUs))
+        q.processAllAvailable()
+        // b2: key 1's DELETE trails the b1 max by 5 minutes
+        ms.addData(CdcOp(1L, 2L, "D", null, true, t0us + hourUs - 300L * 1000000L))
+        q.processAllAvailable()
+        val verdicts = spark.table(sink).filter(col("docId") === 1L)
+          .select(col("nOps"), col("live")).as[(Long, Long)].collect().toSeq
+        (verdicts, Gateway.droppedLateRows(q))
+      } finally q.stop()
+    }
+    val (atZero, droppedAtZero) = run(Some("0 seconds"))
+    assert(atZero === Seq((1L, 1L)),
+      s"0s delay: the late DELETE must be dropped, leaving the stale live=1 verdict: $atZero")
+    assert(droppedAtZero >= 1L,
+      "the drop must be observable: droppedLateRows must count the late op")
+    val (atDefault, droppedAtDefault) = run(None)
+    assert(atDefault.toSet === Set((1L, 1L), (2L, 0L)),
+      s"default delay: the trailing DELETE must be admitted and tombstone the key: $atDefault")
+    assert(droppedAtDefault === 0L, "default delay must not drop the 5-minute trail")
   }
 }
