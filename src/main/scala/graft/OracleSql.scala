@@ -27,33 +27,46 @@ package graft
   */
 object OracleSql {
 
-  /** Replace the contents of single-quoted SQL string literals and
-    * `--` line comments with 'x' (same length, so indexes stay
-    * aligned with the original): paren balancing and identifier
-    * counting must not see literal or comment content — a regex
-    * character class inside a redaction pattern would otherwise
-    * unbalance the CTE body scan, and an apostrophe inside a comment
-    * would desync the string state, after which a literal containing
-    * text like `x AS (` could be treated as code (r15 ADVICE).
-    * Standard '' escaping degrades gracefully (the escaped quote
-    * toggles state twice, masking everything between the outer
-    * quotes).
+  /** Replace the contents of single-quoted SQL string literals, `--`
+    * line comments, and slash-star block comments with 'x' (same
+    * length, so indexes stay aligned with the original): paren
+    * balancing and identifier counting must not see literal or
+    * comment content — a regex character class inside a redaction
+    * pattern would otherwise unbalance the CTE body scan, and an
+    * apostrophe inside a comment would desync the string state, after
+    * which a literal containing text like `x AS (` could be treated
+    * as code (r15 ADVICE for line comments; r16 ADVICE extended the
+    * same argument to block comments, which NEST in DuckDB/Postgres —
+    * hence the depth counter, a single flag would close at the first
+    * inner star-slash). Standard '' escaping degrades gracefully (the
+    * escaped quote toggles state twice, masking everything between
+    * the outer quotes).
     */
   private def mask(sql: String): String = {
     val out = sql.toCharArray
     var i = 0
     var inStr = false
-    var inCmt = false
+    var inLine = false
+    var blk = 0 // block-comment nesting depth
     while (i < out.length) {
       if (inStr) {
         if (out(i) == '\'') inStr = false else out(i) = 'x'
-      } else if (inCmt) {
-        if (out(i) == '\n') inCmt = false else out(i) = 'x'
+      } else if (inLine) {
+        if (out(i) == '\n') inLine = false else out(i) = 'x'
+      } else if (blk > 0) {
+        if (out(i) == '*' && i + 1 < out.length && out(i + 1) == '/') {
+          out(i) = 'x'; out(i + 1) = 'x'; blk -= 1; i += 1
+        } else if (out(i) == '/' && i + 1 < out.length && out(i + 1) == '*') {
+          out(i) = 'x'; out(i + 1) = 'x'; blk += 1; i += 1
+        } else if (out(i) != '\n') out(i) = 'x'
       } else if (out(i) == '\'') {
         inStr = true
       } else if (out(i) == '-' && i + 1 < out.length && out(i + 1) == '-') {
-        inCmt = true
+        inLine = true
         out(i) = 'x' // mask both dashes so `name AS (` in a comment can't match
+      } else if (out(i) == '/' && i + 1 < out.length && out(i + 1) == '*') {
+        blk = 1
+        out(i) = 'x'; out(i + 1) = 'x'; i += 1
       }
       i += 1
     }
@@ -76,17 +89,75 @@ object OracleSql {
 
   private val cteDef = """([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+\(""".r
 
+  /** Positions where `name` occurs as a TABLE reference in the masked
+    * text — a word-boundary occurrence whose previous token is FROM,
+    * JOIN, or a comma (the FROM-list separator), excluding CTE
+    * definition sites (followed by `AS (` or `AS MATERIALIZED (`,
+    * which a comma can also precede inside a WITH list). This is the
+    * r16 ADVICE fix for position-BLIND counting: the old whole-text
+    * count treated a column alias or ORDER BY column that happened to
+    * share the CTE's name as a reference, over-marking a single-use
+    * CTE — semantically free but a measured perf cliff (the
+    * q_dedup_simhash 6× class is exactly "materialized when it
+    * shouldn't be"). The three accepted contexts are exhaustive for
+    * the SELECT-only oracles this engine generates; a form that slips
+    * past UNDER-counts, which the mandatory slow-oracle gate in
+    * tools/check.py catches as a timing cliff rather than silently.
+    */
+  private def tableRefPositions(m: String, name: String): Seq[Int] = {
+    def prevToken(pos: Int): String = {
+      var j = pos - 1
+      while (j >= 0 && m.charAt(j).isWhitespace) j -= 1
+      if (j < 0) return ""
+      val c = m.charAt(j)
+      if (!c.isLetterOrDigit && c != '_') return c.toString
+      val end = j
+      while (j >= 0 && { val ch = m.charAt(j); ch.isLetterOrDigit || ch == '_' }) j -= 1
+      m.substring(j + 1, end + 1)
+    }
+    def isDefinitionSite(after: Int): Boolean = {
+      var j = after
+      while (j < m.length && m.charAt(j).isWhitespace) j += 1
+      if (!m.regionMatches(true, j, "AS", 0, 2)) return false
+      j += 2
+      if (j < m.length && { val ch = m.charAt(j); ch.isLetterOrDigit || ch == '_' }) return false
+      while (j < m.length && m.charAt(j).isWhitespace) j += 1
+      if (m.regionMatches(true, j, "MATERIALIZED", 0, 12)) {
+        j += 12
+        while (j < m.length && m.charAt(j).isWhitespace) j += 1
+      }
+      j < m.length && m.charAt(j) == '('
+    }
+    val word = ("""(?i)\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
+    word.findAllMatchIn(m).collect {
+      case mt if {
+        val pt = prevToken(mt.start)
+        (pt.equalsIgnoreCase("FROM") || pt.equalsIgnoreCase("JOIN") || pt == ",") &&
+        !isDefinitionSite(mt.end)
+      } => mt.start
+    }.toSeq
+  }
+
   /** Mark every multiply-referenced, non-recursive CTE in `sql` as
-    * `AS MATERIALIZED`. Over-approximation is safe: materializing a
-    * singly-referenced CTE changes nothing semantically, so name
-    * collisions with base tables or columns only ever add a harmless
-    * mark. Under-approximation cannot happen — a CTE referenced
-    * twice has its name in the text at least three times (definition
-    * + two references).
+    * `AS MATERIALIZED`. References are counted positionally (see
+    * [[tableRefPositions]]); marking a CTE never changes a result,
+    * only DuckDB's evaluation strategy, so the residual risk on both
+    * sides is performance, which the slow-oracle gate measures.
     */
   def materializeShared(sql: String): String = {
     if (sql.contains(inlineMarker)) return sql
     val m = mask(sql)
+    // A name DEFINED more than once (an outer CTE colliding with one
+    // nested inside another CTE's body — legal SQL, the inner shadows)
+    // must never be marked: DuckDB 1.0's binder rejects an outer
+    // MATERIALIZED CTE whose name a nested CTE reuses ("Duplicate
+    // alias"), measured on q_dup_flow in r17 — the position-blind r16
+    // counter only dodged it by ALSO over-marking the enclosing CTE,
+    // which isolates the nested scope. Skipping the collision is
+    // semantics-preserving (inlining always binds); the refs are
+    // cross-scope-ambiguous anyway, so no honest count exists.
+    val defCounts = cteDef.findAllMatchIn(m)
+      .map(_.group(1)).toSeq.groupBy(identity).view.mapValues(_.size).toMap
     // Insertion points (index of the body-opening paren) for CTEs
     // that qualify, collected on the masked text, applied to the
     // original (masking preserves length/indexes).
@@ -113,12 +184,12 @@ object OracleSql {
       val isQueryBody = Seq("SELECT", "VALUES", "WITH", "FROM")
         .exists(k => bodyHead.regionMatches(true, 0, k, 0, k.length))
       if (close < 0 || !isQueryBody) None // window spec / unbalanced — leave untouched
+      else if (defCounts.getOrElse(name, 0) > 1) None // shadowed name — never mark
       else {
-        val word = ("""\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
-        val selfRefs = word.findAllIn(m.substring(open, close + 1)).size
-        val totalRefs = word.findAllIn(m).size - 1 - selfRefs // minus definition
+        val refs = tableRefPositions(m, name)
+        val selfRefs = refs.count(p => p > open && p < close)
         if (selfRefs > 0) None // recursive CTE — cannot materialize
-        else if (totalRefs >= 2) Some(open)
+        else if (refs.size >= 2) Some(open)
         else None
       }
     }.toSeq

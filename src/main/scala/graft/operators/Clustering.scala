@@ -1446,13 +1446,13 @@ object Clustering {
     s"""WITH p AS (
        |${Dedup.substrSql}
        |),
-       |m AS (SELECT doc_id, source FROM documents)
+       |srcmap AS (SELECT doc_id, source FROM documents)
        |SELECT least(ma.source, mb.source) AS source_a,
        |  greatest(ma.source, mb.source) AS source_b,
        |  CAST(count(*) AS BIGINT) AS n_pairs,
        |  CAST(max(p.max_run) AS BIGINT) AS max_shared_run,
        |  CAST(sum(p.n_shared_grams) AS BIGINT) AS n_shared_grams
-       |FROM p JOIN m ma ON ma.doc_id = p.id_a JOIN m mb ON mb.doc_id = p.id_b
+       |FROM p JOIN srcmap ma ON ma.doc_id = p.id_a JOIN srcmap mb ON mb.doc_id = p.id_b
        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
   /** X99 — simplified silhouette (`q_silhouette`): the cluster-quality

@@ -61,6 +61,61 @@ class OracleSqlSpec extends AnyFunSuite {
       "single-reference CTE after an apostrophe-bearing comment must pass through")
   }
 
+  test("an apostrophe inside a /* */ block comment cannot desync the string mask (r16 ADVICE)") {
+    // The line-comment fix left block comments unmasked, so this
+    // apostrophe opened string state and the next literal's quote
+    // closed it — the literal body (a fake `a` reference) was scanned
+    // as code. Block-comment bodies must be masked identically.
+    val sql = """WITH a AS (SELECT 1 AS x) /* don't trip */
+                |SELECT 'z AS ( a a' AS s FROM a""".stripMargin
+    val out = OracleSql.materializeShared(sql)
+    assert(out === sql,
+      "single-reference CTE after an apostrophe-bearing block comment must pass through")
+  }
+
+  test("nested block comments are masked to their true end (DuckDB/Postgres nesting)") {
+    // A single-flag scanner closes at the FIRST inner star-slash and
+    // treats `FROM a` in the outer comment's tail as a live reference.
+    val sql = """WITH a AS (SELECT 1 AS x) /* outer /* inner */ still comment, FROM a */
+                |SELECT x FROM a""".stripMargin
+    val out = OracleSql.materializeShared(sql)
+    assert(out === sql, "references inside a nested block comment must not count")
+  }
+
+  test("a column alias or ORDER BY column sharing the CTE name is not a reference (r16 ADVICE)") {
+    // Position-blind counting saw three word matches (definition,
+    // alias, ORDER BY) and marked this single-use CTE — semantically
+    // free but the q_dedup_simhash-class perf cliff. Only table
+    // positions (FROM/JOIN/comma) count.
+    val sql = """WITH a AS (SELECT 1 AS x)
+                |SELECT x AS a FROM a ORDER BY a""".stripMargin
+    val out = OracleSql.materializeShared(sql)
+    assert(out === sql, s"alias collision must not mark the CTE: $out")
+    // and the converse: genuine FROM/JOIN/comma references still count
+    val sql2 = """WITH a AS (SELECT 1 AS x)
+                 |SELECT * FROM a JOIN a AS b USING (x)""".stripMargin
+    assert(OracleSql.materializeShared(sql2).contains("a AS MATERIALIZED"),
+      "two genuine table references must still mark")
+  }
+
+  test("a CTE name defined twice (nested shadowing) is never marked (DuckDB duplicate-alias)") {
+    // DuckDB 1.0 rejects an outer MATERIALIZED CTE whose name a CTE
+    // nested in another body reuses — measured on q_dup_flow (r17):
+    // `Binder Error: Duplicate alias "m"`. Both definitions must stay
+    // unmarked; non-colliding shared CTEs in the same query still mark.
+    val sql = """WITH p AS (
+                |  WITH m AS (SELECT 1 AS id) SELECT id FROM m
+                |),
+                |m AS (SELECT 1 AS id, 'x' AS s),
+                |shared AS (SELECT id FROM p)
+                |SELECT * FROM shared JOIN shared s2 USING (id)
+                |  JOIN m ma ON ma.id = p0.id JOIN m mb ON mb.id = p0.id
+                |  , p p0""".stripMargin
+    val out = OracleSql.materializeShared(sql)
+    assert(!out.contains("m AS MATERIALIZED"), s"shadowed name must never be marked: $out")
+    assert(out.contains("shared AS MATERIALIZED"), "non-colliding shared CTE must still mark")
+  }
+
   test("a multiply-referenced CTE is still marked when a comment precedes it") {
     val sql = """WITH a AS (SELECT 1 AS x), -- shared 'twice'
                 |b AS (SELECT x FROM a), c AS (SELECT x FROM a)
