@@ -154,27 +154,40 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   /** NOTE for builders whose `build` READS another memoized index:
-    * access the upstream memo OUTSIDE the thunk (hoist
-    * `val sh = shingleIndex(s, dir)` before the cachedIndex call). A
-    * memo HIT returns this df without evaluating `build`, so an
-    * upstream persist inside the thunk is never re-armed after
-    * `clearCache()` — the next DIRECT consumer of the upstream index
-    * then pays its whole materialization (r16: q_lsh_stats read
-    * 0.7 s in bench pass 1 and 7 s in passes 2+ until the hoist).
+    * still hoist the upstream memo access outside the thunk (a miss
+    * evaluates `build` under the map update, and nesting memo calls
+    * inside it does redundant work), but the hoist is no longer
+    * load-bearing for persistence: EVERY access re-arms every memo
+    * entry of the session (see below), so a future builder that reads
+    * a memoized index inside its thunk cannot reintroduce the
+    * un-re-armed-persist regression that bit twice in r16
+    * (q_lsh_stats 0.7 s in bench pass 1 → 7 s in passes 2+ until the
+    * hoist). DedupSpec pins the re-arm.
     */
   private[operators] def cachedIndex(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
     SessionCleanup.arm(s)
     val df = indexMemo.getOrElseUpdate((s, dir, tag), build)
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      // SERIALIZED storage: the memo population grew to ~6 tables in
-      // r16 and deserialized row caches are long-lived GC load that
-      // taxed UNRELATED queries in the full-surface run (measured:
-      // q_cooccur 21 s in-run vs 4 s standalone at sf1-shape before
-      // this). Serialized blocks are 3-5x smaller, GC-opaque, and the
-      // decode cost on these narrow long/string rows is noise next to
-      // the joins they feed — the same trade a real cluster makes for
-      // large cached tables.
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // Re-arm EVERY entry of this session whose persist was dropped
+    // (clearCache / unpersist / entry eviction), not just `tag`: a
+    // memo HIT skips `build`, so an upstream index persisted inside a
+    // downstream builder's thunk would otherwise stay un-re-armed
+    // after clearCache() — the r16 ADVICE asked for this convention
+    // to be code, not comment. persist() only marks (no
+    // materialization), and the map holds <10 entries, so the sweep
+    // is O(entries) pointer work per access.
+    //
+    // SERIALIZED storage: the memo population grew to ~6 tables in
+    // r16 and deserialized row caches are long-lived GC load that
+    // taxed UNRELATED queries in the full-surface run (measured:
+    // q_cooccur 21 s in-run vs 4 s standalone at sf1-shape before
+    // this). Serialized blocks are 3-5x smaller, GC-opaque, and the
+    // decode cost on these narrow long/string rows is noise next to
+    // the joins they feed — the same trade a real cluster makes for
+    // large cached tables.
+    indexMemo.foreach { case ((ks, _, _), kdf) =>
+      if ((ks eq s) && kdf.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        kdf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }
     df
   }
 

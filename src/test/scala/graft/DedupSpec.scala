@@ -825,4 +825,26 @@ class DedupSpec extends AnyFunSuite {
         s"pair volume $totalPairs must bound the $candidates distinct candidates at $dir")
     }
   }
+
+  test("cachedIndex re-arms every dropped memo persist on any access (r16 ADVICE)") {
+    // The un-re-armed-persist regression class (0.7s -> 7s, twice in
+    // r16): a memo HIT skips the builder thunk, so an upstream index
+    // persisted only inside a downstream thunk stayed unpersisted
+    // after clearCache(). The fix is structural — ANY cachedIndex
+    // access re-persists EVERY memo entry of the session — so the pin
+    // is: populate two entries, clearCache, touch only ONE, and the
+    // OTHER must be re-armed too (whatever builder nesting a future
+    // change introduces).
+    import graft.operators.Dedup
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    val sh = Dedup.shingleIndex(spark, sf) // entry "shingles"
+    val mh = Dedup.minhashVerified(spark, sf) // entry "minhash_pairs" (reads shingles upstream)
+    val entries = Seq(sh, mh)
+    assert(entries.forall(_.storageLevel != none), "both memo entries must start persisted")
+    spark.catalog.clearCache()
+    assert(entries.forall(_.storageLevel == none), "clearCache must drop both")
+    Dedup.minhashVerified(spark, sf) // memo HIT on ONE entry only — no builder runs
+    assert(entries.forall(_.storageLevel != none),
+      "one access must re-arm EVERY memo entry of the session, not just the touched tag")
+  }
 }
