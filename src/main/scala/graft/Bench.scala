@@ -41,6 +41,29 @@ object Bench {
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
     val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // Shared-memo builds timed as their OWN lines (r16 VERDICT #4):
+    // each session memo is otherwise built inside whichever consumer
+    // happens to run first, so that query's bench line absorbs the
+    // build and stops being comparable round-over-round (r16:
+    // q_clf_agreement 1.15 → 1.96 s was the gate_scored build, not a
+    // regression). Warming them first each pass moves the build cost
+    // into an explicit memo:<tag> line; the headline total is
+    // unchanged in expectation (cost relocates, it doesn't grow), and
+    // every first-payer line returns to its plan cost. cluster_labels
+    // is construction-time work with the same first-payer skew; the
+    // same SPARK_GRAFT_QUERIES filter applies, so a single-query
+    // bench still measures that query's standalone (build-inclusive)
+    // cost.
+    val memoWarmers: Seq[(String, () => Unit)] = Seq(
+      ("memo:shingles", () => { operators.Dedup.shingleIndex(spark, sfDir).count(); () }),
+      ("memo:near_pairs", () => { operators.Dedup.nearPairsIndexed(spark, sfDir).count(); () }),
+      ("memo:minhash_pairs", () => { operators.Dedup.minhashVerified(spark, sfDir).count(); () }),
+      ("memo:simsketch", () => { operators.Dedup.simSketch(spark, sfDir).count(); () }),
+      ("memo:substr_grams", () => { operators.Dedup.substrGrams(spark, sfDir).count(); () }),
+      ("memo:substr_pairs", () => { operators.Dedup.substrPairs(spark, sfDir).count(); () }),
+      ("memo:gate_scored", () => { operators.Curation.gateScored(spark, sfDir).count(); () }),
+      ("memo:cluster_labels", () => { operators.Clustering.clusterLabels(spark, sfDir).count(); () })
+    ).filter { case (n, _) => only.forall(_.contains(n)) }
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     // a query that threw in ANY pass is reported, not silently timed:
     // its elapsed time is meaningless and the driver must see red
@@ -56,10 +79,10 @@ object Bench {
       // would not make pass N re-pay — release it so every pass times
       // the real cost, same discipline as the cache clear
       operators.Clustering.releaseLabels(spark)
-      for ((name, fn) <- queries) {
+      def timeOne(name: String)(body: => Unit): Unit = {
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { body; true }
           catch {
             case t: Throwable =>
               failed(name) = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
@@ -70,6 +93,8 @@ object Bench {
         System.err.println(f"bench pass $pass $name%-22s $sec%8.3f s${if (ok) "" else "  FAILED"}")
         if (ok) best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
       }
+      for ((name, warm) <- memoWarmers) timeOne(name)(warm())
+      for ((name, fn) <- queries) timeOne(name)(fn(spark, sfDir).count())
       val total = if (best.nonEmpty) best.values.sum else 0.0
       System.err.println(f"bench pass $pass total-of-best $total%8.3f s")
       // adaptivity only engages for multi-pass runs (passes >= 2):
