@@ -61,6 +61,18 @@ final case class Reading(node: Long, tsUs: Long, value: Double)
 /** One typed event for [[Gateway.debounceFeed]]. */
 final case class TypedEvent(eventId: Long, eventType: String, us: Long)
 
+/** The promoted snapshot's column profile — the six-long offline
+  * artifact [[Gateway.profileDriftFeed]] diffs every window against
+  * (X140's v1 side, shipped as plan literals).
+  */
+final case class ProfileBaseline(
+    n: Long,
+    langNulls: Long,
+    langDistinct: Long,
+    srcDistinct: Long,
+    nCharsSum: Long,
+    textLenSum: Long)
+
 /** A kept (debounced) event with its suppression evidence. */
 final case class DebouncedEvent(eventId: Long, eventType: String, us: Long, prevGapUs: Long)
 
@@ -1341,6 +1353,190 @@ object Gateway {
         when(col("conf_mass") === 0L, lit(0.0)).otherwise(
           expr("CAST((20000 * noise_mass + conf_mass) DIV (2 * conf_mass) AS BIGINT)")
             / lit(10000.0)).as("noise_rate"))
+  }
+
+  /** Streaming X153 — windowed duplicate-cluster size histogram
+    * (`clusterSizesFeed`): the release-card dedup shape as a live
+    * dial — the offline X153 states how the promoted corpus
+    * duplicates; what an ingest pipeline wants per window is whether
+    * TODAY'S crawl is suddenly template-heavy (one giant cluster) or
+    * pair-noisy (many 2-clusters), because the remediations differ
+    * (keep-one dedup vs upstream template investigation). Lines are
+    * label assignments `epoch_sec doc_id cluster_id` — the output
+    * grain of an incremental-dedup assigner ([[dedupIncFeed]]'s
+    * world); a SINGLETON (no duplicate partner) ships with a unique
+    * sentinel cluster_id (the producer uses −doc_id), which is the
+    * live substitute for the batch side's corpus anti-join (X153's
+    * "histogram must state the singletons or the shares lie").
+    *
+    * Execution is the [[srmFeed]] chained-windowed-aggregation shape
+    * one stage deeper — FOUR stateful aggregates in append mode, each
+    * re-windowing on `window_time`: (1) collapse to (window, cluster,
+    * doc) — at-least-once replay of a label row is absorbed here,
+    * state bounded by labeled docs per horizon; (2) per-(window,
+    * cluster) distinct-doc size — the live `sizes` dictionary;
+    * (3) per-(window, bucket) cluster/doc/max counts — ≤9 rows per
+    * window by construction (exact 1–4, power-of-two ranges, 33+
+    * tail); (4) the ≤9-row dictionary collapses to one sorted array
+    * per window and the shares/top-cluster ride out as stateless HOF
+    * algebra over it, digit-identical to the batch X153 forms
+    * (4dp HALF_UP in integer space), so GatewaySpec pins stream ≡
+    * the declared `q_cluster_sizes` rows when the feed carries the
+    * batch labels + sentinel singletons split across micro-batches.
+    *
+    * Scale: nothing here is pairwise — the feed consumes ASSIGNED
+    * labels; state is docs-per-horizon at stage 1 (the admission
+    * stream's own cardinality), clusters at stage 2, ≤9 rows after.
+    */
+  def clusterSizesFeed(
+      lines: DataFrame,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val bucket = "CASE WHEN sz <= 4 THEN sz WHEN sz <= 8 THEN 5 " +
+      "WHEN sz <= 16 THEN 9 WHEN sz <= 32 THEN 17 ELSE 33 END"
+    val parsed = lines
+      .select(split(col("value"), " ", 4).as("p"))
+      .filter(size(col("p")) >= 3 &&
+        col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull &&
+        col("p").getItem(2).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).cast("long").as("doc_id"),
+        col("p").getItem(2).cast("long").as("cluster_id"))
+      .withWatermark("ts", watermarkDelay)
+    val perDoc = parsed
+      .groupBy(window(col("ts"), windowDuration), col("cluster_id"), col("doc_id"))
+      .agg(count(lit(1)).as("events"))
+    val sizes = perDoc
+      .groupBy(window(window_time(col("window")), windowDuration), col("cluster_id"))
+      .agg(count(lit(1)).as("sz"))
+    val hist = sizes
+      .groupBy(
+        window(window_time(col("window")), windowDuration),
+        expr(bucket).cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"), max(col("sz")).as("mx"))
+    hist
+      .groupBy(window(window_time(col("window")), windowDuration))
+      .agg(collect_list(
+        struct(col("bucket_lo"), col("n_clusters"), col("n_docs"), col("mx"))).as("h0"))
+      .select(
+        col("window.start").as("window_start"),
+        expr("sort_array(h0)").as("h"))
+      .withColumn("tot", expr("aggregate(h, CAST(0 AS BIGINT), (a, e) -> a + e.n_docs)"))
+      .withColumn("dup", expr(
+        "aggregate(h, CAST(0 AS BIGINT), (a, e) -> a + CASE WHEN e.bucket_lo = 1 THEN CAST(0 AS BIGINT) ELSE e.n_docs END)"))
+      .withColumn("top", expr("array_max(transform(h, e -> e.mx))"))
+      .select(col("window_start"), explode(col("h")).as("e"),
+        col("tot"), col("dup"), col("top"))
+      .select(
+        col("window_start"),
+        col("e.bucket_lo").as("bucket_lo"),
+        col("e.n_clusters").cast("long").as("n_clusters"),
+        col("e.n_docs").cast("long").as("n_docs"),
+        (expr("CAST((20000 * e.n_docs + tot) DIV (2 * tot) AS BIGINT)")
+          / lit(10000.0)).as("doc_share"),
+        col("top").cast("long").as("top_cluster"),
+        (expr("CAST((20000 * dup + tot) DIV (2 * tot) AS BIGINT)")
+          / lit(10000.0)).as("dup_doc_share"))
+  }
+
+  /** Streaming X140 — windowed profile-drift gate
+    * (`profileDriftFeed`): the snapshot-promotion regression check as
+    * a live dial — the offline X140 diffs two corpus versions
+    * nightly; the live form diffs EVERY window's column profile
+    * against the last PROMOTED snapshot's profile, so an extractor
+    * that starts NULLing `lang` or inflating `n_chars` mid-crawl
+    * flags within a window instead of at the next nightly. Lines are
+    * the profile grain `epoch_sec doc_id lang source n_chars text…`
+    * (text is the tail, spaces and all); a missing lang ships as the
+    * `-` token (the wire form of NULL — the stream analog of the
+    * batch synthesis's NULLed extractor).
+    *
+    * The baseline profile is the offline artifact: SIX longs (rows,
+    * lang nulls, lang/source distincts, n_chars and text-length sums)
+    * shipped as plan literals — the [[novelFeed]] bounded-artifact
+    * pattern; a live baseline would make the verdict depend on
+    * micro-batch boundaries. Distinct counts NEVER run as streaming
+    * DISTINCT aggregates (unsupported, and a cardinality landmine):
+    * stage 1 collapses to the (window, lang, source) profile
+    * dictionary — state bounded by |langs|×|sources| per horizon, the
+    * columns being profiled are categorical by construction — and
+    * stage 2 folds the dictionary with stateless HOF algebra
+    * (distincts = array_distinct over the dict, the
+    * [[temperatureFeed]] discipline). The ≤6-metric unpivot and the
+    * 4dp integer drift/flag forms ride out digit-identical to the
+    * batch X140 (20·|v2i−v1i| > max — no float can flip the flag), so
+    * GatewaySpec pins stream ≡ the declared `q_profile_drift` rows
+    * when the feed carries the batch v2 corpus against the batch v1
+    * baseline artifact in one window.
+    */
+  def profileDriftFeed(
+      lines: DataFrame,
+      baseline: ProfileBaseline,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val parsed = lines
+      .select(split(col("value"), " ", 6).as("p"))
+      .filter(size(col("p")) === 6 &&
+        col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull &&
+        col("p").getItem(4).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(2).as("lang"),
+        col("p").getItem(3).as("source"),
+        col("p").getItem(4).cast("long").as("n_chars"),
+        length(col("p").getItem(5)).cast("long").as("text_len"))
+      .withWatermark("ts", watermarkDelay)
+    val dict = parsed
+      .groupBy(window(col("ts"), windowDuration), col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("n_chars")).as("nc_sum"),
+        sum(col("text_len")).as("len_sum"))
+    val folded = dict
+      .groupBy(window(window_time(col("window")), windowDuration))
+      .agg(collect_list(struct(
+        col("lang"), col("source"), col("cnt"), col("nc_sum"), col("len_sum"))).as("d"))
+      .withColumn("b_n", expr("aggregate(d, CAST(0 AS BIGINT), (a, e) -> a + e.cnt)"))
+      .withColumn("b_lang_nulls", expr(
+        "aggregate(d, CAST(0 AS BIGINT), (a, e) -> a + CASE WHEN e.lang = '-' THEN e.cnt ELSE CAST(0 AS BIGINT) END)"))
+      .withColumn("b_lang_d", expr(
+        "size(array_distinct(transform(filter(d, e -> e.lang != '-'), e -> e.lang)))").cast("long"))
+      .withColumn("b_src_d", expr(
+        "size(array_distinct(transform(d, e -> e.source)))").cast("long"))
+      .withColumn("b_nc_sum", expr("aggregate(d, CAST(0 AS BIGINT), (a, e) -> a + e.nc_sum)"))
+      .withColumn("b_len_sum", expr("aggregate(d, CAST(0 AS BIGINT), (a, e) -> a + e.len_sum)"))
+    def q4(num: String, den: String): String =
+      s"CAST((20000 * CAST($num AS DECIMAL(38,0)) + $den) DIV (2 * CAST($den AS DECIMAL(38,0))) AS BIGINT)"
+    val metricRows = Seq(
+      ("doc_id", "n_rows", s"${baseline.n}L * 10000", "b_n * 10000"),
+      ("lang", "null_share",
+        s"${q4(baseline.langNulls.toString, baseline.n.toString)}",
+        q4("b_lang_nulls", "b_n")),
+      ("lang", "n_distinct", s"${baseline.langDistinct}L * 10000", "b_lang_d * 10000"),
+      ("source", "n_distinct", s"${baseline.srcDistinct}L * 10000", "b_src_d * 10000"),
+      ("n_chars", "mean",
+        s"${q4(baseline.nCharsSum.toString, baseline.n.toString)}",
+        q4("b_nc_sum", "b_n")),
+      ("text", "len_mean",
+        s"${q4(baseline.textLenSum.toString, baseline.n.toString)}",
+        q4("b_len_sum", "b_n")))
+    val stacked = metricRows.map { case (c, m, e1, e2) =>
+      s"'$c', '$m', CAST($e1 AS BIGINT), CAST($e2 AS BIGINT)"
+    }.mkString(s"stack(${metricRows.size}, ", ", ", ")")
+    folded
+      .select(
+        col("window.start").as("window_start"),
+        expr(s"$stacked AS (col_name, metric, v1i, v2i)"))
+      .select(
+        col("window_start"), col("col_name"), col("metric"),
+        (col("v1i") / lit(10000.0)).as("v1"),
+        (col("v2i") / lit(10000.0)).as("v2"),
+        (abs(col("v2i") - col("v1i")) / lit(10000.0)).as("drift"),
+        when(lit(20L) * abs(col("v2i") - col("v1i"))
+          > greatest(col("v1i"), col("v2i")), 1L).otherwise(0L).as("flagged"))
   }
 
   /** Streaming X131 — windowed topic-composition monitor

@@ -2380,6 +2380,100 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cluster-size histogram: labels + sentinel singletons == batch q_cluster_sizes") {
+    // Streaming X153: the batch CC labels (plus the corpus anti-join
+    // singletons the producer ships with sentinel ids) in one
+    // event-time window, split across three micro-batches with an
+    // at-least-once replay of the first chunk (absorbed by the
+    // stage-1 doc collapse) — the feed's per-window histogram must
+    // equal the declared batch rows digit-for-digit.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val labels = graft.operators.Clustering.clusterLabels(spark, dir)
+      .select("doc_id", "cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labeled = labels.map(_._1).toSet
+    val singles = graft.operators.Dedup.corpus(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).filterNot(labeled)
+      .map(id => (id, -id)) // sentinel: each singleton is its own cluster
+    val base = 1700000000L
+    val lines = (labels ++ singles).map { case (id, c) => s"$base $id $c" }.toSeq
+    val ms = MemoryStream[String]
+    val sink = s"csz_feed_${System.nanoTime()}"
+    val q = Gateway.clusterSizesFeed(ms.toDF(), "1 day", "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val parts = lines.grouped(math.max(1, lines.size / 3)).toSeq
+      assert(parts.size >= 3)
+      parts.foreach { p => ms.addData(p: _*); q.processAllAvailable() }
+      ms.addData(parts.head: _*) // replay: absorbed by the doc collapse
+      q.processAllAvailable()
+      ms.addData(s"${base + 10 * 86400} 0 1"); q.processAllAvailable()
+      ms.addData(s"${base + 10 * 86400} 0 1"); q.processAllAvailable()
+      val streamed = spark.table(sink)
+        .filter(unix_seconds(col("window_start")) === (base / 86400) * 86400)
+        .select(col("bucket_lo"), col("n_clusters"), col("n_docs"),
+          col("doc_share"), col("top_cluster"), col("dup_doc_share"))
+        .as[(Long, Long, Long, Double, Long, Double)].collect().toSet
+      val batch = SparkEntry.queries("q_cluster_sizes")(spark, dir)
+        .as[(Long, Long, Long, Double, Long, Double)].collect().toSet
+      assert(batch.nonEmpty && batch.exists(_._1 == 1L),
+        "vacuous: batch histogram must include the singleton bucket")
+      assert(streamed === batch, "cluster-size histogram stream diverges from batch")
+    } finally q.stop()
+  }
+
+  test("streaming profile-drift gate: window profile vs the v1 baseline artifact == batch q_profile_drift") {
+    // Streaming X140: the batch v2 corpus in one event-time window
+    // diffed against the batch v1 baseline (the six-long promoted-
+    // snapshot artifact, recounted here with the same synthesis rules
+    // the batch query states) — the feed's per-window metric rows
+    // must equal the declared batch table digit-for-digit, flags
+    // included.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // v1 recount per the X140 synthesis: %13=5 absent, %19=0 lang
+    // NULLed, %7=0 n_chars inflated by n DIV 10
+    val v1 = docs.filter(_._1 % 13 != 5).map { case (id, t, l, s, n) =>
+      (id, t, if (id % 19 == 0) null else l, s, if (id % 7 == 0) n + n / 10 else n)
+    }
+    val baseline = graft.streaming.ProfileBaseline(
+      n = v1.size.toLong,
+      langNulls = v1.count(_._3 == null).toLong,
+      langDistinct = v1.map(_._3).filter(_ != null).distinct.size.toLong,
+      srcDistinct = v1.map(_._4).distinct.size.toLong,
+      nCharsSum = v1.map(_._5).sum,
+      textLenSum = v1.map(_._2.length.toLong).sum)
+    val base = 1700000000L
+    val lines = docs.map { case (id, t, l, s, n) => s"$base $id $l $s $n $t" }.toSeq
+    val ms = MemoryStream[String]
+    val sink = s"pdrift_feed_${System.nanoTime()}"
+    val q = Gateway.profileDriftFeed(ms.toDF(), baseline, "1 day", "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val parts = lines.grouped(math.max(1, lines.size / 3)).toSeq
+      assert(parts.size >= 3)
+      parts.foreach { p => ms.addData(p: _*); q.processAllAvailable() }
+      ms.addData(s"${base + 10 * 86400} 0 xx s 1 t"); q.processAllAvailable()
+      ms.addData(s"${base + 10 * 86400} 0 xx s 1 t"); q.processAllAvailable()
+      val streamed = spark.table(sink)
+        .filter(unix_seconds(col("window_start")) === (base / 86400) * 86400)
+        .select(col("col_name"), col("metric"), col("v1"), col("v2"),
+          col("drift"), col("flagged"))
+        .as[(String, String, Double, Double, Double, Long)].collect().toSet
+      val batch = SparkEntry.queries("q_profile_drift")(spark, dir)
+        .as[(String, String, Double, Double, Double, Long)].collect().toSet
+      assert(batch.nonEmpty && batch.exists(_._6 == 1L) && batch.exists(_._6 == 0L),
+        "vacuous: batch drift table must realize both flag branches")
+      assert(streamed === batch, "profile-drift stream diverges from the batch table")
+    } finally q.stop()
+  }
+
   test("streaming temperature sweep: per-window alpha grid, stream == batch q_mix_temperature") {
     // Streaming X151: the whole corpus in one event-time window — the
     // feed's per-window grid must equal the declared batch sweep
