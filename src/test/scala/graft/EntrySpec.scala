@@ -37,4 +37,40 @@ class EntrySpec extends AnyFunSuite {
         s"README claims $n oracle queries; registry has ${SparkEntry.oracleSql.size}")
     }
   }
+
+  test("SQL front-end: spark.sql over registered views == the Scala API (r16 VERDICT #8)") {
+    // The declared surface must be reachable by a SQL user three ways:
+    // (1) ANSI SQL over the registered BASE-table views — the portable
+    // subset of the oracle text runs verbatim and matches the declared
+    // operator row-for-row; (2) the operator-view layer — any declared
+    // query composes relationally under its own name; (3) the injected
+    // graft_ native functions resolve in SQL text (the fixture session
+    // enables GraftExtensions the documented way).
+    val spark = SparkFixture.spark
+    val dir = "/root/testdata/sf0.001"
+    Sql.registerTables(spark, dir)
+    // (1) three representative declared queries whose oracle text is
+    // engine-portable ANSI: aggregate, window rank, windowed CTE
+    for (name <- Seq("q_agg_q1", "q_win_rank", "q_above_avg")) {
+      val viaSql = spark.sql(SparkEntry.oracleSql(name)).collect().map(_.toSeq).toSeq
+      val viaApi = SparkEntry.queries(name)(spark, dir).collect().map(_.toSeq).toSeq
+      assert(viaApi.nonEmpty, s"$name: vacuous pin")
+      assert(viaSql === viaApi, s"$name: spark.sql result diverges from the Scala API")
+    }
+    // (2) operator views: a declared operator queried and composed in SQL
+    Sql.registerQueries(spark, dir, Set("q_dedup_near"))
+    val top = spark.sql(
+      "SELECT count(*) AS n, max(n_union) AS mx FROM q_dedup_near WHERE shared * 10 >= n_union * 6")
+      .collect().head
+    val api = SparkEntry.queries("q_dedup_near")(spark, dir)
+    assert(top.getLong(0) === api.count() && top.getLong(1) ===
+      api.agg(org.apache.spark.sql.functions.max("n_union")).head.getLong(0),
+      "operator view diverges from the Scala API")
+    // (3) native functions resolve from SQL text
+    val nfc = spark.sql("SELECT graft_nfc('café') AS s").collect().head.getString(0)
+    assert(nfc === "café", "graft_nfc must NFC-compose via spark.sql")
+    intercept[IllegalArgumentException] {
+      Sql.registerQueries(spark, dir, Set("no_such_query"))
+    }
+  }
 }
