@@ -128,10 +128,11 @@ for name, sql in sorted(oracle.items()):
 for name, msg in fails:
     print(f"FAIL {name}: {msg}")
 
-# The slow-oracle gate is MANDATORY (r15 ADVICE): materializeShared's
-# reference counting is whole-text, so a mis-marked single-use CTE's
-# perf cliff is only caught by timing — an opt-in gate misses it.
-# --times now only controls the printed cost table.
+# The slow-oracle gate is MANDATORY (r15 ADVICE): materializeShared
+# counts table positions (r17), but a reference form that slips past
+# the scanner UNDER-counts and the resulting inline cliff is only
+# caught by timing — an opt-in gate misses it. --times now only
+# controls the printed cost table.
 slow = [(t, n) for t, n in costs if t > SLOW_ORACLE_SEC]
 if TIMES:
     print(f"\n-- oracle cost (total {sum(t for t, _ in costs):.1f}s) --")
