@@ -451,6 +451,19 @@ object Curation {
     * integer bit ops), so the oracle — which recomputes membership
     * relationally against the distinct-position set — is exact,
     * false positives included.
+    *
+    * Measured dead end (r17), kept so it isn't re-tried: a cheap
+    * xxhash64 pre-screen Bloom over the same bench gram set (so true
+    * members can never fail it) to spare the dominant md5 for ~89%
+    * of training grams. It is output-invariant ONLY for true
+    * members — the md5 bloom's FALSE POSITIVES are part of the
+    * declared contract (the oracle recomputes membership FPs
+    * included), and the pre-screen rightly rejects them since they
+    * are not in the bench set: 23 → 11 rows at sf0.01, all 12 lost
+    * rows 1-gram FP docs. Any pre-screen keyed by a different hash
+    * changes the FP set, so the md5-per-gram cost is irreducible
+    * under this operator's exact-FP contract (1.60 s standalone at
+    * sf0.1 — within budget).
     */
   private def decontamBloom(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
