@@ -57,6 +57,7 @@ object Bench {
     val memoWarmers: Seq[(String, () => Unit)] = Seq(
       ("memo:shingles", () => { operators.Dedup.shingleIndex(spark, sfDir).count(); () }),
       ("memo:near_pairs", () => { operators.Dedup.nearPairsIndexed(spark, sfDir).count(); () }),
+      ("memo:containment_idx", () => { operators.Dedup.containmentIndex(spark, sfDir).count(); () }),
       ("memo:minhash_pairs", () => { operators.Dedup.minhashVerified(spark, sfDir).count(); () }),
       ("memo:simsketch", () => { operators.Dedup.simSketch(spark, sfDir).count(); () }),
       ("memo:substr_grams", () => { operators.Dedup.substrGrams(spark, sfDir).count(); () }),

@@ -1761,6 +1761,137 @@ object Curation {
       |    + n_tokens) // (2 * n_tokens) AS DOUBLE) / 10000.0 AS epochs
       |FROM r ORDER BY source""".stripMargin
 
+  /** X156 — UniMax language-budget allocation (`q_unimax`): the third
+    * published mixing strategy beside X74's equal-epochs remainder
+    * fill and X151's temperature sweep — Chung et al. (2023),
+    * "UniMax: Fairer and More Effective Language Sampling": spend the
+    * token budget as UNIFORMLY across languages as possible, capping
+    * each language at `epochsCap` repetitions of its own data and
+    * redistributing what the capped languages cannot absorb among the
+    * rest. Proportional sampling starves tail languages; temperature
+    * helps but still over-repeats the smallest; UniMax is the
+    * closed-form fair allocation with an explicit repetition bound.
+    *
+    * Exact integer waterfilling, no iteration: sort languages by
+    * capacity c = n·E ascending (ties by lang); language at rank i is
+    * capped iff c_i·(L−i+1) ≤ B−P_{i−1} (the exact-rational "at most
+    * the fair share of what remains" test, cross-multiplied — no
+    * float), and because capacities are sorted the capped set is the
+    * prefix up to the FIRST failure (a later rank can satisfy the
+    * inequality spuriously using prefix mass that was never
+    * allocated, so K = first-failure − 1, not a count). Uncapped
+    * languages split R = B−P_K as base = R div U each, the R mod U
+    * remainder going one token each to the largest-capacity uncapped
+    * (= highest ascending rank — no second ordering needed). Budget
+    * B = 3T/2 (X74's non-vacuity convention) and E = 2, which on this
+    * corpus shape caps the tail languages and leaves the
+    * head-language allocation uniform at BOTH test SFs — both
+    * branches live on real data; the all-capped (B > ΣC →
+    * `unallocated` > 0), remainder-spread and capacity-tie branches
+    * are fixture-driven through the same [[unimaxOf]].
+    *
+    * Scale shape: ONE corpus aggregate with map-side partials into a
+    * ≤|langs| dictionary; every window below runs on that dictionary
+    * (the "window over aggregate, never the corpus" rule). Integer
+    * bound: 2·10⁴·allocation must fit a long → corpus < ~4.6·10¹⁷
+    * tokens, three orders above a 100 TB text corpus.
+    */
+  private def unimax(s: SparkSession, dir: String): DataFrame =
+    unimaxOf(
+      Tables(s, dir, "documents")
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("tok"))
+        .groupBy(col("lang"))
+        .agg(sum(col("tok")).as("n_tokens")),
+      unimaxEpochCap)
+
+  private[graft] val unimaxEpochCap = 2L
+
+  /** The allocator over an arbitrary (lang, n_tokens) dictionary —
+    * factored so spec fixtures drive the all-capped, remainder and
+    * tie branches through the production arithmetic.
+    */
+  private[graft] def unimaxOf(perLang: DataFrame, epochsCap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val asc = Window.partitionBy().orderBy(col("capacity"), col("lang"))
+    perLang
+      .withColumn("capacity", col("n_tokens") * lit(epochsCap))
+      .withColumn("total", sum(col("n_tokens")).over(wAll))
+      .withColumn("budget", expr("(3 * total) div 2"))
+      .withColumn("i", row_number().over(asc).cast("long"))
+      .withColumn("nl", count(lit(1)).over(wAll))
+      .withColumn("pprev", coalesce(
+        sum(col("capacity")).over(asc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("kk", coalesce(
+        min(when(col("capacity") * (col("nl") - col("i") + 1) >
+          col("budget") - col("pprev"), col("i"))).over(wAll),
+        col("nl") + 1) - 1)
+      .withColumn("pk", coalesce(
+        sum(when(col("i") <= col("kk"), col("capacity"))).over(wAll), lit(0L)))
+      .withColumn("r", col("budget") - col("pk"))
+      .withColumn("u", col("nl") - col("kk"))
+      .withColumn("base", when(col("u") === 0, lit(0L)).otherwise(expr("r div u")))
+      .withColumn("remx", when(col("u") === 0, lit(0L)).otherwise(expr("r % u")))
+      .withColumn("allocation",
+        when(col("i") <= col("kk"), col("capacity"))
+          .otherwise(col("base") +
+            when(col("i") >= col("nl") - col("remx") + 1, 1L).otherwise(0L)))
+      .select(
+        col("lang"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("capacity").cast("long").as("capacity"),
+        col("allocation").cast("long").as("allocation"),
+        (expr("(20000 * allocation + n_tokens) div (2 * n_tokens)").cast("double") / 10000.0)
+          .as("epochs"),
+        when(col("i") <= col("kk"), 1L).otherwise(0L).as("capped"),
+        col("budget").cast("long").as("budget"),
+        when(col("u") === 0, col("r")).otherwise(lit(0L)).cast("long").as("unallocated"))
+      .orderBy("lang")
+  }
+
+  private def unimaxSql: String =
+    s"""WITH per AS (
+       |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |b AS (
+       |  SELECT lang, n_tokens, n_tokens * $unimaxEpochCap AS capacity,
+       |    (3 * CAST(sum(n_tokens) OVER () AS BIGINT)) // 2 AS budget,
+       |    CAST(row_number() OVER (ORDER BY n_tokens * $unimaxEpochCap, lang) AS BIGINT) AS i,
+       |    CAST(count(*) OVER () AS BIGINT) AS nl,
+       |    CAST(COALESCE(sum(n_tokens * $unimaxEpochCap) OVER (
+       |      ORDER BY n_tokens * $unimaxEpochCap, lang
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pprev
+       |  FROM per),
+       |k AS (
+       |  SELECT b.*,
+       |    COALESCE(min(CASE WHEN capacity * (nl - i + 1) > budget - pprev THEN i END)
+       |      OVER (), nl + 1) - 1 AS kk
+       |  FROM b),
+       |p AS (
+       |  SELECT k.*,
+       |    CAST(COALESCE(sum(CASE WHEN i <= kk THEN capacity END) OVER (), 0) AS BIGINT) AS pk
+       |  FROM k),
+       |f AS (SELECT p.*, budget - pk AS r, nl - kk AS u FROM p),
+       |g AS (
+       |  SELECT f.*,
+       |    CASE WHEN u = 0 THEN 0 ELSE r // u END AS base,
+       |    CASE WHEN u = 0 THEN 0 ELSE r % u END AS remx
+       |  FROM f),
+       |h2 AS (
+       |  SELECT g.*,
+       |    CASE WHEN i <= kk THEN capacity
+       |         ELSE base + CASE WHEN i >= nl - remx + 1 THEN 1 ELSE 0 END END AS allocation
+       |  FROM g)
+       |SELECT lang, n_tokens,
+       |  CAST(capacity AS BIGINT) AS capacity,
+       |  CAST(allocation AS BIGINT) AS allocation,
+       |  CAST((20000 * allocation + n_tokens) // (2 * n_tokens) AS BIGINT) / 10000.0 AS epochs,
+       |  CAST(CASE WHEN i <= kk THEN 1 ELSE 0 END AS BIGINT) AS capped,
+       |  CAST(budget AS BIGINT) AS budget,
+       |  CAST(CASE WHEN u = 0 THEN r ELSE 0 END AS BIGINT) AS unallocated
+       |FROM h2 ORDER BY lang""".stripMargin
+
   /** X114 — quality-annealed phase plan (`q_anneal_plan`): the
     * two-phase mix schedule published pretraining runs converge on
     * (MiniCPM's WSD decay phase, OLMo-2 midtraining, Llama-3
@@ -3403,6 +3534,10 @@ object Curation {
       tokenBudget,
       Some(tokenBudgetSql),
       "X74 data-constrained epoch allocation: full epochs + salted remainder fill per source"),
+    "q_unimax" -> QueryDef(
+      unimax,
+      Some(unimaxSql),
+      "X156 UniMax language-budget waterfilling: uniform spend, per-language epoch cap"),
     "q_train_order" -> QueryDef(
       trainOrder,
       Some(trainOrderSql),

@@ -1463,4 +1463,78 @@ class CurationSpec extends AnyFunSuite {
       assert(rate > 0.0 && rate < 0.5, s"noise rate $rate outside the sane band at $dir")
     }
   }
+
+  test("q_unimax: iterative waterfilling recount at two SFs; fixtures drive all-capped, remainder and ties") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // independent recount: the SEQUENTIAL waterfilling definition, not
+    // the closed form the query uses — sorted ascending by (capacity,
+    // lang), cap while the smallest remaining capacity is at most the
+    // exact fair share of what remains, then uniform base + one extra
+    // token each to the largest-capacity uncapped
+    def waterfill(counts: Seq[(String, Long)], e: Long): Seq[(String, Long, Long, Long, Long, Long, Long)] = {
+      val total = counts.map(_._2).sum
+      val budget = 3 * total / 2
+      val sorted = counts.map { case (l, n) => (l, n, n * e) }.sortBy(t => (t._3, t._1))
+      var rem = budget
+      var k = 0
+      while (k < sorted.size && sorted(k)._3 * (sorted.size - k) <= rem) {
+        rem -= sorted(k)._3; k += 1
+      }
+      val u = sorted.size - k
+      val (base, extra) = if (u == 0) (0L, 0L) else (rem / u, rem % u)
+      val unalloc = if (u == 0) rem else 0L
+      sorted.zipWithIndex.map { case ((l, n, c), i) =>
+        val alloc =
+          if (i < k) c
+          else base + (if (i >= sorted.size - extra) 1L else 0L)
+        (l, n, c, alloc, if (i < k) 1L else 0L, budget, unalloc)
+      }.sortBy(_._1)
+    }
+    def run(counts: Seq[(String, Long)], e: Long) =
+      graft.operators.Curation.unimaxOf(counts.toDF("lang", "n_tokens"), e)
+        .select(col("lang"), col("n_tokens"), col("capacity"), col("allocation"),
+          col("capped"), col("budget"), col("unallocated"))
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val counts = Tables(spark, dir, "documents")
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("tok"))
+        .groupBy("lang").agg(sum(col("tok")).as("n")).as[(String, Long)].collect().toSeq
+      val declared = SparkEntry.queries("q_unimax")(spark, dir)
+        .select(col("lang"), col("n_tokens"), col("capacity"), col("allocation"),
+          col("capped"), col("budget"), col("unallocated"))
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      val expect = waterfill(counts, graft.operators.Curation.unimaxEpochCap)
+      assert(declared === expect, s"declared diverges from the sequential waterfill at $dir")
+      // conservation + the fairness contract, off the declared rows
+      val budget = declared.head._6
+      assert(declared.map(_._4).sum + declared.head._7 === budget, s"budget not conserved at $dir")
+      declared.foreach { r => assert(r._4 <= r._3, s"allocation exceeds capacity: $r") }
+      declared.filter(_._5 == 1L).foreach { r =>
+        assert(r._4 === r._3, s"capped language not at capacity: $r") }
+      val un = declared.filter(_._5 == 0L).map(_._4)
+      assert(un.nonEmpty && declared.exists(_._5 == 1L),
+        s"both branches must be live on the corpus at $dir")
+      assert(un.max - un.min <= 1L, s"uncapped allocations not uniform(+-1) at $dir")
+      // fairness: every uncapped language gets at least any capped one
+      if (declared.exists(_._5 == 1L))
+        assert(un.min >= declared.filter(_._5 == 1L).map(_._4).max,
+          s"an uncapped language got less than a capped one at $dir")
+    }
+    // all-capped: E = 1 makes budget 3T/2 exceed total capacity T
+    val allCap = run(Seq(("aa", 100L), ("bb", 300L)), 1L)
+    assert(allCap.forall(_._5 == 1L) && allCap.forall(r => r._4 == r._3))
+    assert(allCap.head._7 === 200L, s"unallocated must surface the surplus: $allCap")
+    assert(allCap === waterfill(Seq(("aa", 100L), ("bb", 300L)), 1L))
+    // remainder spread: R % U = 1 — the extra token goes to the
+    // LARGEST-capacity uncapped language, deterministically
+    val rem = run(Seq(("aa", 2L), ("dd", 9L), ("ee", 10L)), 2L)
+    assert(rem === waterfill(Seq(("aa", 2L), ("dd", 9L), ("ee", 10L)), 2L))
+    assert(rem.find(_._1 == "aa").get._5 === 1L)
+    assert(rem.find(_._1 == "dd").get._4 === 13L && rem.find(_._1 == "ee").get._4 === 14L,
+      s"remainder token must land on the largest capacity: $rem")
+    // capacity tie: identical counts order by lang; recount agrees
+    val tie = Seq(("bb", 5L), ("aa", 5L), ("cc", 50L))
+    assert(run(tie, 2L) === waterfill(tie, 2L))
+  }
 }
