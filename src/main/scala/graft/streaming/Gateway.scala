@@ -1287,6 +1287,106 @@ object Gateway {
         col("max_epochs"))
   }
 
+  /** Streaming X156 — windowed UniMax allocation dial (`unimaxFeed`):
+    * "if we trained on what arrived THIS window, what would the fair
+    * language budget look like" — the offline X156 waterfilling as a
+    * live dial beside [[temperatureFeed]], so a crawl whose language
+    * balance drifts shows its allocation consequences (which
+    * languages cap at the repetition bound, how much budget the head
+    * language absorbs) as they happen. Lines are the admission shape
+    * `epoch_sec doc_id lang text…`; per-doc token counts are in-row.
+    *
+    * Execution: (1) collapse to (window, lang, doc) with `max(tok)` —
+    * at-least-once replay of a document is absorbed here, the
+    * [[clusterSizesFeed]] discipline; (2) re-window to the per-lang
+    * token dictionary; (3) one sorted array per window, and the WHOLE
+    * closed-form waterfilling — capped prefix K (first-failure rule),
+    * uniform base, remainder to the largest capacities — is stateless
+    * HOF algebra over it (batch X156 uses analytic windows, which do
+    * not stream; slice/aggregate folds over the ≤ǀlangsǀ dictionary
+    * compute the identical integers in O(ǀlangsǀ²) per window, which
+    * is nothing). Digit-identical integer forms end-to-end, so
+    * GatewaySpec pins stream ≡ the declared `q_unimax` rows when the
+    * feed carries the batch corpus in one window.
+    */
+  def unimaxFeed(
+      lines: DataFrame,
+      epochsCap: Long = graft.operators.Curation.unimaxEpochCap,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val parsed = lines
+      .select(split(col("value"), " ", 4).as("p"))
+      .filter(size(col("p")) === 4 &&
+        col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).cast("long").as("doc_id"),
+        col("p").getItem(2).as("lang"),
+        size(split(col("p").getItem(3), " ")).cast("long").as("tok"))
+      .withWatermark("ts", watermarkDelay)
+    val perDoc = parsed
+      .groupBy(window(col("ts"), windowDuration), col("lang"), col("doc_id"))
+      .agg(max(col("tok")).as("tok"))
+    val perLang = perDoc
+      .groupBy(window(window_time(col("window")), windowDuration), col("lang"))
+      .agg(sum(col("tok")).as("n_tokens"))
+    // per-row helpers over the sorted dictionary (1-based rank r):
+    // capacity is the struct's FIRST field so sort_array orders by
+    // (capacity, lang); pprev(r) folds the prefix before r
+    def pprev(r: String): String =
+      s"aggregate(slice(arr, 1, $r - 1), CAST(0 AS BIGINT), (a, e) -> a + e.c)"
+    perLang
+      .groupBy(window(window_time(col("window")), windowDuration))
+      .agg(collect_list(struct(
+        (col("n_tokens") * lit(epochsCap)).as("c"),
+        col("lang"), col("n_tokens"))).as("d0"))
+      .select(
+        col("window.start").as("window_start"),
+        expr("sort_array(d0)").as("arr"))
+      .withColumn("nl", size(col("arr")).cast("long"))
+      .withColumn("total",
+        expr("aggregate(arr, CAST(0 AS BIGINT), (a, e) -> a + e.n_tokens)"))
+      .withColumn("budget", expr("(3 * total) div 2"))
+      // first-failure rule: smallest rank whose capacity exceeds the
+      // exact fair share of what remains — NULL-filtered indexed scan
+      .withColumn("kk", expr(
+        s"""coalesce(array_min(filter(
+           |  transform(sequence(1, CAST(nl AS INT)),
+           |    r -> IF(element_at(arr, r).c * (nl - r + 1) > budget - ${pprev("r")},
+           |            CAST(r AS BIGINT), CAST(NULL AS BIGINT))),
+           |  x -> x IS NOT NULL)), nl + 1) - 1""".stripMargin))
+      .withColumn("pk", expr(pprev("CAST(kk AS INT) + 1")))
+      .withColumn("r", col("budget") - col("pk"))
+      .withColumn("u", col("nl") - col("kk"))
+      .withColumn("base", when(col("u") === 0, lit(0L)).otherwise(expr("r div u")))
+      .withColumn("remx", when(col("u") === 0, lit(0L)).otherwise(expr("r % u")))
+      .select(
+        col("window_start"),
+        posexplode(col("arr")).as(Seq("p0", "e")),
+        col("nl"), col("budget"), col("kk"),
+        col("base"), col("remx"), col("u"), col("r"))
+      .withColumn("i", (col("p0") + 1).cast("long"))
+      .select(
+        col("window_start"),
+        col("e.lang").as("lang"),
+        col("e.n_tokens").cast("long").as("n_tokens"),
+        col("e.c").cast("long").as("capacity"),
+        when(col("i") <= col("kk"), col("e.c"))
+          .otherwise(col("base") +
+            when(col("i") >= col("nl") - col("remx") + 1, 1L).otherwise(0L))
+          .cast("long").as("allocation"),
+        col("i"), col("kk"), col("budget"), col("u"), col("r"))
+      .withColumn("epochs",
+        expr("(20000 * allocation + n_tokens) div (2 * n_tokens)").cast("double") / 10000.0)
+      .select(
+        col("window_start"), col("lang"), col("n_tokens"), col("capacity"),
+        col("allocation"), col("epochs"),
+        when(col("i") <= col("kk"), 1L).otherwise(0L).as("capped"),
+        col("budget").cast("long").as("budget"),
+        when(col("u") === 0, col("r")).otherwise(lit(0L)).cast("long").as("unallocated"))
+  }
+
   /** Streaming X155 — windowed label-noise monitor
     * (`labelNoiseFeed`): confident learning as a drift dial — the
     * offline X155 estimates label error once; what production wants

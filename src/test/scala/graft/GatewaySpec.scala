@@ -2509,6 +2509,45 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming UniMax dial: per-window waterfilling, stream == batch q_unimax; replay absorbed") {
+    // Streaming X156: the whole corpus in one event-time window, split
+    // across three micro-batches with an at-least-once replay of the
+    // first chunk (absorbed by the per-(window, lang, doc) collapse) —
+    // the feed's per-window allocation table must equal the declared
+    // batch waterfilling digit-for-digit (the HOF closed form vs the
+    // batch analytic-window closed form certify each other).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents").select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val base = 1700000000L
+    val lines = docs.map { case (id, l, t) => s"$base $id $l $t" }.toSeq
+    val ms = MemoryStream[String]
+    val sink = s"unimax_feed_${System.nanoTime()}"
+    val q = Gateway.unimaxFeed(ms.toDF(), windowDuration = "1 day", watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val parts = lines.grouped(math.max(1, lines.size / 3)).toSeq
+      assert(parts.size >= 3)
+      parts.foreach { p => ms.addData(p: _*); q.processAllAvailable() }
+      ms.addData(parts.head: _*) // replay: absorbed by the doc collapse
+      q.processAllAvailable()
+      ms.addData(s"${base + 10 * 86400} 0 xx t"); q.processAllAvailable()
+      ms.addData(s"${base + 10 * 86400} 0 xx t"); q.processAllAvailable()
+      val streamed = spark.table(sink)
+        .filter(unix_seconds(col("window_start")) === (base / 86400) * 86400)
+        .select(col("lang"), col("n_tokens"), col("capacity"), col("allocation"),
+          col("epochs"), col("capped"), col("budget"), col("unallocated"))
+        .as[(String, Long, Long, Long, Double, Long, Long, Long)].collect().toSet
+      val batch = SparkEntry.queries("q_unimax")(spark, dir)
+        .as[(String, Long, Long, Long, Double, Long, Long, Long)].collect().toSet
+      assert(batch.nonEmpty && batch.exists(_._6 == 1L) && batch.exists(_._6 == 0L),
+        "vacuous: batch waterfilling must realize both branches")
+      assert(streamed === batch, "UniMax dial stream diverges from the batch allocation")
+    } finally q.stop()
+  }
+
   test("streaming rank-eval monitor: per-window P@K/nDCG/MRR, stream == batch q_rank_eval") {
     // Streaming X138: the batch eval's own judged top-20 streamed as
     // an impression log across three micro-batches (plus an
