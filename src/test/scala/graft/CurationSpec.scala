@@ -1536,5 +1536,21 @@ class CurationSpec extends AnyFunSuite {
     // capacity tie: identical counts order by lang; recount agrees
     val tie = Seq(("bb", 5L), ("aa", 5L), ("cc", 50L))
     assert(run(tie, 2L) === waterfill(tie, 2L))
+    // randomized sweep (fixed seed — deterministic): 30 dictionaries
+    // over skewed counts and E in 1..4; the closed form must equal the
+    // sequential definition on every one, and the invariants must hold
+    val rnd = new scala.util.Random(20260816L)
+    for (case_ <- 1 to 30) {
+      val langs = 1 + rnd.nextInt(8)
+      val counts = (0 until langs).map { j =>
+        (f"l$j%02d", 1L + (if (rnd.nextBoolean()) rnd.nextInt(20) else rnd.nextInt(2000)).toLong)
+      }
+      val e = 1L + rnd.nextInt(4)
+      val got = run(counts, e)
+      assert(got === waterfill(counts, e), s"case $case_: closed form diverges for $counts E=$e")
+      val budget = got.head._6
+      assert(got.map(_._4).sum + got.head._7 === budget, s"case $case_: budget not conserved")
+      got.foreach(r => assert(r._4 <= r._3 && r._4 >= 0, s"case $case_: allocation out of range: $r"))
+    }
   }
 }
