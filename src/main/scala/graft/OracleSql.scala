@@ -99,7 +99,10 @@ object OracleSql {
     * share the CTE's name as a reference, over-marking a single-use
     * CTE — semantically free but a measured perf cliff (the
     * q_dedup_simhash 6× class is exactly "materialized when it
-    * shouldn't be"). The three accepted contexts are exhaustive for
+    * shouldn't be"). A match whose next character is `.` is a COLUMN
+    * QUALIFIER (`COALESCE(lex.doc_id, den.doc_id)` puts `den` after a
+    * comma — the r17 review's over-marking class), never a FROM-list
+    * item, and is excluded. The accepted contexts are exhaustive for
     * the SELECT-only oracles this engine generates; a form that slips
     * past UNDER-counts, which the mandatory slow-oracle gate in
     * tools/check.py catches as a timing cliff rather than silently.
@@ -132,8 +135,9 @@ object OracleSql {
     word.findAllMatchIn(m).collect {
       case mt if {
         val pt = prevToken(mt.start)
+        val qualifier = mt.end < m.length && m.charAt(mt.end) == '.'
         (pt.equalsIgnoreCase("FROM") || pt.equalsIgnoreCase("JOIN") || pt == ",") &&
-        !isDefinitionSite(mt.end)
+        !qualifier && !isDefinitionSite(mt.end)
       } => mt.start
     }.toSeq
   }
@@ -147,22 +151,16 @@ object OracleSql {
   def materializeShared(sql: String): String = {
     if (sql.contains(inlineMarker)) return sql
     val m = mask(sql)
-    // A name DEFINED more than once (an outer CTE colliding with one
-    // nested inside another CTE's body — legal SQL, the inner shadows)
-    // must never be marked: DuckDB 1.0's binder rejects an outer
-    // MATERIALIZED CTE whose name a nested CTE reuses ("Duplicate
-    // alias"), measured on q_dup_flow in r17 — the position-blind r16
-    // counter only dodged it by ALSO over-marking the enclosing CTE,
-    // which isolates the nested scope. Skipping the collision is
-    // semantics-preserving (inlining always binds); the refs are
-    // cross-scope-ambiguous anyway, so no honest count exists.
-    val defCounts = cteDef.findAllMatchIn(m)
-      .map(_.group(1)).toSeq.groupBy(identity).view.mapValues(_.size).toMap
-    // Insertion points (index of the body-opening paren) for CTEs
-    // that qualify, collected on the masked text, applied to the
-    // original (masking preserves length/indexes).
-    val inserts = cteDef.findAllMatchIn(m).flatMap { mt =>
-      val name = mt.group(1)
+    // One scan collecting every `name AS (` site with its body extent
+    // and whether the body opens with a query keyword — a named-WINDOW
+    // clause (`WINDOW w AS (PARTITION BY …)`) matches the same shape
+    // but is NOT a CTE definition and must count as neither an
+    // insertion candidate nor a definition (r17 review: counting a
+    // window spec in defCounts would silently unmark a genuine shared
+    // CTE that happens to share the window's name — legal SQL, the
+    // namespaces are separate).
+    case class Def(name: String, open: Int, close: Int, isQueryBody: Boolean)
+    val defs = cteDef.findAllMatchIn(m).map { mt =>
       val open = mt.end - 1
       // Balanced-paren scan for the body extent on the masked text.
       var depth = 0
@@ -176,23 +174,36 @@ object OracleSql {
         }
         i += 1
       }
-      // A named-WINDOW clause (`WINDOW w AS (PARTITION BY …)`) matches
-      // the same `name AS (` shape but must never be marked: a CTE
-      // body always opens with a query keyword, a window spec never
-      // does — discriminate on the first body token.
       val bodyHead = m.drop(open + 1).dropWhile(_.isWhitespace)
       val isQueryBody = Seq("SELECT", "VALUES", "WITH", "FROM")
         .exists(k => bodyHead.regionMatches(true, 0, k, 0, k.length))
-      if (close < 0 || !isQueryBody) None // window spec / unbalanced — leave untouched
-      else if (defCounts.getOrElse(name, 0) > 1) None // shadowed name — never mark
+      Def(mt.group(1), open, close, isQueryBody)
+    }.toSeq
+    // A name DEFINED more than once (an outer CTE colliding with one
+    // nested inside another CTE's body — legal SQL, the inner shadows)
+    // must never be marked: DuckDB 1.0's binder rejects an outer
+    // MATERIALIZED CTE whose name a nested CTE reuses ("Duplicate
+    // alias"), measured on q_dup_flow in r17 — the position-blind r16
+    // counter only dodged it by ALSO over-marking the enclosing CTE,
+    // which isolates the nested scope. Skipping the collision is
+    // semantics-preserving (inlining always binds); the refs are
+    // cross-scope-ambiguous anyway, so no honest count exists.
+    val defCounts = defs.filter(_.isQueryBody)
+      .groupBy(_.name).view.mapValues(_.size).toMap
+    // Insertion points (index of the body-opening paren) for CTEs
+    // that qualify, collected on the masked text, applied to the
+    // original (masking preserves length/indexes).
+    val inserts = defs.flatMap { d =>
+      if (d.close < 0 || !d.isQueryBody) None // window spec / unbalanced — leave untouched
+      else if (defCounts.getOrElse(d.name, 0) > 1) None // shadowed name — never mark
       else {
-        val refs = tableRefPositions(m, name)
-        val selfRefs = refs.count(p => p > open && p < close)
+        val refs = tableRefPositions(m, d.name)
+        val selfRefs = refs.count(p => p > d.open && p < d.close)
         if (selfRefs > 0) None // recursive CTE — cannot materialize
-        else if (refs.size >= 2) Some(open)
+        else if (refs.size >= 2) Some(d.open)
         else None
       }
-    }.toSeq
+    }
     // Apply right-to-left so earlier indexes stay valid.
     inserts.sorted.reverse.foldLeft(sql) { (acc, pos) =>
       acc.substring(0, pos) + "MATERIALIZED " + acc.substring(pos)

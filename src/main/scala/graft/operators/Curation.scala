@@ -1793,8 +1793,11 @@ object Curation {
     * Scale shape: ONE corpus aggregate with map-side partials into a
     * ≤|langs| dictionary; every window below runs on that dictionary
     * (the "window over aggregate, never the corpus" rule). Integer
-    * bound: 2·10⁴·allocation must fit a long → corpus < ~4.6·10¹⁷
-    * tokens, three orders above a 100 TB text corpus.
+    * bound (r17 review corrected a 10³ overstatement): the epochs
+    * form computes 2·10⁴·allocation, and allocation can approach
+    * B = 1.5T, so 3·10⁴·T < 2⁶³ → corpus < ~3·10¹⁴ tokens — one
+    * order above a 100 TB text corpus (~2·10¹³ tokens); past it,
+    * rescale the unit (count kilotokens) before the allocator.
     */
   private def unimax(s: SparkSession, dir: String): DataFrame =
     unimaxOf(

@@ -758,8 +758,13 @@ object Gateway {
         (abs(col("r0") - col("r1")) / lit(10000.0)).as("rate_diff"),
         when(col("den") === 0, lit(0.0)).otherwise(
           expr("CAST((20000 * num + den) DIV (2 * den) AS BIGINT)") / lit(10000.0)).as("chi2"),
-        when(col("den") === 0, lit(0L)).otherwise(
-          expr("CAST(CASE WHEN 10000 * num > 38415 * den THEN 1 ELSE 0 END AS BIGINT)"))
+        // overflow (NULL num/den) must surface as NULL, never as a
+        // confident-looking 0 — the r17 review caught the bare CASE
+        // falling to ELSE 0 when its WHEN condition evaluated NULL
+        when(col("num").isNull || col("den").isNull, lit(null).cast("long"))
+          .when(col("den") === 0, lit(0L))
+          .otherwise(
+            expr("CAST(CASE WHEN 10000 * num > 38415 * den THEN 1 ELSE 0 END AS BIGINT)"))
           .as("significant"),
         when(col("num").isNull || col("den").isNull, 1L).otherwise(0L).as("overflow"))
   }
@@ -1557,19 +1562,22 @@ object Gateway {
     * lang nulls, lang/source distincts, n_chars and text-length sums)
     * shipped as plan literals — the [[novelFeed]] bounded-artifact
     * pattern; a live baseline would make the verdict depend on
-    * micro-batch boundaries. Distinct counts NEVER run as streaming
-    * DISTINCT aggregates (unsupported, and a cardinality landmine):
-    * stage 1 collapses to the (window, lang, source) profile
-    * dictionary — state bounded by |langs|×|sources| per horizon, the
-    * columns being profiled are categorical by construction — and
-    * stage 2 folds the dictionary with stateless HOF algebra
-    * (distincts = array_distinct over the dict, the
-    * [[temperatureFeed]] discipline). The ≤6-metric unpivot and the
-    * 4dp integer drift/flag forms ride out digit-identical to the
-    * batch X140 (20·|v2i−v1i| > max — no float can flip the flag), so
+    * micro-batch boundaries. Three chained stages: (0) collapse to
+    * (window, doc) — at-least-once replay of a line is absorbed here
+    * (the [[clusterSizesFeed]] discipline; every profile field is
+    * static per doc), state bounded by docs per horizon; (1) the
+    * (window, lang, source) profile dictionary — bounded by
+    * |langs|×|sources|, the columns being profiled are categorical by
+    * construction, and distinct counts NEVER run as streaming
+    * DISTINCT aggregates (unsupported, and a cardinality landmine);
+    * (2) a stateless HOF fold over the dictionary (distincts =
+    * array_distinct over the dict, the [[temperatureFeed]]
+    * discipline). The ≤6-metric unpivot and the 4dp integer
+    * drift/flag forms ride out digit-identical to the batch X140
+    * (20·|v2i−v1i| > max — no float can flip the flag), so
     * GatewaySpec pins stream ≡ the declared `q_profile_drift` rows
     * when the feed carries the batch v2 corpus against the batch v1
-    * baseline artifact in one window.
+    * baseline artifact in one window, with a replayed chunk absorbed.
     */
   def profileDriftFeed(
       lines: DataFrame,
@@ -1584,13 +1592,26 @@ object Gateway {
         col("p").getItem(4).cast("long").isNotNull)
       .select(
         timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).cast("long").as("doc_id"),
         col("p").getItem(2).as("lang"),
         col("p").getItem(3).as("source"),
         col("p").getItem(4).cast("long").as("n_chars"),
         length(col("p").getItem(5)).cast("long").as("text_len"))
       .withWatermark("ts", watermarkDelay)
-    val dict = parsed
-      .groupBy(window(col("ts"), windowDuration), col("lang"), col("source"))
+    // stage 0 — collapse to (window, doc): at-least-once replay of a
+    // line is absorbed here (every profile field is static per doc, so
+    // max is the identity on the single value), the
+    // [[clusterSizesFeed]] discipline; without it a redelivered chunk
+    // inflates every count/sum and flags spurious drift (r17 review)
+    val perDoc = parsed
+      .groupBy(window(col("ts"), windowDuration), col("doc_id"))
+      .agg(
+        max(col("lang")).as("lang"),
+        max(col("source")).as("source"),
+        max(col("n_chars")).as("n_chars"),
+        max(col("text_len")).as("text_len"))
+    val dict = perDoc
+      .groupBy(window(window_time(col("window")), windowDuration), col("lang"), col("source"))
       .agg(
         count(lit(1)).as("cnt"),
         sum(col("n_chars")).as("nc_sum"),

@@ -2459,6 +2459,8 @@ class GatewaySpec extends AnyFunSuite {
       val parts = lines.grouped(math.max(1, lines.size / 3)).toSeq
       assert(parts.size >= 3)
       parts.foreach { p => ms.addData(p: _*); q.processAllAvailable() }
+      ms.addData(parts.head: _*) // replay: absorbed by the doc collapse
+      q.processAllAvailable()
       ms.addData(s"${base + 10 * 86400} 0 xx s 1 t"); q.processAllAvailable()
       ms.addData(s"${base + 10 * 86400} 0 xx s 1 t"); q.processAllAvailable()
       val streamed = spark.table(sink)

@@ -116,6 +116,37 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(out.contains("shared AS MATERIALIZED"), "non-colliding shared CTE must still mark")
   }
 
+  test("a comma-preceded column QUALIFIER is not a table reference (r17 review)") {
+    // `COALESCE(lex.doc_id, den.doc_id)` puts `den` right after a
+    // comma — the one comma context that is NOT a FROM-list item. A
+    // single-use CTE must stay unmarked despite qualified-column hits.
+    val sql = """WITH den AS (SELECT 1 AS doc_id, 2 AS r)
+                |SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id, den.r
+                |FROM lex FULL JOIN den ON lex.doc_id = den.doc_id
+                |ORDER BY den.r, den.doc_id""".stripMargin
+    val out = OracleSql.materializeShared(sql)
+    assert(out === sql, s"qualifier hits must not mark the single-use CTE: $out")
+    // and a genuine comma FROM-list reference still counts
+    val sql2 = """WITH den AS (SELECT 1 AS x)
+                 |SELECT * FROM other, den WHERE other.x = den.x AND den.x IN (SELECT x FROM den)"""
+      .stripMargin
+    assert(OracleSql.materializeShared(sql2).contains("den AS MATERIALIZED"),
+      "comma FROM-list + subquery references must still mark")
+  }
+
+  test("a WINDOW spec sharing a shared CTE's name does not suppress its mark (r17 review)") {
+    // window names and CTE names live in separate namespaces; the
+    // defCounts shadow rule must only count QUERY-body definitions,
+    // or this legal query loses its materialization.
+    val sql = """WITH w AS (SELECT 1 AS x)
+                |SELECT sum(x) OVER w AS s, b.x FROM w JOIN w b USING (x)
+                |WINDOW w AS (PARTITION BY x)""".stripMargin
+    val out = OracleSql.materializeShared(sql)
+    assert(out.contains("WITH w AS MATERIALIZED (SELECT 1"),
+      s"the shared CTE must still mark beside a same-named window spec: $out")
+    assert(out.contains("WINDOW w AS (PARTITION BY"), "the window spec itself must stay unmarked")
+  }
+
   test("a multiply-referenced CTE is still marked when a comment precedes it") {
     val sql = """WITH a AS (SELECT 1 AS x), -- shared 'twice'
                 |b AS (SELECT x FROM a), c AS (SELECT x FROM a)
