@@ -98,6 +98,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CdcChunks(children(0))))
+    // X67 hashed-feature classifier scan: text -> (score6, n_feats)
+    // in one native loop with a per-JVM bucket-weight table (the
+    // CdcChunks argument; this is the gate-scored hot path)
+    ext.injectFunction((
+      FunctionIdentifier("graft_clf_score"),
+      new ExpressionInfo(classOf[ClfScore].getName, "graft_clf_score"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ClfScore(children(0))))
     // one-pass SimHash majority-vote sketch
     ext.injectFunction((
       FunctionIdentifier("graft_simhash_sketch"),

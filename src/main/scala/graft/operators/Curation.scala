@@ -974,7 +974,32 @@ object Curation {
     * arrays ride in argument position, lambdas reference only their
     * own variables.
     */
-  private[graft] def withClfColumns(df: DataFrame): DataFrame = {
+  /** Production path: the native [[graft.functions.ClfScore]] loop —
+    * one call per row, no feature-array materialization, the outer
+    * digest amortized into a per-JVM 64-entry weight table (r17; the
+    * HOF form below was the costliest in-row work in the engine —
+    * the gate-scored memo build every audit-family query and three
+    * streaming feeds pay). CurationSpec pins native ≡ HOF
+    * column-for-column on the corpus at two SFs, and the DuckDB
+    * oracle replays the HOF form's arithmetic relationally, so all
+    * three derivations certify each other.
+    */
+  private[graft] def withClfColumns(df: DataFrame): DataFrame =
+    df
+      .withColumn("__clf", call_function("graft_clf_score", col("text")))
+      .withColumn("clf_n_feats", col("__clf.n_feats"))
+      .withColumn("clf_score6", col("__clf.score6"))
+      .withColumn("clf_logit6",
+        (when(col("clf_score6") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("abs(clf_score6) div clf_n_feats")).cast("long"))
+      .withColumn("clf_keep", (col("clf_score6") >= 0).cast("boolean"))
+      .drop("__clf")
+
+  /** The declarative HOF twin, kept as the parity reference the spec
+    * compares the native expression against (and the shape the oracle
+    * SQL mirrors).
+    */
+  private[graft] def withClfColumnsHof(df: DataFrame): DataFrame = {
     val w6OfF =
       "CAST(conv(substring(md5(concat('qw', CAST(" +
         s"CAST(conv(substring(md5(f), 1, 8), 16, 10) AS BIGINT) % $clfBuckets" +

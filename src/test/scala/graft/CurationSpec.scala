@@ -1464,6 +1464,35 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_clf_score: the native classifier scan == the HOF form column-for-column (r17)") {
+    // The gate-scored hot path moved to a native expression; the
+    // declarative HOF twin stays as the parity reference (and the
+    // shape the DuckDB oracle replays). Equality must hold on the
+    // real corpus at two SFs AND on the split-semantics edges (empty
+    // text, consecutive/trailing spaces, multi-byte chars) where a
+    // tokenizer divergence would hide.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    assert(graft.functions.ClfScore.buckets.toLong === graft.operators.Curation.clfBuckets,
+      "bucket constants drifted between the native expression and the operator")
+    def cols(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("clf_n_feats"), col("clf_score6"),
+        col("clf_logit6"), col("clf_keep"))
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val nat = cols(graft.operators.Curation.withClfColumns(d))
+      val hof = cols(graft.operators.Curation.withClfColumnsHof(d))
+      assert(nat.nonEmpty && nat === hof, s"native clf scan diverges from the HOF form at $dir")
+      assert(nat.exists(_._5) && nat.exists(!_._5), s"vacuous: one keep class absent at $dir")
+    }
+    val edge = Seq((1L, ""), (2L, " "), (3L, "a"), (4L, "a b"), (5L, "a  b "), (6L, "é ü x"))
+      .toDF("doc_id", "text")
+    assert(cols(graft.operators.Curation.withClfColumns(edge)) ===
+      cols(graft.operators.Curation.withClfColumnsHof(edge)),
+      "split-semantics edges diverge between native and HOF")
+  }
+
   test("q_unimax: iterative waterfilling recount at two SFs; fixtures drive all-capped, remainder and ties") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
