@@ -131,12 +131,53 @@ object OracleSql {
       }
       j < m.length && m.charAt(j) == '('
     }
+    // A comma-preceded match is a table reference ONLY when that comma
+    // belongs to a FROM list (r18 ADVICE: a SELECT-list bare column,
+    // GROUP BY item, or function argument like `greatest(a, den)` also
+    // sits right after a comma and was spuriously marking single-use
+    // CTEs MATERIALIZED — the measured perf-cliff over-marking class).
+    // Decide by walking BACKWARD at the match's paren depth: the
+    // nearest depth-0 clause keyword settles it — FROM accepts, any
+    // expression-clause head (SELECT/BY/HAVING/CASE arms/…) rejects;
+    // ON and USING are *continue* tokens because a depth-0 comma after
+    // a join condition is back in the FROM list (`JOIN c USING (x),
+    // a`), while a bare depth-0 comma INSIDE those clauses is not
+    // legal SQL. Crossing an unmatched `(` first means the comma
+    // separates call arguments or a nested expression list — reject
+    // (balanced parens, e.g. a FROM-list subquery, are skipped whole).
+    // Both residual miss classes stay perf-only under the mandatory
+    // slow-oracle gate in tools/check.py.
+    val clauseReject = Set("SELECT", "WHERE", "BY", "HAVING",
+      "WHEN", "THEN", "ELSE", "CASE", "IN", "VALUES", "SET",
+      "WINDOW", "LIMIT", "OVER", "RETURNING")
+    def commaInFromList(pos: Int): Boolean = {
+      var j = pos - 1
+      var depth = 0
+      while (j >= 0) {
+        val c = m.charAt(j)
+        if (c == ')') depth += 1
+        else if (c == '(') {
+          if (depth == 0) return false
+          depth -= 1
+        } else if (depth == 0 && (c.isLetterOrDigit || c == '_')) {
+          val end = j
+          while (j >= 0 && { val ch = m.charAt(j); ch.isLetterOrDigit || ch == '_' }) j -= 1
+          val tok = m.substring(j + 1, end + 1).toUpperCase
+          if (tok == "FROM") return true
+          if (clauseReject.contains(tok)) return false
+          j += 1 // identifier/alias/number: keep walking past it
+        }
+        j -= 1
+      }
+      false
+    }
     val word = ("""(?i)\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
     word.findAllMatchIn(m).collect {
       case mt if {
         val pt = prevToken(mt.start)
         val qualifier = mt.end < m.length && m.charAt(mt.end) == '.'
-        (pt.equalsIgnoreCase("FROM") || pt.equalsIgnoreCase("JOIN") || pt == ",") &&
+        (pt.equalsIgnoreCase("FROM") || pt.equalsIgnoreCase("JOIN") ||
+          (pt == "," && commaInFromList(mt.start))) &&
         !qualifier && !isDefinitionSite(mt.end)
       } => mt.start
     }.toSeq

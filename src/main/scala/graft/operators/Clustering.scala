@@ -927,15 +927,18 @@ object Clustering {
     * total order (lift4 DESC, c_ct DESC, token ASC) — deterministic
     * on both engines. Scale: ONE exchange collapses token
     * occurrences to the (cell, token) dictionary with map-side
-    * partials; marginals broadcast; the top-3 window runs over that
-    * dictionary only (the "window over aggregate, never the corpus"
-    * rule). ClusteringSpec recounts sequentially off the oracle-green
-    * assignment + raw text at two SFs.
+    * partials; marginals broadcast; the corpus token total is a
+    * one-row scalar aggregate over the ≤K-cell dictionary,
+    * cross-joined back as a broadcast (the Search.scala tfidf
+    * pattern) — never an empty-partition window over the vocab-sized
+    * perTok, which at 100× would drag a 10⁸–10⁹-row web vocabulary
+    * onto one task (r17 VERDICT #1); the top-3 window runs over the
+    * (cell, token) dictionary only (the "window over aggregate,
+    * never the corpus" rule). ClusteringSpec recounts sequentially
+    * off the oracle-green assignment + raw text at two SFs.
     */
   private def cellLabels(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wAll = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cells = graft.Tables(s, dir, "embeddings")
       .select(col("vec_id").as("doc_id"),
         bestCentroid(s, dir).getField("cid").cast("long").as("cid"))
@@ -944,12 +947,17 @@ object Clustering {
       .join(cells, "doc_id")
       .groupBy(col("cid"), col("tok")).agg(count(lit(1)).as("c_ct"))
     val perCell = toks.groupBy(col("cid")).agg(sum(col("c_ct")).as("n_c"))
+    // Σ n_c over the ≤K-cell dictionary == the corpus token total;
+    // deriving it here (not from perTok) keeps the extra aggregate
+    // input K rows, and the shared toks exchange is reused across
+    // all three consumers
+    val total = perCell.agg(sum(col("n_c")).as("n"))
     val perTok = toks.groupBy(col("tok")).agg(sum(col("c_ct")).as("c_t"))
-      .withColumn("n", sum(col("c_t")).over(wAll))
     val ranked = toks
       .filter(col("c_ct") >= cellLabelMinCount)
       .join(broadcast(perCell), "cid")
       .join(perTok, "tok")
+      .crossJoin(broadcast(total))
       .withColumn("lift4", expr(
         """CAST((20000 * CAST(c_ct AS DECIMAL(38,0)) * n
           |       + CAST(n_c AS DECIMAL(38,0)) * c_t)

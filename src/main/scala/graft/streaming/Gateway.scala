@@ -727,13 +727,25 @@ object Gateway {
     val cells = perUser
       .groupBy(window(window_time(col("window")), windowDuration), col("variant"))
       .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
-    cells
+    abVerdict(cells
       .groupBy(window(window_time(col("window")), windowDuration))
       .agg(
         sum(when(col("variant") === 0, col("n_conv")).otherwise(0L)).as("a"),
         sum(when(col("variant") === 0, col("n_users") - col("n_conv")).otherwise(0L)).as("b"),
         sum(when(col("variant") === 1, col("n_conv")).otherwise(0L)).as("c"),
-        sum(when(col("variant") === 1, col("n_users") - col("n_conv")).otherwise(0L)).as("d"))
+        sum(when(col("variant") === 1, col("n_users") - col("n_conv")).otherwise(0L)).as("d")))
+  }
+
+  /** [[abFeed]]'s post-fold verdict algebra over a (window, a, b, c,
+    * d) frame, factored so GatewaySpec can FORGE the 2×2 counts past
+    * the decimal bound: the count-driven intermediates need ~10⁷
+    * users per cell to overflow, which no unit test can plant through
+    * the feed as rows — but the guard's whole point is that corner,
+    * so the spec drives the identical expressions with forged cells
+    * (the same pattern as factoring qteOf for hand-ranked fixtures).
+    */
+  private[graft] def abVerdict(folded: DataFrame): DataFrame = {
+    folded
       .withColumn("n", col("a") + col("b") + col("c") + col("d"))
       .withColumn("num", expr(
         """CAST(n AS DECIMAL(38,0)) *
@@ -747,6 +759,25 @@ object Gateway {
         expr("CAST((20000 * a + (a + b)) DIV (2 * (a + b)) AS BIGINT)")))
       .withColumn("r1", when(col("c") + col("d") === 0, lit(0L)).otherwise(
         expr("CAST((20000 * c + (c + d)) DIV (2 * (c + d)) AS BIGINT)")))
+      // the SCALED verdict/χ² intermediates named as columns so the
+      // overflow guard can test THEM for NULL (the cupedFeed
+      // adj0_i/theta_i pattern): 10000·num, 38415·den and
+      // 20000·num + den need ~4 more digits than num/den themselves,
+      // so around 1e7–7e7 users/window they can overflow while
+      // num/den still fit — a guard keyed on num/den alone read that
+      // corner as a confident significant = 0 with overflow = 0
+      // (r18 ADVICE; only chi2 going NULL hinted at it)
+      .withColumn("chi2_i",
+        when(col("num").isNull || col("den").isNull, lit(null).cast("long"))
+          .when(col("den") === 0, lit(0L))
+          .otherwise(expr("CAST((20000 * num + den) DIV (2 * den) AS BIGINT)")))
+      .withColumn("sig_lhs", expr("10000 * num"))
+      .withColumn("sig_rhs", expr("38415 * den"))
+      .withColumn("sig_i",
+        when(col("sig_lhs").isNull || col("sig_rhs").isNull || col("chi2_i").isNull,
+          lit(null).cast("long"))
+          .when(col("den") === 0, lit(0L))
+          .otherwise(when(col("sig_lhs") > col("sig_rhs"), 1L).otherwise(0L)))
       .select(
         col("window.start").as("window_start"),
         (col("a") + col("b")).cast("long").as("users_0"),
@@ -756,17 +787,10 @@ object Gateway {
         (col("r0") / lit(10000.0)).as("rate_0"),
         (col("r1") / lit(10000.0)).as("rate_1"),
         (abs(col("r0") - col("r1")) / lit(10000.0)).as("rate_diff"),
-        when(col("den") === 0, lit(0.0)).otherwise(
-          expr("CAST((20000 * num + den) DIV (2 * den) AS BIGINT)") / lit(10000.0)).as("chi2"),
-        // overflow (NULL num/den) must surface as NULL, never as a
-        // confident-looking 0 — the r17 review caught the bare CASE
-        // falling to ELSE 0 when its WHEN condition evaluated NULL
-        when(col("num").isNull || col("den").isNull, lit(null).cast("long"))
-          .when(col("den") === 0, lit(0L))
-          .otherwise(
-            expr("CAST(CASE WHEN 10000 * num > 38415 * den THEN 1 ELSE 0 END AS BIGINT)"))
-          .as("significant"),
-        when(col("num").isNull || col("den").isNull, 1L).otherwise(0L).as("overflow"))
+        (col("chi2_i") / lit(10000.0)).as("chi2"),
+        col("sig_i").as("significant"),
+        when(col("sig_i").isNull || col("chi2_i").isNull, 1L).otherwise(0L)
+          .as("overflow"))
   }
 
   /** Streaming X142 — windowed CUPED readout (`cupedFeed`): the
@@ -890,7 +914,14 @@ object Gateway {
       .withColumn("adj1_i", expr(meanAdj(1)))
       .withColumn("theta_i", expr(sq4("cov_n", "var_n")))
       .withColumn("vr_i",
-        when(col("var_n") === 0 || col("vary_n") === 0, lit(0L))
+        // NULL must short-circuit BEFORE the 0-arm: NULL OR TRUE is
+        // TRUE, so an overflowed var_n paired with vary_n = 0 would
+        // otherwise read var_reduction = 0.0 on a row whose overflow
+        // flag is 1 — the silent-zero class the contract bans
+        // (r18 ADVICE)
+        when(col("var_n").isNull || col("vary_n").isNull,
+          lit(null).cast("long"))
+          .when(col("var_n") === 0 || col("vary_n") === 0, lit(0L))
           .otherwise(expr(
             """CAST((20000 * cov_n * cov_n + var_n * vary_n)
               |  DIV (2 * var_n * vary_n) AS BIGINT)""".stripMargin)))
@@ -1138,26 +1169,37 @@ object Gateway {
     * in Spark expressions (the same `round(1e6·(2^rel−1)/log2(rk+1))`
     * composition as the batch side).
     *
-    * Execution: the [[skewFeed]] two-stage chain — (1) per
-    * (window, rank) the max grade seen (state bounded by 20 rank
-    * slots per window; at-least-once replay of an impression is
-    * absorbed by the max), (2) the ≤20-row dictionary collapses to
-    * one sorted array per window, and the K-ladder is stateless HOF
+    * Execution: the [[abFeed]] three-stage chain — (1) per
+    * (window, rank, doc) the max grade seen (replay absorbed by the
+    * max), (2) per (window, rank) the impression count / hit count /
+    * Σ gain-term fold, (3) the ≤20-row dictionary collapses to one
+    * sorted array per window, and the K-ladder is stateless HOF
     * algebra over it (GatewaySpec pins stream ≡ the batch
     * `q_rank_eval` rows on the same judged ranking).
     *
-    * Multi-impression inflation (r16 ADVICE — a documented bias, not
-    * a bug): the max(rel) reduction is what absorbs replay, but it
-    * cannot tell a REPLAYED impression from two DISTINCT documents
-    * genuinely served at the same rank inside one window — the
-    * higher grade wins, so on a feed where a rank slot serves
-    * multiple documents per window the live nDCG/P@K reads as good
-    * as the BEST document shown there, i.e. an upper bound on any
-    * single ranking actually served. The dial is exact when the log
-    * is one judged ranking per window (the batch `q_rank_eval`
-    * contract GatewaySpec pins); a log that carries a doc id should
-    * key stage 1 by (rank, doc) and reduce replay per document
-    * instead.
+    * Multi-impression handling (r16 ADVICE → closed structurally
+    * r18): lines may carry an optional 4th token, the served
+    * document's id (`epoch_sec rank rel doc`). Stage 1 keys state by
+    * (rank, doc), so REPLAY of an impression is still absorbed by
+    * max(rel) — but two DISTINCT documents genuinely served at the
+    * same rank in one window now score as two impressions: stage 2
+    * folds each rank slot to its impression count, relevant-hit
+    * count, and the Σ of per-document 6dp gain terms, and the
+    * K-ladder uses the per-rank AVERAGE (exact HALF_UP rationals —
+    * (2·Σt6 + c) div (2c), which degenerates to the single term when
+    * c = 1), so live nDCG/P@K read as the impression-weighted
+    * quality of the traffic actually served, never the best document
+    * shown (the upper-bound bias the r16 review flagged). Id-less
+    * logs parse doc = "" — every impression at a rank shares one
+    * state slot and the old max(rel) reduction applies verbatim, so
+    * the dial stays digit-exact vs the batch `q_rank_eval` on one
+    * judged ranking per window (GatewaySpec pins both: the parity
+    * fixture and a two-docs-at-one-rank window averaging, not
+    * maxing). MRR keeps min-rank-of-any-rel-3 — for interleaved
+    * traffic it is a best-case dial by definition (documented, not
+    * averaged: reciprocal rank has no per-slot decomposition).
+    * State bound: 20 rank slots × distinct docs served per slot per
+    * window (exactly 20 for id-less logs).
     */
   def rankEvalFeed(
       lines: DataFrame,
@@ -1194,28 +1236,54 @@ object Gateway {
       .select(
         timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
         col("p").getItem(1).cast("long").as("rk"),
-        col("p").getItem(2).cast("long").as("rel"))
+        col("p").getItem(2).cast("long").as("rel"),
+        // optional doc id: id-less logs collapse each rank slot to
+        // ONE state key ("") — the pre-r18 max(rel) semantics exactly
+        // (get(), not getItem: a missing 4th token must read NULL,
+        // not throw under ANSI mode)
+        coalesce(get(col("p"), lit(3)), lit("")).as("doc"))
       .filter(col("rk") >= 1L && col("rk") <= ks.max.toLong &&
         col("rel") >= 0L && col("rel") <= 3L)
       .withWatermark("ts", watermarkDelay)
     parsed
-      .groupBy(window(col("ts"), windowDuration), col("rk"))
+      .groupBy(window(col("ts"), windowDuration), col("rk"), col("doc"))
       .agg(max(col("rel")).as("rel"))
+      // per rank slot: impressions served, relevant hits, Σ of the
+      // per-document 6dp gain terms, and the best grade (for MRR)
+      .groupBy(window(window_time(col("window")), windowDuration), col("rk"))
+      .agg(
+        count(lit(1)).as("c"),
+        sum(when(col("rel") >= 2, 1L).otherwise(0L)).as("hit_c"),
+        sum(expr(t6("rk", "rel"))).as("sum_t6"),
+        max(col("rel")).as("max_rel"))
       .groupBy(window(window_time(col("window")), windowDuration))
-      .agg(collect_list(struct(col("rk"), col("rel"))).as("a0"))
+      .agg(collect_list(struct(col("rk"), col("c"), col("hit_c"),
+        col("sum_t6"), col("max_rel"))).as("a0"))
       .select(
         col("window.start").as("window_start"),
         expr("sort_array(a0)").as("arr"),
         explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
-      .withColumn("hits", expr("size(filter(arr, e -> e.rk <= k AND e.rel >= 2))").cast("long"))
-      .withColumn("dcg6", expr(dcg6("arr")))
+      // Σ over ranks ≤ k of the per-rank relevant-impression SHARE,
+      // 6dp HALF_UP ((2e6·hit_c + c) div 2c == 1e6·hit when c = 1)
+      .withColumn("hits6", expr(
+        """aggregate(filter(arr, e -> e.rk <= k), CAST(0 AS BIGINT),
+          |  (a, e) -> a + ((2000000 * e.hit_c + e.c) DIV (2 * e.c)))"""
+          .stripMargin))
+      // Σ over ranks ≤ k of the per-rank AVERAGE gain term, same
+      // exact-rational form ((2·Σt6 + c) div 2c == the term at c = 1)
+      .withColumn("dcg6", expr(
+        """aggregate(filter(arr, e -> e.rk <= k), CAST(0 AS BIGINT),
+          |  (a, e) -> a + ((2 * e.sum_t6 + e.c) DIV (2 * e.c)))"""
+          .stripMargin))
       .withColumn("idcg6", expr(dcg6(idealLit)))
       .withColumn("r1",
-        expr("array_min(transform(filter(arr, e -> e.rel = 3), e -> e.rk))"))
+        expr("array_min(transform(filter(arr, e -> e.max_rel = 3), e -> e.rk))"))
       .select(
         col("window_start"),
         col("k"),
-        (expr("CAST((20000 * hits + k) DIV (2 * k) AS BIGINT)")
+        // (2·hits6 + 100k) div 200k == the old (20000·hits + k) div 2k
+        // when every rank served one impression — digit-exact parity
+        (expr("CAST((2 * hits6 + 100 * k) DIV (200 * k) AS BIGINT)")
           / lit(10000.0)).as("p_at_k"),
         when(col("idcg6") === 0, lit(0.0)).otherwise(
           expr("CAST((20000 * dcg6 + idcg6) DIV (2 * idcg6) AS BIGINT)")

@@ -73,4 +73,32 @@ class EntrySpec extends AnyFunSuite {
       Sql.registerQueries(spark, dir, Set("no_such_query"))
     }
   }
+
+  test("SQL front-end at surface scale: the FULL declared surface registers as views " +
+    "and a cross-family sample answers through spark.sql (r17 VERDICT #6)") {
+    // registerQueries takes a name filter because view CONSTRUCTION
+    // is real work for the few operators that probe data while
+    // building plans (k-means centroid reads, the CC fixpoint, BPE
+    // merge loops) — but the front-end claim is the whole surface,
+    // not 3 representatives. Registering all 205 is bounded by the
+    // shared memo caches (Dedup.cachedIndex and friends), so this
+    // must complete and every declared name must resolve as a view;
+    // a 5-query cross-family sample is then answered via spark.sql
+    // and checked against the Scala API.
+    val spark = SparkFixture.spark
+    val dir = "/root/testdata/sf0.001"
+    Sql.registerTables(spark, dir)
+    Sql.registerQueries(spark, dir, SparkEntry.queries.keySet)
+    val registered = spark.catalog.listTables().collect().map(_.name).toSet
+    val missing = SparkEntry.queries.keySet.filterNot(registered.contains)
+    assert(missing.isEmpty, s"declared queries missing from the view catalog: $missing")
+    // one per family: relational agg, dedup, ANN, text, curation
+    for (name <- Seq("q_agg_q1", "q_dedup_minhash", "q_sim_bucketed",
+        "q_lang_id", "q_mix_weights")) {
+      val viaSql = spark.sql(s"SELECT * FROM $name").collect().map(_.toSeq).toSeq
+      val viaApi = SparkEntry.queries(name)(spark, dir).collect().map(_.toSeq).toSeq
+      assert(viaApi.nonEmpty, s"$name: vacuous pin")
+      assert(viaSql === viaApi, s"$name: view result diverges from the Scala API")
+    }
+  }
 }

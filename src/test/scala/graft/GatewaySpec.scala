@@ -2511,43 +2511,48 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming UniMax dial: per-window waterfilling, stream == batch q_unimax; replay absorbed") {
+  test("streaming UniMax dial: per-window waterfilling, stream == batch q_unimax at two " +
+    "SFs; replay absorbed") {
     // Streaming X156: the whole corpus in one event-time window, split
     // across three micro-batches with an at-least-once replay of the
     // first chunk (absorbed by the per-(window, lang, doc) collapse) —
     // the feed's per-window allocation table must equal the declared
     // batch waterfilling digit-for-digit (the HOF closed form vs the
-    // batch analytic-window closed form certify each other).
+    // batch analytic-window closed form certify each other). Two SFs
+    // like the rest of the dial roster (r17 VERDICT #8): the sf0.01
+    // corpus realizes a different cap/uncapped split than sf0.001.
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val dir = "/root/testdata/sf0.001"
-    val docs = Tables(spark, dir, "documents").select("doc_id", "lang", "text")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    val base = 1700000000L
-    val lines = docs.map { case (id, l, t) => s"$base $id $l $t" }.toSeq
-    val ms = MemoryStream[String]
-    val sink = s"unimax_feed_${System.nanoTime()}"
-    val q = Gateway.unimaxFeed(ms.toDF(), windowDuration = "1 day", watermarkDelay = "1 hour")
-      .writeStream.format("memory").queryName(sink).outputMode("append").start()
-    try {
-      val parts = lines.grouped(math.max(1, lines.size / 3)).toSeq
-      assert(parts.size >= 3)
-      parts.foreach { p => ms.addData(p: _*); q.processAllAvailable() }
-      ms.addData(parts.head: _*) // replay: absorbed by the doc collapse
-      q.processAllAvailable()
-      ms.addData(s"${base + 10 * 86400} 0 xx t"); q.processAllAvailable()
-      ms.addData(s"${base + 10 * 86400} 0 xx t"); q.processAllAvailable()
-      val streamed = spark.table(sink)
-        .filter(unix_seconds(col("window_start")) === (base / 86400) * 86400)
-        .select(col("lang"), col("n_tokens"), col("capacity"), col("allocation"),
-          col("epochs"), col("capped"), col("budget"), col("unallocated"))
-        .as[(String, Long, Long, Long, Double, Long, Long, Long)].collect().toSet
-      val batch = SparkEntry.queries("q_unimax")(spark, dir)
-        .as[(String, Long, Long, Long, Double, Long, Long, Long)].collect().toSet
-      assert(batch.nonEmpty && batch.exists(_._6 == 1L) && batch.exists(_._6 == 0L),
-        "vacuous: batch waterfilling must realize both branches")
-      assert(streamed === batch, "UniMax dial stream diverges from the batch allocation")
-    } finally q.stop()
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables(spark, dir, "documents").select("doc_id", "lang", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val base = 1700000000L
+      val lines = docs.map { case (id, l, t) => s"$base $id $l $t" }.toSeq
+      val ms = MemoryStream[String]
+      val sink = s"unimax_feed_${System.nanoTime()}"
+      val q = Gateway.unimaxFeed(ms.toDF(), windowDuration = "1 day", watermarkDelay = "1 hour")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        val parts = lines.grouped(math.max(1, lines.size / 3)).toSeq
+        assert(parts.size >= 3)
+        parts.foreach { p => ms.addData(p: _*); q.processAllAvailable() }
+        ms.addData(parts.head: _*) // replay: absorbed by the doc collapse
+        q.processAllAvailable()
+        ms.addData(s"${base + 10 * 86400} 0 xx t"); q.processAllAvailable()
+        ms.addData(s"${base + 10 * 86400} 0 xx t"); q.processAllAvailable()
+        val streamed = spark.table(sink)
+          .filter(unix_seconds(col("window_start")) === (base / 86400) * 86400)
+          .select(col("lang"), col("n_tokens"), col("capacity"), col("allocation"),
+            col("epochs"), col("capped"), col("budget"), col("unallocated"))
+          .as[(String, Long, Long, Long, Double, Long, Long, Long)].collect().toSet
+        val batch = SparkEntry.queries("q_unimax")(spark, dir)
+          .as[(String, Long, Long, Long, Double, Long, Long, Long)].collect().toSet
+        assert(batch.nonEmpty && batch.exists(_._6 == 1L) && batch.exists(_._6 == 0L),
+          s"vacuous at $dir: batch waterfilling must realize both branches")
+        assert(streamed === batch,
+          s"UniMax dial stream diverges from the batch allocation at $dir")
+      } finally q.stop()
+    }
   }
 
   test("streaming rank-eval monitor: per-window P@K/nDCG/MRR, stream == batch q_rank_eval") {
@@ -2591,6 +2596,71 @@ class GatewaySpec extends AnyFunSuite {
       // the eval must discriminate: some ndcg digit below 1.0
       assert(streamed.exists(r => r._3 > 0.0 && r._3 < 1.0),
         "vacuous: nDCG saturated — the grade no longer differentiates inside the top-20")
+    } finally q.stop()
+  }
+
+  test("rankEvalFeed (rank, doc) state: two distinct docs at one rank score as two " +
+    "impressions (averaged, never maxed); per-doc replay still collapses (r16 ADVICE, r18)") {
+    // The structural close of the multi-impression inflation: a log
+    // carrying doc ids keys stage-1 state by (rank, doc), so a replay
+    // of docA at rank 1 is absorbed by max(rel) while docB genuinely
+    // served at rank 1 counts as a second impression — the K-ladder
+    // then reads the per-rank AVERAGE (exact HALF_UP rationals), so
+    // live quality is the traffic actually served, not the best
+    // document shown. Expectations are a sequential recount with a
+    // HAND-DERIVED ideal ladder for the fixture histogram.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1700000000L
+    val relHist = Seq((3L, 1L), (2L, 4L), (1L, 10L), (0L, 30L))
+    val lines = Seq(
+      s"$base 1 3 docA", s"$base 1 1 docB", s"$base 1 3 docA", // 2 docs + replay at rank 1
+      s"$base 2 2 docC", s"$base 3 1 docD", s"$base 4 0 docE", s"$base 5 2 docF")
+    val ms = MemoryStream[String]
+    val sink = s"rankeval_docs_${System.nanoTime()}"
+    val q = Gateway.rankEvalFeed(ms.toDF(), relHist, "1 day", "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      ms.addData(lines: _*); q.processAllAvailable()
+      ms.addData(s"${base + 10 * 86400} 1 0 flush"); q.processAllAvailable()
+      ms.addData(s"${base + 10 * 86400} 1 0 flush2"); q.processAllAvailable()
+      val streamed = spark.table(sink)
+        .filter(unix_seconds(col("window_start")) === (base / 86400) * 86400)
+        .select(col("k"), col("p_at_k"), col("ndcg"), col("mrr"))
+        .as[(Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // sequential recount: per-rank deduped (rank, doc) -> max(rel)
+      val perRank = Map(1L -> Seq(3L, 1L), 2L -> Seq(2L), 3L -> Seq(1L),
+        4L -> Seq(0L), 5L -> Seq(2L))
+      def t6(rk: Long, rel: Long): Long =
+        math.round(1000000.0 * ((1L << rel) - 1).toDouble /
+          (math.log(rk + 1.0) / math.log(2.0)))
+      def avg(sum: Long, c: Long): Long = (2 * sum + c) / (2 * c)
+      // hand-derived ideal from the histogram (cum >=: 3->1, 2->5,
+      // 1->15, 0->45): rank 1 grade 3, ranks 2..5 grade 2,
+      // ranks 6..15 grade 1, 16..20 grade 0
+      def idealRel(rk: Long): Long =
+        if (rk == 1) 3 else if (rk <= 5) 2 else if (rk <= 15) 1 else 0
+      val expected = Seq(5L, 10L, 20L).map { k =>
+        val ranks = perRank.filter(_._1 <= k)
+        val hits6 = ranks.values.map(ds => avg(1000000L * ds.count(_ >= 2), ds.size)).sum
+        val dcg6 = ranks.map { case (rk, ds) => avg(ds.map(t6(rk, _)).sum, ds.size) }.sum
+        val idcg6 = (1L to math.min(k, 20L)).map(rk => t6(rk, idealRel(rk))).sum
+        val p = ((2 * hits6 + 100 * k) / (200 * k)) / 10000.0
+        val ndcg = ((20000 * dcg6 + idcg6) / (2 * idcg6)) / 10000.0
+        k -> ((p, ndcg, 1.0)) // rel-3 doc sits at rank 1 -> MRR 1.0
+      }.toMap
+      assert(streamed.keySet === expected.keySet)
+      expected.foreach { case (k, (p, ndcg, mrr)) =>
+        assert(streamed(k) === ((p, ndcg, mrr)), s"k=$k: ${streamed(k)} != ($p, $ndcg, $mrr)")
+      }
+      // non-vacuity: the average genuinely moved vs the pre-r18 max
+      // reduction (rank-1 term 4e6, not 7e6), so k=5 nDCG must sit
+      // strictly below the max-based recount
+      val dcgMax6 = perRank.map { case (rk, ds) => t6(rk, ds.max) }.sum
+      val idcg5 = (1L to 5L).map(rk => t6(rk, idealRel(rk))).sum
+      assert(expected(5L)._2 < ((20000 * dcgMax6 + idcg5) / (2 * idcg5)) / 10000.0,
+        "vacuous fixture: averaging did not move the dial vs max(rel)")
     } finally q.stop()
   }
 
@@ -2908,6 +2978,69 @@ class GatewaySpec extends AnyFunSuite {
       "1 day", "1 hour")
       .select(col("overflow")).as[Long].collect()
     assert(ab.nonEmpty && ab.forall(_ == 0L), "abFeed healthy path must read overflow=0")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+  }
+
+  test("abVerdict scaled-intermediate overflow: forged 1e7-user cells where num/den FIT but " +
+    "10000·num does not read overflow=1 + NULL verdict, never significant=0 (r18 ADVICE)") {
+    // The r17 guard keyed on num/den alone; the verdict's scaled
+    // forms (10000·num, 38415·den, 20000·num + den) need ~4 more
+    // digits, so around 1e7 users/cell they NULL while num/den still
+    // fit — and the bare CASE then fell to ELSE 0: a confident
+    // "not significant" on an overflowed row. Counts this large
+    // cannot be planted as rows, so the factored abVerdict runs the
+    // identical expressions on forged 2×2 cells. a = d = 1e7,
+    // b = c = 0: num = 2e7·(1e14)² = 2e35 (fits 38 digits),
+    // 10000·num = 2e39 (does not) — the exact corner.
+    import spark.implicits._
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val forged = Seq(
+        (0L, 10000000L, 0L, 0L, 10000000L), // scaled-form overflow
+        (86400L, 30L, 70L, 60L, 40L))       // healthy strong effect
+        .toDF("w", "a", "b", "c", "d")
+        .withColumn("window", struct(timestamp_seconds(col("w")).as("start")))
+        .drop("w")
+      val out = Gateway.abVerdict(forged)
+        .select(unix_seconds(col("window_start")), col("chi2"),
+          col("significant"), col("overflow"))
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(1)), Option(r.get(2)), r.getLong(3)))).toMap
+      val (ovfl, ok) = (out(0L), out(86400L))
+      assert(ovfl._3 === 1L, s"scaled-form overflow must flag overflow=1: $ovfl")
+      assert(ovfl._1.isEmpty && ovfl._2.isEmpty,
+        s"overflowed chi2/significant must be NULL, never a confident 0: $ovfl")
+      assert(ok._3 === 0L && ok._2.contains(1L) &&
+        ok._1.exists(_.asInstanceOf[Double] > 3.8415),
+        s"healthy cells must stay significant with overflow=0: $ok")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+  }
+
+  test("cupedFeed var_reduction NULL short-circuit: overflowed var_n with a degenerate " +
+    "vary_n = 0 reads NULL, never a silent 0.0 (r18 ADVICE)") {
+    // NULL OR TRUE = TRUE: the old `when(var_n === 0 || vary_n === 0,
+    // 0L)` hit its 0-arm when var_n was NULL (overflow) and vary_n
+    // was genuinely 0 — var_reduction showed 0.0 on a row whose
+    // overflow flag is 1. Plant exactly that window: three users,
+    // covariates ±4e18 (n·sxx ≈ 1.44e38 blows 38 digits → var_n
+    // NULL) and a CONSTANT outcome (vary_n = 0 exactly).
+    import spark.implicits._
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val base = 1700000000L
+      val big = 4000000000000000000L
+      val lines = Seq(
+        s"$base 0 1 $big 1",
+        s"${base + 1} 1 2 ${-big} 1",
+        s"${base + 2} 0 3 $big 1")
+      val out = Gateway.cupedFeed(lines.toDF("value"), "1 day", "1 hour")
+        .select(col("var_reduction"), col("overflow")).collect()
+      assert(out.length === 1)
+      assert(out.head.getLong(1) === 1L, "planted window must flag overflow=1")
+      assert(out.head.isNullAt(0),
+        "var_reduction must be NULL on the overflowed row, not a silent 0.0")
     } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
   }
 

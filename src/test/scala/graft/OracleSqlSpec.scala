@@ -134,6 +134,28 @@ class OracleSqlSpec extends AnyFunSuite {
       "comma FROM-list + subquery references must still mark")
   }
 
+  test("a comma-preceded expression-context hit is not a table reference (r18 ADVICE)") {
+    // A SELECT-list bare column, a GROUP BY item, and a function
+    // argument all sit right after a comma; none is a FROM-list item.
+    // A single-use CTE must stay unmarked through all three (the
+    // spurious mark is semantics-safe but the measured perf-cliff
+    // over-marking class).
+    val sql = """WITH den AS (SELECT 1 AS den)
+                |SELECT a, den, greatest(a, den) AS g
+                |FROM t JOIN den USING (den)
+                |GROUP BY a, den""".stripMargin
+    val out = OracleSql.materializeShared(sql)
+    assert(out === sql, s"expression-context hits must not mark the single-use CTE: $out")
+    // a FROM-list comma ref after a USING join still counts (ON and
+    // USING are continue-tokens in the backward clause scan: a
+    // depth-0 comma after a join condition is back in the FROM list)
+    val sql2 = """WITH den AS (SELECT 1 AS x)
+                 |SELECT * FROM o JOIN t USING (x), den WHERE t.y IN (SELECT x FROM den)"""
+      .stripMargin
+    assert(OracleSql.materializeShared(sql2).contains("den AS MATERIALIZED"),
+      "comma FROM-list ref after a USING join must still count")
+  }
+
   test("a WINDOW spec sharing a shared CTE's name does not suppress its mark (r17 review)") {
     // window names and CTE names live in separate namespaces; the
     // defCounts shadow rule must only count QUERY-body definitions,

@@ -21,6 +21,106 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian in: $offenders")
   }
 
+  private def globalWindows(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window if w.partitionSpec.isEmpty => w
+    }
+  }
+
+  /** Structural bar for an empty-partition Window's input: it must
+    * pass through an Aggregate (a dictionary collapse), a Limit (a
+    * top-K bound), or a lineage-truncating checkpoint of one
+    * (LogicalRDD — the rocAucOf score dictionary). A global window
+    * whose child reaches a file scan through NONE of those sorts raw
+    * corpus rows on one task — always wrong at scale.
+    */
+  private def boundedInput(w: org.apache.spark.sql.catalyst.plans.logical.Window): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    w.child.collectFirst {
+      case a: logical.Aggregate => a: Any
+      case l: logical.GlobalLimit => l: Any
+      case l: logical.LocalLimit => l: Any
+      case r: org.apache.spark.sql.execution.LogicalRDD => r: Any
+    }.nonEmpty
+  }
+
+  /** Audited global-window sites (r17 VERDICT #2, mechanized r18):
+    * every declared query that plans ANY empty-partition Window, with
+    * the boundedness argument for its input. Counts are EXACT — a new
+    * global window anywhere in the surface (or a fix that removes
+    * one) fails the sweep by name until this audit is updated. Every
+    * input below is plan-constant-bounded, never corpus- or
+    * vocabulary-proportional (the r17 q_cell_labels defect class:
+    * its corpus-total window over the vocab-sized perTok is exactly
+    * what this table refuses to admit).
+    */
+  private val auditedGlobalWindows: Map[String, Int] = Map(
+    "q_ab_test" -> 1,         // 1-row scalar-aggregate fold
+    "q_anneal_plan" -> 1,     // |sources| dictionary
+    "q_batch_plan" -> 1,      // per-partition counts (≤ shuffle.partitions)
+    "q_bin_provenance" -> 2,  // per-partition counts ×2
+    "q_burstiness" -> 1,      // |sources| dictionary
+    "q_clf_agreement" -> 1,   // fixed logit-bin dictionary
+    "q_clf_auc" -> 2,         // ≤2·10⁵+1 score dictionary (one side checkpoint-truncated)
+    "q_clf_calibration" -> 3, // score/probability-bin dictionaries (same bound)
+    "q_cluster_sizes" -> 2,   // duplicate-cluster size histogram (≤√N distinct sizes)
+    "q_compact_plan" -> 2,    // per-partition counts ×2
+    "q_decontam_report" -> 1, // eval-battery bench_id dictionary
+    "q_distinctive" -> 1,     // |sources| dictionary
+    "q_label_noise" -> 2,     // 2×2 (y, pred) confusion cells
+    "q_lsh_recall" -> 1,      // fixed band-count dictionary
+    "q_lsh_stats" -> 1,       // fixed band dictionary
+    "q_mix_convergence" -> 1, // |langs| dictionary
+    "q_mix_sample" -> 1,      // |langs| dictionary
+    "q_mix_weights" -> 1,     // |langs| dictionary
+    "q_pack_chunks" -> 1,     // per-partition counts
+    "q_pack_efficiency" -> 1, // per-partition counts
+    "q_pipeline" -> 1,        // per-partition counts
+    "q_qte" -> 1,             // ≤2-row per-variant quantile fold
+    "q_quality_blend" -> 3,   // per-partition counts ×3
+    "q_rank_eval" -> 3,       // judged top-20 ranking + 4-grade relevance histogram
+    "q_rrf_fusion" -> 2,      // two top-20 retrieval legs (Limit-bounded)
+    "q_semantic_mix" -> 1,    // K-cell dictionary
+    "q_silhouette" -> 1,      // K-cell dictionary
+    "q_source_drift" -> 2,    // doc-length histogram (≤ max doc length rows)
+    "q_source_kl" -> 1,       // top-V vocab marginal (limit(vocabV))
+    "q_split_balance" -> 3,   // length histogram ×2 + |sources| dictionary
+    "q_split_time" -> 2,      // (split, event_type) cells + per-partition counts
+    "q_srm" -> 2,             // ≤2-row variant cells ×2
+    "q_token_budget" -> 2,    // |sources| dictionary ×2
+    "q_train_order" -> 9,     // per-partition counts + |sources| dictionaries
+    "q_unimax" -> 6,          // |langs| dictionary (the waterfilling ladder)
+    "q_zipf_fit" -> 1,        // top-100 distribution head (Limit-bounded)
+    "q_zorder" -> 1           // per-partition counts
+  )
+
+  test("no declared query plans an unaudited single-partition Window (r17 VERDICT #1/#2)") {
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val ws = globalWindows(fn(spark, sf))
+      val rawScan = ws.filterNot(boundedInput)
+      val audited = auditedGlobalWindows.getOrElse(name, 0)
+      if (rawScan.nonEmpty || ws.size != audited)
+        Some(s"$name: ${ws.size} global windows (audited $audited, " +
+          s"${rawScan.size} over a raw scan) — a NEW one must be argued " +
+          "bounded in auditedGlobalWindows; a REMOVED one must update the audit")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("planted: a corpus-wide global window is flagged by the sweep's structural bar") {
+    import org.apache.spark.sql.functions.{col, length, sum}
+    import org.apache.spark.sql.expressions.{Window => W}
+    val planted = Tables(spark, sf, "documents")
+      .withColumn("t", sum(length(col("text"))).over(
+        W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    val ws = globalWindows(planted)
+    assert(ws.nonEmpty, "planted window missing from the optimized plan")
+    assert(ws.exists(w => !boundedInput(w)),
+      "a global window straight over the documents scan must fail the structural bar")
+  }
+
   test("q_watermark is one scan, join-free (X154's scale contract)") {
     // the screen is pure in-row HOF arithmetic: scan -> projections ->
     // final sort. A join or a second scan means the hash partition

@@ -1,16 +1,41 @@
 #!/bin/bash
-# The standing round gate (r17): everything that must be green before
-# a round ships, as ONE entry point —
+# The standing round gate (r17, extended r18): everything that must be
+# green before a round ships, as ONE entry point —
 #   compile -> full oracle verify (Verify dump + DuckDB value/type/slow
 #   gates) -> the ScalaTest suite -> the sf1-shape 10x regression gate
-#   (tools/sf1_baseline.json; >2x shared-surface cost fails).
-# ~30 min end to end on this machine. Each stage is runnable alone;
+#   (tools/sf1_baseline.json; >2x shared-surface cost fails) -> the
+#   committed full idle-bench snapshot (tools/bench_sf01.json, warns on
+#   >2x per-query idle movers).
+# ~35 min end to end on this machine. Each stage is runnable alone;
 # this script only sequences them and stops at the first red.
+#
+# Baseline-reseed policy (VERDICT r17 #5): the sf1 baseline must
+# predate the round being gated — a baseline re-seeded mid-round can
+# mask exactly the regression the gate exists to catch. If
+# tools/sf1_baseline.json was committed at/after this round's first
+# non-notes work commit, the gate REFUSES to run unless --reseed is
+# passed explicitly; a reseed must be logged in the round notes.
 set -e
 cd /root/repo
+RESEED=0
+[ "$1" = "--reseed" ] && RESEED=1
+ROUND_START=$(git log --grep='^round [0-9]*:' -n1 --format=%H)
+FIRST_WORK=$(git log --reverse --format='%H %s' ${ROUND_START:+$ROUND_START..HEAD} \
+  | grep -v -i ' round notes' | head -1 | cut -d' ' -f1)
+BASE_COMMIT=$(git log -n1 --format=%H -- tools/sf1_baseline.json)
+if [ "$RESEED" != 1 ] && [ -n "$FIRST_WORK" ] && [ -n "$BASE_COMMIT" ] \
+   && git merge-base --is-ancestor "$FIRST_WORK" "$BASE_COMMIT"; then
+  echo "GATE REFUSED: tools/sf1_baseline.json was (re)committed this round"
+  echo "  (baseline commit $BASE_COMMIT is at/after first work commit $FIRST_WORK)."
+  echo "  A mid-round baseline can mask the regression this gate catches."
+  echo "  If the reseed is deliberate (post-perf-change refresh), re-run"
+  echo "  with: tools/gate.sh --reseed   — and log the reseed in the round notes."
+  exit 1
+fi
 sbt -batch compile
 tools/run_verify.sh /root/testdata/sf0.01 /tmp/graft_verify
 python3 tools/check.py /root/testdata/sf0.01 /tmp/graft_verify
 sbt -batch test
 tools/sf1_rehearsal.sh
+tools/bench_sf01.sh
 echo "ROUND GATE PASS"
