@@ -106,6 +106,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ClfScore].getName, "graft_clf_score"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ClfScore(children(0))))
+    // one-pass HyperLogLog register sketch (X157 scale path): the
+    // cross-engine-deterministic cardinality member of the family
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HllSketch(children(0))))
     // one-pass SimHash majority-vote sketch
     ext.injectFunction((
       FunctionIdentifier("graft_simhash_sketch"),

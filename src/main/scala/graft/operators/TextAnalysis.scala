@@ -1945,6 +1945,158 @@ object TextAnalysis {
        |       // (2 * na.n_all) AS BIGINT) / 10000.0 AS templated_share
        |FROM tpl, t, na ORDER BY prefix""".stripMargin
 
+  /** X157's bigram-shingle stream off a (source, text) frame — the
+    * SHARED domain both the sketch and the exact audit count: word
+    * 2-grams, the same grain X5a shingles for near-dup candidates.
+    * Factored so the spec and the streaming dial reuse the exact
+    * expression.
+    */
+  private[graft] def hllBigrams(docsDf: DataFrame): DataFrame =
+    docsDf
+      .withColumn("w", split(col("text"), " "))
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .as("tok"))
+
+  /** X157 declarative register twin: per (key, bucket) the max rank,
+    * computed as plain relational algebra — the parity reference
+    * TextAnalysisSpec pins register-for-register against
+    * [[graft.functions.HllSketch]], and the literal shape the DuckDB
+    * oracle replays. bucket = h ≫ 52 (top 8 of the 60 hash bits),
+    * rank ρ = 53 − bitlen(h mod 2⁵²) via `length(bin(w))` — integer
+    * bit arithmetic both engines compute identically (w = 0 → 53).
+    */
+  private[graft] def hllRegistersDeclarative(toks: DataFrame): DataFrame =
+    toks
+      .select(col("source"), Hashing.h60(col("tok")).as("h"))
+      .select(col("source"),
+        expr("h DIV 4503599627370496").as("j"),
+        expr("h % 4503599627370496").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(53L))
+          .otherwise(lit(53L) - length(bin(col("w")))))
+      .groupBy(col("source"), col("j"))
+      .agg(max(col("rho")).as("mj"))
+
+  /** X157 estimate algebra off a (source, s, v_empty) frame — the
+    * bias-corrected HLL estimate as exact integer rationals, shared
+    * by the batch query, the spec recount, and the streaming dial.
+    * Raw: HALF_UP(α·m²·2⁵³ / S) with α = 0.718273 (the published
+    * α₂₅₆ = 0.7213/(1 + 1.079/256) at 6 dp, numerator on
+    * DECIMAL(38,0) — ~8.5·10²⁶ overflows BIGINT). Small-range
+    * (Flajolet §4): est ≤ 5m/2 = 640 with empty registers → linear
+    * counting m·ln(m/V) — the ONE float op in the operator; its input
+    * domain is the 255 possible V values, and every one rounds ≥10⁻⁹
+    * clear of a half (audited exhaustively cross-engine r18), so the
+    * 0 dp round is deterministic on both engines.
+    */
+  private[graft] def hllEstimate(perKey: DataFrame): DataFrame =
+    perKey
+      .withColumn("est_raw", expr(
+        """CAST((2 * CAST(718273 AS DECIMAL(38,0)) * 65536 * 9007199254740992
+          |       + 1000000 * CAST(s AS DECIMAL(38,0)))
+          |  DIV (2000000 * CAST(s AS DECIMAL(38,0))) AS BIGINT)""".stripMargin))
+      .withColumn("hll_est",
+        when(col("est_raw") <= 640 && col("v_empty") > 0,
+          round(lit(256.0) * log(lit(256.0) / col("v_empty").cast("double")), 0)
+            .cast("long"))
+          .otherwise(col("est_raw")))
+      .withColumn("branch",
+        when(col("est_raw") <= 640 && col("v_empty") > 0, lit("lc"))
+          .otherwise(lit("raw")))
+
+  /** X157 — distinct-cardinality sketch audit (`q_hll_distinct`): the
+    * capacity-planning number every dedup/LSH stage reads first — how
+    * many distinct bigram shingles does each source contribute (X5a's
+    * candidate-index key space, the size that picks LSH band counts
+    * and shuffle partitioning) — estimated by a deterministic
+    * HyperLogLog built SOLELY from cross-engine-reproducible pieces,
+    * next to the exact count and the estimate/exact ratio, closing
+    * the audit loop the way X119 does for ANN recall and X150 for LSH
+    * recall. R6/X43 ship Spark's own HLL++ for this job at 100 TB but
+    * could only be bound-verified ("no cross-engine sketch parity");
+    * here the ORACLE REBUILDS THE REGISTERS relationally and the
+    * estimate hash-matches — the sketch answer itself is certified,
+    * not just banded. Both correction branches are live across the
+    * test SFs (raw at sf0.01's ~700-bigram sources; LC pinned by the
+    * spec's small-domain fixture and live on the unigram domain).
+    *
+    * Scale: the sketch path is ONE narrow corpus pass folding into
+    * [[graft.functions.HllSketch]] — a 256-byte buffer per source
+    * through ObjectHashAggregate map-side partials, merge =
+    * elementwise max (idempotent, so the streaming twin absorbs
+    * replay for free); nothing vocabulary-sized moves. The exact
+    * column is the AUDIT, priced honestly: a (source, tok) distinct
+    * collapse that is exactly the cost the sketch exists to avoid —
+    * production drops it and reads the sketch alone (the X22
+    * certificate pattern: audit at test SF, sketch at scale).
+    * TextAnalysisSpec pins native ≡ declarative registers, recounts
+    * the estimate sequentially from raw registers, and drives the LC
+    * branch through [[hllEstimate]] with a planted tiny domain.
+    */
+  private def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val toks = hllBigrams(docs(s, dir).select(col("source"), col("text")))
+    val sk = toks
+      .groupBy(col("source"))
+      .agg(call_function("graft_hll", Hashing.h60(col("tok"))).as("hs"))
+      .select(col("source"), col("hs.s").as("s"), col("hs.v").as("v_empty"))
+    val exact = toks.groupBy(col("source"))
+      .agg(countDistinct(col("tok")).as("exact_distinct"))
+    hllEstimate(sk)
+      .join(broadcast(exact), "source")
+      .select(
+        col("source"),
+        col("exact_distinct").cast("long").as("exact_distinct"),
+        col("hll_est"),
+        (expr("CAST((20000 * hll_est + exact_distinct) DIV (2 * exact_distinct) AS BIGINT)")
+          / lit(10000.0)).as("est_ratio"),
+        col("v_empty").cast("long").as("v_empty"),
+        col("branch"))
+      .orderBy("source")
+  }
+
+  private def hllDistinctSql: String =
+    """WITH t AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      |tok AS (
+      |  SELECT source, unnest(list_transform(generate_series(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i + 1])) AS tok FROM t),
+      |r AS (
+      |  SELECT source,
+      |    ('0x' || substr(md5(tok), 1, 15))::BIGINT // 4503599627370496 AS j,
+      |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4503599627370496 AS w
+      |  FROM tok),
+      |m AS (
+      |  SELECT source, j,
+      |    max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mj
+      |  FROM r GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT source, count(*) AS obs,
+      |    sum(CAST(1 AS BIGINT) << CAST(53 - mj AS INT)) AS s_obs
+      |  FROM m GROUP BY 1),
+      |est AS (
+      |  SELECT source, s_obs + (256 - obs) * (CAST(1 AS BIGINT) << 53) AS s,
+      |    256 - obs AS v FROM agg),
+      |raw AS (
+      |  SELECT source, v,
+      |    CAST((2 * CAST(718273 AS HUGEINT) * 65536 * 9007199254740992
+      |          + 1000000 * CAST(s AS HUGEINT))
+      |      // (2000000 * CAST(s AS HUGEINT)) AS BIGINT) AS est_raw
+      |  FROM est),
+      |fin AS (
+      |  SELECT source, v,
+      |    CASE WHEN est_raw <= 640 AND v > 0
+      |         THEN CAST(round(256 * ln(256.0 / v), 0) AS BIGINT)
+      |         ELSE est_raw END AS hll_est,
+      |    CASE WHEN est_raw <= 640 AND v > 0 THEN 'lc' ELSE 'raw' END AS branch
+      |  FROM raw),
+      |ex AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+      |       FROM tok GROUP BY 1)
+      |SELECT f.source, ex.exact_distinct, f.hll_est,
+      |  CAST((20000 * f.hll_est + ex.exact_distinct)
+      |       // (2 * ex.exact_distinct) AS BIGINT) / 10000.0 AS est_ratio,
+      |  CAST(f.v AS BIGINT) AS v_empty, f.branch
+      |FROM fin f JOIN ex USING (source) ORDER BY source""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_token_count" -> QueryDef(
       tokenCount,
@@ -2265,5 +2417,9 @@ object TextAnalysis {
       templateDetect,
       Some(templateDetectSql),
       "X146 template detection: shared word-prefix clusters with source spread + templated share"),
+    "q_hll_distinct" -> QueryDef(
+      hllDistinct,
+      Some(hllDistinctSql),
+      "X157 deterministic-HLL shingle cardinality per source: oracle-certified sketch + exact audit"),
   )
 }

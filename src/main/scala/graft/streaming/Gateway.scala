@@ -1460,6 +1460,70 @@ object Gateway {
         when(col("u") === 0, col("r")).otherwise(lit(0L)).cast("long").as("unallocated"))
   }
 
+  /** Streaming X157 — windowed distinct-shingle cardinality dial
+    * (`hllFeed`): the live version of `q_hll_distinct`'s sketch side
+    * — per window and source, the deterministic-HLL estimate of the
+    * distinct bigram shingles ingested, the number an ingest owner
+    * watches to catch a source that suddenly collapses to templates
+    * (distinct shingles flat while volume grows) or explodes in
+    * vocabulary (a crawl that drifted into another language). Lines
+    * are the admission shape `epoch_sec source text…`; no exact audit
+    * column in the stream — the audit lives in the batch query; the
+    * stream ships ONLY the sketch (that being its whole point).
+    *
+    * Replay absorption is structural, not bolted on: the stateful
+    * stage keys (window, source, bucket) → max(ρ), and register max
+    * is IDEMPOTENT (HllSketchProps) — an at-least-once redelivery of
+    * any line leaves every register bit-identical, with no extra
+    * per-doc dedup state (contrast [[unimaxFeed]], which needs the
+    * per-doc collapse). State is bounded by 256 registers per
+    * (window, source) regardless of volume. The estimate algebra
+    * downstream is the SAME [[graft.operators.TextAnalysis.hllEstimate]]
+    * the batch query and the oracle share — GatewaySpec pins stream ≡
+    * batch digit-for-digit at two SFs.
+    */
+  def hllFeed(
+      lines: DataFrame,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val parsed = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 &&
+        col("p").getItem(0).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).as("source"),
+        split(col("p").getItem(2), " ").as("w"))
+      .withWatermark("ts", watermarkDelay)
+    val regs = parsed
+      .select(col("ts"), col("source"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .as("tok"))
+      .select(col("ts"), col("source"),
+        graft.operators.Hashing.h60(col("tok")).as("h"))
+      .select(col("ts"), col("source"),
+        expr("h DIV 4503599627370496").as("j"),
+        expr("h % 4503599627370496").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(53L))
+          .otherwise(lit(53L) - length(bin(col("w")))))
+      .groupBy(window(col("ts"), windowDuration), col("source"), col("j"))
+      .agg(max(col("rho")).as("mj"))
+    val perKey = regs
+      .groupBy(window(window_time(col("window")), windowDuration), col("source"))
+      .agg(
+        count(lit(1)).as("obs"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))")).as("s_obs"))
+      .select(
+        col("window.start").as("window_start"),
+        col("source"),
+        (col("s_obs") + (lit(256L) - col("obs")) * lit(1L << 53)).as("s"),
+        (lit(256L) - col("obs")).as("v_empty"))
+    graft.operators.TextAnalysis.hllEstimate(perKey)
+      .select(col("window_start"), col("source"), col("hll_est"),
+        col("v_empty").cast("long").as("v_empty"), col("branch"))
+  }
+
   /** Streaming X155 — windowed label-noise monitor
     * (`labelNoiseFeed`): confident learning as a drift dial — the
     * offline X155 estimates label error once; what production wants

@@ -2555,6 +2555,48 @@ class GatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("streaming HLL cardinality dial: stream == batch q_hll_distinct sketch at two SFs; " +
+    "replay absorbed by register max") {
+    // Streaming X157: the whole corpus in one event-time window across
+    // three micro-batches plus an at-least-once replay of the first
+    // chunk — absorbed STRUCTURALLY by the idempotent register max,
+    // with no per-doc dedup state. The feed's per-source estimate rows
+    // must equal the declared batch query's sketch columns
+    // digit-for-digit (same registers -> same s/v -> same hllEstimate
+    // algebra on both sides).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables(spark, dir, "documents").select("source", "text")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val base = 1700000000L
+      val lines = docs.map { case (src, t) => s"$base $src $t" }.toSeq
+      val ms = MemoryStream[String]
+      val sink = s"hll_feed_${System.nanoTime()}"
+      val q = Gateway.hllFeed(ms.toDF(), windowDuration = "1 day", watermarkDelay = "1 hour")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        val parts = lines.grouped(math.max(1, lines.size / 3)).toSeq
+        assert(parts.size >= 3)
+        parts.foreach { p => ms.addData(p: _*); q.processAllAvailable() }
+        ms.addData(parts.head: _*) // replay: registers already at max
+        q.processAllAvailable()
+        ms.addData(s"${base + 10 * 86400} srcX closing words here"); q.processAllAvailable()
+        ms.addData(s"${base + 10 * 86400} srcX closing words here"); q.processAllAvailable()
+        val streamed = spark.table(sink)
+          .filter(unix_seconds(col("window_start")) === (base / 86400) * 86400)
+          .select(col("source"), col("hll_est"), col("v_empty"), col("branch"))
+          .as[(String, Long, Long, String)].collect().toSet
+        val batch = SparkEntry.queries("q_hll_distinct")(spark, dir)
+          .select(col("source"), col("hll_est"), col("v_empty"), col("branch"))
+          .as[(String, Long, Long, String)].collect().toSet
+        assert(batch.nonEmpty, s"vacuous at $dir: empty batch sketch table")
+        assert(streamed === batch,
+          s"HLL dial stream diverges from the batch sketch at $dir")
+      } finally q.stop()
+    }
+  }
+
   test("streaming rank-eval monitor: per-window P@K/nDCG/MRR, stream == batch q_rank_eval") {
     // Streaming X138: the batch eval's own judged top-20 streamed as
     // an impression log across three micro-batches (plus an

@@ -661,4 +661,84 @@ class TextAnalysisSpec extends AnyFunSuite {
     // relational corpus rate = 2/4; sB rate = 1/2 -> lift exactly 1
     assert(got(("sB", "relational"))._3 === 1.0)
   }
+
+  test("q_hll_distinct: native == declarative registers; sequential recount at two SFs") {
+    import org.apache.spark.sql.functions._
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // sequential truth: per-source registers off the raw text
+      val regs = scala.collection.mutable.Map.empty[(String, Long), Long]
+      val exact = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
+      Tables(spark, dir, "documents").select(col("source"), col("text")).collect()
+        .foreach { r =>
+          val (src, ws) = (r.getString(0), r.getString(1).split(" ", -1))
+          ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).foreach { bg =>
+            exact.getOrElseUpdate(src, scala.collection.mutable.Set.empty) += bg
+            val h = h60(bg)
+            val j = h >>> 52
+            val w = h & ((1L << 52) - 1)
+            val rho = 53L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+            val k = (src, j)
+            if (rho > regs.getOrElse(k, 0L)) regs(k) = rho
+          }
+        }
+      // declarative twin must carry exactly the sequential registers
+      val toks = graft.operators.TextAnalysis.hllBigrams(
+        Tables(spark, dir, "documents").select(col("source"), col("text")))
+      val decl = graft.operators.TextAnalysis.hllRegistersDeclarative(toks)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(decl === regs.toMap, s"declarative registers diverge at $dir")
+      // estimate recount: s/v per source off the registers, exact
+      // integer raw estimate, LC branch via math.log
+      val expected = exact.keys.toSeq.sorted.map { src =>
+        val mjs = (0L until 256L).map(j => regs.getOrElse((src, j), 0L))
+        val s = mjs.map(mj => 1L << (53 - mj)).sum
+        val v = mjs.count(_ == 0).toLong
+        val estRaw = ((BigInt(2) * 718273 * 65536 * BigInt("9007199254740992") +
+          BigInt(1000000) * s) / (BigInt(2000000) * s)).toLong
+        val (est, branch) =
+          if (estRaw <= 640 && v > 0)
+            (math.round(256.0 * math.log(256.0 / v)), "lc")
+          else (estRaw, "raw")
+        val ex = exact(src).size.toLong
+        (src, ex, est, (20000 * est + ex) / (2 * ex) / 10000.0, v, branch)
+      }
+      val got = SparkEntry.queries("q_hll_distinct")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getString(5)))
+      assert(got.toSeq === expected, s"hll estimate diverges at $dir")
+      // the sketch does its job: every estimate within the ~6.5%
+      // standard-error band (3 sigma) of the exact count, raw branch
+      // live on the ~700-bigram sources
+      got.foreach { case (src, ex, est, ratio, _, _) =>
+        assert(math.abs(est - ex).toDouble / ex < 0.25,
+          s"$src estimate $est too far from exact $ex at $dir (ratio $ratio)")
+      }
+      assert(got.exists(_._6 == "raw"), s"raw branch never fired at $dir")
+    }
+  }
+
+  test("hllEstimate: LC branch fires on tiny domains and v=0 falls back to raw") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // planted registers: 5 distinct values -> 5 observed buckets at
+    // rho=1, 251 empty -> est_raw tiny -> linear counting
+    val s5 = 5L * (1L << 52) + 251L * (1L << 53)
+    // all 256 buckets at rho=1 (v=0): raw is the only defined branch
+    // even when est_raw lands under the 640 threshold
+    val s0 = 256L * (1L << 52)
+    val got = graft.operators.TextAnalysis.hllEstimate(
+      Seq(("tiny", s5, 251L), ("nolc", s0, 0L)).toDF("source", "s", "v_empty"))
+      .select(col("source"), col("hll_est"), col("branch"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got("tiny")._2 === "lc")
+    assert(got("tiny")._1 === math.round(256.0 * math.log(256.0 / 251.0)))
+    assert(got("nolc")._2 === "raw")
+    // sanity on the lc value itself: ~5 for 5 planted distincts
+    assert(got("tiny")._1 === 5L)
+  }
 }
