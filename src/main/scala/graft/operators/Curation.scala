@@ -2206,11 +2206,14 @@ object Curation {
     * to X15/X50's n-gram decontamination (paraphrased or reformatted
     * benchmark leakage carries no shared 8-gram but lands at cosine
     * ≈ 1; embedding-similarity sweeps are how modern releases audit
-    * for it). Eval slice = every 50th vector (the X15 slicing
-    * convention on the embeddings table); synthetic contamination =
-    * perturbed copies (element 4 ×1.25, ids +200000) of every SECOND
-    * eval vector, so flagged-and-clean eval items both exist and the
-    * result is never vacuous. Output per contaminated train vector:
+    * for it). Eval suite = the first [[evalSuiteSlots]] eval slots
+    * (vec_id % 50 = 0, id < 50·slots — a CONSTANT-size suite, r18:
+    * the uncapped every-50th slice contradicted the Θ(N·E) contract
+    * below and measured 46× at the 100× probe); synthetic
+    * contamination = perturbed copies (element 4 ×1.25, ids +200000)
+    * of every SECOND suite vector, so flagged-and-clean eval items
+    * both exist and the result is never vacuous. Output per
+    * contaminated train vector:
     * match count, best eval id, best score — the quarantine list plus
     * the evidence a release audit publishes.
     *
@@ -2232,26 +2235,42 @@ object Curation {
   /** X100's similarity threshold — config, like the dedup cuts. */
   private[graft] val semThreshold = 0.95
 
-  /** The eval-suite embeddings (every 50th vector) — the bounded
-    * offline artifact both the batch sweep and the streaming
-    * admission filter ([[graft.streaming.Gateway.decontamFeed]])
-    * join against.
+  /** Eval-suite size bound (X100): the suite is the first 64 eval
+    * SLOTS (vec_id % 50 = 0 ∧ vec_id < 50·64) — a CONSTANT, because
+    * an eval suite is sized by humans, not by the corpus. Before r18
+    * the suite was every 50th vector UNCAPPED, so the "Θ(N·E), E a
+    * constant" contract in the scaladoc silently degraded to Θ(N²/50)
+    * as data grew — the sf10 probe measured the declared query at 46×
+    * its 10× cost (linear = 10×). The cap makes the declared query
+    * embody its own scale contract; the 100× re-probe confirms the
+    * linear shape.
+    */
+  private[graft] val evalSuiteSlots = 64
+
+  /** The eval-suite embeddings (the first [[evalSuiteSlots]] eval
+    * slots) — the bounded offline artifact both the batch sweep and
+    * the streaming admission filter
+    * ([[graft.streaming.Gateway.decontamFeed]]) join against.
     */
   private[graft] def evalVecs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
-      .filter(col("vec_id") % 50 === 0)
+      .filter(col("vec_id") % 50 === 0 && col("vec_id") < 50L * evalSuiteSlots)
       .select(col("vec_id").as("eval_id"),
         transform(col("embedding"), _.cast("double")).as("ev"))
 
-  /** X100's train side: the non-eval corpus plus the planted
-    * perturbed copies of every second eval vector.
+  /** X100's train side: the complement of the eval suite plus the
+    * planted perturbed copies of every second SUITE vector (plants
+    * are suite-relative so the contaminated class stays non-vacuous
+    * and every plant has its eval source to collide with).
     */
   private[graft] def trainVecs(s: SparkSession, dir: String): DataFrame = {
     val base = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    base.filter(col("vec_id") % 50 =!= 0)
+    val inSuite = col("vec_id") % 50 === 0 && col("vec_id") < 50L * evalSuiteSlots
+    base.filter(!inSuite)
       .unionByName(
-        base.filter(col("vec_id") % 100 === 0).select(
+        base.filter(col("vec_id") % 100 === 0 &&
+            col("vec_id") < 50L * evalSuiteSlots).select(
           (col("vec_id") + 200000).as("vec_id"),
           transform(col("embedding"), (x, i) =>
             when(i === 3, x.cast("double") * 1.25).otherwise(x.cast("double")))
@@ -2281,12 +2300,15 @@ object Curation {
   }
 
   private def decontamSemanticSql: String =
-    """WITH base AS (SELECT vec_id, embedding FROM embeddings),
-      |ev AS (SELECT vec_id AS eval_id, embedding FROM base WHERE vec_id % 50 = 0),
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+      |ev AS (SELECT vec_id AS eval_id, embedding FROM base
+      |       WHERE vec_id % 50 = 0 AND vec_id < ${50L * evalSuiteSlots}),
       |tr AS (
-      |  SELECT vec_id, vec_id AS src, FALSE AS pert FROM base WHERE vec_id % 50 <> 0
+      |  SELECT vec_id, vec_id AS src, FALSE AS pert FROM base
+      |  WHERE NOT (vec_id % 50 = 0 AND vec_id < ${50L * evalSuiteSlots})
       |  UNION ALL
-      |  SELECT vec_id + 200000, vec_id, TRUE FROM base WHERE vec_id % 100 = 0),
+      |  SELECT vec_id + 200000, vec_id, TRUE FROM base
+      |  WHERE vec_id % 100 = 0 AND vec_id < ${50L * evalSuiteSlots}),
       |te AS (
       |  SELECT t.vec_id, i,
       |    CASE WHEN t.pert AND i = 4 THEN x * 1.25 ELSE x END AS x

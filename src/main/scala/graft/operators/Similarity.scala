@@ -1023,14 +1023,28 @@ object Similarity {
     */
   private[graft] val hardNegK = 5
 
+  /** Anchor-batch size bound (X112): anchors are the first 64 anchor
+    * SLOTS (vec_id % 50 = 0 ∧ vec_id < 50·64) — a CONSTANT, because
+    * the anchor set is a training batch, sized by the trainer, not by
+    * the corpus. Before r18 the anchors were every 50th vector
+    * UNCAPPED, so the documented "Θ(N·A), A fixed in production"
+    * shape silently degraded to Θ(N²/50) — the sf10 probe measured
+    * the declared query at 120× its 10× cost (linear = 10×), the
+    * worst mover on the whole surface. The cap makes the declared
+    * query embody the contract; the 100× re-probe confirms linear.
+    */
+  private[graft] val hardNegAnchorSlots = 64
+
   /** X112 — contrastive hard-negative mining (`q_hard_negatives`):
     * the training-PAIR generation step for embedding models
     * (contrastive/triplet fine-tuning wants, per anchor, the most
     * similar corpus items that are NOT semantically the same thing —
     * "hard" negatives carry the gradient signal random negatives
-    * don't). Anchors = every 50th vector (the X100 slicing
-    * convention — in production the anchor set is a training batch,
-    * fixed-size and broadcast); positives-proxy = the X32 k-means
+    * don't). Anchors = the first [[hardNegAnchorSlots]] anchor slots
+    * (vec_id % 50 = 0, id < 50·slots) — a FIXED-size training batch,
+    * per the production contract, and since r18 the declared query
+    * enforces the bound instead of documenting it (see
+    * [[hardNegAnchorSlots]]); positives-proxy = the X32 k-means
     * cell (same cell ⇒ candidate positive, excluded); negatives =
     * top-[[hardNegK]] remaining candidates by cosine under the total
     * order (score4 DESC, neg_id ASC).
@@ -1062,7 +1076,7 @@ object Similarity {
         transform(col("embedding"), _.cast("double")).as("nv"),
         cid.as("neg_cid"))
     val anchors = graft.Tables(s, dir, "embeddings")
-      .filter(col("vec_id") % 50 === 0)
+      .filter(col("vec_id") % 50 === 0 && col("vec_id") < 50L * hardNegAnchorSlots)
       .select(col("vec_id").as("anchor_id"),
         transform(col("embedding"), _.cast("double")).as("av"),
         cid.as("anchor_cid"))
@@ -1089,7 +1103,7 @@ object Similarity {
     s"""WITH ${Clustering.cellCtes},
        |ax AS (
        |  SELECT vec_id AS anchor_id, cid AS anchor_cid FROM cells
-       |  WHERE vec_id % 50 = 0),
+       |  WHERE vec_id % 50 = 0 AND vec_id < ${50L * hardNegAnchorSlots}),
        |ee AS MATERIALIZED (
        |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
        |    unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x

@@ -2097,6 +2097,143 @@ object TextAnalysis {
       |  CAST(f.v AS BIGINT) AS v_empty, f.branch
       |FROM fin f JOIN ex USING (source) ORDER BY source""".stripMargin
 
+  /** X158's binning (the HdrHistogram scheme, Tene): values < 2^(s+1)
+    * map to themselves (exact); larger values keep their top s+1 bits
+    * — bucket index (b−s−1)·2^s + (n ≫ (b−s−1)) with b = bitlen(n),
+    * bounds lo = top ≪ shift, hi = ((top+1) ≪ shift) − 1. s = 4 sub
+    * bits → bin width ≤ value/16 (midpoint error ≤ 3.2 %), ≤ ~1000
+    * bins over the whole BIGINT range. All integer bit arithmetic —
+    * `length(bin(n))` and `<<`/`>>` compute identically on both
+    * engines (the X157 rank trick), so the sketch is oracle-exact.
+    */
+  private[graft] def histBinned(d: DataFrame): DataFrame =
+    d.withColumn("b", length(bin(col("n"))).cast("long"))
+      .withColumn("idx", when(col("n") < 32, col("n"))
+        .otherwise((col("b") - 5) * 16 +
+          expr("shiftright(n, CAST(b - 5 AS INT))")))
+      .withColumn("lo", when(col("n") < 32, col("n"))
+        .otherwise(expr(
+          "shiftleft(shiftright(n, CAST(b - 5 AS INT)), CAST(b - 5 AS INT))")))
+      .withColumn("hi", when(col("n") < 32, col("n"))
+        .otherwise(expr(
+          "shiftleft(shiftright(n, CAST(b - 5 AS INT)) + 1, CAST(b - 5 AS INT)) - 1")))
+
+  /** X158 — mergeable-histogram quantile sketch (`q_hist_quantiles`):
+    * per-source p50/p90/p99 of document token counts read from an
+    * HdrHistogram-binned dictionary instead of a full sort — the
+    * quantile analog of X157's cardinality story. R16's 100 TB path
+    * (`quantilesApprox`, Greenwald–Khanna) could only be
+    * bound-verified because GK sketch state is insertion-order
+    * dependent; this binning is a PURE FUNCTION of each value, so the
+    * dictionary — and therefore the quantile estimate — is
+    * deterministic, mergeable (counts add), and the ORACLE REPLAYS IT
+    * EXACTLY. Guarantee: the true quantile provably lies in the
+    * winning bin's [lo, hi] (width ≤ value/16); the estimate is the
+    * bin midpoint. Output per (source, q ∈ {50, 90, 99}): docs, est,
+    * lo, hi, the exact order statistic (the AUDIT column — the
+    * value-domain collapse the sketch exists to avoid; production
+    * drops it), and est/exact 4 dp.
+    *
+    * Ranks are ceil(q·N) as exact integers ((qn·N + qd − 1) div qd);
+    * the winning bin is the least idx whose cumulative count reaches
+    * the rank — a window over the ≤ ~1000-bin per-source dictionary,
+    * then a broadcast-scale join back for bounds. The exact column
+    * runs the same cumulative trick over the (source, n) value
+    * dictionary (bounded by distinct lengths, not rows). One narrow
+    * corpus pass feeds both; everything downstream is dictionary
+    * work. TextAnalysisSpec recounts sequentially at two SFs and pins
+    * the containment guarantee exact ∈ [lo, hi] on every row.
+    */
+  private def histQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+    val bc = histBinned(d)
+      .groupBy(col("source"), col("idx"))
+      .agg(min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        count(lit(1)).as("cnt"))
+    val cum = bc.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("source")).orderBy(col("idx"))))
+    val tgt = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"), explode(array(
+        struct(lit(50L).as("q_pct"), lit(1L).as("qn"), lit(2L).as("qd")),
+        struct(lit(90L).as("q_pct"), lit(9L).as("qn"), lit(10L).as("qd")),
+        struct(lit(99L).as("q_pct"), lit(99L).as("qn"), lit(100L).as("qd"))))
+        .as("q"))
+      .select(col("source"), col("n_docs"),
+        col("q.q_pct").as("q_pct"),
+        expr("CAST((q.qn * n_docs + q.qd - 1) DIV q.qd AS BIGINT)").as("rk"))
+    val pick = tgt.join(cum.select(col("source").as("csrc"), col("idx"), col("cum")),
+        col("csrc") === col("source") && col("cum") >= col("rk"))
+      .groupBy(col("source"), col("q_pct"), col("n_docs"))
+      .agg(min(col("idx")).as("win_idx"))
+    val ecum = d.groupBy(col("source"), col("n")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("source")).orderBy(col("n"))))
+    val epick = tgt.join(ecum.select(col("source").as("esrc"), col("n"), col("cum")),
+        col("esrc") === col("source") && col("cum") >= col("rk"))
+      .groupBy(col("source").as("xsrc"), col("q_pct").as("xq"))
+      .agg(min(col("n")).as("exact"))
+    pick
+      .join(bc.select(col("source").as("bsrc"), col("idx"), col("lo"), col("hi")),
+        col("bsrc") === col("source") && col("idx") === col("win_idx"))
+      .join(epick, col("xsrc") === col("source") && col("xq") === col("q_pct"))
+      .select(
+        col("source"),
+        col("q_pct").cast("long").as("q_pct"),
+        col("n_docs").cast("long").as("n_docs"),
+        expr("CAST((lo + hi) DIV 2 AS BIGINT)").as("est"),
+        col("lo").cast("long").as("lo"),
+        col("hi").cast("long").as("hi"),
+        col("exact").cast("long").as("exact"),
+        (expr("CAST((20000 * ((lo + hi) DIV 2) + exact) DIV (2 * exact) AS BIGINT)")
+          / lit(10000.0)).as("est_ratio"))
+      .orderBy("source", "q_pct")
+  }
+
+  private def histQuantilesSql: String =
+    """WITH d AS (SELECT source, len(string_split(text, ' ')) AS n FROM documents),
+      |bins AS (
+      |  SELECT source, n,
+      |    CASE WHEN n < 32 THEN n
+      |         ELSE (length(bin(n)) - 5) * 16 + (n >> (length(bin(n)) - 5)) END AS idx,
+      |    CASE WHEN n < 32 THEN n
+      |         ELSE (n >> (length(bin(n)) - 5)) << (length(bin(n)) - 5) END AS lo,
+      |    CASE WHEN n < 32 THEN n
+      |         ELSE (((n >> (length(bin(n)) - 5)) + 1) << (length(bin(n)) - 5)) - 1 END AS hi
+      |  FROM d),
+      |bc AS (SELECT source, idx, min(lo) AS lo, min(hi) AS hi, count(*) AS cnt
+      |       FROM bins GROUP BY 1, 2),
+      |cum AS (SELECT source, idx, lo, hi,
+      |        sum(cnt) OVER (PARTITION BY source ORDER BY idx) AS cum FROM bc),
+      |nn AS (SELECT source, count(*) AS n_docs FROM d GROUP BY 1),
+      |qs AS (SELECT * FROM (VALUES (50, 1, 2), (90, 9, 10), (99, 99, 100)) q(q_pct, qn, qd)),
+      |tgt AS (SELECT source, n_docs, q_pct, (qn * n_docs + qd - 1) // qd AS rk
+      |        FROM nn CROSS JOIN qs),
+      |pick AS (
+      |  SELECT t.source AS source, t.q_pct AS q_pct, t.n_docs AS n_docs,
+      |    min(c.idx) AS win_idx
+      |  FROM tgt t JOIN cum c ON c.source = t.source AND c.cum >= t.rk
+      |  GROUP BY 1, 2, 3),
+      |ec AS (SELECT source, n, count(*) AS cnt FROM d GROUP BY 1, 2),
+      |ecum AS (SELECT source, n,
+      |         sum(cnt) OVER (PARTITION BY source ORDER BY n) AS cum FROM ec),
+      |epick AS (
+      |  SELECT t.source AS source, t.q_pct AS q_pct, min(e.n) AS exact
+      |  FROM tgt t JOIN ecum e ON e.source = t.source AND e.cum >= t.rk
+      |  GROUP BY 1, 2)
+      |SELECT p.source, CAST(p.q_pct AS BIGINT) AS q_pct,
+      |  CAST(p.n_docs AS BIGINT) AS n_docs,
+      |  CAST((c.lo + c.hi) // 2 AS BIGINT) AS est,
+      |  CAST(c.lo AS BIGINT) AS lo, CAST(c.hi AS BIGINT) AS hi,
+      |  CAST(e.exact AS BIGINT) AS exact,
+      |  CAST((20000 * ((c.lo + c.hi) // 2) + e.exact)
+      |       // (2 * e.exact) AS BIGINT) / 10000.0 AS est_ratio
+      |FROM pick p
+      |JOIN bc c ON c.source = p.source AND c.idx = p.win_idx
+      |JOIN epick e ON e.source = p.source AND e.q_pct = p.q_pct
+      |ORDER BY p.source, q_pct""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_token_count" -> QueryDef(
       tokenCount,
@@ -2421,5 +2558,9 @@ object TextAnalysis {
       hllDistinct,
       Some(hllDistinctSql),
       "X157 deterministic-HLL shingle cardinality per source: oracle-certified sketch + exact audit"),
+    "q_hist_quantiles" -> QueryDef(
+      histQuantiles,
+      Some(histQuantilesSql),
+      "X158 HdrHistogram quantile sketch per source: deterministic mergeable bins + exact audit"),
   )
 }

@@ -722,6 +722,71 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("q_hist_quantiles: sequential recount at two SFs; exact always inside [lo, hi]") {
+    import org.apache.spark.sql.functions._
+    def binOf(n: Long): (Long, Long, Long) = {
+      if (n < 32) (n, n, n)
+      else {
+        val b = 64 - java.lang.Long.numberOfLeadingZeros(n)
+        val shift = b - 5
+        val top = n >> shift
+        ((b - 5).toLong * 16 + top, top << shift, ((top + 1) << shift) - 1)
+      }
+    }
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val lens = Tables(spark, dir, "documents").select(col("source"), col("text"))
+        .collect().map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val expected = lens.keys.toSeq.sorted.flatMap { src =>
+        val v = lens(src)
+        Seq((50L, 1L, 2L), (90L, 9L, 10L), (99L, 99L, 100L)).map { case (q, qn, qd) =>
+          val rank = (qn * v.length + qd - 1) / qd
+          val exact = v(rank.toInt - 1)
+          // winning bin: least idx whose cumulative count reaches rank
+          val bins = v.map(binOf).groupBy(_._1).view
+            .mapValues(bs => (bs.head._2, bs.head._3, bs.length.toLong)).toSeq
+            .sortBy(_._1)
+          var cum = 0L
+          val (_, (lo, hi, _)) = bins.find { case (_, (_, _, c)) => cum += c; cum >= rank }.get
+          val est = (lo + hi) / 2
+          (src, q, v.length.toLong, est, lo, hi, exact,
+            (20000 * est + exact) / (2 * exact) / 10000.0)
+        }
+      }
+      val got = SparkEntry.queries("q_hist_quantiles")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+      assert(got.toSeq === expected, s"hist-quantile recount diverges at $dir")
+      // the sketch's whole guarantee, pinned on every row
+      got.foreach { case (src, q, _, est, lo, hi, exact, _) =>
+        assert(lo <= exact && exact <= hi,
+          s"$src p$q exact $exact escaped the winning bin [$lo, $hi] at $dir")
+        assert(lo <= est && est <= hi)
+      }
+    }
+  }
+
+  test("histBinned: exact below 32, top-5-bit bins above, bounds tile the line") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the boundary octave: 31 is exact, 32 opens the first 2^1-wide
+    // bin, 33 shares it, 48 starts a new bin mid-octave
+    val got = graft.operators.TextAnalysis.histBinned(
+      Seq(1L, 31L, 32L, 33L, 48L, 63L, 64L, 1000000L).toDF("n"))
+      .select(col("n"), col("idx"), col("lo"), col("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === ((1L, 1L, 1L)))
+    assert(got(31L) === ((31L, 31L, 31L)))
+    assert(got(32L) === ((32L, 32L, 33L)))   // b=6, top=16: idx 16+16
+    assert(got(33L) === ((32L, 32L, 33L)))   // same bin as 32
+    assert(got(48L) === ((40L, 48L, 49L)))   // top=24: idx 16+24
+    assert(got(63L) === ((47L, 62L, 63L)))
+    assert(got(64L) === ((48L, 64L, 67L)))   // next octave: width 4
+    // wide values: bin width <= n/16 (the 2^-s guarantee)
+    val (_, lo, hi) = got(1000000L)
+    assert(lo <= 1000000L && 1000000L <= hi && (hi - lo + 1) * 16 <= 2 * 1000000L)
+  }
+
   test("hllEstimate: LC branch fires on tiny domains and v=0 falls back to raw") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
