@@ -2194,7 +2194,121 @@ object Dedup {
        |FROM agg ORDER BY j_bucket""".stripMargin
   }
 
+  /** X159's df-bucket ladder: (df_lo, df_hi, label) — doubling edges,
+    * with [[nearMaxDf]] = 64 landing exactly on a bucket boundary so
+    * the 65+ bucket IS the above-cap mass.
+    */
+  private[graft] val dfLadder: Seq[(Long, Long, String)] = Seq(
+    (1L, 1L, "1"), (2L, 2L, "2"), (3L, 4L, "3-4"), (5L, 8L, "5-8"),
+    (9L, 16L, "9-16"), (17L, 32L, "17-32"), (33L, 64L, "33-64"),
+    (65L, Long.MaxValue, "65+"))
+
+  /** X159 — shingle document-frequency audit (`q_shingle_df`): the
+    * index-health report that JUSTIFIES the dedup family's df cap.
+    * Every collision-join variant (X5a near, X54 containment, X78
+    * winnow…) prunes shingles with df > [[nearMaxDf]] and pays an
+    * exactness-correction for them; whether that cap is safe — and
+    * what it saves — is an empirical property of the corpus this
+    * report states. Per df bucket (1, 2, 3–4, …, 33–64, 65+ — the cap
+    * edge is a ladder edge by construction): distinct shingles,
+    * postings (Σ df — index volume), and the PAIR VOLUME Σ df·(df−1)/2
+    * the uncapped collision join would generate from that bucket —
+    * the quadratic the cap exists to cut — with 4dp shares of both.
+    * The 65+ row's pair_share is the number to read: the fraction of
+    * uncapped join work the cap deletes (and the correction re-derives
+    * exactly). Absent buckets carry zeros (the X101 complete-grid
+    * rule).
+    *
+    * Scale: reuses the memoized X5a index; ONE vocab-dictionary df
+    * collapse (map-side partials — the q_doc_freq shape and the same
+    * work the index build already does), an ≤8-bucket rollup, 1-row
+    * broadcast totals, a ladder-literal left join. Pair volume sums on
+    * DECIMAL(38,0) — a 10⁹-df shingle squares past BIGINT.
+    * DedupSpec recounts the ladder sequentially at two SFs and pins
+    * bucket completeness + share algebra.
+    */
+  private def shingleDf(s: SparkSession, dir: String): DataFrame =
+    shingleDfOf(shingleIndex(s, dir)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df")))
+
+  /** X159's ladder algebra off a (shingle, df) frame — factored so
+    * DedupSpec can drive a hand-planted skewed df table through every
+    * bucket including 65+ (live on the real corpus only at scale; the
+    * sf0.01 index tops out in 5–8).
+    */
+  private[graft] def shingleDfOf(dfs: DataFrame): DataFrame = {
+    val lo = dfLadder.foldRight(lit(null).cast("long")) { case ((l, h, _), acc) =>
+      when(col("df") >= l && col("df") <= h, lit(l)).otherwise(acc)
+    }
+    val agg = dfs.select(lo.as("df_lo"), col("df"))
+      .groupBy(col("df_lo"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("postings"),
+        sum(expr("CAST(df AS DECIMAL(38,0)) * (df - 1) DIV 2").cast("decimal(38,0)"))
+          .as("pair_volume"))
+    val ladder = dfLadder.map { case (l, _, b) => (l, b) }
+      .foldLeft(Seq.empty[Column]) { case (acc, (l, b)) =>
+        acc :+ struct(lit(l).as("df_lo"), lit(b).as("bucket"))
+      }
+    val totals = agg.agg(
+      sum(col("postings")).as("tot_post"),
+      sum(col("pair_volume")).as("tot_pairs"))
+    val grid = dfs.sparkSession.range(1).select(explode(array(ladder: _*)).as("g"))
+      .select(col("g.df_lo").as("l_lo"), col("g.bucket").as("bucket"))
+    grid.join(agg, col("l_lo") === col("df_lo"), "left")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bucket"),
+        col("l_lo").as("df_lo"),
+        coalesce(col("n_shingles"), lit(0L)).cast("long").as("n_shingles"),
+        coalesce(col("postings"), lit(0L)).cast("long").as("postings"),
+        coalesce(col("pair_volume"), lit(0L)).cast("decimal(38,0)").cast("long")
+          .as("pair_volume"),
+        (expr("""CAST((20000 * COALESCE(postings, 0) + tot_post)
+                |  DIV (2 * tot_post) AS BIGINT)""".stripMargin)
+          / lit(10000.0)).as("postings_share"),
+        (when(col("tot_pairs") === 0, lit(0L)).otherwise(
+          expr("""CAST((20000 * COALESCE(pair_volume, 0) + tot_pairs)
+                 |  DIV (2 * tot_pairs) AS BIGINT)""".stripMargin))
+          / lit(10000.0)).as("pair_share"))
+      .orderBy("df_lo")
+  }
+
+  private def shingleDfSql: String = {
+    val ladderVals = dfLadder
+      .map { case (l, h, b) =>
+        val hi = if (h == Long.MaxValue) "9223372036854775807" else h.toString
+        s"($l, $hi, '$b')"
+      }
+      .mkString(", ")
+    s"""WITH $corpusSql,
+       |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+       |ladder AS (SELECT * FROM (VALUES $ladderVals) l(df_lo, df_hi, bucket)),
+       |agg AS (
+       |  SELECT l.df_lo AS df_lo, count(*) AS n_shingles, sum(d.df) AS postings,
+       |    sum(CAST(d.df AS HUGEINT) * (d.df - 1) // 2) AS pair_volume
+       |  FROM dfs d JOIN ladder l ON d.df >= l.df_lo AND d.df <= l.df_hi
+       |  GROUP BY 1),
+       |tot AS (SELECT sum(postings) AS tot_post, sum(pair_volume) AS tot_pairs FROM agg)
+       |SELECT l.bucket, CAST(l.df_lo AS BIGINT) AS df_lo,
+       |  CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(a.postings, 0) AS BIGINT) AS postings,
+       |  CAST(COALESCE(a.pair_volume, 0) AS BIGINT) AS pair_volume,
+       |  CAST((20000 * COALESCE(a.postings, 0) + t.tot_post)
+       |       // (2 * t.tot_post) AS BIGINT) / 10000.0 AS postings_share,
+       |  CASE WHEN t.tot_pairs = 0 THEN 0.0 ELSE
+       |    CAST((20000 * COALESCE(a.pair_volume, 0) + t.tot_pairs)
+       |         // (2 * t.tot_pairs) AS BIGINT) / 10000.0 END AS pair_share
+       |FROM ladder l LEFT JOIN agg a ON a.df_lo = l.df_lo
+       |CROSS JOIN tot t ORDER BY df_lo""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
+    "q_shingle_df" -> QueryDef(
+      shingleDf,
+      Some(shingleDfSql),
+      "X159 shingle-df audit: per-bucket postings + uncapped pair volume, the df-cap justification"),
     "q_dedup_near" -> QueryDef(
       dedupNear,
       // Same one-pass shape as the Spark side: shared counted directly

@@ -1524,6 +1524,84 @@ object Gateway {
         col("v_empty").cast("long").as("v_empty"), col("branch"))
   }
 
+  /** Streaming X158 — windowed length-quantile dial
+    * (`histQuantilesFeed`): the live version of `q_hist_quantiles` —
+    * per window and source, p50/p90/p99 of ingested document token
+    * counts read from the same HdrHistogram bin dictionary, the
+    * length-distribution drift dial an ingest owner pairs with
+    * [[hllFeed]] (a source whose p99 collapses toward its p50 went
+    * template-shaped; a p99 blow-up is a concatenation/parse bug).
+    * Lines are the admission shape `epoch_sec source text…`.
+    *
+    * Execution: ONE stateful windowed count per (window, source, bin)
+    * — state bounded by the ≤ ~1000-bin dictionary per key, counts
+    * mergeable — then the ≤1000-row dictionary collapses to one
+    * sorted array per window-source and rank selection is stateless
+    * HOF algebra over it (the batch side's cumulative window does not
+    * stream; the fold over the sorted dictionary computes the
+    * identical integers). No exact-audit column in the stream — the
+    * audit lives in the batch query (the [[hllFeed]] argument).
+    * GatewaySpec pins stream ≡ the batch sketch columns at two SFs.
+    * Unlike [[hllFeed]] the per-bin COUNT state is not idempotent, so
+    * at-least-once replay is absorbed one stage earlier: the
+    * (window, source, doc-slot) collapse does not exist here because
+    * the line carries no doc id — replay tolerance is the watermark
+    * dedup upstream ([[dedupFrames]]) as for the other count dials.
+    */
+  def histQuantilesFeed(
+      lines: DataFrame,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val parsed = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 &&
+        col("p").getItem(0).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).as("source"),
+        size(split(col("p").getItem(2), " ")).cast("long").as("n"))
+      .withWatermark("ts", watermarkDelay)
+    val binned = graft.operators.TextAnalysis.histBinned(parsed)
+      .groupBy(window(col("ts"), windowDuration), col("source"), col("idx"),
+        col("lo"), col("hi"))
+      .agg(count(lit(1)).as("cnt"))
+    binned
+      .groupBy(window(window_time(col("window")), windowDuration), col("source"))
+      .agg(collect_list(struct(col("idx"), col("lo"), col("hi"), col("cnt"))).as("d0"))
+      .select(
+        col("window.start").as("window_start"),
+        col("source"),
+        expr("sort_array(d0)").as("arr"))
+      .withColumn("n_docs",
+        expr("aggregate(arr, CAST(0 AS BIGINT), (a, e) -> a + e.cnt)"))
+      .select(col("window_start"), col("source"), col("arr"), col("n_docs"),
+        explode(array(
+          struct(lit(50L).as("q_pct"), lit(1L).as("qn"), lit(2L).as("qd")),
+          struct(lit(90L).as("q_pct"), lit(9L).as("qn"), lit(10L).as("qd")),
+          struct(lit(99L).as("q_pct"), lit(99L).as("qn"), lit(100L).as("qd"))))
+          .as("q"))
+      .withColumn("rk", expr("CAST((q.qn * n_docs + q.qd - 1) DIV q.qd AS BIGINT)"))
+      // least bin reaching the rank: fold carries (cum, lo, hi, done)
+      .withColumn("win", expr(
+        """aggregate(arr,
+          |  named_struct('cum', CAST(0 AS BIGINT), 'lo', CAST(0 AS BIGINT),
+          |               'hi', CAST(0 AS BIGINT), 'done', false),
+          |  (a, e) -> IF(a.done, a,
+          |    IF(a.cum + e.cnt >= rk,
+          |       named_struct('cum', a.cum + e.cnt, 'lo', e.lo, 'hi', e.hi,
+          |                    'done', true),
+          |       named_struct('cum', a.cum + e.cnt, 'lo', a.lo, 'hi', a.hi,
+          |                    'done', false))))""".stripMargin))
+      .select(
+        col("window_start"),
+        col("source"),
+        col("q.q_pct").as("q_pct"),
+        col("n_docs"),
+        expr("CAST((win.lo + win.hi) DIV 2 AS BIGINT)").as("est"),
+        col("win.lo").as("lo"),
+        col("win.hi").as("hi"))
+  }
+
   /** Streaming X155 — windowed label-noise monitor
     * (`labelNoiseFeed`): confident learning as a drift dial — the
     * offline X155 estimates label error once; what production wants

@@ -847,4 +847,58 @@ class DedupSpec extends AnyFunSuite {
     assert(entries.forall(_.storageLevel != none),
       "one access must re-arm EVERY memo entry of the session, not just the touched tag")
   }
+
+  test("q_shingle_df: sequential ladder recount at two SFs; grid complete") {
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // sequential truth: the X5a corpus (docs + %25 first-word-stripped
+      // plants), distinct 3-gram shingles per doc, df per shingle
+      val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val corpus = docs ++ docs.filter(_._1 % 25 == 0)
+        .map { case (id, t) => (id + 200000, t.split(" ", -1).drop(1).mkString(" ")) }
+      val dfm = scala.collection.mutable.Map.empty[String, Long]
+      corpus.foreach { case (_, t) =>
+        val w = t.split(" ", -1)
+        if (w.length >= 3)
+          w.sliding(3).map(_.mkString(" ")).toSet
+            .foreach((s: String) => dfm(s) = dfm.getOrElse(s, 0L) + 1)
+      }
+      val ladder = graft.operators.Dedup.dfLadder
+      val byBucket = ladder.map { case (l, h, b) =>
+        val in = dfm.values.filter(d => d >= l && d <= h)
+        (b, l, in.size.toLong, in.sum, in.map(d => BigInt(d) * (d - 1) / 2).sum)
+      }
+      val totP = byBucket.map(_._4).sum
+      val totPair = byBucket.map(_._5).sum
+      val expected = byBucket.map { case (b, l, n, p, pv) =>
+        val ps = (BigInt(20000) * p + totP) / (2 * totP)
+        val pr = if (totPair == 0) BigInt(0) else (BigInt(20000) * pv + totPair) / (2 * totPair)
+        (b, l, n, p, pv.toLong, ps.toLong / 10000.0, pr.toLong / 10000.0)
+      }
+      val got = SparkEntry.queries("q_shingle_df")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      assert(got.toSeq === expected, s"shingle-df ladder diverges at $dir")
+      assert(got.length === 8, "the grid must state every bucket, present or absent")
+      assert(got.exists(_._3 > 0), s"vacuous at $dir: empty index")
+    }
+  }
+
+  test("shingleDfOf: planted skew lights every bucket; cap edge lands on the ladder") {
+    import spark.implicits._
+    // one shingle per df value covering each bucket's edges, incl. the
+    // 65+ above-cap mass the real corpus only realizes at scale
+    val dfs = Seq(1L, 2L, 3L, 4L, 5L, 8L, 9L, 16L, 17L, 32L, 33L, 64L, 65L, 1000L)
+      .zipWithIndex.map { case (d, i) => (s"s$i", d) }.toDF("shingle", "df")
+    val got = graft.operators.Dedup.shingleDfOf(dfs).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet === graft.operators.Dedup.dfLadder.map(_._3).toSet)
+    assert(got("1") === ((1L, 1L, 0L)))          // df=1: postings 1, zero pairs
+    assert(got("2") === ((1L, 2L, 1L)))
+    assert(got("3-4") === ((2L, 7L, 9L)))        // 3+6 pairs
+    assert(got("33-64") === ((2L, 97L, 2544L)))  // 528 + 2016
+    // the cap-justifying row: 65·64/2 + 1000·999/2
+    assert(got("65+") === ((2L, 1065L, 2080L + 499500L)))
+  }
 }

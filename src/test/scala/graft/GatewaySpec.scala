@@ -2597,6 +2597,46 @@ class GatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("streaming length-quantile dial: stream == batch q_hist_quantiles sketch at two SFs") {
+    // Streaming X158: the corpus in one event-time window across three
+    // micro-batches — the feed's per-source (q_pct, n_docs, est, lo,
+    // hi) rows must equal the batch query's sketch columns
+    // digit-for-digit (same bins -> same dictionary -> the HOF rank
+    // fold computes the cumulative window's integers).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables(spark, dir, "documents").select("source", "text")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val base = 1700000000L
+      val lines = docs.map { case (src, t) => s"$base $src $t" }.toSeq
+      val ms = MemoryStream[String]
+      val sink = s"histq_feed_${System.nanoTime()}"
+      val q = Gateway.histQuantilesFeed(ms.toDF(), windowDuration = "1 day",
+          watermarkDelay = "1 hour")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        val parts = lines.grouped(math.max(1, lines.size / 3)).toSeq
+        assert(parts.size >= 3)
+        parts.foreach { p => ms.addData(p: _*); q.processAllAvailable() }
+        ms.addData(s"${base + 10 * 86400} srcX closing words here"); q.processAllAvailable()
+        ms.addData(s"${base + 10 * 86400} srcX closing words here"); q.processAllAvailable()
+        val streamed = spark.table(sink)
+          .filter(unix_seconds(col("window_start")) === (base / 86400) * 86400)
+          .select(col("source"), col("q_pct"), col("n_docs"), col("est"),
+            col("lo"), col("hi"))
+          .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+        val batch = SparkEntry.queries("q_hist_quantiles")(spark, dir)
+          .select(col("source"), col("q_pct"), col("n_docs"), col("est"),
+            col("lo"), col("hi"))
+          .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+        assert(batch.nonEmpty, s"vacuous at $dir: empty batch quantile table")
+        assert(streamed === batch,
+          s"length-quantile dial diverges from the batch sketch at $dir")
+      } finally q.stop()
+    }
+  }
+
   test("streaming rank-eval monitor: per-window P@K/nDCG/MRR, stream == batch q_rank_eval") {
     // Streaming X138: the batch eval's own judged top-20 streamed as
     // an impression log across three micro-batches (plus an
