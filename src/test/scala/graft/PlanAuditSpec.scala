@@ -121,6 +121,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "a global window straight over the documents scan must fail the structural bar")
   }
 
+  test("the X112/X100 broadcast sides are literally bounded in the plan (r18 probe fix)") {
+    // The 100x probe's two worst movers were 'fixed-size' sides that
+    // weren't: anchors/eval-suite filters of the form vec_id % 50 = 0
+    // with NO upper bound scale with the corpus, degrading the
+    // documented Theta(N*A)/Theta(N*E) NLJ shapes to Theta(N^2/50).
+    // Pin the bound STRUCTURALLY: the optimized plans must carry a
+    // literal vec_id upper bound (50 * the 64-slot batch) on the
+    // broadcast side. Removing the cap turns this red before any
+    // probe runs.
+    val bound = (50L * graft.operators.Similarity.hardNegAnchorSlots).toString
+    assert(bound === (50L * graft.operators.Curation.evalSuiteSlots).toString,
+      "the two slot constants drifted apart; update this pin's bound handling")
+    for (q <- Seq("q_hard_negatives", "q_decontam_semantic")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.toString
+      assert(plan.contains(bound),
+        s"$q lost its literal $bound broadcast-side bound — the fixed-size contract regressed")
+    }
+  }
+
   test("q_watermark is one scan, join-free (X154's scale contract)") {
     // the screen is pure in-row HOF arithmetic: scan -> projections ->
     // final sort. A join or a second scan means the hash partition
