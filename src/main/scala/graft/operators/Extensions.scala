@@ -1072,6 +1072,145 @@ object Extensions {
        |       THEN 1 ELSE 0 END AS BIGINT) AS significant
        |FROM cells, t ORDER BY variant""".stripMargin
 
+  /** X160's trailing-window width in days (a 7-day rolling audience
+    * window — the dashboard convention).
+    */
+  private[graft] val hllRollingDays = 7
+
+  /** X160 — rolling-window distinct-user cube (`q_hll_rolling`): the
+    * trailing-7-day distinct-audience series per event type, read
+    * from DAILY HLL registers merged across the window — the
+    * pre-aggregated sketch-cube pattern (sketch once per day, merge
+    * registers for ANY trailing window) that production metric stores
+    * run because exact sliding distinct re-scans the raw stream per
+    * window. Where X157 certifies the sketch on one corpus pass and
+    * [[graft.streaming.Gateway.hllFeed]] exploits merge idempotence
+    * against replay, this exploits mergeability along TIME: the daily
+    * register cube is built once (ONE exchange with map-side partial
+    * max into a (types × days × 256)-row dictionary — bounded by the
+    * calendar, not the event volume) and every window estimate is a
+    * range-frame max over that dictionary. The same h60/md5 register
+    * derivation as X157, so the oracle rebuilds the cube relationally
+    * and the estimate hash-matches.
+    *
+    * Dense-grid discipline: a bucket absent on every day of a window
+    * must contribute register 0 (2⁵³) to S, so the sparse daily maxes
+    * left-join onto the full (type, day, bucket) grid before the
+    * rolling max (the X101 absent-cell rule applied to registers).
+    * The exact trailing distinct rides as the AUDIT column (a 7-day
+    * range join against raw events — the cost the cube exists to
+    * avoid; production drops it). The estimate algebra is the shared
+    * [[graft.operators.TextAnalysis.hllEstimate]]; on this corpus the
+    * audience (≤150 users) keeps every window in the linear-counting
+    * branch — the raw branch is X157's territory and its fixtures.
+    * ExtensionsSpec recounts registers and estimates sequentially at
+    * two SFs and pins the first-window ≡ X157-style single-day merge.
+    */
+  private def hllRolling(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, dir, "events").select(
+      col("event_type"),
+      expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").as("day"),
+      col("user_id"))
+    val m = e
+      .select(col("event_type"), col("day"),
+        Hashing.h60(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"), col("day"),
+        expr("h DIV 4503599627370496").as("j"),
+        expr("h % 4503599627370496").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(53L)).otherwise(lit(53L) - length(bin(col("w")))))
+      .groupBy(col("event_type"), col("day"), col("j"))
+      .agg(max(col("rho")).as("mj"))
+    val grid = e.select(col("event_type"), col("day")).distinct()
+      .crossJoin(broadcast(s.range(256).select(col("id").as("j"))))
+    val dense = grid.join(m, Seq("event_type", "day", "j"), "left")
+      .select(col("event_type"), col("day"), col("j"),
+        coalesce(col("mj"), lit(0L)).as("mj"))
+    val roll = dense.withColumn("mj",
+      max(col("mj")).over(Window.partitionBy(col("event_type"), col("j"))
+        .orderBy(col("day"))
+        .rangeBetween(-(hllRollingDays - 1).toLong, 0L)))
+    val perKey = roll
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))")).as("s"),
+        sum(when(col("mj") === 0, 1L).otherwise(0L)).as("v_empty"))
+    val exact = e.select(col("event_type"), col("day")).distinct()
+      .join(e.select(col("event_type").as("et"), col("day").as("d"), col("user_id")),
+        col("et") === col("event_type") &&
+          col("d").between(col("day") - (hllRollingDays - 1), col("day")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    TextAnalysis.hllEstimate(perKey)
+      .withColumnRenamed("hll_est", "hll_users")
+      .join(exact, Seq("event_type", "day"))
+      .select(
+        col("event_type"),
+        col("day"),
+        col("exact_users").cast("long").as("exact_users"),
+        col("hll_users"),
+        (expr("CAST((20000 * hll_users + exact_users) DIV (2 * exact_users) AS BIGINT)")
+          / lit(10000.0)).as("est_ratio"),
+        col("branch"))
+      .orderBy("event_type", "day")
+  }
+
+  private def hllRollingSql: String =
+    s"""WITH e AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, user_id
+      |  FROM events),
+      |h AS (SELECT event_type, day,
+      |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM e),
+      |r AS (SELECT event_type, day, h // 4503599627370496 AS j,
+      |  h % 4503599627370496 AS w FROM h),
+      |m AS (
+      |  SELECT event_type, day, j,
+      |    max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mj
+      |  FROM r GROUP BY 1, 2, 3),
+      |grid AS (SELECT DISTINCT event_type, day FROM e),
+      |dense AS (
+      |  SELECT g.event_type AS event_type, g.day AS day, b.j AS j,
+      |    COALESCE(m.mj, 0) AS mj
+      |  FROM grid g CROSS JOIN generate_series(0, 255) b(j)
+      |  LEFT JOIN m ON m.event_type = g.event_type AND m.day = g.day AND m.j = b.j),
+      |roll AS (
+      |  SELECT event_type, day, j,
+      |    max(mj) OVER (PARTITION BY event_type, j ORDER BY day
+      |      RANGE BETWEEN ${hllRollingDays - 1} PRECEDING AND CURRENT ROW) AS mj
+      |  FROM dense),
+      |agg AS (
+      |  SELECT event_type, day,
+      |    sum(CAST(1 AS BIGINT) << CAST(53 - mj AS INT)) AS s,
+      |    sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS v
+      |  FROM roll GROUP BY 1, 2),
+      |est AS (
+      |  SELECT event_type, day, v,
+      |    CAST((2 * CAST(718273 AS HUGEINT) * 65536 * 9007199254740992
+      |          + 1000000 * CAST(s AS HUGEINT))
+      |      // (2000000 * CAST(s AS HUGEINT)) AS BIGINT) AS est_raw
+      |  FROM agg),
+      |fin AS (
+      |  SELECT event_type, day, v,
+      |    CASE WHEN est_raw <= 640 AND v > 0
+      |         THEN CAST(round(256 * ln(256.0 / v), 0) AS BIGINT)
+      |         ELSE est_raw END AS hll_users,
+      |    CASE WHEN est_raw <= 640 AND v > 0 THEN 'lc' ELSE 'raw' END AS branch
+      |  FROM est),
+      |ex AS (
+      |  SELECT g.event_type AS event_type, g.day AS day,
+      |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_users
+      |  FROM grid g JOIN e ON e.event_type = g.event_type
+      |    AND e.day BETWEEN g.day - ${hllRollingDays - 1} AND g.day
+      |  GROUP BY 1, 2)
+      |SELECT f.event_type, f.day, ex.exact_users, f.hll_users,
+      |  CAST((20000 * f.hll_users + ex.exact_users)
+      |       // (2 * ex.exact_users) AS BIGINT) / 10000.0 AS est_ratio,
+      |  f.branch
+      |FROM fin f JOIN ex ON ex.event_type = f.event_type AND ex.day = f.day
+      |ORDER BY f.event_type, f.day""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_json_extract" -> QueryDef(
       jsonExtract,
@@ -1197,5 +1336,9 @@ object Extensions {
       sourceQuantiles,
       Some(sourceQuantilesSql),
       "X85 exact per-source median/p90 doc length via range ranking, no per-source sort task"),
+    "q_hll_rolling" -> QueryDef(
+      hllRolling,
+      Some(hllRollingSql),
+      "X160 rolling-window distinct-user cube: daily HLL registers merged per trailing window"),
   )
 }

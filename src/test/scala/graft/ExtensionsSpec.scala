@@ -535,4 +535,61 @@ class ExtensionsSpec extends AnyFunSuite {
       ("a", 10L, 20L, 4L, 0.3636, 5L),
       ("b", 7L, 7L, 1L, 1.0, 0L)), s"hole semantics wrong: ${got.toSeq}")
   }
+
+  test("q_hll_rolling: sequential register-cube recount at two SFs; windows genuinely roll") {
+    import org.apache.spark.sql.functions._
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val win = graft.operators.Extensions.hllRollingDays
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").as("day"),
+          col("user_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // daily register cube, then the trailing-window merge per day
+      val daily = scala.collection.mutable.Map.empty[(String, Long, Long), Long]
+      rows.foreach { case (et, day, uid) =>
+        val h = h60(uid.toString)
+        val j = h >>> 52
+        val w = h & ((1L << 52) - 1)
+        val rho = 53L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        val k = (et, day, j)
+        if (rho > daily.getOrElse(k, 0L)) daily(k) = rho
+      }
+      val grid = rows.map(r => (r._1, r._2)).distinct.sorted
+      val expected = grid.map { case (et, day) =>
+        val mjs = (0L until 256L).map { j =>
+          (day - (win - 1) to day).map(d => daily.getOrElse((et, d, j), 0L)).max
+        }
+        val s = mjs.map(mj => 1L << (53 - mj)).sum
+        val v = mjs.count(_ == 0).toLong
+        val estRaw = ((BigInt(2) * 718273 * 65536 * BigInt("9007199254740992") +
+          BigInt(1000000) * s) / (BigInt(2000000) * s)).toLong
+        val (est, branch) =
+          if (estRaw <= 640 && v > 0) (math.round(256.0 * math.log(256.0 / v)), "lc")
+          else (estRaw, "raw")
+        val exact = rows.filter(r => r._1 == et &&
+          r._2 >= day - (win - 1) && r._2 <= day).map(_._3).distinct.length.toLong
+        (et, day, exact, est, (20000 * est + exact) / (2 * exact) / 10000.0, branch)
+      }
+      val got = SparkEntry.queries("q_hll_rolling")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getString(5)))
+      assert(got.toSeq === expected, s"rolling register cube diverges at $dir")
+      // the window genuinely rolls: the trailing audience grows past
+      // the first day for at least one type (merge did work), and
+      // every estimate sits within the sketch's band of its exact
+      val byType = got.groupBy(_._1)
+      assert(byType.values.exists(s => s.map(_._3).distinct.length > 1),
+        s"vacuous at $dir: every trailing window has the same audience")
+      got.foreach { case (et, day, exact, est, _, _) =>
+        assert(math.abs(est - exact).toDouble / exact < 0.25,
+          s"$et day $day estimate $est too far from exact $exact at $dir")
+      }
+    }
+  }
 }
