@@ -2148,13 +2148,22 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+    // the bin dictionary is consumed three ways (cumulative ranks,
+    // per-source totals, winning-bin bounds) — checkpoint the ≤ ~1000-
+    // bins-per-source collapse so the corpus is scanned ONCE for the
+    // sketch (plus the irreducible exact-audit scan; r18 probe measured
+    // the uncheckpointed form as 3 corpus scans)
     val bc = histBinned(d)
       .groupBy(col("source"), col("idx"))
       .agg(min(col("lo")).as("lo"), min(col("hi")).as("hi"),
         count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val cum = bc.withColumn("cum",
       sum(col("cnt")).over(Window.partitionBy(col("source")).orderBy(col("idx"))))
-    val tgt = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    // n_docs = sum cnt over the bin dictionary — saves a third corpus
+    // scan (r18 probe: the operator was 3 narrow scans; the audit scan
+    // is irreducible, the count scan was not)
+    val tgt = bc.groupBy(col("source")).agg(sum(col("cnt")).as("n_docs"))
       .select(col("source"), col("n_docs"), explode(array(
         struct(lit(50L).as("q_pct"), lit(1L).as("qn"), lit(2L).as("qd")),
         struct(lit(90L).as("q_pct"), lit(9L).as("qn"), lit(10L).as("qd")),
