@@ -20,6 +20,7 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+SPARK_GRAFT_BENCH_OUT=/tmp/graft_bench_sf01_side.json \
 java $ADD_OPENS -Xmx24g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench > "$TMP"

@@ -8,6 +8,9 @@
 #   >2x per-query idle movers).
 # ~35 min end to end on this machine. Each stage is runnable alone;
 # this script only sequences them and stops at the first red.
+# Modes: (no flag) full gate; --reseed  allow a mid-round baseline
+# refresh (log it in the round notes); --probe100  run the 100x-shape
+# cliff probe (top-10 costliest + $PROBE_EXTRA queries) and exit.
 #
 # Baseline-reseed policy (VERDICT r17 #5): the sf1 baseline must
 # predate the round being gated — a baseline re-seeded mid-round can
@@ -17,6 +20,21 @@
 # passed explicitly; a reseed must be logged in the round notes.
 set -e
 cd /root/repo
+# --probe100 (VERDICT r18 #5): run the 100x-shape cliff probe as a
+# gate-invocable mode — the top-10 costliest queries PLUS any queries
+# named in PROBE_EXTRA (comma-separated; use it for every NEW operator
+# of the round) against the sf10-shape tables, with 10x->100x ratios
+# printed against tools/sf1_baseline.json. One flag runs it end to
+# end; any superlinear mover still needs a fix or a measured
+# attribution in the round notes (the r18 discipline, made standing).
+if [ "$1" = "--probe100" ]; then
+  if [ -n "$PROBE_EXTRA" ]; then
+    BASE_QS=$(grep -o 'QUERIES=\${SPARK_GRAFT_QUERIES:-[^}]*}' tools/sf10_probe.sh \
+      | sed 's/.*:-//; s/}//')
+    export SPARK_GRAFT_QUERIES="$BASE_QS,$PROBE_EXTRA"
+  fi
+  exec tools/sf10_probe.sh "${@:2}"
+fi
 RESEED=0
 [ "$1" = "--reseed" ] && RESEED=1
 ROUND_START=$(git log --grep='^round [0-9]*:' -n1 --format=%H)

@@ -20,6 +20,7 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 SPARK_GRAFT_SF_DIR="$SF1_DIR" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
 SPARK_GRAFT_BENCH_PASSES=1 \
+SPARK_GRAFT_BENCH_OUT=/tmp/graft_sf1_bench_side.json \
 java $ADD_OPENS -Xmx24g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CLASSES:/opt/spark/jars/*" graft.Bench > "$OUT_JSON"
