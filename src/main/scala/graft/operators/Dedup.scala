@@ -291,6 +291,83 @@ object Dedup {
     */
   private[graft] val nearMaxDf = 64
 
+  /** Thrown by the df-saturation guard in `refuse` mode — see
+    * [[dfGuarded]]. Carries the observed max df so operators can log
+    * the regime, not just the refusal.
+    */
+  final class DfSaturationException(msg: String) extends RuntimeException(msg)
+
+  /** X159 → family wiring (VERDICT r18 #1): the df-saturation GUARD.
+    *
+    * The df-capped collision joins (X5a near, X54 containment, X68
+    * substring) are EXACT only while the corpus leaves the cap
+    * headroom — a pair sharing ONLY above-cap shingles is invisible to
+    * capped candidate generation (the correction join fixes COUNTS for
+    * pairs already found, it cannot resurrect a pair never generated).
+    * X159 `q_shingle_df` measures that regime; this guard ENFORCES it:
+    * on a df-saturated corpus (observed max df > the cap) the declared
+    * queries are loud, never silently degraded.
+    *
+    * Two modes via `spark.graft.dedup.dfGuard`:
+    *  - `flag` (default): every output row carries a `df_saturated`
+    *    boolean, and — so an EMPTY pair table cannot be silent — a
+    *    sentinel row (id_a = id_b = −1, zero measures, flag true) is
+    *    emitted when saturated. Both are plain relational algebra the
+    *    DuckDB oracle states identically, so the contract is itself
+    *    oracle-checked; on headroom-respecting corpora the flag is
+    *    false everywhere and no sentinel appears. Chosen as the
+    *    default because saturation is a CORPUS property, not a bug:
+    *    the 10× rehearsal corpus is measured 99.7 % above-cap by
+    *    postings and must keep running (with the flag raised), while
+    *    a hard refuse there would fail the perf gate on an input the
+    *    operator handles correctly-but-degraded by design.
+    *  - `refuse`: query construction throws [[DfSaturationException]]
+    *    with the observed max df — for pipelines where a possibly-
+    *    incomplete pair table must never ship.
+    *
+    * Cost: one map-side-partial aggregate over the (cached) index per
+    * declared query — a ≤|vocab|-row dictionary collapse to ONE row,
+    * evaluated EAGERLY at query construction (the [[nearPairs]]
+    * `highShingles.isEmpty` probe pattern: a 1-row bounded head, never
+    * corpus-proportional) and attached as a LITERAL column. Eager-and-
+    * literal rather than a 1-row cross join on purpose: the flag adds
+    * zero joins, so the standing plan audits (no broadcast hints on
+    * the near plan, equi-joins-only on containment) hold unchanged.
+    * Nothing touches the memoized pair tables themselves, so
+    * sweep/recall/CC consumers are unchanged.
+    */
+  private[graft] def dfSaturationFlag(dfs: DataFrame, cap: Long): DataFrame =
+    dfs.agg(coalesce(max(col("df")), lit(0L)).cast("long").as("max_df"))
+      .select(col("max_df"), (col("max_df") > cap).as("df_saturated"))
+
+  /** Apply the guard to a (id_a, id_b, measures…) pair table: refuse
+    * in `refuse` mode, else append the flag column + the sentinel row.
+    * `sentinelMeasures` must alias one zero literal per measure column
+    * (same names), so `unionByName` lines the sentinel up exactly.
+    */
+  private[graft] def dfGuarded(
+      s: SparkSession,
+      pairs: DataFrame,
+      flag: DataFrame,
+      query: String,
+      cap: Long,
+      sentinelMeasures: Seq[Column]): DataFrame = {
+    val r = flag.head()
+    val maxDf = r.getLong(0)
+    val saturated = r.getBoolean(1)
+    if (saturated && s.conf.get("spark.graft.dedup.dfGuard", "flag") == "refuse")
+      throw new DfSaturationException(
+        s"$query: corpus is df-saturated (max shingle df $maxDf > cap $cap) — " +
+          "capped candidate generation could miss pairs sharing only above-cap shingles. " +
+          "Run q_shingle_df (X159) for the full df ladder; set " +
+          "spark.graft.dedup.dfGuard=flag for flagged (possibly incomplete) output.")
+    val flagged = pairs.withColumn("df_saturated", lit(saturated))
+    if (!saturated) flagged
+    else flagged.unionByName(
+      s.range(1).select(lit(-1L).as("id_a") +: lit(-1L).as("id_b") +:
+        sentinelMeasures :+ lit(true).as("df_saturated"): _*))
+  }
+
   /** The near-dup pipeline, parameterized by the posting-list cap so
     * DedupSpec can pin capped ≡ uncapped. One-pass shape (r6 verdict
     * task 1): `shared` is counted DIRECTLY off the capped collision
@@ -391,8 +468,14 @@ object Dedup {
     * cheaper of two provably-equivalent plans. Callers building the
     * query only to inspect its plan still pay that probe.
     */
-  private def dedupNear(s: SparkSession, dir: String): DataFrame =
-    nearPairsIndexed(s, dir).orderBy("id_a", "id_b")
+  private def dedupNear(s: SparkSession, dir: String): DataFrame = {
+    val dfs = shingleIndex(s, dir)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    dfGuarded(s, nearPairsIndexed(s, dir),
+      dfSaturationFlag(dfs, nearMaxDf), "q_dedup_near", nearMaxDf,
+      Seq(lit(0L).as("shared"), lit(0L).as("n_union")))
+      .orderBy("id_a", "id_b")
+  }
 
   /** Session-scoped memo of the VERIFIED ≥0.6-Jaccard pair table —
     * the [[shingleIndex]] discipline one level up: the truth table
@@ -545,7 +628,7 @@ object Dedup {
 
   private def containment(s: SparkSession, dir: String): DataFrame = {
     val sh = containmentIndex(s, dir)
-    collisionShared(sh, nearMaxDf, sizeCompat = false)
+    val pairs = collisionShared(sh, nearMaxDf, sizeCompat = false)
       .filter(col("shared") * 10 >= least(col("n_a"), col("n_b")) * 9)
       .select(
         col("id_a"), col("id_b"),
@@ -553,6 +636,10 @@ object Dedup {
         col("n_a").cast("long").as("n_a"),
         col("n_b").cast("long").as("n_b"),
         round(col("shared") / least(col("n_a"), col("n_b")), 4).as("cont"))
+    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    dfGuarded(s, pairs, dfSaturationFlag(dfs, nearMaxDf), "q_containment", nearMaxDf,
+      Seq(lit(0L).as("shared"), lit(0L).as("n_a"), lit(0L).as("n_b"),
+        lit(0.0).as("cont")))
       .orderBy("id_a", "id_b")
   }
 
@@ -582,14 +669,20 @@ object Dedup {
        |  GROUP BY 1, 2),
        |verified AS (
        |  SELECT k.id_a, k.id_b, k.shared_kept + COALESCE(c.extra, 0) AS shared
-       |  FROM shared_kept k LEFT JOIN corr c ON c.id_a = k.id_a AND c.id_b = k.id_b)
+       |  FROM shared_kept k LEFT JOIN corr c ON c.id_a = k.id_a AND c.id_b = k.id_b),
+       |sat AS (SELECT COALESCE(max(df), 0) > $nearMaxDf AS df_saturated FROM dfreq)
        |SELECT v.id_a, v.id_b, CAST(v.shared AS BIGINT) AS shared,
        |  CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
-       |  round(v.shared / least(ca.n, cb.n), 4) AS cont
+       |  round(v.shared / least(ca.n, cb.n), 4) AS cont, s.df_saturated
        |FROM verified v
        |JOIN card ca ON ca.doc_id = v.id_a
        |JOIN card cb ON cb.doc_id = v.id_b
+       |CROSS JOIN sat s
        |WHERE 10 * v.shared >= 9 * least(ca.n, cb.n)
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+       |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), df_saturated
+       |FROM sat WHERE df_saturated
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -1622,8 +1715,14 @@ object Dedup {
     }
   }
 
-  private[graft] def substrDedup(s: SparkSession, dir: String): DataFrame =
-    substrPairs(s, dir).orderBy("id_a", "id_b")
+  private[graft] def substrDedup(s: SparkSession, dir: String): DataFrame = {
+    val dfs = substrGrams(s, dir)
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+    dfGuarded(s, substrPairs(s, dir),
+      dfSaturationFlag(dfs, substrMaxDf), "q_substr_dedup", substrMaxDf,
+      Seq(lit(0L).as("max_run"), lit(0L).as("n_shared_grams")))
+      .orderBy("id_a", "id_b")
+  }
 
   private[graft] def substrSql: String = {
     val n = substrGramN
@@ -1645,12 +1744,20 @@ object Dedup {
        |  FROM m),
        |runs AS (
        |  SELECT id_a, id_b, d, grp, count(*) AS k
-       |  FROM isl GROUP BY id_a, id_b, d, grp)
+       |  FROM isl GROUP BY id_a, id_b, d, grp),
+       |sat AS (
+       |  SELECT COALESCE(max(df), 0) > $substrMaxDf AS df_saturated
+       |  FROM (SELECT count(DISTINCT doc_id) AS df FROM g GROUP BY h))
        |SELECT id_a, id_b,
        |  CAST(max(k) + ${n - 1} AS BIGINT) AS max_run,
-       |  CAST(sum(k) AS BIGINT) AS n_shared_grams
-       |FROM runs GROUP BY id_a, id_b
+       |  CAST(sum(k) AS BIGINT) AS n_shared_grams,
+       |  any_value(s.df_saturated) AS df_saturated
+       |FROM runs CROSS JOIN sat s GROUP BY id_a, id_b
        |HAVING max(k) + ${n - 1} >= $substrMinTokens
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+       |  CAST(0 AS BIGINT), df_saturated
+       |FROM sat WHERE df_saturated
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -2223,9 +2330,16 @@ object Dedup {
     * collapse (map-side partials — the q_doc_freq shape and the same
     * work the index build already does), an ≤8-bucket rollup, 1-row
     * broadcast totals, a ladder-literal left join. Pair volume sums on
-    * DECIMAL(38,0) — a 10⁹-df shingle squares past BIGINT.
-    * DedupSpec recounts the ladder sequentially at two SFs and pins
-    * bucket completeness + share algebra.
+    * DECIMAL(38,0): a single 10⁹-df shingle's ~5·10¹⁷ pairs still fits
+    * BIGINT — it is the per-BUCKET SUM over millions of such shingles
+    * that can overflow, so the accumulator must be 128-bit. The
+    * REPORTED pair_volume column is BIGINT (the driver's oracle hash
+    * rejects int128-class columns), clamped to Long.MaxValue
+    * identically on both engines — a saturated 9.22·10¹⁸ reading means
+    * "at least this much", and pair_share (computed on the unclamped
+    * decimals) stays exact regardless. DedupSpec recounts the ladder
+    * sequentially at two SFs and pins bucket completeness + share
+    * algebra + the clamp.
     */
   private def shingleDf(s: SparkSession, dir: String): DataFrame =
     shingleDfOf(shingleIndex(s, dir)
@@ -2263,7 +2377,13 @@ object Dedup {
         col("l_lo").as("df_lo"),
         coalesce(col("n_shingles"), lit(0L)).cast("long").as("n_shingles"),
         coalesce(col("postings"), lit(0L)).cast("long").as("postings"),
-        coalesce(col("pair_volume"), lit(0L)).cast("decimal(38,0)").cast("long")
+        // Clamp before the BIGINT cast: Spark non-ANSI would silently
+        // NULL an overflowing decimal→long cast (and DuckDB would hard
+        // error) — saturating at Long.MaxValue is loud-by-value and
+        // identical on both engines. pair_share below uses the
+        // unclamped decimal totals, so shares stay exact.
+        least(coalesce(col("pair_volume"), lit(0L)).cast("decimal(38,0)"),
+            lit(Long.MaxValue).cast("decimal(38,0)")).cast("long")
           .as("pair_volume"),
         (expr("""CAST((20000 * COALESCE(postings, 0) + tot_post)
                 |  DIV (2 * tot_post) AS BIGINT)""".stripMargin)
@@ -2294,7 +2414,8 @@ object Dedup {
        |SELECT l.bucket, CAST(l.df_lo AS BIGINT) AS df_lo,
        |  CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
        |  CAST(COALESCE(a.postings, 0) AS BIGINT) AS postings,
-       |  CAST(COALESCE(a.pair_volume, 0) AS BIGINT) AS pair_volume,
+       |  CAST(LEAST(CAST(COALESCE(a.pair_volume, 0) AS HUGEINT),
+       |             9223372036854775807::HUGEINT) AS BIGINT) AS pair_volume,
        |  CAST((20000 * COALESCE(a.postings, 0) + t.tot_post)
        |       // (2 * t.tot_post) AS BIGINT) / 10000.0 AS postings_share,
        |  CASE WHEN t.tot_pairs = 0 THEN 0.0 ELSE
@@ -2313,10 +2434,24 @@ object Dedup {
       dedupNear,
       // Same one-pass shape as the Spark side: shared counted directly
       // off the capped collision join, high-df shingles added back by
-      // the (empty-on-this-corpus) correction join.
-      Some(s"""WITH $nearChainSql
-              |$verifySqlTail""".stripMargin),
-      "X5a n-gram Jaccard near-dup via df-capped inverted shingle index"),
+      // the (empty-on-this-corpus) correction join; the df-saturation
+      // guard (flag column + sentinel row) is stated in SQL too, so
+      // the guard contract is itself oracle-checked.
+      Some(s"""WITH $nearChainSql,
+              |sat AS (SELECT COALESCE(max(df), 0) > $nearMaxDf AS df_saturated FROM dfreq)
+              |SELECT v.id_a, v.id_b, CAST(v.shared AS BIGINT) AS shared,
+              |  CAST(ca.n + cb.n - v.shared AS BIGINT) AS n_union, s.df_saturated
+              |FROM verified v
+              |JOIN card ca ON ca.doc_id = v.id_a
+              |JOIN card cb ON cb.doc_id = v.id_b
+              |CROSS JOIN sat s
+              |WHERE 10 * v.shared >= 6 * (ca.n + cb.n - v.shared)
+              |UNION ALL
+              |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+              |  CAST(0 AS BIGINT), df_saturated
+              |FROM sat WHERE df_saturated
+              |ORDER BY id_a, id_b""".stripMargin),
+      "X5a n-gram Jaccard near-dup via df-capped inverted shingle index, df-saturation-guarded"),
     "q_dedup_sweep" -> QueryDef(
       dedupSweep,
       Some(sweepSql),

@@ -901,4 +901,69 @@ class DedupSpec extends AnyFunSuite {
     // the cap-justifying row: 65·64/2 + 1000·999/2
     assert(got("65+") === ((2L, 1065L, 2080L + 499500L)))
   }
+
+  test("df-saturation guard: planted saturated vocab flags loudly, refuse mode throws") {
+    // VERDICT r18 #1: on a df-saturated corpus (the 100x probe's
+    // 30-word-vocabulary regime) capped candidate generation can miss
+    // pairs that share ONLY above-cap shingles — and before this guard
+    // it missed them SILENTLY. Plant the worst case: 200 docs cycling
+    // a 6-word vocabulary, so the corpus has exactly 6 distinct
+    // shingles, every one with df = 200 >> cap 64. Every doc pair is a
+    // true near-dup (identical shingle sets, Jaccard 1.0), yet the
+    // capped join generates ZERO candidates — the exact silent-miss
+    // mode. The guard must turn that into (a) a df_saturated=true flag
+    // on every row, (b) a sentinel row even though the pair table is
+    // empty, and (c) a hard refusal in refuse mode.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import spark.implicits._
+    val dedup = graft.operators.Dedup
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0L until 200L).map { i =>
+      (i, (0 until 20).map(j => vocab(((i + j) % 6).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = dedup.shinglesOf(docs).persist()
+    try {
+      val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val flag = dedup.dfSaturationFlag(dfs, dedup.nearMaxDf)
+      val r = flag.head()
+      assert(r.getLong(0) === 200L, s"planted df should be 200, got ${r.getLong(0)}")
+      assert(r.getBoolean(1), "planted saturated corpus not flagged")
+      val pairs = dedup.nearPairs(sh, dedup.nearMaxDf)
+      assert(pairs.isEmpty, "planted corpus should produce ZERO capped candidates " +
+        "(else the fixture no longer exercises the silent-miss mode)")
+      val sentinels = Seq(lit(0L).as("shared"), lit(0L).as("n_union"))
+      val guarded = dedup
+        .dfGuarded(spark, pairs, flag, "planted", dedup.nearMaxDf, sentinels)
+        .collect()
+      assert(guarded.length === 1, "empty-but-saturated output must carry the sentinel row")
+      val s0 = guarded.head
+      assert((s0.getLong(0), s0.getLong(1), s0.getLong(2), s0.getLong(3), s0.getBoolean(4)) ===
+        ((-1L, -1L, 0L, 0L, true)))
+      // refuse mode: construction itself must throw, with the regime in the message
+      spark.conf.set("spark.graft.dedup.dfGuard", "refuse")
+      try {
+        val ex = intercept[graft.operators.Dedup.DfSaturationException] {
+          dedup.dfGuarded(spark, pairs, flag, "planted", dedup.nearMaxDf, sentinels)
+        }
+        assert(ex.getMessage.contains("max shingle df 200") &&
+          ex.getMessage.contains("q_shingle_df"))
+      } finally spark.conf.unset("spark.graft.dedup.dfGuard")
+    } finally sh.unpersist()
+  }
+
+  test("df-saturation guard: real corpora stay unflagged, sentinel-free, pairs unchanged") {
+    // The negative control for the guard, plus the compatibility pin:
+    // on headroom-respecting corpora the declared near query is the
+    // memoized pair table + a constant-false flag, nothing else.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val near = SparkEntry.queries("q_dedup_near")(spark, dir).collect()
+      assert(near.nonEmpty)
+      assert(near.forall(!_.getBoolean(4)), s"real corpus flagged saturated at $dir")
+      assert(near.forall(_.getLong(0) >= 0L), s"sentinel leaked into real-corpus output at $dir")
+      val raw = graft.operators.Dedup.nearPairsIndexed(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(near.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet === raw,
+        s"guard changed the pair table itself at $dir")
+    }
+  }
 }

@@ -133,10 +133,15 @@ class PlanAuditSpec extends AnyFunSuite {
     val bound = (50L * graft.operators.Similarity.hardNegAnchorSlots).toString
     assert(bound === (50L * graft.operators.Curation.evalSuiteSlots).toString,
       "the two slot constants drifted apart; update this pin's bound handling")
+    // Match the PREDICATE, not the bare literal (ADVICE r18): a whole-
+    // plan substring check on "3200" would stay green on any unrelated
+    // literal containing it (13200, 320000) after the cap regressed.
+    val boundPred = s"""vec_id#\\d+L? < $bound\\)""".r
     for (q <- Seq("q_hard_negatives", "q_decontam_semantic")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.toString
-      assert(plan.contains(bound),
-        s"$q lost its literal $bound broadcast-side bound — the fixed-size contract regressed")
+      assert(boundPred.findFirstIn(plan).isDefined,
+        s"$q lost its literal (vec_id < $bound) broadcast-side bound — " +
+          s"the fixed-size contract regressed:\n$plan")
     }
   }
 
