@@ -345,45 +345,114 @@ object Multimodal {
     * two videos duplicates when enough frames collide — the
     * production shape for catching re-encodes, crops and re-uploads
     * that exact payload hashing (X43's distinct-payload count)
-    * misses. Here the per-frame fingerprint is the frame byte sum mod
-    * 256 — the luma-histogram stand-in, deterministic and derivable
-    * by BOTH engines (a real deploy swaps in pHash/dHash inside the
-    * same mapPartitions body; nothing else changes, exactly the X12
-    * decode contract). Per video: the DISTINCT fingerprint set; then
-    * a bucketed self-join ON the fingerprint (the SimHash band-join
-    * shape — collision-bounded, NO all-pairs) counts shared prints
-    * per pair. Output per colliding pair: shared count, containment
-    * = shared/min(ǀAǀ,ǀBǀ) (4dp integer HALF_UP), and the integer
-    * verdict shared ≥ [[mediaDupMinShared]] — both branches live at
-    * sf0.01 (MultimodalSpec pins dup and non-dup pairs nonempty and
-    * recounts the whole table sequentially).
+    * misses. The per-frame fingerprint is the frame's 32-bit value
+    * (width-configurable via [[mediaPrintSpace]]) — the pHash
+    * stand-in, deterministic and derivable by BOTH engines (a real
+    * deploy swaps in pHash/dHash inside the same mapPartitions body;
+    * nothing else changes, exactly the X12 decode contract). Per
+    * video: the DISTINCT fingerprint set; then a bucketed self-join
+    * ON the fingerprint (the SimHash band-join shape —
+    * collision-bounded, NO all-pairs) counts shared prints per pair.
+    * Output per colliding pair: shared count, containment =
+    * shared/min(ǀAǀ,ǀBǀ) (4dp integer HALF_UP), and the integer
+    * verdict shared ≥ [[mediaDupMinShared]] — both branches kept live
+    * at every SF by [[videoContainers]]' PLANTED re-encode copies
+    * (MultimodalSpec pins dup and non-dup pairs nonempty and recounts
+    * the whole table sequentially).
     *
     * The oracle derives every fingerprint from md5 hex arithmetic
     * WITHOUT parsing — the hash compare certifies parser + frame
-    * split + fingerprint + pair algebra end to end.
+    * split + fingerprint + pair algebra end to end, plants included.
     *
-    * Scale shape: video-only prunable predicate, per-partition
-    * decode, one distinct over (doc, phash) (≤4/video), the
-    * phash-keyed equi-join (256 buckets here; a pHash swap widens the
-    * key space and SHRINKS buckets), per-doc counts joined back onto
-    * the collision-bounded pair table (the X5a shape). No corpus
-    * all-pairs anywhere.
+    * Scale shape (r18 verdict's weak flag, closed r19): video-only
+    * prunable predicate, per-partition decode, one distinct over
+    * (doc, phash) (≤4/video), the phash-keyed equi-join — at the
+    * 32-bit default a collision IS a shared frame, so the pair table
+    * is LINEAR in true duplicates (the r17/r18 8-bit stand-in made it
+    * Θ(N²/256): 843 M pair rows at 100×, now gone), per-doc counts
+    * joined back onto the collision-bounded pair table (the X5a
+    * shape). No corpus all-pairs anywhere.
     */
+  /** Fingerprint width knob (VERDICT r18 #2): number of bits of the
+    * per-frame fingerprint kept, `spark.graft.media.printBits`,
+    * default 32 = the FULL frame value. The r17/r18 stand-in was the
+    * frame byte-sum mod 256 — 256 buckets, so the pair table was
+    * Θ(N²/256) by construction (843 M pair rows measured at 100×).
+    * At the default width a cross-video collision IS a shared frame,
+    * so pair volume tracks TRUE duplicates (linear in the planted/real
+    * dup rate), not corpus²; narrower widths re-create collision-rich
+    * banding for recall experiments. The DuckDB oracle states the
+    * DEFAULT width — running with a non-default knob is a declared
+    * experiment, not an oracle-checked configuration.
+    */
+  private[graft] def mediaPrintSpace(s: SparkSession): Long = {
+    val bits = s.conf.get("spark.graft.media.printBits", "32").toInt
+    require(bits >= 1 && bits <= 62, s"spark.graft.media.printBits out of range: $bits")
+    1L << bits
+  }
+
+  /** X111's video corpus: the video slice of [[containers]] ∪ planted
+    * re-encode copies — the dedup family's planted-truth pattern
+    * (VERDICT r18 #2: with 2³²-wide prints, organic md5-frame
+    * collisions are ~2⁻³² per pair, so the plants keep BOTH verdict
+    * branches live at every SF instead of leaning on hash-width
+    * collision richness):
+    *  - every video with doc_id % 15 == 2 gets a copy at +600000
+    *    sharing frames 0–1 (first half of the payload) with frames
+    *    2–3 re-derived from md5(text ∥ '#') — shared = 2 ≥
+    *    [[mediaDupMinShared]], the is_dup = 1 branch;
+    *  - every video with doc_id % 21 == 2 gets a copy at +900000
+    *    sharing frame 0 only (tail from md5(text ∥ '%')) — shared =
+    *    1, the is_dup = 0 branch.
+    * Both offsets are ≡ 0 (mod 3) so the copies stay in the video
+    * modality, and both payloads are pure md5 hex arithmetic the
+    * oracle re-derives without parsing. Packed through the same GFTM
+    * recipe as [[containers]], so the decode path stays real for the
+    * plants too.
+    */
+  private[graft] def videoContainers(s: SparkSession, dir: String): DataFrame = {
+    def pack(docId: Column, payloadHex: Column): Column = unhex(concat(
+      lit(MediaCodec.MagicHex), lit("01"),
+      lpad(hex(docId % 3), 2, "0"),
+      lit("0A0002"), lpad(hex(docId % 65536), 4, "0"),
+      lit("010004"), lpad(substring(payloadHex, 1, 2), 8, "0"),
+      lit("020004"), lpad(substring(payloadHex, 3, 2), 8, "0"),
+      lit("030008"), lpad(hex(docId), 16, "0"),
+      lit("7F0010"), payloadHex))
+    val vids = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), md5(col("text")).as("h"), col("text"))
+    val base = vids.select(col("doc_id"), pack(col("doc_id"), col("h")).as("container"))
+    val dups = vids.filter(col("doc_id") % 15 === 2)
+      .select((col("doc_id") + 600000L).as("doc_id"),
+        concat(substring(col("h"), 1, 16),
+          substring(md5(concat(col("text"), lit("#"))), 17, 16)).as("ph"))
+      .select(col("doc_id"), pack(col("doc_id"), col("ph")).as("container"))
+    val overlaps = vids.filter(col("doc_id") % 21 === 2)
+      .select((col("doc_id") + 900000L).as("doc_id"),
+        concat(substring(col("h"), 1, 8),
+          substring(md5(concat(col("text"), lit("%"))), 9, 24)).as("ph"))
+      .select(col("doc_id"), pack(col("doc_id"), col("ph")).as("container"))
+    base.unionByName(dups).unionByName(overlaps)
+  }
+
   /** The distinct per-video frame fingerprints — X111's inner table,
     * factored so the streaming admission filter
     * ([[graft.streaming.Gateway.mediaFeed]]) indexes EXACTLY the
-    * prints the batch pair join consumes.
+    * prints the batch pair join consumes. The fingerprint is the
+    * frame's big-endian value mod [[mediaPrintSpace]] — identity at
+    * the default 32-bit width (a real deploy swaps in pHash/dHash
+    * inside the same mapPartitions body; nothing else changes).
     */
   private[graft] def framePrints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    containers(s, dir)
-      .filter(col("doc_id") % 3 === 2)
+    val space = mediaPrintSpace(s)
+    videoContainers(s, dir)
       .select(col("container")).as[Array[Byte]]
       .mapPartitions { it =>
         it.flatMap { bytes =>
-          val d = MediaCodec.decode(bytes)
-          MediaCodec.sampleFrames(d.payload, frameBytes)
-            .map(f => (d.docId, f.foldLeft(0L)((acc, b) => acc + (b & 0xFF)) % 256))
+          val (docId, prints) = printsOf(bytes, space)
+          prints.map(p => (docId, p))
         }
       }
       .toDF("doc_id", "phash").distinct()
@@ -399,12 +468,14 @@ object Multimodal {
       .agg(sort_array(collect_set(col("phash"))).as("idx_prints"))
 
   /** The per-frame fingerprint of one decoded container — shared by
-    * the batch path above and the streaming decode.
+    * the batch path above and the streaming decode. Frame value =
+    * big-endian positional byte value, reduced mod `space`.
     */
-  private[graft] def printsOf(bytes: Array[Byte]): (Long, Seq[Long]) = {
+  private[graft] def printsOf(
+      bytes: Array[Byte], space: Long = 1L << 32): (Long, Seq[Long]) = {
     val d = MediaCodec.decode(bytes)
     d.docId -> MediaCodec.sampleFrames(d.payload, frameBytes)
-      .map(f => f.foldLeft(0L)((acc, b) => acc + (b & 0xFF)) % 256)
+      .map(f => f.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xFF)) % space)
       .distinct.sorted
   }
 
@@ -427,14 +498,22 @@ object Multimodal {
   }
 
   private def mediaDedupSql: String = {
-    val frameSum = (k: String) => (0 until frameBytes)
-      .map(i => s"('0x' || substr(h, 8 * $k + ${2 * i + 1}, 2))::BIGINT")
-      .mkString(" + ")
-    s"""WITH v AS (
-       |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 2),
+    s"""WITH d AS (
+       |  SELECT doc_id, text, md5(text) AS h FROM documents WHERE doc_id % 3 = 2),
+       |v AS (
+       |  SELECT doc_id, h FROM d
+       |  UNION ALL
+       |  SELECT doc_id + 600000 AS doc_id,
+       |    substr(h, 1, 16) || substr(md5(text || '#'), 17, 16) AS h
+       |  FROM d WHERE doc_id % 15 = 2
+       |  UNION ALL
+       |  SELECT doc_id + 900000 AS doc_id,
+       |    substr(h, 1, 8) || substr(md5(text || '%'), 9, 24) AS h
+       |  FROM d WHERE doc_id % 21 = 2),
        |fr AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS fi, h FROM v),
        |ph AS MATERIALIZED (
-       |  SELECT DISTINCT doc_id, (${frameSum("fi")}) % 256 AS phash FROM fr),
+       |  SELECT DISTINCT doc_id,
+       |    ('0x' || substr(h, 8 * fi + 1, 8))::BIGINT AS phash FROM fr),
        |sizes AS (SELECT doc_id, count(*) AS n FROM ph GROUP BY 1),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared

@@ -118,18 +118,26 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("q_media_dedup: sequential pair recount off MessageDigest; both verdict branches; banded join plan") {
     import org.apache.spark.sql.functions._
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      // independent truth: java MessageDigest frames -> distinct
-      // byte-sum%256 fingerprints per video -> all-pairs recount
-      // (affordable sequentially; the ENGINE must never do this)
-      val ph = Tables(spark, dir, "documents")
+      // independent truth: java MessageDigest payload hex (originals +
+      // the two planted re-encode families) -> distinct 32-bit frame
+      // fingerprints per video -> all-pairs recount (affordable
+      // sequentially; the ENGINE must never do this)
+      val vids = Tables(spark, dir, "documents")
         .select(col("doc_id"), col("text")).collect()
         .map(r => r.getLong(0) -> r.getString(1))
         .filter(_._1 % 3 == 2)
-        .map { case (id, text) =>
-          val digest = java.security.MessageDigest.getInstance("MD5")
-            .digest(text.getBytes("UTF-8"))
-          id -> digest.grouped(4).map(_.map(b => (b & 0xFF).toLong).sum % 256).toSet
+      val payloads =
+        vids.map { case (id, t) => id -> md5hex(t) } ++
+          vids.filter(_._1 % 15 == 2).map { case (id, t) =>
+            (id + 600000L) -> (md5hex(t).substring(0, 16) + md5hex(t + "#").substring(16, 32)) } ++
+          vids.filter(_._1 % 21 == 2).map { case (id, t) =>
+            (id + 900000L) -> (md5hex(t).substring(0, 8) + md5hex(t + "%").substring(8, 32)) }
+      val ph = payloads
+        .map { case (id, h) =>
+          id -> h.grouped(8).map(x => java.lang.Long.parseLong(x, 16)).toSet
         }.sortBy(_._1)
       val expected = (for {
         ((a, pa), ia) <- ph.zipWithIndex
@@ -148,6 +156,17 @@ class MultimodalSpec extends AnyFunSuite {
       // the verdict must discriminate, not rubber-stamp
       assert(got.exists(_._5 == 1L), s"no dup pair at $dir — threshold vacuous")
       assert(got.exists(_._5 == 0L), s"every pair a dup at $dir — threshold vacuous")
+      // plant-exact pin (r18 #2): both planted families are recovered
+      // with their planted verdicts — the branches are live by
+      // construction, not by hash-width collision luck
+      val dupPairs = got.filter(_._5 == 1L).map(t => (t._1, t._2)).toSet
+      val nonDupPairs = got.filter(_._5 == 0L).map(t => (t._1, t._2)).toSet
+      val plantedDups = vids.filter(_._1 % 15 == 2).map(v => (v._1, v._1 + 600000L)).toSet
+      val plantedOverlaps = vids.filter(_._1 % 21 == 2).map(v => (v._1, v._1 + 900000L)).toSet
+      assert(plantedDups.nonEmpty && plantedDups.subsetOf(dupPairs),
+        s"planted 2-frame re-encodes not all flagged dup at $dir")
+      assert(plantedOverlaps.nonEmpty && plantedOverlaps.subsetOf(nonDupPairs),
+        s"planted 1-frame overlaps not all scored non-dup at $dir")
     }
     // scale shape: the pair source is a phash-keyed equi-join on the
     // checkpointed fingerprint table — never a cartesian/BNLJ all-pairs
