@@ -125,6 +125,25 @@ final case class UpsertVerdict(docId: Long, h: String, origin: String, nOps: Lon
 /** upsertFeed state: the highest-sequence op seen so far + op count. */
 private[streaming] final case class UpsertState(seq: Long, op: String, p: String, nOps: Long)
 
+/** X160 rolling-HLL dial: one register observation (event-time day,
+  * bucket j, rank ρ) for an event type — the stream-side unit the
+  * state function folds with idempotent max.
+  */
+final case class HllRollReg(
+    eventType: String, day: Long, j: Int, rho: Long, evTs: java.sql.Timestamp)
+
+/** X160 dial state per event type: per-day 256-register vectors (only
+  * days still inside some unclosed trailing window are retained) plus
+  * the highest day already emitted.
+  */
+private[streaming] final case class HllRollState(
+    emittedUpTo: Long, days: Map[Long, Seq[Long]])
+
+/** X160 dial output before the shared estimate algebra: the trailing-
+  * window-merged register summary for one closed (event_type, day).
+  */
+final case class HllRollOut(event_type: String, day: Long, s: Long, v_empty: Long)
+
 object Gateway {
 
   /** `[listeners]` section analog (※ oemgateway.conf: per-listener
@@ -1495,9 +1514,18 @@ object Gateway {
         col("p").getItem(1).as("source"),
         split(col("p").getItem(2), " ").as("w"))
       .withWatermark("ts", watermarkDelay)
+    // Total-guard (ADVICE r18): a 1-word (or empty) line gives
+    // sequence(1, 0), which Spark evaluates as the DESCENDING array
+    // [1, 0] — element_at(w, 0) then throws INVALID_INDEX_OF_ZERO and
+    // one short line kills the whole streaming query. Same rule as the
+    // dedup feed's guard: generator-adjacent lambdas must be total.
+    // A <2-word doc contributes zero bigrams, exactly what the oracle's
+    // empty generate_series(1, 0) yields.
     val regs = parsed
       .select(col("ts"), col("source"), explode(expr(
-        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END"))
         .as("tok"))
       .select(col("ts"), col("source"),
         graft.operators.Hashing.h60(col("tok")).as("h"))
@@ -1522,6 +1550,129 @@ object Gateway {
     graft.operators.TextAnalysis.hllEstimate(perKey)
       .select(col("window_start"), col("source"), col("hll_est"),
         col("v_empty").cast("long").as("v_empty"), col("branch"))
+  }
+
+  /** Streaming X160 — rolling-window distinct-user dial
+    * (`hllRollingFeed`): the live version of `q_hll_rolling`'s sketch
+    * side — per event type and closed event-time DAY, the HLL
+    * estimate of distinct users over the trailing
+    * [[graft.operators.Extensions.hllRollingDays]]-day window, the
+    * WAU/MAU-style dial that completes the sketch cube (VERDICT r18
+    * #8: [[hllFeed]] covers per-window registers; this feed adds the
+    * RANGE-max MERGE over per-day register state). Lines are
+    * `epoch_sec event_type user_id`.
+    *
+    * Execution: register coordinates (day, j, ρ) are computed IN-ROW
+    * by the same expressions as the batch cube, then ONE
+    * `flatMapGroupsWithState` keyed by event type holds per-day
+    * 256-register vectors and, whenever the watermark closes a day,
+    * emits that day's trailing-window merge (elementwise max over the
+    * retained ≤[[graft.operators.Extensions.hllRollingDays]] day
+    * vectors — registers are mergeable, which is the whole reason a
+    * rolling distinct can stream at all; the exact-audit column stays
+    * batch-only, the [[hllFeed]] argument). State per event type is
+    * ≤ rollingDays × 256 longs and is evicted as days leave every
+    * future window, with an idle-horizon timeout dropping the key
+    * entirely; replay absorption is structural (register max is
+    * idempotent, and a replay of an already-closed day is ignored at
+    * the fold — the watermark contract says nothing on-time can
+    * arrive there). Day keying matches the cube's
+    * `unix_micros DIV 86400000000`; downstream the emitted (s,
+    * v_empty) rows run the SAME
+    * [[graft.operators.TextAnalysis.hllEstimate]] algebra as batch +
+    * oracle. GatewaySpec pins stream ≡ the batch cube's sketch
+    * columns at two SFs.
+    */
+  def hllRollingFeed(
+      lines: DataFrame,
+      rollingDays: Int = graft.operators.Extensions.hllRollingDays,
+      watermarkDelay: String = "30 days"): DataFrame = {
+    val sp = lines.sparkSession
+    import sp.implicits._
+    val dayMs = 86400000L
+    val regs = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 &&
+        col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(2).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("evTs"),
+        col("p").getItem(1).as("eventType"),
+        col("p").getItem(2).as("user_id"))
+      .withWatermark("evTs", watermarkDelay)
+      .select(col("evTs"), col("eventType"),
+        expr("CAST(unix_micros(evTs) DIV 86400000000 AS BIGINT)").as("day"),
+        graft.operators.Hashing.h60(col("user_id")).as("h"))
+      .select(col("evTs"), col("eventType"), col("day"),
+        expr("CAST(h DIV 4503599627370496 AS INT)").as("j"),
+        expr("h % 4503599627370496").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(53L))
+          .otherwise(lit(53L) - length(bin(col("w")))))
+      .select(col("eventType"), col("day"), col("j"), col("rho"), col("evTs"))
+      .as[HllRollReg]
+    val rolled = regs
+      .groupByKey(_.eventType)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (et: String, it: Iterator[HllRollReg], state: GroupState[HllRollState]) =>
+          // -1 sentinel, NOT Long.MinValue: the eviction bound below
+          // computes upTo - rollingDays, which would wrap past
+          // Long.MaxValue and evict everything (pre-1970 event times
+          // — negative day indexes — are out of the dial's domain)
+          val prev = state.getOption.getOrElse(HllRollState(-1L, Map.empty))
+          val local = scala.collection.mutable.Map.empty[Long, Array[Long]]
+          prev.days.foreach { case (k, v) => local(k) = v.toArray }
+          it.foreach { r =>
+            // a day at/under the emission horizon is closed: the
+            // watermark contract says nothing on-time arrives there,
+            // so a replayed row is ignored, not re-merged
+            if (r.day > prev.emittedUpTo) {
+              val arr = local.getOrElseUpdate(r.day, Array.fill(256)(0L))
+              if (r.rho > arr(r.j)) arr(r.j) = r.rho
+            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val closed = local.keys
+            .filter(d => d > prev.emittedUpTo && (d + 1) * dayMs <= wm)
+            .toSeq.sorted
+          val out = closed.map { d =>
+            val merged = Array.fill(256)(0L)
+            local.foreach { case (k, arr) =>
+              if (k >= d - (rollingDays - 1) && k <= d) {
+                var i = 0
+                while (i < 256) { if (arr(i) > merged(i)) merged(i) = arr(i); i += 1 }
+              }
+            }
+            var s0 = 0L
+            var v0 = 0L
+            var i = 0
+            while (i < 256) {
+              s0 += 1L << (53 - merged(i)).toInt
+              if (merged(i) == 0L) v0 += 1
+              i += 1
+            }
+            HllRollOut(et, d, s0, v0)
+          }
+          val upTo = if (closed.nonEmpty) closed.max else prev.emittedUpTo
+          // retain only days a still-open trailing window can read
+          val kept = local.filter { case (k, _) => k > upTo - rollingDays }
+          val unemitted = kept.keys.filter(_ > upTo)
+          if (state.hasTimedOut && unemitted.isEmpty) {
+            // idle past the GC horizon with nothing left to close:
+            // the dial's emitted history lives downstream
+            state.remove()
+          } else {
+            state.update(HllRollState(upTo, kept.map { case (k, v) => k -> v.toSeq }.toMap))
+            val target =
+              if (unemitted.nonEmpty) (unemitted.min + 1) * dayMs
+              else wm + 370L * dayMs // GC horizon for an idle key
+            state.setTimeoutTimestamp(math.max(target, wm + 1L))
+          }
+          out.iterator
+      }
+    graft.operators.TextAnalysis.hllEstimate(rolled.toDF())
+      .select(col("event_type"), col("day"),
+        col("hll_est").as("hll_users"), col("branch"))
   }
 
   /** Streaming X158 — windowed length-quantile dial
@@ -2278,6 +2429,9 @@ object Gateway {
       watermarkDelay: String = "30 seconds"): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
+    // capture the fingerprint width at construction (session conf is
+    // driver-side); the closure below runs on executors
+    val printSpace = graft.operators.Multimodal.mediaPrintSpace(spark)
     val parsed = lines
       .select(split(col("value"), " ", 2).as("p"))
       .filter(size(col("p")) === 2 && col("p").getItem(0).cast("long").isNotNull)
@@ -2286,7 +2440,7 @@ object Gateway {
         unhex(col("p").getItem(1)).as("container"))
       .as[(java.sql.Timestamp, Array[Byte])]
       .map { case (ts, bytes) =>
-        val (docId, prints) = graft.operators.Multimodal.printsOf(bytes)
+        val (docId, prints) = graft.operators.Multimodal.printsOf(bytes, printSpace)
         (ts, docId, prints)
       }
       .toDF("ts", "doc_id", "prints")

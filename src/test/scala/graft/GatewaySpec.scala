@@ -1091,8 +1091,10 @@ class GatewaySpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
-    val feed = graft.operators.Multimodal.containers(spark, dir)
-      .filter(col("doc_id") % 3 === 2)
+    // the full X111 video corpus INCLUDING the planted re-encode
+    // copies — both endpoints of every planted dup pair stream, so
+    // each unordered pair is flagged from both directions
+    val feed = graft.operators.Multimodal.videoContainers(spark, dir)
       .select(col("container")).as[Array[Byte]].collect()
       .map(b => s"1000 ${b.map("%02X".format(_)).mkString}")
     val ms = MemoryStream[String]
@@ -2581,10 +2583,17 @@ class GatewaySpec extends AnyFunSuite {
         parts.foreach { p => ms.addData(p: _*); q.processAllAvailable() }
         ms.addData(parts.head: _*) // replay: registers already at max
         q.processAllAvailable()
+        // ADVICE r18: a single-word (and an empty-text) line made the
+        // bigram lambda non-total — sequence(1, 0) is the DESCENDING
+        // [1, 0] and element_at(w, 0) threw, killing the whole query.
+        // Both must now contribute zero bigrams and change nothing.
+        ms.addData(s"$base srcY single", s"$base srcY ")
+        q.processAllAvailable()
         ms.addData(s"${base + 10 * 86400} srcX closing words here"); q.processAllAvailable()
         ms.addData(s"${base + 10 * 86400} srcX closing words here"); q.processAllAvailable()
         val streamed = spark.table(sink)
-          .filter(unix_seconds(col("window_start")) === (base / 86400) * 86400)
+          .filter(unix_seconds(col("window_start")) === (base / 86400) * 86400 &&
+            col("source") =!= "srcY")
           .select(col("source"), col("hll_est"), col("v_empty"), col("branch"))
           .as[(String, Long, Long, String)].collect().toSet
         val batch = SparkEntry.queries("q_hll_distinct")(spark, dir)
@@ -2593,6 +2602,52 @@ class GatewaySpec extends AnyFunSuite {
         assert(batch.nonEmpty, s"vacuous at $dir: empty batch sketch table")
         assert(streamed === batch,
           s"HLL dial stream diverges from the batch sketch at $dir")
+      } finally q.stop()
+    }
+  }
+
+  test("streaming rolling-HLL dial: stream == batch q_hll_rolling sketch cube at two SFs; " +
+    "replay absorbed") {
+    // Streaming X160: real multi-day event timestamps, split across
+    // three micro-batches plus an at-least-once replay of the first
+    // chunk (absorbed by the idempotent register max — and, for
+    // already-closed days, by the emission-horizon fold guard). A
+    // huge watermark delay keeps every day open while data flows;
+    // the closing poke then pushes the watermark past every real
+    // day's end, firing each group's event-time timeout so the
+    // trailing-window merges emit. The streamed (event_type, day,
+    // hll_users, branch) rows must equal the batch cube's sketch
+    // columns digit-for-digit at two SFs.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val evs = Tables(spark, dir, "events")
+        .select(unix_seconds(col("ts")).as("sec"), col("event_type"), col("user_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val lines = evs.map { case (sec, et, uid) => s"$sec $et $uid" }.toSeq
+      val maxSec = evs.map(_._1).max
+      val ms = MemoryStream[String]
+      val sink = s"hllroll_feed_${System.nanoTime()}"
+      val q = Gateway.hllRollingFeed(ms.toDF(), watermarkDelay = "3650 days")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        val parts = lines.grouped(math.max(1, lines.size / 3)).toSeq
+        assert(parts.size >= 3)
+        parts.foreach { p => ms.addData(p: _*); q.processAllAvailable() }
+        ms.addData(parts.head: _*) // replay: registers already at max
+        q.processAllAvailable()
+        val closeSec = maxSec + 3700L * 86400L
+        ms.addData(s"$closeSec zz_close 1"); q.processAllAvailable()
+        ms.addData(s"$closeSec zz_close 1"); q.processAllAvailable()
+        val streamed = spark.table(sink)
+          .select(col("event_type"), col("day"), col("hll_users"), col("branch"))
+          .as[(String, Long, Long, String)].collect().toSet
+        val batch = SparkEntry.queries("q_hll_rolling")(spark, dir)
+          .select(col("event_type"), col("day"), col("hll_users"), col("branch"))
+          .as[(String, Long, Long, String)].collect().toSet
+        assert(batch.nonEmpty, s"vacuous at $dir: empty batch rolling cube")
+        assert(streamed === batch,
+          s"rolling-HLL dial stream diverges from the batch cube at $dir")
       } finally q.stop()
     }
   }
