@@ -1211,6 +1211,99 @@ object Extensions {
       |FROM fin f JOIN ex ON ex.event_type = f.event_type AND ex.day = f.day
       |ORDER BY f.event_type, f.day""".stripMargin
 
+  /** X163 — exact winsorization audit (`q_winsorize`): per event
+    * type, the two-sided p05/p95 clip a metrics pipeline applies
+    * before any mean-based statistic (CUPED/X142 variance reduction
+    * breaks under heavy tails; winsorized means are the standard
+    * remedy), with exact rank-based cuts: lo = the value at rank
+    * ⌈n/20⌉, hi = at ⌈19n/20⌉ in (value, then merged-duplicate)
+    * order, integer cents end to end so both engines compute the
+    * identical clamp and the 4dp means stay fixed-point HALF_UP
+    * rationals, never float sums.
+    *
+    * Scale shape (the X158 dictionary discipline): the corpus never
+    * sorts — cuts come from the (type, cents) DICTIONARY (bounded by
+    * the 49 002 possible cent values per type, not row count): one
+    * map-side-partial collapse, a cumulative window over the bounded
+    * dictionary, ⌈rank⌉ selection as a conditional min, then the
+    * 10-row cut table broadcast back over one clamp+aggregate pass.
+    * Two corpus passes total (dictionary + clamp), both narrow.
+    */
+  private def winsorize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events").select(
+      col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val dict = ev.groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("c"))
+    val tot = dict.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    val cum = dict
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("event_type").orderBy("cents")))
+      .join(broadcast(tot), "event_type")
+    val cuts = cum
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 19) DIV 20"), col("cents"))).as("lo_cut"),
+        min(when(col("cum") >= expr("(19 * n + 19) DIV 20"), col("cents"))).as("hi_cut"))
+    ev.join(broadcast(cuts), "event_type")
+      .select(col("event_type"), col("cents"), col("lo_cut"), col("hi_cut"),
+        greatest(col("lo_cut"), least(col("hi_cut"), col("cents"))).as("wcents"),
+        (col("cents") < col("lo_cut")).cast("long").as("is_lo"),
+        (col("cents") > col("hi_cut")).cast("long").as("is_hi"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("nn"),
+        min(col("lo_cut")).as("lo_cut"),
+        min(col("hi_cut")).as("hi_cut"),
+        sum(col("is_lo")).as("clipped_lo"),
+        sum(col("is_hi")).as("clipped_hi"),
+        sum(col("cents")).as("sc"),
+        sum(col("wcents")).as("sw"))
+      .select(
+        col("event_type"),
+        col("nn").cast("long").as("n"),
+        col("lo_cut").cast("long").as("lo_cut"),
+        col("hi_cut").cast("long").as("hi_cut"),
+        col("clipped_lo").cast("long").as("clipped_lo"),
+        col("clipped_hi").cast("long").as("clipped_hi"),
+        (expr("CAST((200 * sc + nn) DIV (2 * nn) AS BIGINT)") / lit(10000.0))
+          .as("mean_raw"),
+        (expr("CAST((200 * sw + nn) DIV (2 * nn) AS BIGINT)") / lit(10000.0))
+          .as("mean_wins"))
+      .orderBy("event_type")
+  }
+
+  private val winsorizeSql =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |dict AS (SELECT event_type, cents, count(*) AS c FROM ev GROUP BY 1, 2),
+      |tot AS (SELECT event_type, sum(c) AS n FROM dict GROUP BY 1),
+      |cum AS (
+      |  SELECT event_type, cents, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum
+      |  FROM dict),
+      |cuts AS (
+      |  SELECT m.event_type,
+      |    min(CASE WHEN m.cum >= (t.n + 19) // 20 THEN m.cents END) AS lo_cut,
+      |    min(CASE WHEN m.cum >= (19 * t.n + 19) // 20 THEN m.cents END) AS hi_cut
+      |  FROM cum m JOIN tot t USING (event_type) GROUP BY 1),
+      |cl AS (
+      |  SELECT e.event_type, e.cents,
+      |    greatest(k.lo_cut, least(k.hi_cut, e.cents)) AS wcents,
+      |    CASE WHEN e.cents < k.lo_cut THEN 1 ELSE 0 END AS is_lo,
+      |    CASE WHEN e.cents > k.hi_cut THEN 1 ELSE 0 END AS is_hi
+      |  FROM ev e JOIN cuts k USING (event_type))
+      |SELECT c.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(k.lo_cut AS BIGINT) AS lo_cut, CAST(k.hi_cut AS BIGINT) AS hi_cut,
+      |  CAST(sum(is_lo) AS BIGINT) AS clipped_lo,
+      |  CAST(sum(is_hi) AS BIGINT) AS clipped_hi,
+      |  CAST((200 * sum(c.cents) + count(*)) // (2 * count(*)) AS BIGINT) / 10000.0
+      |    AS mean_raw,
+      |  CAST((200 * sum(c.wcents) + count(*)) // (2 * count(*)) AS BIGINT) / 10000.0
+      |    AS mean_wins
+      |FROM cl c JOIN cuts k USING (event_type)
+      |GROUP BY c.event_type, k.lo_cut, k.hi_cut ORDER BY event_type""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_json_extract" -> QueryDef(
       jsonExtract,
@@ -1340,5 +1433,9 @@ object Extensions {
       hllRolling,
       Some(hllRollingSql),
       "X160 rolling-window distinct-user cube: daily HLL registers merged per trailing window"),
+    "q_winsorize" -> QueryDef(
+      winsorize,
+      Some(winsorizeSql),
+      "X163 exact rank-based p05/p95 winsorization per event type: dictionary cuts, clamp, fixed-point means"),
   )
 }

@@ -370,7 +370,116 @@ object Shuffle {
        |FROM st ORDER BY table_name""".stripMargin
   }
 
+  /** X161 salt fan-out: 16-way — enough to spread an 80 %-hot key
+    * across half the local[32] cores (and, at 100 TB, across 16
+    * reducers instead of one straggler); the two-stage aggregate
+    * re-collapses the fan-out, so the factor trades straggler depth
+    * against (tiny-dim × salts) replication only.
+    */
+  private[graft] val saltFactor = 16
+
+  /** X161's deliberately hot join key: 80 % of events land on key 0,
+    * the rest spread over user_id mod 97 — the classic production
+    * hot-key histogram (one viral entity plus a long tail), derived
+    * deterministically so both engines state the same join.
+    */
+  private def hotKey: Column =
+    when(col("user_id") % 10 < 8, lit(0L)).otherwise(col("user_id") % 97)
+
+  /** X161's dimension side: keys 0–96 with a small derived weight —
+    * the "entity attributes" table a real pipeline would join for.
+    */
+  private[graft] def saltDim(s: SparkSession): DataFrame =
+    s.range(97).select(col("id").as("k"), (col("id") * col("id") % 7 + 1).as("w"))
+
+  /** X161 — salted equi-join (`q_salted_join`): the hot-key
+    * mitigation X128 recommends, executed as a first-class operator.
+    * A shuffle join on [[hotKey]] sends ~80 % of the fact side to ONE
+    * reducer — the one-straggler stage X128's skew audit flags (ratio
+    * ~19x, far past [[skewThreshold]]). The mitigation: fact rows
+    * carry salt = event_id mod [[saltFactor]], the (tiny) dim side is
+    * replicated across all salts, the join key becomes (k, salt) —
+    * spreading the hot key over [[saltFactor]] partitions — and a
+    * TWO-STAGE aggregate ((k, salt) partials, then k) re-collapses
+    * the fan-out. Results are provably identical to the plain join
+    * (the DuckDB oracle STATES the plain join — the hash compare IS
+    * the equivalence proof); ShuffleSpec additionally pins the
+    * in-engine plain-join twin row-for-row and measures the spread:
+    * the salted join's max per-partition row share drops from ~0.8
+    * (one hot reducer) to ~1/[[saltFactor]] of the hot key.
+    *
+    * Both join sides carry merge hints: AUTO broadcast of the dim
+    * would dissolve the shuffle this operator exists to manage (and
+    * at 100 TB the dim side of a salted join is often itself too big
+    * per-executor once replicated; SMJ is the honest default). AQE's
+    * skew-join split rescues sort-merge JOINS at runtime, but the
+    * salt pattern is the deterministic, plan-pinned form — and the
+    * same two-stage shape is the ONLY fix where AQE cannot help
+    * (stream-static joins, exact distinct aggregates on hot keys).
+    * Measures are integer cents (round(value·100)), so sums are exact
+    * on both engines.
+    */
+  private def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables(s, dir, "events").select(
+      hotKey.as("k"),
+      (col("event_id") % saltFactor).as("salt"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    // salted dim from ONE range (97 × saltFactor rows) — a crossJoin
+    // of two ranges would plan the CartesianProduct the surface-wide
+    // plan audit bans
+    val dim = s.range(97L * saltFactor).select(
+      expr("id % 97").as("k"),
+      expr("id DIV 97").as("salt"),
+      expr("(id % 97) * (id % 97) % 7 + 1").as("w"))
+    facts.hint("merge")
+      .join(dim.hint("merge"), Seq("k", "salt"))
+      .groupBy(col("k"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("cents")).as("pc"), min(col("w")).as("pw"))
+      .groupBy(col("k"))
+      .agg(
+        sum(col("pn")).cast("long").as("n_events"),
+        sum(col("pc")).cast("long").as("cents_sum"),
+        min(col("pw")).as("w"))
+      .select(col("k"), col("w").cast("long").as("w"), col("n_events"),
+        col("cents_sum"), (col("w") * col("cents_sum")).cast("long").as("weighted_cents"))
+      .orderBy("k")
+  }
+
+  /** The unsalted twin — plain shuffle join + single-stage aggregate;
+    * ShuffleSpec pins it row-for-row against the salted plan (the
+    * in-engine equivalence the oracle proves cross-engine).
+    */
+  private[graft] def plainJoin(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(hotKey.as("k"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .hint("merge")
+      .join(saltDim(s).hint("merge"), Seq("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("cents")).cast("long").as("cents_sum"),
+        min(col("w")).as("w"))
+      .select(col("k"), col("w").cast("long").as("w"), col("n_events"),
+        col("cents_sum"), (col("w") * col("cents_sum")).cast("long").as("weighted_cents"))
+      .orderBy("k")
+
+  private val saltedJoinSql =
+    """WITH dim AS (SELECT i AS k, i * i % 7 + 1 AS w FROM generate_series(0, 96) t(i)),
+      |ev AS (
+      |  SELECT CASE WHEN user_id % 10 < 8 THEN 0 ELSE user_id % 97 END AS k,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT e.k, CAST(d.w AS BIGINT) AS w,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(e.cents) AS BIGINT) AS cents_sum,
+      |  CAST(d.w * sum(e.cents) AS BIGINT) AS weighted_cents
+      |FROM ev e JOIN dim d USING (k)
+      |GROUP BY e.k, d.w ORDER BY k""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
+    "q_salted_join" -> QueryDef(
+      saltedJoin,
+      Some(saltedJoinSql),
+      "X161 salted hot-key equi-join: (k, salt) fan-out + two-stage re-collapse, oracle-equal to the plain join"),
     "q_key_skew" -> QueryDef(
       keySkew,
       Some(skewFamilies.map { case (t, k) => skewSql(t, k) }

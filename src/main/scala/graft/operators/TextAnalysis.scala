@@ -1954,8 +1954,14 @@ object TextAnalysis {
   private[graft] def hllBigrams(docsDf: DataFrame): DataFrame =
     docsDf
       .withColumn("w", split(col("text"), " "))
+      // Total-guard (ADVICE r18): size(w)=1 makes sequence(1, 0) the
+      // DESCENDING [1, 0] and element_at(w, 0) throws — while the
+      // oracle's generate_series(1, 0) is empty. Guarding keeps both
+      // engines agreeing that a <2-word doc contributes zero bigrams.
       .select(col("source"), explode(expr(
-        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END"))
         .as("tok"))
 
   /** X157 declarative register twin: per (key, bucket) the max rank,
@@ -2242,6 +2248,104 @@ object TextAnalysis {
       |JOIN bc c ON c.source = p.source AND c.idx = p.win_idx
       |JOIN epick e ON e.source = p.source AND e.q_pct = p.q_pct
       |ORDER BY p.source, q_pct""".stripMargin
+
+  /** X162's entity grammar: RE2 ∩ java.util.regex common subset —
+    * character classes, bounded repetition, \b, non-capturing groups
+    * only (no lookaround, no backrefs), so Spark's codegen'd regexp
+    * and DuckDB's RE2 match the SAME spans. Ordered; the output keeps
+    * one count column per kind.
+    */
+  private[graft] val entityPatterns: Seq[(String, String)] = Seq(
+    "emails" -> "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "urls" -> "https?://[a-z0-9./_-]+",
+    "ipv4s" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "years" -> "\\b(?:19|20)[0-9]{2}\\b")
+
+  /** X162's entity-bearing corpus: the base documents (digit-free
+    * word salad — zero organic matches, verified) extended with
+    * DETERMINISTIC planted mentions, the dedup family's planted-truth
+    * pattern: every 7th doc two emails, every 11th a URL, every 13th
+    * an IPv4 (segments ≤ 249, so the year pattern can never fire
+    * inside an address), every 17th a year. Pure string algebra both
+    * engines derive identically.
+    */
+  private def entityDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("source"), concat(
+      col("text"),
+      when(col("doc_id") % 7 === 3,
+        concat(lit(" reach u"), col("doc_id").cast("string"), lit("@example.com or u"),
+          col("doc_id").cast("string"), lit("@test.org"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 5,
+        concat(lit(" see https://site"), col("doc_id").cast("string"),
+          lit(".example.org/p"))).otherwise(lit("")),
+      when(col("doc_id") % 13 === 6,
+        concat(lit(" node 10."), (col("doc_id") % 250).cast("string"), lit(".0."),
+          (col("doc_id") % 200).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 17 === 2,
+        concat(lit(" since "), (col("doc_id") % 45 + 1980).cast("string")))
+        .otherwise(lit("")))
+      .as("text"))
+
+  /** X162 — entity-mention audit (`q_entity_stats`): per source, how
+    * many email/URL/IPv4/year mentions the corpus carries — the
+    * pre-flight a PII/redaction stage (X19) and a link-graph builder
+    * read before deciding what to strip or follow. Counting is
+    * `regexp_extract_all` length per kind — one narrow codegen'd scan,
+    * map-side partial sums, no join, no window; at 100 TB this is the
+    * same one-pass shape as X2's text stats (regex cost is per-row CPU,
+    * embarrassingly parallel). The planted mentions keep every counter
+    * live at every SF; the oracle re-derives the plants and re-extracts
+    * with RE2 — the hash compare certifies the two regex engines agree
+    * on the grammar subset (see [[entityPatterns]]).
+    */
+  private def entityStats(s: SparkSession, dir: String): DataFrame = {
+    val counted = entityPatterns.foldLeft(entityDocs(s, dir)) {
+      case (df, (name, pat)) =>
+        df.withColumn(name,
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long"))
+    }
+    counted
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("emails")).cast("long").as("emails"),
+        sum(col("urls")).cast("long").as("urls"),
+        sum(col("ipv4s")).cast("long").as("ipv4s"),
+        sum(col("years")).cast("long").as("years"),
+        sum(when(col("emails") + col("urls") + col("ipv4s") + col("years") > 0, 1L)
+          .otherwise(0L)).cast("long").as("docs_with_entities"))
+      .orderBy("source")
+  }
+
+  private def entityStatsSql: String = {
+    val kinds = entityPatterns
+      .map { case (name, pat) => s"len(regexp_extract_all(text, '$pat')) AS $name" }
+      .mkString(",\n      |    ")
+    s"""WITH d AS (
+       |  SELECT source, text
+       |    || CASE WHEN doc_id % 7 = 3
+       |         THEN ' reach u' || doc_id || '@example.com or u' || doc_id || '@test.org'
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 5
+       |         THEN ' see https://site' || doc_id || '.example.org/p' ELSE '' END
+       |    || CASE WHEN doc_id % 13 = 6
+       |         THEN ' node 10.' || (doc_id % 250) || '.0.' || (doc_id % 200) ELSE '' END
+       |    || CASE WHEN doc_id % 17 = 2
+       |         THEN ' since ' || (doc_id % 45 + 1980) ELSE '' END AS text
+       |  FROM documents),
+       |c AS (
+       |  SELECT source,
+       |    $kinds
+       |  FROM d)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(emails) AS BIGINT) AS emails,
+       |  CAST(sum(urls) AS BIGINT) AS urls,
+       |  CAST(sum(ipv4s) AS BIGINT) AS ipv4s,
+       |  CAST(sum(years) AS BIGINT) AS years,
+       |  CAST(sum(CASE WHEN emails + urls + ipv4s + years > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_with_entities
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+  }
 
   val defs: ListMap[String, QueryDef] = ListMap(
     "q_token_count" -> QueryDef(
@@ -2571,5 +2675,9 @@ object TextAnalysis {
       histQuantiles,
       Some(histQuantilesSql),
       "X158 HdrHistogram quantile sketch per source: deterministic mergeable bins + exact audit"),
+    "q_entity_stats" -> QueryDef(
+      entityStats,
+      Some(entityStatsSql),
+      "X162 regex entity extraction audit: per-source email/url/ipv4/year mention counts over the planted corpus"),
   )
 }

@@ -592,4 +592,37 @@ class ExtensionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_winsorize: sequential sort recount of cuts, clips and means at two SFs") {
+    // X163's certificate: the dictionary-window cut selection must
+    // equal the naive definition — sort each type's cents, take the
+    // values at ranks ceil(n/20) and ceil(19n/20), clamp, average —
+    // recounted sequentially with exact integer arithmetic, plus both
+    // clip branches live (the 5%/95% construction guarantees it).
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ev = Tables(spark, dir, "events")
+        .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val want = ev.groupBy(_._1).map { case (et, rows) =>
+        val sorted = rows.map(_._2).sorted
+        val n = sorted.length.toLong
+        val lo = sorted(((n + 19) / 20 - 1).toInt)
+        val hi = sorted(((19 * n + 19) / 20 - 1).toInt)
+        val wins = sorted.map(c => math.max(lo, math.min(hi, c)))
+        def mean4(xs: Seq[Long]): Double =
+          ((200L * xs.sum + n) / (2L * n)) / 10000.0
+        (et, n, lo, hi, sorted.count(_ < lo).toLong, sorted.count(_ > hi).toLong,
+          mean4(sorted), mean4(wins))
+      }.toSeq.sortBy(_._1)
+      val got = SparkEntry.queries("q_winsorize")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+      assert(got.toSeq === want, s"winsorize recount diverges at $dir")
+      assert(got.forall(r => r._5 > 0 && r._6 > 0),
+        s"a clip branch went vacuous at $dir")
+      assert(got.exists(r => r._7 != r._8),
+        s"winsorization changed no mean at $dir — vacuous fixture")
+    }
+  }
 }

@@ -185,4 +185,59 @@ class ShuffleSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<user_id"),
       s"events scan must read only user_id:\n$plan")
   }
+
+  test("q_salted_join equals the plain join row-for-row and actually spreads the hot key") {
+    // X161's two claims. (1) Semantics: the salted (k, salt) fan-out +
+    // two-stage re-collapse computes EXACTLY the plain shuffle join's
+    // aggregate (the oracle proves this cross-engine; here the
+    // in-engine unsalted twin pins it row-for-row at two SFs, hot key
+    // included). (2) Mechanics: the hot key's ~80% row share lands on
+    // ONE reducer unsalted, but spreads across the salt space salted —
+    // measured on the real shuffled partitions of both join outputs.
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val salted = SparkEntry.queries("q_salted_join")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val plain = graft.operators.Shuffle.plainJoin(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(salted.nonEmpty && salted.toSeq === plain.toSeq,
+        s"salted join diverged from the plain join at $dir")
+      // the fixture IS hot: key 0 holds ~80% of events
+      val n = salted.map(_._3).sum
+      val hot = salted.find(_._1 == 0L).map(_._3).getOrElse(0L)
+      assert(hot * 10 >= n * 7, s"hot-key fixture lost its skew at $dir: $hot of $n")
+    }
+    // partition spread, measured where it matters — on the join output
+    // BEFORE any aggregate collapses it. The fixture's 4 shuffle
+    // partitions + AQE coalescing would mask the spread, so pin the
+    // production shape (32 partitions, no runtime re-plan) and restore.
+    val dir = "/root/testdata/sf0.01"
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      def hotSpread(joined: org.apache.spark.sql.DataFrame): Long = joined
+        .filter(col("k") === 0L)
+        .select(spark_partition_id().as("p"))
+        .groupBy("p").count()
+        .count() // = number of partitions carrying hot-key rows
+      val facts = Tables(spark, dir, "events").select(
+        when(col("user_id") % 10 < 8, lit(0L)).otherwise(col("user_id") % 97).as("k"),
+        (col("event_id") % graft.operators.Shuffle.saltFactor).as("salt"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val dimPlain = graft.operators.Shuffle.saltDim(spark)
+      val dimSalted = spark.range(97L * graft.operators.Shuffle.saltFactor).select(
+        expr("id % 97").as("k"), expr("id DIV 97").as("salt"), lit(1L).as("w"))
+      val unsaltedParts = hotSpread(
+        facts.hint("merge").join(dimPlain.hint("merge"), Seq("k")))
+      val saltedParts = hotSpread(
+        facts.hint("merge").join(dimSalted.hint("merge"), Seq("k", "salt")))
+      assert(unsaltedParts === 1L,
+        s"unsalted hot key should land on exactly one reducer, got $unsaltedParts")
+      assert(saltedParts >= graft.operators.Shuffle.saltFactor / 2,
+        s"salting spread the hot key over only $saltedParts partitions")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
 }

@@ -806,4 +806,48 @@ class TextAnalysisSpec extends AnyFunSuite {
     // sanity on the lc value itself: ~5 for 5 planted distincts
     assert(got("tiny")._1 === 5L)
   }
+
+  test("q_entity_stats: java-regex recount over the planted corpus; every counter live") {
+    // X162's certificate: re-derive the planted corpus and recount
+    // every entity kind with java.util.regex sequentially — the
+    // DuckDB oracle does the same with RE2, so a pass on both sides
+    // certifies the grammar subset matches identical spans. Base
+    // texts are digit-free word salad, so every count is plant-exact.
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      def planted(id: Long, text: String): String = {
+        val sb = new StringBuilder(text)
+        if (id % 7 == 3) sb.append(s" reach u$id@example.com or u$id@test.org")
+        if (id % 11 == 5) sb.append(s" see https://site$id.example.org/p")
+        if (id % 13 == 6) sb.append(s" node 10.${id % 250}.0.${id % 200}")
+        if (id % 17 == 2) sb.append(s" since ${id % 45 + 1980}")
+        sb.toString
+      }
+      val pats = graft.operators.TextAnalysis.entityPatterns
+        .map { case (n, p) => n -> java.util.regex.Pattern.compile(p) }
+      val want = docs.groupBy(_._2).map { case (src, ds) =>
+        val counts = ds.map { case (id, _, t) =>
+          val full = planted(id, t)
+          pats.map { case (n, p) =>
+            var c = 0L; val m = p.matcher(full); while (m.find()) c += 1; n -> c
+          }.toMap
+        }
+        val sums = pats.map { case (n, _) => n -> counts.map(_(n)).sum }.toMap
+        src -> ((ds.size.toLong, sums("emails"), sums("urls"), sums("ipv4s"),
+          sums("years"), counts.count(_.values.sum > 0).toLong))
+      }
+      val got = SparkEntry.queries("q_entity_stats")(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      assert(got === want, s"entity recount diverges at $dir")
+      // every kind live somewhere (the plant guarantees it)
+      val totals = got.values.toSeq
+      assert(totals.map(_._2).sum > 0 && totals.map(_._3).sum > 0 &&
+        totals.map(_._4).sum > 0 && totals.map(_._5).sum > 0,
+        s"an entity kind went vacuous at $dir")
+    }
+  }
 }
