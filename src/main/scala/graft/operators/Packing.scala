@@ -621,6 +621,154 @@ object Packing {
        |  CAST(min(tb) AS BIGINT) AS tb_min, CAST(max(tb) AS BIGINT) AS tb_max
        |FROM r GROUP BY file_id ORDER BY file_id""".stripMargin
 
+  /** X164's literal predicate battery over the 256×256 (user-bucket,
+    * time-bucket) lattice: a 1-D user slice (zone maps useless under
+    * time-ordered layout), a 1-D time slice (where the natural layout
+    * already prunes), and a 2-D cell (where ONLY a space-filling-curve
+    * layout prunes both dimensions). Bounds are plan literals.
+    */
+  private[graft] val zonePreds: Seq[(String, Long, Long, Long, Long)] = Seq(
+    ("cell", 200L, 210L, 96L, 127L),
+    ("time_slice", 0L, 255L, 0L, 31L),
+    ("user_slice", 100L, 120L, 0L, 255L))
+
+  /** X164 — zone-map pruning audit (`q_zonemap_skip`): the number
+    * X92's layout exists to improve, measured exactly. Data-skipping
+    * engines (Delta/Iceberg/parquet row groups) prune a file when its
+    * min/max zone is disjoint from the predicate; this audit plans
+    * BOTH layouts — natural (event_id order, ≈ time order on this
+    * table) and the X92 Z-order — builds each file's (ub, tb) zone,
+    * evaluates the [[zonePreds]] battery against every zone, and
+    * reports exact files/rows skipped per (layout, predicate), with
+    * the predicate's TRUE matching rows riding as the audit column
+    * (skipping is sound iff every matching row survives — the spec
+    * recounts both). The expected story, pinned by PackingSpec: the
+    * natural layout prunes the time slice and nothing else; Z-order
+    * prunes BOTH dimensions of the 2-D cell — the quantified "why
+    * Z-order" answer a table owner reads before paying the rewrite.
+    *
+    * Scale: ONE narrow events pass buckets every row (the X92 chain),
+    * two range-rank passes assign files, zones collapse to
+    * 2 × [[zorderFiles]] rows; the battery explodes over the ZONES
+    * table (≤ 96 rows), never the corpus — only the matching-rows
+    * audit re-reads the bucketed pass (3 conditional counts,
+    * map-side). No join touches corpus-sized data.
+    */
+  private def zonemapSkip(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val stats = e.agg(
+      min(col("user_id")).as("u0"), max(col("user_id")).as("u1"),
+      min(col("us")).as("t0"), max(col("us")).as("t1"),
+      count(lit(1)).as("n"))
+    val b = e.crossJoin(broadcast(stats))
+      .select(col("event_id"), col("n"),
+        expr("CAST(((user_id - u0) * 256) DIV (u1 - u0 + 1) AS BIGINT)").as("ub"),
+        expr("CAST(((us - t0) * 256) DIV (t1 - t0 + 1) AS BIGINT)").as("tb"))
+      .withColumn("z", expr(zInterleaveExpr("ub", "tb", "DIV")).cast("long"))
+    // rankedByRange requires the projection to carry range keys only
+    def ranked(order: Seq[String], name: String): DataFrame =
+      Extensions.rankedByRange(
+        b.select(order.map(col): _*).withColumn("g", lit(1)),
+        "g", order, name)
+        .select(col("event_id"), col(name).as("r"))
+    val zones = Seq(
+      "natural" -> ranked(Seq("event_id"), "rn"),
+      "zorder" -> ranked(Seq("z", "event_id"), "rz"))
+      .map { case (layout, rk) =>
+        b.join(rk, "event_id")
+          .withColumn("file_id", expr(s"CAST(((r - 1) * $zorderFiles) DIV n AS BIGINT)"))
+          .groupBy(col("file_id"))
+          .agg(count(lit(1)).as("nr"),
+            min(col("ub")).as("ub0"), max(col("ub")).as("ub1"),
+            min(col("tb")).as("tb0"), max(col("tb")).as("tb1"))
+          .withColumn("layout", lit(layout))
+      }
+      .reduce(_ unionByName _)
+    val predArr = array(zonePreds.map { case (nm, ul, uh, tl, th) =>
+      struct(lit(nm).as("pred"), lit(ul).as("ul"), lit(uh).as("uh"),
+        lit(tl).as("tl"), lit(th).as("th"))
+    }: _*)
+    val audited = zones
+      .select(col("layout"), col("nr"), col("ub0"), col("ub1"), col("tb0"),
+        col("tb1"), explode(predArr).as("p"))
+      .select(col("layout"), col("nr"), col("p.pred").as("pred"),
+        (col("ub1") < col("p.ul") || col("ub0") > col("p.uh") ||
+          col("tb1") < col("p.tl") || col("tb0") > col("p.th")).cast("long")
+          .as("skipped"))
+      .groupBy(col("layout"), col("pred"))
+      .agg(
+        count(lit(1)).cast("long").as("n_files"),
+        sum(col("skipped")).cast("long").as("files_skipped"),
+        sum(col("nr")).cast("long").as("rows_total"),
+        sum(when(col("skipped") === 1L, col("nr")).otherwise(0L)).cast("long")
+          .as("rows_skipped"))
+    val matchCols = zonePreds.map { case (nm, ul, uh, tl, th) =>
+      sum(when(col("ub").between(ul, uh) && col("tb").between(tl, th), 1L)
+        .otherwise(0L)).as(nm)
+    }
+    val matching = b
+      .agg(matchCols.head, matchCols.tail: _*)
+      .select(explode(array(zonePreds.map { case (nm, _, _, _, _) =>
+        struct(lit(nm).as("pred"), col(nm).cast("long").as("rows_matching"))
+      }: _*)).as("m"))
+      .select(col("m.pred").as("pred"), col("m.rows_matching").as("rows_matching"))
+    audited.join(broadcast(matching), Seq("pred"))
+      .select(col("layout"), col("pred"), col("n_files"), col("files_skipped"),
+        col("rows_total"), col("rows_skipped"), col("rows_matching"),
+        (expr("CAST((20000 * rows_skipped + rows_total) DIV (2 * rows_total) AS BIGINT)")
+          / lit(10000.0)).as("skip_share"))
+      .orderBy("layout", "pred")
+  }
+
+  private def zonemapSkipSql: String = {
+    val predVals = zonePreds
+      .map { case (nm, ul, uh, tl, th) => s"('$nm', $ul, $uh, $tl, $th)" }
+      .mkString(", ")
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+       |st AS (SELECT min(user_id) AS u0, max(user_id) AS u1,
+       |         min(us) AS t0, max(us) AS t1, count(*) AS n FROM e),
+       |b AS (
+       |  SELECT event_id, n,
+       |    ((user_id - u0) * 256) // (u1 - u0 + 1) AS ub,
+       |    ((us - t0) * 256) // (t1 - t0 + 1) AS tb
+       |  FROM e, st),
+       |z AS (SELECT event_id, n, ub, tb,
+       |        ${zInterleaveExpr("ub", "tb", "//")} AS z FROM b),
+       |rn AS (SELECT event_id, n, ub, tb,
+       |        row_number() OVER (ORDER BY event_id) AS r_nat,
+       |        row_number() OVER (ORDER BY z, event_id) AS r_z FROM z),
+       |zones AS (
+       |  SELECT 'natural' AS layout, ((r_nat - 1) * $zorderFiles) // n AS file_id,
+       |    count(*) AS nr, min(ub) AS ub0, max(ub) AS ub1,
+       |    min(tb) AS tb0, max(tb) AS tb1
+       |  FROM rn GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'zorder' AS layout, ((r_z - 1) * $zorderFiles) // n AS file_id,
+       |    count(*), min(ub), max(ub), min(tb), max(tb)
+       |  FROM rn GROUP BY 1, 2),
+       |preds AS (SELECT * FROM (VALUES $predVals) p(pred, ul, uh, tl, th)),
+       |aud AS (
+       |  SELECT zo.layout, p.pred, zo.nr,
+       |    CASE WHEN zo.ub1 < p.ul OR zo.ub0 > p.uh
+       |           OR zo.tb1 < p.tl OR zo.tb0 > p.th THEN 1 ELSE 0 END AS skipped
+       |  FROM zones zo CROSS JOIN preds p),
+       |m AS (
+       |  SELECT p.pred, count(*) AS rows_matching
+       |  FROM b CROSS JOIN preds p
+       |  WHERE b.ub BETWEEN p.ul AND p.uh AND b.tb BETWEEN p.tl AND p.th
+       |  GROUP BY 1)
+       |SELECT a.layout, a.pred, CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(a.skipped) AS BIGINT) AS files_skipped,
+       |  CAST(sum(a.nr) AS BIGINT) AS rows_total,
+       |  CAST(sum(CASE WHEN a.skipped = 1 THEN a.nr ELSE 0 END) AS BIGINT) AS rows_skipped,
+       |  CAST(COALESCE(min(m.rows_matching), 0) AS BIGINT) AS rows_matching,
+       |  CAST((20000 * sum(CASE WHEN a.skipped = 1 THEN a.nr ELSE 0 END) + sum(a.nr))
+       |       // (2 * sum(a.nr)) AS BIGINT) / 10000.0 AS skip_share
+       |FROM aud a LEFT JOIN m ON m.pred = a.pred
+       |GROUP BY a.layout, a.pred ORDER BY a.layout, a.pred""".stripMargin
+  }
+
   /** X98 — training-window provenance audit (`q_bin_provenance`): the
     * "what is actually in batch N" table — per X30 context window, the
     * doc count, distinct-source count, dominant source and its share,
@@ -849,6 +997,10 @@ object Packing {
       zorder,
       Some(zorderSql),
       "X92 Z-order layout: bit-interleaved (user, time) file assignment + min/max skipping stats"),
+    "q_zonemap_skip" -> QueryDef(
+      zonemapSkip,
+      Some(zonemapSkipSql),
+      "X164 zone-map pruning audit: exact files/rows skipped per predicate, natural vs Z-order layout"),
     "q_bin_provenance" -> QueryDef(
       binProvenance,
       Some(binProvenanceSql),

@@ -484,4 +484,67 @@ class PackingSpec extends AnyFunSuite {
     assert(clean.nonEmpty && clean.forall(_.getLong(3) == 0L),
       "a single-split pack reported straddling bins")
   }
+
+  test("q_zonemap_skip: sequential recount; skipping is sound; zorder beats natural where it should") {
+    // X164's certificate: rebuild buckets, z-values, both layouts'
+    // file assignments, zones and skip verdicts sequentially; then
+    // the two qualitative claims — (a) SOUNDNESS: skipped rows never
+    // include a matching row (recounted per file), (b) the layout
+    // story: natural prunes nothing on the pure user slice while
+    // zorder does, and zorder is at least as good on the 2-D cell.
+    import org.apache.spark.sql.functions._
+    val pk = graft.operators.Packing
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ev = Tables(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val (u0, u1) = (ev.map(_._2).min, ev.map(_._2).max)
+      val (t0, t1) = (ev.map(_._3).min, ev.map(_._3).max)
+      val n = ev.length.toLong
+      def interleave(a: Long, b: Long): Long =
+        (0 until 8).map { i => (((a >> i) & 1L) << (2 * i)) + (((b >> i) & 1L) << (2 * i + 1)) }.sum
+      val rows = ev.map { case (id, u, t) =>
+        val ub = (u - u0) * 256 / (u1 - u0 + 1)
+        val tb = (t - t0) * 256 / (t1 - t0 + 1)
+        (id, ub, tb, interleave(ub, tb))
+      }
+      val layouts = Map(
+        "natural" -> rows.sortBy(_._1),
+        "zorder" -> rows.sortBy(r => (r._4, r._1)))
+      val want = (for {
+        (layout, ordered) <- layouts.toSeq
+        files = ordered.zipWithIndex
+          .map { case (r, i) => (i.toLong * pk.zorderFiles / n, r) }
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        (pred, ul, uh, tl, th) <- pk.zonePreds
+      } yield {
+        val zones = files.map { case (f, rs) =>
+          (f, rs.size.toLong, rs.map(_._2).min, rs.map(_._2).max,
+            rs.map(_._3).min, rs.map(_._3).max, rs)
+        }
+        val skipped = zones.filter { case (_, _, ub0, ub1, tb0, tb1, _) =>
+          ub1 < ul || ub0 > uh || tb1 < tl || tb0 > th }
+        // SOUNDNESS: no skipped file contains a matching row
+        skipped.foreach { case (f, _, _, _, _, _, rs) =>
+          assert(!rs.exists(r => r._2 >= ul && r._2 <= uh && r._3 >= tl && r._3 <= th),
+            s"$layout/$pred skipped file $f holds a matching row at $dir")
+        }
+        val rowsSkipped = skipped.map(_._2).sum
+        val matching = rows.count(r => r._2 >= ul && r._2 <= uh && r._3 >= tl && r._3 <= th).toLong
+        (layout, pred) -> ((files.size.toLong, skipped.size.toLong, n, rowsSkipped,
+          matching, ((20000L * rowsSkipped + n) / (2L * n)) / 10000.0))
+      }).toMap
+      val got = SparkEntry.queries("q_zonemap_skip")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+      assert(got === want, s"zonemap recount diverges at $dir")
+      // the layout story the operator exists to quantify
+      assert(got(("natural", "user_slice"))._2 === 0L,
+        s"natural layout should prune nothing on a pure user slice at $dir")
+      assert(got(("zorder", "user_slice"))._2 > 0L,
+        s"zorder should prune the user slice at $dir")
+      assert(got(("zorder", "cell"))._2 >= got(("natural", "cell"))._2,
+        s"zorder should prune the 2-D cell at least as well at $dir")
+    }
+  }
 }

@@ -92,6 +92,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_train_order" -> 9,     // per-partition counts + |sources| dictionaries
     "q_unimax" -> 6,          // |langs| dictionary (the waterfilling ladder)
     "q_zipf_fit" -> 1,        // top-100 distribution head (Limit-bounded)
+    "q_zonemap_skip" -> 2,    // per-partition counts ×2 (two rankedByRange layouts)
     "q_zorder" -> 1           // per-partition counts
   )
 
