@@ -475,7 +475,118 @@ object Shuffle {
       |FROM ev e JOIN dim d USING (k)
       |GROUP BY e.k, d.w ORDER BY k""".stripMargin
 
+  /** X165's audited join pairs: the Q3-style equi-joins this engine's
+    * own relational queries run, plus a deliberate fan-out row (the
+    * documents source self-join — Σ c(k)² blow-up) so the operator's
+    * "this join will explode" verdict is live at every SF.
+    */
+  private[graft] val joinCardPairs: Seq[(String, String, String, String, String)] = Seq(
+    ("customer-orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("documents-self-source", "documents", "source", "documents", "source"),
+    ("orders-lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part-lineitem", "part", "p_partkey", "lineitem", "l_partkey"))
+
+  /** X165 — join-cardinality pre-flight (`q_join_card`): the output
+    * size of an equi-join computed EXACTLY from the two key-count
+    * dictionaries — |A ⋈ B| = Σ_k c_A(k)·c_B(k) — without ever
+    * materializing the join. X130 models payload BYTES per side; this
+    * prices the OUTPUT, the number that decides whether a join is
+    * runnable at all (a fan-out join's output dwarfs both inputs —
+    * the planted documents source self-join row reads exact_rows ≈
+    * N²/|sources|, blowup ≫ 1). Beside the exact count: the textbook
+    * CBO uniform estimate |A|·|B| / max(ndv_A, ndv_B) and its 4dp
+    * error ratio — the operator doubles as an audit of the uniform
+    * assumption on real key distributions (exact on the uniform
+    * TPC-H keys, off on skew).
+    *
+    * Scale: per pair, two dictionary collapses (map-side partial
+    * counts — the X128 shape, bounded by key cardinality, never
+    * payload), one dictionary equi-join, three 1-row aggregates.
+    * Products and sums run on DECIMAL(38,0) and clamp to
+    * Long.MaxValue identically on both engines (the X159 rule: a
+    * saturated reading means "at least this much"; the driver hash
+    * rejects int128 outputs).
+    */
+  private def joinCard(s: SparkSession, dir: String): DataFrame =
+    joinCardPairs.map { case (nm, lt, lk, rt, rk) =>
+      joinCardRow(nm,
+        Tables(s, dir, lt).select(col(lk).cast("string").as("k"))
+          .groupBy("k").agg(count(lit(1)).as("cl")),
+        Tables(s, dir, rt).select(col(rk).cast("string").as("k"))
+          .groupBy("k").agg(count(lit(1)).as("cr")))
+    }.reduce(_ unionByName _).orderBy("join_name")
+
+  /** One audit row off (k, cl) / (k, cr) dictionaries — factored so
+    * ShuffleSpec can drive the uniform-assumption ERROR branch with a
+    * planted zipf dictionary (the shipped tables' keys are uniform,
+    * so err_ratio is honestly 1.0 on every declared row).
+    */
+  private[graft] def joinCardRow(nm: String, L: DataFrame, R: DataFrame): DataFrame = {
+      val lAgg = L.agg(sum(col("cl")).as("l_rows"), count(lit(1)).as("l_keys"))
+      val rAgg = R.agg(sum(col("cr")).as("r_rows"), count(lit(1)).as("r_keys"))
+      val xAgg = L.join(R, "k").agg(
+        count(lit(1)).as("shared_keys"),
+        coalesce(sum(expr("CAST(cl AS DECIMAL(38,0)) * cr")), lit(0))
+          .cast("decimal(38,0)").as("exact_d"))
+      lAgg.crossJoin(broadcast(rAgg)).crossJoin(broadcast(xAgg))
+        .select(
+          lit(nm).as("join_name"),
+          col("l_rows").cast("long").as("l_rows"),
+          col("r_rows").cast("long").as("r_rows"),
+          col("l_keys").cast("long").as("l_keys"),
+          col("r_keys").cast("long").as("r_keys"),
+          col("shared_keys").cast("long").as("shared_keys"),
+          expr("""CAST(LEAST(exact_d, CAST(9223372036854775807 AS DECIMAL(38,0)))
+                 |  AS BIGINT)""".stripMargin).as("exact_rows"),
+          expr("""CAST(LEAST(CAST(l_rows AS DECIMAL(38,0)) * r_rows
+                 |    DIV greatest(l_keys, r_keys),
+                 |  CAST(9223372036854775807 AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
+            .as("uniform_est"),
+          (expr("""CAST(CASE WHEN exact_d = 0 THEN 0 ELSE LEAST(
+                  |  (20000 * (CAST(l_rows AS DECIMAL(38,0)) * r_rows
+                  |     DIV greatest(l_keys, r_keys)) + exact_d) DIV (2 * exact_d),
+                  |  CAST(9223372036854775807 AS DECIMAL(38,0))) END AS BIGINT)""".stripMargin)
+            / lit(10000.0)).as("err_ratio"),
+          (expr("""CAST(LEAST((20000 * exact_d + greatest(l_rows, r_rows))
+                  |  DIV (2 * greatest(l_rows, r_rows)),
+                  |  CAST(9223372036854775807 AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
+            / lit(10000.0)).as("blowup"))
+  }
+
+  private def joinCardSql: String =
+    joinCardPairs.map { case (nm, lt, lk, rt, rk) =>
+      s"""SELECT '$nm' AS join_name,
+         |  CAST(a.l_rows AS BIGINT) AS l_rows, CAST(b.r_rows AS BIGINT) AS r_rows,
+         |  CAST(a.l_keys AS BIGINT) AS l_keys, CAST(b.r_keys AS BIGINT) AS r_keys,
+         |  CAST(c.shared_keys AS BIGINT) AS shared_keys,
+         |  CAST(LEAST(c.exact_d, 9223372036854775807::HUGEINT) AS BIGINT) AS exact_rows,
+         |  CAST(LEAST(CAST(a.l_rows AS HUGEINT) * b.r_rows
+         |      // greatest(a.l_keys, b.r_keys),
+         |    9223372036854775807::HUGEINT) AS BIGINT) AS uniform_est,
+         |  CAST(CASE WHEN c.exact_d = 0 THEN 0 ELSE LEAST(
+         |    (20000 * (CAST(a.l_rows AS HUGEINT) * b.r_rows
+         |       // greatest(a.l_keys, b.r_keys)) + c.exact_d) // (2 * c.exact_d),
+         |    9223372036854775807::HUGEINT) END AS BIGINT) / 10000.0 AS err_ratio,
+         |  CAST(LEAST((20000 * c.exact_d + greatest(a.l_rows, b.r_rows))
+         |      // (2 * greatest(a.l_rows, b.r_rows)),
+         |    9223372036854775807::HUGEINT) AS BIGINT) / 10000.0 AS blowup
+         |FROM
+         |  (SELECT sum(cl) AS l_rows, count(*) AS l_keys FROM
+         |    (SELECT CAST($lk AS VARCHAR) AS k, count(*) AS cl FROM $lt GROUP BY 1)) a,
+         |  (SELECT sum(cr) AS r_rows, count(*) AS r_keys FROM
+         |    (SELECT CAST($rk AS VARCHAR) AS k, count(*) AS cr FROM $rt GROUP BY 1)) b,
+         |  (SELECT count(*) AS shared_keys,
+         |     COALESCE(sum(CAST(x.cl AS HUGEINT) * y.cr), 0) AS exact_d FROM
+         |    (SELECT CAST($lk AS VARCHAR) AS k, count(*) AS cl FROM $lt GROUP BY 1) x
+         |    JOIN (SELECT CAST($rk AS VARCHAR) AS k, count(*) AS cr FROM $rt GROUP BY 1) y
+         |    USING (k)) c""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY join_name")
+
   val defs: ListMap[String, QueryDef] = ListMap(
+    "q_join_card" -> QueryDef(
+      joinCard,
+      Some(joinCardSql),
+      "X165 join-cardinality pre-flight: exact equi-join output size from key dictionaries + uniform-CBO error audit"),
     "q_salted_join" -> QueryDef(
       saltedJoin,
       Some(saltedJoinSql),

@@ -240,4 +240,55 @@ class ShuffleSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.shuffle.partitions", "4")
     }
   }
+
+  test("q_join_card: sequential recount at two SFs; a zipf dictionary breaks the uniform estimate") {
+    // X165's two claims. (1) The dictionary formula IS the join size:
+    // recount sum(cA(k)*cB(k)) + the uniform estimate sequentially
+    // from the raw key columns. (2) The uniform assumption is only as
+    // good as the distribution: a planted zipf dictionary (driven
+    // through the SAME joinCardRow) must read err_ratio < 1 (uniform
+    // underestimates a skewed self-join) while blowup reads the true
+    // fan-out.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val got = SparkEntry.queries("q_join_card")(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getDouble(8), r.getDouble(9)))).toMap
+      for ((nm, lt, lk, rt, rk) <- graft.operators.Shuffle.joinCardPairs) {
+        val lKeys = Tables(spark, dir, lt).select(col(lk).cast("string"))
+          .collect().map(_.getString(0))
+        val rKeys = Tables(spark, dir, rt).select(col(rk).cast("string"))
+          .collect().map(_.getString(0))
+        val cl = lKeys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val cr = rKeys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val shared = cl.keySet & cr.keySet
+        val exact = shared.toSeq.map(k => cl(k) * cr(k)).sum
+        val uniform = lKeys.length.toLong * rKeys.length.toLong /
+          math.max(cl.size, cr.size).toLong
+        val err = if (exact == 0) 0.0 else ((20000L * uniform + exact) / (2L * exact)) / 10000.0
+        val g = math.max(lKeys.length, rKeys.length).toLong
+        val blow = ((20000L * exact + g) / (2L * g)) / 10000.0
+        assert(got(nm) === ((lKeys.length.toLong, rKeys.length.toLong, cl.size.toLong,
+          cr.size.toLong, shared.size.toLong, exact, uniform, err, blow)),
+          s"$nm recount diverges at $dir")
+      }
+      // the planted fan-out row is live
+      assert(got("documents-self-source")._9 > 1.0,
+        s"self-join blowup vacuous at $dir")
+    }
+    // skew fixture: zipf-ish counts 64,32,16,8,4,2,1,1 on both sides
+    val zipf = Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L, 1L).zipWithIndex
+      .map { case (c, i) => (s"k$i", c) }
+    val L = zipf.toDF("k", "cl")
+    val R = zipf.toDF("k", "cr")
+    val row = graft.operators.Shuffle.joinCardRow("zipf", L, R).head()
+    val n = zipf.map(_._2).sum
+    val exact = zipf.map(c => c._2 * c._2).sum
+    assert(row.getLong(6) === exact)
+    assert(row.getLong(7) === n * n / 8)
+    assert(row.getDouble(8) < 1.0,
+      s"uniform estimate should UNDERestimate the zipf self-join, got ${row.getDouble(8)}")
+  }
 }
