@@ -56,6 +56,8 @@ object Bench {
     // cost.
     val memoWarmers: Seq[(String, () => Unit)] = Seq(
       ("memo:shingles", () => { operators.Dedup.shingleIndex(spark, sfDir).count(); () }),
+      ("memo:shingle_df", () => { operators.Dedup.shingleDfDict(spark, sfDir).count(); () }),
+      ("memo:substr_df", () => { operators.Dedup.substrDf(spark, sfDir).count(); () }),
       ("memo:near_pairs", () => { operators.Dedup.nearPairsIndexed(spark, sfDir).count(); () }),
       ("memo:containment_idx", () => { operators.Dedup.containmentIndex(spark, sfDir).count(); () }),
       ("memo:minhash_pairs", () => { operators.Dedup.minhashVerified(spark, sfDir).count(); () }),
