@@ -118,16 +118,34 @@ object Bench {
     // judges could not diff in-gate numbers round-over-round. The
     // side-file is best-effort (a read-only checkout must not fail the
     // bench) and lands in the repo so the round-close commit keeps it.
-    val outPath = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_OUT", "/root/repo/tools/bench_driver_full.json")
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(outPath),
-        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"bench: full per-query JSON written to $outPath")
-    } catch {
-      case t: Throwable =>
-        System.err.println(s"bench: could not write $outPath: $t")
+    // Default path is derived from the WORKING DIRECTORY, not a
+    // hardcoded /root/repo (r19 ADVICE): a bench run in another
+    // checkout/worktree writes to ITS tools/, never the committed
+    // round artifact. Partial runs (SPARK_GRAFT_QUERIES set) skip the
+    // default write entirely — a 3-query experiment must not
+    // overwrite the full-surface snapshot; an explicit
+    // SPARK_GRAFT_BENCH_OUT always wins.
+    val outPath: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse {
+      val tools = java.nio.file.Paths.get("tools")
+      if (only.isEmpty && java.nio.file.Files.isDirectory(tools))
+        Some(tools.resolve("bench_driver_full.json").toString)
+      else None
+    }
+    outPath match {
+      case Some(p) =>
+        try {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(p),
+            line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          System.err.println(s"bench: full per-query JSON written to $p")
+        } catch {
+          case t: Throwable =>
+            System.err.println(s"bench: could not write $p: $t")
+        }
+      case None =>
+        System.err.println(
+          "bench: side-file skipped (partial query list or no tools/ dir; " +
+            "set SPARK_GRAFT_BENCH_OUT to force)")
     }
     spark.stop()
   }

@@ -249,7 +249,7 @@ object Dedup {
     * along as `min(n)` (constant per group) through the same
     * aggregation that counts shared shingles.
     */
-  private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame =
+  private[graft] def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame =
     jaccardCut(
       broadcast(cand)
         .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
@@ -325,6 +325,13 @@ object Dedup {
     *    with the observed max df — for pipelines where a possibly-
     *    incomplete pair table must never ship.
     *
+    * The cap-free route (VERDICT r19 #3): on a saturated corpus the
+    * right tool is X5b `q_dedup_minhash` — banded MinHash draws its
+    * candidates from signature bands, never from posting lists, so it
+    * has NO df-cap failure mode; the refuse message names it, and
+    * DedupSpec proves LSH recovers the planted above-cap-only pairs
+    * the capped family misses on the saturated fixture.
+    *
     * Cost: one map-side-partial aggregate over the (cached) index per
     * declared query — a ≤|vocab|-row dictionary collapse to ONE row,
     * evaluated EAGERLY at query construction (the [[nearPairs]]
@@ -359,7 +366,10 @@ object Dedup {
       throw new DfSaturationException(
         s"$query: corpus is df-saturated (max shingle df $maxDf > cap $cap) — " +
           "capped candidate generation could miss pairs sharing only above-cap shingles. " +
-          "Run q_shingle_df (X159) for the full df ladder; set " +
+          "Run q_shingle_df (X159) for the full df ladder; on a saturated corpus use " +
+          "q_dedup_minhash (X5b) — banded MinHash has no df-cap failure mode (its " +
+          "candidates come from signature bands, not posting lists; DedupSpec proves " +
+          "it recovers the above-cap-only pairs the capped family misses). Set " +
           "spark.graft.dedup.dfGuard=flag for flagged (possibly incomplete) output.")
     val flagged = pairs.withColumn("df_saturated", lit(saturated))
     if (!saturated) flagged
@@ -748,7 +758,7 @@ object Dedup {
   /** Banded-MinHash candidate pairs — shared by the Jaccard-verified
     * (X5b) and edit-distance-verified (X5d) variants.
     */
-  private def minhashCands(sh: DataFrame): DataFrame = {
+  private[graft] def minhashCands(sh: DataFrame): DataFrame = {
     val bands = minhashBands(sh)
     bands.as("a")
       .join(bands.as("b"),

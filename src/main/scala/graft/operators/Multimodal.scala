@@ -409,6 +409,16 @@ object Multimodal {
     * oracle re-derives without parsing. Packed through the same GFTM
     * recipe as [[containers]], so the decode path stays real for the
     * plants too.
+    *
+    * Id-headroom contract (r19 ADVICE): the offsets assume every base
+    * doc_id within a 1,000,000-id synthesized block stays below
+    * 100,000, so the plant ranges [+600k,+700k) / [+900k,+1000k) (and
+    * the text family's [+200k,+400k)) can never collide with real ids
+    * or with each other — a collision would merge fingerprint sets
+    * IDENTICALLY on both engines and the oracle could not catch it.
+    * Enforced at corpus-build time (sf1_shape_build.py /
+    * sf10_probe_build.py assert max base doc_id % 1e6 < 100000) and
+    * pinned on the shipped testdata by MultimodalSpec's headroom test.
     */
   private[graft] def videoContainers(s: SparkSession, dir: String): DataFrame = {
     def pack(docId: Column, payloadHex: Column): Column = unhex(concat(

@@ -538,13 +538,23 @@ object Shuffle {
           col("shared_keys").cast("long").as("shared_keys"),
           expr("""CAST(LEAST(exact_d, CAST(9223372036854775807 AS DECIMAL(38,0)))
                  |  AS BIGINT)""".stripMargin).as("exact_rows"),
-          expr("""CAST(LEAST(CAST(l_rows AS DECIMAL(38,0)) * r_rows
-                 |    DIV greatest(l_keys, r_keys),
-                 |  CAST(9223372036854775807 AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
+          // Clamp the DECIMAL(38,0) product BEFORE the DIV (r19 ADVICE):
+          // Spark's IntegralDivide returns BIGINT and a quotient above
+          // Long.MaxValue yields NULL (non-ANSI), while DuckDB's
+          // HUGEINT // keeps the true quotient for LEAST to clamp.
+          // min(prod, MAX*gk) DIV gk == min(prod DIV gk, MAX) exactly,
+          // so the pre-clamp saturates instead of NULLing — the same
+          // pattern pair_volume uses in Dedup.shingleDfOf. The twin's
+          // inner quotient is LEAST-clamped to the same bound.
+          expr("""CAST(LEAST(CAST(l_rows AS DECIMAL(38,0)) * r_rows,
+                 |    CAST(9223372036854775807 AS DECIMAL(38,0)) * greatest(l_keys, r_keys))
+                 |  DIV greatest(l_keys, r_keys) AS BIGINT)""".stripMargin)
             .as("uniform_est"),
           (expr("""CAST(CASE WHEN exact_d = 0 THEN 0 ELSE LEAST(
-                  |  (20000 * (CAST(l_rows AS DECIMAL(38,0)) * r_rows
-                  |     DIV greatest(l_keys, r_keys)) + exact_d) DIV (2 * exact_d),
+                  |  (20000 * CAST(LEAST(CAST(l_rows AS DECIMAL(38,0)) * r_rows,
+                  |       CAST(9223372036854775807 AS DECIMAL(38,0)) * greatest(l_keys, r_keys))
+                  |     DIV greatest(l_keys, r_keys) AS DECIMAL(38,0)) + exact_d)
+                  |  DIV (2 * exact_d),
                   |  CAST(9223372036854775807 AS DECIMAL(38,0))) END AS BIGINT)""".stripMargin)
             / lit(10000.0)).as("err_ratio"),
           (expr("""CAST(LEAST((20000 * exact_d + greatest(l_rows, r_rows))
@@ -564,8 +574,9 @@ object Shuffle {
          |      // greatest(a.l_keys, b.r_keys),
          |    9223372036854775807::HUGEINT) AS BIGINT) AS uniform_est,
          |  CAST(CASE WHEN c.exact_d = 0 THEN 0 ELSE LEAST(
-         |    (20000 * (CAST(a.l_rows AS HUGEINT) * b.r_rows
-         |       // greatest(a.l_keys, b.r_keys)) + c.exact_d) // (2 * c.exact_d),
+         |    (20000 * LEAST(CAST(a.l_rows AS HUGEINT) * b.r_rows
+         |         // greatest(a.l_keys, b.r_keys),
+         |       9223372036854775807::HUGEINT) + c.exact_d) // (2 * c.exact_d),
          |    9223372036854775807::HUGEINT) END AS BIGINT) / 10000.0 AS err_ratio,
          |  CAST(LEAST((20000 * c.exact_d + greatest(a.l_rows, b.r_rows))
          |      // (2 * greatest(a.l_rows, b.r_rows)),

@@ -947,7 +947,39 @@ class DedupSpec extends AnyFunSuite {
         }
         assert(ex.getMessage.contains("max shingle df 200") &&
           ex.getMessage.contains("q_shingle_df"))
+        // VERDICT r19 #3: the refusal must POINT AT the cap-free path
+        assert(ex.getMessage.contains("q_dedup_minhash"),
+          "refuse message must name the saturated-corpus route (X5b MinHash)")
       } finally spark.conf.unset("spark.graft.dedup.dfGuard")
+    } finally sh.unpersist()
+  }
+
+  test("df-saturation guard: MinHash LSH recovers the above-cap-only pairs the capped family misses") {
+    // VERDICT r19 #3: the guard's contract names q_dedup_minhash as
+    // the saturated-corpus route — prove the claim on the exact
+    // silent-miss fixture above. All 200 planted docs share ONE
+    // 6-trigram shingle set (every pair Jaccard 1.0, every shingle
+    // df = 200 >> cap 64), so capped candidate generation yields ZERO
+    // pairs — while banded MinHash, whose candidates come from
+    // signature bands rather than posting lists, must surface ALL
+    // 200·199/2 pairs with exact Jaccard 1.0 (shared = n_union).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dedup = graft.operators.Dedup
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0L until 200L).map { i =>
+      (i, (0 until 20).map(j => vocab(((i + j) % 6).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = dedup.shinglesOf(docs).persist()
+    try {
+      assert(dedup.nearPairs(sh, dedup.nearMaxDf).isEmpty,
+        "capped family should miss every pair on the saturated fixture")
+      val lsh = dedup.verifyJaccard(sh, dedup.minhashCands(sh))
+        .collect()
+      assert(lsh.length === 200 * 199 / 2,
+        s"LSH must recover all above-cap-only pairs, got ${lsh.length}")
+      assert(lsh.forall(r => r.getLong(2) === r.getLong(3)),
+        "every recovered pair is an exact duplicate (shared == n_union)")
     } finally sh.unpersist()
   }
 

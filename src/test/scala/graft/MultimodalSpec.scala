@@ -25,6 +25,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("planted-id headroom: base doc_ids leave the +200k..+900k plant ranges clear") {
+    // r19 ADVICE: the media plants (+600000/+900000) and the text
+    // near-dup plants (+200000/+300000) assume every base doc_id
+    // within a 1,000,000-id block stays below 100,000; a denser corpus
+    // would let plant ids collide with real ids (or plant families
+    // with each other) IDENTICALLY on both engines — invisible to the
+    // oracle. Pin it on every shipped SF so corpus drift fails loudly
+    // here, the same place the build scripts assert it for the
+    // synthesized 10x/100x corpora.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                    "/root/testdata/sf0.1")) {
+      val maxMod = Tables(spark, dir, "documents")
+        .agg(max(col("doc_id") % 1000000L)).head().getLong(0)
+      assert(maxMod < 100000L,
+        s"$dir: max doc_id % 1e6 = $maxMod >= 100000 — plant ranges would collide")
+    }
+  }
+
   test("partition-wise container decode equals the relational (no-parse) metadata") {
     import spark.implicits._
     val viaPartitions = Multimodal.decodeBrightness(spark, Multimodal.containers(spark, sf))

@@ -291,4 +291,29 @@ class ShuffleSpec extends AnyFunSuite {
     assert(row.getDouble(8) < 1.0,
       s"uniform estimate should UNDERestimate the zipf self-join, got ${row.getDouble(8)}")
   }
+
+  test("X165 joinCardRow saturates (never NULLs) when the uniform quotient overflows BIGINT") {
+    // r19 ADVICE: Spark's IntegralDivide returns BIGINT and NULLs a
+    // quotient above Long.MaxValue (non-ANSI), while the DuckDB twin's
+    // HUGEINT // + LEAST clamps — the product is now pre-clamped at
+    // MAX*greatest(keys) so min(prod, MAX*gk) DIV gk ==
+    // min(prod DIV gk, MAX) on BOTH engines. Drive the branch: one
+    // shared key with 4e9 rows per side → exact = uniform = 1.6e19 >
+    // Long.MaxValue; every output column must saturate, none may NULL.
+    import spark.implicits._
+    val big = 4000000000L
+    val L = Seq(("hot", big)).toDF("k", "cl")
+    val R = Seq(("hot", big)).toDF("k", "cr")
+    val row = graft.operators.Shuffle.joinCardRow("overflow", L, R).head()
+    assert(!(2 to 9).exists(row.isNullAt), s"saturating columns must not NULL: $row")
+    assert(row.getLong(6) === Long.MaxValue, "exact_rows saturates")
+    assert(row.getLong(7) === Long.MaxValue, "uniform_est saturates (pre-clamped DIV)")
+    val exact = BigInt(big) * BigInt(big)
+    val expErr = ((BigInt(20000) * BigInt(Long.MaxValue) + exact) /
+      (BigInt(2) * exact)).toLong / 10000.0
+    assert(row.getDouble(8) === expErr, "err_ratio uses the clamped inner quotient")
+    val expBlow = ((BigInt(20000) * exact + BigInt(big)) /
+      (BigInt(2) * BigInt(big))).toLong / 10000.0
+    assert(row.getDouble(9) === expBlow)
+  }
 }

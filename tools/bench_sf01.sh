@@ -18,8 +18,16 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# Per-query MIN over 3 back-to-back idle passes (VERDICT r19 #1: the
+# sf1 bank's own discipline, applied to the committed snapshot so
+# round-over-round comparisons stop reading ambient machine haze as
+# drift — r19's shared surface moved 1.13x on evidence of contention
+# alone). Bench.scala keeps the per-query min across passes and still
+# extends adaptively (up to SPARK_GRAFT_BENCH_MAX_PASSES) if a whole
+# pass improves the summed best by >2%.
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+SPARK_GRAFT_BENCH_PASSES=${SPARK_GRAFT_BENCH_PASSES:-3} \
 SPARK_GRAFT_BENCH_OUT=/tmp/graft_bench_sf01_side.json \
 java $ADD_OPENS -Xmx24g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
@@ -41,8 +49,9 @@ try:
             warned += 1
     tot_b = sum(prev["queries"][q] for q in shared)
     tot_c = sum(cur["queries"][q] for q in shared)
+    ratio = tot_c / tot_b if tot_b > 0 else float("inf")
     print(f"bench_sf01 shared surface ({len(shared)} queries): "
-          f"{tot_b:.1f}s -> {tot_c:.1f}s; {warned} per-query warnings")
+          f"{tot_b:.1f}s -> {tot_c:.1f}s ({ratio:.3f}x); {warned} per-query warnings")
 except FileNotFoundError:
     print("bench_sf01: no previous snapshot — seeding")
 json.dump(cur, open(sys.argv[2], "w"))

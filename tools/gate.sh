@@ -20,19 +20,44 @@
 # passed explicitly; a reseed must be logged in the round notes.
 set -e
 cd /root/repo
-# --probe100 (VERDICT r18 #5): run the 100x-shape cliff probe as a
-# gate-invocable mode — the top-10 costliest queries PLUS any queries
-# named in PROBE_EXTRA (comma-separated; use it for every NEW operator
-# of the round) against the sf10-shape tables, with 10x->100x ratios
-# printed against tools/sf1_baseline.json. One flag runs it end to
-# end; any superlinear mover still needs a fix or a measured
-# attribution in the round notes (the r18 discipline, made standing).
+# --probe100 (VERDICT r18 #5, self-extending per r19 #4): run the
+# 100x-shape cliff probe as a gate-invocable mode — the standing
+# top-10 costliest list (tools/probe_defaults.sh, shared with
+# sf10_probe.sh — r19 ADVICE killed the fragile source-text grep)
+# PLUS every query registered since the previous round-close commit
+# (derived from the QueryDef registrations in git, so new operators
+# ride the probe automatically) PLUS anything in PROBE_EXTRA. Each
+# query runs in its own JVM (order-independent; see sf10_probe.sh).
+# Any superlinear mover still needs a fix or a measured attribution
+# in the round notes (the r18 discipline, made standing).
 if [ "$1" = "--probe100" ]; then
-  if [ -n "$PROBE_EXTRA" ]; then
-    BASE_QS=$(grep -o 'QUERIES=\${SPARK_GRAFT_QUERIES:-[^}]*}' tools/sf10_probe.sh \
-      | sed 's/.*:-//; s/}//')
-    export SPARK_GRAFT_QUERIES="$BASE_QS,$PROBE_EXTRA"
+  . tools/probe_defaults.sh
+  if [ -z "$PROBE_BASE_QUERIES" ]; then
+    echo "GATE FAIL: tools/probe_defaults.sh yielded an empty PROBE_BASE_QUERIES"
+    exit 1
   fi
+  LAST_CLOSE=$(git log --grep='^round [0-9]*:' -n1 --format=%H)
+  reg_qs() {  # query names registered at a given tree ("" = worktree)
+    if [ -n "$1" ]; then
+      git grep -ho '"q_[a-z0-9_]*" -> QueryDef' "$1" -- src/main/scala 2>/dev/null
+    else
+      grep -rho '"q_[a-z0-9_]*" -> QueryDef' src/main/scala
+    fi | sed 's/" -> QueryDef//; s/"//' | sort -u
+  }
+  CUR_QS=$(reg_qs "")
+  if [ -z "$CUR_QS" ]; then
+    echo "GATE FAIL: no QueryDef registrations found in src/main/scala"
+    exit 1
+  fi
+  NEW_QS=""
+  if [ -n "$LAST_CLOSE" ]; then
+    NEW_QS=$(comm -13 <(reg_qs "$LAST_CLOSE") <(echo "$CUR_QS") | paste -sd, -)
+    [ -n "$NEW_QS" ] && echo "probe100: new since round close ($LAST_CLOSE): $NEW_QS"
+  fi
+  QS="$PROBE_BASE_QUERIES"
+  [ -n "$NEW_QS" ] && QS="$QS,$NEW_QS"
+  [ -n "$PROBE_EXTRA" ] && QS="$QS,$PROBE_EXTRA"
+  export SPARK_GRAFT_QUERIES="$QS"
   exec tools/sf10_probe.sh "${@:2}"
 fi
 RESEED=0

@@ -3,9 +3,12 @@
 largest tables only (VERDICT r17 next-round #7): documents, events,
 embeddings at K=99 copies with the same copy discipline as
 sf1_shape_build.py (word permutations / dimension rotations / shifted
-event copies, ids at +1_000_000*k — clear of the planted +200000 /
-+300000 ranges), plus as-is copies of the small tables so Tables()
-resolves everything the probed queries' memo warmers touch.
+event copies, ids at +1_000_000*k — clear of ALL planted ranges: the
++200000/+300000 text near-dups and the +600000/+900000 media
+re-encodes), plus as-is copies of the small tables so Tables()
+resolves everything the probed queries' memo warmers touch. The
+per-block doc_id headroom (base doc_id < 100_000) is asserted at
+build time, same as sf1_shape_build.py.
 
 This is a ONE-OFF cliff probe, not a gate: run the ~10 costliest
 queries once via tools/sf10_probe.sh and record the table + any
@@ -43,6 +46,13 @@ def build(name, sql):
 def src(name):
     return f"read_parquet('{SRC}/{name}.parquet')"
 
+
+# Per-block doc_id headroom assert (r19 ADVICE) — see sf1_shape_build.py.
+_max_id = con.execute(
+    f"SELECT max(doc_id % {OFF}) FROM {src('documents')}").fetchone()[0]
+assert _max_id < 100_000, (
+    f"doc_id headroom violated: max base doc_id % {OFF} = {_max_id} >= 100000 — "
+    "planted id ranges (+200k/+300k/+600k/+900k) would collide")
 
 build("documents", f"""
   WITH base AS (SELECT * FROM {src('documents')}),

@@ -9,7 +9,15 @@ documents rehearsal generalized per table family:
 - documents: sf0.1 + 9 per-copy deterministic word PERMUTATIONS per doc
   (same vocabulary/length/source distributions; permutation destroys
   trigram shingles so copies are NOT artificial near-dups). Copy ids at
-  doc_id + 1_000_000*k, clear of the +200000/+300000 planted ranges.
+  doc_id + 1_000_000*k, clear of ALL planted id ranges: the text
+  near-dup plants at +200000/+300000 AND the media re-encode plants at
+  +600000/+900000 (Multimodal.videoContainers). The whole scheme rests
+  on per-block doc_id headroom — every base doc_id must stay below
+  100_000 so block k's real ids [1e6*k, 1e6*k+100k) can never collide
+  with any plant family ([+200k,+300k), [+300k,+400k), [+600k,+700k),
+  [+900k,+1000k)) nor the plant families with each other; a denser
+  future corpus would merge plant fingerprint sets IDENTICALLY on both
+  engines, invisible to the oracle. Asserted below at build time.
 - embeddings: + 9 per-copy cyclic DIMENSION ROTATIONS per vector (same
   norm and value distribution; rotation decorrelates cosine, so copies
   are not artificial embedding near-dups — the vector analog of the
@@ -57,6 +65,20 @@ def build(name, sql):
 def src(name):
     return f"read_parquet('{SRC}/{name}.parquet')"
 
+
+# Per-block doc_id headroom assert (r19 ADVICE): the +1_000_000*k copy
+# blocks AND every planted id family (+200k/+300k text near-dups,
+# +600k/+900k media re-encodes) assume base doc_ids < 100_000. A denser
+# source corpus would let plant ids collide with real ids (or plant
+# families with each other) identically on both engines — a silent
+# fingerprint-set merge the oracle could never catch. Fail the BUILD
+# instead.
+_max_id = con.execute(
+    f"SELECT max(doc_id % {OFF}) FROM {src('documents')}").fetchone()[0]
+assert _max_id < 100_000, (
+    f"doc_id headroom violated: max base doc_id % {OFF} = {_max_id} >= 100000 — "
+    "planted id ranges (+200k/+300k/+600k/+900k) would collide; "
+    "re-plan the plant offsets before building")
 
 build("documents", f"""
   WITH base AS (SELECT * FROM {src('documents')}),
