@@ -1229,7 +1229,13 @@ object Extensions {
     * 10-row cut table broadcast back over one clamp+aggregate pass.
     * Two corpus passes total (dictionary + clamp), both narrow.
     */
-  private def winsorize(s: SparkSession, dir: String): DataFrame = {
+  /** The p05/p95 cent cut table (event_type, lo_cut, hi_cut) — the
+    * ≤|event types|-row offline artifact X163 clamps against, factored
+    * so the streaming twin ([[graft.streaming.Gateway.winsorizeFeed]])
+    * can ship EXACTLY these cuts as plan literals and GatewaySpec can
+    * pin stream ≡ batch against the same clamp.
+    */
+  private[graft] def winsorizeCuts(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables(s, dir, "events").select(
       col("event_type"),
@@ -1240,11 +1246,18 @@ object Extensions {
       .withColumn("cum",
         sum(col("c")).over(Window.partitionBy("event_type").orderBy("cents")))
       .join(broadcast(tot), "event_type")
-    val cuts = cum
+    cum
       .groupBy(col("event_type"))
       .agg(
         min(when(col("cum") >= expr("(n + 19) DIV 20"), col("cents"))).as("lo_cut"),
         min(when(col("cum") >= expr("(19 * n + 19) DIV 20"), col("cents"))).as("hi_cut"))
+  }
+
+  private def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events").select(
+      col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val cuts = winsorizeCuts(s, dir)
     ev.join(broadcast(cuts), "event_type")
       .select(col("event_type"), col("cents"), col("lo_cut"), col("hi_cut"),
         greatest(col("lo_cut"), least(col("hi_cut"), col("cents"))).as("wcents"),

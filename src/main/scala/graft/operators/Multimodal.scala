@@ -413,7 +413,7 @@ object Multimodal {
     * Id-headroom contract (r19 ADVICE): the offsets assume every base
     * doc_id within a 1,000,000-id synthesized block stays below
     * 100,000, so the plant ranges [+600k,+700k) / [+900k,+1000k) (and
-    * the text family's [+200k,+400k)) can never collide with real ids
+    * the text family's [+200k,+500k) incl. the +400k containment excerpts) can never collide with real ids
     * or with each other — a collision would merge fingerprint sets
     * IDENTICALLY on both engines and the oracle could not catch it.
     * Enforced at corpus-build time (sf1_shape_build.py /

@@ -2269,7 +2269,7 @@ object TextAnalysis {
     * inside an address), every 17th a year. Pure string algebra both
     * engines derive identically.
     */
-  private def entityDocs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def entityDocs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("source"), concat(
       col("text"),
       when(col("doc_id") % 7 === 3,

@@ -2071,6 +2071,118 @@ object Gateway {
           / lit(10000.0)).as("share"))
   }
 
+  /** Streaming X162 — windowed entity-mention audit (`entityFeed`):
+    * per (event-time window, source), the email/URL/IPv4/year mention
+    * counters of the declared batch `q_entity_stats` — the live
+    * pre-flight a PII/redaction stage reads on the ingest path. Line
+    * format `"<epoch> <source> <text>"`. Every counter is a stateless
+    * in-row `regexp_extract_all` length over the SAME
+    * [[graft.operators.TextAnalysis.entityPatterns]] grammar the
+    * batch/oracle pair certifies (the X35 admission pattern: narrow
+    * projection, no join), so the only state is ONE watermark-bounded
+    * windowed aggregate and micro-batch boundaries cannot move a
+    * digit — counts are exact integers. Since each doc lands in
+    * exactly one window, the window-summed counters equal the batch
+    * per-source totals, which is how GatewaySpec ties the dial to the
+    * declared query (plus a per-window sequential recount).
+    */
+  def entityFeed(
+      lines: DataFrame,
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val pats = graft.operators.TextAnalysis.entityPatterns
+    val parsed = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 && col("p").getItem(0).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).as("source"),
+        col("p").getItem(2).as("text"))
+      .withWatermark("ts", watermarkDelay)
+    val counted = pats.foldLeft(parsed) { case (df, (name, pat)) =>
+      df.withColumn(name,
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long"))
+    }
+    counted
+      .groupBy(window(col("ts"), windowDuration), col("source"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("emails")).cast("long").as("emails"),
+        sum(col("urls")).cast("long").as("urls"),
+        sum(col("ipv4s")).cast("long").as("ipv4s"),
+        sum(col("years")).cast("long").as("years"),
+        sum(when(col("emails") + col("urls") + col("ipv4s") + col("years") > 0, 1L)
+          .otherwise(0L)).cast("long").as("docs_with_entities"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_docs"), col("emails"), col("urls"), col("ipv4s"), col("years"),
+        col("docs_with_entities"))
+  }
+
+  /** Streaming X163 — windowed winsorized-mean dial (`winsorizeFeed`):
+    * per (event-time window, event type), raw vs winsorized mean and
+    * the clip counts, against STATIC cuts — the offline artifact the
+    * declared batch `q_winsorize` derives from its (type, cents)
+    * dictionary, shipped here as plan-literal maps (the
+    * labelNoiseFeed/novelFeed pattern: a live quantile would make the
+    * clamp depend on micro-batch boundaries; the batch cut table is
+    * ≤|event types| rows, a bounded artifact like X100's eval suite).
+    * Line format `"<epoch> <event_type> <value>"`. The clamp and clip
+    * flags are stateless in-row integer work on cents; the means are
+    * the batch query's identical `(200·Σ + n) DIV (2n)` HALF_UP
+    * integer forms, so stream ≡ batch frame ≡ BigInt recount
+    * digit-for-digit. Types absent from the cut artifact are dropped
+    * (un-audited types have no defined clamp), and since every event
+    * lands in one window the window-summed n/clipped counts equal the
+    * batch totals — GatewaySpec pins both.
+    */
+  def winsorizeFeed(
+      lines: DataFrame,
+      cuts: Seq[(String, Long, Long)],
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    require(cuts.nonEmpty, "winsorize cut artifact must be non-empty")
+    val loMap = map(cuts.flatMap { case (t, lo, _) => Seq(lit(t), lit(lo)) }: _*)
+    val hiMap = map(cuts.flatMap { case (t, _, hi) => Seq(lit(t), lit(hi)) }: _*)
+    val parsed = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 && col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(2).cast("double").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(1).as("event_type"),
+        expr("CAST(round(CAST(p[2] AS DOUBLE) * 100) AS BIGINT)").as("cents"))
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("lo_cut", element_at(loMap, col("event_type")))
+      .withColumn("hi_cut", element_at(hiMap, col("event_type")))
+      .filter(col("lo_cut").isNotNull)
+    parsed
+      .select(col("ts"), col("event_type"), col("cents"), col("lo_cut"), col("hi_cut"),
+        greatest(col("lo_cut"), least(col("hi_cut"), col("cents"))).as("wcents"),
+        (col("cents") < col("lo_cut")).cast("long").as("is_lo"),
+        (col("cents") > col("hi_cut")).cast("long").as("is_hi"))
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(
+        count(lit(1)).as("nn"),
+        min(col("lo_cut")).as("lo_cut"),
+        min(col("hi_cut")).as("hi_cut"),
+        sum(col("is_lo")).as("clipped_lo"),
+        sum(col("is_hi")).as("clipped_hi"),
+        sum(col("cents")).as("sc"),
+        sum(col("wcents")).as("sw"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("nn").cast("long").as("n"),
+        col("lo_cut").cast("long").as("lo_cut"),
+        col("hi_cut").cast("long").as("hi_cut"),
+        col("clipped_lo").cast("long").as("clipped_lo"),
+        col("clipped_hi").cast("long").as("clipped_hi"),
+        (expr("CAST((200 * sc + nn) DIV (2 * nn) AS BIGINT)") / lit(10000.0))
+          .as("mean_raw"),
+        (expr("CAST((200 * sw + nn) DIV (2 * nn) AS BIGINT)") / lit(10000.0))
+          .as("mean_wins"))
+  }
+
   /** Streaming X37/X80 — windowed novel-vocabulary monitor
     * (`novelFeed`): per event-time window, the fraction of incoming
     * tokens OUTSIDE a static reference vocabulary — the live

@@ -2078,6 +2078,155 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming entity audit: windowed mention counters, stream == batch == recount == declared query") {
+    // Streaming X162: the planted entity corpus (the declared query's
+    // own input) over three event-time days; per-(window, source)
+    // counters must agree under the streaming engine, as a batch
+    // frame, and in a java.util.regex sequential recount — and since
+    // each doc lands in exactly one window, the window-summed counters
+    // must equal the declared q_entity_stats rows exactly.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.operators.TextAnalysis.entityDocs(spark, dir)
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    val base = 1700000000L
+    val feed = docs.zipWithIndex.map { case ((src, t), i) =>
+      (base + (i % 3) * 86400L, src, t)
+    }
+    val lines = feed.map { case (s, src, t) => s"$s $src $t" }.toSeq
+    val ms = MemoryStream[String]
+    val sink = s"entity_feed_${System.nanoTime()}"
+    val q = Gateway.entityFeed(ms.toDF(), "1 day", "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      ms.addData(lines: _*)
+      q.processAllAvailable()
+      ms.addData("9999999999 zzz sentinel")
+      q.processAllAvailable()
+      ms.addData("9999999999 zzz sentinel")
+      q.processAllAvailable()
+      val cols = Seq(unix_seconds(col("window_start")).as("ws"), col("source"),
+        col("n_docs"), col("emails"), col("urls"), col("ipv4s"), col("years"),
+        col("docs_with_entities"))
+      val streamed = spark.table(sink).select(cols: _*)
+        .as[(Long, String, Long, Long, Long, Long, Long, Long)].collect().toSet
+      val batch = Gateway.entityFeed(lines.toDF("value"), "1 day", "1 hour")
+        .select(cols: _*)
+        .as[(Long, String, Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(batch.nonEmpty, "vacuous pin: no window closed")
+      assert(streamed === batch, "streaming entity audit diverges from batch")
+      // sequential recount with java.util.regex (the engine-agnostic
+      // half of the X162 grammar-subset certificate)
+      val pats = graft.operators.TextAnalysis.entityPatterns
+        .map { case (n, p) => (n, java.util.regex.Pattern.compile(p)) }
+      def countAll(p: java.util.regex.Pattern, t: String): Long = {
+        val m = p.matcher(t); var c = 0L; while (m.find()) c += 1; c
+      }
+      val expected = feed.groupBy { case (s, src, _) => ((s / 86400) * 86400, src) }
+        .map { case ((ws, src), rows) =>
+          val per = rows.toSeq.map { case (_, _, t) =>
+            pats.toSeq.map { case (_, p) => countAll(p, t) }
+          }
+          val sums = per.transpose.map(_.sum)
+          (ws, src, rows.length.toLong, sums(0), sums(1), sums(2), sums(3),
+            per.count(_.sum > 0).toLong)
+        }.toSet
+      assert(batch === expected, "entity audit diverges from the regex recount")
+      // window-summed counters == the declared batch query, row for row
+      val declared = SparkEntry.queries("q_entity_stats")(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      // toSeq before summing: `rows` is a Set and equal per-window
+      // counter values would collapse before the sum
+      val summed = batch.groupBy(_._2).map { case (src, cells) =>
+        val rows = cells.toSeq
+        src -> ((rows.map(_._3).sum, rows.map(_._4).sum, rows.map(_._5).sum,
+          rows.map(_._6).sum, rows.map(_._7).sum, rows.map(_._8).sum))
+      }
+      assert(summed === declared, "window-summed entity counters diverge from q_entity_stats")
+      assert(declared.values.exists(v => v._2 > 0 && v._3 > 0 && v._4 > 0 && v._5 > 0),
+        "vacuous: some entity kind never fires")
+    } finally q.stop()
+  }
+
+  test("streaming winsorize dial: static cuts, windowed clip stats, stream == batch == recount == declared totals") {
+    // Streaming X163: real events streamed at their own timestamps
+    // against the batch query's OWN p05/p95 cut artifact (plan
+    // literals — a live quantile would make the clamp depend on
+    // micro-batch boundaries). Stream ≡ batch frame ≡ BigInt recount
+    // per (window, type); n/clipped counts are additive over windows,
+    // so their sums must equal the declared q_winsorize columns.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val cuts = graft.operators.Extensions.winsorizeCuts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(cuts.nonEmpty)
+    val evs = Tables(spark, dir, "events")
+      .select(unix_seconds(col("ts")).as("s"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val lines = evs.map { case (s, t, v) => s"$s $t $v" }.toSeq
+    val ms = MemoryStream[String]
+    val sink = s"winsorize_feed_${System.nanoTime()}"
+    val q = Gateway.winsorizeFeed(ms.toDF(), cuts, "1 day", "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      ms.addData(lines: _*)
+      q.processAllAvailable()
+      // the watermark-advancing sentinel must carry an AUDITED type:
+      // Catalyst pushes the cut-artifact membership filter below the
+      // watermark node, so an unknown type would never advance it
+      val sentinel = s"9999999999 ${cuts.head._1} 0.0"
+      ms.addData(sentinel)
+      q.processAllAvailable()
+      ms.addData(sentinel)
+      q.processAllAvailable()
+      val cols = Seq(unix_seconds(col("window_start")).as("ws"), col("event_type"),
+        col("n"), col("lo_cut"), col("hi_cut"), col("clipped_lo"), col("clipped_hi"),
+        col("mean_raw"), col("mean_wins"))
+      val streamed = spark.table(sink).select(cols: _*)
+        .as[(Long, String, Long, Long, Long, Long, Long, Double, Double)].collect().toSet
+      val batch = Gateway.winsorizeFeed(lines.toDF("value"), cuts, "1 day", "1 hour")
+        .select(cols: _*)
+        .as[(Long, String, Long, Long, Long, Long, Long, Double, Double)].collect().toSet
+      assert(batch.nonEmpty, "vacuous pin: no window closed")
+      assert(streamed === batch, "streaming winsorize dial diverges from batch")
+      // per-(window, type) BigInt recount with the same static cuts
+      val cutMap = cuts.map(c => c._1 -> ((c._2, c._3))).toMap
+      val expected = evs.groupBy { case (s, t, _) => ((s / 86400) * 86400, t) }
+        .map { case ((ws, t), rows) =>
+          val (lo, hi) = cutMap(t)
+          // Spark's round() goes through BigDecimal HALF_UP (away from
+          // zero on negatives) — math.round is HALF_UP toward +inf
+          val cents = rows.map { case (_, _, v) =>
+            java.math.BigDecimal.valueOf(v * 100)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+          }
+          val w = cents.map(c => math.max(lo, math.min(hi, c)))
+          val n = BigInt(cents.length)
+          def mean4(xs: Seq[Long]): Double =
+            ((BigInt(200) * xs.map(BigInt(_)).sum + n) / (2 * n)).toLong / 10000.0
+          (ws, t, cents.length.toLong, lo, hi,
+            cents.count(_ < lo).toLong, cents.count(_ > hi).toLong,
+            mean4(cents.toSeq), mean4(w.toSeq))
+        }.toSet
+      assert(batch === expected, "winsorize dial diverges from the BigInt recount")
+      // additive columns sum to the declared batch query
+      val declared = SparkEntry.queries("q_winsorize")(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))).toMap
+      val summed = batch.groupBy(_._2).map { case (t, cells) =>
+        val rows = cells.toSeq // Set.map would collapse equal values
+        t -> ((rows.map(_._3).sum, rows.head._4, rows.head._5,
+          rows.map(_._6).sum, rows.map(_._7).sum))
+      }
+      assert(summed === declared, "window-summed clip stats diverge from q_winsorize")
+      assert(declared.values.exists(v => v._4 > 0 && v._5 > 0),
+        "vacuous: nothing ever clipped")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: within-watermark duplicates dropped, expired keys re-admitted") {
     // The two halves of dropDuplicatesWithinWatermark's contract:
     // (1) a frame re-sent while its key state lives is suppressed —

@@ -4,8 +4,8 @@ largest tables only (VERDICT r17 next-round #7): documents, events,
 embeddings at K=99 copies with the same copy discipline as
 sf1_shape_build.py (word permutations / dimension rotations / shifted
 event copies, ids at +1_000_000*k — clear of ALL planted ranges: the
-+200000/+300000 text near-dups and the +600000/+900000 media
-re-encodes), plus as-is copies of the small tables so Tables()
++200000/+300000 text near-dups, the +400000 containment excerpts,
+and the +600000/+900000 media re-encodes), plus as-is copies of the small tables so Tables()
 resolves everything the probed queries' memo warmers touch. The
 per-block doc_id headroom (base doc_id < 100_000) is asserted at
 build time, same as sf1_shape_build.py.
@@ -52,7 +52,7 @@ _max_id = con.execute(
     f"SELECT max(doc_id % {OFF}) FROM {src('documents')}").fetchone()[0]
 assert _max_id < 100_000, (
     f"doc_id headroom violated: max base doc_id % {OFF} = {_max_id} >= 100000 — "
-    "planted id ranges (+200k/+300k/+600k/+900k) would collide")
+    "planted id ranges (+200k/+300k/+400k/+600k/+900k) would collide")
 
 build("documents", f"""
   WITH base AS (SELECT * FROM {src('documents')}),

@@ -25,3 +25,11 @@ java $ADD_OPENS -Xmx24g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CLASSES:/opt/spark/jars/*" graft.Bench > "$OUT_JSON"
 python3 "$(dirname "$0")/sf1_gate.py" "$OUT_JSON"
+# Standing df-saturation probe (VERDICT r19 #8): the sf1-shape corpus
+# is measured saturated (max shingle df 149 > cap 64) — every gate run
+# must re-prove the declared q_dedup_near output carries the loud
+# contract (sentinel row + df_saturated flag) on the REAL large-shape
+# tables, not just DedupSpec's planted fixture.
+java $ADD_OPENS -Xmx24g \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "$CLASSES:/opt/spark/jars/*" graft.GuardProbe "$SF1_DIR" true

@@ -10,12 +10,13 @@ documents rehearsal generalized per table family:
   (same vocabulary/length/source distributions; permutation destroys
   trigram shingles so copies are NOT artificial near-dups). Copy ids at
   doc_id + 1_000_000*k, clear of ALL planted id ranges: the text
-  near-dup plants at +200000/+300000 AND the media re-encode plants at
-  +600000/+900000 (Multimodal.videoContainers). The whole scheme rests
+  near-dup plants at +200000/+300000, the containment excerpts at
+  +400000, AND the media re-encode plants at +600000/+900000
+  (Multimodal.videoContainers). The whole scheme rests
   on per-block doc_id headroom — every base doc_id must stay below
   100_000 so block k's real ids [1e6*k, 1e6*k+100k) can never collide
-  with any plant family ([+200k,+300k), [+300k,+400k), [+600k,+700k),
-  [+900k,+1000k)) nor the plant families with each other; a denser
+  with any plant family ([+200k,+300k), [+300k,+400k), [+400k,+500k),
+  [+600k,+700k), [+900k,+1000k)) nor the plant families with each other; a denser
   future corpus would merge plant fingerprint sets IDENTICALLY on both
   engines, invisible to the oracle. Asserted below at build time.
 - embeddings: + 9 per-copy cyclic DIMENSION ROTATIONS per vector (same
@@ -77,7 +78,7 @@ _max_id = con.execute(
     f"SELECT max(doc_id % {OFF}) FROM {src('documents')}").fetchone()[0]
 assert _max_id < 100_000, (
     f"doc_id headroom violated: max base doc_id % {OFF} = {_max_id} >= 100000 — "
-    "planted id ranges (+200k/+300k/+600k/+900k) would collide; "
+    "planted id ranges (+200k/+300k/+400k/+600k/+900k) would collide; "
     "re-plan the plant offsets before building")
 
 build("documents", f"""
