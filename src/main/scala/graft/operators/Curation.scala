@@ -58,6 +58,24 @@ object Curation {
         explode(expr(s"transform(sequence(1, size(w) - ${gramN - 1}), i -> $concatGram)"))
           .as("gram"))
 
+  /** [[grams]] generalized to an arbitrary gram length — X167's
+    * sensitivity sweep re-runs the X15 machinery at several n; the
+    * shipped 8-gram path keeps its own specialization above.
+    */
+  private def concatGramN(n: Int): String =
+    (1 until n).foldLeft("element_at(w, i)") { (acc, j) =>
+      s"concat($acc, ' ', element_at(w, i + $j))"
+    }
+
+  private def gramsN(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(
+        col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> ${concatGramN(n)})"))
+          .as("gram"))
+
   /** Per-doc DISTINCT grams — dedup happens inside the row
     * (`array_distinct` over the per-doc gram array, bounded by the
     * document length) before the explode, so no shuffle is ever spent
@@ -105,6 +123,92 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Gram lengths swept by X167 — the shipped X15 length (8) bracketed
+    * by a loose half and a strict double, the sensitivity ladder
+    * published decontamination studies report.
+    */
+  private[graft] val decontamSweepNs = Seq(4, 8, 16)
+
+  /** X167 — decontamination gram-size sensitivity (`q_decontam_sweep`):
+    * the table an eval-integrity owner reads before trusting X15's
+    * n = 8 — per candidate gram length, the benchmark's distinct gram
+    * count, how many training docs get flagged, and the total
+    * (doc, gram) evidence volume. Short grams over-flag (chance
+    * collisions on common phrases — the FP tax), long grams under-flag
+    * (any edit breaks the span — the FN risk); the sweep shows where
+    * THIS corpus's flag count stabilizes, which is the published
+    * justification for 13-gram-class choices restated as a measured
+    * corpus property. Same train/bench split and planted contamination
+    * as X15, so the n = 8 row is exactly X15's aggregate.
+    *
+    * Scale: per length, one narrow gram pass over train (the X15
+    * shape — no pre-join distinct), a broadcast-able distinct
+    * benchmark set (2 % of the corpus), a doc-keyed collapse, a 1-row
+    * aggregate; |lengths| = 3 passes total, each linear, none joined
+    * to another.
+    */
+  private def decontamSweep(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bench = d.filter(col("doc_id") % 50 === 0)
+    val train = d.filter(col("doc_id") % 50 =!= 0)
+      .unionByName(bench.select(
+        (col("doc_id") + 300000).as("doc_id"),
+        regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
+    decontamSweepNs.map { n =>
+      val bg = gramsN(bench, n).select("gram").distinct()
+      val perDoc = gramsN(train, n)
+        .join(bg, "gram")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("ns"))
+      perDoc
+        .agg(
+          count(lit(1)).as("flagged_docs"),
+          coalesce(sum(col("ns")), lit(0L)).as("shared_doc_grams"))
+        .crossJoin(broadcast(bg.agg(count(lit(1)).as("bench_grams"))))
+        .select(
+          lit(n.toLong).as("gram_n"),
+          col("bench_grams").cast("long").as("bench_grams"),
+          col("flagged_docs").cast("long").as("flagged_docs"),
+          col("shared_doc_grams").cast("long").as("shared_doc_grams"))
+    }.reduce(_ unionByName _).orderBy("gram_n")
+  }
+
+  private def gramSqlExprN(n: Int): String =
+    (1 until n).foldLeft("w[i]") { (acc, j) => s"$acc || ' ' || w[i + $j]" }
+
+  private def decontamSweepSql: String = {
+    val perN = decontamSweepNs.map { n =>
+      s"""tg$n AS (
+         |  SELECT DISTINCT doc_id, ${gramSqlExprN(n)} AS gram
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train) t,
+         |       LATERAL unnest(generate_series(1, len(w) - ${n - 1})) AS s(i)
+         |  WHERE len(w) >= $n),
+         |bg$n AS (
+         |  SELECT DISTINCT ${gramSqlExprN(n)} AS gram
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM bench) t,
+         |       LATERAL unnest(generate_series(1, len(w) - ${n - 1})) AS s(i)
+         |  WHERE len(w) >= $n),
+         |j$n AS (
+         |  SELECT tg.doc_id, count(*) AS ns
+         |  FROM tg$n tg JOIN bg$n USING (gram) GROUP BY 1),
+         |a$n AS (SELECT count(*) AS fd, COALESCE(sum(ns), 0) AS sg FROM j$n),
+         |c$n AS (SELECT count(*) AS bgc FROM bg$n)""".stripMargin
+    }.mkString(",\n")
+    val selects = decontamSweepNs.map { n =>
+      s"""SELECT $n AS gram_n, CAST(bgc AS BIGINT) AS bench_grams,
+         |  CAST(fd AS BIGINT) AS flagged_docs, CAST(sg AS BIGINT) AS shared_doc_grams
+         |FROM a$n, c$n""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY gram_n")
+    s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+       |train AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 300000 AS doc_id, regexp_replace(text, '^[^ ]+ ', '') AS text
+       |  FROM bench),
+       |$perN
+       |$selects""".stripMargin
+  }
+
   /** X16 — deterministic stratified sampling: per-language keep rates
     * (en 20 %, others 5 % — the mixture-reweighting step of corpus
     * assembly) decided by a salted 32-bit content hash mod 100, NOT by
@@ -124,6 +228,72 @@ object Curation {
       .filter(col("u") < when(col("lang") === "en", 20).otherwise(5))
       .select(col("doc_id"), col("lang"), col("u").cast("long").as("u"))
       .orderBy("doc_id")
+
+  /** X169 — per-source sample-size planning (`q_sample_plan`): before
+    * an eval team hand-reviews a sample of each source (quality
+    * audits, PII spot checks, annotation batches), the power-analysis
+    * table: per source, the sample size needed to estimate mean doc
+    * length within ±5 % / ±1 % relative error at 95 % confidence —
+    * n ≥ z²·cv² / e² with cv² = σ²/μ² the source's own relative
+    * variance. A tight boilerplate-heavy source needs a few dozen
+    * docs; a heavy-tailed crawl needs thousands — the table prices
+    * exactly that, replacing "review 500 per source" folklore.
+    *
+    * Numerics: cv² as an exact integer rational — population variance
+    * via (n·Q − S²)/S² with S = Σtok, Q = Σtok² on DECIMAL(38,0)
+    * (n ≤ 10¹¹ docs/source × tok ≤ 10⁴ keeps 10⁶·n·Q ≤ 10³⁶ inside 38
+    * digits), snapped to millionths HALF_UP; n_req = ⌈z²/e² · cv²⌉
+    * with z²/e² the exact 4dp literals 1536.64 (±5 %) and 38416
+    * (±1 %) — pure integer ceil-div both engines state identically.
+    * Scale: one narrow scan (token count per doc), one ≤|sources|
+    * aggregate with map-side partials — the X2 shape; nothing else.
+    */
+  private def samplePlan(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("tok").cast("decimal(38,0)")).as("sx"),
+        sum((col("tok") * col("tok")).cast("decimal(38,0)")).as("qx"))
+      .select(
+        col("source"),
+        col("n").cast("long").as("n_docs"),
+        (expr("CAST((20000 * sx + n) DIV (2 * n) AS BIGINT)") / lit(10000.0))
+          .as("mean_tok"),
+        expr("""CAST(CASE WHEN sx = 0 THEN 0 ELSE
+                |  (2 * 1000000 * (n * qx - sx * sx) + sx * sx) DIV (2 * sx * sx)
+                |END AS BIGINT)""".stripMargin).as("cv2_ppm"))
+      .select(
+        col("source"), col("n_docs"), col("mean_tok"),
+        (col("cv2_ppm") / lit(1000000.0)).as("cv2"),
+        expr("CAST((153664 * cv2_ppm + 99999999) DIV 100000000 AS BIGINT)")
+          .as("n_req_5pct"),
+        expr("CAST((38416 * cv2_ppm + 999999) DIV 1000000 AS BIGINT)")
+          .as("n_req_1pct"))
+      .orderBy("source")
+
+  private val samplePlanSql =
+    """WITH d AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |a AS (
+      |  SELECT source, count(*) AS n,
+      |    sum(CAST(tok AS HUGEINT)) AS sx,
+      |    sum(CAST(tok AS HUGEINT) * tok) AS qx
+      |  FROM d GROUP BY 1),
+      |c AS (
+      |  SELECT source, n,
+      |    CAST((20000 * sx + n) // (2 * n) AS BIGINT) / 10000.0 AS mean_tok,
+      |    CAST(CASE WHEN sx = 0 THEN 0 ELSE
+      |      (2 * 1000000 * (n * qx - sx * sx) + sx * sx) // (2 * sx * sx)
+      |    END AS BIGINT) AS cv2_ppm
+      |  FROM a)
+      |SELECT source, CAST(n AS BIGINT) AS n_docs, mean_tok,
+      |  cv2_ppm / 1000000.0 AS cv2,
+      |  CAST((153664 * cv2_ppm + 99999999) // 100000000 AS BIGINT) AS n_req_5pct,
+      |  CAST((38416 * cv2_ppm + 999999) // 1000000 AS BIGINT) AS n_req_1pct
+      |FROM c ORDER BY source""".stripMargin
 
   private def gramSqlExpr: String =
     (1 until gramN).foldLeft("w[i]") { (acc, j) => s"$acc || ' ' || w[i + $j]" }
@@ -1705,6 +1875,107 @@ object Curation {
        |     - CAST(r_stopwords AS INT) - CAST(r_repetition AS INT) AS BIGINT) AS n_failed,
        |  (r_wordcount AND r_meanwordlen AND r_stopwords AND r_repetition) AS keep
        |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** The four X73 gates, keyed for X168's per-rule unpivot. */
+  private[graft] val ablationRules = Seq(
+    ("meanwordlen", "r_meanwordlen"),
+    ("repetition", "r_repetition"),
+    ("stopwords", "r_stopwords"),
+    ("wordcount", "r_wordcount"))
+
+  /** X168 — gate ablation (`q_gate_ablation`): the marginal-attribution
+    * table a curator reads before loosening one of X73's four rules —
+    * per rule, how many docs fail it at all (`n_fail`) and how many
+    * fail ONLY it (`n_fail_only`: exactly the docs that would be
+    * recovered if that single rule were dropped, because every other
+    * gate already passes them). A rule with large n_fail but tiny
+    * n_fail_only is redundant with the rest of the battery; a rule
+    * whose two numbers match is the sole owner of its rejections —
+    * the difference is what "can we relax this?" actually asks.
+    * `fail_share` is over the corpus; `recoverable_share` is over the
+    * dropped set (the blast radius of removing the rule).
+    *
+    * Scale: the SAME single narrow scan as X73 (withRuleFlags — no
+    * join, no window), collapsed map-side into one row of 2·|rules|+2
+    * counters; the 4-row unpivot happens on that 1-row aggregate.
+    * Integer-exact throughout.
+    */
+  private def gateAblation(s: SparkSession, dir: String): DataFrame = {
+    val f = withRuleFlags(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+    val aggCols =
+      sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped") +:
+        ablationRules.flatMap { case (nm, c) =>
+          Seq(
+            sum(when(!col(c), 1L).otherwise(0L)).as(s"nf_$nm"),
+            sum(when(!col(c) && col("n_failed") === 1, 1L).otherwise(0L))
+              .as(s"no_$nm"))
+        }
+    f.agg(count(lit(1)).as("n_docs"), aggCols: _*)
+      .select(col("n_docs"), col("n_dropped"),
+        explode(array(ablationRules.map { case (nm, _) =>
+          struct(lit(nm).as("rule"), col(s"nf_$nm").as("nf"), col(s"no_$nm").as("no"))
+        }: _*)).as("c"))
+      .select(
+        col("c.rule").as("rule"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_dropped").cast("long").as("n_dropped"),
+        col("c.nf").cast("long").as("n_fail"),
+        col("c.no").cast("long").as("n_fail_only"),
+        (expr("CAST((20000 * c.nf + n_docs) DIV (2 * n_docs) AS BIGINT)")
+          / lit(10000.0)).as("fail_share"),
+        (expr("""CASE WHEN n_dropped = 0 THEN CAST(0 AS BIGINT)
+                |  ELSE CAST((20000 * c.no + n_dropped) DIV (2 * n_dropped) AS BIGINT)
+                |END""".stripMargin) / lit(10000.0)).as("recoverable_share"))
+      .orderBy("rule")
+  }
+
+  private def gateAblationSql: String = {
+    val stopList = ruleStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val counters = ablationRules.map { case (nm, c) =>
+      s"""sum(CASE WHEN NOT $c THEN 1 ELSE 0 END) AS nf_$nm,
+         |    sum(CASE WHEN NOT $c AND n_failed = 1 THEN 1 ELSE 0 END) AS no_$nm"""
+        .stripMargin
+    }.mkString(",\n    ")
+    val selects = ablationRules.map { case (nm, _) =>
+      s"""SELECT '$nm' AS rule, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_dropped AS BIGINT) AS n_dropped,
+         |  CAST(nf_$nm AS BIGINT) AS n_fail, CAST(no_$nm AS BIGINT) AS n_fail_only,
+         |  CAST((20000 * nf_$nm + n_docs) // (2 * n_docs) AS BIGINT) / 10000.0
+         |    AS fail_share,
+         |  CASE WHEN n_dropped = 0 THEN 0.0
+         |    ELSE CAST((20000 * no_$nm + n_dropped) // (2 * n_dropped) AS BIGINT)
+         |      / 10000.0 END AS recoverable_share
+         |FROM agg""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY rule")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n,
+       |    CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS slen,
+       |    CAST(len(list_intersect(list_distinct(w), $stopList)) AS BIGINT) AS nstop,
+       |    CAST(list_max(list_transform(list_distinct(w),
+       |      t -> len(list_filter(w, x -> x = t)))) AS BIGINT) AS maxc
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id,
+       |    (n >= 20 AND n <= 80) AS r_wordcount,
+       |    (3 * n <= slen AND 2 * slen <= 9 * n) AS r_meanwordlen,
+       |    (nstop >= 2) AS r_stopwords,
+       |    (5 * maxc <= n) AS r_repetition
+       |  FROM f),
+       |rf AS (
+       |  SELECT *,
+       |    4 - CAST(r_wordcount AS INT) - CAST(r_meanwordlen AS INT)
+       |      - CAST(r_stopwords AS INT) - CAST(r_repetition AS INT) AS n_failed
+       |  FROM r),
+       |agg AS (
+       |  SELECT count(*) AS n_docs,
+       |    sum(CASE WHEN n_failed > 0 THEN 1 ELSE 0 END) AS n_dropped,
+       |    $counters
+       |  FROM rf)
+       |$selects""".stripMargin
   }
 
   /** X74 — token-budget epoch allocation (`q_token_budget`): the
@@ -3343,6 +3614,18 @@ object Curation {
        |FROM cls, l GROUP BY k ORDER BY k""".stripMargin
 
   val defs: ListMap[String, QueryDef] = ListMap(
+    "q_decontam_sweep" -> QueryDef(
+      decontamSweep,
+      Some(decontamSweepSql),
+      "X167 decontamination gram-size sensitivity: flagged docs and evidence volume per candidate n"),
+    "q_gate_ablation" -> QueryDef(
+      gateAblation,
+      Some(gateAblationSql),
+      "X168 gate ablation: per rule, docs failing it at all vs failing ONLY it — the marginal attribution table"),
+    "q_sample_plan" -> QueryDef(
+      samplePlan,
+      Some(samplePlanSql),
+      "X169 per-source sample-size planning: n for +/-5%/1% relative error on mean length from the source's own cv^2"),
     "q_decontaminate" -> QueryDef(
       decontaminate,
       Some(s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),

@@ -591,6 +591,116 @@ object Dedup {
        |FROM agg, base ORDER BY t_pct""".stripMargin
   }
 
+  /** (bands, rows-per-band) configurations swept by X166 — every way
+    * to band the shipped 8-slot MinHash signature. (4, 2) is the
+    * production X5b choice; the sweep prices the alternatives.
+    */
+  private[graft] val lshTuneConfigs = Seq((8L, 1L), (4L, 2L), (2L, 4L), (1L, 8L))
+
+  /** HALF_UP re-round of a product of two 4dp fixed-point values back
+    * to 4dp — the X151 iterated-fixed-point discipline, as SQL text so
+    * both engines state the identical integer chain.
+    */
+  private def lshR4(x: String, div: String): String =
+    s"(2 * ($x) + 10000) $div 20000"
+
+  /** x^e for e ∈ {1, 2, 4, 8} by repeated squaring with HALF_UP
+    * re-rounding at each step (x a 4dp-scaled integer column/expr).
+    * Textual recursion duplicates the sub-expression; it is a column
+    * reference, so codegen CSE keeps the work linear.
+    */
+  private def lshPow4(x: String, e: Long, div: String): String =
+    if (e == 1L) x
+    else {
+      val h = lshPow4(x, e / 2, div)
+      lshR4(s"($h) * ($h)", div)
+    }
+
+  /** The per-pair catch probability 1 − (1 − s^r)^b in 4dp fixed
+    * point, from the 4dp similarity column `s4`.
+    */
+  private def lshCatch4(b: Long, r: Long, div: String): String =
+    s"(10000 - (${lshPow4(s"(10000 - (${lshPow4("s4", r, div)}))", b, div)}))"
+
+  /** X166 — LSH band/row tuning table (`q_lsh_tune`): before moving
+    * X5b's (4 bands × 2 rows) banding, the table a dedup owner reads —
+    * for every way to band the 8-slot signature, the EXPECTED recall
+    * over the verified ≥0.6-Jaccard truth pairs (X5a's pair table),
+    * from the S-curve catch probability 1 − (1 − s^r)^b evaluated at
+    * each pair's exact Jaccard. More rows per band sharpens the curve
+    * (fewer false candidates) but drops recall on borderline pairs;
+    * this prices that trade on the corpus's OWN similarity mass
+    * instead of a rule of thumb. `pairs_safe` counts pairs with catch
+    * probability ≥ ½ — the mass a single re-run of the band join is
+    * unlikely to miss.
+    *
+    * Numerics: s4 = HALF_UP(10000·shared/n_union); powers by repeated
+    * squaring with HALF_UP re-rounding at every step (the X151
+    * iterated-fixed-point discipline) — pure integer arithmetic both
+    * engines state identically, so the sketch-parameter table itself
+    * is hash-certified. Scale: ONE pass over the memoized dup-bounded
+    * pair table computes every config's partial sums map-side (no
+    * explode of the pair stream, no join); the 4-row stack happens on
+    * a 1-row aggregate.
+    */
+  private def lshTune(s: SparkSession, dir: String): DataFrame = {
+    val s4 = nearPairsIndexed(s, dir)
+      .select(expr("CAST((20000 * shared + n_union) DIV (2 * n_union) AS BIGINT)")
+        .as("s4"))
+    val aggCols = lshTuneConfigs.flatMap { case (b, r) =>
+      val p = lshCatch4(b, r, "DIV")
+      Seq(
+        coalesce(sum(expr(p)), lit(0L)).as(s"sp_${b}_$r"),
+        coalesce(sum(expr(s"CASE WHEN $p >= 5000 THEN 1 ELSE 0 END")), lit(0L))
+          .as(s"sc_${b}_$r"))
+    }
+    val agg = s4.agg(count(lit(1)).as("n"), aggCols: _*)
+    agg
+      .select(col("n"), explode(array(lshTuneConfigs.map { case (b, r) =>
+        struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col(s"sp_${b}_$r").as("sp"), col(s"sc_${b}_$r").as("sc"))
+      }: _*)).as("c"))
+      .select(
+        col("c.bands").as("bands"),
+        col("c.rows_per_band").as("rows_per_band"),
+        col("n").cast("long").as("n_pairs"),
+        (expr("CASE WHEN n = 0 THEN 0 ELSE CAST((2 * c.sp + n) DIV (2 * n) AS BIGINT) END")
+          / lit(10000.0)).as("exp_recall"),
+        col("c.sc").cast("long").as("pairs_safe"))
+      .orderBy("bands")
+  }
+
+  private def lshTuneSql: String = {
+    val perCfg = lshTuneConfigs.map { case (b, r) =>
+      val p = lshCatch4(b, r, "//")
+      s"""SELECT $b AS bands, $r AS rows_per_band, CAST(n AS BIGINT) AS n_pairs,
+         |  CASE WHEN n = 0 THEN 0.0
+         |    ELSE CAST((2 * sp_${b}_$r + n) // (2 * n) AS BIGINT) / 10000.0 END
+         |    AS exp_recall,
+         |  CAST(sc_${b}_$r AS BIGINT) AS pairs_safe
+         |FROM agg""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY bands")
+    val aggCols = lshTuneConfigs.map { case (b, r) =>
+      val p = lshCatch4(b, r, "//")
+      s"""COALESCE(sum($p), 0) AS sp_${b}_$r,
+         |    COALESCE(sum(CASE WHEN $p >= 5000 THEN 1 ELSE 0 END), 0) AS sc_${b}_$r"""
+        .stripMargin
+    }.mkString(",\n    ")
+    s"""WITH $nearChainSql,
+       |vu AS (
+       |  SELECT v.shared, ca.n + cb.n - v.shared AS n_union
+       |  FROM verified v
+       |  JOIN card ca ON ca.doc_id = v.id_a
+       |  JOIN card cb ON cb.doc_id = v.id_b
+       |  WHERE 10 * v.shared >= 6 * (ca.n + cb.n - v.shared)),
+       |s4t AS (SELECT CAST((20000 * shared + n_union) // (2 * n_union) AS BIGINT) AS s4
+       |  FROM vu),
+       |agg AS (SELECT count(*) AS n,
+       |    $aggCols
+       |  FROM s4t)
+       |$perCfg""".stripMargin
+  }
+
   /** Excerpt length for the X54 containment plant: long enough to
     * carry unambiguous shingle evidence, short enough that excerpt
     * Jaccard vs its source (≈ 28 / n_source) sits far below the 0.6
@@ -2452,6 +2562,10 @@ object Dedup {
   }
 
   val defs: ListMap[String, QueryDef] = ListMap(
+    "q_lsh_tune" -> QueryDef(
+      lshTune,
+      Some(lshTuneSql),
+      "X166 LSH band/row tuning: expected recall per (bands, rows) from the S-curve over the verified pair set"),
     "q_shingle_df" -> QueryDef(
       shingleDf,
       Some(shingleDfSql),

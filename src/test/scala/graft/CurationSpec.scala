@@ -1582,4 +1582,115 @@ class CurationSpec extends AnyFunSuite {
       got.foreach(r => assert(r._4 <= r._3 && r._4 >= 0, s"case $case_: allocation out of range: $r"))
     }
   }
+
+  test("X167 q_decontam_sweep: sequential gram recount at two SFs; flags monotone, n=8 row == X15") {
+    // The sweep must equal a driver-side replay (split words, slide an
+    // n-window, set-intersect with the benchmark's distinct grams) at
+    // every n; a doc sharing a 16-gram shares its sub-8-grams, so
+    // flagged counts can only fall as n grows; and the n = 8 row must
+    // be exactly the declared q_decontaminate's aggregate.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val d = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val bench = d.filter(_._1 % 50 == 0)
+      val train = d.filter(_._1 % 50 != 0) ++ bench.map { case (id, t) =>
+        (id + 300000, t.split(" ", 2).lift(1).getOrElse(""))
+      }
+      def gramsOf(t: String, n: Int): Seq[String] = {
+        val w = t.split(" ")
+        if (w.length < n) Seq.empty
+        else (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" "))
+      }
+      val expected = graft.operators.Curation.decontamSweepNs.map { n =>
+        val bg = bench.flatMap(b => gramsOf(b._2, n)).toSet
+        val perDoc = train.map { case (id, t) =>
+          (id, gramsOf(t, n).toSet.intersect(bg).size.toLong)
+        }.filter(_._2 > 0)
+        (n.toLong, bg.size.toLong, perDoc.length.toLong, perDoc.map(_._2).sum)
+      }
+      val got = SparkEntry.queries("q_decontam_sweep")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got === expected, s"decontam sweep diverges from the recount at $dir")
+      assert(got.sliding(2).forall { case Seq(a, b) => a._3 >= b._3 },
+        s"flagged docs not monotone in gram length at $dir")
+      assert(got.forall(_._3 > 0), s"vacuous: a gram length flags nothing at $dir")
+      // the n = 8 row IS the declared X15 aggregate
+      val x15 = SparkEntry.queries("q_decontaminate")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val n8 = got.find(_._1 == 8L).get
+      assert((n8._3, n8._4) === ((x15.length.toLong, x15.map(_._2).sum)),
+        s"n=8 sweep row diverges from q_decontaminate at $dir")
+    }
+  }
+
+  test("X168 q_gate_ablation: recount off the declared rule flags at two SFs; attribution sane") {
+    // Per-rule fail / fail-only counts must equal a recount off the
+    // oracle-green q_rule_filter rows; marginal attribution must obey
+    // its own algebra: the docs failing ONLY rule k, summed over k,
+    // are exactly the n_failed = 1 docs, and never exceed the dropped
+    // set.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rf = SparkEntry.queries("q_rule_filter")(spark, dir).collect()
+        .map(r => (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getLong(6)))
+      val nDocs = rf.length.toLong
+      val nDropped = rf.count(_._5 > 0).toLong
+      def share(num: Long, den: Long): Double =
+        if (den == 0) 0.0 else ((20000 * num + den) / (2 * den)).toDouble / 10000.0
+      val flagOf = Map[String, ((Boolean, Boolean, Boolean, Boolean, Long)) => Boolean](
+        "wordcount" -> (_._1), "meanwordlen" -> (_._2),
+        "stopwords" -> (_._3), "repetition" -> (_._4))
+      val expected = graft.operators.Curation.ablationRules.map(_._1).sorted.map { nm =>
+        val f = flagOf(nm)
+        val nf = rf.count(r => !f(r)).toLong
+        val no = rf.count(r => !f(r) && r._5 == 1).toLong
+        (nm, nDocs, nDropped, nf, no, share(nf, nDocs), share(no, nDropped))
+      }
+      val got = SparkEntry.queries("q_gate_ablation")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toSeq
+      assert(got === expected, s"gate ablation diverges from the recount at $dir")
+      assert(got.map(_._5).sum === rf.count(_._5 == 1).toLong,
+        s"fail-only counts must partition the n_failed = 1 docs at $dir")
+      assert(got.map(_._5).sum <= nDropped, s"marginals exceed the dropped set at $dir")
+      assert(got.exists(_._5 > 0), s"vacuous: no rule owns a rejection alone at $dir")
+      assert(got.exists(r => r._4 > r._5),
+        s"vacuous: no rule overlaps another at $dir (ablation table would be trivial)")
+    }
+  }
+
+  test("X169 q_sample_plan: BigInt recount at two SFs; error targets order the plan") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val toks = Tables(spark, dir, "documents")
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("tok"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val expected = toks.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rows) =>
+        val n = BigInt(rows.length)
+        val sx = rows.map(r => BigInt(r._2)).sum
+        val qx = rows.map(r => BigInt(r._2) * r._2).sum
+        val mean4 = ((BigInt(20000) * sx + n) / (2 * n)).toLong
+        val cv2 = if (sx == 0) BigInt(0)
+          else (BigInt(2000000) * (n * qx - sx * sx) + sx * sx) / (2 * sx * sx)
+        (src, n.toLong, mean4.toDouble / 10000.0, cv2.toLong.toDouble / 1000000.0,
+          ((BigInt(153664) * cv2 + 99999999) / 100000000).toLong,
+          ((BigInt(38416) * cv2 + 999999) / 1000000).toLong)
+      }
+      val got = SparkEntry.queries("q_sample_plan")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      assert(got === expected, s"sample plan diverges from the BigInt recount at $dir")
+      // the 1% target needs ~25x the 5% sample (exactly, modulo ceil)
+      assert(got.forall(r => r._6 >= r._5), s"error targets out of order at $dir")
+      assert(got.exists(_._5 > 0), s"vacuous: every source reads zero variance at $dir")
+      // the two targets differ by exactly (5%/1%)² = 25x before the
+      // ceil: n_req_1pct must sit inside [25·n_req_5pct − 24, 25·n_req_5pct]
+      assert(got.forall(r => r._6 <= 25 * r._5 && r._6 >= 25 * r._5 - 24),
+        s"1% plan breaks the exact 25x relation at $dir")
+      // and the plan must genuinely separate sources (a constant cv²
+      // column would mean the variance math collapsed)
+      assert(got.map(_._5).distinct.length > 1,
+        s"vacuous: every source reads the same plan at $dir")
+    }
+  }
 }

@@ -998,4 +998,42 @@ class DedupSpec extends AnyFunSuite {
         s"guard changed the pair table itself at $dir")
     }
   }
+
+  test("X166 q_lsh_tune: sequential S-curve recount at two SFs; recall monotone in rows-per-band") {
+    // The banding sweep must equal a driver-side replay of the exact
+    // fixed-point chain (s4 -> repeated-squaring powers with HALF_UP
+    // re-round -> 1-(1-s^r)^b -> HALF_UP mean) over the oracle-green
+    // X5a pair table — and the S-curve's shape must survive the
+    // rounding: fewer rows per band can only raise expected recall.
+    val dedup = graft.operators.Dedup
+    def r4(y: Long): Long = (2 * y + 10000) / 20000
+    def pow4(x: Long, e: Long): Long =
+      if (e == 1L) x else { val h = pow4(x, e / 2); r4(h * h) }
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val pairs = dedup.nearPairsIndexed(spark, dir)
+        .collect().map(r => (r.getLong(2), r.getLong(3))) // (shared, n_union)
+      assert(pairs.nonEmpty, s"vacuous: no truth pairs at $dir")
+      val s4s = pairs.map { case (sh, nu) => (20000 * sh + nu) / (2 * nu) }
+      val expected = dedup.lshTuneConfigs.map { case (b, r) =>
+        val ps = s4s.map(s4 => 10000 - pow4(10000 - pow4(s4, r), b))
+        val n = ps.length.toLong
+        (b, r, n, ((2 * ps.sum + n) / (2 * n)).toDouble / 10000.0,
+          ps.count(_ >= 5000).toLong)
+      }.sortBy(_._1)
+      val got = SparkEntry.queries("q_lsh_tune")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+        .toSeq
+      assert(got === expected, s"lsh tune diverges from the sequential recount at $dir")
+      // monotonicity: (8,1) >= (4,2) >= (2,4) >= (1,8) in recall and safety
+      val byBands = got.sortBy(-_._1)
+      assert(byBands.sliding(2).forall { case Seq(a, b) => a._4 >= b._4 },
+        s"expected recall not monotone in rows-per-band at $dir: $byBands")
+      assert(byBands.sliding(2).forall { case Seq(a, b) => a._5 >= b._5 },
+        s"pairs_safe not monotone at $dir")
+      // non-vacuous: the sweep separates the configs (the strictest
+      // banding must genuinely lose recall vs the loosest)
+      assert(byBands.head._4 > byBands.last._4,
+        s"sweep degenerate at $dir — every config reads the same recall")
+    }
+  }
 }
