@@ -209,6 +209,79 @@ object Curation {
        |$selects""".stripMargin
   }
 
+  /** (fp basis points, c = −ln p / (ln 2)² as a 4dp literal) — the
+    * Bloom sizing constants X172 plans with. Irrational in exact
+    * arithmetic, so FIXED as 4dp literals (9.5851 for 1 %, 14.3776
+    * for 0.1 %) both engines state identically; k = c·ln 2 uses the
+    * 4dp ln 2 = 0.6931 the same way.
+    */
+  private[graft] val bloomPlanTargets = Seq((100L, 95851L), (10L, 143776L))
+
+  /** X172 — Bloom-filter sizing plan (`q_bloom_plan`): before shipping
+    * an X50-style decontamination filter, the parameter table — for
+    * each candidate insert set (the benchmark battery X50 actually
+    * inserts, and the inverted deployment that indexes the TRAINING
+    * grams instead) and each FP target (1 %, 0.1 %): the EXACT item
+    * count, required bits m = ⌈n·c⌉, 64-bit words, optimal hash count
+    * k = HALF_UP(c·ln 2), and whether the shipped 16384-bit/3-hash
+    * filter covers it. At 100 TB the train-side set makes the filter
+    * infeasible and the battery-side set keeps it a 2 KiB broadcast —
+    * this table is that argument with numbers on it.
+    *
+    * Numerics: n is an exact distinct count (a gram-dictionary
+    * collapse, the X15 shape); all sizing is integer ceil-div against
+    * the 4dp literals in [[bloomPlanTargets]]. Scale: two gram passes
+    * (one per set) each collapsing to ONE row map-side; the 4-row
+    * plan table is pure literal algebra on those two counters.
+    */
+  private def bloomPlan(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val sets = Seq(
+      ("bench_grams", d.filter(col("doc_id") % 50 === 0)),
+      ("train_grams", d.filter(col("doc_id") % 50 =!= 0)))
+    sets.map { case (nm, docsDf) =>
+      val n1 = grams(docsDf).select("gram").distinct()
+        .agg(count(lit(1)).as("n_items"))
+      bloomPlanTargets.map { case (bp, c4) =>
+        n1.select(
+          lit(nm).as("set_name"),
+          lit(bp).as("fp_bp"),
+          col("n_items").cast("long").as("n_items"),
+          expr(s"CAST((n_items * $c4 + 9999) DIV 10000 AS BIGINT)").as("bits_req"),
+          expr(s"CAST(((n_items * $c4 + 9999) DIV 10000 + 63) DIV 64 AS BIGINT)")
+            .as("words64_req"),
+          lit((2 * c4 * 6931 + 100000000L) / 200000000L).as("hashes_req"),
+          (expr(s"(n_items * $c4 + 9999) DIV 10000") <= lit(16384L))
+            .as("fits_shipped"))
+      }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).orderBy("set_name", "fp_bp")
+  }
+
+  private def bloomPlanSql: String = {
+    val setsSql = Seq(
+      ("bench_grams", "doc_id % 50 = 0"),
+      ("train_grams", "doc_id % 50 <> 0"))
+    val rows = for ((nm, pred) <- setsSql; (bp, c4) <- bloomPlanTargets) yield {
+      val k = (2 * c4 * 6931 + 100000000L) / 200000000L
+      s"""SELECT '$nm' AS set_name, CAST($bp AS BIGINT) AS fp_bp,
+         |  CAST(n_items AS BIGINT) AS n_items,
+         |  CAST((n_items * $c4 + 9999) // 10000 AS BIGINT) AS bits_req,
+         |  CAST(((n_items * $c4 + 9999) // 10000 + 63) // 64 AS BIGINT) AS words64_req,
+         |  CAST($k AS BIGINT) AS hashes_req,
+         |  ((n_items * $c4 + 9999) // 10000 <= 16384) AS fits_shipped
+         |FROM n_$nm""".stripMargin
+    }
+    val counts = setsSql.map { case (nm, pred) =>
+      s"""n_$nm AS (
+         |  SELECT count(DISTINCT $gramSqlExpr) AS n_items
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE $pred) t,
+         |       LATERAL unnest(generate_series(1, len(w) - ${gramN - 1})) AS s(i)
+         |  WHERE len(w) >= $gramN)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $counts
+       |${rows.mkString("", "\nUNION ALL\n", "\nORDER BY set_name, fp_bp")}""".stripMargin
+  }
+
   /** X16 — deterministic stratified sampling: per-language keep rates
     * (en 20 %, others 5 % — the mixture-reweighting step of corpus
     * assembly) decided by a salted 32-bit content hash mod 100, NOT by
@@ -3626,6 +3699,10 @@ object Curation {
       samplePlan,
       Some(samplePlanSql),
       "X169 per-source sample-size planning: n for +/-5%/1% relative error on mean length from the source's own cv^2"),
+    "q_bloom_plan" -> QueryDef(
+      bloomPlan,
+      Some(bloomPlanSql),
+      "X172 Bloom-filter sizing plan: exact item counts -> bits/words/hashes per FP target, vs the shipped 16384-bit filter"),
     "q_decontaminate" -> QueryDef(
       decontaminate,
       Some(s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),

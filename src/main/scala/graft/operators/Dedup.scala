@@ -701,6 +701,82 @@ object Dedup {
        |$perCfg""".stripMargin
   }
 
+  /** X170 — MinHash estimator calibration (`q_minhash_err`): the
+    * companion audit to X166 — the sweep trusts the SIGNATURE, this
+    * measures it. Per slot-match count m ∈ 0..8 (the complete-grid
+    * X101 rule, absent buckets as zeros): how many verified truth
+    * pairs land there, and the mean/max absolute error between the
+    * 8-slot estimate ŝ = m/8 and the pair's exact Jaccard — the
+    * estimator-variance table (Var ≈ s(1−s)/k for k slots) measured
+    * on the corpus's own pairs instead of assumed. A fat high-error
+    * bucket says the 8-slot signature is too short for this corpus's
+    * similarity mass; X166's recall numbers inherit that noise.
+    *
+    * Numerics: ŝ4 = 1250·m exactly (8 divides 10⁴); s4 the X166
+    * HALF_UP rational; errors exact integers, mean HALF_UP. Both
+    * engines state the identical slot-hash chain (the X5b oracle
+    * already certifies the signatures themselves). Scale: the
+    * dup-bounded pair table joins the per-doc signature dictionary
+    * twice by id (both sides AQE-broadcast-able), one ≤9-row
+    * aggregate, a 9-row ladder left join — nothing corpus-quadratic.
+    */
+  private def minhashErr(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(shingleIndex(s, dir))
+    val pairs = nearPairsIndexed(s, dir)
+      .select(col("id_a"), col("id_b"),
+        expr("CAST((20000 * shared + n_union) DIV (2 * n_union) AS BIGINT)").as("s4"))
+    val est = pairs
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sa")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sb")), "id_b")
+      .select(col("s4"),
+        expr("CAST(size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b)) AS BIGINT)")
+          .as("m"))
+      .select(col("m"), abs(col("m") * 1250 - col("s4")).as("err"))
+    val agg = est.groupBy(col("m")).agg(
+      count(lit(1)).as("n"), sum(col("err")).as("se"), max(col("err")).as("me"))
+    s.range(2 * nBands + 1).select(col("id").as("m"))
+      .join(agg, Seq("m"), "left")
+      .select(
+        col("m").cast("long").as("matches"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_pairs"),
+        (expr("CASE WHEN COALESCE(n, 0) = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST((2 * se + n) DIV (2 * n) AS BIGINT) END") / lit(10000.0))
+          .as("mean_abs_err"),
+        (coalesce(col("me"), lit(0L)).cast("long") / lit(10000.0)).as("max_abs_err"))
+      .orderBy("matches")
+  }
+
+  private def minhashErrSql: String = {
+    val mExpr = (0 until 2 * nBands)
+      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $nearChainSql,
+       |$sigCteSql,
+       |vu AS (
+       |  SELECT v.id_a, v.id_b,
+       |    CAST((20000 * v.shared + ca.n + cb.n - v.shared)
+       |         // (2 * (ca.n + cb.n - v.shared)) AS BIGINT) AS s4
+       |  FROM verified v
+       |  JOIN card ca ON ca.doc_id = v.id_a
+       |  JOIN card cb ON cb.doc_id = v.id_b
+       |  WHERE 10 * v.shared >= 6 * (ca.n + cb.n - v.shared)),
+       |est AS (
+       |  SELECT vu.s4, CAST($mExpr AS BIGINT) AS m
+       |  FROM vu JOIN sig a ON a.doc_id = vu.id_a JOIN sig b ON b.doc_id = vu.id_b),
+       |agg AS (
+       |  SELECT m, count(*) AS n, sum(abs(1250 * m - s4)) AS se,
+       |    max(abs(1250 * m - s4)) AS me
+       |  FROM est GROUP BY 1),
+       |ladder AS (SELECT unnest(generate_series(0, ${2 * nBands})) AS m)
+       |SELECT CAST(l.m AS BIGINT) AS matches,
+       |  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_pairs,
+       |  CASE WHEN COALESCE(a.n, 0) = 0 THEN 0.0
+       |    ELSE CAST((2 * a.se + a.n) // (2 * a.n) AS BIGINT) / 10000.0 END
+       |    AS mean_abs_err,
+       |  CAST(COALESCE(a.me, 0) AS BIGINT) / 10000.0 AS max_abs_err
+       |FROM ladder l LEFT JOIN agg a USING (m) ORDER BY matches""".stripMargin
+  }
+
   /** Excerpt length for the X54 containment plant: long enough to
     * carry unambiguous shingle evidence, short enough that excerpt
     * Jaccard vs its source (≈ 28 / n_source) sits far below the 0.6
@@ -1289,15 +1365,23 @@ object Dedup {
   /** The signature + band-key CTEs alone (through `bands`) — shared
     * by the self-join candidate chain and X53's directional one.
     */
-  private def sigBandsSqlOver(shingleChainSql: String): String = {
+  /** The per-doc signature CTE alone (references `sh` from whatever
+    * chain precedes it) — factored so X170's estimator audit can state
+    * signatures without re-including the corpus chain.
+    */
+  private def sigCteSql: String = {
     val hashes = (0 until 2 * nBands)
       .map(i => s"min(((('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483648) * ${mixA(i)} + ${mixB(i)}) % 2147483647) AS h$i")
       .mkString(", ")
+    s"sig AS (SELECT doc_id, $hashes FROM sh GROUP BY doc_id)"
+  }
+
+  private def sigBandsSqlOver(shingleChainSql: String): String = {
     val bands = (0 until nBands)
       .map(b => s"SELECT doc_id, $b AS band, h${2 * b} AS k1, h${2 * b + 1} AS k2 FROM sig")
       .mkString(" UNION ALL ")
     s"""$shingleChainSql,
-       |sig AS (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
+       |$sigCteSql,
        |bands AS ($bands)""".stripMargin
   }
 
@@ -2566,6 +2650,10 @@ object Dedup {
       lshTune,
       Some(lshTuneSql),
       "X166 LSH band/row tuning: expected recall per (bands, rows) from the S-curve over the verified pair set"),
+    "q_minhash_err" -> QueryDef(
+      minhashErr,
+      Some(minhashErrSql),
+      "X170 MinHash estimator calibration: per slot-match bucket, mean/max |m/8 - exact Jaccard| over the truth pairs"),
     "q_shingle_df" -> QueryDef(
       shingleDf,
       Some(shingleDfSql),

@@ -226,6 +226,78 @@ object Extensions {
       .orderBy("event_type")
   }
 
+  /** X171 — JSON schema drift (`q_schema_drift`): per event-time day,
+    * the property-key inventory of the semi-structured `props` column
+    * and how many keys appear for the FIRST time that day — the
+    * schema-evolution monitor every ingest pipeline runs over
+    * client-emitted JSON (a new key means a client shipped a new
+    * field; a key that stops arriving means one was dropped — both
+    * silently reshape downstream extraction like X1). The base corpus
+    * carries one stable key, so — the dedup family's planted-truth
+    * pattern — every 97th event gets a day-named experiment key
+    * appended by pure string algebra (`substr` to the closing brace +
+    * concat), making each day introduce exactly one genuinely new key
+    * at every SF; both engines derive the plant identically and parse
+    * with their own JSON engine, so the hash compare certifies the two
+    * JSON parsers agree on key extraction.
+    *
+    * Scale: one narrow scan, an explode bounded by keys-per-event
+    * (≤ 2 here; bounded by payload size in general), a key-dictionary
+    * collapse for first-seen days (bounded by the distinct-key count,
+    * never events), one per-day aggregate joined to that broadcast-
+    * able dictionary. No window, nothing corpus-quadratic.
+    */
+  private def schemaDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_id"), col("props"))
+      .select(col("day"),
+        when(col("event_id") % 97 === 0,
+          concat(expr("substring(props, 1, length(props) - 1)"),
+            lit(", \"exp_d"), col("day").cast("string"), lit("\": 1}")))
+          .otherwise(col("props")).as("p"))
+    val keyed = ev.select(col("day"), explode(expr("json_object_keys(p)")).as("key"))
+    val firstSeen = keyed.groupBy(col("key")).agg(min(col("day")).as("first_day"))
+    val perDay = keyed
+      .join(firstSeen, "key")
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("key_mentions"),
+        countDistinct(col("key")).as("n_keys"),
+        countDistinct(when(col("first_day") === col("day"), col("key")))
+          .as("n_new_keys"))
+    ev.groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+      .join(perDay, "day")
+      .select(col("day").cast("long").as("day"),
+        col("n_events").cast("long").as("n_events"),
+        col("key_mentions").cast("long").as("key_mentions"),
+        col("n_keys").cast("long").as("n_keys"),
+        col("n_new_keys").cast("long").as("n_new_keys"))
+      .orderBy("day")
+  }
+
+  private val schemaDriftSql =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CASE WHEN event_id % 97 = 0
+      |      THEN substr(props, 1, len(props) - 1)
+      |        || ', "exp_d' || CAST(epoch_us(ts) // 86400000000 AS VARCHAR) || '": 1}'
+      |      ELSE props END AS p
+      |  FROM events),
+      |keyed AS (SELECT day, unnest(json_keys(p)) AS key FROM ev),
+      |fs AS (SELECT key, min(day) AS first_day FROM keyed GROUP BY 1),
+      |pd AS (
+      |  SELECT k.day, count(*) AS key_mentions, count(DISTINCT k.key) AS n_keys,
+      |    count(DISTINCT CASE WHEN f.first_day = k.day THEN k.key END) AS n_new_keys
+      |  FROM keyed k JOIN fs f USING (key) GROUP BY 1),
+      |ne AS (SELECT day, count(*) AS n_events FROM ev GROUP BY 1)
+      |SELECT CAST(ne.day AS BIGINT) AS day, CAST(ne.n_events AS BIGINT) AS n_events,
+      |  CAST(pd.key_mentions AS BIGINT) AS key_mentions,
+      |  CAST(pd.n_keys AS BIGINT) AS n_keys,
+      |  CAST(pd.n_new_keys AS BIGINT) AS n_new_keys
+      |FROM ne JOIN pd USING (day) ORDER BY day""".stripMargin
+
   /** X63 — temporal distribution drift: per event type, the exact
     * two-sample Kolmogorov–Smirnov statistic between the EARLY and
     * LATE halves of the stream (split at the midpoint of the observed
@@ -1323,6 +1395,10 @@ object Extensions {
       Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
              |FROM events ORDER BY event_id""".stripMargin),
       "X1 JSON extraction from semi-structured column"),
+    "q_schema_drift" -> QueryDef(
+      schemaDrift,
+      Some(schemaDriftSql),
+      "X171 JSON schema drift: per day, props-key inventory + first-seen key count (planted day-named keys)"),
     "q_text_stats" -> QueryDef(
       textStats,
       Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -1693,4 +1693,46 @@ class CurationSpec extends AnyFunSuite {
         s"vacuous: every source reads the same plan at $dir")
     }
   }
+
+  test("X172 q_bloom_plan: exact-count recount at two SFs; sizing algebra and the shipped-filter verdict") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val d = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      def gramsOf(t: String): Seq[String] = {
+        val w = t.split(" ")
+        if (w.length < 8) Seq.empty
+        else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" "))
+      }
+      val nOf = Map(
+        "bench_grams" -> d.filter(_._1 % 50 == 0).flatMap(x => gramsOf(x._2)).toSet.size.toLong,
+        "train_grams" -> d.filter(_._1 % 50 != 0).flatMap(x => gramsOf(x._2)).toSet.size.toLong)
+      val expected = (for {
+        nm <- Seq("bench_grams", "train_grams")
+        (bp, c4) <- graft.operators.Curation.bloomPlanTargets
+      } yield {
+        val n = nOf(nm)
+        val bits = (n * c4 + 9999) / 10000
+        (nm, bp, n, bits, (bits + 63) / 64,
+          (2 * c4 * 6931 + 100000000L) / 200000000L, bits <= 16384L)
+      }).sortBy(r => (r._1, r._2))
+      val got = SparkEntry.queries("q_bloom_plan")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6))).toSeq
+      assert(got === expected, s"bloom plan diverges from the recount at $dir")
+      // the sizing constants resolve to the textbook optima
+      assert(got.filter(_._2 == 100L).forall(_._6 == 7L))
+      assert(got.filter(_._2 == 10L).forall(_._6 == 10L))
+      // the 100 TB argument is live: the train-side set must need a
+      // strictly larger filter than the battery side at every target
+      val byKey = got.map(r => (r._1, r._2) -> r._4).toMap
+      assert(byKey(("train_grams", 100L)) > byKey(("bench_grams", 100L)),
+        s"train-vs-bench sizing not separated at $dir")
+      // both verdict branches live somewhere across the surface: at
+      // sf0.001 the battery fits the shipped filter, train never does
+      if (dir == "/root/testdata/sf0.001")
+        assert(got.exists(_._7) , s"no set fits the shipped filter at $dir")
+      assert(got.exists(!_._7), s"every set fits the shipped filter at $dir (vacuous)")
+    }
+  }
 }

@@ -1036,4 +1036,46 @@ class DedupSpec extends AnyFunSuite {
         s"sweep degenerate at $dir — every config reads the same recall")
     }
   }
+
+  test("X170 q_minhash_err: sequential estimator recount at two SFs; grid complete, errors bounded") {
+    // The calibration table must equal a driver-side replay: per truth
+    // pair, recompute the 8 slot hashes off MessageDigest exactly as
+    // the oracle states them, count matching slots, bucket, and
+    // HALF_UP-average the |1250*m - s4| errors. Plus the estimator's
+    // own sanity: the 0..8 grid is complete, pair mass is conserved,
+    // and every error is <= 1.0 by construction.
+    val dedup = graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val sigs = dedup.minhashSig(dedup.shingleIndex(spark, dir))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val pairs = dedup.nearPairsIndexed(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(pairs.nonEmpty)
+      val buckets = pairs.map { case (a, b, sh, nu) =>
+        val s4 = (20000 * sh + nu) / (2 * nu)
+        val m = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toLong
+        (m, math.abs(1250 * m - s4))
+      }.groupBy(_._1)
+      val expected = (0L to 8L).map { m =>
+        buckets.get(m) match {
+          case None => (m, 0L, 0.0, 0.0)
+          case Some(es) =>
+            val n = es.length.toLong
+            val se = es.map(_._2).sum
+            (m, n, ((2 * se + n) / (2 * n)).toDouble / 10000.0,
+              es.map(_._2).max.toDouble / 10000.0)
+        }
+      }
+      val got = SparkEntry.queries("q_minhash_err")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+      assert(got === expected, s"minhash calibration diverges from the recount at $dir")
+      assert(got.map(_._1) === (0L to 8L), s"match grid incomplete at $dir")
+      assert(got.map(_._2).sum === pairs.length.toLong, s"pair mass not conserved at $dir")
+      assert(got.forall(r => r._3 <= 1.0 && r._4 <= 1.0 && r._3 <= r._4),
+        s"error bounds violated at $dir")
+      assert(got.filter(_._2 > 0).map(_._1).distinct.length > 1,
+        s"vacuous: every truth pair lands in one match bucket at $dir")
+    }
+  }
 }

@@ -625,4 +625,38 @@ class ExtensionsSpec extends AnyFunSuite {
         s"winsorization changed no mean at $dir — vacuous fixture")
     }
   }
+
+  test("X171 q_schema_drift: sequential JSON-key recount at two SFs; each day plants one new key") {
+    // The drift monitor must equal a driver-side replay parsing the
+    // planted props with the JVM's own string algebra (keys are the
+    // literal 'k' plus the planted day-named key), and the plant must
+    // keep the signal live: every day after the first introduces
+    // exactly its own experiment key, day one introduces two.
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val evs = Tables(spark, dir, "events")
+        .select(expr("unix_micros(ts) div 86400000000").as("day"), col("event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val keyed = evs.flatMap { case (day, id) =>
+        if (id % 97 == 0) Seq((day, "k"), (day, s"exp_d$day")) else Seq((day, "k"))
+      }
+      val firstSeen = keyed.groupBy(_._2).map { case (k, rs) => k -> rs.map(_._1).min }
+      val expected = evs.groupBy(_._1).toSeq.sortBy(_._1).map { case (day, es) =>
+        val dayKeys = keyed.filter(_._1 == day)
+        (day, es.length.toLong, dayKeys.length.toLong,
+          dayKeys.map(_._2).distinct.length.toLong,
+          dayKeys.map(_._2).distinct.count(k => firstSeen(k) == day).toLong)
+      }
+      val got = SparkEntry.queries("q_schema_drift")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(got === expected, s"schema drift diverges from the recount at $dir")
+      // plant liveness: the first day introduces the stable key plus
+      // its experiment key; every later day with a planted event
+      // introduces exactly one new key
+      assert(got.head._5 >= 2L, s"first day should introduce k + its plant at $dir")
+      assert(got.tail.filter(_._4 > 1).forall(_._5 == 1L),
+        s"later planted days must introduce exactly their own key at $dir")
+      assert(got.tail.exists(_._5 == 1L), s"vacuous: no later day drifts at $dir")
+    }
+  }
 }
