@@ -2183,6 +2183,59 @@ object Gateway {
           .as("mean_wins"))
   }
 
+  /** Streaming X171 — JSON schema-drift monitor (`schemaDriftFeed`):
+    * per event-time window, the `props` key inventory and how many
+    * keys fall OUTSIDE a static known-key artifact — the live form of
+    * the batch `q_schema_drift`, deployed the way a schema monitor
+    * actually runs: the offline first-seen dictionary (the batch
+    * query's own key set up to the deployment cut) ships as plan
+    * literals (the novelFeed pattern), so per-key novelty is a
+    * stateless `array_contains` and needs no global first-seen state.
+    * Line format `"<epoch> <event_id> <props-json>"` (props may
+    * contain spaces — limit-3 split). Distinct key counts NEVER run
+    * as streaming DISTINCT (the profileDriftFeed rule): stage 1
+    * collapses to the (window, key) dictionary — state bounded by
+    * distinct keys per horizon, not events — and stage 2 re-windows
+    * it (the skewFeed chained-aggregation pattern) into one audit row
+    * per window. Batch first-seen semantics and the dial's
+    * vs-artifact semantics agree whenever a new key's first window
+    * is its only window (true of the planted day-named keys, which
+    * is how GatewaySpec ties the dial to the declared query's rows).
+    */
+  def schemaDriftFeed(
+      lines: DataFrame,
+      knownKeys: Seq[String],
+      windowDuration: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    require(knownKeys.nonEmpty, "known-key artifact must be non-empty")
+    val known = array(knownKeys.map(lit): _*)
+    val parsed = lines
+      .select(split(col("value"), " ", 3).as("p"))
+      .filter(size(col("p")) === 3 && col("p").getItem(0).cast("long").isNotNull &&
+        col("p").getItem(1).cast("long").isNotNull)
+      .select(
+        timestamp_seconds(col("p").getItem(0).cast("long")).as("ts"),
+        col("p").getItem(2).as("props"))
+      .withWatermark("ts", watermarkDelay)
+    val perKey = parsed
+      .select(col("ts"), explode(expr("json_object_keys(props)")).as("key"))
+      .withColumn("is_new",
+        when(array_contains(known, col("key")), 0L).otherwise(1L))
+      .groupBy(window(col("ts"), windowDuration), col("key"), col("is_new"))
+      .agg(count(lit(1)).as("mentions"))
+    perKey
+      .groupBy(window(window_time(col("window")), windowDuration))
+      .agg(
+        sum(col("mentions")).as("key_mentions"),
+        count(lit(1)).as("n_keys"),
+        sum(col("is_new")).as("n_new_keys"))
+      .select(
+        col("window.start").as("window_start"),
+        col("key_mentions").cast("long").as("key_mentions"),
+        col("n_keys").cast("long").as("n_keys"),
+        col("n_new_keys").cast("long").as("n_new_keys"))
+  }
+
   /** Streaming X37/X80 — windowed novel-vocabulary monitor
     * (`novelFeed`): per event-time window, the fraction of incoming
     * tokens OUTSIDE a static reference vocabulary — the live

@@ -2227,6 +2227,70 @@ class GatewaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming schema drift: windowed key inventory vs static artifact, stream == batch == recount == declared rows") {
+    // Streaming X171: deploy-shaped — the known-key artifact is the
+    // batch corpus's key set up to a cut day D; the stream carries the
+    // suffix (day >= D) with the SAME planted day-named keys the
+    // declared query derives. Pins: stream == batch frame == a
+    // sequential recount, and — because a planted key's first window
+    // is its only window — the per-window rows equal the declared
+    // q_schema_drift columns for the suffix days exactly.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val evs = Tables(spark, dir, "events")
+      .select(unix_seconds(col("ts")).as("s"), col("event_id"), col("props"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def dayOf(s: Long) = s / 86400
+    val cut = evs.map(e => dayOf(e._1)).min + 10
+    def plantedProps(s: Long, id: Long, p: String): String =
+      if (id % 97 == 0) p.dropRight(1) + s""", "exp_d${dayOf(s)}": 1}""" else p
+    // artifact: every key the prefix corpus ever emitted
+    val known = evs.filter(e => dayOf(e._1) < cut).flatMap { case (s, id, p) =>
+      if (id % 97 == 0) Seq("k", s"exp_d${dayOf(s)}") else Seq("k")
+    }.distinct.toSeq
+    val suffix = evs.filter(e => dayOf(e._1) >= cut)
+    val lines = suffix.map { case (s, id, p) => s"$s $id ${plantedProps(s, id, p)}" }.toSeq
+    val ms = MemoryStream[String]
+    val sink = s"schema_drift_${System.nanoTime()}"
+    val q = Gateway.schemaDriftFeed(ms.toDF(), known, "1 day", "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      ms.addData(lines: _*)
+      q.processAllAvailable()
+      ms.addData("9999999999 0 {}")
+      q.processAllAvailable()
+      ms.addData("9999999999 0 {}")
+      q.processAllAvailable()
+      val cols = Seq(unix_seconds(col("window_start")).as("ws"),
+        col("key_mentions"), col("n_keys"), col("n_new_keys"))
+      val streamed = spark.table(sink).select(cols: _*)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = Gateway.schemaDriftFeed(lines.toDF("value"), known, "1 day", "1 hour")
+        .select(cols: _*).as[(Long, Long, Long, Long)].collect().toSet
+      assert(batch.nonEmpty, "vacuous pin: no window closed")
+      assert(streamed === batch, "streaming schema drift diverges from batch")
+      // sequential recount with JVM string/set algebra
+      val expected = suffix.groupBy(e => dayOf(e._1)).map { case (d, es) =>
+        val keys = es.flatMap { case (s, id, _) =>
+          if (id % 97 == 0) Seq("k", s"exp_d${dayOf(s)}") else Seq("k")
+        }
+        (d * 86400, keys.length.toLong, keys.distinct.length.toLong,
+          keys.distinct.count(k => !known.contains(k)).toLong)
+      }.toSet
+      assert(batch === expected, "schema drift dial diverges from the recount")
+      // tie to the DECLARED query: suffix-day rows equal digit-for-digit
+      val declared = SparkEntry.queries("q_schema_drift")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .filter(_._1 >= cut)
+        .map { case (d, km, nk, nn) => (d * 86400, km, nk, nn) }.toSet
+      assert(batch === declared,
+        "dial rows diverge from the declared q_schema_drift suffix days")
+      assert(batch.exists(_._4 > 0), "vacuous: no suffix day drifts")
+      assert(batch.exists(_._4 == 0), "vacuous: every suffix day drifts (no negative control)")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: within-watermark duplicates dropped, expired keys re-admitted") {
     // The two halves of dropDuplicatesWithinWatermark's contract:
     // (1) a frame re-sent while its key state lives is suppressed —
