@@ -428,6 +428,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("FileScan".r.findAllIn(plan).size === 1, s"calibration re-scans:\n$plan")
   }
 
+  test("q_gate_ablation is one scan, join-free (X168's scale contract)") {
+    // The marginal-attribution table is the SAME single withRuleFlags
+    // scan as X73, collapsed map-side into one counter row; the 4-row
+    // unpivot explodes a 1-row aggregate. A Join or second FileScan
+    // means a rule started re-reading the corpus.
+    val plan = SparkEntry.queries("q_gate_ablation")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"gate ablation grew a join:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size === 1, s"gate ablation re-scans:\n$plan")
+  }
+
+  test("q_sample_plan is one scan, join-free, one aggregate exchange (X169)") {
+    val plan = SparkEntry.queries("q_sample_plan")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"sample plan grew a join:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size === 1, s"sample plan re-scans:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"sample plan shuffles more than the one source aggregate:\n$plan")
+  }
+
+  test("q_lsh_tune and q_minhash_err reuse the cached pair/signature machinery, no corpus re-scan storm") {
+    // X166 reads ONLY the memoized X5a pair table (one pass, all four
+    // configs map-side); X170 adds the per-doc signature dictionary
+    // joined twice by id. Neither may plan a nested loop, and the
+    // memoized InMemoryRelation must actually be in the plan (the
+    // sweep/estimator never rebuild the collision join).
+    for (q <- Seq("q_lsh_tune", "q_minhash_err")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$q planned a nested loop:\n$plan")
+      assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
+        s"$q does not read the memoized pair table:\n$plan")
+    }
+  }
+
   test("q_lsh_recall keeps equi-joins only and reuses the cached shingle index") {
     // X150 composes the X5a truth build and the X5b candidate build —
     // both hot-key-capped equi-join machines — plus a pair-keyed left
