@@ -60,12 +60,14 @@ object Bench {
       ("memo:substr_df", () => { operators.Dedup.substrDf(spark, sfDir).count(); () }),
       ("memo:near_pairs", () => { operators.Dedup.nearPairsIndexed(spark, sfDir).count(); () }),
       ("memo:containment_idx", () => { operators.Dedup.containmentIndex(spark, sfDir).count(); () }),
+      ("memo:containment_df", () => { operators.Dedup.containmentDf(spark, sfDir).count(); () }),
       ("memo:minhash_pairs", () => { operators.Dedup.minhashVerified(spark, sfDir).count(); () }),
       ("memo:simsketch", () => { operators.Dedup.simSketch(spark, sfDir).count(); () }),
       ("memo:substr_grams", () => { operators.Dedup.substrGrams(spark, sfDir).count(); () }),
       ("memo:substr_pairs", () => { operators.Dedup.substrPairs(spark, sfDir).count(); () }),
       ("memo:gate_scored", () => { operators.Curation.gateScored(spark, sfDir).count(); () }),
-      ("memo:cluster_labels", () => { operators.Clustering.clusterLabels(spark, sfDir).count(); () })
+      ("memo:cluster_labels", () => { operators.Clustering.clusterLabels(spark, sfDir).count(); () }),
+      ("memo:bpe_merges", () => { operators.TextAnalysis.learnedMerges(spark, sfDir); () })
     ).filter { case (n, _) => only.forall(_.contains(n)) }
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     // a query that threw in ANY pass is reported, not silently timed:
@@ -82,6 +84,10 @@ object Bench {
       // would not make pass N re-pay — release it so every pass times
       // the real cost, same discipline as the cache clear
       operators.Clustering.releaseLabels(spark)
+      // same discipline for the BPE merge memo (construction-time
+      // driver tuples): release so every pass re-pays the learn loop
+      // in its explicit memo:bpe_merges line
+      operators.TextAnalysis.releaseBpe(spark)
       def timeOne(name: String)(body: => Unit): Unit = {
         val t0 = System.nanoTime()
         val ok =

@@ -76,6 +76,24 @@ object GraftConf {
     // zone (Tables); pin it to UTC everywhere so the instant matches
     // the oracle's naive-timestamp reading regardless of machine TZ.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // OPTIMIZATION r20 (guide §2.2/§2.4): let AQE plan CACHED frames
+    // too. The session-memoized indexes (shingle/pair tables, cluster
+    // labels) are persisted DataFrames, and with the default (false)
+    // their plans are frozen at the static spark.sql.shuffle.partitions
+    // width with NO adaptive coalescing, no adaptive join selection —
+    // measured as full-width task launches (32 tasks for kilobyte
+    // partitions) on every memo build and every read through one.
+    // Scale-adaptive by construction: AQE sizes partitions from
+    // runtime bytes at ANY scale (its parallelismFirst default still
+    // protects wide compute), so this is not a local[32] constant.
+    // A/B on the memo-heavy probe set, same machine, back-to-back,
+    // min of 3 passes: 46.0 s default → 37.2 s with this flag;
+    // forcing coalescePartitions.parallelismFirst=false instead was
+    // measured WORSE (44-46 s: it serializes the compute-heavy
+    // index-build aggregates) and is deliberately left at default.
+    // Env-overridable so the A/B stays reproducible.
+    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_CACHED_REPARTITION", "true"))
   }
 }
 

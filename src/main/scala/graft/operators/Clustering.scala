@@ -91,6 +91,26 @@ object Clustering {
 
     var converged = edges.isEmpty
     var curSig = if (converged) (0L, 0L) else sig(edges)
+    // OPTIMIZATION r20 (guide §1.2 step 1 — fix the distributed
+    // algorithm's constant factors): below a bounded edge count,
+    // FINISH LOCALLY instead of iterating the fixpoint. Each
+    // alternating-star round costs a checkpoint job + a signature job
+    // (plus the convergence-confirming anti-joins on the last round) —
+    // pure driver/stage latency once the graph is small — while a
+    // driver union-find over a few thousand collected edges is
+    // microseconds and provably computes the same (min-id label,
+    // component size) contract (ClusteringSpec pins local ≡ fixpoint ≡
+    // union-find on adversarial and randomized graphs). The switch is
+    // runtime-adaptive on the ACTUAL canonical edge count (the same
+    // count the signature aggregate already pays for), exactly like
+    // AQE's runtime broadcast decisions: corpus-scale dup graphs keep
+    // the fixpoint; the threshold (edges, 16 B each — default 200k ≈
+    // 3 MB on the driver, the bounded-collect class) is conf-tunable
+    // and 0 disables.
+    val localThr = pairs.sparkSession.conf
+      .get("spark.graft.cc.localEdgeThreshold", "200000").toLong
+    if (!converged && curSig._1 <= localThr)
+      return localComponents(pairs.sparkSession, edges)
     var rounds = 0
     while (!converged && rounds < 30) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
@@ -117,6 +137,71 @@ object Clustering {
         col("doc_id"),
         col("cluster_id").cast("long").as("cluster_id"),
         col("cluster_size").cast("long").as("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver union-find finish for [[connectedComponents]] once the
+    * canonical edge set is below the bounded-collect threshold: same
+    * output contract as the converged star fixpoint — every vertex of
+    * the (self-loop-free, distinct) edge set labeled with its
+    * component's minimum id, plus the component size. Union-by-min
+    * keeps each tree's root the component minimum by induction, so
+    * find() after all unions IS the label. The result is parallelized
+    * (not a LocalRelation) so consumer plans stay small.
+    */
+  private def localComponents(
+      spark: SparkSession, edges: DataFrame): DataFrame = {
+    val es = edges.collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != x) { // path halving
+        val gp = parent.get(p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.get(x)
+      }
+      x
+    }
+    var i = 0
+    while (i < es.length) {
+      val u = es(i).getLong(0)
+      val v = es(i).getLong(1)
+      if (!parent.containsKey(u)) parent.put(u, u)
+      if (!parent.containsKey(v)) parent.put(v, v)
+      val ru = find(u)
+      val rv = find(v)
+      if (ru != rv) {
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+      i += 1
+    }
+    val verts = new Array[Long](parent.size())
+    val it = parent.keySet().iterator()
+    var n = 0
+    while (it.hasNext) { verts(n) = it.next(); n += 1 }
+    java.util.Arrays.sort(verts)
+    val sizes = new java.util.HashMap[Long, Long]()
+    verts.foreach { v =>
+      val r = find(v)
+      sizes.put(r, sizes.getOrDefault(r, 0L) + 1L)
+    }
+    val rows = verts.toIndexedSeq.map { v =>
+      val r = find(v)
+      org.apache.spark.sql.Row(v, r, sizes.get(r).longValue())
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_size",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, math.min(rows.size / 5000 + 1, spark.sparkContext.defaultParallelism))),
+      schema)
       .orderBy("doc_id")
   }
 

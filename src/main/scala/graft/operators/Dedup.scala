@@ -206,6 +206,7 @@ object Dedup {
     releaseIndexes(_ eq s)
     Similarity.releaseQueryVecs(s)
     Clustering.releaseLabels(s)
+    TextAnalysis.releaseBpe(s)
   }
 
   private[graft] def releaseIndexes(cond: SparkSession => Boolean): Unit =
@@ -360,8 +361,21 @@ object Dedup {
       cap: Long,
       sentinelMeasures: Seq[Column]): DataFrame = {
     val r = flag.head()
-    val maxDf = r.getLong(0)
-    val saturated = r.getBoolean(1)
+    dfGuarded(s, pairs, r.getLong(0), r.getBoolean(1), query, cap, sentinelMeasures)
+  }
+
+  /** Value-level overload (r20): callers that already paid the eager
+    * max-df probe pass its answer straight in, so the guard adds no
+    * second dictionary job.
+    */
+  private[graft] def dfGuarded(
+      s: SparkSession,
+      pairs: DataFrame,
+      maxDf: Long,
+      saturated: Boolean,
+      query: String,
+      cap: Long,
+      sentinelMeasures: Seq[Column]): DataFrame = {
     if (saturated && s.conf.get("spark.graft.dedup.dfGuard", "flag") == "refuse")
       throw new DfSaturationException(
         s"$query: corpus is df-saturated (max shingle df $maxDf > cap $cap) — " +
@@ -389,8 +403,9 @@ object Dedup {
     * that is linear in (candidate pairs × high-df postings per doc)
     * — and empty on this corpus — keeping counts exact.
     */
-  private[graft] def nearPairs(sh: DataFrame, maxDf: Long): DataFrame =
-    jaccardCut(collisionShared(sh, maxDf, sizeCompat = true))
+  private[graft] def nearPairs(sh: DataFrame, maxDf: Long,
+      dfreqOpt: Option[DataFrame] = None): DataFrame =
+    jaccardCut(collisionShared(sh, maxDf, sizeCompat = true, dfreqOpt))
 
   /** The capped-collision shared-shingle aggregate underlying both
     * the Jaccard cut (X5a) and the containment cut (X54). When
@@ -399,8 +414,19 @@ object Dedup {
     * excerpt inside a 100-token doc is exactly the size-mismatched
     * pair that filter exists to drop.
     */
-  private def collisionShared(sh: DataFrame, maxDf: Long, sizeCompat: Boolean): DataFrame = {
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+  private def collisionShared(sh: DataFrame, maxDf: Long, sizeCompat: Boolean,
+      dfreqOpt: Option[DataFrame] = None,
+      saturatedOpt: Option[Boolean] = None): DataFrame = {
+    // OPTIMIZATION r20: callers that already hold this index's (cached)
+    // df dictionary pass it in (dfreqOpt) so the cap filter and the
+    // high-df probe read the memoized frame instead of re-collapsing
+    // the 2M-row index; callers that already KNOW the saturation
+    // verdict (the dfGuarded probe computes max df eagerly anyway)
+    // pass saturatedOpt and the `highShingles.isEmpty` probe job is
+    // skipped outright — max df ≤ cap ⟺ no high-df shingle exists,
+    // so the two probes were always the same question asked twice.
+    val dfreq = dfreqOpt.getOrElse(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
     val highShingles = dfreq.filter(col("df") > maxDf).select("shingle")
     val capped = sh.join(dfreq.filter(col("df") <= maxDf).select("shingle"), "shingle")
     // each index row carries its doc's cardinality `n`, so min(n) per
@@ -443,7 +469,7 @@ object Dedup {
     // exactness argument is unchanged: the probe decides between two
     // plans that provably compute the same result.
     val shared =
-      if (highShingles.isEmpty)
+      if (saturatedOpt.fold(highShingles.isEmpty)(sat => !sat))
         sharedKept.select(
           col("id_a"), col("id_b"), col("shared_kept").as("shared"),
           col("n_a"), col("n_b"))
@@ -497,7 +523,8 @@ object Dedup {
     */
   private[graft] def nearPairsIndexed(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleIndex(s, dir) // hoisted: re-arms the upstream persist on memo hits
-    cachedIndex(s, dir, "near_pairs")(nearPairs(sh, nearMaxDf))
+    val dfs = shingleDfDict(s, dir) // r20: cap filter + high-df probe read the cached dict
+    cachedIndex(s, dir, "near_pairs")(nearPairs(sh, nearMaxDf, Some(dfs)))
   }
 
   /** The X5a chain through `verified` (corpus → capped collisions →
@@ -819,9 +846,27 @@ object Dedup {
     cachedIndex(s, dir, "shingles_containment")(shinglesOf(ext))
   }
 
+  /** X54's (shingle, df) dictionary over the excerpt-extended index,
+    * memoized (r20): it used to be re-collapsed from the 2M-row index
+    * THREE times per q_containment construction — once for the
+    * df-saturation guard's eager probe, once for the high-df
+    * `isEmpty` probe inside [[collisionShared]], once in-plan as the
+    * cap filter. One cached dictionary now feeds all three (and the
+    * probe answers the isEmpty question for free: max df ≤ cap ⟺ no
+    * high-df shingle exists).
+    */
+  private[graft] def containmentDf(s: SparkSession, dir: String): DataFrame = {
+    val sh = containmentIndex(s, dir) // hoisted: re-arms upstream persist
+    cachedIndex(s, dir, "containment_df")(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
+  }
+
   private def containment(s: SparkSession, dir: String): DataFrame = {
     val sh = containmentIndex(s, dir)
-    val pairs = collisionShared(sh, nearMaxDf, sizeCompat = false)
+    val dfs = containmentDf(s, dir)
+    val sat = dfSaturationFlag(dfs, nearMaxDf).head() // the ONE eager dictionary probe
+    val pairs = collisionShared(sh, nearMaxDf, sizeCompat = false,
+      Some(dfs), Some(sat.getBoolean(1)))
       .filter(col("shared") * 10 >= least(col("n_a"), col("n_b")) * 9)
       .select(
         col("id_a"), col("id_b"),
@@ -829,8 +874,7 @@ object Dedup {
         col("n_a").cast("long").as("n_a"),
         col("n_b").cast("long").as("n_b"),
         round(col("shared") / least(col("n_a"), col("n_b")), 4).as("cont"))
-    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    dfGuarded(s, pairs, dfSaturationFlag(dfs, nearMaxDf), "q_containment", nearMaxDf,
+    dfGuarded(s, pairs, sat.getLong(0), sat.getBoolean(1), "q_containment", nearMaxDf,
       Seq(lit(0L).as("shared"), lit(0L).as("n_a"), lit(0L).as("n_b"),
         lit(0.0).as("cont")))
       .orderBy("id_a", "id_b")

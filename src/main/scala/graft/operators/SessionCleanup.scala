@@ -45,5 +45,6 @@ private[graft] object SessionCleanup {
     Dedup.releaseIndexes(cond)
     Similarity.releaseQueryVecs(cond)
     Clustering.releaseLabels(cond)
+    TextAnalysis.releaseBpe(cond)
   }
 }

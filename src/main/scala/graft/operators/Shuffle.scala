@@ -128,10 +128,24 @@ object Shuffle {
     * dictionary-bounded argmax scan. Five families = five independent
     * small plans; nothing corpus-wide survives past the first agg.
     */
-  private def keySkew(s: SparkSession, dir: String): DataFrame =
-    skewFamilies.map { case (t, k) =>
-      keySkewOf(Tables(s, dir, t), k, s"$t.$k")
-    }.reduce(_ unionByName _).orderBy("key_name")
+  private def keySkew(s: SparkSession, dir: String): DataFrame = {
+    // OPTIMIZATION r20 (guide §2.6 "overlap independent jobs"): each
+    // family's keySkewOf pays an EAGER localCheckpoint of its key
+    // dictionary at construction, and building the five frames
+    // sequentially serialized five independent scan+agg jobs on an
+    // otherwise idle scheduler. Constructing them on a small thread
+    // pool overlaps the checkpoints (Spark's scheduler handles
+    // concurrent jobs natively); result order — and therefore the
+    // declared output — is unchanged because the Futures are awaited
+    // in family order before the union.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    skewFamilies
+      .map { case (t, k) => Future(keySkewOf(Tables(s, dir, t), k, s"$t.$k")) }
+      .map(Await.result(_, Duration.Inf))
+      .reduce(_ unionByName _).orderBy("key_name")
+  }
 
   private def skewSql(table: String, key: String): String =
     s"""SELECT '$table.$key' AS key_name, CAST(t.n AS BIGINT) AS n_rows,

@@ -13,12 +13,21 @@ class ClusteringSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val sf = "/root/testdata/sf0.001"
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+  /** Run CC through the declared entry point. `localThreshold` "0"
+    * forces the distributed alternating-star fixpoint; the default
+    * lets the r20 local union-find finish engage (these fixture graphs
+    * are tiny) — the matching tests below pin BOTH paths against the
+    * driver union-find truth so neither can drift.
+    */
+  private def cc(edges: Seq[(Long, Long)],
+      localThreshold: String = "200000"): Map[Long, (Long, Long)] = {
     import spark.implicits._
-    Clustering.connectedComponents(edges.toDF("id_a", "id_b"))
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", localThreshold)
+    try Clustering.connectedComponents(edges.toDF("id_a", "id_b"))
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
+    finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
   }
 
   /** Driver-side union-find: (member → (min of component, size)). */
@@ -50,6 +59,8 @@ class ClusteringSpec extends AnyFunSuite {
     val got = cc(edges)
     val want = truth(edges.filter(e => e._1 != e._2))
     assert(got == want)
+    // r20: the distributed fixpoint must agree with the local finish
+    assert(cc(edges, localThreshold = "0") == want)
     // the 40-node chain is ONE cluster labeled by its minimum
     assert(got(40L) == (1L, 40L))
     // bridged cliques merged: every member labeled 100, size 5+4
@@ -62,6 +73,8 @@ class ClusteringSpec extends AnyFunSuite {
       val edges = Seq.fill(density)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
         .filter(e => e._1 != e._2)
       assert(cc(edges) == truth(edges), s"density $density")
+      // r20: same graph through the distributed fixpoint path
+      assert(cc(edges, localThreshold = "0") == truth(edges), s"density $density (fixpoint)")
     }
   }
 
