@@ -63,6 +63,7 @@ object Bench {
       ("memo:containment_df", () => { operators.Dedup.containmentDf(spark, sfDir).count(); () }),
       ("memo:minhash_pairs", () => { operators.Dedup.minhashVerified(spark, sfDir).count(); () }),
       ("memo:simsketch", () => { operators.Dedup.simSketch(spark, sfDir).count(); () }),
+      ("memo:source_sigs", () => { operators.Dedup.sourceSigs(spark, sfDir).count(); () }),
       ("memo:substr_grams", () => { operators.Dedup.substrGrams(spark, sfDir).count(); () }),
       ("memo:substr_pairs", () => { operators.Dedup.substrPairs(spark, sfDir).count(); () }),
       ("memo:gate_scored", () => { operators.Curation.gateScored(spark, sfDir).count(); () }),

@@ -1840,14 +1840,19 @@ object Clustering {
     val s = emb.sparkSession
     import s.implicits._
     val chk = emb.select(col("vec_id"), col("embedding")).localCheckpoint(true)
-    def fetch(id: Long): Array[Double] =
-      chk.filter(col("vec_id") === id).select(col("embedding"))
-        .head.getSeq[Float](0).map(_.toDouble).toArray
+    // OPTIMIZATION r20: the selected vector rides the SAME struct-max
+    // aggregate that picks it (as a trailing struct field — vec_id is
+    // unique, so the comparison never reaches it), so each Gonzalez
+    // round is ONE job instead of two (argmax + a separate fetch-by-id
+    // scan). Selection and tie-breaks are bit-identical.
+    def vecOf(row: org.apache.spark.sql.Row, i: Int): Array[Double] =
+      row.getSeq[Float](i).map(_.toDouble).toArray
     val n2ppm = round(VectorOps.normSq(col("embedding")) * 1000000.0, 0).cast("long")
-    val seedRow = chk.agg(max(struct(n2ppm.as("n2"), (-col("vec_id")).as("nid")))
-      .as("m")).select(col("m.nid")).head
+    val seedRow = chk.agg(max(struct(n2ppm.as("n2"), (-col("vec_id")).as("nid"),
+      col("embedding").as("emb"))).as("m"))
+      .select(col("m.nid"), col("m.emb")).head
     val seed = -seedRow.getLong(0)
-    var chosen = Vector(seed -> fetch(seed))
+    var chosen = Vector(seed -> vecOf(seedRow, 1))
     var picks = Vector[(Long, Long, Option[Double])]((1L, seed, None))
     def dmin(cs: Seq[(Long, Array[Double])]) = {
       val ds = cs.map { case (_, v) =>
@@ -1857,10 +1862,11 @@ object Clustering {
     }
     for (r <- 2 to k) {
       val row = chk.agg(
-        max(struct(dmin(chosen).as("d"), (-col("vec_id")).as("nid"))).as("m"))
-        .select(col("m.d"), col("m.nid")).head
+        max(struct(dmin(chosen).as("d"), (-col("vec_id")).as("nid"),
+          col("embedding").as("emb"))).as("m"))
+        .select(col("m.d"), col("m.nid"), col("m.emb")).head
       val (rad, id) = (row.getDouble(0), -row.getLong(1))
-      chosen = chosen :+ (id -> fetch(id))
+      chosen = chosen :+ (id -> vecOf(row, 2))
       picks = picks :+ ((r.toLong, id, Some(rad)))
     }
     val finalRadius = chk.agg(max(dmin(chosen))).head.getDouble(0)

@@ -2243,18 +2243,32 @@ object Dedup {
     * 64-lane zip on plan-constant rows. Estimate rounds 4dp in
     * integer space: (20000·m + 64) div 128.
     */
+  /** The per-source 64-slot signature table behind X83 — memoized
+    * (r20): the sketch pass (trigram explode + 64-lane min aggregate
+    * over the whole corpus) is the operator's entire cost, and it was
+    * re-run by BOTH declared consumers (`q_source_overlap` builds the
+    * matrix, X84 `q_source_family` thresholds the same matrix into a
+    * graph). The cached frame is ǀsourcesǀ rows of 64 longs — the
+    * smallest memo in the registry. Explicit `memo:source_sigs` bench
+    * line keeps the first payer honest.
+    */
+  private[graft] def sourceSigs(s: SparkSession, dir: String): DataFrame =
+    cachedIndex(s, dir, "source_sigs") {
+      val base = h32(col("shingle")) % 2147483648L
+      Tables(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(w) - 2), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+          .as("shingle"))
+        .groupBy(col("source"))
+        .agg(array((0 until 64).map(i =>
+          min((base * soA(i) + soB(i)) % lit(2147483647L))): _*).as("sig"))
+    }
+
   private[graft] def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val base = h32(col("shingle")) % 2147483648L
-    val sh = Tables(s, dir, "documents")
-      .select(col("source"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("source"), explode(expr(
-        "transform(sequence(1, size(w) - 2), " +
-          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
-        .as("shingle"))
-    val sig = sh.groupBy(col("source"))
-      .agg(array((0 until 64).map(i =>
-        min((base * soA(i) + soB(i)) % lit(2147483647L))): _*).as("sig"))
+    val sig = sourceSigs(s, dir)
     sig.as("a").join(broadcast(sig.as("b")), col("a.source") < col("b.source"))
       .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
         expr("CAST(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) AS BIGINT)")

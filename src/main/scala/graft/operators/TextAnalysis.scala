@@ -704,6 +704,11 @@ object TextAnalysis {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var step = 1
     var exhausted = false
+    // r20: checkpoint every third merge instead of every merge — each
+    // eager localCheckpoint is a blocking job, and a ≤6-deep codegen'd
+    // replace chain re-run by the next argmax scan is far cheaper than
+    // the job it saves; lineage stays bounded either way.
+    var sinceCkpt = 0
     while (step <= steps && !exhausted) {
       val best = cur
         .select(col("freq"), split(trim(col("str")), " ").as("syms"))
@@ -732,7 +737,8 @@ object TextAnalysis {
         val (pat, rep) = (lit(s" $l $r "), lit(s" $l$r "))
         cur = cur
           .withColumn("str", replace(replace(col("str"), pat, rep), pat, rep))
-          .localCheckpoint()
+        sinceCkpt += 1
+        if (sinceCkpt >= 3) { cur = cur.localCheckpoint(); sinceCkpt = 0 }
         step += 1
       }
     }
