@@ -11,6 +11,22 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/driver contract requires the one-line JSON printed by
+// graft.Bench to be the LAST stdout line (VERDICT r20 #1: the driver
+// could not parse BENCH_r19/r20 because output followed the JSON).
+// Two sbt behaviours broke that under `sbt "runMain graft.Bench"`:
+//  - forked run output is routed through sbt's logger by default
+//    (stdout tagged per-line, stderr re-logged as [error] AFTER the
+//    program's stdout) — StdoutOutput passes both streams through raw
+//    and in order instead;
+//  - sbt prints "[success] Total time: ..." after the run returns —
+//    showSuccess=false drops that epilogue (exit codes are unchanged).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// both keys are consumed by sbt itself, not by a task in this build —
+// exclude them from the unused-setting lint so its [warn] lines don't
+// land on stdout ahead of the bench contract line
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

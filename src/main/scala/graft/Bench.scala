@@ -118,7 +118,6 @@ object Bench {
     val total = if (best.nonEmpty) best.values.sum else 0.0
     failed.foreach { case (q, e) => System.err.println(s"bench FAILED query $q: $e") }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${failed.size},"passes":$pass,"sf":"$sfDir"}"""
-    println(line)
     // Persist the FULL per-query JSON beside the stdout contract
     // (VERDICT r18 next-round #7): the driver's BENCH_rN.json keeps
     // only a 2000-char tail, losing ~143 of 209 per-query timings —
@@ -154,6 +153,14 @@ object Bench {
           "bench: side-file skipped (partial query list or no tools/ dir; " +
             "set SPARK_GRAFT_BENCH_OUT to force)")
     }
+    // The one-line stdout contract is printed LAST, after the side-file
+    // write (and its stderr notice) and after spark.stop(), so nothing
+    // this JVM controls follows it on either stream (VERDICT r20 #1:
+    // the driver takes the final output line, and for two rounds the
+    // side-file notice and sbt's epilogue landed after the JSON,
+    // blinding PERF's per-query table). build.sbt suppresses sbt's own
+    // "[success] Total time" epilogue for the same reason.
     spark.stop()
+    println(line)
   }
 }

@@ -33,6 +33,10 @@ object Inspect {
     for (r <- 1 to reps) {
       spark.catalog.clearCache()
       operators.Clustering.releaseLabels(spark)
+      // r20 ADVICE: Bench releases the BPE merge memo per pass too —
+      // without this, rep>=2 timings for the BPE queries measure memo
+      // hits and stop being comparable to bench numbers
+      operators.TextAnalysis.releaseBpe(spark)
       for ((name, fn) <- queries) {
         spark.sparkContext.setJobDescription(s"$name rep$r")
         val t0 = System.nanoTime()

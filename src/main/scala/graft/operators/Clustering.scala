@@ -104,9 +104,14 @@ object Clustering {
     // runtime-adaptive on the ACTUAL canonical edge count (the same
     // count the signature aggregate already pays for), exactly like
     // AQE's runtime broadcast decisions: corpus-scale dup graphs keep
-    // the fixpoint; the threshold (edges, 16 B each — default 200k ≈
-    // 3 MB on the driver, the bounded-collect class) is conf-tunable
-    // and 0 disables.
+    // the fixpoint; the threshold is conf-tunable and 0 disables.
+    // Driver cost per collected edge is NOT 16 B of payload: each
+    // materializes a GenericRow (~100-150 B with headers/boxing) plus
+    // the union-find HashMap entries and output Rows — budget roughly
+    // 300-500 B per edge, so the default 200k edges is tens of MB on
+    // the driver (r20 ADVICE). Anyone raising the threshold should
+    // size from that figure against spark.driver.memory, not from the
+    // raw 16 B/edge payload.
     val localThr = pairs.sparkSession.conf
       .get("spark.graft.cc.localEdgeThreshold", "200000").toLong
     if (!converged && curSig._1 <= localThr)

@@ -138,13 +138,23 @@ object Shuffle {
     // concurrent jobs natively); result order — and therefore the
     // declared output — is unchanged because the Futures are awaited
     // in family order before the union.
-    import scala.concurrent.{Await, Future}
+    // r20 ADVICE: a dedicated fixed pool (not the global fork-join
+    // pool) — its threads are created HERE, so the Spark job-group/
+    // description InheritableThreadLocals they inherit are this
+    // caller's, not whichever unrelated thread first touched the
+    // global pool; it is torn down when all five futures settle, so a
+    // failed family cannot leave detached jobs running on a shared
+    // executor context.
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    skewFamilies
-      .map { case (t, k) => Future(keySkewOf(Tables(s, dir, t), k, s"$t.$k")) }
-      .map(Await.result(_, Duration.Inf))
-      .reduce(_ unionByName _).orderBy("key_name")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(skewFamilies.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try
+      skewFamilies
+        .map { case (t, k) => Future(keySkewOf(Tables(s, dir, t), k, s"$t.$k")) }
+        .map(Await.result(_, Duration.Inf))
+        .reduce(_ unionByName _).orderBy("key_name")
+    finally pool.shutdown()
   }
 
   private def skewSql(table: String, key: String): String =
