@@ -58,6 +58,34 @@ object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
+
+  /** Spread compute-dense per-row work (gram explodes + per-gram
+    * digests) across the session's cores when the input's PLANNED scan
+    * has fewer partitions than that — guide §2.5's "one huge
+    * unsplittable file" case. At bench SFs every table is one parquet
+    * row group, so a scan is a single task no matter the core count,
+    * and a stage that md5-hashes millions of grams runs single-threaded
+    * on a 32-core session. The fan-out is runtime-adaptive, NOT a
+    * local[32] constant: the partition count comes from the planned
+    * scan and the target from `defaultParallelism`, so at production
+    * shapes (scan splits ≥ cores) this is the identity and no exchange
+    * is added. The r20 "scan fan-out rejected" measurement applied the
+    * repartition to EVERY scan including latency-bound dictionary
+    * collapses (where the extra stage + lost scan-stage fusion cost
+    * more than the single-threaded work); this helper is applied ONLY
+    * at sites whose downstream per-row work was measured compute-dense
+    * (seconds of digest/explode work per task), where the ~0.1 s
+    * exchange of a few hundred corpus rows buys a ~cores-way speedup.
+    * `spark.graft.scan.fanout=off` disables (A/B reproducibility).
+    */
+  private[graft] def fanOutForCompute(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    if (s.conf.get("spark.graft.scan.fanout", "auto") == "off") df
+    else {
+      val target = s.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+  }
 }
 
 /** Session-level configuration this engine requires, applied exactly

@@ -1032,7 +1032,7 @@ object Clustering {
     val cells = graft.Tables(s, dir, "embeddings")
       .select(col("vec_id").as("doc_id"),
         bestCentroid(s, dir).getField("cid").cast("long").as("cid"))
-    val toks = graft.Tables(s, dir, "documents")
+    val toks = graft.Tables.fanOutForCompute(graft.Tables(s, dir, "documents"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .join(cells, "doc_id")
       .groupBy(col("cid"), col("tok")).agg(count(lit(1)).as("c_ct"))

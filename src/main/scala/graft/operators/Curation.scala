@@ -116,7 +116,7 @@ object Curation {
       .unionByName(bench.select(
         (col("doc_id") + 300000).as("doc_id"),
         regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
-    grams(train)
+    grams(graft.Tables.fanOutForCompute(train)) // r21: gram explode is compute-dense, scan is 1 task
       .join(grams(bench).select("gram").distinct(), "gram")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared"))
@@ -154,9 +154,12 @@ object Curation {
       .unionByName(bench.select(
         (col("doc_id") + 300000).as("doc_id"),
         regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
+    // r21: the train side pays the n-gram explode THREE times (one per
+    // swept n) over a single-task scan — fan it out once for all three
+    val trainF = graft.Tables.fanOutForCompute(train)
     decontamSweepNs.map { n =>
       val bg = gramsN(bench, n).select("gram").distinct()
-      val perDoc = gramsN(train, n)
+      val perDoc = gramsN(trainF, n)
         .join(bg, "gram")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("gram")).as("ns"))
@@ -238,7 +241,8 @@ object Curation {
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     val sets = Seq(
       ("bench_grams", d.filter(col("doc_id") % 50 === 0)),
-      ("train_grams", d.filter(col("doc_id") % 50 =!= 0)))
+      // r21: only the corpus-sized side is worth fanning out
+      ("train_grams", graft.Tables.fanOutForCompute(d.filter(col("doc_id") % 50 =!= 0))))
     sets.map { case (nm, docsDf) =>
       val n1 = grams(docsDf).select("gram").distinct()
         .agg(count(lit(1)).as("n_items"))
@@ -732,7 +736,10 @@ object Curation {
       s"(coalesce(element_at(bm, CAST($p DIV 64 AS BIGINT)), CAST(0 AS BIGINT)) & " +
         s"shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT))) != 0"
     }
-    gramsDistinctPerDoc(train)
+    // r21: one md5 per distinct train gram is the dominant cost and ran
+    // on ONE task (single-row-group scan) — fan the ~500-row train
+    // corpus out across the cores before the gram explode + digest
+    gramsDistinctPerDoc(graft.Tables.fanOutForCompute(train))
       .select(col("doc_id"), md5(concat(lit("bl"), col("gram"))).as("h"))
       .crossJoin(broadcast(bloomMap)) // exactly 1 row (64 words) by construction
       .filter(expr((0 until bloomK).map(member).mkString(" AND ")))

@@ -111,17 +111,34 @@ object Dedup {
     * for composed pipelines deduping a derived corpus.
     */
   private[graft] def shinglesOf(c: DataFrame): DataFrame =
-    withDocCardinality(
-      c
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(
-          col("doc_id"),
-          explode(expr(
-            "transform(sequence(1, size(w) - 2), " +
-              "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
-            .as("shingle"))
-        .distinct())
+    // OPTIMIZATION r21 (guide §2.4 — remove shuffles outright): the
+    // r9-r20 shape shuffled the exploded stream TWICE — a (doc_id,
+    // shingle) distinct exchange, then a doc_id window exchange + sort
+    // for the cardinality. One doc_id-keyed collect_set aggregate does
+    // both in ONE exchange and no sort: map-side partial sets dedup
+    // before the shuffle (each doc's rows live in one input split, so
+    // the partial set is already complete), the set size IS `n`, and
+    // re-exploding the set restores the row-per-(doc, shingle) index.
+    // Same rows, same n (a set has one row per distinct shingle; its
+    // size is the window count); row ORDER differs, which no consumer
+    // observes (everything downstream aggregates/joins, and every
+    // declared query ends in a total-order sort). Per-doc set size is
+    // bounded by document length — the same skew bound the window had.
+    // (Fan-out of the explode was also tried and reverted: the
+    // downstream exchange outweighed the concat spread at sf0.1.)
+    c
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(w) - 2), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+          .as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("ss"))
+      .select(col("doc_id"), explode(col("ss")).as("shingle"),
+        size(col("ss")).cast("long").as("n"))
 
   /** Attach each doc's total shingle count to every (doc_id, shingle)
     * row — one window count, no skew (per-doc group size is bounded by
@@ -1916,7 +1933,10 @@ object Dedup {
       val n = substrGramN
       val concatGram = (1 until n)
         .foldLeft("element_at(w, i)") { (acc, j) => s"concat($acc, ' ', element_at(w, i + $j))" }
-      Tables(s, dir, "documents")
+      // r21: the per-position 12-token concat + md5 below is the
+      // dominant cost and ran on ONE task (single-row-group scan);
+      // fan the few-hundred-row corpus out across the cores first
+      Tables.fanOutForCompute(Tables(s, dir, "documents"))
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= n)
         .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
@@ -2146,7 +2166,8 @@ object Dedup {
       .foldLeft("element_at(ws, i)") { (acc, j) => s"concat($acc, ' ', element_at(ws, i + $j))" }
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("i")).rowsBetween(0, w - 1)
-    Tables(s, dir, "documents")
+    // r21: one md5 per token position on a single-task scan — fan out
+    Tables.fanOutForCompute(Tables(s, dir, "documents"))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= k + w - 1)
       // The transform is guarded to be TOTAL (empty on short rows):
@@ -2255,7 +2276,9 @@ object Dedup {
   private[graft] def sourceSigs(s: SparkSession, dir: String): DataFrame =
     cachedIndex(s, dir, "source_sigs") {
       val base = h32(col("shingle")) % 2147483648L
-      Tables(s, dir, "documents")
+      // r21: one md5 + 64 min-lane products per shingle on a single-
+      // task scan — fan out before the explode
+      Tables.fanOutForCompute(Tables(s, dir, "documents"))
         .select(col("source"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("source"), explode(expr(
@@ -2302,6 +2325,9 @@ object Dedup {
 
   private def chunkRuns(s: SparkSession, dir: String): DataFrame = {
     val ct = chunkTokens
+    // r21: fan-out TRIED and reverted — the chunk stream's downstream
+    // (countDistinct df + self-join + islands window) outweighs the
+    // md5 spread at 32-way (measured 1.62 s → 2.12 s at sf0.1)
     val chunks = Tables(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= ct)

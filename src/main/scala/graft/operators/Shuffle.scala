@@ -533,12 +533,40 @@ object Shuffle {
     */
   private def joinCard(s: SparkSession, dir: String): DataFrame =
     joinCardPairs.map { case (nm, lt, lk, rt, rk) =>
-      joinCardRow(nm,
-        Tables(s, dir, lt).select(col(lk).cast("string").as("k"))
-          .groupBy("k").agg(count(lit(1)).as("cl")),
-        Tables(s, dir, rt).select(col(rk).cast("string").as("k"))
-          .groupBy("k").agg(count(lit(1)).as("cr")))
+      if (lt == rt && lk == rk)
+        // self-join pair: L and R are the SAME dictionary, so the
+        // outer join degenerates to the identity (every key matches
+        // itself, cl = cr) — one dictionary collapse and one 1-row
+        // aggregate state the whole row (r21; provably equal: unique
+        // keys ⇒ shared_keys = count, exact_d = Σ cl²)
+        joinCardRowSelf(nm,
+          Tables(s, dir, lt).select(col(lk).cast("string").as("k"))
+            .groupBy("k").agg(count(lit(1)).as("cl")))
+      else
+        joinCardRow(nm,
+          Tables(s, dir, lt).select(col(lk).cast("string").as("k"))
+            .groupBy("k").agg(count(lit(1)).as("cl")),
+          Tables(s, dir, rt).select(col(rk).cast("string").as("k"))
+            .groupBy("k").agg(count(lit(1)).as("cr")))
     }.reduce(_ unionByName _).orderBy("join_name")
+
+  /** [[joinCardRow]] for a table joined with itself on the same key:
+    * the full-outer join of a unique-keyed dictionary with itself is
+    * the dictionary (cl = cr on every row), so the statistics collapse
+    * to one aggregate over one dictionary build. ShuffleSpec pins this
+    * row-for-row against the generic two-dictionary path.
+    */
+  private[graft] def joinCardRowSelf(nm: String, D: DataFrame): DataFrame =
+    joinCardFinish(
+      D.agg(
+        sum(col("cl")).as("l_rows"),
+        count(col("cl")).as("l_keys"),
+        sum(col("cl")).as("r_rows"),
+        count(col("cl")).as("r_keys"),
+        count(col("cl")).as("shared_keys"),
+        coalesce(sum(expr("CAST(cl AS DECIMAL(38,0)) * cl")), lit(0))
+          .cast("decimal(38,0)").as("exact_d")),
+      nm)
 
   /** One audit row off (k, cl) / (k, cr) dictionaries — factored so
     * ShuffleSpec can drive the uniform-assumption ERROR branch with a
@@ -546,14 +574,40 @@ object Shuffle {
     * so err_ratio is honestly 1.0 on every declared row).
     */
   private[graft] def joinCardRow(nm: String, L: DataFrame, R: DataFrame): DataFrame = {
-      val lAgg = L.agg(sum(col("cl")).as("l_rows"), count(lit(1)).as("l_keys"))
-      val rAgg = R.agg(sum(col("cr")).as("r_rows"), count(lit(1)).as("r_keys"))
-      val xAgg = L.join(R, "k").agg(
-        count(lit(1)).as("shared_keys"),
-        coalesce(sum(expr("CAST(cl AS DECIMAL(38,0)) * cr")), lit(0))
-          .cast("decimal(38,0)").as("exact_d"))
-      lAgg.crossJoin(broadcast(rAgg)).crossJoin(broadcast(xAgg))
-        .select(
+      // OPTIMIZATION r21 (guide §2.4 — remove shuffles outright): the
+      // r20 shape computed THREE aggregates (lAgg, rAgg, xAgg) whose
+      // plans each re-stated the dictionary subtrees, counting on
+      // exchange reuse to share the scans — but under AQE replanning
+      // the subtrees stopped matching (measured: 80 Exchange, ZERO
+      // ReusedExchange in the before plan — every dictionary built
+      // twice). A FULL OUTER join of the two dictionaries feeds every
+      // statistic from ONE pass instead: both dictionaries are unique
+      // per k (group-by outputs), so each L row and each R row appears
+      // exactly once in the outer join, making sum/count(cl) ≡ lAgg,
+      // sum/count(cr) ≡ rAgg, and the both-non-null count/product-sum
+      // ≡ xAgg's inner join — bit-identical, oracle-checked. Each pair
+      // now plans 2 dictionary collapses + 1 join + 1 one-row
+      // aggregate (was 4 collapses + 1 join + 3 aggregates + 2
+      // broadcast crossJoins).
+      joinCardFinish(
+        L.join(R, Seq("k"), "full_outer").agg(
+          sum(col("cl")).as("l_rows"),
+          count(col("cl")).as("l_keys"),
+          sum(col("cr")).as("r_rows"),
+          count(col("cr")).as("r_keys"),
+          count(when(col("cl").isNotNull && col("cr").isNotNull, 1)).as("shared_keys"),
+          coalesce(sum(expr("CAST(cl AS DECIMAL(38,0)) * cr")), lit(0))
+            .cast("decimal(38,0)").as("exact_d")),
+        nm)
+  }
+
+  /** The derived-column block shared by [[joinCardRow]] and
+    * [[joinCardRowSelf]]: exact/estimated output rows, error ratio and
+    * blowup off the 1-row (l_rows, l_keys, r_rows, r_keys,
+    * shared_keys, exact_d) aggregate.
+    */
+  private def joinCardFinish(j: DataFrame, nm: String): DataFrame =
+      j.select(
           lit(nm).as("join_name"),
           col("l_rows").cast("long").as("l_rows"),
           col("r_rows").cast("long").as("r_rows"),
@@ -585,7 +639,6 @@ object Shuffle {
                   |  DIV (2 * greatest(l_rows, r_rows)),
                   |  CAST(9223372036854775807 AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
             / lit(10000.0)).as("blowup"))
-  }
 
   private def joinCardSql: String =
     joinCardPairs.map { case (nm, lt, lk, rt, rk) =>

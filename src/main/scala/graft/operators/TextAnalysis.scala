@@ -412,6 +412,10 @@ object TextAnalysis {
     * map-side partials.
     */
   private def lmScore(s: SparkSession, dir: String): DataFrame = {
+    // r21: fan-out TRIED and reverted — the bigram stream feeds two
+    // dictionary collapses and a re-join, and the 32-way upstream made
+    // those shuffles cost more than the explode saved (measured
+    // 1.25 s → 2.18 s at sf0.1)
     val pairs = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)

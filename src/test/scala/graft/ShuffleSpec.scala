@@ -292,6 +292,20 @@ class ShuffleSpec extends AnyFunSuite {
       s"uniform estimate should UNDERestimate the zipf self-join, got ${row.getDouble(8)}")
   }
 
+  test("X165 joinCardRowSelf == joinCardRow on the same dictionary (r21 self-pair fast path)") {
+    // The declared documents-self-source row now takes the one-
+    // dictionary aggregate; pin it row-for-row against the generic
+    // two-dictionary outer-join path on a zipf dictionary (non-trivial
+    // counts so exact_d = Σc² exercises the DECIMAL product).
+    import spark.implicits._
+    val zipf = Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L, 1L).zipWithIndex
+      .map { case (c, i) => (s"k$i", c) }
+    val self = graft.operators.Shuffle.joinCardRowSelf("z", zipf.toDF("k", "cl")).head()
+    val generic = graft.operators.Shuffle.joinCardRow(
+      "z", zipf.toDF("k", "cl"), zipf.toDF("k", "cr")).head()
+    assert(self === generic)
+  }
+
   test("X165 joinCardRow saturates (never NULLs) when the uniform quotient overflows BIGINT") {
     // r19 ADVICE: Spark's IntegralDivide returns BIGINT and NULLs a
     // quotient above Long.MaxValue (non-ANSI), while the DuckDB twin's
