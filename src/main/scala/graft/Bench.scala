@@ -31,6 +31,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // OPTIMIZATION r21 (guide §1.2 step 2 — per-task/fixed work): the
+      // JVM-wide cache of whole-stage-codegen'd classes defaults to 100
+      // entries, and this surface compiles ~8 generated classes per
+      // query × 235 queries — the cache thrashed and EVERY pass
+      // re-Janino-compiled every stage. Sized to the surface's working
+      // set with headroom; pure compile caching (no data, no results),
+      // scale-independent, and a real many-query deployment sets the
+      // same. STATIC conf, so it lives here (before getOrCreate), not
+      // in GraftConf.ensure. Measured on the 20-query mid-tail slice,
+      // alternating A/B ×2: 20.4/29.6 s (default) → 13.6/12.3 s.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftConf.ensure(spark)

@@ -23,6 +23,10 @@ object Inspect {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "true")
+      // match Bench's codegen-class cache sizing (r21) so inspect
+      // numbers stay comparable to bench numbers
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftConf.ensure(spark)

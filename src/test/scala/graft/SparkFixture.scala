@@ -15,6 +15,10 @@ object SparkFixture {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // r21: 426 tests × several plans each — same codegen-class cache
+      // sizing as the Bench/Verify mains (static conf)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // The operator surface deliberately runs dictionary-sized (tens to
